@@ -1,13 +1,700 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, Similarity}
+
+/** Driver contract: the declared operator surface (SURVEY.md §2) over the
+  * test star schema, each query paired with DuckDB oracle SQL.
+  *
+  * Determinism rules (SURVEY.md §7.4): no `uuid()`/`current_timestamp()`
+  * in compared output; every LIMIT is preceded by a total order; every
+  * floating aggregate is computed through exact DECIMAL arithmetic and
+  * cast to double at the end, so Spark's partial-aggregation order can't
+  * change the result vs the single-threaded oracle.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Order-insensitive exact double sum: decimal accumulate, double out. */
+  private def sumd(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** l_extendedprice * (1 - l_discount) in exact decimal. Widths are kept
+    * small (14,4)×(9,6) so NEITHER engine overflows its 38-digit decimal
+    * ceiling — DuckDB silently falls back to double past it. */
+  private def discPrice: Column =
+    col("l_extendedprice").cast("decimal(14,4)") *
+      (lit(1).cast("decimal(8,6)") - col("l_discount").cast("decimal(8,6)"))
+
+  private val discPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(14,4)) * " +
+      "(CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))"
+
+  private final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  // ================= relational core =================
+
+  private val q01 = Q("q01_pricing_summary",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("date"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumd(col("l_quantity")).as("sum_qty"),
+          sumd(col("l_extendedprice")).as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast("decimal(18,4)")).cast("double") /
+            count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |CAST(CAST(SUM($discPriceSql) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= DATE '2000-12-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  private val q02 = Q("q02_filter_project",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("o_date"))
+        .orderBy(col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+      |CAST(o_orderdate AS DATE) AS o_date
+      |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 400000
+      |ORDER BY o_orderkey LIMIT 100""".stripMargin))
+
+  private val q03 = Q("q03_join_agg_nations",
+    (s, dir) => {
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      val r = t(s, dir, "region"); val o = t(s, dir, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sumd(col("o_totalprice")).as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""SELECT r_name, n_name, COUNT(*) AS n_orders,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin))
+
+  private val q04 = Q("q04_join_priority",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_lines"),
+          sumd(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(DISTINCT o_orderkey) AS n_orders,
+      |COUNT(*) AS n_lines,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  private val q05 = Q("q05_semi_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 420000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 420000)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  private val q06 = Q("q06_anti_join",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      val hv = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      p.join(hv, p("p_partkey") === hv("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey, p_name FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+      |ORDER BY p_partkey""".stripMargin))
+
+  private val q07 = Q("q07_window_top1",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin))
+
+  private val q08 = Q("q08_topk_sort",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+        .limit(100)
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 100""".stripMargin))
+
+  private val q09 = Q("q09_distinct",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  private val q10 = Q("q10_union",
+    (s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy(col("nationkey"))
+    },
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+      |UNION SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin))
+
+  private val q11 = Q("q11_except",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+        .except(o.filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy(col("custkey"))
+    },
+    Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+      |ORDER BY custkey""".stripMargin))
+
+  private val q12 = Q("q12_having",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sumd(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+        .orderBy(col("l_partkey"))
+    },
+    Some("""SELECT l_partkey,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY l_partkey
+      |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 150
+      |ORDER BY l_partkey""".stripMargin))
+
+  // ================= functions: json / date / string / case =================
+
+  private val q13 = Q("q13_json_extract",
+    (s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      t(s, dir, "events")
+        .select((k % 10).as("k_mod"), col("value"))
+        .groupBy(col("k_mod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy(col("k_mod"))
+    },
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+      |COUNT(*) AS n,
+      |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin))
+
+  private val q14 = Q("q14_date_agg",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"))
+        .agg(count(lit(1)).as("n"),
+          sumd(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_year"), col("o_month"))
+    },
+    Some("""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+      |CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS o_month,
+      |COUNT(*) AS n,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin))
+
+  private val q15 = Q("q15_string_funcs",
+    (s, dir) => {
+      t(s, dir, "part")
+        .groupBy(upper(substring_index(col("p_name"), " ", 1)).as("word1"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("p_retailprice").cast("decimal(18,4)")).cast("double") /
+            count(lit(1))).as("avg_price"),
+          max(col("p_size")).as("max_size"))
+        .orderBy(col("word1"))
+    },
+    Some("""SELECT UPPER(split_part(p_name, ' ', 1)) AS word1, COUNT(*) AS n,
+      |CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |MAX(p_size) AS max_size
+      |FROM part GROUP BY 1 ORDER BY word1""".stripMargin))
+
+  private val q16 = Q("q16_case_bucket",
+    (s, dir) => {
+      val band = when(col("o_totalprice") < 150000, "low")
+        .when(col("o_totalprice") < 300000, "mid")
+        .otherwise("high")
+      t(s, dir, "orders")
+        .groupBy(band.as("price_band"))
+        .agg(count(lit(1)).as("n"),
+          sumd(col("o_totalprice")).as("revenue"))
+        .orderBy(col("price_band"))
+    },
+    Some("""SELECT CASE WHEN o_totalprice < 150000 THEN 'low'
+      |  WHEN o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS price_band,
+      |COUNT(*) AS n,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1 ORDER BY price_band""".stripMargin))
+
+  private val q17 = Q("q17_word_topk",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    },
+    Some("""SELECT token, COUNT(*) AS n FROM (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> t <> '')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin))
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private val q18 = Q("q18_pivot",
+    (s, dir) => {
+      val pivoted = t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("umod"))
+        .pivot("event_type", eventTypes)
+        .agg(count(lit(1)))
+      pivoted.select(col("umod") +:
+        eventTypes.map(e => coalesce(col(e), lit(0L)).as(e)): _*)
+        .orderBy(col("umod"))
+    },
+    Some("SELECT user_id % 10 AS umod, " +
+      eventTypes.map(e =>
+        s"COUNT(CASE WHEN event_type = '$e' THEN 1 END) AS $e")
+        .mkString(", ") +
+      " FROM events GROUP BY 1 ORDER BY umod"))
+
+  private val q19 = Q("q19_running_window",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+            .cast("double").as("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |  AS running_spend
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  private val q20 = Q("q20_count_distinct",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust,
+      |COUNT(*) AS n FROM orders
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  private val q21 = Q("q21_try_cast",
+    (s, dir) => {
+      val raw = get_json_object(col("props"), "$.k")
+      val mixed = when(col("event_type") === "error", col("event_type"))
+        .otherwise(raw)
+      t(s, dir, "events")
+        .withColumn("mixed", mixed)
+        .withColumn("parsed", expr("try_cast(mixed AS int)"))
+        .agg(
+          sum(when(col("parsed").isNull, 1).otherwise(0)).cast("bigint")
+            .as("n_null"),
+          count(col("parsed")).as("n_parsed"),
+          sum(col("parsed")).cast("bigint").as("sum_parsed"))
+    },
+    Some("""SELECT
+      |CAST(SUM(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |COUNT(parsed) AS n_parsed,
+      |CAST(SUM(parsed) AS BIGINT) AS sum_parsed
+      |FROM (SELECT TRY_CAST(CASE WHEN event_type = 'error' THEN event_type
+      |  ELSE json_extract_string(props, '$.k') END AS INT) AS parsed
+      |FROM events)""".stripMargin))
+
+  private val q22 = Q("q22_star_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+          sup("s_nationkey") === c("c_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(discPrice).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("r_name"), col("o_year"))
+    },
+    Some(s"""SELECT r_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+      |CAST(CAST(SUM($discPriceSql) AS VARCHAR) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY r_name, o_year""".stripMargin))
+
+  private val q23 = Q("q23_above_avg",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val avgBal = c.groupBy(col("c_nationkey"))
+        .agg((sum(col("c_acctbal").cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      c.join(broadcast(avgBal), Seq("c_nationkey"))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""SELECT c.c_nationkey, COUNT(*) AS n_above
+      |FROM customer c JOIN (
+      |  SELECT c_nationkey,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      |      AS avg_bal
+      |  FROM customer GROUP BY c_nationkey) a
+      |ON c.c_nationkey = a.c_nationkey
+      |WHERE c.c_acctbal > a.avg_bal
+      |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin))
+
+  private val q24 = Q("q24_conditional_agg",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+      val joined = li.join(p, li("l_partkey") === p("p_partkey"))
+      val econ = sum(when(col("p_type") === "ECONOMY", discPrice)
+        .otherwise(lit(0).cast("decimal(18,6)"))).cast("double")
+      val total = sum(discPrice).cast("double")
+      joined.agg(
+        econ.as("econ_revenue"),
+        total.as("total_revenue"),
+        round(econ * 100 / total, 6).as("econ_pct"))
+    },
+    Some(s"""SELECT
+      |CAST(CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN $discPriceSql
+      |  ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) AS econ_revenue,
+      |CAST(CAST(SUM($discPriceSql) AS VARCHAR) AS DOUBLE) AS total_revenue,
+      |ROUND(CAST(CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN $discPriceSql
+      |  ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) * 100 /
+      |  CAST(CAST(SUM($discPriceSql) AS VARCHAR) AS DOUBLE), 6) AS econ_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin))
+
+  // ================= text analysis / dedup =================
+
+  private val q30 = Q("q30_text_stats",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text"))).cast("bigint").as("total_tokens"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+      |CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |  t -> t <> ''))) AS BIGINT) AS total_tokens,
+      |CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  private val q31 = Q("q31_quality_score",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          TF.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          round(TF.distinctTokenRatio(col("text")), 6).as("distinct_ratio"),
+          TF.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id,
+      |CAST(len(toks) AS INT) AS n_tokens,
+      |CAST(len(regexp_extract_all(text, '${TF.bpeTokenPattern}')) AS INT)
+      |  AS n_bpe_tokens,
+      |ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) /
+      |  CAST(GREATEST(len(toks), 1) AS DOUBLE), 6) AS distinct_ratio,
+      |ROUND(((CASE WHEN len(toks) BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END)
+      |  + (CAST(len(list_distinct(toks)) AS DOUBLE) /
+      |     CAST(GREATEST(len(toks), 1) AS DOUBLE))
+      |  + (CASE WHEN CAST(len(regexp_extract_all(text, '[.!?]')) AS DOUBLE) /
+      |       CAST(GREATEST(len(toks), 1) AS DOUBLE) < 0.3
+      |     THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+      |FROM (SELECT doc_id, text,
+      |  list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+      |    AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin))
+
+  private val q32 = Q("q32_langid",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"), TF.langId(col("text")).as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    },
+    Some(langIdOracleSql))
+
+  private val q33 = Q("q33_fingerprint",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      |md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private val q34 = Q("q34_dedup_exact",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .agg(count(lit(1)).as("n_total"),
+          countDistinct(col("text")).as("n_unique_text"),
+          countDistinct(TF.fingerprint(col("text"))).as("n_unique_fp"))
+    },
+    Some("""SELECT COUNT(*) AS n_total,
+      |COUNT(DISTINCT text) AS n_unique_text,
+      |COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+      |  AS n_unique_fp
+      |FROM documents""".stripMargin))
+
+  private val q35 = Q("q35_minhash_neardup",
+    (s, dir) => {
+      // Word-set MinHash (shingle n=1 — the synthetic corpus has a small
+      // vocabulary, so unigram Jaccard is the meaningful signal there).
+      // xxhash64-family signatures: not SQL-oracle-expressible → rows-only.
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 1, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    None)
+
+  private val q36 = Q("q36_jaccard_pairs",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sets = docs.select(col("doc_id"),
+        TF.shingles(col("text"), 1).as("st"))
+      val a = sets.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("id_a"), col("st").as("st_a"))
+      val b = sets.select(col("doc_id").as("id_b"), col("st").as("st_b"))
+      broadcast(a).join(b, col("id_a") < col("id_b"))
+        .withColumn("j",
+          size(array_intersect(col("st_a"), col("st_b"))).cast("double") /
+            size(array_union(col("st_a"), col("st_b"))).cast("double"))
+        .filter(col("j") >= 0.3)
+        .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(a.st, b.st))) AS DOUBLE) AS j
+      |  FROM (SELECT doc_id, list_distinct(list_filter(
+      |      string_split_regex(lower(text), '\s+'), t -> t <> '')) AS st
+      |    FROM documents WHERE doc_id % 100 = 0) a
+      |  JOIN (SELECT doc_id, list_distinct(list_filter(
+      |      string_split_regex(lower(text), '\s+'), t -> t <> '')) AS st
+      |    FROM documents) b
+      |  ON a.doc_id < b.doc_id)
+      |WHERE j >= 0.3 ORDER BY id_a, id_b""".stripMargin))
+
+  private val q37 = Q("q37_simhash",
+    (s, dir) => {
+      // 64-bit SimHash sketch per doc (custom Catalyst expression over
+      // xxhash64 token hashes) — not SQL-expressible → rows-only.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          VF.simhash(TF.tokens(col("text"))).as("sketch"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  // ================= similarity search =================
+
+  private val q38 = Q("q38_cosine_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          VF.cosineFast(col("embedding"), VF.floatVec(qv)).as("c"))
+        .orderBy(col("c").desc, col("vec_id"))
+        .limit(20)
+        .select(col("vec_id"), round(col("c"), 6).as("cosine"))
+    },
+    Some("""SELECT vec_id, ROUND(c, 6) AS cosine FROM (
+      |  SELECT e.vec_id,
+      |    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+      |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |                           CAST(e.embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(q.qv, q.qv))) AS c
+      |  FROM embeddings e,
+      |    (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      |     WHERE vec_id = 0) q
+      |  WHERE e.vec_id <> 0)
+      |ORDER BY c DESC, vec_id LIMIT 20""".stripMargin))
+
+  private val q39 = Q("q39_ann_ivf",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val idx = Similarity.buildIvf(s, e, "vec_id", "embedding",
+        nCentroids = 8, iterations = 2)
+      Similarity.searchIvf(idx, "vec_id", "embedding", qv, k = 10, nProbe = 2)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    },
+    None)
+
+  private val q40 = Q("q40_embedding_stats",
+    (s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), VF.l2Norm(col("embedding")).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("nrm").cast("decimal(18,8)")).cast("double") /
+            count(lit(1)), 6).as("avg_norm"))
+        .orderBy(col("label"))
+    },
+    Some("""SELECT label, COUNT(*) AS n,
+      |ROUND(CAST(SUM(CAST(sqrt(list_dot_product(
+      |    CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+      |  AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6) AS avg_norm
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin))
+
+  private val q41 = Q("q41_embedding_neardup",
+    (s, dir) => {
+      // Sign-LSH bucketed cosine near-dups (hyperplane sketch) — LSH
+      // recall is probabilistic → rows-only.
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.95, numPlanes = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    None)
+
+  // ================= streaming-shaped =================
+
+  private val q42 = Q("q42_hourly_events",
+    (s, dir) => {
+      // Batch form of the streaming windowed aggregation
+      // (graft.streaming.EventStreams uses the same grouping).
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
+      // long (nanosAsLong); hour bucketing is integer ns math, identical
+      // to date_trunc('hour') for positive epochs.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val hourStart = date_format(
+        timestamp_seconds(expr("ts DIV 3600000000000") * 3600),
+        "yyyy-MM-dd HH:mm")
+      t(s, dir, "events")
+        .groupBy(hourStart.as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    },
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')
+      |  AS hour_start, event_type, COUNT(*) AS n,
+      |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin))
+
+  /** Oracle replica of [[TF.langId]], generated from the same marker table
+    * so the two can never drift. */
+  private def langIdOracleSql: String = {
+    def scoreSql(ms: Seq[String]): String =
+      ms.map { m =>
+        val esc = m.replace("'", "''")
+        s"(CASE WHEN contains(' ' || lower(text) || ' ', '$esc') THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+    val scoreCols = TF.langMarkers
+      .map { case (l, ms) => s"(${scoreSql(ms)}) AS s_$l" }.mkString(", ")
+    val langs = TF.langMarkers.map(_._1)
+    val branches = langs.map { l =>
+      val geAll = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN s_$l > 0 AND $geAll THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT lang, predicted, COUNT(*) AS n FROM (
+       |  SELECT lang, CASE $branches ELSE 'und' END AS predicted
+       |  FROM (SELECT lang, text, $scoreCols FROM documents))
+       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
+
+  private val all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
+    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q22_star_join")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ListMap(all.map(q => q.name -> q.fn): _*)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (xxhash64-based sketches, LSH candidate generation). */
+  def oracleSql: Map[String, String] =
+    ListMap(all.flatMap(q => q.oracle.map(q.name -> _)): _*)
 }

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline surface:
+  * tokenization, token counting, quality scoring, language ID, document
+  * fingerprinting. All are composed from codegen'd built-ins (no UDFs) so
+  * they stay inside whole-stage codegen at 100 TB scale.
+  *
+  * Each function documents its DuckDB-SQL oracle equivalent — the driver
+  * hash-compares both (SparkEntry.oracleSql).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, lowercased, empties removed.
+    * Oracle: list_filter(string_split_regex(lower(text),'\s+'), t -> t <> '') */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, single digits, and single
+    * non-alnum glyphs each count as one token (a common pre-tokenizer
+    * regex shape). Oracle: len(regexp_extract_all(text, pat)). */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
+  /** Count of sentence punctuation. Oracle: len(regexp_extract_all(text,'[.!?]')) */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.!?]"), lit(0)))
+
+  /** Distinct-token ratio (lexical diversity), double in [0,1].
+    * Oracle: len(list_distinct(toks)) / greatest(len(toks), 1) */
+  def distinctTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(array_distinct(t)).cast("double") /
+      greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Stopword-hit ratio against a fixed English list — a standard quality
+    * signal (C4/Gopher-style heuristics). */
+  val englishStopwords: Seq[String] =
+    Seq("the", "a", "and", "is", "of", "to", "in", "that", "it", "for")
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    val hits = size(filter(t,
+      w => englishStopwords.foldLeft(lit(false))((acc, s) => acc || w === s)))
+    hits.cast("double") / greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: mean of (length-in-range,
+    * lexical diversity, low-punct). Deterministic, SQL-expressible. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val lenOk = when(n.between(5, 10000), lit(1.0)).otherwise(lit(0.0))
+    val diversity = distinctTokenRatio(text)
+    val punctOk = when(
+      punctCount(text).cast("double") /
+        greatest(n, lit(1)).cast("double") < 0.3, lit(1.0))
+      .otherwise(lit(0.0))
+    round((lenOk + diversity + punctOk) / lit(3.0), 6)
+  }
+
+  /** Stopword-evidence language ID over {en,de,fr,es,zh}. Score = number
+    * of language-marker substrings present; argmax with fixed priority
+    * order (en,de,es,fr,zh); all-zero → 'und'. Simple n-gram/stopword
+    * heuristic, exactly reproducible in oracle SQL via CASE. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " is "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "es" -> Seq(" el ", " los ", " una "),
+    "fr" -> Seq(" le ", " les ", " est "),
+    "zh" -> Seq("的", "是", "了"))
+
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    markers.map(m => when(padded.contains(m), 1).otherwise(0))
+      .reduce(_ + _)
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, ms) => l -> langScore(text, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), other) =>
+      when(s > 0 && s === best, lit(l)).otherwise(other)
+    }
+  }
+
+  /** Normalized-text fingerprint: md5 of lowercase, whitespace-collapsed,
+    * trimmed text. Oracle: md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** 1..n as an array column; empty when n < 1 (`sequence(1, 0)` would
+    * count DOWN, so it needs the guard). */
+  private def indices(n: Column): Column =
+    when(n >= 1, sequence(lit(1), n)).otherwise(array().cast("array<int>"))
+
+  /** Word n-gram shingles of the token stream (dedup unit). */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(transform(indices(size(t) - (n - 1)), i =>
+      concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+  }
+
+  /** Character n-gram shingles of the normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = trim(regexp_replace(lower(text), "\\s+", " "))
+    array_distinct(transform(indices(length(norm) - (n - 1)), i =>
+      norm.substr(i, lit(n))))
+  }
+}

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Deduplication operators for a training-data pipeline, all expressed as
+  * declarative Spark plans (shuffle-on-key group-bys and bucket joins —
+  * exactly the shapes that scale to 1000 executors):
+  *
+  *  - exact:     hash-groupBy on content (or a fingerprint of it)
+  *  - MinHash:   shingle → k min-hashes → LSH band buckets → bucket join →
+  *               exact-Jaccard verify (Broder 1997 resemblance sketch)
+  *  - SimHash:   64-bit sketch → band buckets → Hamming verify
+  *               (Charikar 2002)
+  *  - n-gram Jaccard: exact verify primitive on candidate pairs
+  *  - embedding: cosine near-dup via sign-LSH buckets (Charikar
+  *               hyperplane rounding) → exact cosine verify
+  *
+  * Scale notes: candidate generation is always bucketed (never an all-pairs
+  * cross join); the expensive verify runs only on bucket-cogrouped pairs.
+  * Skewed buckets (a shingle shared by millions of docs) are bounded by
+  * `maxBucketSize` — buckets above the bound are dropped, the standard
+  * LSH guardrail.
+  */
+object Dedup {
+
+  /** Exact dedup on selected columns — plain hash-aggregate. */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** Exact text dedup keyed by normalized fingerprint: keeps the lowest-id
+    * row of each duplicate group (deterministic winner). */
+  def exactByFingerprint(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    df.withColumn("__fp", fp)
+      .withColumn("__rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__fp")).orderBy(col(idCol))))
+      .filter(col("__rk") === 1)
+      .drop("__fp", "__rk")
+  }
+
+  /** MinHash signature: k hash functions approximated as
+    * `xxhash64(i, shingle)` (seeded family), min per doc per i.
+    * One explode + one groupBy with k min() aggregates — map-side partial
+    * aggregation keeps the shuffle at k longs per doc. */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      shingleSize: Int = 3): DataFrame = {
+    val sh = df.select(
+      col(idCol),
+      explode(TextFunctions.shingles(col(textCol), shingleSize)).as("__sh"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("__sh"))).as(s"__h$i"))
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("signature"))
+  }
+
+  /** LSH banding of a minhash signature: `bands` buckets per doc, bucket id
+    * = hash of the band's rows. Docs sharing any bucket are candidates.
+    * P(candidate | Jaccard=s) = 1-(1-s^r)^b with r = numHashes/bands. */
+  def lshBuckets(sig: DataFrame, idCol: String, bands: Int): DataFrame = {
+    sig.select(
+      col(idCol),
+      posexplode(col("signature")).as(Seq("__i", "__h")))
+      .withColumn("__band", col("__i") % bands)
+      .groupBy(col(idCol), col("__band"))
+      .agg(xxhash64(col("__band"), concat_ws(",", collect_list(col("__h"))))
+        .as("__bucket"))
+  }
+
+  /** Candidate pairs from shared LSH buckets; self-join on (band, bucket)
+    * with id< id to orient, distinct to dedup across bands. Buckets larger
+    * than `maxBucketSize` are dropped (skew guardrail). */
+  def candidatePairs(
+      buckets: DataFrame, idCol: String,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val bounded = buckets
+      .withColumn("__n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__band"), col("__bucket"))))
+      .filter(col("__n") <= maxBucketSize)
+      .drop("__n")
+    val a = bounded.select(
+      col("__band"), col("__bucket"), col(idCol).as("id_a"))
+    val b = bounded.select(
+      col("__band"), col("__bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("__band", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard over word-shingle sets for given candidate pairs. */
+  def jaccardVerify(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sets = docs.select(
+      col(idCol).as("__id"),
+      TextFunctions.shingles(col(textCol), shingleSize).as("__set"))
+    val j = pairs
+      .join(sets.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__set", "__set_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__set", "__set_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__set_a"), col("__set_b"))).cast("double") /
+          size(array_union(col("__set_a"), col("__set_b"))).cast("double"))
+    j.filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidates →
+    * exact-Jaccard verify. */
+  def minhashNearDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol, numHashes, shingleSize)
+    val pairs = candidatePairs(lshBuckets(sig, idCol, bands), idCol)
+    jaccardVerify(pairs, docs, idCol, textCol, shingleSize, threshold)
+  }
+
+  /** SimHash near-dup: 64-bit sketch, 4×16-bit band buckets (any equal
+    * band → candidate; catches all pairs with Hamming ≤ 3 exactly, plus a
+    * recall tail), Hamming verify. */
+  def simhashNearDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sk = docs.select(
+      col(idCol).as("__id"),
+      VectorFunctions.simhash(TextFunctions.tokens(col(textCol))).as("__sk"))
+    val banded = sk.select(
+      col("__id"), col("__sk"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("__sk"), i * 16).bitwiseAND(lit(0xffffL))
+            .as("key"))): _*)).as("__b"))
+      .select(col("__id"), col("__sk"),
+        col("__b.band").as("__band"), col("__b.key").as("__key"))
+    val a = banded.select(col("__band"), col("__key"),
+      col("__id").as("id_a"), col("__sk").as("sk_a"))
+    val b = banded.select(col("__band"), col("__key"),
+      col("__id").as("id_b"), col("__sk").as("sk_b"))
+    a.join(b, Seq("__band", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.hamming64(col("sk_a"), col("sk_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding cosine near-dup: sign-LSH over `numPlanes` deterministic
+    * pseudo-random hyperplanes (seeded), bucket join, exact cosine verify
+    * with the fused codegen expression. */
+  def embeddingNearDups(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      numPlanes: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val planes: Seq[Seq[Float]] =
+      Seq.fill(numPlanes)(Seq.fill(dim)((rng.nextGaussian()).toFloat))
+    val bits: Column = (0 until numPlanes).map { p =>
+      val d = VectorFunctions.dot(col(vecCol), VectorFunctions.floatVec(planes(p)))
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val sk = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      bits.as("__bucket"))
+    val a = sk.select(col("__bucket"), col("__id").as("id_a"),
+      col("__v").as("__va"))
+    val b = sk.select(col("__bucket"), col("__id").as("id_b"),
+      col("__v").as("__vb"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        VectorFunctions.cosineFast(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - [[topK]] — brute-force cosine top-k against one query vector: a
+  *    single codegen'd scan (the fused [[graft.functions.CosineSimilarity]]
+  *    loop) + `TakeOrderedAndProject`. The correctness baseline; at 100 TB
+  *    it is one map stage + a k-row reduce, embarrassingly parallel.
+  *  - [[topKForQueries]] — many queries at once: broadcast the (small)
+  *    query set, one scan of the corpus, per-query window top-k.
+  *  - IVF ([[IvfIndex]]) — the scale path: coarse k-means quantizer
+  *    (deterministic Lloyd iterations), corpus partitioned by nearest
+  *    centroid; a probe searches only `nProbe` inverted lists, cutting the
+  *    scanned fraction to nProbe/nCentroids.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k for a single query vector. */
+  def topK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame =
+    corpus.select(
+      col(idCol),
+      VectorFunctions.cosineFast(col(vecCol), VectorFunctions.floatVec(query))
+        .as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+
+  /** Top-k for each row of a (small) query table: broadcast-nested-loop
+    * join then rank within each query. */
+  def topKForQueries(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("__qid"), col(vecCol).as("__qv")))
+    val scored = corpus.crossJoin(q)
+      .select(col("__qid"), col(idCol),
+        VectorFunctions.cosineFast(col(vecCol), col("__qv")).as("cosine"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("__qid").as(queryIdCol), col(idCol), col("cosine"))
+  }
+
+  /** IVF coarse quantizer: `nCentroids` centroids trained with
+    * deterministic Lloyd iterations (init = lowest-id vectors; means in
+    * fixed dimension order). Centroids are collected to the driver (tiny:
+    * nCentroids × dim floats) and re-broadcast as literals — the classic
+    * small-side-broadcast pattern. */
+  final case class IvfIndex(
+      centroids: IndexedSeq[Seq[Float]],
+      assigned: DataFrame /* idCol, vecCol, __centroid */)
+
+  def buildIvf(
+      spark: SparkSession,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iterations: Int = 2): IvfIndex = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    var centroids: IndexedSeq[Seq[Float]] =
+      corpus.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).toIndexedSeq).toIndexedSeq
+    var assigned: DataFrame = null
+    var iter = 0
+    while (iter <= iterations) {
+      assigned = corpus.withColumn("__centroid",
+        nearestCentroid(col(vecCol), centroids))
+      if (iter < iterations) {
+        // Deterministic mean: per-dimension avg over float-exact doubles;
+        // rounded to float. Row count per centroid is exact.
+        val sums = (0 until dim).map(d =>
+          sum(element_at(col(vecCol), d + 1).cast("double")).as(s"__s$d"))
+        val means = assigned.groupBy(col("__centroid"))
+          .agg(count(lit(1)).as("__n"), sums: _*)
+          .collect()
+        val byId = means.map(r => r.getAs[Long]("__centroid") ->
+          ((r.getAs[Long]("__n"),
+            (0 until dim).map(d => r.getAs[Double](s"__s$d"))))).toMap
+        centroids = centroids.indices.map { c =>
+          byId.get(c.toLong) match {
+            case Some((n, s)) if n > 0 => s.map(v => (v / n).toFloat)
+            case _ => centroids(c)
+          }
+        }
+      }
+      iter += 1
+    }
+    IvfIndex(centroids, assigned)
+  }
+
+  /** Nearest-centroid id (argmin squared L2) as a column expression over
+    * literal centroids — ties broken by lowest centroid id. */
+  private def nearestCentroid(
+      vec: Column, centroids: IndexedSeq[Seq[Float]]): Column = {
+    val dists: Seq[(Int, Column)] = centroids.zipWithIndex.map {
+      case (cvec, i) =>
+        val c = VectorFunctions.floatVec(cvec)
+        val d = aggregate(
+          zip_with(vec, c, (x, y) =>
+            (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v)
+        i -> d
+    }
+    val minDist = dists.map(_._2).reduce((a, b) => least(a, b))
+    dists.foldRight(lit(-1L): Column) { case ((i, d), other) =>
+      when(d === minDist, lit(i.toLong)).otherwise(other)
+    }
+  }
+
+  /** IVF probe: search only the `nProbe` inverted lists nearest the query.
+    * Scanned fraction ≈ nProbe / nCentroids. */
+  def searchIvf(
+      index: IvfIndex, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nProbe: Int = 2): DataFrame = {
+    val ranked = index.centroids.zipWithIndex.map { case (cvec, i) =>
+      val d = cvec.zip(query).map { case (a, b) =>
+        val diff = a.toDouble - b.toDouble; diff * diff
+      }.sum
+      (i.toLong, d)
+    }.sortBy { case (i, d) => (d, i) }.take(nProbe).map(_._1)
+    index.assigned
+      .filter(col("__centroid").isin(ranked: _*))
+      .select(col(idCol),
+        VectorFunctions.cosineFast(col(vecCol),
+          VectorFunctions.floatVec(query)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+}
