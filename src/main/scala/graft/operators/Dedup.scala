@@ -64,16 +64,19 @@ object Dedup {
   }
 
   /** LSH banding of a minhash signature: `bands` buckets per doc, bucket id
-    * = hash of the band's rows. Docs sharing any bucket are candidates.
+    * = hash of the band's signature slice (order-deterministic: xxhash64
+    * over the sliced array — no groupBy/collect_list, whose element order
+    * is not guaranteed). Docs sharing any bucket are candidates.
     * P(candidate | Jaccard=s) = 1-(1-s^r)^b with r = numHashes/bands. */
-  def lshBuckets(sig: DataFrame, idCol: String, bands: Int): DataFrame = {
-    sig.select(
-      col(idCol),
-      posexplode(col("signature")).as(Seq("__i", "__h")))
-      .withColumn("__band", col("__i") % bands)
-      .groupBy(col(idCol), col("__band"))
-      .agg(xxhash64(col("__band"), concat_ws(",", collect_list(col("__h"))))
-        .as("__bucket"))
+  def lshBuckets(
+      sig: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bandHashes = array((0 until bands).map(b =>
+      xxhash64(lit(b), slice(col("signature"), b * r + 1, r))): _*)
+    sig.select(col(idCol),
+      posexplode(bandHashes).as(Seq("__band", "__bucket")))
   }
 
   /** Candidate pairs from shared LSH buckets; self-join on (band, bucket)
@@ -132,7 +135,7 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, numHashes, shingleSize)
-    val pairs = candidatePairs(lshBuckets(sig, idCol, bands), idCol)
+    val pairs = candidatePairs(lshBuckets(sig, idCol, numHashes, bands), idCol)
     jaccardVerify(pairs, docs, idCol, textCol, shingleSize, threshold)
   }
 

@@ -46,7 +46,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
     scored.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
-      .select(col("__qid").as(queryIdCol), col(idCol), col("cosine"))
+      .select(col("__qid").as("query_id"), col(idCol), col("cosine"))
   }
 
   /** IVF coarse quantizer: `nCentroids` centroids trained with

@@ -102,13 +102,19 @@ object FlashscoreTransforms {
     * 8-way pivot is 24 select expressions (SURVEY.md §2.3 N6). */
   def odds(keyed: DataFrame): DataFrame = {
     val cols = Flashscore.bookmakers.flatMap { case (name, prefix) =>
-      val entry = element_at(
+      // try_element_at: a missing bookmaker yields null (not an ANSI
+      // error); try-cast mirrors the null-on-bad-value upgrade over the
+      // reference's crash-on-`float()` (utils.py:234).
+      val entry = try_element_at(
         filter(col("bookmakers_data"),
-          (b: Column) => b.getField("bookmaker") === lit(name)), 1)
+          (b: Column) => b.getField("bookmaker") === lit(name)), lit(1))
       val os = entry.getField("odds")
       val wellFormed = size(os) === 3
       Seq("HOME" -> 1, "NIL" -> 2, "AWAY" -> 3).map { case (o, i) =>
-        when(wellFormed, element_at(os, i).cast("double"))
+        when(wellFormed,
+          org.apache.spark.sql.graftshim.Shims.tryCast(
+            try_element_at(os, lit(i)),
+            org.apache.spark.sql.types.DoubleType))
           .as(s"${prefix}_${o}_ODD")
       }
     }

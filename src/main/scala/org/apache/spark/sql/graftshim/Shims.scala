@@ -15,6 +15,13 @@ object Shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** try_cast as a Column op (null on failure even under ANSI mode —
+    * Spark 4 has no `Column.try_cast`). */
+  def tryCast(c: Column, to: org.apache.spark.sql.types.DataType): Column =
+    column(org.apache.spark.sql.catalyst.expressions.Cast(
+      expression(c), to, None,
+      org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
+
   /** Register a Catalyst expression builder under `name` for SQL use. */
   def registerFunction(
       spark: SparkSession,

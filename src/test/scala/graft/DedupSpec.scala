@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "completely different content about database engines and queries"),
+    (4L, "THE QUICK  BROWN fox jumps over the lazy dog near the river bank"), // exact after norm
+    (5L, "yet another unrelated document mentioning spark and parquet files")
+  ).toDF("doc_id", "text")
+
+  test("exactByFingerprint keeps lowest id per normalized-text group") {
+    val out = Dedup.exactByFingerprint(docs, "doc_id", "text")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 5L)) // 4 collapses into 1
+  }
+
+  test("minhash LSH finds the planted near-dup pair") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleSize = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L))) // exact dup always survives
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
+  test("minhash signatures are stable and k-wide") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text",
+      numHashes = 16, shingleSize = 2)
+    val rows = sig.collect()
+    assert(rows.forall(_.getSeq[Long](1).length == 16))
+    val sig2 = Dedup.minhashSignatures(docs, "doc_id", "text",
+      numHashes = 16, shingleSize = 2).collect()
+    assert(rows.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap ==
+      sig2.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap)
+  }
+
+  test("simhash near-dup finds the near-identical pair") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical token stream -> hamming 0
+  }
+
+  test("embedding near-dup finds planted duplicate vectors") {
+    val base = (0 until 16).map(_.toFloat / 16f)
+    val shifted = base.map(_ + 5f)
+    val vecs = Seq(
+      (10L, base), (11L, base), // exact dup pair
+      (12L, shifted), (13L, base.map(x => -x - 0.1f))
+    ).toDF("vec_id", "v").select(col("vec_id"),
+      col("v").cast("array<float>").as("v"))
+    val pairs = Dedup.embeddingNearDups(vecs, "vec_id", "v",
+      dim = 16, threshold = 0.99, numPlanes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(13L) })
+  }
+
+  test("exact dedup on testdata documents is lossless (no dups present)") {
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    assert(Dedup.exact(d, Seq("text")).count() == d.count())
+  }
+}

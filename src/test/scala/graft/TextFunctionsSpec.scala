@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+
+class TextFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("text").select(c).head().get(0)
+
+  test("tokens / tokenCount handle empties and whitespace runs") {
+    assert(one(TF.tokenCount(col("text")), "a  b\tc\nd") == 4)
+    assert(one(TF.tokenCount(col("text")), "") == 0)
+    assert(one(TF.tokenCount(col("text")), "   ") == 0)
+    assert(one(TF.tokenCount(col("text")), "Hello WORLD") == 2)
+  }
+
+  test("bpeTokenCount splits letters, digits, punctuation") {
+    // "ab12,cd" -> [ab][1][2][,][cd]
+    assert(one(TF.bpeTokenCount(col("text")), "ab12,cd") == 5)
+  }
+
+  test("langId picks marker-majority language, 'und' when no evidence") {
+    assert(one(TF.langId(col("text")), "the cat and the dog is here") == "en")
+    assert(one(TF.langId(col("text")), "der Hund und die Katze") == "de")
+    assert(one(TF.langId(col("text")), "le chat est sur les toits") == "fr")
+    assert(one(TF.langId(col("text")), "xyzzy qwerty") == "und")
+    assert(one(TF.langId(col("text")), "这是了一个测试") == "zh")
+  }
+
+  test("fingerprint is whitespace/case invariant") {
+    val a = one(TF.fingerprint(col("text")), "Hello   World")
+    val b = one(TF.fingerprint(col("text")), "hello world ")
+    assert(a == b)
+  }
+
+  test("shingles produce distinct n-grams; short text -> empty") {
+    val sh = one(TF.shingles(col("text"), 3), "a b c d")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(sh == Seq("a b c", "b c d"))
+    assert(one(TF.shingles(col("text"), 3), "a b")
+      .asInstanceOf[scala.collection.Seq[String]].isEmpty)
+    val ch = one(TF.charShingles(col("text"), 2), "abc")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(ch == Seq("ab", "bc"))
+  }
+
+  test("qualityScore within [0,1] and penalizes short docs") {
+    val short = one(TF.qualityScore(col("text")), "hi").asInstanceOf[Double]
+    val good = one(TF.qualityScore(col("text")),
+      "a decent length document with several distinct words here")
+      .asInstanceOf[Double]
+    assert(short < good && good <= 1.0 && short >= 0.0)
+  }
+}
