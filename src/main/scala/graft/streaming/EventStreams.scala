@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the `events` table contract
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference's "streaming" is cron-driven micro-batches of files
+  * (SURVEY.md §2.5); these operators are the engine's genuine streaming
+  * surface: event-time windows + watermarks, streaming dedup, and custom
+  * session state — all checkpointable and scale-out (state is partitioned
+  * by grouping key across executors).
+  */
+object EventStreams {
+
+  /** events.parquet ts is TIMESTAMP(NANOS) → read as long ns
+    * (`nanosAsLong`), then derive a μs timestamp for event-time ops. */
+  val eventSchemaNanosAsLong: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanoseconds since epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming file source over an events-shaped parquet directory. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchemaNanosAsLong)
+      .option("maxFilesPerTrigger", "32")
+      .parquet(dir)
+      .withColumn("event_time", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Event-time tumbling-window counts with a watermark bounding state.
+    * Output mode `update` emits revised counts per batch; `append` emits
+    * only finalized windows once the watermark passes. */
+  def windowedCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming exact dedup on event_id: watermark-bounded state, the
+    * streaming form of the batch `dropDuplicates`. */
+  def dedupeStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class SessionEvent(
+      user_id: Long, ts_ns: Long, value: Double)
+  final case class SessionState(
+      startNs: Long, endNs: Long, n: Int, total: Double)
+  final case class UserSession(
+      user_id: Long, start_ns: Long, end_ns: Long,
+      n_events: Int, total_value: Double)
+
+  implicit private val seEnc: Encoder[SessionEvent] =
+    Encoders.product[SessionEvent]
+  implicit private val ssEnc: Encoder[SessionState] =
+    Encoders.product[SessionState]
+  implicit private val usEnc: Encoder[UserSession] =
+    Encoders.product[UserSession]
+
+  /** Gap-based sessionization with custom state
+    * (`flatMapGroupsWithState`): a session closes when the next event for
+    * the user arrives more than `gap` after the previous one (emitted
+    * immediately), or when the state times out past the watermark (the
+    * trailing session). State per user is O(1). */
+  def sessionize(
+      events: DataFrame,
+      gapNs: Long): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("ts").as("ts_ns"), col("value"))
+      .as[SessionEvent]
+
+    def fn(userId: Long, it: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[UserSession] = {
+      // events within a batch are not time-ordered; sort this group's slice
+      val evs = it.toSeq.sortBy(_.ts_ns)
+      var cur = state.getOption
+      val out = Seq.newBuilder[UserSession]
+      if (state.hasTimedOut) {
+        cur.foreach(s =>
+          out += UserSession(userId, s.startNs, s.endNs, s.n, s.total))
+        state.remove()
+        cur = None
+      }
+      evs.foreach { e =>
+        cur = cur match {
+          case Some(s) if e.ts_ns - s.endNs <= gapNs =>
+            Some(SessionState(s.startNs, e.ts_ns, s.n + 1, s.total + e.value))
+          case Some(s) => // gap exceeded: close previous, open new
+            out += UserSession(userId, s.startNs, s.endNs, s.n, s.total)
+            Some(SessionState(e.ts_ns, e.ts_ns, 1, e.value))
+          case None =>
+            Some(SessionState(e.ts_ns, e.ts_ns, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        if (!state.hasTimedOut && evs.nonEmpty)
+          state.setTimeoutTimestamp(
+            s.endNs / 1000000L + gapNs / 1000000L, "30 seconds")
+      }
+      out.result().iterator
+    }
+
+    typed
+      .withColumn("event_time", expr("timestamp_micros(ts_ns DIV 1000)"))
+      .withWatermark("event_time", "1 hour")
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn _)
+  }
+}

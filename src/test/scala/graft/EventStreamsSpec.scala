@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+class EventStreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mkEventsDir(
+      rows: Seq[(Long, Long, Long, String, Double, String)]): String = {
+    val dir = Files.createTempDirectory("graft_events").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowedCounts over a file stream matches the batch aggregate") {
+    // streaming file source needs a directory: stage the single parquet
+    val dir = Files.createTempDirectory("graft_wc").toString
+    Files.copy(java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    // batch truth straight from the parquet (ns → hour buckets)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(expr("timestamp_micros((ts DIV 3600000000000) * 3600000000)")
+        .as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2))
+      .toMap
+
+    val stream = EventStreams.readEventStream(spark, dir)
+    val q = EventStreams.windowedCounts(stream)
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM wc")
+        .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("dedupeStream drops duplicate event_ids within the watermark") {
+    val h = 3600L * 1000000000L // 1h in ns
+    val dir = mkEventsDir(Seq(
+      (1L, h, 10L, "click", 1.0, "{}"),
+      (1L, h + 1, 10L, "click", 1.0, "{}"), // dup id
+      (2L, h + 2, 10L, "view", 2.0, "{}"),
+      (3L, h + 3, 11L, "click", 3.0, "{}")))
+    val q = EventStreams.dedupeStream(
+      EventStreams.readEventStream(spark, dir))
+      .writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dd")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session when the gap is exceeded") {
+    val s = 1000000000L // 1s in ns
+    val base = 3600L * s
+    val dir = mkEventsDir(Seq(
+      // user 10: burst of 3, then a 10-minute gap, then 2 more
+      (1L, base, 10L, "click", 1.0, "{}"),
+      (2L, base + 10 * s, 10L, "click", 2.0, "{}"),
+      (3L, base + 20 * s, 10L, "click", 3.0, "{}"),
+      (4L, base + 620 * s, 10L, "click", 4.0, "{}"),
+      (5L, base + 630 * s, 10L, "click", 5.0, "{}"),
+      // user 11: single burst (stays open in state)
+      (6L, base, 11L, "view", 1.0, "{}")))
+    val q = EventStreams.sessionize(
+      EventStreams.readEventStream(spark, dir), gapNs = 60 * s)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val sessions = spark.sql("SELECT * FROM sess").as[EventStreams.UserSession]
+        .collect()
+      // only user 10's first session is closed within the batch
+      assert(sessions.length == 1)
+      val sess = sessions.head
+      assert(sess.user_id == 10L)
+      assert(sess.n_events == 3)
+      assert(sess.total_value == 6.0)
+      assert(sess.start_ns == base && sess.end_ns == base + 20 * s)
+    } finally q.stop()
+  }
+}
