@@ -520,11 +520,13 @@ object SparkEntry {
 
   private val q35 = Q("q35_minhash_neardup",
     (s, dir) => {
-      // Word-set MinHash (shingle n=1 — the synthetic corpus has a small
-      // vocabulary, so unigram Jaccard is the meaningful signal there).
-      // xxhash64-family signatures: not SQL-oracle-expressible → rows-only.
+      // Word 3-gram MinHash-LSH at the standard 0.8 threshold — the
+      // scale-honest configuration (unigram shingles on a 40-word
+      // vocabulary make every doc pair collide, which is O(n²) candidate
+      // volume at 100 TB). xxhash64-family signatures are not
+      // SQL-oracle-expressible → rows-only.
       Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-        numHashes = 64, bands = 16, shingleSize = 1, threshold = 0.5)
+        numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     },
     None)
@@ -532,8 +534,9 @@ object SparkEntry {
   private val q36 = Q("q36_jaccard_pairs",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val sets = docs.select(col("doc_id"),
-        TF.shingles(col("text"), 1).as("st"))
+      val sets = docs
+        .select(col("doc_id"), TF.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), TF.shinglesOf(col("__toks"), 1).as("st"))
       val a = sets.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("id_a"), col("st").as("st_a"))
       val b = sets.select(col("doc_id").as("id_b"), col("st").as("st_b"))
@@ -601,7 +604,7 @@ object SparkEntry {
       val qv = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
       val idx = Similarity.buildIvf(s, e, "vec_id", "embedding",
-        nCentroids = 8, iterations = 2)
+        nCentroids = 8, iterations = 2, dimHint = Some(64))
       Similarity.searchIvf(idx, "vec_id", "embedding", qv, k = 10, nProbe = 2)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     },

@@ -99,12 +99,20 @@ object TextFunctions {
   private def indices(n: Column): Column =
     when(n >= 1, sequence(lit(1), n)).otherwise(array().cast("array<int>"))
 
-  /** Word n-gram shingles of the token stream (dedup unit). */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    array_distinct(transform(indices(size(t) - (n - 1)), i =>
-      concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
-  }
+  /** Word n-gram shingles over an ALREADY-MATERIALIZED token-array column.
+    * Callers must project `tokens(text)` into its own column first: the
+    * lambda below references the array per element, and an inline
+    * `tokens(text)` tree would be re-evaluated per element — O(tokens²)
+    * split/filter work per document. */
+  def shinglesOf(toks: Column, n: Int): Column =
+    if (n == 1) array_distinct(toks)
+    else array_distinct(transform(indices(size(toks) - (n - 1)), i =>
+      concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+
+  /** Word n-gram shingles of the token stream (dedup unit). Convenience
+    * single-expression form — fine for tests/small inputs; hot paths
+    * should materialize tokens and use [[shinglesOf]]. */
+  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 
   /** Character n-gram shingles of the normalized text. */
   def charShingles(text: Column, n: Int): Column = {

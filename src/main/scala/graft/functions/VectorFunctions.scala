@@ -32,6 +32,10 @@ object VectorFunctions {
   def cosineFast(a: Column, b: Column): Column =
     Shims.column(CosineSimilarity(Shims.expression(a), Shims.expression(b)))
 
+  /** Squared L2 distance via the native fused-loop expression (codegen). */
+  def distSqFast(a: Column, b: Column): Column =
+    Shims.column(EuclideanDistSq(Shims.expression(a), Shims.expression(b)))
+
   /** 64-bit SimHash of a token-array column (near-dup sketch). */
   def simhash(tokens: Column): Column =
     Shims.column(SimHash64(Shims.expression(tokens)))

@@ -52,9 +52,12 @@ object Dedup {
       textCol: String,
       numHashes: Int = 64,
       shingleSize: Int = 3): DataFrame = {
-    val sh = df.select(
-      col(idCol),
-      explode(TextFunctions.shingles(col(textCol), shingleSize)).as("__sh"))
+    // two-step projection: tokens materialized once per row, then shingled
+    val sh = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(TextFunctions.shinglesOf(col("__toks"), shingleSize))
+          .as("__sh"))
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("__sh"))).as(s"__h$i"))
     sh.groupBy(col(idCol))
@@ -109,9 +112,11 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val sets = docs.select(
-      col(idCol).as("__id"),
-      TextFunctions.shingles(col(textCol), shingleSize).as("__set"))
+    val sets = docs
+      .select(col(idCol).as("__id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("__id"),
+        TextFunctions.shinglesOf(col("__toks"), shingleSize).as("__set"))
     val j = pairs
       .join(sets.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__set", "__set_a"), Seq("id_a"))

@@ -61,16 +61,19 @@ object Similarity {
   def buildIvf(
       spark: SparkSession,
       corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int, iterations: Int = 2): IvfIndex = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+      nCentroids: Int, iterations: Int = 2,
+      dimHint: Option[Int] = None): IvfIndex = {
+    val cached = corpus.cache()
+    val dim = dimHint.getOrElse(
+      cached.select(size(col(vecCol))).head().getInt(0))
     var centroids: IndexedSeq[Seq[Float]] =
-      corpus.orderBy(col(idCol)).limit(nCentroids)
+      cached.orderBy(col(idCol)).limit(nCentroids)
         .select(col(vecCol)).collect()
         .map(_.getSeq[Float](0).toIndexedSeq).toIndexedSeq
     var assigned: DataFrame = null
     var iter = 0
     while (iter <= iterations) {
-      assigned = corpus.withColumn("__centroid",
+      assigned = cached.withColumn("__centroid",
         nearestCentroid(col(vecCol), centroids))
       if (iter < iterations) {
         // Deterministic mean: per-dimension avg over float-exact doubles;
@@ -101,13 +104,7 @@ object Similarity {
       vec: Column, centroids: IndexedSeq[Seq[Float]]): Column = {
     val dists: Seq[(Int, Column)] = centroids.zipWithIndex.map {
       case (cvec, i) =>
-        val c = VectorFunctions.floatVec(cvec)
-        val d = aggregate(
-          zip_with(vec, c, (x, y) =>
-            (x.cast("double") - y.cast("double")) *
-              (x.cast("double") - y.cast("double"))),
-          lit(0.0), (acc, v) => acc + v)
-        i -> d
+        i -> VectorFunctions.distSqFast(vec, VectorFunctions.floatVec(cvec))
     }
     val minDist = dists.map(_._2).reduce((a, b) => least(a, b))
     dists.foldRight(lit(-1L): Column) { case ((i, d), other) =>
