@@ -442,6 +442,99 @@ object SparkEntry {
       |  CAST(CAST(SUM($discPriceSql) AS VARCHAR) AS DOUBLE), 6) AS econ_pct
       |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin))
 
+  private val q25 = Q("q25_rollup",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .rollup(year(col("o_orderdate")).as("o_year"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sumd(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_year").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+    Some("""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+      |o_orderpriority, COUNT(*) AS n,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY ROLLUP(1, 2)
+      |ORDER BY o_year NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
+
+  private val q26 = Q("q26_lead_lag",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          datediff(lead(col("o_orderdate"), 1).over(w).cast("date"),
+            col("o_orderdate").cast("date")).as("days_to_next"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      |LAG(o_totalprice, 1) OVER w AS prev_price,
+      |CAST(date_diff('day', CAST(o_orderdate AS DATE),
+      |  CAST(LEAD(o_orderdate, 1) OVER w AS DATE)) AS INT) AS days_to_next
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  private val q27 = Q("q27_rank_ntile",
+    (s, dir) => {
+      val byPrice = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          rank().over(Window.partitionBy(col("o_orderpriority"))
+            .orderBy(col("o_totalprice").desc)).as("price_rank"),
+          ntile(4).over(byPrice).as("quartile"))
+        .filter(col("price_rank") <= 10)
+        .orderBy(col("o_orderpriority"), col("price_rank"),
+          col("o_orderkey"))
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, price_rank, quartile FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    RANK() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC) AS price_rank,
+      |    NTILE(4) OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+      |  FROM orders)
+      |WHERE price_rank <= 10
+      |ORDER BY o_orderpriority, price_rank, o_orderkey""".stripMargin))
+
+  private val q28 = Q("q28_fuzzy_levenshtein",
+    (s, dir) => {
+      val names = t(s, dir, "part").select(col("p_name")).distinct()
+      val a = names.select(col("p_name").as("name_a"))
+      val b = names.select(col("p_name").as("name_b"))
+      a.crossJoin(b)
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 3)
+        .orderBy(col("name_a"), col("name_b"))
+    },
+    Some("""SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      |FROM (SELECT DISTINCT p_name FROM part) a
+      |JOIN (SELECT DISTINCT p_name FROM part) b ON a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY name_a, name_b""".stripMargin))
+
+  private val q29 = Q("q29_date_arith",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(expr("datediff(DATE '2001-08-01', CAST(o_orderdate AS DATE)) DIV 365")
+          .as("age_years"))
+        .agg(count(lit(1)).as("n"),
+          min(date_add(col("o_orderdate").cast("date"), 30)).as("min_due"),
+          max(date_add(col("o_orderdate").cast("date"), 30)).as("max_due"))
+        .orderBy(col("age_years"))
+    },
+    Some("""SELECT date_diff('day', CAST(o_orderdate AS DATE),
+      |    DATE '2001-08-01') // 365 AS age_years,
+      |COUNT(*) AS n,
+      |MIN(CAST(o_orderdate AS DATE) + 30) AS min_due,
+      |MAX(CAST(o_orderdate AS DATE) + 30) AS max_due
+      |FROM orders GROUP BY 1 ORDER BY age_years""".stripMargin))
+
   // ================= text analysis / dedup =================
 
   private val q30 = Q("q30_text_stats",
@@ -682,10 +775,23 @@ object SparkEntry {
        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
   }
 
+  private val q43 = Q("q43_approx_distinct",
+    (s, dir) => {
+      // HyperLogLog++ sketch (deterministic for fixed input, but the
+      // sketch algorithm is Spark-internal → rows-only, no SQL oracle).
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+    None)
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+    q25, q26, q27, q28, q29,
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
