@@ -787,11 +787,37 @@ object SparkEntry {
     },
     None)
 
+  private val q44 = Q("q44_asof_join",
+    (s, dir) => {
+      // Backward as-of join (composed union+window, operators.AsofJoin):
+      // each click matched to the user's most recent purchase at-or-before
+      // it. Oracle: DuckDB's native ASOF LEFT JOIN.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.operators.AsofJoin.asofBackward(
+        clicks, purchases, Seq("user_id"), "ts", "ts",
+        rightPayload = Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id"), col("asof_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT l.event_id, l.user_id, r.event_id AS asof_event_id,
+      |  r.value AS asof_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
+    q44)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
