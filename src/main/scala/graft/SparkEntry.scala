@@ -812,12 +812,46 @@ object SparkEntry {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin))
 
+  private val q45 = Q("q45_from_json",
+    (s, dir) => {
+      val parsed = from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType))))
+      t(s, dir, "events")
+        .select(col("event_type"), parsed.getField("k").as("k"))
+        .filter(col("k") > 50)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+      |WHERE k > 50 GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  private val q46 = Q("q46_percentile",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+      |quantile_cont(l_quantity, 0.5) AS median_qty,
+      |quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |quantile_cont(l_extendedprice, 0.25) AS p25_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44)
+    q44, q45, q46)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

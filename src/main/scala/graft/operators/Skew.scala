@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities.
+  *
+  * AQE's skew-join splitting covers sort-merge joins at runtime; these
+  * helpers cover the two shapes AQE does not: hot-key AGGREGATION (a
+  * single group key with billions of rows still lands on one reducer) and
+  * broadcast-replicated joins against a skewed build side.
+  *
+  * Both are pure plan rewrites — deterministic results, identical to the
+  * unsalted equivalents (asserted in SkewSpec).
+  */
+object Skew {
+
+  /** Two-stage salted sum/count aggregate: stage 1 groups by
+    * (keys, salt) — spreading each hot key over `numSalts` reducers —
+    * stage 2 re-aggregates the partials by keys alone. The second shuffle
+    * moves only `numSalts` rows per key. */
+  def saltedSumCount(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      numSalts: Int = 16): DataFrame = {
+    val keyCols = keys.map(col)
+    val salt = pmod(crc32(monotonically_increasing_id().cast("string")),
+      lit(numSalts)).as("__salt")
+    df.withColumn("__salt", salt)
+      .groupBy(keyCols :+ col("__salt"): _*)
+      .agg(sum(col(valueCol).cast("decimal(28,6)")).as("__psum"),
+        count(lit(1)).as("__pcnt"))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("__psum")).cast("double").as(s"sum_$valueCol"),
+        sum(col("__pcnt")).as("n"))
+  }
+
+  /** Salted equi-join for a skewed LEFT side against a small-ish right
+    * side: left rows get a random salt in [0, numSalts); right rows are
+    * replicated once per salt value; the join key becomes (key, salt), so
+    * one hot key spreads across `numSalts` partitions. Inner-join
+    * semantics preserved exactly. */
+  def saltedJoin(
+      skewedLeft: DataFrame,
+      right: DataFrame,
+      key: String,
+      numSalts: Int = 16): DataFrame = {
+    val salted = skewedLeft.withColumn("__salt",
+      pmod(crc32(monotonically_increasing_id().cast("string")),
+        lit(numSalts)).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(numSalts - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Diagnostic: per-key row counts with share of total, descending —
+    * the standard first look when a stage straggles. */
+  def keyHistogram(df: DataFrame, keys: Seq[String], topN: Int = 20)
+      : DataFrame = {
+    val counted = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    val total = sum(col("n")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy())
+    counted.withColumn("share", col("n").cast("double") / total)
+      .orderBy(col("n").desc)
+      .limit(topN)
+  }
+}
