@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftshim.Shims
+
+/** SQL registration for graft's custom Catalyst expressions, so
+  * `spark.sql("SELECT cosine_similarity(a, b) ...")` works alongside the
+  * Column API.
+  *
+  * Two entry points:
+  *  - [[GraftExtensions]] for `SparkSession.builder.withExtensions(...)`
+  *    (or `spark.sql.extensions=graft.functions.GraftExtensions`);
+  *  - [[GraftFunctions.registerAll]] for an already-running session.
+  */
+object GraftFunctions {
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
+    "euclidean_dist_sq" -> (es => EuclideanDistSq(es(0), es(1))),
+    "simhash64" -> (es => SimHash64(es(0))),
+    "rolling_hash" -> (es => RollingHash(es(0))))
+
+  def registerAll(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      Shims.registerFunction(spark, name, builder)
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}

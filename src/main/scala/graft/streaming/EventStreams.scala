@@ -59,6 +59,33 @@ object EventStreams {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each click matched to purchases by the
+    * same user within `maxDelay` AFTER the click. Both sides carry
+    * watermarks so the join state is bounded (Spark retains only rows
+    * inside watermark + interval). */
+  def clickPurchaseJoin(
+      events: DataFrame,
+      maxDelay: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"),
+        col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("purchase_user"),
+        col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"),
+        col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", "1 hour")
+    clicks.join(purchases,
+      col("click_user") === col("purchase_user") &&
+        col("purchase_time") >= col("click_time") &&
+        col("purchase_time") <= col("click_time") + expr(s"INTERVAL $maxDelay"))
+      .select(col("click_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("purchase_value"),
+        col("click_time"), col("purchase_time"))
+  }
+
   final case class SessionEvent(
       user_id: Long, ts_ns: Long, value: Double)
   final case class SessionState(

@@ -62,6 +62,27 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases after clicks") {
+    val s = 1000000000L
+    val base = 7200L * s
+    val dir = mkEventsDir(Seq(
+      (1L, base, 10L, "click", 0.0, "{}"),
+      (2L, base + 600 * s, 10L, "purchase", 9.99, "{}"), // 10 min after
+      (3L, base + 3000 * s, 10L, "purchase", 5.0, "{}"), // 50 min: outside
+      (4L, base, 11L, "click", 0.0, "{}"), // different user, no purchase
+      (5L, base - 60 * s, 12L, "purchase", 1.0, "{}"))) // before any click
+    val q = EventStreams.clickPurchaseJoin(
+      EventStreams.readEventStream(spark, dir), maxDelay = "30 minutes")
+      .writeStream.format("memory").queryName("cpj")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT click_id, purchase_id FROM cpj")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session when the gap is exceeded") {
     val s = 1000000000L // 1s in ns
     val base = 3600L * s

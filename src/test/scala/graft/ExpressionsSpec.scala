@@ -52,6 +52,21 @@ class ExpressionsSpec extends SparkTestBase {
     assert(sk == again)
   }
 
+  test("custom expressions are SQL-callable after registration") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT cosine_similarity(CAST(array(1.0, 0.0) AS array<float>),
+        |                         CAST(array(1.0, 0.0) AS array<float>)) AS c,
+        |       rolling_hash('ab') AS rh,
+        |       simhash64(array('a', 'b')) AS sh,
+        |       euclidean_dist_sq(CAST(array(0.0, 0.0) AS array<float>),
+        |                         CAST(array(3.0, 4.0) AS array<float>)) AS d
+        |""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getLong(1) == 'a'.toLong * 31 + 'b'.toLong)
+    assert(math.abs(r.getDouble(3) - 25.0) < 1e-12)
+  }
+
   test("RollingHash matches the reference polynomial") {
     val got = Seq("ab").toDF("s")
       .select(Shims.column(RollingHash(Shims.expression(col("s")))))
