@@ -846,12 +846,64 @@ object SparkEntry {
       |quantile_cont(l_extendedprice, 0.25) AS p25_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  private val q47 = Q("q47_left_outer",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      val hv = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      p.join(hv, p("p_partkey") === hv("l_partkey"), "left_outer")
+        .groupBy(col("p_partkey"))
+        .agg(count(col("l_orderkey")).as("n_hv_lines"),
+          sumd(col("l_quantity")).as("sum_hv_qty"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey, COUNT(l_orderkey) AS n_hv_lines,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_hv_qty
+      |FROM part LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 45) l
+      |  ON p_partkey = l_partkey
+      |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin))
+
+  private val q48 = Q("q48_intersect",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy(col("custkey"))
+    },
+    Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+      |ORDER BY custkey""".stripMargin))
+
+  private val q49 = Q("q49_full_outer",
+    (s, dir) => {
+      val cn = t(s, dir, "customer").groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sn = t(s, dir, "supplier").groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, cn("c_nationkey") === sn("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""SELECT COALESCE(a.c_nationkey, b.s_nationkey) AS nationkey,
+      |COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+      |      GROUP BY c_nationkey) a
+      |FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+      |      GROUP BY s_nationkey) b
+      |  ON a.c_nationkey = b.s_nationkey
+      |ORDER BY nationkey""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46)
+    q44, q45, q46, q47, q48, q49)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
