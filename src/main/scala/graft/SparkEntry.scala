@@ -898,12 +898,32 @@ object SparkEntry {
       |  ON a.c_nationkey = b.s_nationkey
       |ORDER BY nationkey""".stripMargin))
 
+  private val q50 = Q("q50_topk_custom_operator",
+    (s, dir) => {
+      // graft.plans.TopKPerGroup: custom LogicalPlan + Strategy + exec node
+      // with bounded per-key heaps (no per-group sort). Oracle: the
+      // equivalent window formulation in SQL.
+      graft.plans.TopKPerGroup.perKey(
+        t(s, dir, "orders"),
+        keys = Seq("o_custkey"), orderCol = "o_totalprice",
+        tieCol = "o_orderkey", k = 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("o_totalprice").desc,
+          col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49)
+    q44, q45, q46, q47, q48, q49, q50)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

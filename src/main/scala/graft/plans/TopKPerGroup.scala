@@ -1,0 +1,147 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.graftshim.Shims
+
+/** Per-group top-k as a first-class operator.
+  *
+  * The built-in formulation (`row_number().over(window) <= k`) SORTS every
+  * group in full — at 100 TB that is a total sort of the fact table just to
+  * keep k rows per key. This operator keeps a bounded k-element heap per
+  * key per partition instead: O(n log k) time, O(#keys × k) memory, and the
+  * only exchange is the hash partition by group key (no sort at all).
+  *
+  * Semantics: rows ranked by `order` DESC, ties broken by `tie` ASC
+  * (callers pass a unique tie column for determinism — same contract as a
+  * deterministic window). Rows with a null `order` value are dropped.
+  *
+  * Wiring: logical node [[TopKPerGroupPlan]] → [[TopKStrategy]] →
+  * [[TopKPerGroupExec]]; `TopKPerGroup.perKey` is the Column-API entry and
+  * self-registers the strategy on the session (also injectable via
+  * `graft.functions.GraftExtensions`).
+  */
+case class TopKPerGroupPlan(
+    grouping: Seq[Expression],
+    order: Expression,
+    tie: Expression,
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerGroupPlan =
+    copy(child = c)
+}
+
+object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupPlan(g, o, t, k, child) =>
+      TopKPerGroupExec(g, o, t, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerGroupExec(
+    grouping: Seq[Expression],
+    order: Expression,
+    tie: Expression,
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(grouping) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val groupingExprs = grouping
+    val orderExpr = order
+    val tieExpr = tie
+    val kk = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(groupingExprs, childOutput)
+      val boundOrder = BindReferences.bindReference(orderExpr, childOutput)
+      val boundTie = BindReferences.bindReference(tieExpr, childOutput)
+      // min-heap ordered by "badness": head is the weakest kept row
+      // (lowest order value; among equals, the HIGHEST tie value)
+      implicit val badness: Ordering[(Double, Long, UnsafeRow)] =
+        Ordering.fromLessThan { (a, b) =>
+          if (a._1 != b._1) a._1 < b._1 else a._2 > b._2
+        }
+      val heaps = mutable.LinkedHashMap.empty[
+        UnsafeRow, mutable.PriorityQueue[(Double, Long, UnsafeRow)]]
+      iter.foreach { row =>
+        val ov = boundOrder.eval(row)
+        if (ov != null) {
+          val v = ov.asInstanceOf[Number].doubleValue()
+          val t = boundTie.eval(row).asInstanceOf[Number].longValue()
+          val key = keyProj(row)
+          val heap = heaps.get(key) match {
+            case Some(h) => h
+            case None =>
+              val h = mutable.PriorityQueue
+                .empty[(Double, Long, UnsafeRow)](badness.reverse)
+              heaps.put(key.copy(), h)
+              h
+          }
+          if (heap.size < kk) {
+            heap.enqueue((v, t, row.asInstanceOf[UnsafeRow].copy()))
+          } else {
+            val worst = heap.head
+            if (badness.gt((v, t, null), worst)) {
+              heap.dequeue()
+              heap.enqueue((v, t, row.asInstanceOf[UnsafeRow].copy()))
+            }
+          }
+        }
+      }
+      heaps.valuesIterator.flatMap { h =>
+        // dequeue yields weakest-first; fill backwards → strongest-first
+        val elems = new Array[InternalRow](h.size)
+        var i = h.size - 1
+        while (h.nonEmpty) { elems(i) = h.dequeue()._3; i -= 1 }
+        elems.iterator
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerGroupExec =
+    copy(child = c)
+}
+
+object TopKPerGroup {
+  /** Top `k` rows per group, ranked by `orderCol` DESC with ties broken by
+    * `tieCol` ASC. Columns are direct column names of `df` (project
+    * derived expressions into columns first); they are resolved here
+    * against the analyzed child, so the custom node enters the planner
+    * fully resolved. Registers [[TopKStrategy]] on the session if needed. */
+  def perKey(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      tieCol: String,
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    ensureRegistered(spark)
+    val child = Shims.logicalPlan(df)
+    def attr(n: String): Attribute =
+      child.output.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in ${child.output.map(_.name).mkString(", ")}"))
+    val plan = TopKPerGroupPlan(
+      keys.map(attr), attr(orderCol), attr(tieCol), k, child)
+    Shims.ofRows(spark, plan)
+  }
+
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+}

@@ -22,6 +22,20 @@ object Shims {
       expression(c), to, None,
       org.apache.spark.sql.catalyst.expressions.EvalMode.TRY))
 
+  /** Analyzed logical plan of a DataFrame (for composing custom nodes). */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
+
+  /** DataFrame from a logical plan (custom operator entry point). */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a Catalyst expression builder under `name` for SQL use. */
   def registerFunction(
       spark: SparkSession,
