@@ -32,7 +32,10 @@ object Similarity {
       .limit(k)
 
   /** Top-k for each row of a (small) query table: broadcast-nested-loop
-    * join then rank within each query. */
+    * join, then the custom bounded-heap top-k operator
+    * ([[graft.plans.TopKPerGroup]]) — no per-query sort of the scored
+    * corpus, which at 100 TB is the difference between a heap scan and a
+    * full shuffle-sort of |corpus| × |queries| rows. */
   def topKForQueries(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String,
@@ -42,10 +45,8 @@ object Similarity {
     val scored = corpus.crossJoin(q)
       .select(col("__qid"), col(idCol),
         VectorFunctions.cosineFast(col(vecCol), col("__qv")).as("cosine"))
-    val w = Window.partitionBy(col("__qid"))
-      .orderBy(col("cosine").desc, col(idCol))
-    scored.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
+    graft.plans.TopKPerGroup
+      .perKey(scored, Seq("__qid"), "cosine", idCol, k)
       .select(col("__qid").as("query_id"), col(idCol), col("cosine"))
   }
 
@@ -76,10 +77,13 @@ object Similarity {
       assigned = cached.withColumn("__centroid",
         nearestCentroid(col(vecCol), centroids))
       if (iter < iterations) {
-        // Deterministic mean: per-dimension avg over float-exact doubles;
-        // rounded to float. Row count per centroid is exact.
+        // Deterministic mean: per-dimension sums go through DECIMAL —
+        // a double sum's value depends on partial-aggregation order, which
+        // would make the trained centroids (and IVF results) vary run to
+        // run. Decimal is exact and order-independent.
         val sums = (0 until dim).map(d =>
-          sum(element_at(col(vecCol), d + 1).cast("double")).as(s"__s$d"))
+          sum(element_at(col(vecCol), d + 1).cast("decimal(28,12)"))
+            .cast("double").as(s"__s$d"))
         val means = assigned.groupBy(col("__centroid"))
           .agg(count(lit(1)).as("__n"), sums: _*)
           .collect()
