@@ -918,12 +918,34 @@ object SparkEntry {
       |  FROM orders) WHERE rn <= 3
       |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin))
 
+  private val q51 = Q("q51_hash_split",
+    (s, dir) => {
+      // Deterministic md5-bucket train/holdout split (operators.Sampling):
+      // reproducible across runs/engines/partitionings, unlike seeded
+      // df.sample. Oracle recomputes the same md5 buckets in DuckDB.
+      val train = graft.operators.Sampling.isTrain(col("c_custkey"), 0.8)
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(when(train, 1).otherwise(0)).cast("bigint").as("n_train"),
+          sum(when(!train, 1).otherwise(0)).cast("bigint").as("n_test"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment,
+      |CAST(SUM(CASE WHEN bucket < 800 THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS n_train,
+      |CAST(SUM(CASE WHEN bucket >= 800 THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS n_test
+      |FROM (SELECT c_mktsegment,
+      |  ((('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4))::BIGINT
+      |    % 1000) + 1000) % 1000 AS bucket FROM customer)
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50)
+    q44, q45, q46, q47, q48, q49, q50, q51)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

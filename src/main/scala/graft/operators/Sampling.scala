@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sampling / splitting operators for training-data pipelines.
+  *
+  * The core primitive is HASH-based assignment (`md5` of a key column):
+  * deterministic across runs, engines, and cluster layouts — unlike
+  * `df.sample`/`randomSplit`, whose partition-seeded RNG changes with the
+  * physical plan. Hash splits are reproducible lineage: a row's split
+  * never changes when data is re-partitioned, backfilled, or re-ordered.
+  */
+object Sampling {
+
+  /** Bucket in [0, buckets) from the md5 of the key — stable everywhere.
+    * (First 4 hex chars → 16 bits → modulo; md5 is uniform enough for
+    * split purposes and exists in every engine.) */
+  def hashBucket(key: Column, buckets: Int): Column =
+    (conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int")
+      % buckets + buckets) % buckets
+
+  /** Deterministic train/holdout flag: true ≈ trainFraction of rows. */
+  def isTrain(key: Column, trainFraction: Double = 0.8,
+      buckets: Int = 1000): Column =
+    hashBucket(key, buckets) < (trainFraction * buckets).toInt
+
+  /** Split a frame into (train, holdout) on a key column. */
+  def trainTestSplit(
+      df: DataFrame, keyCol: String,
+      trainFraction: Double = 0.8): (DataFrame, DataFrame) = {
+    val flag = isTrain(col(keyCol), trainFraction)
+    (df.filter(flag), df.filter(!flag))
+  }
+
+  /** Deterministic per-stratum downsampling: keep ≈`fraction(stratum)` of
+    * rows inside each stratum, hash-assigned on the key. */
+  def stratifiedSample(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      fractions: Map[String, Double],
+      buckets: Int = 1000): DataFrame = {
+    val keep = fractions.foldLeft(lit(false)) {
+      case (acc, (stratum, frac)) =>
+        acc || (col(stratumCol) === stratum &&
+          hashBucket(col(keyCol), buckets) < (frac * buckets).toInt)
+    }
+    df.filter(keep)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.io.TableIO
+import graft.operators.Sampling
+
+class TableIOSpec extends SparkTestBase {
+
+  private lazy val nation =
+    spark.read.parquet(s"$sf001/nation.parquet")
+
+  test("csv and jsonl round-trip with pinned schema") {
+    val tmp = Files.createTempDirectory("graft_io").toString
+    TableIO.writeCsv(nation, s"$tmp/csv")
+    TableIO.writeJsonLines(nation, s"$tmp/json")
+    val csvBack = TableIO.readCsv(spark, s"$tmp/csv", nation.schema)
+    val jsonBack = TableIO.readJsonLines(spark, s"$tmp/json", nation.schema)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(asSet(csvBack) == asSet(nation))
+    assert(asSet(jsonBack) == asSet(nation))
+  }
+
+  test("hash split is deterministic, disjoint, and ~fraction sized") {
+    val c = spark.read.parquet(s"$sf001/customer.parquet")
+    val (train, test) = Sampling.trainTestSplit(c, "c_custkey", 0.8)
+    val (nTrain, nTest) = (train.count(), test.count())
+    assert(nTrain + nTest == c.count())
+    assert(math.abs(nTrain.toDouble / c.count() - 0.8) < 0.1)
+    // deterministic across evaluations
+    assert(Sampling.trainTestSplit(c, "c_custkey", 0.8)._1.count() == nTrain)
+    // disjoint
+    assert(train.join(test, "c_custkey").count() == 0)
+  }
+
+  test("stratified sample keeps only configured strata at their rates") {
+    val c = spark.read.parquet(s"$sf001/customer.parquet")
+    val seg = c.select("c_mktsegment").distinct()
+      .collect().map(_.getString(0)).sorted
+    val target = Map(seg.head -> 1.0, seg.last -> 0.5)
+    val out = Sampling.stratifiedSample(c, "c_custkey", "c_mktsegment", target)
+    val bySeg = out.groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySeg.keySet == Set(seg.head, seg.last))
+    val fullCounts = c.groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySeg(seg.head) == fullCounts(seg.head)) // fraction 1.0
+    assert(bySeg(seg.last) < fullCounts(seg.last)) // downsampled
+  }
+}
