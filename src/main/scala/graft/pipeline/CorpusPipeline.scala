@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Sampling}
+
+/** End-to-end training-corpus curation: the composition a 100 TB text
+  * pipeline actually runs, as one declarative plan per stage —
+  *
+  *   annotate (lang, tokens, quality) → quality gate → exact dedup →
+  *   near-dup removal (MinHash-LSH) → deterministic train/holdout split
+  *
+  * Each stage is a pure DataFrame transform from the operator library;
+  * nothing here collects to the driver. Near-dup removal keeps the
+  * lowest-id member of each duplicate pair-component (greedy by pair,
+  * which for near-dup clusters removes every doc that is similar to a
+  * lower-id survivor candidate — the standard one-pass policy).
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minQuality: Double = 0.5,
+      minTokens: Int = 5,
+      nearDupShingle: Int = 3,
+      nearDupThreshold: Double = 0.8,
+      trainFraction: Double = 0.9)
+
+  /** Stage 1: annotate every doc with analysis columns (single pass). */
+  def annotate(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    docs
+      .withColumn("lang_pred", TextFunctions.langId(col(cfg.textCol)))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col(cfg.textCol)))
+      .withColumn("quality", TextFunctions.qualityScore(col(cfg.textCol)))
+      .withColumn("fp", TextFunctions.fingerprint(col(cfg.textCol)))
+
+  /** Stage 2: quality gate (cheap filters before any shuffle). */
+  def qualityGate(annotated: DataFrame, cfg: Config = Config()): DataFrame =
+    annotated.filter(
+      col("quality") >= cfg.minQuality && col("n_tokens") >= cfg.minTokens)
+
+  /** Stage 3: exact dedup on normalized fingerprint (lowest id wins). */
+  def exactDedup(gated: DataFrame, cfg: Config = Config()): DataFrame =
+    Dedup.exactByFingerprint(gated, cfg.idCol, cfg.textCol)
+
+  /** Stage 4: near-dup removal — drop the higher-id side of every
+    * verified MinHash-LSH pair. */
+  def nearDedup(deduped: DataFrame, cfg: Config = Config()): DataFrame = {
+    val pairs = Dedup.minhashNearDups(deduped, cfg.idCol, cfg.textCol,
+      shingleSize = cfg.nearDupShingle, threshold = cfg.nearDupThreshold)
+    val losers = pairs.select(col("id_b").as(cfg.idCol)).distinct()
+    deduped.join(losers, Seq(cfg.idCol), "left_anti")
+  }
+
+  /** Stage 5: deterministic split flag. */
+  def split(curated: DataFrame, cfg: Config = Config()): DataFrame =
+    curated.withColumn("is_train",
+      Sampling.isTrain(col(cfg.idCol), cfg.trainFraction))
+
+  /** The whole pipeline. */
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    split(nearDedup(exactDedup(qualityGate(
+      annotate(docs, cfg), cfg), cfg), cfg), cfg)
+
+  /** Corpus report: per-language doc/token/quality stats of a curated
+    * frame — the monitoring output a curation run publishes. */
+  def report(curated: DataFrame): DataFrame =
+    curated.groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("total_tokens"),
+        (sum(col("quality").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("avg_quality"),
+        sum(when(col("is_train"), 1).otherwise(0)).cast("bigint")
+          .as("n_train"))
+      .orderBy(col("lang_pred"))
+}
