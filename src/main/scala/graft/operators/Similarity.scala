@@ -65,8 +65,7 @@ object Similarity {
       nCentroids: Int, iterations: Int = 2,
       dimHint: Option[Int] = None): IvfIndex = {
     val cached = corpus.cache()
-    val dim = dimHint.getOrElse(
-      cached.select(size(col(vecCol))).head().getInt(0))
+    val _ = dimHint // dimension now derived from the data (posexplode)
     var centroids: IndexedSeq[Seq[Float]] =
       cached.orderBy(col(idCol)).limit(nCentroids)
         .select(col(vecCol)).collect()
@@ -80,19 +79,23 @@ object Similarity {
         // Deterministic mean: per-dimension sums go through DECIMAL —
         // a double sum's value depends on partial-aggregation order, which
         // would make the trained centroids (and IVF results) vary run to
-        // run. Decimal is exact and order-independent.
-        val sums = (0 until dim).map(d =>
-          sum(element_at(col(vecCol), d + 1).cast("decimal(28,12)"))
-            .cast("double").as(s"__s$d"))
-        val means = assigned.groupBy(col("__centroid"))
-          .agg(count(lit(1)).as("__n"), sums: _*)
+        // run. posexplode + narrow (centroid, dim) aggregation instead of
+        // a dim-wide agg: one small shuffle, and it survives dim >> 64.
+        val means = assigned
+          .select(col("__centroid"),
+            posexplode(col(vecCol)).as(Seq("__pos", "__val")))
+          .groupBy(col("__centroid"), col("__pos"))
+          .agg(sum(col("__val").cast("decimal(28,12)")).cast("double")
+            .as("__sum"), count(lit(1)).as("__n"))
           .collect()
-        val byId = means.map(r => r.getAs[Long]("__centroid") ->
-          ((r.getAs[Long]("__n"),
-            (0 until dim).map(d => r.getAs[Double](s"__s$d"))))).toMap
+        val byId = means
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+          .groupBy(_._1)
         centroids = centroids.indices.map { c =>
           byId.get(c.toLong) match {
-            case Some((n, s)) if n > 0 => s.map(v => (v / n).toFloat)
+            case Some(rows) if rows.head._4 > 0 =>
+              val n = rows.head._4
+              rows.sortBy(_._2).map(t => (t._3 / n).toFloat).toIndexedSeq
             case _ => centroids(c)
           }
         }
