@@ -940,12 +940,52 @@ object SparkEntry {
       |    % 1000) + 1000) % 1000 AS bucket FROM customer)
       |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
 
+  private val q52 = Q("q52_cube",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin))
+
+  private val q53 = Q("q53_regexp_extract",
+    (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(regexp_extract(col("o_orderpriority"), "^([0-9])", 1)
+          .cast("int").as("priority_num"))
+        .agg(count(lit(1)).as("n"),
+          sumd(col("o_totalprice")).as("revenue"))
+        .orderBy(col("priority_num"))
+    },
+    Some("""SELECT CAST(regexp_extract(o_orderpriority, '^([0-9])', 1)
+      |  AS INT) AS priority_num, COUNT(*) AS n,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1 ORDER BY priority_num""".stripMargin))
+
+  private val q54 = Q("q54_scalar_subquery",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val mx = o.agg(max(col("o_totalprice")).as("mx"))
+      o.crossJoin(broadcast(mx))
+        .filter(col("o_totalprice") > col("mx") * 0.95)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.95
+      |ORDER BY o_orderkey""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
