@@ -175,6 +175,67 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a pair list — turns pairwise near-dup
+    * matches into duplicate CLUSTERS (transitive closure), so "keep one
+    * per cluster" is well-defined even when A~B, B~C but A!~C.
+    *
+    * Algorithm: iterated min-label propagation (the alternating
+    * large-star/small-star map-reduce of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", simplified to symmetric
+    * min-propagation): each node repeatedly adopts the minimum label in
+    * its neighborhood until fixpoint. Converges in O(log n) rounds on
+    * real near-dup graphs (components are tiny); every round is one
+    * shuffle of the edge list.
+    *
+    * @return (idCol, component) — component = min id reachable.
+    */
+  def connectedComponents(
+      pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    // symmetric edge list, self-loops added so singletons keep their id
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .union(fwd.select(col("src"), col("src").as("dst")))
+      .union(fwd.select(col("dst").as("src"), col("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("component"))
+      .cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIterations && !converged) {
+      // propagate: node label = min(own label, neighbors' labels)
+      val next = edges
+        .join(labels.withColumnRenamed("src", "dst")
+          .withColumnRenamed("component", "__nbr"), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("__nbr")).as("component"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("component", "__old"),
+        Seq("src"))
+        .filter(col("component") =!= col("__old"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("src").as("id"), col("component"))
+  }
+
+  /** One-survivor-per-cluster dedup: from verified near-dup `pairs`,
+    * compute components and keep only each component's minimum id. */
+  def keepClusterRepresentatives(
+      docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val losers = comp.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding cosine near-dup: sign-LSH over `numPlanes` deterministic
     * pseudo-random hyperplanes (seeded), bucket join, exact cosine verify
     * with the fused codegen expression. */

@@ -46,13 +46,12 @@ object CorpusPipeline {
   def exactDedup(gated: DataFrame, cfg: Config = Config()): DataFrame =
     Dedup.exactByFingerprint(gated, cfg.idCol, cfg.textCol)
 
-  /** Stage 4: near-dup removal — drop the higher-id side of every
-    * verified MinHash-LSH pair. */
+  /** Stage 4: near-dup removal — verified MinHash-LSH pairs → connected
+    * components (transitive closure) → keep each cluster's lowest id. */
   def nearDedup(deduped: DataFrame, cfg: Config = Config()): DataFrame = {
     val pairs = Dedup.minhashNearDups(deduped, cfg.idCol, cfg.textCol,
       shingleSize = cfg.nearDupShingle, threshold = cfg.nearDupThreshold)
-    val losers = pairs.select(col("id_b").as(cfg.idCol)).distinct()
-    deduped.join(losers, Seq(cfg.idCol), "left_anti")
+    Dedup.keepClusterRepresentatives(deduped, cfg.idCol, pairs)
   }
 
   /** Stage 5: deterministic split flag. */

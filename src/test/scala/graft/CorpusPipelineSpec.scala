@@ -45,10 +45,13 @@ class CorpusPipelineSpec extends SparkTestBase {
         graft.functions.TextFunctions.shinglesOf(col("__toks"), 3).as("st"))
     val a = sets.select(col("doc_id").as("id_a"), col("st").as("sa"))
     val b = sets.select(col("doc_id").as("id_b"), col("st").as("sb"))
-    val trueLosers = a.join(b, col("id_a") < col("id_b"))
+    val truePairs = a.join(b, col("id_a") < col("id_b"))
       .filter(size(array_intersect(col("sa"), col("sb"))).cast("double") /
         size(array_union(col("sa"), col("sb"))).cast("double") >= 0.8)
-      .select(col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"))
+    // cluster ground truth: drop everything but each component's min id
+    val trueLosers = graft.operators.Dedup.connectedComponents(truePairs)
+      .filter(col("id") =!= col("component"))
       .collect().map(_.getLong(0)).toSet
     assert(trueLosers.nonEmpty) // the corpus really has planted near-dups
 

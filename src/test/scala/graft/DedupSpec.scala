@@ -61,6 +61,24 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(13L) })
   }
 
+  test("connected components clusters transitive near-dup chains") {
+    // chain 1-2-3 (one component), pair 10-11, singleton edge 20-20
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp(20L) == 20L)
+  }
+
+  test("keepClusterRepresentatives keeps one doc per component") {
+    val pairs = Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 5L)) // 2 and 4 fold into component 1
+  }
+
   test("exact dedup on testdata documents is lossless (no dups present)") {
     val d = spark.read.parquet(s"$sf001/documents.parquet")
     assert(Dedup.exact(d, Seq("text")).count() == d.count())

@@ -119,6 +119,21 @@ class FlashscoreTransformSpec extends SparkTestBase {
     assert(factIds.subsetOf(oddsIds))
   }
 
+  test("malformed JSON records survive as null rows (PERMISSIVE)") {
+    // the reference crashes on a bad record (json.loads); the engine's
+    // pinned-schema PERMISSIVE read nulls it and the status filter drops it
+    val mixed = Seq(rec(home = "OK1"), "{definitely not json",
+      rec(home = "OK2"))
+    val raw = spark.read.schema(Flashscore.inputSchema)
+      .json(spark.createDataset(mixed)(Encoders.STRING))
+    assert(raw.count() == 3)
+    val keyed = FlashscoreTransforms.withMatchKey(
+      FlashscoreTransforms.finished(raw), deterministic = true)
+    val homes = FlashscoreTransforms.matchFacts(keyed)
+      .select("NAME_TEAM_HOME").collect().map(_.getString(0)).toSet
+    assert(homes == Set("OK1", "OK2"))
+  }
+
   test("production key mode generates UUIDs") {
     val prod = FlashscoreTransforms.withMatchKey(
       FlashscoreTransforms.finished(raw), deterministic = false)
