@@ -32,4 +32,32 @@ object Layout {
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetFileBytes) files. Streaming sinks and per-batch
+    * appends accumulate tiny files; at scale the scan's task-per-file
+    * overhead dominates — compaction restores healthy file sizes.
+    * Writes to `path + ".compact"` then swaps atomically-enough for a
+    * local filesystem (object stores would write-then-repoint a manifest).
+    */
+  def compact(
+      spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val dir = new java.io.File(path)
+    val bytes = Option(dir.listFiles()).map(
+      _.filter(_.getName.endsWith(".parquet")).map(_.length()).sum)
+      .getOrElse(0L)
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = path + ".compact"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val old = new java.io.File(path)
+    val backup = new java.io.File(path + ".old")
+    old.renameTo(backup)
+    new java.io.File(tmp).renameTo(old)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(backup)
+  }
 }

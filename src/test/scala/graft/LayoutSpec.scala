@@ -28,6 +28,18 @@ class LayoutSpec extends SparkTestBase {
     val _ = files // path detail is env-shaped; PartitionFilters assert above
   }
 
+  test("compaction collapses many small files, preserving rows") {
+    val tmp = Files.createTempDirectory("graft_compact").toString
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    li.repartition(40).write.parquet(s"$tmp/frag") // fragmented
+    def parquetFiles(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$tmp/frag") == 40)
+    Layout.compact(spark, s"$tmp/frag", targetFileBytes = 64L * 1024 * 1024)
+    assert(parquetFiles(s"$tmp/frag") == 1)
+    assert(spark.read.parquet(s"$tmp/frag").count() == li.count())
+  }
+
   test("range-sorted files: row-group stats enable selective reads") {
     val tmp = Files.createTempDirectory("graft_layout2").toString
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
