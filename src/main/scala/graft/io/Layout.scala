@@ -33,6 +33,21 @@ object Layout {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed managed table: rows hash-partitioned into `numBuckets` files
+    * by `bucketCols` and sorted within buckets. Two tables bucketed the
+    * same way join WITHOUT a shuffle (and without a sort, when sorted) —
+    * the co-located-join layout for repeated fact-fact joins at scale.
+    * Bucketing metadata lives in the session catalog (saveAsTable). */
+  def writeBucketed(
+      df: DataFrame, table: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(bytes / targetFileBytes) files. Streaming sinks and per-batch
     * appends accumulate tiny files; at scale the scan's task-per-file

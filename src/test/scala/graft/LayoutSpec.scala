@@ -40,6 +40,29 @@ class LayoutSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$tmp/frag").count() == li.count())
   }
 
+  test("co-bucketed tables join without a shuffle") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+    Layout.writeBucketed(li, "li_bucketed", Seq("l_orderkey"), 4)
+    Layout.writeBucketed(
+      o.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "o_bucketed", Seq("l_orderkey"), 4)
+    // force the sort-merge path (tiny test tables would broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), "l_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"shuffle in co-located join:\n$plan")
+      assert(joined.count() ==
+        li.join(o, li("l_orderkey") === o("o_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("range-sorted files: row-group stats enable selective reads") {
     val tmp = Files.createTempDirectory("graft_layout2").toString
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
