@@ -980,12 +980,39 @@ object SparkEntry {
       |WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) * 0.95
       |ORDER BY o_orderkey""".stripMargin))
 
+  private val q55 = Q("q55_text_clean",
+    (s, dir) => {
+      // Curation cleaning chain: unicode NFC (custom expression) →
+      // control-char strip → URL/email redaction; oracle replays the same
+      // chain with DuckDB's nfc_normalize + regexp_replace(...,'g').
+      val cleaned = TF.redact(TF.stripControlChars(
+        TF.normalizeUnicode(col("text"))))
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(cleaned).as("clean_md5"),
+          length(cleaned).as("clean_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      |md5(regexp_replace(regexp_replace(regexp_replace(
+      |  nfc_normalize(text),
+      |  '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+      |  'https?://[^\s]+', '<URL>', 'g'),
+      |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'))
+      |  AS clean_md5,
+      |CAST(length(regexp_replace(regexp_replace(regexp_replace(
+      |  nfc_normalize(text),
+      |  '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+      |  'https?://[^\s]+', '<URL>', 'g'),
+      |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'))
+      |  AS INT) AS clean_len
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -20,7 +20,8 @@ object GraftFunctions {
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
     "euclidean_dist_sq" -> (es => EuclideanDistSq(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
-    "rolling_hash" -> (es => RollingHash(es(0))))
+    "rolling_hash" -> (es => RollingHash(es(0))),
+    "normalize_unicode" -> (es => NormalizeUnicode(es(0), "NFC")))
 
   def registerAll(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

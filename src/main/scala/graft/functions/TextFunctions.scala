@@ -94,6 +94,27 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Unicode-normalize (NFC/NFD/NFKC/NFKD) via the custom expression. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graftshim.Shims.column(
+      NormalizeUnicode(
+        org.apache.spark.sql.graftshim.Shims.expression(text), form))
+
+  /** Redaction regexes (simple, portable between Java regex and RE2). */
+  val urlPattern = "https?://[^\\s]+"
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Strip URLs and e-mail addresses (training-data PII/noise scrub).
+    * Oracle: regexp_replace(text, pat, '<TOKEN>', 'g'). */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, urlPattern, "<URL>"),
+      emailPattern, "<EMAIL>")
+
+  /** Remove control characters (C0/C1 except \t \n \r). */
+  def stripControlChars(text: Column): Column =
+    regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+
   /** 1..n as an array column; empty when n < 1 (`sequence(1, 0)` would
     * count DOWN, so it needs the guard). */
   private def indices(n: Column): Column =

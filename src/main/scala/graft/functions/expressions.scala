@@ -214,6 +214,40 @@ case class SimHash64(child: Expression)
     copy(child = c)
 }
 
+/** Unicode normalization (java.text.Normalizer) of a string column —
+  * NFC by default. Spark has no built-in unicode normalizer; mixed-form
+  * text (decomposed accents from OCR/scrapes) breaks exact dedup and
+  * tokenization without it. Eval-mode (CodegenFallback): one JDK call per
+  * row, not a hot inner loop.
+  */
+case class NormalizeUnicode(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val normForm =
+    java.text.Normalizer.Form.valueOf(form)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"normalize_unicode requires string, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      v.asInstanceOf[UTF8String].toString, normForm))
+
+  override protected def withNewChildInternal(c: Expression): NormalizeUnicode =
+    copy(child = c)
+}
+
 /** Polynomial rolling hash (base-31, mod 2^64) of a string — a classic
   * document fingerprint primitive (Rabin-Karp family). Deterministic and
   * cheap; used where a 64-bit integer fingerprint beats a hex md5.

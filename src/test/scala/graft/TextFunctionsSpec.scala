@@ -46,6 +46,21 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(ch == Seq("ab", "bc"))
   }
 
+  test("normalizeUnicode folds decomposed accents; redact scrubs PII") {
+    // "\u00e9" composed vs "e" + combining acute (U+0301)
+    val composed = "caf\u00e9"
+    val decomposed = "cafe\u0301"
+    assert(composed != decomposed)
+    val a = one(TF.normalizeUnicode(col("text")), composed)
+    val b = one(TF.normalizeUnicode(col("text")), decomposed)
+    assert(a == b)
+    val red = one(TF.redact(col("text")),
+      "see https://example.com/x?a=1 or mail bob@test.org today")
+    assert(red == "see <URL> or mail <EMAIL> today")
+    val ctl = one(TF.stripControlChars(col("text")), "a\u0000b\tc")
+    assert(ctl == "ab\tc") // tab survives, NUL stripped
+  }
+
   test("qualityScore within [0,1] and penalizes short docs") {
     val short = one(TF.qualityScore(col("text")), "hi").asInstanceOf[Double]
     val good = one(TF.qualityScore(col("text")),
