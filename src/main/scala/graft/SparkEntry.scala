@@ -1007,12 +1007,33 @@ object SparkEntry {
       |  AS INT) AS clean_len
       |FROM documents ORDER BY doc_id""".stripMargin))
 
+  private val q56 = Q("q56_sequence_packing",
+    (s, dir) => {
+      // Streaming sequence packing (operators.Packing): docs → 2048-token
+      // packs, sharded by lang; oracle replays the prefix-sum layout.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TF.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Packing
+        .assignPacks(docs, "lang", "doc_id", "n_tokens", 2048L)
+        .select(col("doc_id"), col("lang"), col("pack_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang,
+      |(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+      |  // 2048 AS pack_id
+      |FROM (SELECT doc_id, lang,
+      |  len(list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> t <> '')) AS n_tokens FROM documents)
+      |ORDER BY doc_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

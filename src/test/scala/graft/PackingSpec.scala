@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Packing
+
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    // shard a: sizes 600, 600, 600, 600 → capacity 1000
+    (1L, "a", 600L), (2L, "a", 600L), (3L, "a", 600L), (4L, "a", 600L),
+    // shard b: one oversized doc
+    (5L, "b", 1500L), (6L, "b", 100L)
+  ).toDF("id", "shard", "n")
+
+  test("docs land in the pack where their first token falls") {
+    val out = Packing.assignPacks(docs, "shard", "id", "n", 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // shard a prefix sums before each doc: 0, 600, 1200, 1800
+    assert(out(1L) == 0L && out(2L) == 0L)
+    assert(out(3L) == 1L && out(4L) == 1L)
+    // shard b: oversized doc starts pack 0; next doc starts at 1500 → pack 1
+    assert(out(5L) == 0L && out(6L) == 1L)
+  }
+
+  test("pack report totals preserve all tokens") {
+    val assigned = Packing.assignPacks(docs, "shard", "id", "n", 1000L)
+    val rep = Packing.packReport(assigned, "shard", "n", 1000L)
+    val total = rep.agg(sum("n_tokens")).head().getLong(0)
+    assert(total == 600L * 4 + 1500L + 100L)
+    assert(rep.filter(col("utilization") > 0).count() == rep.count())
+  }
+}
