@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe: synthesizes a ~10× dataset from sf0.1 by unioning
+  * key-shifted copies (join/group cardinalities scale with the data, so
+  * the plans exercise real 10× work, not 10× duplicate hits), then times
+  * representative queries at both scales.
+  *
+  * Purpose: evidence for the "would this hold at 1000×?" question — a
+  * near-linear time ratio at 10× means the plan's shuffles/aggregations
+  * scale with data, with no accidental quadratic or driver-bound step.
+  * Usage: runMain graft.ScaleProbe [outDir]
+  */
+object ScaleProbe {
+
+  private val copies = 10
+
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    def shiftCopies(df: DataFrame, shifts: Map[String, Long]): DataFrame =
+      (0 until copies).map { i =>
+        shifts.foldLeft(df) { case (d, (c, base)) =>
+          d.withColumn(c, col(c) + lit(i * base))
+        }
+      }.reduce(_ unionByName _)
+
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    val o = spark.read.parquet(s"$srcDir/orders.parquet")
+    val c = spark.read.parquet(s"$srcDir/customer.parquet")
+    val keyBase = 1000000000L
+    shiftCopies(li, Map("l_orderkey" -> keyBase))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    shiftCopies(o, Map("o_orderkey" -> keyBase, "o_custkey" -> keyBase))
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    shiftCopies(c, Map("c_custkey" -> keyBase))
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    // dimensions stay as-is (they are dimensions)
+    Seq("nation", "region", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
+  private val probes = Seq(
+    "q01_pricing_summary", "q03_join_agg_nations", "q04_join_priority",
+    "q07_window_top1", "q22_star_join")
+
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val out = args.headOption.getOrElse("/tmp/graft_sf1synth")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$out/lineitem.parquet").exists())
+      synthesize(spark, src, out)
+    // warm up
+    spark.read.parquet(s"$src/lineitem.parquet")
+      .groupBy("l_returnflag").count().collect()
+
+    def time(dir: String, name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rows = probes.map { name =>
+      val small = time(src, name)
+      val big = time(out, name)
+      (name, small, big, big / small)
+    }
+    println("query,sf0.1_sec,sf1synth_sec,ratio_at_10x_data")
+    rows.foreach { case (n, s, b, r) =>
+      println(f"$n,$s%.2f,$b%.2f,$r%.1f")
+    }
+    spark.stop()
+  }
+}
