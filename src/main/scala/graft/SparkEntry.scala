@@ -1028,12 +1028,66 @@ object SparkEntry {
       |    t -> t <> '')) AS n_tokens FROM documents)
       |ORDER BY doc_id""".stripMargin))
 
+  private val q57 = Q("q57_minhash_portable",
+    (s, dir) => {
+      // FULL MinHash-LSH near-dup chain under the portable md5-derived
+      // hash family (Dedup.portableNearDups) — unlike q35's xxhash64
+      // family, every step here is replayable in DuckDB, so the whole
+      // sketch pipeline is oracle-verified end to end.
+      Dedup.portableNearDups(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(q57OracleSql))
+
+  /** Oracle replica of [[Dedup.portableNearDups]], generated from the same
+    * coefficient table so the two cannot drift. */
+  private def q57OracleSql: String = {
+    val k = 64; val bands = 16; val r = k / bands
+    val coef = Dedup.portableCoefficients(k)
+    val p = Dedup.portablePrime
+    val minCols = coef.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * H + $b) % $p) AS m$i"
+    }.mkString(", ")
+    val bandArms = (0 until bands).map { b =>
+      val ms = (b * r until (b + 1) * r)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($ms) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    t -> t <> '') AS tk FROM documents
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(tk) - 1, 1)),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS st FROM toks
+       |), sh AS (
+       |  SELECT doc_id, ('0x' || substr(md5(unnest(st)), 1, 8))::BIGINT AS H
+       |  FROM sets
+       |), sig AS (
+       |  SELECT doc_id, $minCols FROM sh GROUP BY doc_id
+       |), buckets AS ($bandArms
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.bucket = y.bucket
+       |   AND x.doc_id < y.doc_id
+       |)
+       |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(sa.st, sb.st)) AS DOUBLE) /
+       |    CAST(len(list_distinct(list_concat(sa.st, sb.st))) AS DOUBLE) AS j
+       |  FROM cand JOIN sets sa ON sa.doc_id = cand.id_a
+       |            JOIN sets sb ON sb.doc_id = cand.id_b)
+       |WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin
+  }
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -175,6 +175,65 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ===== portable (cross-engine) MinHash family =====
+  // One md5 per shingle (H = first 8 hex chars as a 32-bit int), then a
+  // universal hash family h_i(H) = (a_i*H + b_i) mod p with p = 2^31-1.
+  // a_i*H < 2^62 stays exact in signed 64-bit on BOTH engines, so the
+  // whole MinHash+LSH chain is reproducible in oracle SQL (unlike the
+  // xxhash64 family, which only Spark has).
+
+  val portablePrime: Long = 2147483647L
+
+  def portableCoefficients(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numHashes)(
+      (1L + rng.nextInt((portablePrime - 1).toInt).toLong,
+        rng.nextInt(portablePrime.toInt).toLong))
+  }
+
+  /** Signature as numHashes min-columns m0..m{k-1} (kept wide for banding). */
+  def portableSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleSize: Int, seed: Long = 42L): DataFrame = {
+    val coef = portableCoefficients(numHashes, seed)
+    val sh = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(TextFunctions.shinglesOf(col("__toks"), shingleSize))
+          .as("__sh"))
+      .withColumn("__H",
+        conv(substring(md5(col("__sh")), 1, 8), 16, 10).cast("long"))
+    val mins = coef.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("__H") + lit(b)) % lit(portablePrime)).as(s"m$i")
+    }
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Full portable near-dup chain: md5-family signatures → md5 band
+    * buckets → candidates → exact-Jaccard verify. Identical math is
+    * replayable in DuckDB (see SparkEntry q57's generated oracle). */
+  def portableNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, threshold: Double = 0.8,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0)
+    val r = numHashes / bands
+    val sig = portableSignatures(docs, idCol, textCol,
+      numHashes, shingleSize, seed)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          (b * r until (b + 1) * r).map(i => col(s"m$i")): _*)).as("bucket"))
+    }
+    val buckets = sig.select(col(idCol),
+      explode(array(bandStructs: _*)).as("__bk"))
+      .select(col(idCol), col("__bk.band").as("__band"),
+        col("__bk.bucket").as("__bucket"))
+    val pairs = candidatePairs(buckets, idCol)
+    jaccardVerify(pairs, docs, idCol, textCol, shingleSize, threshold)
+  }
+
   /** Connected components over a pair list — turns pairwise near-dup
     * matches into duplicate CLUSTERS (transitive closure), so "keep one
     * per cluster" is well-defined even when A~B, B~C but A!~C.
