@@ -721,13 +721,40 @@ object SparkEntry {
 
   private val q41 = Q("q41_embedding_neardup",
     (s, dir) => {
-      // Sign-LSH bucketed cosine near-dups (hyperplane sketch) — LSH
-      // recall is probabilistic → rows-only.
+      // Sign-LSH bucketed cosine near-dups (hyperplane sketch). The
+      // hyperplanes are deterministic literals, so the oracle replays the
+      // same buckets + exact cosine verify in DuckDB.
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.95, numPlanes = 8)
         .orderBy(col("id_a"), col("id_b"))
     },
-    None)
+    Some(q41OracleSql))
+
+  /** Oracle replica of [[Dedup.embeddingNearDups]]: same hyperplane
+    * literals (emitted as their exact float→double values), same sign
+    * buckets, same cosine formula. */
+  private def q41OracleSql: String = {
+    val planes = Dedup.signPlanes(numPlanes = 8, dim = 64)
+    val planeArrays = planes.map(p =>
+      p.map(f => f.toDouble.toString).mkString("[", ", ", "]"))
+    val bucketExpr = planeArrays.zipWithIndex.map { case (arr, p) =>
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), " +
+        s"CAST($arr AS DOUBLE[])) >= 0 THEN (1::BIGINT << $p) ELSE 0 END)"
+    }.mkString(" | ")
+    s"""WITH sk AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    ($bucketExpr) AS bucket
+       |  FROM embeddings
+       |)
+       |SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_dot_product(a.v, b.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) *
+       |     sqrt(list_dot_product(b.v, b.v))) AS c
+       |  FROM sk a JOIN sk b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |WHERE c >= 0.95 ORDER BY id_a, id_b""".stripMargin
+  }
 
   // ================= streaming-shaped =================
 
@@ -1082,12 +1109,41 @@ object SparkEntry {
        |WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin
   }
 
+  private val q58 = Q("q58_simhash_portable",
+    (s, dir) => {
+      // 60-bit SimHash with an md5-derived token hash — DuckDB-replayable
+      // (q37's SimHash64 expression uses xxhash64, Spark-only).
+      Dedup.portableSimhash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(q58OracleSql))
+
+  /** Oracle replica of [[Dedup.portableSimhash]] (generated to match). */
+  private def q58OracleSql: String = {
+    val bits = 60
+    val tallies = (0 until bits).map(b =>
+      s"SUM(CASE WHEN (H >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS t$b")
+      .mkString(", ")
+    val sketch = (0 until bits).map(b =>
+      s"(CASE WHEN t$b > 0 THEN (1::BIGINT << $b) ELSE 0 END)")
+      .mkString(" | ")
+    s"""SELECT doc_id, ($sketch) AS sketch FROM (
+       |  SELECT doc_id, $tallies FROM (
+       |    SELECT doc_id,
+       |      ('0x' || substr(md5(unnest(list_filter(
+       |        string_split_regex(lower(text), '\\s+'), t -> t <> ''))),
+       |        1, 15))::BIGINT AS H
+       |    FROM documents)
+       |  GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

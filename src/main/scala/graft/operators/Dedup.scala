@@ -234,6 +234,31 @@ object Dedup {
     jaccardVerify(pairs, docs, idCol, textCol, shingleSize, threshold)
   }
 
+  /** Portable 60-bit SimHash as a column composition: per token,
+    * H = 60-bit md5 prefix; per bit, tally = Σ(±1); sketch bit = sign.
+    * Same construction as the [[graft.functions.SimHash64]] expression
+    * but with a hash DuckDB can recompute — used by the oracle-verified
+    * q58 (60 bits: 15 md5 hex chars, and 1<<59 stays positive in BIGINT
+    * on both engines). */
+  def portableSimhash(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bits = 60
+    val toks = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(col("__toks")).as("__t"))
+      .withColumn("__H",
+        conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long"))
+    val tallies = (0 until bits).map(b =>
+      sum(when(shiftright(col("__H"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"t$b"))
+    val sketch = (0 until bits).map(b =>
+      when(col(s"t$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    toks.groupBy(col(idCol))
+      .agg(tallies.head, tallies.tail: _*)
+      .select(col(idCol), sketch.as("sketch"))
+  }
+
   /** Connected components over a pair list — turns pairwise near-dup
     * matches into duplicate CLUSTERS (transitive closure), so "keep one
     * per cluster" is well-defined even when A~B, B~C but A!~C.
@@ -298,6 +323,13 @@ object Dedup {
   /** Embedding cosine near-dup: sign-LSH over `numPlanes` deterministic
     * pseudo-random hyperplanes (seeded), bucket join, exact cosine verify
     * with the fused codegen expression. */
+  /** Deterministic pseudo-random hyperplanes for sign-LSH; exposed so
+    * oracle SQL can embed the SAME plane literals (q41). */
+  def signPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Float]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)((rng.nextGaussian()).toFloat))
+  }
+
   def embeddingNearDups(
       df: DataFrame,
       idCol: String,
@@ -306,9 +338,7 @@ object Dedup {
       threshold: Double = 0.95,
       numPlanes: Int = 16,
       seed: Long = 42L): DataFrame = {
-    val rng = new scala.util.Random(seed)
-    val planes: Seq[Seq[Float]] =
-      Seq.fill(numPlanes)(Seq.fill(dim)((rng.nextGaussian()).toFloat))
+    val planes: Seq[Seq[Float]] = signPlanes(numPlanes, dim, seed)
     val bits: Column = (0 until numPlanes).map { p =>
       val d = VectorFunctions.dot(col(vecCol), VectorFunctions.floatVec(planes(p)))
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))

@@ -61,6 +61,20 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(13L) })
   }
 
+  test("portable (md5-family) minhash finds the planted near-dup pair") {
+    val pairs = Dedup.portableNearDups(docs, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleSize = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)))
+  }
+
+  test("portable simhash: identical token streams share a sketch") {
+    val sk = Dedup.portableSimhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(1L) == sk(4L)) // same tokens after lowering
+    assert(sk(1L) != sk(3L))
+  }
+
   test("connected components clusters transitive near-dup chains") {
     // chain 1-2-3 (one component), pair 10-11, singleton edge 20-20
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L))
