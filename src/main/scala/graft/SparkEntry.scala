@@ -693,15 +693,46 @@ object SparkEntry {
 
   private val q39 = Q("q39_ann_ivf",
     (s, dir) => {
+      // IVF probe with the init quantizer (centroids = 8 lowest-id
+      // vectors; iterations=0) so every arithmetic step is exactly
+      // SQL-replayable — Lloyd-refined build quality is covered by
+      // SimilaritySpec. nProbe=2 of 8 lists scanned.
       val e = t(s, dir, "embeddings")
       val qv = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
       val idx = Similarity.buildIvf(s, e, "vec_id", "embedding",
-        nCentroids = 8, iterations = 2, dimHint = Some(64))
+        nCentroids = 8, iterations = 0)
       Similarity.searchIvf(idx, "vec_id", "embedding", qv, k = 10, nProbe = 2)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     },
-    None)
+    Some("""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), cent AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      |  FROM e ORDER BY vec_id LIMIT 8
+      |), q AS (
+      |  SELECT v AS qv FROM e WHERE vec_id = 0
+      |), assigned AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, 65),
+      |          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), c.cid)
+      |        AS rn
+      |    FROM e, cent c) WHERE rn = 1
+      |), probes AS (
+      |  SELECT cid FROM cent, q ORDER BY
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (cv[i] - qv[i]) * (cv[i] - qv[i]))), cid LIMIT 2
+      |)
+      |SELECT vec_id, ROUND(c, 6) AS cosine FROM (
+      |  SELECT a.vec_id,
+      |    list_dot_product(a.v, q.qv) /
+      |    (sqrt(list_dot_product(a.v, a.v)) *
+      |     sqrt(list_dot_product(q.qv, q.qv))) AS c
+      |  FROM assigned a, q
+      |  WHERE a.cid IN (SELECT cid FROM probes))
+      |ORDER BY c DESC, vec_id LIMIT 10""".stripMargin))
 
   private val q40 = Q("q40_embedding_stats",
     (s, dir) => {
