@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsofJoin
+import graft.plans.TopKPerGroup
+
+/** Randomized cross-checks of the custom operators against brute-force
+  * reference computations (fixed seeds — reproducible). */
+class OperatorPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asofBackward matches a brute-force reference on random data") {
+    val rng = new scala.util.Random(7L)
+    val keys = Seq("a", "b", "c", "d")
+    val left = (1 to 200).map(i =>
+      (i.toLong, keys(rng.nextInt(4)), rng.nextInt(1000).toLong))
+    val right = (1 to 150).map(i =>
+      (keys(rng.nextInt(4)), rng.nextInt(1000).toLong, s"p$i"))
+    val leftDf = left.toDF("id", "k", "ts")
+    val rightDf = right.toDF("k", "rts", "p")
+
+    val got = AsofJoin.asofBackward(leftDf, rightDf, Seq("k"), "ts", "rts",
+      Seq("p"))
+      .select(col("id"), col("asof_p"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+
+    // brute force: per left row, the right row with max rts <= ts
+    // (ties on rts resolved by max payload struct — here max p string,
+    // matching the operator's documented deterministic tie-break)
+    val expected = left.map { case (id, k, ts) =>
+      val cands = right.filter(r => r._1 == k && r._2 <= ts)
+      id -> (if (cands.isEmpty) None
+             else {
+               val maxTs = cands.map(_._2).max
+               Some(cands.filter(_._2 == maxTs).map(_._3).max)
+             })
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("TopKPerGroup matches a brute-force reference on random data") {
+    val rng = new scala.util.Random(11L)
+    val rows = (1 to 500).map(i =>
+      (i.toLong, (rng.nextInt(20)).toString, rng.nextInt(50).toDouble))
+    val df = rows.toDF("id", "g", "v").repartition(7) // scramble layout
+    val got = TopKPerGroup.perKey(df, Seq("g"), "v", "id", 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expected = rows.groupBy(_._2).values.flatMap { grp =>
+      grp.sortBy(r => (-r._3, r._1)).take(3).map(_._1)
+    }.toSet
+    assert(got == expected)
+  }
+}
