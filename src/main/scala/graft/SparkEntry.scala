@@ -1169,12 +1169,47 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  private val q59 = Q("q59_array_agg",
+    (s, dir) => {
+      // Deterministic list aggregation: collect_list order is undefined,
+      // so sort_array before slicing; string-joined output keeps the
+      // compare scalar.
+      t(s, dir, "orders")
+        .filter(col("o_totalprice") > 450000)
+        .groupBy(col("o_orderpriority"))
+        .agg(array_join(
+          slice(sort_array(collect_list(col("o_orderkey"))), 1, 5), ",")
+          .as("first5_keys"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority,
+      |array_to_string(list_sort(list(o_orderkey))[1:5], ',')
+      |  AS first5_keys,
+      |COUNT(*) AS n
+      |FROM orders WHERE o_totalprice > 450000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  private val q60 = Q("q60_add_months",
+    (s, dir) => {
+      // Month arithmetic with end-of-month clamping (both engines clamp
+      // Jan 31 + 1 month to Feb 28/29).
+      t(s, dir, "orders")
+        .groupBy(expr("date_format(add_months(CAST(o_orderdate AS DATE), 3), 'yyyy-MM')")
+          .as("due_month"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("due_month"))
+    },
+    Some("""SELECT strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH,
+      |  '%Y-%m') AS due_month, COUNT(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY due_month""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
