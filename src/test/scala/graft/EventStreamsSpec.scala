@@ -62,6 +62,85 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("append mode emits only watermark-finalized windows across batches") {
+    val s = 1000000000L
+    val dir = Files.createTempDirectory("graft_wm").toString
+    val hour = 3600 * s
+    // batch 1: events in hour 1
+    Seq((1L, hour + 60 * s, 1L, "click", 1.0, "{}"),
+      (2L, hour + 120 * s, 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    val src = s"$dir/in"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def addFile(n: String, from: String): Unit = {
+      val f = new java.io.File(from).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, java.nio.file.Paths.get(src, n))
+    }
+    addFile("b1.parquet", s"$dir/b1")
+    val q = EventStreams.windowedCounts(
+      EventStreams.readEventStream(spark, src),
+      windowLength = "1 hour", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("wmapp")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // watermark hasn't passed hour-1's end: nothing finalized yet
+      assert(spark.sql("SELECT * FROM wmapp").count() == 0)
+      // batch 2: an event far in hour 4 pushes the watermark past hour 1
+      Seq((3L, 4 * hour, 2L, "view", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/b2")
+      addFile("b2.parquet", s"$dir/b2")
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_type, n FROM wmapp").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("click" -> 2L)) // hour-1 window finalized
+    } finally q.stop()
+  }
+
+  test("sessionize emits the trailing session on event-time timeout") {
+    val s = 1000000000L
+    val dir = Files.createTempDirectory("graft_sto").toString
+    val src = s"$dir/in"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def writeBatch(n: String,
+        rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/$n")
+      val f = new java.io.File(s"$dir/$n").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, java.nio.file.Paths.get(src, s"$n.parquet"))
+    }
+    val base = 7200L * s
+    writeBatch("b1", Seq(
+      (1L, base, 10L, "click", 1.0, "{}"),
+      (2L, base + 10 * s, 10L, "click", 2.0, "{}")))
+    val q = EventStreams.sessionize(
+      EventStreams.readEventStream(spark, src), gapNs = 60 * s)
+      .writeStream.format("memory").queryName("sto")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sto").count() == 0) // still open
+      // another user's much later event advances the watermark (1h delay)
+      // far past user 10's session end + gap -> timeout fires
+      writeBatch("b2", Seq((3L, base + 7200 * s, 11L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      // one more batch so timeouts registered against the new watermark run
+      writeBatch("b3", Seq((4L, base + 7300 * s, 11L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      val sessions = spark.sql("SELECT * FROM sto")
+        .as[EventStreams.UserSession].collect()
+      assert(sessions.exists(ss =>
+        ss.user_id == 10L && ss.n_events == 2 && ss.total_value == 3.0))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches purchases after clicks") {
     val s = 1000000000L
     val base = 7200L * s
