@@ -1204,12 +1204,75 @@ object SparkEntry {
       |  '%Y-%m') AS due_month, COUNT(*) AS n
       |FROM orders GROUP BY 1 ORDER BY due_month""".stripMargin))
 
+  private val q61 = Q("q61_snapshot_diff",
+    (s, dir) => {
+      // CDC-style diff (operators.SnapshotDiff): "before" = pre-2000
+      // orders with prices rounded down, "after" = all orders — yields
+      // added (new keys) and changed (price drift) classifications.
+      val o = t(s, dir, "orders")
+      val before = o.filter(year(col("o_orderdate")) < 2000)
+        .withColumn("o_totalprice", floor(col("o_totalprice")).cast("double"))
+      graft.operators.SnapshotDiff.diff(before, o,
+        keys = Seq("o_orderkey"), compareCols = Seq("o_totalprice"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("change_type"))
+    },
+    Some("""SELECT change_type, COUNT(*) AS n FROM (
+      |  SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS k,
+      |    CASE WHEN b.o_orderkey IS NULL THEN 'added'
+      |         WHEN a.o_orderkey IS NULL THEN 'removed'
+      |         WHEN b.p <> a.p THEN 'changed'
+      |         ELSE 'unchanged' END AS change_type
+      |  FROM (SELECT o_orderkey,
+      |          CAST(FLOOR(o_totalprice) AS DOUBLE) AS p
+      |        FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) < 2000) b
+      |  FULL JOIN (SELECT o_orderkey, o_totalprice AS p FROM orders) a
+      |    ON b.o_orderkey = a.o_orderkey)
+      |WHERE change_type <> 'unchanged'
+      |GROUP BY change_type ORDER BY change_type""".stripMargin))
+
+  private val q62 = Q("q62_column_profile",
+    (s, dir) => {
+      // Single-pass column profile (the describe() shape, exact):
+      // one row per profiled column, scalar stats only.
+      val o = t(s, dir, "orders")
+      def profile(c: String) = o.agg(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("bigint").as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_val"),
+        max(col(c)).cast("string").as("max_val"))
+      profile("o_totalprice")
+        .unionByName(profile("o_orderstatus"))
+        .unionByName(profile("o_custkey"))
+        .orderBy(col("col_name"))
+    },
+    Some("""SELECT 'o_totalprice' AS col_name, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |  COUNT(DISTINCT o_totalprice) AS n_distinct,
+      |  CAST(MIN(o_totalprice) AS VARCHAR) AS min_val,
+      |  CAST(MAX(o_totalprice) AS VARCHAR) AS max_val FROM orders
+      |UNION ALL
+      |SELECT 'o_orderstatus', COUNT(*),
+      |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  COUNT(DISTINCT o_orderstatus),
+      |  MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+      |UNION ALL
+      |SELECT 'o_custkey', COUNT(*),
+      |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  COUNT(DISTINCT o_custkey),
+      |  CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+      |  FROM orders
+      |ORDER BY col_name""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
