@@ -35,6 +35,16 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
     shiftCopies(c, Map("c_custkey" -> keyBase))
       .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    // documents: id-shifted copies — texts DUPLICATE, so 10× docs also
+    // means 10-member exact-dup clusters per original (the dedup stress
+    // shape: candidate pairs grow ~45× per cluster, bounded by LSH
+    // bucketing + maxBucketSize)
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    shiftCopies(docs, Map("doc_id" -> keyBase))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    shiftCopies(spark.read.parquet(s"$srcDir/embeddings.parquet"),
+      Map("vec_id" -> keyBase))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     // dimensions stay as-is (they are dimensions)
     Seq("nation", "region", "supplier", "part").foreach { t =>
       spark.read.parquet(s"$srcDir/$t.parquet")
@@ -44,7 +54,8 @@ object ScaleProbe {
 
   private val probes = Seq(
     "q01_pricing_summary", "q03_join_agg_nations", "q04_join_priority",
-    "q07_window_top1", "q22_star_join")
+    "q07_window_top1", "q22_star_join",
+    "q31_quality_score", "q35_minhash_neardup", "q38_cosine_topk")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
