@@ -119,6 +119,28 @@ class FlashscoreTransformSpec extends SparkTestBase {
     assert(factIds.subsetOf(oddsIds))
   }
 
+  test("record with no lineups_data: fact kept, lineup rows skipped") {
+    val noLineup =
+      """{"current_status":"Finished","current_country":"ES",
+        |"current_tournament":"T1","participant_home":"NL",
+        |"participant_away":"A_NL","participant_home_current_score":"1",
+        |"participant_away_current_score":"0","year":2023,"month":1,
+        |"day":1,"hour":12,"minute":0,"match_hour":"12:00",
+        |"bookmakers_data":[]}""".stripMargin.replace("\n", " ")
+    val raw2 = spark.read.schema(Flashscore.inputSchema)
+      .json(spark.createDataset(Seq(noLineup))(Encoders.STRING))
+    val keyed2 = FlashscoreTransforms.withMatchKey(
+      FlashscoreTransforms.finished(raw2), deterministic = true)
+    assert(FlashscoreTransforms.matchFacts(keyed2).count() == 1)
+    assert(FlashscoreTransforms.startingLineup(keyed2, Home).count() == 0)
+    assert(FlashscoreTransforms.startingLineup(keyed2, Away).count() == 0)
+    // odds row still produced, all 24 odds null (empty bookmakers array)
+    val o = FlashscoreTransforms.odds(keyed2)
+    assert(o.count() == 1)
+    val row = o.head()
+    assert((1 until 25).forall(row.isNullAt))
+  }
+
   test("malformed JSON records survive as null rows (PERMISSIVE)") {
     // the reference crashes on a bad record (json.loads); the engine's
     // pinned-schema PERMISSIVE read nulls it and the status filter drops it

@@ -21,6 +21,12 @@ class QueriesSpec extends SparkTestBase {
       assert(df.columns.nonEmpty)
       assert(df.columns.distinct.length == df.columns.length,
         "duplicate column names break the oracle compare")
+      // compare-safety invariant: outputs must be atomic-typed — arrays,
+      // maps, and structs don't hash-compare portably across engines
+      df.schema.fields.foreach { f =>
+        assert(!f.dataType.typeName.matches("array|map|struct"),
+          s"non-atomic output column ${f.name}: ${f.dataType.sql}")
+      }
     }
   }
 }
