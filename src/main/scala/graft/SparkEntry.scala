@@ -1267,12 +1267,55 @@ object SparkEntry {
       |  FROM orders
       |ORDER BY col_name""".stripMargin))
 
+  private val q63 = Q("q63_percent_rank",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .filter(col("pct_rank") >= 0.999)
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, pct_rank, cume FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      |    ROUND(CUME_DIST() OVER w, 6) AS cume
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice, o_orderkey))
+      |WHERE pct_rank >= 0.999
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin))
+
+  private val q64 = Q("q64_value_windows",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      |FIRST_VALUE(o_totalprice) OVER w AS first_price,
+      |LAST_VALUE(o_totalprice) OVER w AS last_price,
+      |NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
