@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan-quality audit across the whole declared surface: one markdown
+  * table row per query with the physical-plan facts that matter at scale —
+  * shuffle count, broadcasts, scan column pruning, pushed filters, and
+  * whole-stage-codegen coverage. `runMain graft.PlanAudit > PLANS.md`
+  * style usage (it prints the table to stdout).
+  */
+object PlanAudit {
+
+  private def count(plan: String, token: String): Int =
+    token.r.findAllMatchIn(plan).length
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println("| query | shuffles | broadcasts | scans | pushed filters | codegen stages |")
+    println("|---|---|---|---|---|---|")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        df.collect() // finalize the AQE plan so the audit sees reality
+        // AQE's root is a leaf node (children hidden) → parse the final
+        // plan string rather than traversing
+        val planStr = df.queryExecution.executedPlan.toString
+        val finalPart = // only the final plan section, not "Initial Plan"
+          planStr.split("== Initial Plan ==").head
+        val shuffles =
+          count(finalPart, "Exchange (hashpartitioning|rangepartitioning|SinglePartition)")
+        val bcasts = count(finalPart, "BroadcastExchange")
+        val scans = count(finalPart, "FileScan parquet")
+        val pushed = count(finalPart, "PushedFilters: \\[\\w") // non-empty
+        val codegen = "\\*\\((\\d+)\\)".r
+          .findAllMatchIn(finalPart).map(_.group(1)).toSet.size
+        println(s"| $name | $shuffles | $bcasts | $scans | $pushed | $codegen |")
+      } catch {
+        case e: Throwable => println(s"| $name | audit failed: ${e.getClass.getSimpleName} | | | | |")
+      }
+    }
+    spark.stop()
+  }
+}
