@@ -1310,12 +1310,31 @@ object SparkEntry {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin))
 
+  private val q65 = Q("q65_weighted_sample",
+    (s, dir) => {
+      // Deterministic weighted sampling (operators.Sampling): keep each
+      // customer with probability acctbal/10000 (clamped to [0,1]),
+      // decided by md5 bucket — no RNG state, reproducible anywhere.
+      val weight = col("c_acctbal") / 10000.0
+      graft.operators.Sampling.weightedSample(
+        t(s, dir, "customer"), "c_custkey", weight)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_kept FROM (
+      |  SELECT c_mktsegment FROM customer
+      |  WHERE ((('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6))::BIGINT
+      |      % 1000000) + 1000000) % 1000000
+      |    < LEAST(GREATEST(c_acctbal / 10000.0, 0.0), 1.0) * 1000000)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -33,6 +33,22 @@ object Sampling {
     (df.filter(flag), df.filter(!flag))
   }
 
+  /** Weighted deterministic sampling: keep each row with probability
+    * `weight` (a per-row column in [0,1]), decided by the row's hash
+    * bucket — reproducible Bernoulli without RNG state. Standard use:
+    * quality-weighted corpus downsampling. */
+  def weightedSample(
+      df: DataFrame, keyCol: String, weight: Column,
+      buckets: Int = 1000000): DataFrame =
+    df.filter(
+      hashBucket6(col(keyCol), buckets) <
+        least(greatest(weight, lit(0.0)), lit(1.0)) * buckets)
+
+  /** hashBucket with 6 hex chars (24 bits) for fine-grained weights. */
+  def hashBucket6(key: Column, buckets: Int): Column =
+    (conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long")
+      % buckets + buckets) % buckets
+
   /** Deterministic per-stratum downsampling: keep ≈`fraction(stratum)` of
     * rows inside each stratum, hash-assigned on the key. */
   def stratifiedSample(
