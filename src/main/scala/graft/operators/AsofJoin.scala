@@ -36,6 +36,9 @@ object AsofJoin {
       rightTs: String,
       rightPayload: Seq[String],
       toleranceNs: Option[Long] = None): DataFrame = {
+    val reserved = Seq("__ts", "__tag", "__rpay", "__match", "__m")
+    require(!left.columns.exists(reserved.contains),
+      s"left frame uses reserved column names: ${reserved.mkString(", ")}")
     val keyCols = keys.map(col)
     val lTagged = left
       .withColumn("__ts", col(leftTs))

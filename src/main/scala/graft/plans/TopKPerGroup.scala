@@ -79,7 +79,11 @@ case class TopKPerGroupExec(
         UnsafeRow, mutable.PriorityQueue[(Double, Long, UnsafeRow)]]
       iter.foreach { row =>
         val ov = boundOrder.eval(row)
-        if (ov != null) {
+        // NaN order values are dropped along with nulls: NaN comparisons
+        // are false both ways, which would make heap contents depend on
+        // row arrival order (nondeterministic across shuffles)
+        if (ov != null &&
+          !java.lang.Double.isNaN(ov.asInstanceOf[Number].doubleValue())) {
           val v = ov.asInstanceOf[Number].doubleValue()
           val t = boundTie.eval(row).asInstanceOf[Number].longValue()
           val key = keyProj(row)
