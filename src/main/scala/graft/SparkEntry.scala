@@ -835,15 +835,23 @@ object SparkEntry {
 
   private val q43 = Q("q43_approx_distinct",
     (s, dir) => {
-      // HyperLogLog++ sketch (deterministic for fixed input, but the
-      // sketch algorithm is Spark-internal → rows-only, no SQL oracle).
+      // HyperLogLog++ sketch. The sketch value itself is Spark-internal,
+      // so the oracle checks a range assertion instead: the exact count
+      // hashes bit-for-bit, and approx_ok (|approx-exact| <= 3*rsd*exact)
+      // must equal DuckDB's literal TRUE — a drifting sketch goes red.
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.06)).as("approx_ok"))
         .orderBy(col("l_returnflag"))
     },
-    None)
+    Some("""SELECT l_returnflag,
+      |COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin))
 
   private val q44 = Q("q44_asof_join",
     (s, dir) => {
@@ -1078,9 +1086,9 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     },
     Some("""SELECT doc_id, lang,
-      |(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
-      |  // 2048 AS pack_id
+      |  // 2048 AS BIGINT) AS pack_id
       |FROM (SELECT doc_id, lang,
       |  len(list_filter(string_split_regex(lower(text), '\s+'),
       |    t -> t <> '')) AS n_tokens FROM documents)
