@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Fuzzy, Similarity}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2) over the
   * test star schema, each query paired with DuckDB oracle SQL.
@@ -502,13 +502,12 @@ object SparkEntry {
 
   private val q28 = Q("q28_fuzzy_levenshtein",
     (s, dir) => {
-      val names = t(s, dir, "part").select(col("p_name")).distinct()
-      val a = names.select(col("p_name").as("name_a"))
-      val b = names.select(col("p_name").as("name_b"))
-      a.crossJoin(b)
-        .filter(col("name_a") < col("name_b"))
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= 3)
+      // Blocked fuzzy match (Fuzzy.editDistanceSelfJoin): PassJoin
+      // segment-pigeonhole blocking → equi-join on (len, seg, text) →
+      // levenshtein verify. Output provably identical to the all-pairs
+      // oracle below, but the plan carries no cross/nested-loop join.
+      Fuzzy.editDistanceSelfJoin(
+          t(s, dir, "part").select(col("p_name")), "p_name", 3)
         .orderBy(col("name_a"), col("name_b"))
     },
     Some("""SELECT a.p_name AS name_a, b.p_name AS name_b,
@@ -626,19 +625,18 @@ object SparkEntry {
 
   private val q36 = Q("q36_jaccard_pairs",
     (s, dir) => {
+      // Exact set-similarity join via prefix filtering
+      // (Fuzzy.jaccardJoin) — candidates come from an equi-join on
+      // rarity-ordered prefix tokens, never a nested-loop/theta join, yet
+      // the result set is provably the same as the all-pairs oracle.
       val docs = t(s, dir, "documents")
       val sets = docs
-        .select(col("doc_id"), TF.tokens(col("text")).as("__toks"))
-        .select(col("doc_id"), TF.shinglesOf(col("__toks"), 1).as("st"))
-      val a = sets.filter(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("id_a"), col("st").as("st_a"))
-      val b = sets.select(col("doc_id").as("id_b"), col("st").as("st_b"))
-      broadcast(a).join(b, col("id_a") < col("id_b"))
-        .withColumn("j",
-          size(array_intersect(col("st_a"), col("st_b"))).cast("double") /
-            size(array_union(col("st_a"), col("st_b"))).cast("double"))
-        .filter(col("j") >= 0.3)
-        .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+        .select(col("doc_id"), TF.shinglesFast(col("text"), 1).as("st"))
+      Fuzzy.jaccardSelfJoin(sets, "doc_id", "st", 0.3,
+          col("doc_id") % 100 === 0)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     },
     Some("""SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (

@@ -135,6 +135,15 @@ object TextFunctions {
     * should materialize tokens and use [[shinglesOf]]. */
   def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 
+  /** Distinct word n-gram shingles of raw text via the fused codegen'd
+    * [[WordShingles]] expression — value-identical to [[shingles]] but one
+    * tight pass instead of an interpreted higher-order-function tree. The
+    * hot-path form for the dedup/minhash chains. */
+  def shinglesFast(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.Shims.column(
+      WordShingles(
+        org.apache.spark.sql.graftshim.Shims.expression(text), n))
+
   /** Character n-gram shingles of the normalized text. */
   def charShingles(text: Column, n: Int): Column = {
     val norm = trim(regexp_replace(lower(text), "\\s+", " "))

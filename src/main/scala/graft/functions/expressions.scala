@@ -283,3 +283,203 @@ case class RollingHash(child: Expression)
   override protected def withNewChildInternal(c: Expression): RollingHash =
     copy(child = c)
 }
+
+/** Static helper for [[WordShingles]] — kept in a standalone object so the
+  * generated Java can call it through the Scala static forwarder. */
+object ShingleUtil {
+  /** Lowercase, whitespace-tokenize (Java-regex `\s+` semantics: space,
+    * \t, \n, \u000B, \f, \r; empties dropped), build word n-grams joined
+    * by a single space, distinct preserving first occurrence — one tight
+    * pass, value-identical to the declarative composition
+    * `array_distinct(transform(..., concat_ws(" ", ...)))` over
+    * `filter(split(lower(text), "\s+"), _ =!= "")`.
+    */
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toLowerCase.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      while (i < len && isWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(str.charAt(i))) i += 1
+      if (i > start) toks.add(str.substring(start, i))
+    }
+    val nt = toks.size()
+    val out = new java.util.LinkedHashSet[String]()
+    if (n == 1) {
+      var j = 0
+      while (j < nt) { out.add(toks.get(j)); j += 1 }
+    } else {
+      var j = 0
+      val sb = new java.lang.StringBuilder()
+      while (j <= nt - n) {
+        sb.setLength(0)
+        var w = 0
+        while (w < n) {
+          if (w > 0) sb.append(' ')
+          sb.append(toks.get(j + w))
+          w += 1
+        }
+        out.add(sb.toString)
+        j += 1
+      }
+    }
+    val arr = new Array[AnyRef](out.size())
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+}
+
+/** Static helper for [[EditSegmentKeys]] — standalone object so generated
+  * Java reaches it through the static forwarder. */
+object SegmentKeyUtil {
+  /** PassJoin blocking keys (kl, ki, ks) for one string (see
+    * [[graft.operators.Fuzzy.editDistanceSelfJoin]] for the scheme and the
+    * completeness argument). Works on codepoints so positions agree with
+    * Spark's character-based `length`/`levenshtein` even off the BMP.
+    *
+    * Index mode (`probe = false`): the k+1 segments of this string, keyed
+    * by own length. Probe mode: every substring of this string where a
+    * segment of a length-L partner (L within ±k) could land, shifted by
+    * d ∈ [-k, k]. Both modes add the shared "short" key for strings of
+    * length ≤ 2k (pairs whose shorter side has < k+1 chars can't use the
+    * pigeonhole, and are bounded to this block by |len diff| ≤ k).
+    */
+  def compute(s: UTF8String, k: Int, probe: Boolean): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val len = cps.length
+    val m = k + 1
+    val out = new java.util.LinkedHashSet[(Int, Int, String)]()
+    def sub(start: Int, segLen: Int): String =
+      new String(cps, start, segLen)
+    if (!probe) {
+      if (len >= m) {
+        val base = len / m
+        val rem = len % m
+        var i = 0
+        while (i < m) {
+          val li = base + (if (i < rem) 1 else 0)
+          val st = i * base + math.min(i, rem)
+          out.add((len, i, sub(st, li)))
+          i += 1
+        }
+      }
+    } else {
+      var ll = math.max(len - k, m)
+      while (ll <= len + k) {
+        val base = ll / m
+        val rem = ll % m
+        var i = 0
+        while (i < m) {
+          val li = base + (if (i < rem) 1 else 0)
+          val st = i * base + math.min(i, rem)
+          var d = -k
+          while (d <= k) {
+            val pos = st + d
+            if (pos >= 0 && pos + li <= len) out.add((ll, i, sub(pos, li)))
+            d += 1
+          }
+          i += 1
+        }
+        ll += 1
+      }
+    }
+    if (len <= 2 * k) out.add((-1, 0, ""))
+    val arr = new Array[AnyRef](out.size())
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) {
+      val (kl, ki, ks) = it.next()
+      arr(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](kl, ki, UTF8String.fromString(ks)))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
+/** PassJoin segment blocking keys as one codegen'd expression returning
+  * `array<struct<kl:int, ki:int, ks:string>>`. A column-tree version of
+  * the probe side needs (2k+1)²·(k+1) conditional struct expressions —
+  * ~200 `when(...)` arms whose generated Java dominated q28's wall time
+  * as fixed janino-compile cost; this expression is one tight loop and a
+  * tiny call site, fast both per-row and to compile.
+  */
+case class EditSegmentKeys(child: Expression, k: Int, probe: Boolean)
+    extends UnaryExpression {
+
+  require(k >= 1, s"edit-distance threshold must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("kl", IntegerType, nullable = false),
+      StructField("ki", IntegerType, nullable = false),
+      StructField("ks", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"edit_segment_keys requires string, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    SegmentKeyUtil.compute(v.asInstanceOf[UTF8String], k, probe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SegmentKeyUtil.compute($c, $k, $probe);")
+
+  override protected def withNewChildInternal(c: Expression): EditSegmentKeys =
+    copy(child = c)
+}
+
+/** Distinct word n-gram shingles of a raw text column as ONE codegen'd
+  * expression — replaces the `tokens → transform → concat_ws →
+  * array_distinct` higher-order-function tree, which evaluates interpreted
+  * lambdas per element and dominated the minhash chain's profile
+  * (~100 µs/doc at 54 tokens). Semantics are identical to
+  * `TextFunctions.shingles(text, n)`; the DuckDB oracle equivalent is
+  * unchanged (list_distinct over string_split_regex n-grams).
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_shingles requires string, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleUtil.compute(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleUtil.compute($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}

@@ -42,8 +42,13 @@ object Dedup {
       .drop("__fp", "__rk")
   }
 
-  /** MinHash signature: k hash functions approximated as
-    * `xxhash64(i, shingle)` (seeded family), min per doc per i.
+  /** MinHash signature: base hash H = low 31 bits of xxhash64(shingle),
+    * then k affine derivations h_i = (a_i·H + b_i) mod (2³¹−1) — the
+    * standard universal family (Carter–Wegman) over one strong hash, so
+    * per-shingle cost is ONE string hash + k multiply-mods instead of k
+    * full string hashes (which spent ~64× the hashing time for the same
+    * sketch quality). a_i·H < 2⁶² keeps the arithmetic exact under ANSI
+    * (no 64-bit wrap, which Spark 4's default ANSI mode would reject).
     * One explode + one groupBy with k min() aggregates — map-side partial
     * aggregation keeps the shuffle at k longs per doc. */
   def minhashSignatures(
@@ -52,18 +57,52 @@ object Dedup {
       textCol: String,
       numHashes: Int = 64,
       shingleSize: Int = 3): DataFrame = {
-    // two-step projection: tokens materialized once per row, then shingled
-    val sh = df
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+    val sh = shingleRows(df, idCol, textCol, shingleSize)
       .select(col(idCol),
-        explode(TextFunctions.shinglesOf(col("__toks"), shingleSize))
-          .as("__sh"))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("__sh"))).as(s"__h$i"))
+        xxhash64(col("__sh")).bitwiseAND(lit(0x7FFFFFFFL)).as("__H"))
+    val mins = portableCoefficients(numHashes, 42L).zipWithIndex.map {
+      case ((a, b), i) =>
+        min((lit(a) * col("__H") + lit(b)) % lit(portablePrime)).as(s"__h$i")
+    }
     sh.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol),
         array((0 until numHashes).map(i => col(s"__h$i")): _*).as("signature"))
+  }
+
+  /** One row per (doc, distinct shingle) — the fused [[graft.functions.WordShingles]]
+    * expression keeps the tokenize+shingle pass inside whole-stage codegen
+    * (the interpreted HOF tree it replaces dominated the chain's profile). */
+  private def shingleRows(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    df.select(col(idCol),
+      explode(TextFunctions.shinglesFast(col(textCol), shingleSize))
+        .as("__sh"))
+
+  /** Fused signatures → LSH band buckets: the per-band bucket hash is
+    * computed straight from the band's min-columns, skipping the
+    * full-signature array materialization ([[minhashSignatures]] +
+    * [[lshBuckets]] compose to the same values — xxhash64 over the same
+    * r longs — with one extra projection). */
+  def minhashBuckets(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sh = shingleRows(df, idCol, textCol, shingleSize)
+      .select(col(idCol),
+        xxhash64(col("__sh")).bitwiseAND(lit(0x7FFFFFFFL)).as("__H"))
+    val mins = portableCoefficients(numHashes, 42L).zipWithIndex.map {
+      case ((a, b), i) =>
+        min((lit(a) * col("__H") + lit(b)) % lit(portablePrime)).as(s"__h$i")
+    }
+    val sig = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val bandHashes = array((0 until bands).map(b =>
+      xxhash64(lit(b),
+        array((b * r until (b + 1) * r).map(i => col(s"__h$i")): _*))): _*)
+    sig.select(col(idCol),
+      posexplode(bandHashes).as(Seq("__band", "__bucket")))
   }
 
   /** LSH banding of a minhash signature: `bands` buckets per doc, bucket id
@@ -82,25 +121,26 @@ object Dedup {
       posexplode(bandHashes).as(Seq("__band", "__bucket")))
   }
 
-  /** Candidate pairs from shared LSH buckets; self-join on (band, bucket)
-    * with id< id to orient, distinct to dedup across bands. Buckets larger
-    * than `maxBucketSize` are dropped (skew guardrail). */
+  /** Candidate pairs from shared LSH buckets: ONE groupBy collects each
+    * bucket's ids, ordered pairs are generated from the sorted array, and
+    * a distinct dedups across bands. Two shuffles total, versus the
+    * previous window-count + self-join shape (three shuffles, with the
+    * bucket subtree executed twice). Buckets larger than `maxBucketSize`
+    * are dropped (skew guardrail — a bucket of B ids yields B²/2 pairs, so
+    * the bound also caps the per-row explode fan-out at ~B). */
   def candidatePairs(
       buckets: DataFrame, idCol: String,
       maxBucketSize: Int = 1000): DataFrame = {
-    val bounded = buckets
-      .withColumn("__n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__band"), col("__bucket"))))
-      .filter(col("__n") <= maxBucketSize)
-      .drop("__n")
-    val a = bounded.select(
-      col("__band"), col("__bucket"), col(idCol).as("id_a"))
-    val b = bounded.select(
-      col("__band"), col("__bucket"), col(idCol).as("id_b"))
-    a.join(b, Seq("__band", "__bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val grouped = buckets
+      .groupBy(col("__band"), col("__bucket"))
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucketSize))
+      .select(array_sort(col("__ids")).as("__ids"))
+    grouped
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("__ids"), col("__i") + lit(2), size(col("__ids"))))
+          .as("id_b"))
       .distinct()
   }
 
@@ -114,9 +154,7 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val sets = docs
       .select(col(idCol).as("__id"),
-        TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col("__id"),
-        TextFunctions.shinglesOf(col("__toks"), shingleSize).as("__set"))
+        TextFunctions.shinglesFast(col(textCol), shingleSize).as("__set"))
     val j = pairs
       .join(sets.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__set", "__set_a"), Seq("id_a"))
@@ -139,8 +177,9 @@ object Dedup {
       bands: Int = 16,
       shingleSize: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val sig = minhashSignatures(docs, idCol, textCol, numHashes, shingleSize)
-    val pairs = candidatePairs(lshBuckets(sig, idCol, numHashes, bands), idCol)
+    val buckets = minhashBuckets(docs, idCol, textCol,
+      numHashes, bands, shingleSize)
+    val pairs = candidatePairs(buckets, idCol)
     jaccardVerify(pairs, docs, idCol, textCol, shingleSize, threshold)
   }
 
@@ -196,11 +235,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleSize: Int, seed: Long = 42L): DataFrame = {
     val coef = portableCoefficients(numHashes, seed)
-    val sh = df
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol),
-        explode(TextFunctions.shinglesOf(col("__toks"), shingleSize))
-          .as("__sh"))
+    val sh = shingleRows(df, idCol, textCol, shingleSize)
       .withColumn("__H",
         conv(substring(md5(col("__sh")), 1, 8), 16, 10).cast("long"))
     val mins = coef.zipWithIndex.map { case ((a, b), i) =>
@@ -307,6 +342,13 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged) {
+      // min-label propagation needs O(component diameter) rounds; a chain
+      // longer than maxIterations would silently split clusters otherwise.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did not converge after $maxIterations " +
+          "iterations — labels may split long chains; raise maxIterations")
+    }
     labels.select(col("src").as("id"), col("component"))
   }
 

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy string matching as *blocked* equi-join plans — the scale-correct
+  * replacements for the two all-pairs shapes flagged in round 1:
+  *
+  *  - [[editDistanceSelfJoin]]: all pairs within Levenshtein distance k,
+  *    via segment-pigeonhole blocking (the PassJoin scheme of Li, Deng &
+  *    Feng, "PASS-JOIN: A Partition-based Method for Similarity Joins",
+  *    VLDB 2011): split each string into k+1 segments; any pair within k
+  *    edits must share one segment verbatim at a position shifted by at
+  *    most k, so an equi-join on (indexed length, segment index, segment
+  *    text) finds every candidate. COMPLETE — output is provably identical
+  *    to the O(n²) cross join, but the plan is explode → shuffle hash join
+  *    → verify: linear emit per row (≤ (2k+1)²·(k+1) probe keys), no
+  *    BroadcastNestedLoopJoin anywhere.
+  *
+  *  - [[jaccardJoin]]: all pairs with Jaccard ≥ t, via prefix filtering
+  *    (Chaudhuri, Ganti & Kaushik, "A Primitive Operator for Similarity
+  *    Joins in Data Cleaning", ICDE 2006; Bayardo, Ma & Srikant, "Scaling
+  *    Up All Pairs Similarity Search", WWW 2007): order every set by
+  *    global token rarity; two sets with Jaccard ≥ t must share a token
+  *    within their first |s| - ceil(t·|s|) + 1 elements, so an equi-join
+  *    on prefix tokens finds every candidate. COMPLETE — exact-Jaccard
+  *    verify runs only on blocked candidates.
+  *
+  * Unlike the LSH chains in [[Dedup]] (probabilistic recall), both
+  * operators here are exact: they return precisely the pairs the naive
+  * quadratic plan would.
+  */
+object Fuzzy {
+
+  /** All unordered pairs of distinct values of `strCol` within Levenshtein
+    * distance `k`, as (name_a, name_b, dist) with name_a < name_b.
+    *
+    * Blocking (PassJoin): each string s of length L ≥ k+1 is indexed under
+    * k+1 keys (L, i, segment_i(s)) using an even L-div-(k+1) segmentation;
+    * each string r probes, for every target length L in [|r|-k, |r|+k] and
+    * segment i, the substrings of r at the segment's position shifted by
+    * d ∈ [-k, k]. If ed(r, s) ≤ k, some segment of s is untouched by the
+    * optimal edit script and appears in r shifted by at most k (pigeonhole
+    * over k+1 segments vs ≤ k edits), so the equi-join cannot miss a pair.
+    * Strings shorter than k+1 (where empty segments would break the
+    * argument) fall into a single tiny "short" block — any partner within
+    * distance k has length ≤ 2k, a bounded set.
+    *
+    * Candidate volume is ≤ (2k+1)·(2k+1)·(k+1) keys per row — linear in n,
+    * shuffled on selective (length, seg, text) keys. The levenshtein
+    * verify runs per candidate, codegen'd.
+    */
+  def editDistanceSelfJoin(
+      df: DataFrame, strCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"edit-distance threshold must be >= 1, got $k")
+    val strs = df
+      .select(col(strCol).cast("string").as("__s"))
+      .filter(col("__s").isNotNull)
+      .distinct()
+
+    // segment-key generation lives in one codegen'd expression
+    // (EditSegmentKeys) — a column-tree probe side would be ~200
+    // conditional structs of mostly janino-compile cost
+    def keys(probe: Boolean): Column =
+      org.apache.spark.sql.graftshim.Shims.column(
+        graft.functions.EditSegmentKeys(
+          org.apache.spark.sql.graftshim.Shims.expression(col("__s")),
+          k, probe))
+
+    val index = strs
+      .select(col("__s").as("__sa"), explode(keys(probe = false)).as("__k"))
+    val probe = strs
+      .select(col("__s").as("__sb"), explode(keys(probe = true)).as("__k"))
+
+    index.join(probe, index("__k") === probe("__k"))
+      .select(least(col("__sa"), col("__sb")).as("name_a"),
+        greatest(col("__sa"), col("__sb")).as("name_b"))
+      .filter(col("name_a") < col("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= k)
+  }
+
+  /** All (left, right) pairs with exact Jaccard ≥ `threshold` over the
+    * array-typed `setCol`, as (id_a, id_b, jaccard) — id_a from `left`,
+    * id_b from `right`, including id_a == id_b when both sides share ids
+    * (callers add their own orientation predicate, e.g. id_a < id_b).
+    *
+    * Blocking (prefix filtering): tokens are globally ordered by
+    * (document frequency, token); a set of size S keeps a prefix of
+    * S - ceil(t·S) + 1 tokens. Two sets with Jaccard ≥ t overlap in at
+    * least ceil(t·max(S_a, S_b)) tokens, which cannot fit entirely in
+    * both suffixes, so the prefixes must share a token — the equi-join on
+    * prefix tokens finds every qualifying pair. A size-ratio filter
+    * (min ≥ t·max, implied by J ≥ t) prunes before the exact verify.
+    * Frequency-ascending ordering puts RARE tokens in prefixes, keeping
+    * per-token candidate lists short (the Bayardo et al. heuristic).
+    *
+    * ceil() calls subtract 1e-9 first so double rounding can only widen a
+    * prefix/filter, never drop a true pair.
+    */
+  def jaccardJoin(
+      left: DataFrame, right: DataFrame,
+      idCol: String, setCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val l = left.select(col(idCol).as("id_a"),
+      array_distinct(col(setCol)).as("__set_a"))
+    val r = right.select(col(idCol).as("id_b"),
+      array_distinct(col(setCol)).as("__set_b"))
+
+    // global token order: (df over both sides, token) — any consistent
+    // total order is correct; rarity-first minimizes candidates
+    val tokenDf = l.select(explode(col("__set_a")).as("__t"))
+      .union(r.select(explode(col("__set_b")).as("__t")))
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("__df"))
+
+    val candidates = prefixes(l, "id_a", "__set_a", tokenDf, threshold)
+      .join(prefixes(r, "id_b", "__set_b", tokenDf, threshold), Seq("__t"))
+      .filter(least(col("__n_id_a"), col("__n_id_b")) >=
+        lit(threshold) * greatest(col("__n_id_a"), col("__n_id_b")) - 1e-9)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    verify(candidates, l, r, threshold)
+  }
+
+  /** Self-join form of [[jaccardJoin]] with a predicate selecting the left
+    * side — tokens are exploded, ordered, and prefixed ONCE over the whole
+    * corpus, and the (usually much smaller) left side is carved out of the
+    * shared prefix table by `leftPred` instead of recomputing the chain.
+    * Returns (id_a, id_b, jaccard) with id_a satisfying `leftPred`,
+    * id_a != id_b not implied — callers orient (e.g. id_a < id_b).
+    */
+  def jaccardSelfJoin(
+      sets: DataFrame, idCol: String, setCol: String,
+      threshold: Double, leftPred: Column): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val r = sets.select(col(idCol).as("id_b"),
+      array_distinct(col(setCol)).as("__set_b"))
+    // single-corpus rarity: one window over the exploded tokens replaces
+    // the separate frequency aggregate + join of the two-sided form
+    val annotated = r.select(col("id_b"), explode(col("__set_b")).as("__t"))
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__t"))))
+    val rp = orderedPrefixes(annotated, "id_b", threshold)
+    val lp = sets.filter(leftPred)
+      .select(col(idCol).as("id_a"))
+      .join(rp.withColumnRenamed("id_b", "id_a")
+        .withColumnRenamed("__n_id_b", "__n_id_a"), Seq("id_a"))
+    val candidates = lp.join(rp, Seq("__t"))
+      .filter(least(col("__n_id_a"), col("__n_id_b")) >=
+        lit(threshold) * greatest(col("__n_id_a"), col("__n_id_b")) - 1e-9)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    verify(candidates,
+      r.select(col("id_b").as("id_a"), col("__set_b").as("__set_a")),
+      r, threshold)
+  }
+
+  /** Rarity-ordered prefix tokens of each set: (id, set size, token) for
+    * the first |s| - ceil(t·|s|) + 1 tokens under (df, token) order. */
+  private def prefixes(
+      side: DataFrame, id: String, set: String,
+      tokenDf: DataFrame, threshold: Double): DataFrame =
+    orderedPrefixes(
+      side.select(col(id), explode(col(set)).as("__t")).join(tokenDf, Seq("__t")),
+      id, threshold)
+
+  /** Prefix carve-out over rows (id, __t, __df) already annotated with
+    * token frequency. */
+  private def orderedPrefixes(
+      annotated: DataFrame, id: String, threshold: Double): DataFrame =
+    annotated
+      .groupBy(col(id))
+      .agg(sort_array(collect_list(struct(col("__df").as("f"),
+        col("__t").as("t")))).as("__o"))
+      .select(col(id), size(col("__o")).as("__n"),
+        posexplode(expr("transform(__o, s -> s.t)"))
+          .as(Seq("__i", "__t")))
+      .filter(col("__i") <
+        col("__n") - ceil(lit(threshold) * col("__n") - 1e-9) + 1)
+      .select(col(id), col("__n").as(s"__n_$id"), col("__t"))
+
+  /** Exact-Jaccard verify over candidate (id_a, id_b) pairs. */
+  private def verify(
+      candidates: DataFrame, l: DataFrame, r: DataFrame,
+      threshold: Double): DataFrame =
+    candidates
+      .join(l, Seq("id_a"))
+      .join(r, Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__set_a"), col("__set_b"))).cast("double") /
+          size(array_union(col("__set_a"), col("__set_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Fuzzy
+
+/** Blocked fuzzy-join operators, cross-checked against the naive O(n²)
+  * plans they replace — both blockings are COMPLETE by construction
+  * (PassJoin pigeonhole / prefix filtering), so outputs must be
+  * set-identical to brute force, including adversarial shapes: short
+  * strings (below k+1 chars, the segment scheme's edge), duplicate
+  * strings, empty strings/sets, and near-threshold similarities.
+  */
+class FuzzySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def bruteEd(strs: Seq[String], k: Int): Set[(String, String, Int)] = {
+    val d = strs.distinct
+    (for {
+      a <- d; b <- d if a < b
+      dist = levDist(a, b) if dist <= k
+    } yield (a, b, dist)).toSet
+  }
+
+  private def levDist(as: String, bs: String): Int = {
+    // over codepoints, matching Spark's levenshtein (an astral char is ONE
+    // edit, not a surrogate pair's two)
+    val a = as.codePoints().toArray
+    val b = bs.codePoints().toArray
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0)
+      dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  private def edJoin(strs: Seq[String], k: Int): Set[(String, String, Int)] =
+    Fuzzy.editDistanceSelfJoin(strs.toDF("s"), "s", k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+
+  test("editDistanceSelfJoin matches brute force on hand-picked cases") {
+    val strs = Seq(
+      "kettle", "kettles", "kettle", "settle", "cat", "cats", "ca", "c", "",
+      "abcdefgh", "abcdefxx", "xxcdefgh", "abcdefghijkl", "abcdefghijklmno",
+      "banana", "bananas", "bandana", "bananarama")
+    for (k <- 1 to 3) {
+      assert(edJoin(strs, k) == bruteEd(strs, k), s"k=$k")
+    }
+  }
+
+  test("editDistanceSelfJoin matches brute force on random strings (property)") {
+    val rng = new scala.util.Random(7)
+    // small alphabet and lengths straddling the short-string cutoff (2k)
+    // force collisions, empty segments, and cross-length pairs
+    val strs = Seq.fill(120)(
+      (0 until rng.nextInt(13)).map(_ => ('a' + rng.nextInt(3)).toChar).mkString)
+    for (k <- Seq(1, 2, 3)) {
+      assert(edJoin(strs, k) == bruteEd(strs, k), s"k=$k")
+    }
+  }
+
+  test("editDistanceSelfJoin handles unicode beyond the BMP") {
+    // suppletives are 2 UTF-16 units but 1 codepoint: positions must track
+    // codepoints or segment boundaries drift vs levenshtein's chars
+    val strs = Seq("a😀bcd", "a😀bce", "abcd", "axbcd")
+    assert(edJoin(strs, 2) == bruteEd(strs, 2))
+  }
+
+  private def bruteJac(sets: Seq[(Long, Seq[String])], t: Double)
+      : Set[(Long, Long, Double)] =
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      da = sa.distinct.toSet; db = sb.distinct.toSet
+      u = (da ++ db).size if u > 0
+      j = (da & db).size.toDouble / u if j >= t
+    } yield (ia, ib, j)).toSet
+
+  test("jaccardJoin matches brute force on random sets (property)") {
+    val rng = new scala.util.Random(11)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val sets = (0L until 60L).map(i =>
+      (i, Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))))
+    val df = sets.toDF("id", "st")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Fuzzy.jaccardJoin(df, df, "id", "st", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == bruteJac(sets, t), s"t=$t")
+    }
+  }
+
+  test("jaccardSelfJoin equals two-sided join carved by the predicate") {
+    val rng = new scala.util.Random(13)
+    val vocab = (0 until 20).map(i => s"w$i")
+    val sets = (0L until 50L).map(i =>
+      (i, Seq.fill(1 + rng.nextInt(10))(vocab(rng.nextInt(vocab.size)))))
+    val df = sets.toDF("id", "st")
+    val t = 0.4
+    val self = Fuzzy.jaccardSelfJoin(df, "id", "st", t, col("id") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val two = Fuzzy.jaccardJoin(df.filter(col("id") % 5 === 0), df,
+        "id", "st", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(self == two)
+    assert(self == bruteJac(sets, t).filter(_._1 % 5 == 0))
+  }
+}
