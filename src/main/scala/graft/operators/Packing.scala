@@ -22,14 +22,21 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** Adds `pack_id` (long, per shard) + `tokens_before` within the shard.
-    * Layout order inside a shard = `orderCol` ascending. */
+    * Layout order inside a shard = `orderCol` ascending, with `tieCols`
+    * appended to the window order: a ROWS frame over duplicate `orderCol`
+    * values has engine-chosen peer order, so without a unique
+    * (orderCol, tieCols) combination per shard, `tokens_before`/`pack_id`
+    * would vary run to run. Callers with a unique orderCol (e.g. doc_id)
+    * can omit tieCols. */
   def assignPacks(
       df: DataFrame,
       shardCol: String,
       orderCol: String,
       nTokensCol: String,
-      capacity: Long): DataFrame = {
-    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      capacity: Long,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(col(orderCol) +: tieCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("tokens_before",
       sum(col(nTokensCol)).over(w) - col(nTokensCol))

@@ -62,10 +62,12 @@ object Similarity {
   def buildIvf(
       spark: SparkSession,
       corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int, iterations: Int = 2,
-      dimHint: Option[Int] = None): IvfIndex = {
+      nCentroids: Int, iterations: Int = 2): IvfIndex = {
+    // cached only for the duration of training (each Lloyd iteration
+    // rescans the corpus); released before returning so a long-lived
+    // session doesn't accumulate pinned RDDs — the returned `assigned`
+    // plan recomputes from source when the caller executes it
     val cached = corpus.cache()
-    val _ = dimHint // dimension now derived from the data (posexplode)
     var centroids: IndexedSeq[Seq[Float]] =
       cached.orderBy(col(idCol)).limit(nCentroids)
         .select(col(vecCol)).collect()
@@ -102,6 +104,7 @@ object Similarity {
       }
       iter += 1
     }
+    cached.unpersist()
     IvfIndex(centroids, assigned)
   }
 

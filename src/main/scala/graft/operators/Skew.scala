@@ -19,15 +19,23 @@ object Skew {
     * (keys, salt) — spreading each hot key over `numSalts` reducers —
     * stage 2 re-aggregates the partials by keys alone. The second shuffle
     * moves only `numSalts` rows per key. */
+  /** Deterministic salt in [0, numSalts): hash of the key columns mixed
+    * with the input partition id. Each scan partition's share of a hot
+    * key gets one salt — map-side partial aggregation still combines
+    * locally, while the shuffle spreads the key across reducers. No
+    * `monotonically_increasing_id` (whose values — and crc32-of-them salt
+    * quality — depended on partition layout); results are identical to
+    * unsalted regardless of layout (SkewSpec). */
+  private def saltOf(keys: Seq[String], numSalts: Int): Column =
+    pmod(hash(keys.map(col) :+ spark_partition_id(): _*), lit(numSalts))
+
   def saltedSumCount(
       df: DataFrame,
       keys: Seq[String],
       valueCol: String,
       numSalts: Int = 16): DataFrame = {
     val keyCols = keys.map(col)
-    val salt = pmod(crc32(monotonically_increasing_id().cast("string")),
-      lit(numSalts)).as("__salt")
-    df.withColumn("__salt", salt)
+    df.withColumn("__salt", saltOf(keys, numSalts))
       .groupBy(keyCols :+ col("__salt"): _*)
       .agg(sum(col(valueCol).cast("decimal(28,6)")).as("__psum"),
         count(lit(1)).as("__pcnt"))
@@ -47,8 +55,7 @@ object Skew {
       key: String,
       numSalts: Int = 16): DataFrame = {
     val salted = skewedLeft.withColumn("__salt",
-      pmod(crc32(monotonically_increasing_id().cast("string")),
-        lit(numSalts)).cast("int"))
+      saltOf(Seq(key), numSalts).cast("int"))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(numSalts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -21,7 +21,10 @@ import org.apache.spark.sql.graftshim.Shims
   *
   * Semantics: rows ranked by `order` DESC, ties broken by `tie` ASC
   * (callers pass a unique tie column for determinism — same contract as a
-  * deterministic window). Rows with a null `order` value are dropped.
+  * deterministic window). Rows with a null/NaN `order` or a null `tie`
+  * value are dropped. Integral orders rank at full 64-bit precision
+  * (values past 2^53 are NOT coerced through Double); fractional orders
+  * use an order-preserving bit mapping.
   *
   * Wiring: logical node [[TopKPerGroupPlan]] → [[TopKStrategy]] →
   * [[TopKPerGroupExec]]; `TopKPerGroup.perKey` is the Column-API entry and
@@ -65,33 +68,56 @@ case class TopKPerGroupExec(
     val orderExpr = order
     val tieExpr = tie
     val kk = k
+    // integral orders compare as raw longs — full 64-bit precision (a
+    // Double coercion would collapse longs past 2^53 and mis-rank ties);
+    // fractional orders map through the order-preserving bit trick below
+    val integralOrder = orderExpr.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupingExprs, childOutput)
       val boundOrder = BindReferences.bindReference(orderExpr, childOutput)
       val boundTie = BindReferences.bindReference(tieExpr, childOutput)
+      // monotone double→long: IEEE bits already order positives under
+      // signed compare; negatives order backwards, so flip their non-sign
+      // bits — then signed-long order == double order (-0.0 normalized)
+      def sortableBits(d: Double): Long = {
+        val b = java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
+        b ^ ((b >> 63) & java.lang.Long.MAX_VALUE)
+      }
       // min-heap ordered by "badness": head is the weakest kept row
       // (lowest order value; among equals, the HIGHEST tie value)
-      implicit val badness: Ordering[(Double, Long, UnsafeRow)] =
+      implicit val badness: Ordering[(Long, Long, UnsafeRow)] =
         Ordering.fromLessThan { (a, b) =>
           if (a._1 != b._1) a._1 < b._1 else a._2 > b._2
         }
       val heaps = mutable.LinkedHashMap.empty[
-        UnsafeRow, mutable.PriorityQueue[(Double, Long, UnsafeRow)]]
+        UnsafeRow, mutable.PriorityQueue[(Long, Long, UnsafeRow)]]
       iter.foreach { row =>
         val ov = boundOrder.eval(row)
+        val tv = boundTie.eval(row)
         // NaN order values are dropped along with nulls: NaN comparisons
         // are false both ways, which would make heap contents depend on
-        // row arrival order (nondeterministic across shuffles)
-        if (ov != null &&
-          !java.lang.Double.isNaN(ov.asInstanceOf[Number].doubleValue())) {
-          val v = ov.asInstanceOf[Number].doubleValue()
-          val t = boundTie.eval(row).asInstanceOf[Number].longValue()
+        // row arrival order (nondeterministic across shuffles). Null tie
+        // values are skipped under the same policy (perKey() requires an
+        // integral tie column, but nullable columns can still hold nulls).
+        if (ov != null && tv != null &&
+          (integralOrder ||
+            !java.lang.Double.isNaN(ov.asInstanceOf[Number].doubleValue()))) {
+          val v =
+            if (integralOrder) ov.asInstanceOf[Number].longValue()
+            else sortableBits(ov.asInstanceOf[Number].doubleValue())
+          val t = tv.asInstanceOf[Number].longValue()
           val key = keyProj(row)
           val heap = heaps.get(key) match {
             case Some(h) => h
             case None =>
               val h = mutable.PriorityQueue
-                .empty[(Double, Long, UnsafeRow)](badness.reverse)
+                .empty[(Long, Long, UnsafeRow)](badness.reverse)
               heaps.put(key.copy(), h)
               h
           }
@@ -139,8 +165,24 @@ object TopKPerGroup {
       child.output.find(_.name.equalsIgnoreCase(n)).getOrElse(
         throw new IllegalArgumentException(
           s"column $n not in ${child.output.map(_.name).mkString(", ")}"))
+    val orderAttr = attr(orderCol)
+    val tieAttr = attr(tieCol)
+    orderAttr.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"order column $orderCol must be numeric, got ${other.sql}")
+    }
+    tieAttr.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"tie column $tieCol must be an integral type (its 64-bit value " +
+          s"breaks ties exactly), got ${other.sql}")
+    }
     val plan = TopKPerGroupPlan(
-      keys.map(attr), attr(orderCol), attr(tieCol), k, child)
+      keys.map(attr), orderAttr, tieAttr, k, child)
     Shims.ofRows(spark, plan)
   }
 

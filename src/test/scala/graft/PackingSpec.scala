@@ -23,6 +23,21 @@ class PackingSpec extends SparkTestBase {
     assert(out(5L) == 0L && out(6L) == 1L)
   }
 
+  test("tieCols pin peer order under duplicate orderCol values") {
+    // priority is constant per shard → every row is a window peer; the
+    // tiebreaker (id) must fully determine the layout
+    val dup = Seq(
+      (10L, "a", 1, 600L), (11L, "a", 1, 600L),
+      (12L, "a", 1, 600L), (13L, "a", 1, 600L)
+    ).toDF("id", "shard", "priority", "n")
+    val out = Packing.assignPacks(dup, "shard", "priority", "n", 1000L,
+      tieCols = Seq("id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    // layout = id ascending: prefix sums 0, 600, 1200, 1800
+    assert(out(10L) == (0L, 0L) && out(11L) == (600L, 0L))
+    assert(out(12L) == (1200L, 1L) && out(13L) == (1800L, 1L))
+  }
+
   test("pack report totals preserve all tokens") {
     val assigned = Packing.assignPacks(docs, "shard", "id", "n", 1000L)
     val rep = Packing.packReport(assigned, "shard", "n", 1000L)

@@ -46,4 +46,73 @@ class TopKPerGroupSpec extends SparkTestBase {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 3L))
   }
+
+  test("null tie values are dropped under the same policy") {
+    val df = Seq(
+      ("a", 3.0, Some(1L)), ("a", 2.0, None), ("a", 1.0, Some(3L))
+    ).toDF("k", "v", "id")
+    val got = TopKPerGroup.perKey(df, Seq("k"), "v", "id", 2)
+      .select("v").collect().map(_.getDouble(0)).toSet
+    assert(got == Set(3.0, 1.0))
+  }
+
+  test("long orders past 2^53 rank at full precision") {
+    // consecutive longs near Long.MaxValue collapse to the SAME double;
+    // the integral path must still rank them exactly
+    val big = Long.MaxValue
+    val rows = (0 until 6).map(i => ("g", big - i, i.toLong))
+    val df = rows.toDF("k", "v", "id")
+    val got = TopKPerGroup.perKey(df, Seq("k"), "v", "id", 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 1L, 2L), s"got $got")
+  }
+
+  test("long-order ranking matches the window formulation (property)") {
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 400).map { i =>
+      val grp = s"g${rng.nextInt(8)}"
+      // mix huge and tiny magnitudes incl. negatives
+      val v = rng.nextLong()
+      (grp, v, i.toLong)
+    }
+    val df = rows.toDF("k", "v", "id")
+    val w = Window.partitionBy(col("k")).orderBy(col("v").desc, col("id"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4).select("k", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = TopKPerGroup.perKey(df, Seq("k"), "v", "id", 4)
+      .select("k", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("double-order ranking with negatives/zeros matches the window") {
+    val rng = new scala.util.Random(9)
+    val rows = (0 until 300).map { i =>
+      val v = rng.nextInt(5) match {
+        case 0 => -rng.nextDouble() * 100
+        case 1 => 0.0
+        case 2 => -0.0
+        case _ => rng.nextDouble() * 100
+      }
+      (s"g${rng.nextInt(6)}", v, i.toLong)
+    }
+    val df = rows.toDF("k", "v", "id")
+    val w = Window.partitionBy(col("k")).orderBy(col("v").desc, col("id"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("k", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = TopKPerGroup.perKey(df, Seq("k"), "v", "id", 3)
+      .select("k", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("non-integral tie column is rejected at plan time") {
+    val df = Seq(("a", 1.0, "x")).toDF("k", "v", "t")
+    val e = intercept[IllegalArgumentException] {
+      TopKPerGroup.perKey(df, Seq("k"), "v", "t", 2)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
