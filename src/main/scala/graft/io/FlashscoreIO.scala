@@ -23,6 +23,27 @@ object FlashscoreIO {
       .option("multiLine", "true") // one file = one JSON array (utils.py:81)
       .json(path)
 
+  /** Batch JSON source restricted to files modified after `since` — the
+    * batch analogue of the reference's date-filtered discovery
+    * (`get_files_published_today`, main.py:48-52: keep blobs whose
+    * `blob.updated` falls in {today, yesterday}). Spark's file-source
+    * `modifiedAfter` option applies the same mtime cut at LISTING time,
+    * so stale files are never opened — at a 100 TB bucket that is the
+    * difference between listing metadata and reading everything. */
+  def readJsonModifiedAfter(
+      spark: SparkSession, path: String,
+      since: java.time.Instant): DataFrame =
+    spark.read
+      .schema(Flashscore.inputSchema)
+      .option("mode", "PERMISSIVE")
+      .option("multiLine", "true")
+      .option("modifiedAfter",
+        java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(since))
+      .json(path)
+
   /** Streaming file source over the same directory contract. New-file
     * discovery replaces `get_files_published_today` (utils.py:367-383);
     * `cleanSource=archive` replaces the move-to-used-bucket consumption

@@ -37,4 +37,27 @@ object TableIO {
   def writeJsonLines(df: DataFrame, path: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  /** Warehouse sink over JDBC — the engine counterpart of the reference's
+    * Snowflake load (dags/utils.py:184-224), which INSERTed one row at a
+    * time with a 2 s sleep and a read-back per row (≤ 0.5 rows/s). Spark's
+    * JDBC writer batches `batchsize` rows per statement from every
+    * partition in parallel; `numPartitions` caps concurrent connections so
+    * a 1000-executor job doesn't open 1000 sessions against the warehouse. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      mode: SaveMode = SaveMode.Append,
+      properties: java.util.Properties = new java.util.Properties(),
+      batchSize: Int = 10000,
+      numPartitions: Int = 8): Unit =
+    df.coalesce(numPartitions)
+      .write.mode(mode)
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, properties)
+
+  /** JDBC table read (partition the scan with `predicates`/options at the
+    * call site when the table is large). */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      properties: java.util.Properties = new java.util.Properties())
+      : DataFrame =
+    spark.read.jdbc(url, table, properties)
 }

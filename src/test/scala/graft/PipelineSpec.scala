@@ -45,6 +45,25 @@ class PipelineSpec extends SparkTestBase {
     assert(odds.filter(odds("BET365_HOME_ODD").isNotNull).count() == 0)
   }
 
+  test("batch discovery honors modifiedAfter (main.py:48-52 semantics)") {
+    // reference filters bucket blobs by modification date before the ETL
+    // loop; the batch analogue is the file-source modifiedAfter option,
+    // applied at listing time
+    val tmp = Files.createTempDirectory("graft_modafter").toString
+    writeFile(tmp, "stale.json", Seq("OLD1", "OLD2"))
+    writeFile(tmp, "fresh.json", Seq("NEW1"))
+    val cut = java.time.Instant.now().minusSeconds(3600)
+    Files.setLastModifiedTime(Paths.get(tmp, "stale.json"),
+      java.nio.file.attribute.FileTime.from(cut.minusSeconds(3600)))
+    val fresh = graft.io.FlashscoreIO.readJsonModifiedAfter(spark, tmp, cut)
+    val homes = fresh.select("participant_home")
+      .collect().map(_.getString(0)).toSet
+    assert(homes == Set("NEW1"))
+    // and without the cut, both files are read
+    val all = graft.io.FlashscoreIO.readJson(spark, tmp)
+    assert(all.count() == 3)
+  }
+
   test("streaming: incremental files, exactly-once across restarts") {
     val tmp = Files.createTempDirectory("graft_stream").toString
     val in = s"$tmp/in"; val out = s"$tmp/out"

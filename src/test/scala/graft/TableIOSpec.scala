@@ -23,6 +23,27 @@ class TableIOSpec extends SparkTestBase {
     assert(asSet(jsonBack) == asSet(nation))
   }
 
+  test("jdbc sink round-trips through embedded Derby") {
+    // warehouse stand-in: Derby embedded (in Spark's own classpath) — the
+    // same df.write.jdbc path a Snowflake/Postgres URL would take
+    val dbDir = Files.createTempDirectory("graft_derby").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val nation = spark.read.parquet(s"$sf001/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    TableIO.writeJdbc(nation, url, "NATION", numPartitions = 2)
+    val back = TableIO.readJdbc(spark, url, "NATION")
+    // Derby surfaces BIGINT columns back through whatever width the JDBC
+    // dialect picks; compare values numerically, not by boxed class
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Number](0).longValue(),
+        r.getString(1), r.getAs[Number](2).longValue())).toSet
+    assert(asSet(back) == asSet(nation))
+    // append mode appends, not replaces
+    TableIO.writeJdbc(nation.limit(5), url, "NATION", numPartitions = 1)
+    assert(TableIO.readJdbc(spark, url, "NATION").count() ==
+      nation.count() + 5)
+  }
+
   test("hash split is deterministic, disjoint, and ~fraction sized") {
     val c = spark.read.parquet(s"$sf001/customer.parquet")
     val (train, test) = Sampling.trainTestSplit(c, "c_custkey", 0.8)
