@@ -1335,12 +1335,71 @@ object SparkEntry {
       |    < LEAST(GREATEST(c_acctbal / 10000.0, 0.0), 1.0) * 1000000)
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  private val q66 = Q("q66_sessionize",
+    (s, dir) => {
+      // Batch sessionization (operators.Sessionize): 30-min inactivity gap
+      // splits each user's event stream; ONE shuffle + two window passes,
+      // no self-join. ts is parquet TIMESTAMP(NANOS) read as long
+      // (nanosAsLong) → microsecond ticks via integer division, matching
+      // DuckDB's epoch_us exactly (no float time math).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts DIV 1000").as("ts_us"))
+      val assigned = graft.operators.Sessionize.assign(
+        e, "user_id", "ts_us", 1800L * 1000000L, tieCols = Seq("event_id"))
+      graft.operators.Sessionize.sessionStats(assigned, "user_id", "ts_us")
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+      |), flagged AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000
+      |      THEN 1 ELSE 0 END AS nf
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts_us,
+      |    CAST(SUM(nf) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts_us) AS start_ts, MAX(ts_us) AS end_ts
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin))
+
+  private val q67 = Q("q67_chunking",
+    (s, dir) => {
+      // Context-window chunking (operators.Chunking): 32-token windows,
+      // stride 24 — map-only explode, zero shuffles; the orderBy here is
+      // only the driver-compare convention.
+      graft.operators.Chunking.chunkTokens(
+        t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> t <> '') AS tk FROM documents
+      |), c AS (
+      |  SELECT doc_id, CAST(unnest(range(0,
+      |      CAST(ceil(len(tk) / 24.0) AS BIGINT))) AS INT) AS chunk_id, tk
+      |  FROM toks WHERE len(tk) > 0)
+      |SELECT doc_id, chunk_id,
+      |  CAST(len(tk[chunk_id*24+1 : chunk_id*24+32]) AS INT)
+      |    AS n_chunk_tokens,
+      |  array_to_string(tk[chunk_id*24+1 : chunk_id*24+32], ' ')
+      |    AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
