@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed per-partition in batches.
   *
   * The Spark side — schema, partition sizing, batch iteration shape,
-  * output contract — is real and tested. The media DECODE itself is a
-  * STUB (`decodeStub`): this container has no image/audio codecs, so the
-  * stub derives deterministic fake features from the bytes. Swapping in a
-  * real decoder (JNI/javacv or a Python `mapInPandas` stage on a cluster
-  * with codecs) changes only the body of `decodeStub`.
+  * output contract — is real and tested, and so is the decode for the
+  * codec-free formats: [[decodePpm]] (binary PPM "P6" images) and
+  * [[decodeWav]] (RIFF/WAVE PCM-16 audio) parse real payload bytes into
+  * real dimensions/durations/features in pure JVM code. Formats that
+  * need an external codec (video, JPEG, MP3 — none available in this
+  * container) fall back to the clearly-marked [[decodeStub]]; swapping
+  * in a real codec (JNI/javacv, or a Python `mapInPandas` stage on a
+  * cluster with codecs) changes only that dispatch arm.
   */
 object Multimodal {
 
@@ -38,11 +41,113 @@ object Multimodal {
   implicit private val decodedEnc: Encoder[DecodedMedia] =
     Encoders.product[DecodedMedia]
 
+  /** Binary PPM ("P6") decode — pure JVM, no codec dependency. Header:
+    * `P6 <width> <height> <maxval>` as whitespace-separated ASCII tokens
+    * (with `#` comments), then raw RGB triplets. Feature (8-dim): mean
+    * R/G/B, mean/min/max luminance (Rec.601 weights), RMS luminance
+    * contrast, aspect ratio — all in [0,1]-ish ranges, deterministic. */
+  def decodePpm(
+      id: Long, bytes: Array[Byte]): Option[DecodedMedia] = {
+    if (bytes == null || bytes.length < 2 ||
+      bytes(0) != 'P' || bytes(1) != '6') return None
+    var pos = 2
+    def nextToken(): Option[Int] = {
+      while (pos < bytes.length &&
+        (Character.isWhitespace(bytes(pos)) || bytes(pos) == '#')) {
+        if (bytes(pos) == '#') // comment runs to end of line
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      val start = pos
+      while (pos < bytes.length && !Character.isWhitespace(bytes(pos))) pos += 1
+      if (pos == start) None
+      else scala.util.Try(
+        new String(bytes, start, pos - start, "US-ASCII").toInt).toOption
+    }
+    val header = (nextToken(), nextToken(), nextToken())
+    header match {
+      case (Some(w), Some(h), Some(maxval))
+        if w > 0 && h > 0 && maxval > 0 && maxval < 256 &&
+          // exactly ONE whitespace byte separates header from pixel data
+          bytes.length - (pos + 1) >= w * h * 3 =>
+      val data = pos + 1
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      var sy = 0.0; var sy2 = 0.0
+      var minY = Double.MaxValue; var maxY = Double.MinValue
+      val n = w * h
+      var i = 0
+      while (i < n) {
+        val r = (bytes(data + i * 3) & 0xff).toDouble / maxval
+        val g = (bytes(data + i * 3 + 1) & 0xff).toDouble / maxval
+        val b = (bytes(data + i * 3 + 2) & 0xff).toDouble / maxval
+        val y = 0.299 * r + 0.587 * g + 0.114 * b
+        sr += r; sg += g; sb += b; sy += y; sy2 += y * y
+        if (y < minY) minY = y
+        if (y > maxY) maxY = y
+        i += 1
+      }
+      val meanY = sy / n
+      val contrast = math.sqrt(math.max(sy2 / n - meanY * meanY, 0.0))
+      Some(DecodedMedia(id, "image", w, h, 1, 0L,
+        Array((sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+          meanY.toFloat, minY.toFloat, maxY.toFloat, contrast.toFloat,
+          (w.toDouble / h).toFloat)))
+      case _ => None
+    }
+  }
+
+  /** RIFF/WAVE PCM-16 decode — pure JVM. Walks the chunk list to `fmt `
+    * and `data`; duration from sample count / rate; feature (8-dim):
+    * normalized RMS of 8 equal time segments (a crude loudness envelope).
+    */
+  def decodeWav(
+      id: Long, bytes: Array[Byte]): Option[DecodedMedia] = {
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    if (bytes == null || bytes.length < 44) return None
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+      bytes(10) == 'V' && bytes(11) == 'E')) return None
+    var pos = 12
+    var rate = 0; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= bytes.length) {
+      val cid = new String(bytes, pos, 4, "US-ASCII")
+      val clen = u32(pos + 4).toInt
+      if (cid == "fmt " && pos + 8 + 16 <= bytes.length) {
+        channels = u16(pos + 10); rate = u32(pos + 12).toInt
+        bits = u16(pos + 22)
+      } else if (cid == "data") {
+        dataOff = pos + 8
+        dataLen = math.min(clen, bytes.length - dataOff)
+      }
+      pos += 8 + clen + (clen & 1) // chunks are word-aligned
+    }
+    if (rate <= 0 || channels <= 0 || bits != 16 || dataOff < 0) return None
+    val nSamples = dataLen / 2 / channels
+    if (nSamples == 0) return None
+    val seg = new Array[Double](8)
+    val segN = new Array[Long](8)
+    var s = 0
+    while (s < nSamples) {
+      val o = dataOff + s * 2 * channels // first channel only
+      val v = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort / 32768.0
+      val b = math.min((s * 8L / nSamples).toInt, 7)
+      seg(b) += v * v; segN(b) += 1
+      s += 1
+    }
+    val feat = Array.tabulate(8)(b =>
+      if (segN(b) == 0) 0f else math.sqrt(seg(b) / segN(b)).toFloat)
+    Some(DecodedMedia(id, "audio", 0, 0, 1,
+      nSamples.toLong * 1000L / rate, feat))
+  }
+
   /** ==== STUB ====
-    * Deterministic fake decode: "dimensions" and a 8-dim "feature" are
-    * derived from the payload bytes (stable across runs), standing in for
-    * a real codec. Real implementation: decode bytes → pixels/samples,
-    * extract features. */
+    * Deterministic fake decode for codec-bound formats (video, and any
+    * payload [[decodePpm]]/[[decodeWav]] cannot parse): "dimensions" and
+    * an 8-dim "feature" are derived from the payload bytes (stable across
+    * runs), standing in for a real codec. */
   private[operators] def decodeStub(
       id: Long, kind: String, payload: Array[Byte]): DecodedMedia = {
     val n = if (payload == null) 0 else payload.length
@@ -60,7 +165,9 @@ object Multimodal {
 
   /** Decode/feature-extract stage: batched per-partition iteration (the
     * Scala analogue of `mapInPandas` — one partition = one batch stream,
-    * codec state initialized once per partition, not per row). */
+    * codec state initialized once per partition, not per row). Dispatch
+    * by mime: PPM and WAV payloads decode for real; codec-bound formats
+    * fall back to the stub. */
   def decode(media: DataFrame): Dataset[DecodedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -69,7 +176,14 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         // per-partition init (real impl: open codec context here, once)
-        rows.map(r => decodeStub(r.media_id, r.kind, r.payload))
+        rows.map { r =>
+          val real = r.mime match {
+            case "image/x-portable-pixmap" => decodePpm(r.media_id, r.payload)
+            case "audio/wav" => decodeWav(r.media_id, r.payload)
+            case _ => None
+          }
+          real.getOrElse(decodeStub(r.media_id, r.kind, r.payload))
+        }
       }
   }
 
@@ -84,26 +198,73 @@ object Multimodal {
           lit(everyN))))
       .select(col("media_id"), col("frame_idx"), col("width"), col("height"))
 
-  /** Resize metadata transform (pure column math over decoded dims). */
+  /** Resize metadata transform (pure column math over decoded dims).
+    * Applies only to rows with real pixel dimensions — audio decodes to
+    * width = height = 0 and would divide by zero under ANSI. */
   def resizePlan(decoded: Dataset[DecodedMedia],
       maxSide: Int): DataFrame = {
     val scale = least(
       lit(maxSide.toDouble) / col("width"),
       lit(maxSide.toDouble) / col("height"), lit(1.0))
-    decoded.toDF().select(
+    decoded.toDF()
+      .filter(col("width") > 0 && col("height") > 0)
+      .select(
       col("media_id"),
       col("width"), col("height"),
       round(col("width") * scale).cast("int").as("out_width"),
       round(col("height") * scale).cast("int").as("out_height"))
   }
 
-  /** Deterministic synthetic media table for tests (no codecs needed). */
+  /** Deterministic PPM (P6) bytes — a REAL image payload for tests. */
+  def ppmBytes(w: Int, h: Int, pixel: (Int, Int) => (Int, Int, Int))
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pixel(x, y)
+      out.write(r & 0xff); out.write(g & 0xff); out.write(b & 0xff)
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic RIFF/WAVE PCM-16 mono bytes — a REAL audio payload. */
+  def wavBytes(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Deterministic synthetic media table for tests: REAL PPM images and
+    * WAV audio (decoded for real by the pipeline), stub-backed fake video
+    * (the one genuinely codec-bound kind in this container). */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     (0 until n).map { i =>
       val kind = Seq("image", "audio", "video")(i % 3)
-      val payload = Array.tabulate[Byte](32 + i % 64)(j => ((i * 31 + j) % 251).toByte)
-      MediaRow(i.toLong, kind, payload, s"src${i % 5}", s"fake/$kind")
+      val (payload, mime) = kind match {
+        case "image" =>
+          val w = 4 + i % 8; val h = 3 + i % 5
+          (ppmBytes(w, h, (x, y) => ((x * 40 + i) % 256,
+            (y * 40 + i) % 256, (x + y + i) % 256)),
+            "image/x-portable-pixmap")
+        case "audio" =>
+          val rate = 8000
+          val samples = Array.tabulate[Short](800 + i * 10)(s =>
+            (math.sin(s * 0.05 * (1 + i % 3)) * 8192).toShort)
+          (wavBytes(rate, samples), "audio/wav")
+        case _ =>
+          (Array.tabulate[Byte](32 + i % 64)(j => ((i * 31 + j) % 251).toByte),
+            "video/fake")
+      }
+      MediaRow(i.toLong, kind, payload, s"src${i % 5}", mime)
     }.toDF()
       .select(col("media_id"), col("kind"), col("payload"),
         struct(col("source"), col("mime"),

@@ -18,7 +18,9 @@ class MultimodalSpec extends SparkTestBase {
     val rows = decoded.collect()
     assert(rows.length == 30)
     assert(rows.forall(_.feature.length == 8))
-    assert(rows.forall(r => r.width >= 64 && r.height >= 64))
+    // real PPM decode: dimensions come from the actual header bytes
+    assert(rows.filter(_.kind == "image").forall(r =>
+      r.width == 4 + (r.media_id % 8) && r.height == 3 + (r.media_id % 5)))
     // deterministic: re-running the stage yields identical features
     val again = Multimodal.decode(media).collect()
     assert(rows.map(r => r.media_id -> r.feature.toSeq).toMap ==
@@ -26,6 +28,36 @@ class MultimodalSpec extends SparkTestBase {
     // images have no duration; videos have frames
     assert(rows.filter(_.kind == "image").forall(_.duration_ms == 0))
     assert(rows.filter(_.kind == "video").forall(_.n_frames >= 1))
+  }
+
+  test("PPM decode extracts exact dimensions and channel means") {
+    // 2x1 image: pure red + pure blue -> meanR = meanB = 0.5, meanG = 0
+    val px = Multimodal.ppmBytes(2, 1,
+      (x, _) => if (x == 0) (255, 0, 0) else (0, 0, 255))
+    val d = Multimodal.decodePpm(7L, px).get
+    assert(d.width == 2 && d.height == 1 && d.kind == "image")
+    assert(math.abs(d.feature(0) - 0.5f) < 1e-6)
+    assert(d.feature(1) == 0f)
+    assert(math.abs(d.feature(2) - 0.5f) < 1e-6)
+    assert(d.feature(7) == 2.0f) // aspect ratio w/h
+    // comments in the header are skipped per the spec
+    val withComment = ("P6\n# a comment\n2 1\n255\n").getBytes("US-ASCII") ++
+      px.drop(px.indexOfSlice("255\n".getBytes("US-ASCII")) + 4)
+    assert(Multimodal.decodePpm(8L, withComment).get.width == 2)
+    // truncated pixel data is rejected, not mis-decoded
+    assert(Multimodal.decodePpm(9L, px.dropRight(1)).isEmpty)
+  }
+
+  test("WAV decode recovers exact duration and a loudness envelope") {
+    // 8000 samples at 8 kHz = exactly 1000 ms; first half loud, second silent
+    val samples = Array.tabulate[Short](8000)(s =>
+      if (s < 4000) (math.sin(s * 0.1) * 16384).toShort else 0)
+    val d = Multimodal.decodeWav(3L, Multimodal.wavBytes(8000, samples)).get
+    assert(d.kind == "audio" && d.duration_ms == 1000L)
+    assert(d.feature.take(4).forall(_ > 0.1f)) // loud half
+    assert(d.feature.drop(4).forall(_ == 0f)) // silent half
+    // non-RIFF bytes fall through to None (stub handles them upstream)
+    assert(Multimodal.decodeWav(4L, Array[Byte](1, 2, 3)).isEmpty)
   }
 
   test("frame sampling fans out only video rows") {
