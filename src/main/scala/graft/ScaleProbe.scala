@@ -45,6 +45,11 @@ object ScaleProbe {
     shiftCopies(spark.read.parquet(s"$srcDir/embeddings.parquet"),
       Map("vec_id" -> keyBase))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // events: 10× users (user_id-shifted) — sessionization state and
+    // window partitions scale with users, not rows-per-user
+    shiftCopies(spark.read.parquet(s"$srcDir/events.parquet"),
+      Map("event_id" -> keyBase, "user_id" -> keyBase))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     // dimensions stay as-is (they are dimensions)
     Seq("nation", "region", "supplier", "part").foreach { t =>
       spark.read.parquet(s"$srcDir/$t.parquet")
@@ -55,7 +60,8 @@ object ScaleProbe {
   private val probes = Seq(
     "q01_pricing_summary", "q03_join_agg_nations", "q04_join_priority",
     "q07_window_top1", "q22_star_join",
-    "q31_quality_score", "q35_minhash_neardup", "q38_cosine_topk")
+    "q31_quality_score", "q35_minhash_neardup", "q38_cosine_topk",
+    "q36_jaccard_pairs", "q66_sessionize", "q67_chunking")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

@@ -35,6 +35,71 @@ class SessionizeChunkingSpec extends SparkTestBase {
     assert(stats == Set((0L, 2L), (1L, 1L)))
   }
 
+  test("batch sessionization agrees with the streaming sessionizer") {
+    import graft.streaming.EventStreams
+    val s = 1000000000L // 1s in ns
+    val rng = new scala.util.Random(3)
+    val base = 7200L * s
+    // random event times for 6 users, gaps straddling the 60s threshold
+    val rows: Seq[(Long, Long, Long, String, Double, String)] =
+      (0 until 120).map { i =>
+        val user = 10L + i % 6
+        val ts = base + (i / 6) * (rng.nextInt(90) + 5) * s +
+          user * 7 * s // desync users
+        (i.toLong, ts, user, "click", 1.0, "{}")
+      }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_parity").toString
+    val src = s"$dir/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/data")
+    val f = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(f.toPath,
+      java.nio.file.Paths.get(src, "all.parquet"))
+    // flusher: a far-future event from an excluded user advances the
+    // watermark so every real session times out and is emitted
+    Seq((999L, base + 100000L * s, 99L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/flush")
+    val q = EventStreams.sessionize(
+      EventStreams.readEventStream(spark, src), gapNs = 60 * s)
+      .writeStream.format("memory").queryName("parity")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val f2 = new java.io.File(s"$dir/flush").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f2.toPath,
+        java.nio.file.Paths.get(src, "flush.parquet"))
+      q.processAllAvailable()
+      // second flush batch so registered timeouts fire
+      java.nio.file.Files.copy(f2.toPath,
+        java.nio.file.Paths.get(src, "flush2.parquet"))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, start_ns, end_ns, n_events FROM parity " +
+          "WHERE user_id < 99")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      val batch = Sessionize.sessionStats(
+        Sessionize.assign(
+          rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+            "props"),
+          "user_id", "ts", 60 * s, tieCols = Seq("event_id")),
+        "user_id", "ts")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+          r.getLong(2).toInt))
+        .toSet
+      assert(streamed == batch)
+      assert(batch.size > 12) // the fixture actually exercises splits
+    } finally q.stop()
+  }
+
   test("chunking covers every token with the configured overlap") {
     val docs = Seq(
       (1L, (1 to 54).map(i => s"t$i").mkString(" ")), // 54 tokens → 3 chunks
