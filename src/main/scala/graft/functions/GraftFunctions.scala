@@ -21,7 +21,11 @@ object GraftFunctions {
     "euclidean_dist_sq" -> (es => EuclideanDistSq(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
     "rolling_hash" -> (es => RollingHash(es(0))),
-    "normalize_unicode" -> (es => NormalizeUnicode(es(0), "NFC")))
+    "normalize_unicode" -> (es => NormalizeUnicode(es(0), "NFC")),
+    "jaccard_similarity" -> (es => JaccardSimilarity(es(0), es(1))),
+    // n / k arguments arrive as foldable int literals from SQL
+    "word_shingles" -> (es => WordShingles(es(0),
+      es(1).eval().asInstanceOf[Number].intValue())))
 
   def registerAll(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

@@ -144,6 +144,16 @@ object TextFunctions {
       WordShingles(
         org.apache.spark.sql.graftshim.Shims.expression(text), n))
 
+  /** Exact Jaccard of two distinct-element string-array columns via the
+    * fused codegen'd [[JaccardSimilarity]] expression — value-identical
+    * to `size(array_intersect)/size(array_union)` without materializing
+    * either intermediate array (the verify hot loop of the dedup chains). */
+  def jaccardFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.Shims.column(
+      JaccardSimilarity(
+        org.apache.spark.sql.graftshim.Shims.expression(a),
+        org.apache.spark.sql.graftshim.Shims.expression(b)))
+
   /** Character n-gram shingles of the normalized text. */
   def charShingles(text: Column, n: Int): Column = {
     val norm = trim(regexp_replace(lower(text), "\\s+", " "))

@@ -336,6 +336,78 @@ object ShingleUtil {
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 }
 
+/** Static helper for [[JaccardSimilarity]] — standalone object so
+  * generated Java reaches it through the static forwarder. */
+object JaccardUtil {
+  /** |A∩B| / |A∪B| over two string arrays that are already element-
+    * distinct (the shingle/set producers guarantee it). One hash-set
+    * pass — no intermediate intersect/union array materialization. The
+    * arithmetic is exactly `size(array_intersect)/size(array_union)`
+    * (union size = |A| + |B| − |A∩B| for distinct inputs), so results are
+    * bit-identical to the declarative form and to the DuckDB oracles.
+    * Returns NaN-free Double; both-empty → null (0/0), matching the
+    * built-in composition's null. */
+  def compute(a: ArrayData, b: ArrayData): Any = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na + nb == 0) return null
+    val set = new java.util.HashSet[UTF8String](na * 2)
+    var i = 0
+    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0
+    var j = 0
+    while (j < nb) {
+      if (set.contains(b.getUTF8String(j))) inter += 1
+      j += 1
+    }
+    java.lang.Double.valueOf(inter.toDouble / (na + nb - inter).toDouble)
+  }
+}
+
+/** Exact Jaccard similarity of two distinct-element `array<string>`
+  * columns as ONE codegen'd expression — the verify primitive of the
+  * dedup/similarity-join chains, where it runs once per candidate pair
+  * (the hot loop of q35/q36/q57). */
+case class JaccardSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"jaccard_similarity requires array<string> inputs, " +
+        s"got ${left.dataType.sql} / ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    JaccardUtil.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("jres")
+      s"""
+         |Object $res = graft.functions.JaccardUtil.compute($a, $b);
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ((java.lang.Double) $res).doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Static helper for [[EditSegmentKeys]] — standalone object so generated
   * Java reaches it through the static forwarder. */
 object SegmentKeyUtil {

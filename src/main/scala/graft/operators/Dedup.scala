@@ -161,8 +161,7 @@ object Dedup {
       .join(sets.withColumnRenamed("__id", "id_b")
         .withColumnRenamed("__set", "__set_b"), Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("__set_a"), col("__set_b"))).cast("double") /
-          size(array_union(col("__set_a"), col("__set_b"))).cast("double"))
+        TextFunctions.jaccardFast(col("__set_a"), col("__set_b")))
     j.filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -193,8 +193,8 @@ object Fuzzy {
       .join(l, Seq("id_a"))
       .join(r, Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("__set_a"), col("__set_b"))).cast("double") /
-          size(array_union(col("__set_a"), col("__set_b"))).cast("double"))
+        graft.functions.TextFunctions.jaccardFast(
+          col("__set_a"), col("__set_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 }

@@ -65,6 +65,11 @@ class ExpressionsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getLong(1) == 'a'.toLong * 31 + 'b'.toLong)
     assert(math.abs(r.getDouble(3) - 25.0) < 1e-12)
+    val j = spark.sql(
+      """SELECT jaccard_similarity(array('a','b','c'), array('b','c','d')) AS j,
+        |       word_shingles('A b c', 2) AS ws""".stripMargin).head()
+    assert(math.abs(j.getDouble(0) - 0.5) < 1e-12)
+    assert(j.getSeq[String](1) == Seq("a b", "b c"))
   }
 
   test("RollingHash matches the reference polynomial") {
@@ -76,5 +81,33 @@ class ExpressionsSpec extends SparkTestBase {
       .select(Shims.column(RollingHash(Shims.expression(col("s")))))
       .head().getLong(0)
     assert(empty == 0L)
+  }
+
+  test("JaccardSimilarity equals the declarative intersect/union form") {
+    val rng = new scala.util.Random(17)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val rows = (0 until 200).map { i =>
+      def set() = rng.shuffle(vocab).take(rng.nextInt(vocab.size + 1))
+      (i.toLong, set(), set())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val fused = graft.functions.TextFunctions.jaccardFast(col("a"), col("b"))
+    val declarative =
+      size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b"))).cast("double")
+    val out = df.select(col("id"), fused.as("f"), declarative.as("d"))
+      .collect()
+    out.foreach { r =>
+      val f = if (r.isNullAt(1)) Double.NaN else r.getDouble(1)
+      val d = r.getDouble(2) // 0/0 → NaN in the declarative form
+      assert(f == d || (f.isNaN && d.isNaN), s"row ${r.getLong(0)}: $f vs $d")
+    }
+    // WordShingles also matches its declarative twin on messy text
+    val texts = Seq("  A  b\tc a B ", "", "one", "x y z x y").toDF("t")
+    val fastVsSlow = texts.select(
+      graft.functions.TextFunctions.shinglesFast(col("t"), 2).as("fast"),
+      graft.functions.TextFunctions.shingles(col("t"), 2).as("slow")).collect()
+    fastVsSlow.foreach(r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 }
