@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Fuzzy, Similarity}
+import graft.operators.{Dedup, Fuzzy, Mixing, Similarity}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2) over the
   * test star schema, each query paired with DuckDB oracle SQL.
@@ -1394,12 +1394,42 @@ object SparkEntry {
       |    AS chunk_text
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin))
 
+  private val q68 = Q("q68_source_mix",
+    (s, dir) => {
+      // Curriculum mixing (operators.Mixing): target 50/30/20 over three
+      // sources, no upsampling — the per-source keep fractions derive
+      // from data counts, and the oracle recomputes the SAME arithmetic
+      // (double ops in the same order, truncating bucket threshold) in
+      // SQL, so the hash-sampled output matches row-for-row.
+      Mixing.mixSources(t(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH w(source, w) AS (VALUES
+      |  ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+      |  ('src2', CAST(0.2 AS DOUBLE))),
+      |counts AS (
+      |  SELECT source, COUNT(*) AS n FROM documents
+      |  WHERE source IN (SELECT source FROM w) GROUP BY source),
+      |j AS (SELECT w.source, w.w, counts.n
+      |  FROM w JOIN counts ON w.source = counts.source),
+      |tot AS (SELECT MIN(CAST(n AS DOUBLE) / w) AS total FROM j),
+      |fr AS (SELECT source,
+      |  LEAST(1.0, w * (SELECT total FROM tot) / n) AS f FROM j)
+      |SELECT d.source, COUNT(*) AS n_kept
+      |FROM documents d JOIN fr ON d.source = fr.source
+      |WHERE ((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+      |    % 1000) + 1000) % 1000 < CAST(f * 1000 AS INT)
+      |GROUP BY d.source ORDER BY d.source""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

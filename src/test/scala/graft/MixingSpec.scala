@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Mixing
+
+class MixingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val corpus = (0 until 3000).map { i =>
+    val src = Seq("web", "code", "books", "junk")(i % 4) // 750 each
+    (i.toLong, src, s"doc $i")
+  }.toDF("id", "source", "text").cache()
+
+  test("mixFractions keeps the binding source whole, scales the rest") {
+    val f = Mixing.mixFractions(
+      Map("web" -> 750L, "code" -> 750L, "books" -> 750L),
+      Map("web" -> 0.6, "code" -> 0.3, "books" -> 0.1))
+    // web binds: N = 750/0.6 = 1250 → web 1.0, code 0.5, books 1/6
+    assert(f("web") == 1.0)
+    assert(math.abs(f("code") - 0.5) < 1e-12)
+    assert(math.abs(f("books") - 1.0 / 6) < 1e-12)
+  }
+
+  test("mixSources hits target proportions and drops unlisted sources") {
+    val out = Mixing.mixSources(corpus, "id", "source",
+      Map("web" -> 0.6, "code" -> 0.3, "books" -> 0.1))
+    val got = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("junk"))
+    val total = got.values.sum.toDouble
+    // hash buckets are approximate at n=750; 5% absolute tolerance
+    assert(math.abs(got("web") / total - 0.6) < 0.05)
+    assert(math.abs(got("code") / total - 0.3) < 0.05)
+    assert(math.abs(got("books") / total - 0.1) < 0.05)
+    // binding source (web) is kept whole — no upsampling anywhere
+    assert(got("web") == 750L)
+    // deterministic: identical output set on re-run
+    val again = Mixing.mixSources(corpus, "id", "source",
+      Map("web" -> 0.6, "code" -> 0.3, "books" -> 0.1))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("weights must be positive and sum to 1") {
+    intercept[IllegalArgumentException] {
+      Mixing.mixFractions(Map("a" -> 1L), Map("a" -> 0.4, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.mixFractions(Map("a" -> 1L), Map("a" -> 1.5, "b" -> -0.5))
+    }
+  }
+}
