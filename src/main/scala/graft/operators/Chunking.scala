@@ -17,7 +17,9 @@ object Chunking {
   /** One row per (doc, chunk): `chunk_id` (0-based), `n_chunk_tokens`,
     * `chunk_text` (tokens re-joined with single spaces). Documents with
     * no tokens yield no rows. Chunk count = ceil(n / stride), i.e. starts
-    * at every stride boundary below n. */
+    * at every stride boundary below n. `stride < chunkSize` overlaps
+    * (context continuity); `stride > chunkSize` skips tokens between
+    * chunks (sampling) — both are legal, pick per use case. */
   def chunkTokens(
       df: DataFrame,
       idCol: String,

@@ -98,6 +98,10 @@ object Fuzzy {
     *
     * ceil() calls subtract 1e-9 first so double rounding can only widen a
     * prefix/filter, never drop a true pair.
+    *
+    * Set elements must be NON-NULL (the shingle producers guarantee it):
+    * a null element would vanish at the prefix equi-join (null keys never
+    * match) while still counting in the verify's set sizes.
     */
   def jaccardJoin(
       left: DataFrame, right: DataFrame,

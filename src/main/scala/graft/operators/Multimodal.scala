@@ -68,8 +68,9 @@ object Multimodal {
     header match {
       case (Some(w), Some(h), Some(maxval))
         if w > 0 && h > 0 && maxval > 0 && maxval < 256 &&
-          // exactly ONE whitespace byte separates header from pixel data
-          bytes.length - (pos + 1) >= w * h * 3 =>
+          // exactly ONE whitespace byte separates header from pixel data;
+          // long arithmetic so adversarial w*h cannot overflow the check
+          (bytes.length - (pos + 1)).toLong >= w.toLong * h * 3 =>
       val data = pos + 1
       var sr = 0.0; var sg = 0.0; var sb = 0.0
       var sy = 0.0; var sy2 = 0.0
@@ -112,17 +113,23 @@ object Multimodal {
     var pos = 12
     var rate = 0; var channels = 0; var bits = 0
     var dataOff = -1; var dataLen = 0
-    while (pos + 8 <= bytes.length) {
+    var malformed = false
+    while (!malformed && pos + 8 <= bytes.length) {
       val cid = new String(bytes, pos, 4, "US-ASCII")
-      val clen = u32(pos + 4).toInt
-      if (cid == "fmt " && pos + 8 + 16 <= bytes.length) {
-        channels = u16(pos + 10); rate = u32(pos + 12).toInt
-        bits = u16(pos + 22)
-      } else if (cid == "data") {
-        dataOff = pos + 8
-        dataLen = math.min(clen, bytes.length - dataOff)
+      val clenL = u32(pos + 4) // unsigned — keep as Long so a corrupt
+      if (clenL > bytes.length) { // length can't walk pos backwards or
+        malformed = true //          overflow into an infinite loop
+      } else {
+        val clen = clenL.toInt
+        if (cid == "fmt " && pos + 8 + 16 <= bytes.length) {
+          channels = u16(pos + 10); rate = u32(pos + 12).toInt
+          bits = u16(pos + 22)
+        } else if (cid == "data") {
+          dataOff = pos + 8
+          dataLen = math.min(clen, bytes.length - dataOff)
+        }
+        pos += 8 + clen + (clen & 1) // chunks are word-aligned
       }
-      pos += 8 + clen + (clen & 1) // chunks are word-aligned
     }
     if (rate <= 0 || channels <= 0 || bits != 16 || dataOff < 0) return None
     val nSamples = dataLen / 2 / channels

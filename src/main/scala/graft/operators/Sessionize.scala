@@ -29,6 +29,7 @@ object Sessionize {
       tsCol: String,
       gapTicks: Long,
       tieCols: Seq[String] = Nil): DataFrame = {
+    require(gapTicks >= 0, s"gap must be >= 0 ticks, got $gapTicks")
     val order = col(tsCol) +: tieCols.map(col)
     val w = Window.partitionBy(col(userCol)).orderBy(order: _*)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -58,6 +58,14 @@ class MultimodalSpec extends SparkTestBase {
     assert(d.feature.drop(4).forall(_ == 0f)) // silent half
     // non-RIFF bytes fall through to None (stub handles them upstream)
     assert(Multimodal.decodeWav(4L, Array[Byte](1, 2, 3)).isEmpty)
+    // corrupt chunk length (0xFFFFFFFF) must terminate, not loop/throw
+    val corrupt = Multimodal.wavBytes(8000, Array.fill[Short](100)(5))
+    corrupt(16) = -1; corrupt(17) = -1; corrupt(18) = -1; corrupt(19) = -1
+    assert(Multimodal.decodeWav(5L, corrupt).isEmpty)
+    // adversarial PPM dims that overflow Int in w*h*3 are rejected
+    val bomb = "P6\n50000 50000\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](300)(7)
+    assert(Multimodal.decodePpm(6L, bomb).isEmpty)
   }
 
   test("frame sampling fans out only video rows") {
