@@ -100,6 +100,38 @@ class SessionizeChunkingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("chunking runs unchanged on a stream (stateless map-only op)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_chunkstream").toString
+    val src = s"$dir/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val docs = Seq((1L, (1 to 54).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"))
+    docs.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/data")
+    val f = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(f.toPath,
+      java.nio.file.Paths.get(src, "d.parquet"))
+    val schema = "doc_id LONG, text STRING"
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = Chunking.chunkTokens(stream, "doc_id", "text", 32, 24)
+      .writeStream.format("memory").queryName("chunkstream")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT doc_id, chunk_id, chunk_text FROM chunkstream")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val batch = Chunking.chunkTokens(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 32, 24)
+        .select("doc_id", "chunk_id", "chunk_text")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.size == 4) // 3 chunks + 1
+    } finally q.stop()
+  }
+
   test("chunking covers every token with the configured overlap") {
     val docs = Seq(
       (1L, (1 to 54).map(i => s"t$i").mkString(" ")), // 54 tokens → 3 chunks
