@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Fuzzy, Mixing, Similarity}
+import graft.operators.{Decontaminate, Dedup, Fuzzy, Mixing, Similarity}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2) over the
   * test star schema, each query paired with DuckDB oracle SQL.
@@ -1424,12 +1424,76 @@ object SparkEntry {
       |    % 1000) + 1000) % 1000 < CAST(f * 1000 AS INT)
       |GROUP BY d.source ORDER BY d.source""".stripMargin))
 
+  private val q69 = Q("q69_repetition",
+    (s, dir) => {
+      // Repeated-trigram fraction (TextFunctions.repetitionScore) — the
+      // Gopher/C4 repetition quality gate, bucketed for a corpus health
+      // histogram. Pure per-row codegen'd compute + one agg.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TF.repetitionScore(col("text"), 3), 6).as("rep3"))
+        .groupBy(floor(col("rep3") * 100).cast("int").as("rep_centile"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("rep3")), 6).as("avg_rep"))
+        .orderBy(col("rep_centile"))
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> t <> '') AS tk FROM documents
+      |), scored AS (
+      |  SELECT doc_id, ROUND(CASE WHEN len(tk) - 2 <= 0 THEN 0.0
+      |    ELSE 1.0 - CAST(len(list_distinct(list_transform(
+      |      range(1, greatest(len(tk) - 1, 1)),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS DOUBLE) /
+      |      CAST(len(tk) - 2 AS DOUBLE) END, 6) AS rep3
+      |  FROM toks)
+      |SELECT CAST(FLOOR(rep3 * 100) AS INT) AS rep_centile,
+      |  COUNT(*) AS n_docs, ROUND(AVG(rep3), 6) AS avg_rep
+      |FROM scored GROUP BY 1 ORDER BY rep_centile""".stripMargin))
+
+  private val q70 = Q("q70_decontaminate",
+    (s, dir) => {
+      // Eval-set decontamination (operators.Decontaminate): flag training
+      // docs sharing >= 50% of their distinct trigrams with the "eval"
+      // slice (doc_id % 50 = 0). LEFT join against the distinct eval-gram
+      // set — multiplicity one, no fan-out; eval side broadcasts.
+      val docs = t(s, dir, "documents")
+      Decontaminate.ngramOverlap(docs,
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 3)
+        .filter(col("overlap") >= 0.5)
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          round(col("overlap"), 6).as("overlap"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> t <> '') AS tk FROM documents
+      |), sets AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(tk) - 1, 1)),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS st FROM toks
+      |), grams AS (
+      |  SELECT doc_id, unnest(st) AS g FROM sets
+      |), eg AS (
+      |  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+      |), counted AS (
+      |  SELECT grams.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |    CAST(COUNT(eg.g) AS BIGINT) AS n_shared
+      |  FROM grams LEFT JOIN eg ON grams.g = eg.g
+      |  GROUP BY grams.doc_id)
+      |SELECT doc_id, n_grams, n_shared,
+      |  ROUND(CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+      |    AS overlap
+      |FROM counted
+      |WHERE CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.5
+      |ORDER BY doc_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

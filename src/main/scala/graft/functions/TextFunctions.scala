@@ -144,6 +144,18 @@ object TextFunctions {
       WordShingles(
         org.apache.spark.sql.graftshim.Shims.expression(text), n))
 
+  /** Repeated-n-gram fraction in [0,1] — the Gopher/C4 repetition quality
+    * signal: 1 − distinct_ngrams / total_ngrams. 0 for texts shorter than
+    * n tokens (nothing to repeat). Oracle: 1 − len(list_distinct(grams))
+    * / greatest(len(tk)−(n−1), 1) over the same n-gram construction. */
+  def repetitionScore(text: Column, n: Int): Column = {
+    val total = greatest(tokenCount(text) - (n - 1), lit(0))
+    val distinctN = size(shinglesFast(text, n))
+    when(total <= 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        distinctN.cast("double") / total.cast("double"))
+  }
+
   /** Exact Jaccard of two distinct-element string-array columns via the
     * fused codegen'd [[JaccardSimilarity]] expression — value-identical
     * to `size(array_intersect)/size(array_union)` without materializing
