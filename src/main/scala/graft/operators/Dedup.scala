@@ -182,6 +182,48 @@ object Dedup {
     jaccardVerify(pairs, docs, idCol, textCol, shingleSize, threshold)
   }
 
+  /** Incremental MinHash-LSH: the near-dup pairs a NEW batch introduces
+    * against an already-indexed corpus — the continuous-ingest shape,
+    * where re-running the full chain over 100 TB per batch is not an
+    * option. The caller persists the corpus bucket table
+    * ([[minhashBuckets]] output) and appends each batch's buckets after
+    * the check.
+    *
+    * Candidates = (new × new) within the batch plus (new × old) via an
+    * equi-join of the batch's buckets against the index — per-batch cost
+    * scales with the BATCH, not the corpus. Old buckets above
+    * `maxBucketSize` are dropped by a semi-join against their counts (the
+    * same LSH skew guardrail; note the full-corpus run bounds COMBINED
+    * bucket sizes, so near the bound the two can differ — by design, the
+    * guardrail is an approximation knob, not a semantic contract).
+    *
+    * @return verified pairs (id_a, id_b, jaccard) with at least one side
+    *         from `newDocs`.
+    */
+  def incrementalMinhashNearDups(
+      newDocs: DataFrame, oldDocs: DataFrame, oldBuckets: DataFrame,
+      idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    val nb = minhashBuckets(newDocs, idCol, textCol,
+      numHashes, bands, shingleSize)
+    val newNew = candidatePairs(nb, idCol, maxBucketSize)
+    val oldSizes = oldBuckets.groupBy(col("__band"), col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+    val newOld = nb
+      .select(col("__band"), col("__bucket"), col(idCol).as("__id_new"))
+      .join(oldBuckets.select(col("__band"), col("__bucket"),
+        col(idCol).as("__id_old")), Seq("__band", "__bucket"))
+      .join(oldSizes, Seq("__band", "__bucket"), "left_semi")
+      .filter(col("__id_new") =!= col("__id_old"))
+      .select(least(col("__id_new"), col("__id_old")).as("id_a"),
+        greatest(col("__id_new"), col("__id_old")).as("id_b"))
+      .distinct()
+    jaccardVerify(newNew.unionByName(newOld).distinct(),
+      oldDocs.unionByName(newDocs), idCol, textCol, shingleSize, threshold)
+  }
+
   /** SimHash near-dup: 64-bit sketch, 4×16-bit band buckets (any equal
     * band → candidate; catches all pairs with Hamming ≤ 3 exactly, plus a
     * recall tail), Hamming verify. */

@@ -20,6 +20,25 @@ class DedupSpec extends SparkTestBase {
     assert(ids == Set(1L, 2L, 3L, 5L)) // 4 collapses into 1
   }
 
+  test("incremental LSH equals the full run restricted to new-doc pairs") {
+    val all = spark.read.parquet(s"$sf001/documents.parquet")
+    val newDocs = all.filter(col("doc_id") % 10 === 0)
+    val oldDocs = all.filter(col("doc_id") % 10 =!= 0)
+    val oldBuckets = Dedup.minhashBuckets(oldDocs, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3)
+    val inc = Dedup.incrementalMinhashNearDups(
+      newDocs, oldDocs, oldBuckets, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashNearDups(all, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullTouchingNew = full.filter { case (a, b) =>
+      a % 10 == 0 || b % 10 == 0 }
+    assert(inc == fullTouchingNew)
+    assert(inc.nonEmpty) // the fixture's planted near-dups straddle split
+  }
+
   test("minhash LSH finds the planted near-dup pair") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
       numHashes = 64, bands = 32, shingleSize = 2, threshold = 0.5)
