@@ -4,13 +4,15 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{Chunking, Decontaminate, Dedup, Packing, Sampling}
 
 /** End-to-end training-corpus curation: the composition a 100 TB text
   * pipeline actually runs, as one declarative plan per stage —
   *
-  *   annotate (lang, tokens, quality) → quality gate → exact dedup →
-  *   near-dup removal (MinHash-LSH) → deterministic train/holdout split
+  *   annotate (lang, tokens, quality, repetition) → quality gate →
+  *   exact dedup → near-dup removal (MinHash-LSH) → eval-set
+  *   decontamination → deterministic train/holdout split →
+  *   [toTrainingBatches] context chunking → sequence packing
   *
   * Each stage is a pure DataFrame transform from the operator library;
   * nothing here collects to the driver. Near-dup removal keeps the
@@ -27,7 +29,13 @@ object CorpusPipeline {
       minTokens: Int = 5,
       nearDupShingle: Int = 3,
       nearDupThreshold: Double = 0.8,
-      trainFraction: Double = 0.9)
+      maxRepetition: Double = 0.5,
+      decontamN: Int = 3,
+      decontamMaxOverlap: Double = 0.5,
+      trainFraction: Double = 0.9,
+      chunkSize: Int = 512,
+      chunkStride: Int = 384,
+      packCapacity: Long = 4096L)
 
   /** Stage 1: annotate every doc with analysis columns (single pass). */
   def annotate(docs: DataFrame, cfg: Config = Config()): DataFrame =
@@ -35,12 +43,15 @@ object CorpusPipeline {
       .withColumn("lang_pred", TextFunctions.langId(col(cfg.textCol)))
       .withColumn("n_tokens", TextFunctions.tokenCount(col(cfg.textCol)))
       .withColumn("quality", TextFunctions.qualityScore(col(cfg.textCol)))
+      .withColumn("repetition",
+        TextFunctions.repetitionScore(col(cfg.textCol), 3))
       .withColumn("fp", TextFunctions.fingerprint(col(cfg.textCol)))
 
   /** Stage 2: quality gate (cheap filters before any shuffle). */
   def qualityGate(annotated: DataFrame, cfg: Config = Config()): DataFrame =
     annotated.filter(
-      col("quality") >= cfg.minQuality && col("n_tokens") >= cfg.minTokens)
+      col("quality") >= cfg.minQuality && col("n_tokens") >= cfg.minTokens &&
+        col("repetition") <= cfg.maxRepetition)
 
   /** Stage 3: exact dedup on normalized fingerprint (lowest id wins). */
   def exactDedup(gated: DataFrame, cfg: Config = Config()): DataFrame =
@@ -54,15 +65,39 @@ object CorpusPipeline {
     Dedup.keepClusterRepresentatives(deduped, cfg.idCol, pairs)
   }
 
-  /** Stage 5: deterministic split flag. */
+  /** Stage 5: eval-set decontamination — drop docs whose n-grams overlap
+    * the benchmark corpus (no-op when `evalDocs` is None). */
+  def decontaminate(
+      curated: DataFrame, evalDocs: Option[DataFrame],
+      cfg: Config = Config()): DataFrame =
+    evalDocs match {
+      case Some(ev) => Decontaminate.clean(curated, ev,
+        cfg.idCol, cfg.textCol, cfg.decontamN, cfg.decontamMaxOverlap)
+      case None => curated
+    }
+
+  /** Stage 6: deterministic split flag. */
   def split(curated: DataFrame, cfg: Config = Config()): DataFrame =
     curated.withColumn("is_train",
       Sampling.isTrain(col(cfg.idCol), cfg.trainFraction))
 
   /** The whole pipeline. */
-  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame =
-    split(nearDedup(exactDedup(qualityGate(
-      annotate(docs, cfg), cfg), cfg), cfg), cfg)
+  def curate(docs: DataFrame, cfg: Config = Config(),
+      evalDocs: Option[DataFrame] = None): DataFrame =
+    split(decontaminate(nearDedup(exactDedup(qualityGate(
+      annotate(docs, cfg), cfg), cfg), cfg), evalDocs, cfg), cfg)
+
+  /** Post-curation batch prep: overlapping context chunks, then packed
+    * into fixed token budgets (shard = hash bucket of the doc id so the
+    * prefix-sum window parallelizes; see [[Packing.assignPacks]]). */
+  def toTrainingBatches(
+      curated: DataFrame, cfg: Config = Config()): DataFrame = {
+    val chunks = Chunking.chunkTokens(curated, cfg.idCol, cfg.textCol,
+      cfg.chunkSize, cfg.chunkStride)
+      .withColumn("__shard", Sampling.hashBucket(col(cfg.idCol), 32))
+    Packing.assignPacks(chunks, "__shard", cfg.idCol, "n_chunk_tokens",
+      cfg.packCapacity, tieCols = Seq("chunk_id"))
+  }
 
   /** Corpus report: per-language doc/token/quality stats of a curated
     * frame — the monitoring output a curation run publishes. */

@@ -13,7 +13,7 @@ class CorpusPipelineSpec extends SparkTestBase {
       (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
       (3L, "THE QUICK  BROWN fox jumps over the lazy dog near the river bank"),
       (4L, "tiny"), // fails minTokens
-      (5L, "word word word word word word word word word word word word"), // low diversity but passes gate
+      (5L, "word word word word word word word word word word word word"), // pure repetition
       (6L, "an entirely different document about spark query planning today")
     ).toDF("doc_id", "text")
     val cfg = CorpusPipeline.Config(
@@ -22,6 +22,7 @@ class CorpusPipelineSpec extends SparkTestBase {
     val out = CorpusPipeline.curate(docs, cfg).cache()
     val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!ids.contains(4L)) // token gate
+    assert(!ids.contains(5L)) // repetition gate (rep3 = 0.9 > 0.5)
     assert(!ids.contains(3L)) // exact dup of 1 (normalized)
     assert(!ids.contains(2L)) // near-dup of 1
     assert(ids.contains(1L) && ids.contains(6L))
@@ -31,6 +32,29 @@ class CorpusPipelineSpec extends SparkTestBase {
       Seq("lang_pred", "n_docs", "total_tokens", "avg_quality", "n_train"))
     assert(rep.agg(sum("n_docs")).head().getLong(0) == out.count())
     out.unpersist()
+  }
+
+  test("decontaminate + toTrainingBatches complete the recipe") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val evalSet = docs.filter(col("doc_id") % 50 === 0)
+    val cfg = CorpusPipeline.Config(chunkSize = 32, chunkStride = 24,
+      packCapacity = 128L)
+    val curated = CorpusPipeline.curate(docs, cfg, Some(evalSet)).cache()
+    // every eval doc (overlap 1.0 with itself) is gone from training
+    assert(curated.filter(col("doc_id") % 50 === 0).count() == 0)
+    assert(curated.count() > 0)
+    val batches = CorpusPipeline.toTrainingBatches(curated, cfg)
+    assert(batches.columns.contains("pack_id"))
+    // packing preserves every chunk token
+    val chunkTokens = batches.agg(sum("n_chunk_tokens")).head().getLong(0)
+    assert(chunkTokens > 0)
+    // packs respect the capacity up to one straddling chunk (chunk size
+    // 32 <= capacity 128, so utilization stays bounded)
+    val over = graft.operators.Packing
+      .packReport(batches, "__shard", "n_chunk_tokens", 128L)
+      .filter(col("n_tokens") > 128L + 32L).count()
+    assert(over == 0)
+    curated.unpersist()
   }
 
   test("curate on testdata: LSH removes exactly the true near-dups") {
