@@ -5,13 +5,19 @@ import org.apache.spark.sql.functions._
 
 /** Skew-handling utilities.
   *
-  * AQE's skew-join splitting covers sort-merge joins at runtime; these
-  * helpers cover the two shapes AQE does not: hot-key AGGREGATION (a
-  * single group key with billions of rows still lands on one reducer) and
-  * broadcast-replicated joins against a skewed build side.
+  * When salting pays (measured in `graft.SkewProbe`): hot-key SHUFFLE
+  * JOINS where the build side can't broadcast and AQE's runtime skew
+  * split doesn't apply — a 50%-hot key joins 2.9× faster salted, with
+  * identical results. When it does NOT: algebraic aggregates (sum/count/
+  * min/max), where Spark's map-side partial aggregation already combines
+  * the hot key inside each scan partition and the shuffle carries only
+  * ~(#partitions × #keys) rows — there `saltedSumCount` is redundant
+  * (kept for non-combinable aggregation shapes, e.g. when the partial-agg
+  * hash table is disabled or the aggregate buffers are too wide to
+  * combine map-side).
   *
   * Both are pure plan rewrites — deterministic results, identical to the
-  * unsalted equivalents (asserted in SkewSpec).
+  * unsalted equivalents (asserted in SkewSpec and SkewProbe).
   */
 object Skew {
 
