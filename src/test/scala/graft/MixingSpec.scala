@@ -41,6 +41,14 @@ class MixingSpec extends SparkTestBase {
     assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("a target source absent from the data yields an empty mix") {
+    // absent source has 0 rows -> N = min(n_s/w_s) = 0 -> nothing can
+    // satisfy the proportions without upsampling
+    val out = Mixing.mixSources(corpus, "id", "source",
+      Map("web" -> 0.5, "nonexistent" -> 0.5))
+    assert(out.count() == 0)
+  }
+
   test("weights must be positive and sum to 1") {
     intercept[IllegalArgumentException] {
       Mixing.mixFractions(Map("a" -> 1L), Map("a" -> 0.4, "b" -> 0.4))
