@@ -1488,12 +1488,40 @@ object SparkEntry {
       |WHERE CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.5
       |ORDER BY doc_id""".stripMargin))
 
+  private val q71 = Q("q71_batched_ann",
+    (s, dir) => {
+      // Batched multi-query ANN (Similarity.topKForQueries): broadcast
+      // the query set, score once per (query, corpus) pair with the fused
+      // codegen CosineSimilarity, and keep top-k per query via the CUSTOM
+      // TopKPerGroup physical operator (bounded heaps, no per-group
+      // sort) — this puts the custom SparkPlan under the oracle gate in a
+      // composed pipeline, not just q50's standalone shape.
+      val e = t(s, dir, "embeddings")
+      Similarity.topKForQueries(e, e.filter(col("vec_id") < 3),
+          "vec_id", "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+    },
+    Some("""SELECT query_id, vec_id, ROUND(c, 6) AS cosine FROM (
+      |  SELECT q.vec_id AS query_id, e.vec_id,
+      |    list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |                     CAST(q.embedding AS DOUBLE[])) /
+      |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |                           CAST(e.embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+      |                           CAST(q.embedding AS DOUBLE[])))) AS c
+      |  FROM embeddings e, embeddings q WHERE q.vec_id < 3
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |    ORDER BY c DESC, e.vec_id) <= 5)
+      |ORDER BY query_id, c DESC, vec_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
