@@ -1516,12 +1516,42 @@ object SparkEntry {
       |    ORDER BY c DESC, e.vec_id) <= 5)
       |ORDER BY query_id, c DESC, vec_id""".stripMargin))
 
+  private val q72 = Q("q72_upsert_merge",
+    (s, dir) => {
+      // Keyed merge (operators.Upsert): customers with acctbal < 0 arrive
+      // as "updates" (balance zeroed, segment recoded); merged snapshot =
+      // updates replace, untouched pass through. Anti-join + union — both
+      // shuffle-on-key. Aggregated per segment for a stable oracle.
+      val c = t(s, dir, "customer")
+      val updates = c.filter(col("c_acctbal") < 0)
+        .withColumn("c_acctbal", lit(0.0))
+        .withColumn("c_mktsegment", lit("RECOVERED"))
+      graft.operators.Upsert.mergeByKey(c, updates, Seq("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""WITH updates AS (
+      |  SELECT c_custkey, 0.0 AS c_acctbal, 'RECOVERED' AS c_mktsegment
+      |  FROM customer WHERE c_acctbal < 0
+      |), merged AS (
+      |  SELECT c_mktsegment, c_acctbal FROM updates
+      |  UNION ALL
+      |  SELECT c_mktsegment, c_acctbal FROM customer
+      |  WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+      |)
+      |SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
