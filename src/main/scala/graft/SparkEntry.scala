@@ -1546,12 +1546,51 @@ object SparkEntry {
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
       |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  private val q73 = Q("q73_quality_gates",
+    (s, dir) => {
+      import graft.operators.Quality
+      // Declarative constraint suite (operators.Quality) in its
+      // publishable DataFrame form: 5 rules, ONE aggregation pass over
+      // the table; the oracle recomputes each rule's violation count.
+      Quality.checkAsFrame(t(s, dir, "orders"), Seq(
+        Quality.NotNull("o_custkey"),
+        Quality.InRange("o_totalprice", 0.0, 1000000.0),
+        Quality.MatchesRegex("o_orderpriority", "^[1-5]-"),
+        Quality.AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
+        Quality.Unique(Seq("o_orderkey"))))
+        .orderBy(col("rule"))
+    },
+    Some("""SELECT rule, violations, violations = 0 AS passed FROM (
+      |  SELECT 'not_null(o_custkey)' AS rule,
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS violations FROM orders
+      |  UNION ALL
+      |  SELECT 'in_range(o_totalprice,[0.0,1000000.0])',
+      |    CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+      |      AND (o_totalprice < 0.0 OR o_totalprice > 1000000.0)
+      |      THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'matches_regex(o_orderpriority)',
+      |    CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+      |      AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+      |      THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'accepted_values(o_orderstatus)',
+      |    CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+      |      AND o_orderstatus NOT IN ('F', 'O', 'P')
+      |      THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'unique(o_orderkey)',
+      |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+      |  FROM orders)
+      |ORDER BY rule""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -46,8 +46,8 @@ object Quality {
       throw new IllegalArgumentException("unique handled separately")
   }
 
-  /** Run every rule; returns one [[RuleResult]] per rule. */
-  def check(df: DataFrame, rules: Seq[Rule]): Seq[RuleResult] = {
+  /** Ordered rules + their single-pass aggregate columns. */
+  private def aggsFor(rules: Seq[Rule]): (Seq[Rule], Seq[Column]) = {
     val (uniques, scalars) = rules.partition(_.isInstanceOf[Unique])
     val scalarAggs = scalars.map(r =>
       sum(when(violation(r), 1L).otherwise(0L)).as(r.name))
@@ -57,13 +57,35 @@ object Quality {
       (count(lit(1)) -
         countDistinct(struct(cols.map(col): _*))).as(u.name)
     }
-    val aggs = scalarAggs ++ uniqueAggs
+    (scalars ++ uniques, scalarAggs ++ uniqueAggs)
+  }
+
+  /** Run every rule; returns one [[RuleResult]] per rule. */
+  def check(df: DataFrame, rules: Seq[Rule]): Seq[RuleResult] = {
+    val (ordered, aggs) = aggsFor(rules)
     if (aggs.isEmpty) return Seq.empty
     val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
-    (scalars ++ uniques).map { r =>
+    ordered.map { r =>
       val v = row.getAs[Long](r.name)
       RuleResult(r.name, v, v == 0L)
     }
+  }
+
+  /** Same single-pass check as a DataFrame (rule, violations, passed) —
+    * the queryable/publishable form: the one aggregate row is unpivoted
+    * into rule rows, no driver-side collect in the plan. */
+  def checkAsFrame(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val (ordered, aggs) = aggsFor(rules)
+    require(aggs.nonEmpty, "at least one rule required")
+    val pairs = ordered.map(r =>
+      // backticks: rule names contain '.' ("[0.0,1.0]"), which a bare
+      // col() would parse as struct-field access
+      struct(lit(r.name).as("rule"), col(s"`${r.name}`").as("violations")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs: _*)).as("__r"))
+      .select(col("__r.rule").as("rule"),
+        col("__r.violations").as("violations"),
+        (col("__r.violations") === 0L).as("passed"))
   }
 
   /** Gate form: throws with a readable report when any rule fails. */
