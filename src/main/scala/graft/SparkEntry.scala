@@ -792,9 +792,9 @@ object SparkEntry {
       // Batch form of the streaming windowed aggregation
       // (graft.streaming.EventStreams uses the same grouping).
       // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
-      // long (nanosAsLong); hour bucketing is integer ns math, identical
-      // to date_trunc('hour') for positive epochs.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // long (nanosAsLong, set in every entry-point session builder);
+      // hour bucketing is integer ns math, identical to
+      // date_trunc('hour') for positive epochs.
       val hourStart = date_format(
         timestamp_seconds(expr("ts DIV 3600000000000") * 3600),
         "yyyy-MM-dd HH:mm")
@@ -855,8 +855,9 @@ object SparkEntry {
     (s, dir) => {
       // Backward as-of join (composed union+window, operators.AsofJoin):
       // each click matched to the user's most recent purchase at-or-before
-      // it. Oracle: DuckDB's native ASOF LEFT JOIN.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // it. Oracle: DuckDB's native ASOF LEFT JOIN. (events.ts needs
+      // nanosAsLong — set in every entry-point session builder, not here:
+      // a query lambda must not leak session-global config.)
       val ev = t(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
@@ -1340,9 +1341,9 @@ object SparkEntry {
       // Batch sessionization (operators.Sessionize): 30-min inactivity gap
       // splits each user's event stream; ONE shuffle + two window passes,
       // no self-join. ts is parquet TIMESTAMP(NANOS) read as long
-      // (nanosAsLong) → microsecond ticks via integer division, matching
-      // DuckDB's epoch_us exactly (no float time math).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // (nanosAsLong, set in every entry-point session builder) →
+      // microsecond ticks via integer division, matching DuckDB's
+      // epoch_us exactly (no float time math).
       val e = t(s, dir, "events")
         .select(col("user_id"), col("event_id"),
           expr("ts DIV 1000").as("ts_us"))

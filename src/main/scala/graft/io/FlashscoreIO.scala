@@ -29,7 +29,11 @@ object FlashscoreIO {
     * `blob.updated` falls in {today, yesterday}). Spark's file-source
     * `modifiedAfter` option applies the same mtime cut at LISTING time,
     * so stale files are never opened — at a 100 TB bucket that is the
-    * difference between listing metadata and reading everything. */
+    * difference between listing metadata and reading everything.
+    * Spark parses the option string in the SESSION timezone
+    * (spark.sql.session.timeZone), so the instant is rendered in that
+    * zone — formatting in a fixed UTC zone would shift the cut by the
+    * session offset on non-UTC sessions. */
   def readJsonModifiedAfter(
       spark: SparkSession, path: String,
       since: java.time.Instant): DataFrame =
@@ -40,7 +44,8 @@ object FlashscoreIO {
       .option("modifiedAfter",
         java.time.format.DateTimeFormatter
           .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
-          .withZone(java.time.ZoneOffset.UTC)
+          .withZone(java.time.ZoneId.of(
+            spark.conf.get("spark.sql.session.timeZone")))
           .format(since))
       .json(path)
 

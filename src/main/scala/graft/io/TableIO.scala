@@ -43,13 +43,16 @@ object TableIO {
     * time with a 2 s sleep and a read-back per row (≤ 0.5 rows/s). Spark's
     * JDBC writer batches `batchsize` rows per statement from every
     * partition in parallel; `numPartitions` caps concurrent connections so
-    * a 1000-executor job doesn't open 1000 sessions against the warehouse. */
+    * a 1000-executor job doesn't open 1000 sessions against the warehouse.
+    * `repartition`, not `coalesce`: coalesce has no shuffle barrier, so it
+    * would collapse the whole upstream stage to `numPartitions` tasks —
+    * capping compute parallelism, not just connections. */
   def writeJdbc(df: DataFrame, url: String, table: String,
       mode: SaveMode = SaveMode.Append,
       properties: java.util.Properties = new java.util.Properties(),
       batchSize: Int = 10000,
       numPartitions: Int = 8): Unit =
-    df.coalesce(numPartitions)
+    df.repartition(numPartitions)
       .write.mode(mode)
       .option("batchsize", batchSize.toString)
       .jdbc(url, table, properties)

@@ -111,7 +111,7 @@ object Multimodal {
       bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
       bytes(10) == 'V' && bytes(11) == 'E')) return None
     var pos = 12
-    var rate = 0; var channels = 0; var bits = 0
+    var rate = 0; var channels = 0; var bits = 0; var fmtTag = 0
     var dataOff = -1; var dataLen = 0
     var malformed = false
     while (!malformed && pos + 8 <= bytes.length) {
@@ -122,8 +122,10 @@ object Multimodal {
       } else {
         val clen = clenL.toInt
         if (cid == "fmt " && pos + 8 + 16 <= bytes.length) {
-          channels = u16(pos + 10); rate = u32(pos + 12).toInt
-          bits = u16(pos + 22)
+          fmtTag = u16(pos + 8) // 1 = integer PCM; anything else (float,
+          channels = u16(pos + 10) // ADPCM, mu-law…) is not sample-per-
+          rate = u32(pos + 12).toInt // sample 16-bit data even if it
+          bits = u16(pos + 22) //       declares bits == 16
         } else if (cid == "data") {
           dataOff = pos + 8
           dataLen = math.min(clen, bytes.length - dataOff)
@@ -131,7 +133,8 @@ object Multimodal {
         pos += 8 + clen + (clen & 1) // chunks are word-aligned
       }
     }
-    if (rate <= 0 || channels <= 0 || bits != 16 || dataOff < 0) return None
+    if (fmtTag != 1 || rate <= 0 || channels <= 0 || bits != 16 ||
+      dataOff < 0) return None
     val nSamples = dataLen / 2 / channels
     if (nSamples == 0) return None
     val seg = new Array[Double](8)

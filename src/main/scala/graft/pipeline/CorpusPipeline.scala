@@ -30,7 +30,10 @@ object CorpusPipeline {
       nearDupShingle: Int = 3,
       nearDupThreshold: Double = 0.8,
       maxRepetition: Double = 0.5,
-      decontamN: Int = 3,
+      decontamN: Int = 8, // matches Decontaminate.clean and the 8–13-gram
+      // overlap practice from published LLM decontamination recipes;
+      // 3-gram overlap ≥ 0.5 over-blocks clean documents
+
       decontamMaxOverlap: Double = 0.5,
       trainFraction: Double = 0.9,
       chunkSize: Int = 512,

@@ -62,6 +62,11 @@ class MultimodalSpec extends SparkTestBase {
     val corrupt = Multimodal.wavBytes(8000, Array.fill[Short](100)(5))
     corrupt(16) = -1; corrupt(17) = -1; corrupt(18) = -1; corrupt(19) = -1
     assert(Multimodal.decodeWav(5L, corrupt).isEmpty)
+    // non-PCM fmt tag (3 = IEEE float) declaring 16 bits is NOT parseable
+    // as PCM-16 — must refuse rather than emit garbage features
+    val floatFmt = Multimodal.wavBytes(8000, Array.fill[Short](100)(5))
+    floatFmt(20) = 3
+    assert(Multimodal.decodeWav(7L, floatFmt).isEmpty)
     // adversarial PPM dims that overflow Int in w*h*3 are rejected
     val bomb = "P6\n50000 50000\n255\n".getBytes("US-ASCII") ++
       Array.fill[Byte](300)(7)
