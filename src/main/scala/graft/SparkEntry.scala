@@ -1586,12 +1586,320 @@ object SparkEntry {
       |  FROM orders)
       |ORDER BY rule""".stripMargin))
 
+  // ================= round-3 surface: analytics + pipeline ops =========
+
+  private val q74 = Q("q74_grouping_sets",
+    (s, dir) => {
+      // Explicit GROUPING SETS with grouping_id: detail, per-flag, grand
+      // total in ONE pass (Catalyst expands to a single Expand + hash agg
+      // — not three scans).
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          sumd(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      |CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |COUNT(*) AS n,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST,
+      |  l_linestatus NULLS FIRST""".stripMargin))
+
+  private val q75 = Q("q75_lateral_tokens",
+    (s, dir) => {
+      // Generator/lateral op: position-explode of the first 5 whitespace
+      // tokens per doc. Map-only before the final sort — posexplode is a
+      // codegen'd Generate node, not a join.
+      t(s, dir, "documents")
+        .filter(col("doc_id") <= 10)
+        .select(col("doc_id"),
+          posexplode(slice(split(col("text"), " "), 1, 5)))
+        .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+          col("col").as("token"))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+    Some("""SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, l[i] AS token
+      |FROM (SELECT doc_id, l,
+      |    unnest(generate_series(1, least(5, len(l)))) AS i
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+      |    FROM documents WHERE doc_id <= 10))
+      |ORDER BY doc_id, pos""".stripMargin))
+
+  private val q76 = Q("q76_corr_moments",
+    (s, dir) => {
+      // corr / covar_samp / stddev_samp computed FROM EXACT DECIMAL
+      // MOMENTS: the five sums are exact decimal (order-insensitive), and
+      // doubles appear only in the final closed-form step — so the
+      // distributed result is bit-identical to the oracle evaluating the
+      // same IEEE expression, unlike streaming corr()/stddev() whose
+      // merge order perturbs the low bits.
+      val q = col("l_quantity").cast("decimal(12,4)")
+      val p = col("l_extendedprice").cast("decimal(14,4)")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("nd"),
+          sum(q).cast("double").as("sx"),
+          sum(p).cast("double").as("sy"),
+          sum(q * p).cast("double").as("sxy"),
+          sum(q * q).cast("double").as("sxx"),
+          sum(p * p).cast("double").as("syy"))
+        .select(col("l_returnflag"),
+          ((col("nd") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("nd") * col("sxx") - col("sx") * col("sx")) *
+              (col("nd") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_price"),
+          ((col("sxy") - col("sx") * col("sy") / col("nd")) /
+            (col("nd") - lit(1.0))).as("covar_qty_price"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("nd")) /
+            (col("nd") - lit(1.0))).as("stddev_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH m AS (SELECT l_returnflag,
+      |  CAST(COUNT(*) AS DOUBLE) AS nd,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR)
+      |    AS DOUBLE) AS sx,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS VARCHAR)
+      |    AS DOUBLE) AS sy,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) *
+      |    CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR)
+      |    AS DOUBLE) AS sxy,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) *
+      |    CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR)
+      |    AS DOUBLE) AS sxx,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) *
+      |    CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR)
+      |    AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  (nd * sxy - sx * sy) /
+      |    sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+      |    AS corr_qty_price,
+      |  (sxy - sx * sy / nd) / (nd - 1.0) AS covar_qty_price,
+      |  sqrt((sxx - sx * sx / nd) / (nd - 1.0)) AS stddev_qty
+      |FROM m ORDER BY l_returnflag""".stripMargin))
+
+  private val q77 = Q("q77_forward_fill",
+    (s, dir) => {
+      // LOCF imputation (operators.Impute.forwardFill): last purchase
+      // value carried onto each later event of the same user. ONE shuffle
+      // (window on user_id), (ts, event_id) gives a total order.
+      val e = t(s, dir, "events").filter(col("user_id") <= 50)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") === "purchase", col("value")).as("pval"))
+      graft.operators.Impute.forwardFill(
+        e, Seq("user_id"), Seq("ts", "event_id"), Seq("pval"))
+        .select(col("user_id"), col("event_id"),
+          col("pval").as("filled_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id,
+      |LAST_VALUE(pval IGNORE NULLS) OVER (PARTITION BY user_id
+      |  ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      |FROM (SELECT user_id, event_id, ts,
+      |    CASE WHEN event_type = 'purchase' THEN value END AS pval
+      |  FROM events WHERE user_id <= 50)
+      |ORDER BY user_id, event_id""".stripMargin))
+
+  private val q78 = Q("q78_date_densify",
+    (s, dir) => {
+      // Calendar gap-fill: generated day spine x priority dims LEFT JOIN
+      // daily counts -> missing days exact 0. The spine is generated (no
+      // scan) and both join inputs are tiny aggregates; the fact table is
+      // reduced BEFORE the join, so the left join broadcasts.
+      val spine = s.range(1).select(explode(sequence(
+        lit(java.sql.Date.valueOf("1995-01-01")),
+        lit(java.sql.Date.valueOf("1995-01-31")),
+        expr("interval 1 day"))).as("dd"))
+      val prios = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio")).distinct()
+      val daily = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-02-01").cast("timestamp"))
+        .groupBy(col("o_orderdate").cast("date").as("dd"),
+          col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"))
+      spine.crossJoin(prios)
+        .join(daily, Seq("dd", "prio"), "left")
+        .select(date_format(col("dd"), "yyyy-MM-dd").as("day"), col("prio"),
+          coalesce(col("n"), lit(0L)).as("n_orders"))
+        .orderBy(col("day"), col("prio"))
+    },
+    Some("""WITH spine AS (
+      |  SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+      |    DATE '1995-01-31', INTERVAL 1 DAY)) AS DATE) AS dd),
+      |prios AS (SELECT DISTINCT o_orderpriority AS prio FROM orders),
+      |daily AS (SELECT CAST(o_orderdate AS DATE) AS dd,
+      |    o_orderpriority AS prio, COUNT(*) AS n
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1995-02-01'
+      |  GROUP BY 1, 2)
+      |SELECT strftime(s.dd, '%Y-%m-%d') AS day, p.prio,
+      |  COALESCE(n, 0) AS n_orders
+      |FROM spine s CROSS JOIN prios p
+      |LEFT JOIN daily d ON d.dd = s.dd AND d.prio = p.prio
+      |ORDER BY day, p.prio""".stripMargin))
+
+  private val q79 = Q("q79_train_shuffle",
+    (s, dir) => {
+      // Deterministic epoch shuffle (Sampling.deterministicShuffle): a
+      // total order by md5(seed ++ key). Distributed range sort — no
+      // global window, no single-partition stage; orderBy+limit here
+      // collapses to TakeOrderedAndProject for the oracle sample.
+      graft.operators.Sampling.deterministicShuffle(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", "epoch1:")
+        .limit(20)
+    },
+    Some("""SELECT doc_id,
+      |md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      |FROM documents ORDER BY shuffle_key LIMIT 20""".stripMargin))
+
+  private val q80 = Q("q80_int8_quantize",
+    (s, dir) => {
+      // Symmetric int8 embedding quantization (VectorFunctions): 4x
+      // shipping compression for ANN indexes. floor(x/scale + 0.5) pins
+      // the rounding rule engine-independently; checksum and max abs
+      // reconstruction error are exact IEEE math the oracle replays
+      // bit-for-bit. Map-only — zero shuffles before the final order.
+      t(s, dir, "embeddings").filter(col("vec_id") < 20)
+        .withColumn("scale", VF.int8Scale(col("embedding")))
+        .select(col("vec_id"), col("scale"),
+          aggregate(VF.quantizeInt8(col("embedding"), col("scale")),
+            lit(0L), (acc, v) => acc + v).as("q_sum"),
+          VF.dequantMaxErr(col("embedding"), col("scale"))
+            .as("max_abs_err"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""SELECT vec_id, scale,
+      |CAST(list_sum(list_transform(embedding,
+      |  x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)))
+      |  AS BIGINT) AS q_sum,
+      |list_max(list_transform(embedding,
+      |  x -> abs(CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)
+      |    * scale - CAST(x AS DOUBLE)))) AS max_abs_err
+      |FROM (SELECT vec_id, embedding,
+      |    CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
+      |  FROM (SELECT vec_id, embedding,
+      |      CAST(list_max(list_transform(embedding, x -> abs(x)))
+      |        AS DOUBLE) AS m
+      |    FROM embeddings WHERE vec_id < 20))
+      |ORDER BY vec_id""".stripMargin))
+
+  private val q81 = Q("q81_winsorize",
+    (s, dir) => {
+      // Outlier winsorization at per-group exact percentiles: the
+      // quantile frame is group-count-sized -> broadcast back onto the
+      // fact side; the clip is map-side; clipped sum goes through exact
+      // decimal. Two shuffles total regardless of fact size.
+      val ev = t(s, dir, "events")
+      val qs = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.01)").as("p01"),
+          expr("percentile(value, 0.99)").as("p99"))
+      ev.join(broadcast(qs), Seq("event_type"))
+        .withColumn("clipped",
+          least(greatest(col("value"), col("p01")), col("p99")))
+        .groupBy(col("event_type"))
+        .agg(first(col("p01")).as("p01"), first(col("p99")).as("p99"),
+          sum(col("clipped").cast("decimal(18,6)")).cast("double")
+            .as("clipped_sum"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH qs AS (
+      |  SELECT event_type, quantile_cont(value, 0.01) AS p01,
+      |    quantile_cont(value, 0.99) AS p99
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type, MIN(p01) AS p01, MIN(p99) AS p99,
+      |  CAST(SUM(CAST(LEAST(GREATEST(e.value, p01), p99)
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS clipped_sum,
+      |  COUNT(*) AS n
+      |FROM events e JOIN qs USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin))
+
+  private val q82 = Q("q82_asof_forward",
+    (s, dir) => {
+      // Forward as-of with tolerance (AsofJoin.asofForward): each click ->
+      // the user's NEXT purchase within 7 days, null past that. Same
+      // single-shuffle union+window shape as q44, on negated epoch ticks.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"), col("value"))
+      graft.operators.AsofJoin.asofForward(
+        clicks, purchases, Seq("user_id"), "ts", "ts",
+        rightPayload = Seq("p_event_id", "value"),
+        toleranceNs = Some(7L * 86400L * 1000000000L))
+        .select(col("event_id"), col("user_id"),
+          col("asof_p_event_id"), col("asof_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH c AS (SELECT event_id, user_id, epoch_ns(ts) AS nts
+      |    FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_ns(ts) AS nts,
+      |    event_id AS p_event_id, value
+      |    FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id,
+      |  CASE WHEN p.nts - c.nts <= 604800000000000
+      |    THEN p.p_event_id END AS asof_p_event_id,
+      |  CASE WHEN p.nts - c.nts <= 604800000000000
+      |    THEN p.value END AS asof_value
+      |FROM c ASOF LEFT JOIN p
+      |  ON c.user_id = p.user_id AND c.nts <= p.nts
+      |ORDER BY c.event_id""".stripMargin))
+
+  private val q83 = Q("q83_vocab_coverage",
+    (s, dir) => {
+      // Tokenizer-vocabulary coverage / OOV rate: global top-200 vocab is
+      // bounded (TakeOrdered) -> broadcast left join onto the token
+      // stream; the heavy side shuffles only for the final per-source agg.
+      val words = t(s, dir, "documents")
+        .select(col("source"), explode(TF.tokens(col("text"))).as("token"))
+      val vocab = words.groupBy(col("token"))
+        .agg(count(lit(1)).as("vn"))
+        .orderBy(col("vn").desc, col("token")).limit(200)
+        .select(col("token"), lit(1).as("in_vocab"))
+      words.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("total_tokens"),
+          count(col("in_vocab")).as("vocab_tokens"))
+        .withColumn("coverage",
+          col("vocab_tokens").cast("double") /
+            col("total_tokens").cast("double"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH w AS (
+      |  SELECT source, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), t -> t <> '')) AS token
+      |  FROM documents),
+      |v AS (SELECT token FROM (
+      |  SELECT token, COUNT(*) AS vn FROM w GROUP BY token
+      |  ORDER BY vn DESC, token LIMIT 200)),
+      |j AS (SELECT w.source, v.token AS vtok
+      |  FROM w LEFT JOIN v ON w.token = v.token)
+      |SELECT source, COUNT(*) AS total_tokens,
+      |  COUNT(vtok) AS vocab_tokens,
+      |  CAST(COUNT(vtok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coverage
+      |FROM j GROUP BY source ORDER BY source""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

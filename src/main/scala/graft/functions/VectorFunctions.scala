@@ -46,4 +46,25 @@ object VectorFunctions {
 
   /** Hamming distance between two 64-bit sketches. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Symmetric int8 quantization scale: max|x| / 127 (1.0 for an all-zero
+    * vector so quantization stays total). Double precision. */
+  def int8Scale(a: Column): Column = {
+    val maxabs = array_max(transform(a, x => abs(x))).cast("double")
+    when(maxabs === 0.0, lit(1.0)).otherwise(maxabs / lit(127.0))
+  }
+
+  /** Int8-quantized vector: floor(x/scale + 0.5) per element. The explicit
+    * floor form pins the rounding rule (half-up toward +inf) so any IEEE
+    * engine reproduces it bit-for-bit — `round()` is half-away-from-zero
+    * in some engines and half-even in others. */
+  def quantizeInt8(a: Column, scale: Column): Column =
+    transform(a, x => floor(x.cast("double") / scale + lit(0.5)))
+
+  /** Max abs reconstruction error |dequant(quant(x)) - x| over the vector:
+    * the per-vector quality bound a 100 TB compression pass would gate on. */
+  def dequantMaxErr(a: Column, scale: Column): Column =
+    array_max(transform(a, x =>
+      abs(floor(x.cast("double") / scale + lit(0.5)).cast("double") * scale -
+        x.cast("double"))))
 }

@@ -80,6 +80,32 @@ object AsofJoin {
     }.drop("__ts", "__tag", "__rpay", "__match", "__m")
   }
 
+  /** Forward as-of join: for each left row, the single right row with the
+    * SMALLEST `rightTs >= leftTs` per key — the mirror of [[asofBackward]],
+    * implemented by negating the ts columns and reusing the same
+    * union + carry-forward window (still ONE shuffle, no range join).
+    * Numeric (epoch-tick) ts columns only, since negation must be exact.
+    * A right row at exactly `leftTs` matches; `toleranceNs` bounds
+    * `rightTs - leftTs`. */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      toleranceNs: Option[Long] = None): DataFrame = {
+    require(Seq(left.schema(leftTs), right.schema(rightTs)).forall(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]),
+      "asofForward negates ts columns: numeric epoch-tick ts required")
+    val ln = left.withColumn("__nlts", -col(leftTs))
+    val rn = right.withColumn("__nrts", -col(rightTs))
+    // tolerance transfers exactly: backward checks __ts - match.rightTs =
+    // (-leftTs) - (-rightTs) = rightTs - leftTs <= tol, the forward gap.
+    asofBackward(ln, rn, keys, "__nlts", "__nrts", rightPayload, toleranceNs)
+      .drop("__nlts")
+  }
+
   private def structType(
       df: DataFrame, fields: Seq[String]): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(

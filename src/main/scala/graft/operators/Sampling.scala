@@ -49,6 +49,18 @@ object Sampling {
     (conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long")
       % buckets + buckets) % buckets
 
+  /** Deterministic global shuffle for training-order randomization: a
+    * total order by md5(seed ++ key). The sort is Spark's distributed
+    * range-partitioned sort — no global window, no single-partition
+    * stage — and the position of a row depends only on (seed, key), never
+    * on physical layout, so epochs are reproducible across clusters.
+    * Different seeds give independent epoch orders. */
+  def deterministicShuffle(
+      df: DataFrame, keyCol: String, seed: String): DataFrame =
+    df.withColumn("shuffle_key",
+      md5(concat(lit(seed), col(keyCol).cast("string"))))
+      .orderBy(col("shuffle_key"))
+
   /** Deterministic per-stratum downsampling: keep ≈`fraction(stratum)` of
     * rows inside each stratum, hash-assigned on the key. */
   def stratifiedSample(

@@ -37,6 +37,27 @@ class AsofJoinSpec extends SparkTestBase {
     assert(m(2L).isEmpty) // 200-150=50 > 10
   }
 
+  test("forward as-of picks smallest right ts >= left ts") {
+    val m = AsofJoin.asofForward(left, right, Seq("k"), "ts", "rts",
+      Seq("p"))
+      .select(col("id"), col("asof_p"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(m(1L).contains("a@100")) // tie at 100: right-at-ts matches
+    assert(m(2L).isEmpty) // nothing at or after 200
+    assert(m(3L).contains("a@90")) // next right after 50
+    assert(m(4L).contains("b@500"))
+    assert(m(5L).isEmpty)
+  }
+
+  test("forward tolerance bounds the lookahead") {
+    val m = AsofJoin.asofForward(left, right, Seq("k"), "ts", "rts",
+      Seq("p"), toleranceNs = Some(30L))
+      .select(col("id"), col("asof_p"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(m(1L).contains("a@100")) // gap 0 <= 30
+    assert(m(3L).isEmpty) // 90-50=40 > 30
+  }
+
   test("left row count is preserved (no range explosion)") {
     val out = AsofJoin.asofBackward(left, right, Seq("k"), "ts", "rts",
       Seq("p"))
