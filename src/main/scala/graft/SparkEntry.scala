@@ -1893,13 +1893,91 @@ object SparkEntry {
       |  CAST(COUNT(vtok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coverage
       |FROM j GROUP BY source ORDER BY source""".stripMargin))
 
+  private val q84 = Q("q84_tfidf",
+    (s, dir) => {
+      // TF-IDF-style discriminative-term extraction: tf per (doc, token),
+      // df per token, score = tf * N / df (rational idf variant: ln()
+      // differs across engines in the last ulp, which would break exact
+      // hash parity; N/df preserves the tf-idf ORDERING for a fixed tf
+      // and is exactly representable). Top-1 term per doc via one
+      // bounded window. Shuffle shape: token agg + doc window — both on
+      // natural keys; the N scalar broadcasts.
+      val words = t(s, dir, "documents")
+        .filter(col("doc_id") <= 50)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      val tf = words.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = words.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = words.select(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      tf.join(df, Seq("token"))
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf").cast("double") * col("n_docs").cast("double") /
+            col("df").cast("double"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("token").as("top_term"), col("score"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH words AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), t -> t <> '')) AS token
+      |  FROM documents WHERE doc_id <= 50),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM words
+      |  GROUP BY doc_id, token),
+      |df AS (SELECT token, COUNT(*) AS df FROM
+      |  (SELECT DISTINCT doc_id, token FROM words) GROUP BY token),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM words),
+      |scored AS (SELECT doc_id, token,
+      |    CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) /
+      |      CAST(df AS DOUBLE) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) /
+      |        CAST(df AS DOUBLE) DESC, token) AS rn
+      |  FROM tf JOIN df USING (token) CROSS JOIN n)
+      |SELECT doc_id, token AS top_term, score FROM scored
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+
+  private val q85 = Q("q85_histogram",
+    (s, dir) => {
+      // Equi-width histogram with data-driven bounds: global min/max is a
+      // 1-row aggregate broadcast onto the scan; bin assignment is pure
+      // map-side math; ONE shuffle for the final per-bin count. The
+      // closed-form bin expression is identical IEEE math in the oracle.
+      val bounds = t(s, dir, "orders")
+        .agg(min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+      t(s, dir, "orders")
+        .crossJoin(broadcast(bounds))
+        .withColumn("bin",
+          least(lit(9L), floor((col("o_totalprice") - col("mn")) /
+            ((col("mx") - col("mn")) / lit(10.0)))))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            .as("bin_total"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH b AS (SELECT MIN(o_totalprice) AS mn,
+      |    MAX(o_totalprice) AS mx FROM orders)
+      |SELECT LEAST(9, CAST(floor((o_totalprice - mn) /
+      |    ((mx - mn) / 10.0)) AS BIGINT)) AS bin,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      |    AS bin_total
+      |FROM orders CROSS JOIN b
+      |GROUP BY 1 ORDER BY bin""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

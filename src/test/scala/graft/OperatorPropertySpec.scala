@@ -38,6 +38,35 @@ class OperatorPropertySpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("asofForward matches a brute-force reference on random data") {
+    val rng = new scala.util.Random(13L)
+    val keys = Seq("a", "b", "c", "d")
+    val left = (1 to 200).map(i =>
+      (i.toLong, keys(rng.nextInt(4)), rng.nextInt(1000).toLong))
+    val right = (1 to 150).map(i =>
+      (keys(rng.nextInt(4)), rng.nextInt(1000).toLong, s"p$i"))
+    val tol = 100L
+
+    val got = AsofJoin.asofForward(
+      left.toDF("id", "k", "ts"), right.toDF("k", "rts", "p"),
+      Seq("k"), "ts", "rts", Seq("p"), toleranceNs = Some(tol))
+      .select(col("id"), col("asof_p"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+
+    // brute force: per left row, the right row with min rts >= ts and
+    // rts - ts <= tol; ties on rts -> max payload (operator contract)
+    val expected = left.map { case (id, k, ts) =>
+      val cands = right.filter(r => r._1 == k && r._2 >= ts &&
+        r._2 - ts <= tol)
+      id -> (if (cands.isEmpty) None
+             else {
+               val minTs = cands.map(_._2).min
+               Some(cands.filter(_._2 == minTs).map(_._3).max)
+             })
+    }.toMap
+    assert(got == expected)
+  }
+
   test("TopKPerGroup matches a brute-force reference on random data") {
     val rng = new scala.util.Random(11L)
     val rows = (1 to 500).map(i =>
