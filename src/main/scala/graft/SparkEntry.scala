@@ -1971,13 +1971,69 @@ object SparkEntry {
       |FROM orders CROSS JOIN b
       |GROUP BY 1 ORDER BY bin""".stripMargin))
 
+  private val q86 = Q("q86_approx_quantile",
+    (s, dir) => {
+      // Sketch-based quantiles for the 100 TB path: approx_percentile is
+      // a mergeable one-pass bounded-memory sketch, where the exact form
+      // materializes every group's values. Accuracy is CHECKED, not
+      // assumed: the hash-compared approx_ok column asserts the approx
+      // lands within 5% of the exact median in the same row (q43 HLL
+      // pattern).
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("exact_p50"),
+          expr("approx_percentile(value, 0.5, 1000)").as("approx"))
+        .select(col("event_type"), col("exact_p50"),
+          (abs(col("approx") - col("exact_p50")) <=
+            col("exact_p50") * lit(0.05)).as("approx_ok"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type,
+      |quantile_cont(value, 0.5) AS exact_p50, TRUE AS approx_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  private val q87 = Q("q87_referential",
+    (s, dir) => {
+      // Referential-integrity gates (Quality.ForeignKey): LEFT ANTI join
+      // per rule against de-duplicated dim keys (dim side broadcasts).
+      // The full dim passes; the acctbal>0 SUBSET dim exposes orphans —
+      // the realistic "rows referencing filtered-away entities" drift
+      // check a pipeline runs after any dim-side cleanup.
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      graft.operators.Quality.checkAsFrame(orders, Seq(
+        graft.operators.Quality.NotNull("o_custkey"),
+        graft.operators.Quality.ForeignKey(
+          Seq("o_custkey"), cust, Seq("c_custkey"), "customer"),
+        graft.operators.Quality.ForeignKey(
+          Seq("o_custkey"), cust.filter(col("c_acctbal") > 0),
+          Seq("c_custkey"), "customer_active")))
+        .orderBy(col("rule"))
+    },
+    Some("""SELECT rule, violations, violations = 0 AS passed FROM (
+      |  SELECT 'not_null(o_custkey)' AS rule,
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS violations FROM orders
+      |  UNION ALL
+      |  SELECT 'foreign_key(o_custkey->customer)',
+      |    CAST((SELECT COUNT(*) FROM orders o
+      |      WHERE o.o_custkey IS NOT NULL AND o.o_custkey NOT IN
+      |        (SELECT c_custkey FROM customer)) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'foreign_key(o_custkey->customer_active)',
+      |    CAST((SELECT COUNT(*) FROM orders o
+      |      WHERE o.o_custkey IS NOT NULL AND o.o_custkey NOT IN
+      |        (SELECT c_custkey FROM customer WHERE c_acctbal > 0))
+      |      AS BIGINT))
+      |ORDER BY rule""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

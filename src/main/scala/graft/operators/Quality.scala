@@ -31,6 +31,19 @@ object Quality {
   final case class Unique(columns: Seq[String]) extends Rule {
     val name = s"unique(${columns.mkString(",")})"
   }
+  /** Referential integrity: every non-null `columns` tuple must exist in
+    * `ref`'s `refColumns`. Unlike the scalar rules this needs a join, not
+    * a conditional count — it runs as a LEFT ANTI join against the
+    * de-duplicated reference keys (broadcast when the dim is small,
+    * shuffle-hash otherwise; Catalyst picks), one extra job per FK rule. */
+  final case class ForeignKey(
+      columns: Seq[String], ref: DataFrame, refColumns: Seq[String],
+      refName: String = "ref")
+      extends Rule {
+    require(columns.length == refColumns.length,
+      "FK column lists must align")
+    val name = s"foreign_key(${columns.mkString(",")}->$refName)"
+  }
 
   final case class RuleResult(rule: String, violations: Long, passed: Boolean)
 
@@ -42,13 +55,27 @@ object Quality {
     case MatchesRegex(c, p) => col(c).isNotNull && !col(c).rlike(p)
     case AcceptedValues(c, vs) =>
       col(c).isNotNull && !col(c).isin(vs: _*)
-    case _: Unique =>
-      throw new IllegalArgumentException("unique handled separately")
+    case _: Unique | _: ForeignKey =>
+      throw new IllegalArgumentException("join-based rule handled separately")
   }
 
-  /** Ordered rules + their single-pass aggregate columns. */
+  /** Orphan rows for one FK rule (non-null keys absent from the ref). */
+  private def fkViolations(df: DataFrame, fk: ForeignKey): DataFrame = {
+    val keyed = df.filter(fk.columns.map(col(_).isNotNull).reduce(_ && _))
+      .select(fk.columns.map(col): _*)
+    val refKeys = fk.ref
+      .select(fk.refColumns.zip(fk.columns).map { case (rc, c) =>
+        col(rc).as(c)
+      }: _*).distinct()
+    keyed.join(refKeys, fk.columns, "left_anti")
+  }
+
+  /** Ordered rules + their single-pass aggregate columns (FK rules are
+    * join-based and excluded — callers handle them separately). */
   private def aggsFor(rules: Seq[Rule]): (Seq[Rule], Seq[Column]) = {
-    val (uniques, scalars) = rules.partition(_.isInstanceOf[Unique])
+    val (uniques, scalars) = rules
+      .filterNot(_.isInstanceOf[ForeignKey])
+      .partition(_.isInstanceOf[Unique])
     val scalarAggs = scalars.map(r =>
       sum(when(violation(r), 1L).otherwise(0L)).as(r.name))
     val uniqueAggs = uniques.map { case u @ Unique(cols) =>
@@ -63,12 +90,18 @@ object Quality {
   /** Run every rule; returns one [[RuleResult]] per rule. */
   def check(df: DataFrame, rules: Seq[Rule]): Seq[RuleResult] = {
     val (ordered, aggs) = aggsFor(rules)
-    if (aggs.isEmpty) return Seq.empty
-    val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
-    ordered.map { r =>
-      val v = row.getAs[Long](r.name)
-      RuleResult(r.name, v, v == 0L)
+    val scalarResults = if (aggs.isEmpty) Seq.empty else {
+      val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+      ordered.map { r =>
+        val v = row.getAs[Long](r.name)
+        RuleResult(r.name, v, v == 0L)
+      }
     }
+    val fkResults = rules.collect { case fk: ForeignKey =>
+      val v = fkViolations(df, fk).count()
+      RuleResult(fk.name, v, v == 0L)
+    }
+    scalarResults ++ fkResults
   }
 
   /** Same single-pass check as a DataFrame (rule, violations, passed) —
@@ -76,16 +109,23 @@ object Quality {
     * into rule rows, no driver-side collect in the plan. */
   def checkAsFrame(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val (ordered, aggs) = aggsFor(rules)
-    require(aggs.nonEmpty, "at least one rule required")
-    val pairs = ordered.map(r =>
-      // backticks: rule names contain '.' ("[0.0,1.0]"), which a bare
-      // col() would parse as struct-field access
-      struct(lit(r.name).as("rule"), col(s"`${r.name}`").as("violations")))
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(pairs: _*)).as("__r"))
-      .select(col("__r.rule").as("rule"),
-        col("__r.violations").as("violations"),
-        (col("__r.violations") === 0L).as("passed"))
+    val fks = rules.collect { case fk: ForeignKey => fk }
+    require(aggs.nonEmpty || fks.nonEmpty, "at least one rule required")
+    val scalarFrame = if (aggs.isEmpty) None else {
+      val pairs = ordered.map(r =>
+        // backticks: rule names contain '.' ("[0.0,1.0]"), which a bare
+        // col() would parse as struct-field access
+        struct(lit(r.name).as("rule"), col(s"`${r.name}`").as("violations")))
+      Some(df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(pairs: _*)).as("__r"))
+        .select(col("__r.rule").as("rule"),
+          col("__r.violations").as("violations")))
+    }
+    val fkFrames = fks.map(fk =>
+      fkViolations(df, fk).agg(count(lit(1)).as("violations"))
+        .select(lit(fk.name).as("rule"), col("violations")))
+    (scalarFrame.toSeq ++ fkFrames).reduce(_ unionByName _)
+      .withColumn("passed", col("violations") === 0L)
   }
 
   /** Gate form: throws with a readable report when any rule fails. */

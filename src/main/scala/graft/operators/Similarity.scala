@@ -122,6 +122,135 @@ object Similarity {
     }
   }
 
+  // ======================= product quantization =======================
+
+  /** Product-quantization codebooks: `m` subspaces × `k` centroids of
+    * `subDim` floats each. Driver-tiny (k·dim floats total), broadcast as
+    * literals wherever used — the FAISS-style design that makes
+    * billion-vector ANN shippable: dim×4 bytes/vector → m small codes. */
+  final case class PqCodebooks(
+      m: Int, k: Int, subDim: Int,
+      centroids: IndexedSeq[IndexedSeq[Seq[Float]]])
+
+  /** Train PQ codebooks with deterministic Lloyd iterations per subspace
+    * (init = subvectors of the lowest-id rows; means through exact
+    * DECIMAL, like [[buildIvf]], so training is layout-independent).
+    * All `m` subspaces train in the SAME distributed pass per iteration:
+    * one posexplode into (subspace, subvector) rows, one combined
+    * assignment expression, one narrow (sub, centroid, dim) aggregation. */
+  def trainPq(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iterations: Int = 2): PqCodebooks = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val subDim = dim / m
+    val subs = corpus.select(col(idCol).as("__id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col(vecCol), s * subDim + 1, subDim)): _*))
+        .as(Seq("__sub", "__subvec")))
+      .cache()
+    val init = subs.orderBy(col("__id"), col("__sub"))
+      .limit(m * k).collect()
+      .map(r => (r.getInt(1), r.getSeq[Float](2)))
+      .groupBy(_._1)
+    var books: IndexedSeq[IndexedSeq[Seq[Float]]] =
+      (0 until m).map { s =>
+        val rows = init.getOrElse(s, Array.empty).map(_._2)
+        // if the corpus has < k rows, pad by repeating the first
+        (0 until k).map(i =>
+          rows(math.min(i, rows.length - 1)).toIndexedSeq).toIndexedSeq
+      }
+    var iter = 0
+    while (iter < iterations) {
+      val assigned = subs.withColumn("__c", assignPq(col("__subvec"),
+        col("__sub"), books))
+      val means = assigned
+        .select(col("__sub"), col("__c"),
+          posexplode(col("__subvec")).as(Seq("__pos", "__val")))
+        .groupBy(col("__sub"), col("__c"), col("__pos"))
+        .agg(sum(col("__val").cast("decimal(28,12)")).cast("double")
+          .as("__sum"), count(lit(1)).as("__n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), (r.getInt(2),
+          r.getDouble(3), r.getLong(4))))
+        .groupBy(_._1)
+      books = (0 until m).map { s =>
+        (0 until k).map { c =>
+          means.get((s, c.toLong)) match {
+            case Some(rows) =>
+              val n = rows.head._2._3
+              rows.map(_._2).sortBy(_._1)
+                .map(t => (t._2 / n).toFloat).toIndexedSeq
+            case None => books(s)(c) // empty cell keeps its centroid
+          }
+        }
+      }
+      iter += 1
+    }
+    subs.unpersist()
+    PqCodebooks(m, k, subDim, books)
+  }
+
+  /** Combined per-subspace nearest-centroid id: the (sub, subvec) row's
+    * code under its own subspace's codebook. */
+  private def assignPq(
+      subvec: Column, sub: Column,
+      books: IndexedSeq[IndexedSeq[Seq[Float]]]): Column =
+    books.zipWithIndex.foldRight(lit(-1L): Column) { case ((book, s), other) =>
+      when(sub === s, nearestCentroid(subvec, book)).otherwise(other)
+    }
+
+  /** Encode vectors as `m` centroid codes — map-only, no shuffle. After
+    * encoding, searches never touch the float vectors again. */
+  def encodePq(
+      df: DataFrame, vecCol: String, books: PqCodebooks): DataFrame = {
+    val subDim = books.subDim
+    df.withColumn("pq_code",
+      array((0 until books.m).map(s =>
+        nearestCentroid(slice(col(vecCol), s * subDim + 1, subDim),
+          books.centroids(s)).cast("int")): _*))
+  }
+
+  /** Asymmetric-distance (ADC) top-k: the per-query m×k lookup table is
+    * computed once on the driver (m·k doubles) and inlined as literals;
+    * the corpus scan is then a pure lookup-sum over the code column —
+    * one map stage + a k-row TakeOrdered, independent of `dim`. */
+  def searchPqAdc(
+      encoded: DataFrame, idCol: String, books: PqCodebooks,
+      query: Seq[Float], k: Int): DataFrame = {
+    val lut: IndexedSeq[IndexedSeq[Double]] = (0 until books.m).map { s =>
+      val qsub = query.slice(s * books.subDim, (s + 1) * books.subDim)
+      books.centroids(s).map { cvec =>
+        cvec.zip(qsub).map { case (a, b) =>
+          val d = a.toDouble - b.toDouble; d * d
+        }.sum
+      }
+    }
+    val score = (0 until books.m).map { s =>
+      element_at(array(lut(s).map(lit): _*),
+        element_at(col("pq_code"), s + 1) + 1)
+    }.reduce(_ + _)
+    encoded.select(col(idCol), score.as("adc_dist_sq"))
+      .orderBy(col("adc_dist_sq").asc, col(idCol))
+      .limit(k)
+  }
+
+  /** Mean squared reconstruction error of a PQ encoding — the training
+    * quality metric (Lloyd iterations must not increase it). */
+  def pqReconstructionError(
+      encoded: DataFrame, vecCol: String, books: PqCodebooks): Double = {
+    val err = (0 until books.m).map { s =>
+      val sub = slice(col(vecCol), s * books.subDim + 1, books.subDim)
+      // distance of the subvector to ITS assigned centroid
+      books.centroids(s).zipWithIndex.foldRight(lit(0.0): Column) {
+        case ((cvec, c), other) =>
+          when(element_at(col("pq_code"), s + 1) === c,
+            VectorFunctions.distSqFast(sub, VectorFunctions.floatVec(cvec)))
+            .otherwise(other)
+      }
+    }.reduce(_ + _)
+    encoded.agg(avg(err)).head().getDouble(0)
+  }
+
   /** IVF probe: search only the `nProbe` inverted lists nearest the query.
     * Scanned fraction ≈ nProbe / nCentroids. */
   def searchIvf(

@@ -35,6 +35,33 @@ class QualitySpec extends SparkTestBase {
     Quality.enforce(df, Seq(NotNull("id"), Unique(Seq("id", "name"))))
   }
 
+  test("foreign-key rule counts orphans; null keys are not violations") {
+    val facts = Seq(
+      (1L, Some(10L)), (2L, Some(20L)), (3L, Some(99L)), // 99 = orphan
+      (4L, None) // null key: not an FK violation (that's NotNull's job)
+    ).toDF("id", "dim_id")
+    val dim = Seq((10L, "x"), (20L, "y"), (20L, "y2")) // dup dim keys ok
+      .toDF("d_id", "payload")
+    val results = Quality.check(facts, Seq(
+      NotNull("dim_id"),
+      ForeignKey(Seq("dim_id"), dim, Seq("d_id"), "dim")))
+    val byName = results.map(r => r.rule -> r.violations).toMap
+    assert(byName("foreign_key(dim_id->dim)") == 1)
+    assert(byName("not_null(dim_id)") == 1)
+    // frame form unions scalar + FK rows with consistent schema
+    val frame = Quality.checkAsFrame(facts, Seq(
+      NotNull("id"),
+      ForeignKey(Seq("dim_id"), dim, Seq("d_id"), "dim")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(frame("not_null(id)") == ((0L, true)))
+    assert(frame("foreign_key(dim_id->dim)") == ((1L, false)))
+    // FK-only suite (no scalar aggregate pass at all)
+    val only = Quality.checkAsFrame(facts,
+      Seq(ForeignKey(Seq("dim_id"), dim, Seq("d_id"), "dim")))
+    assert(only.count() == 1)
+  }
+
   test("testdata tables pass their natural constraints") {
     val orders = spark.read.parquet(s"$sf001/orders.parquet")
     Quality.enforce(orders, Seq(

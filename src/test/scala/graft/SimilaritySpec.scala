@@ -53,4 +53,61 @@ class SimilaritySpec extends SparkTestBase {
       q, k = 5, nProbe = 2).collect().map(_.getLong(0)).toSeq
     assert(ivf2.contains(7L))
   }
+
+  test("PQ: codes in range, deterministic, Lloyd does not increase error") {
+    val books0 = Similarity.trainPq(emb, "vec_id", "embedding",
+      dim = 64, m = 8, k = 4, iterations = 0)
+    val books2 = Similarity.trainPq(emb, "vec_id", "embedding",
+      dim = 64, m = 8, k = 4, iterations = 2)
+    assert(books2.centroids.length == 8 &&
+      books2.centroids.forall(_.length == 4) &&
+      books2.centroids.forall(_.forall(_.length == 8)))
+    val enc = Similarity.encodePq(emb, "embedding", books2).cache()
+    val codes = enc.select(explode(col("pq_code")).as("c"))
+      .agg(min(col("c")), max(col("c"))).head()
+    assert(codes.getInt(0) >= 0 && codes.getInt(1) < 4)
+    // deterministic: encoding twice from a different layout is identical
+    val enc2 = Similarity.encodePq(
+      emb.repartition(5), "embedding", books2)
+    assert(enc.select(col("vec_id"), col("pq_code").cast("string"))
+      .except(enc2.select(col("vec_id"), col("pq_code").cast("string")))
+      .count() == 0)
+    // Lloyd refinement must not increase mean reconstruction error
+    val e0 = Similarity.pqReconstructionError(
+      Similarity.encodePq(emb, "embedding", books0), "embedding", books0)
+    val e2 = Similarity.pqReconstructionError(enc, "embedding", books2)
+    assert(e2 <= e0 + 1e-9, s"iter2 err $e2 > iter0 err $e0")
+    enc.unpersist()
+  }
+
+  test("PQ ADC: exact on a centroid-representable corpus; real recall") {
+    // corpus whose subvectors ARE codebook centroids -> zero quantization
+    // error -> ADC distance equals true distance exactly
+    val books = Similarity.trainPq(emb, "vec_id", "embedding",
+      dim = 64, m = 16, k = 16, iterations = 2)
+    val synth = (0 until 16).map { i =>
+      (i.toLong, (0 until 16).flatMap(s => books.centroids(s)(i)).toArray)
+    }.toDF("vec_id", "embedding")
+    val encSynth = Similarity.encodePq(synth, "embedding", books)
+    assert(Similarity.pqReconstructionError(
+      encSynth, "embedding", books) < 1e-9)
+    val q0 = synth.filter(col("vec_id") === 2).head()
+      .getSeq[Float](1)
+    val hit = Similarity.searchPqAdc(encSynth, "vec_id", books, q0, 1)
+      .head()
+    assert(hit.getLong(0) == 2L && hit.getDouble(1) < 1e-9)
+    // on the real corpus: ADC top-10 recalls a useful fraction of the
+    // true L2 top-10 (deterministic: no RNG anywhere in train/encode)
+    val enc = Similarity.encodePq(emb, "embedding", books)
+    val q = emb.filter(col("vec_id") === 7).head().getSeq[Float](1)
+    val adcTop = Similarity.searchPqAdc(enc, "vec_id", books, q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val trueTop = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.distSqFast(col("embedding"),
+        graft.functions.VectorFunctions.floatVec(q)).as("d"))
+      .orderBy(col("d").asc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (adcTop & trueTop).size / 10.0
+    assert(recall >= 0.3, s"ADC recall@10 = $recall")
+  }
 }
