@@ -97,6 +97,56 @@ object Multimodal {
     }
   }
 
+  /** Uncompressed 24-bit BMP decode — pure JVM. BITMAPFILEHEADER ("BM",
+    * pixel-data offset at 10) + BITMAPINFOHEADER (dims at 18/22, 24 bpp,
+    * BI_RGB only); rows are BGR, 4-byte padded, bottom-up (negative
+    * height = top-down — row order doesn't change any of our aggregate
+    * features but both layouts parse). Same 8-dim feature contract as
+    * [[decodePpm]]. */
+  def decodeBmp(
+      id: Long, bytes: Array[Byte]): Option[DecodedMedia] = {
+    if (bytes == null || bytes.length < 54 ||
+      bytes(0) != 'B' || bytes(1) != 'M') return None
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    val dataOff = u32(10)
+    val w = u32(18).toInt
+    val hRaw = u32(22).toInt // signed: negative = top-down
+    val h = math.abs(hRaw)
+    if (u16(26) != 1 || u16(28) != 24 || u32(30) != 0L) return None
+    if (w <= 0 || h <= 0) return None
+    val rowSize = ((w.toLong * 3 + 3) / 4) * 4 // 4-byte padded
+    if (dataOff < 54 || dataOff + rowSize * h > bytes.length) return None
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var sy = 0.0; var sy2 = 0.0
+    var minY = Double.MaxValue; var maxY = Double.MinValue
+    var row = 0
+    while (row < h) {
+      val base = dataOff + row * rowSize
+      var x = 0
+      while (x < w) {
+        val o = (base + x * 3).toInt // BGR order
+        val b = (bytes(o) & 0xff).toDouble / 255
+        val g = (bytes(o + 1) & 0xff).toDouble / 255
+        val r = (bytes(o + 2) & 0xff).toDouble / 255
+        val y = 0.299 * r + 0.587 * g + 0.114 * b
+        sr += r; sg += g; sb += b; sy += y; sy2 += y * y
+        if (y < minY) minY = y
+        if (y > maxY) maxY = y
+        x += 1
+      }
+      row += 1
+    }
+    val n = w.toLong * h
+    val meanY = sy / n
+    val contrast = math.sqrt(math.max(sy2 / n - meanY * meanY, 0.0))
+    Some(DecodedMedia(id, "image", w, h, 1, 0L,
+      Array((sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+        meanY.toFloat, minY.toFloat, maxY.toFloat, contrast.toFloat,
+        (w.toDouble / h).toFloat)))
+  }
+
   /** RIFF/WAVE PCM-16 decode — pure JVM. Walks the chunk list to `fmt `
     * and `data`; duration from sample count / rate; feature (8-dim):
     * normalized RMS of 8 equal time segments (a crude loudness envelope).
@@ -189,6 +239,7 @@ object Multimodal {
         rows.map { r =>
           val real = r.mime match {
             case "image/x-portable-pixmap" => decodePpm(r.media_id, r.payload)
+            case "image/bmp" => decodeBmp(r.media_id, r.payload)
             case "audio/wav" => decodeWav(r.media_id, r.payload)
             case _ => None
           }
@@ -235,6 +286,32 @@ object Multimodal {
       out.write(r & 0xff); out.write(g & 0xff); out.write(b & 0xff)
     }
     out.toByteArray
+  }
+
+  /** Deterministic 24-bit bottom-up BMP bytes — a REAL image payload.
+    * `pixels(y)(x)` = (r, g, b) with row 0 at the TOP (the builder
+    * writes rows bottom-up as the format requires). */
+  def bmpBytes(pixels: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+    val h = pixels.length
+    val w = pixels.head.length
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val dataLen = rowSize * h
+    val bb = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putInt(0).putInt(54) // reserved, pixel-data offset
+      .putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER, positive = bottom-up
+      .putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+      .putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- (h - 1) to 0 by -1) { // bottom-up row order
+      for (x <- 0 until w) {
+        val (r, g, b) = pixels(y)(x)
+        bb.put(b.toByte).put(g.toByte).put(r.toByte) // BGR
+      }
+      var pad = rowSize - w * 3
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+    }
+    bb.array()
   }
 
   /** Deterministic RIFF/WAVE PCM-16 mono bytes — a REAL audio payload. */

@@ -102,6 +102,19 @@ object CorpusPipeline {
       cfg.packCapacity, tieCols = Seq("chunk_id"))
   }
 
+  /** Epoch ordering: deterministic global shuffle of the packed batches
+    * by md5(seed ++ pack shard/id) — different seed per epoch, same seed
+    * reproduces the exact order on any cluster layout (distributed range
+    * sort, no single-partition stage; see
+    * [[graft.operators.Sampling.deterministicShuffle]]). */
+  def epochOrder(batches: DataFrame, epoch: Int,
+      cfg: Config = Config()): DataFrame =
+    Sampling.deterministicShuffle(
+      batches.withColumn("__pack_key", // (doc, chunk) is globally unique —
+        concat_ws(":", col(cfg.idCol), col("chunk_id"))), // a total order,
+      "__pack_key", s"epoch$epoch:") //   no nondeterministic key ties
+      .drop("__pack_key")
+
   /** Corpus report: per-language doc/token/quality stats of a curated
     * frame — the monitoring output a curation run publishes. */
   def report(curated: DataFrame): DataFrame =

@@ -59,6 +59,17 @@ object EventStreams {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: attach dimension attributes to every
+    * event as it arrives. The static side needs NO watermark and NO state
+    * — Spark re-resolves it per micro-batch (so a refreshed dim parquet
+    * is picked up on the next trigger), and the broadcast hint keeps the
+    * per-batch join a map-side hash join: the streaming side never
+    * shuffles. The streaming half of the q03/q22 star-join shape. */
+  def enrichWithDim(
+      events: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** Stream-stream interval join: each click matched to purchases by the
     * same user within `maxDelay` AFTER the click. Both sides carry
     * watermarks so the join state is bounded (Spark retains only rows

@@ -57,6 +57,26 @@ class CorpusPipelineSpec extends SparkTestBase {
     curated.unpersist()
   }
 
+  test("epochOrder: reproducible per seed, different across epochs") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter(col("doc_id") < 100)
+    val cfg = CorpusPipeline.Config(chunkSize = 32, chunkStride = 24,
+      packCapacity = 128L)
+    val batches = CorpusPipeline.toTrainingBatches(
+      CorpusPipeline.curate(docs, cfg), cfg).cache()
+    def order(df: org.apache.spark.sql.DataFrame, epoch: Int) =
+      CorpusPipeline.epochOrder(df, epoch)
+        .select(col("doc_id"), col("chunk_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val e1 = order(batches, 1)
+    val e1again = order(batches.repartition(9), 1)
+    val e2 = order(batches, 2)
+    assert(e1 == e1again) // same epoch: identical order on any layout
+    assert(e1 != e2) // different epoch: different order
+    assert(e1.sorted == e2.sorted) // same multiset of chunks
+    batches.unpersist()
+  }
+
   test("curate on testdata: LSH removes exactly the true near-dups") {
     // the generator PLANTS near-duplicate docs (distinct strings, 3-gram
     // Jaccard >= 0.8); ground truth via brute-force all-pairs Jaccard

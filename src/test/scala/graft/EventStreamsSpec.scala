@@ -62,6 +62,27 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins dim attributes without state") {
+    val h = 3600L * 1000000000L
+    val dir = mkEventsDir(Seq(
+      (1L, h, 10L, "click", 1.0, "{}"),
+      (2L, h + 1, 11L, "view", 2.0, "{}"),
+      (3L, h + 2, 99L, "click", 3.0, "{}"))) // no dim row -> null attrs
+    val dim = Seq((10L, "gold"), (11L, "basic"))
+      .toDF("user_id", "tier")
+    val q = EventStreams.enrichWithDim(
+      EventStreams.readEventStream(spark, dir), dim, Seq("user_id"))
+      .select(col("event_id"), col("tier"))
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, tier FROM enrich")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got == Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("append mode emits only watermark-finalized windows across batches") {
     val s = 1000000000L
     val dir = Files.createTempDirectory("graft_wm").toString

@@ -67,6 +67,28 @@ class MultimodalSpec extends SparkTestBase {
     val floatFmt = Multimodal.wavBytes(8000, Array.fill[Short](100)(5))
     floatFmt(20) = 3
     assert(Multimodal.decodeWav(7L, floatFmt).isEmpty)
+  }
+
+  test("BMP decode recovers exact dims and channel means (padded rows)") {
+    // 3x2: top row pure red, bottom row pure blue — 3-px rows force
+    // 9 -> 12 byte row padding, exercising the stride math
+    val px = Array(
+      Array((255, 0, 0), (255, 0, 0), (255, 0, 0)),
+      Array((0, 0, 255), (0, 0, 255), (0, 0, 255)))
+    val d = Multimodal.decodeBmp(8L, Multimodal.bmpBytes(px)).get
+    assert(d.width == 3 && d.height == 2 && d.kind == "image")
+    assert(math.abs(d.feature(0) - 0.5f) < 1e-6) // mean R
+    assert(math.abs(d.feature(1)) < 1e-6) // mean G
+    assert(math.abs(d.feature(2) - 0.5f) < 1e-6) // mean B
+    assert(math.abs(d.feature(7) - 1.5f) < 1e-6) // aspect 3/2
+    // corrupt: declared dims exceeding the payload must refuse
+    val corrupt = Multimodal.bmpBytes(px)
+    corrupt(18) = 100 // width 100 with 2-row payload
+    assert(Multimodal.decodeBmp(9L, corrupt).isEmpty)
+    // 8-bpp (palette) BMPs are not parseable as 24-bit — refuse
+    val pal = Multimodal.bmpBytes(px)
+    pal(28) = 8
+    assert(Multimodal.decodeBmp(10L, pal).isEmpty)
     // adversarial PPM dims that overflow Int in w*h*3 are rejected
     val bomb = "P6\n50000 50000\n255\n".getBytes("US-ASCII") ++
       Array.fill[Byte](300)(7)
