@@ -25,8 +25,8 @@ object PlanAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println("| query | shuffles | broadcasts | scans | pushed filters | codegen stages |")
-    println("|---|---|---|---|---|---|")
+    println("| query | shuffles | broadcasts | scans | pushed filters | codegen stages | shuffled records | shuffled KiB |")
+    println("|---|---|---|---|---|---|---|---|")
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -43,9 +43,13 @@ object PlanAudit {
         val pushed = count(finalPart, "PushedFilters: \\[\\w") // non-empty
         val codegen = "\\*\\((\\d+)\\)".r
           .findAllMatchIn(finalPart).map(_.group(1)).toSet.size
-        println(s"| $name | $shuffles | $bcasts | $scans | $pushed | $codegen |")
+        // measured shuffle volume (re-executes the frame; metrics come
+        // from the AQE-final stages, not the plan string)
+        val m = PlanMetrics.shuffleSummary(fn(spark, sfDir))
+        println(s"| $name | $shuffles | $bcasts | $scans | $pushed " +
+          s"| $codegen | ${m.shuffleRecords} | ${m.shuffleBytes / 1024} |")
       } catch {
-        case e: Throwable => println(s"| $name | audit failed: ${e.getClass.getSimpleName} | | | | |")
+        case e: Throwable => println(s"| $name | audit failed: ${e.getClass.getSimpleName} | | | | | | |")
       }
     }
     spark.stop()

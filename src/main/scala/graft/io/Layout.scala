@@ -48,6 +48,34 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Per-file min/max stats manifest over a parquet directory — the
+    * data-skipping index a table format (Delta/Iceberg) keeps in its
+    * transaction log, built here as a plain DataFrame: one row per file
+    * with min/max of the clustering column. One distributed scan builds
+    * it; it is tiny (1 row/file) and cheap to persist next to the data. */
+  def statsManifest(
+      spark: SparkSession, path: String, column: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(column)).as("min_v"), max(col(column)).as("max_v"))
+
+  /** Range-predicate read that SKIPS whole files via the manifest: only
+    * files whose [min, max] overlaps [lo, hi] are passed to the reader —
+    * the others are never opened (row-group stats then prune further
+    * INSIDE the selected files). On a range-clustered layout
+    * ([[writeSortedFiles]]) a narrow predicate touches O(1) files out of
+    * thousands. The manifest is collected to the driver — 1 row/file,
+    * the same order of magnitude as the file listing itself. */
+  def readRangeWithSkipping(
+      spark: SparkSession, manifest: DataFrame,
+      lo: Any, hi: Any): DataFrame = {
+    val files = manifest
+      .filter(col("max_v") >= lit(lo) && col("min_v") <= lit(hi))
+      .select(col("file")).collect().map(_.getString(0))
+    require(files.nonEmpty, "no file overlaps the requested range")
+    spark.read.parquet(files: _*)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(bytes / targetFileBytes) files. Streaming sinks and per-batch
     * appends accumulate tiny files; at scale the scan's task-per-file

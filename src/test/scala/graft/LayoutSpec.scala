@@ -76,4 +76,36 @@ class LayoutSpec extends SparkTestBase {
       .count(_.getName.endsWith(".parquet"))
     assert(parts == 4)
   }
+
+  test("stats manifest skips whole files for range predicates") {
+    val tmp = Files.createTempDirectory("graft_layout3").toString
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    Layout.writeSortedFiles(li, s"$tmp/sorted", Seq("l_orderkey"), 8)
+    val manifest = Layout.statsManifest(spark, s"$tmp/sorted", "l_orderkey")
+      .cache()
+    assert(manifest.count() == 8) // one row per file
+    // disjoint [min, max] ranges on a range-clustered layout
+    val ranges = manifest.select("min_v", "max_v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi1), (lo2, _)) => hi1 <= lo2
+      case _ => true
+    })
+    // a narrow range reads a strict subset of files, same answer
+    val (lo, hi) = (ranges(3)._1, ranges(3)._2)
+    val skipped = Layout.readRangeWithSkipping(spark, manifest, lo, hi)
+      .filter(col("l_orderkey").between(lo, hi))
+    val full = li.filter(col("l_orderkey").between(lo, hi))
+    assert(skipped.count() == full.count())
+    val filesRead = skipped.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    // the pruned scan's file list excludes at least the extreme files
+    val extremes = manifest.orderBy(col("min_v")).select("file")
+      .collect().map(_.getString(0))
+    assert(!filesRead.contains(
+      extremes.head.split('/').last.takeWhile(_ != '.')) ||
+      !filesRead.contains(
+        extremes.last.split('/').last.takeWhile(_ != '.')))
+    manifest.unpersist()
+  }
 }
