@@ -2027,13 +2027,88 @@ object SparkEntry {
       |      AS BIGINT))
       |ORDER BY rule""".stripMargin))
 
+  private val q88 = Q("q88_funnel",
+    (s, dir) => {
+      // Sequential funnel (view -> later click -> later purchase): each
+      // stage's timestamp is the MIN event AFTER the previous stage,
+      // computed with one window + two keyed aggregations + one keyed
+      // join — every operation on the same user_id key, so at scale this
+      // is ONE partitioning reused, never an all-pairs or per-user loop.
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+      val w1 = e.withColumn("v",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      val a1 = w1.groupBy(col("user_id"))
+        .agg(min(col("v")).as("v"),
+          min(when(col("event_type") === "click" && col("ts") > col("v"),
+            col("ts"))).as("c"))
+      val a2 = e.join(a1, Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(min(col("v")).as("v"), min(col("c")).as("c"),
+          min(when(col("event_type") === "purchase" && col("ts") > col("c"),
+            col("ts"))).as("p"))
+      a2.agg(count(lit(1)).as("n_users"),
+        count(col("v")).as("reached_view"),
+        count(col("c")).as("reached_click"),
+        count(col("p")).as("reached_purchase"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type
+      |    FROM events),
+      |w1 AS (SELECT user_id, ts, event_type,
+      |  MIN(CASE WHEN event_type = 'view' THEN ts END)
+      |    OVER (PARTITION BY user_id) AS v FROM e),
+      |a1 AS (SELECT user_id, MIN(v) AS v,
+      |  MIN(CASE WHEN event_type = 'click' AND ts > v THEN ts END) AS c
+      |  FROM w1 GROUP BY user_id),
+      |a2 AS (SELECT e.user_id, MIN(a1.v) AS v, MIN(a1.c) AS c,
+      |  MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > a1.c
+      |    THEN e.ts END) AS p
+      |  FROM e JOIN a1 ON e.user_id = a1.user_id GROUP BY e.user_id)
+      |SELECT COUNT(*) AS n_users, COUNT(v) AS reached_view,
+      |  COUNT(c) AS reached_click, COUNT(p) AS reached_purchase
+      |FROM a2""".stripMargin))
+
+  private val q89 = Q("q89_retention",
+    (s, dir) => {
+      // Weekly retention cohorts: cohort week = first signup week; a
+      // (cohort, offset) cell counts distinct users active k weeks later.
+      // Two keyed aggs + one join on user_id; cells bounded by
+      // weeks x offsets, not by events.
+      val weekNs = 604800000000000L
+      val e = t(s, dir, "events")
+      val cohorts = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(expr(s"ts DIV $weekNs")).as("cohort_week"))
+      val active = e.select(col("user_id"),
+        expr(s"ts DIV $weekNs").as("active_week")).distinct()
+      cohorts.join(active, Seq("user_id"))
+        .withColumn("k", col("active_week") - col("cohort_week"))
+        .filter(col("k").between(0, 3))
+        .groupBy(col("cohort_week"), col("k"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("k"))
+    },
+    Some("""WITH cohorts AS (
+      |  SELECT user_id, MIN(epoch_ns(ts) // 604800000000000)
+      |    AS cohort_week
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |active AS (SELECT DISTINCT user_id,
+      |    epoch_ns(ts) // 604800000000000 AS active_week FROM events)
+      |SELECT cohort_week, active_week - cohort_week AS k,
+      |  COUNT(DISTINCT c.user_id) AS n_users
+      |FROM cohorts c JOIN active a ON c.user_id = a.user_id
+      |WHERE active_week - cohort_week BETWEEN 0 AND 3
+      |GROUP BY cohort_week, k ORDER BY cohort_week, k""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
-    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87)
+    q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
+    q88, q89)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

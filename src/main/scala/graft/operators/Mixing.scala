@@ -39,6 +39,25 @@ object Mixing {
     }
   }
 
+  /** Temperature-scaled mixture weights from raw source sizes:
+    * w_s ∝ n_s^alpha (then normalized). alpha = 1 reproduces the natural
+    * distribution; alpha = 0 is uniform; the 0.2–0.5 range is the
+    * published multilingual-pretraining practice for upweighting
+    * low-resource sources relative to their natural share. Compose with
+    * [[mixSources]]: `mixSources(df, key, src, temperatureWeights(counts,
+    * 0.3))`. */
+  def temperatureWeights(
+      counts: Map[String, Long], alpha: Double): Map[String, Double] = {
+    require(counts.nonEmpty && counts.values.forall(_ > 0),
+      "counts must be positive")
+    require(alpha >= 0, "alpha must be >= 0")
+    val raised = counts.map { case (s, n) =>
+      s -> math.pow(n.toDouble, alpha)
+    }
+    val z = raised.values.sum
+    raised.map { case (s, p) => s -> p / z }
+  }
+
   /** The mixed corpus: rows from sources named in `weights`, hash-
     * downsampled to the target proportions. */
   def mixSources(

@@ -21,6 +21,27 @@ class MixingSpec extends SparkTestBase {
     assert(math.abs(f("books") - 1.0 / 6) < 1e-12)
   }
 
+  test("temperatureWeights: alpha=1 natural, alpha=0 uniform, low alpha upweights rare") {
+    val counts = Map("web" -> 900L, "code" -> 90L, "books" -> 10L)
+    val natural = Mixing.temperatureWeights(counts, 1.0)
+    assert(math.abs(natural("web") - 0.9) < 1e-12)
+    assert(math.abs(natural("books") - 0.01) < 1e-12)
+    val uniform = Mixing.temperatureWeights(counts, 0.0)
+    assert(uniform.values.forall(w => math.abs(w - 1.0 / 3) < 1e-12))
+    val t03 = Mixing.temperatureWeights(counts, 0.3)
+    // rare source gains share vs natural, dominant loses; sums to 1
+    assert(t03("books") > natural("books") && t03("web") < natural("web"))
+    assert(math.abs(t03.values.sum - 1.0) < 1e-12)
+    // composes with the mixer: weights are a valid mixSources target
+    val rows = (1 to 100).map(i =>
+      (i.toLong, if (i <= 80) "web" else if (i <= 95) "code" else "books"))
+      .toDF("id", "source")
+    val mixed = Mixing.mixSources(rows, "id", "source",
+      Mixing.temperatureWeights(Map("web" -> 80L, "code" -> 15L,
+        "books" -> 5L), 0.5))
+    assert(mixed.count() > 0)
+  }
+
   test("mixSources hits target proportions and drops unlisted sources") {
     val out = Mixing.mixSources(corpus, "id", "source",
       Map("web" -> 0.6, "code" -> 0.3, "books" -> 0.1))
