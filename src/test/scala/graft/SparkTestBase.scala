@@ -12,6 +12,7 @@ trait SparkTestBase extends AnyFunSuite {
 object SparkTestBase {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master("local[8]")
       .appName("graft-tests")
       .config("spark.sql.warehouse.dir",
