@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -69,6 +69,49 @@ object EventStreams {
       events: DataFrame, dim: DataFrame,
       keys: Seq[String]): DataFrame =
     events.join(broadcast(dim), keys, "left")
+
+  /** Streaming merge (upsert) sink: each micro-batch is keyed-merged into
+    * a parquet snapshot via foreachBatch — updated keys replace, new keys
+    * append, so a REPLAYED batch (restart, at-least-once upstream)
+    * converges to the same table instead of duplicating rows: idempotent
+    * merge + checkpointed source offsets = effectively-once. The local
+    * write-then-swap stands in for a table format's transactional commit
+    * (Delta/Iceberg MERGE on a cluster); the merge itself
+    * ([[graft.operators.Upsert.mergeByKey]]) is one anti-join + union,
+    * shuffle-on-key at any scale. Latest-wins INSIDE a batch is resolved
+    * deterministically by `seqCol` (highest wins per key). */
+  def mergeSink(
+      stream: DataFrame,
+      path: String,
+      keys: Seq[String],
+      seqCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(col(seqCol).desc)
+        val latest = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val dir = new java.io.File(path)
+        val merged =
+          if (dir.exists()) graft.operators.Upsert.mergeByKey(
+            spark.read.parquet(path), latest, keys)
+          else latest
+        val tmp = path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val bak = new java.io.File(path + ".bak")
+        if (dir.exists()) { dir.renameTo(bak); () }
+        new java.io.File(tmp).renameTo(dir)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(bak)
+      }
+      .start()
 
   /** Stream-stream interval join: each click matched to purchases by the
     * same user within `maxDelay` AFTER the click. Both sides carry
