@@ -2101,6 +2101,33 @@ object SparkEntry {
       |WHERE active_week - cohort_week BETWEEN 0 AND 3
       |GROUP BY cohort_week, k ORDER BY cohort_week, k""".stripMargin))
 
+  private val q90 = Q("q90_percent_of_total",
+    (s, dir) => {
+      // Percent-of-total / ratio-to-report: the share window runs over
+      // the ALREADY-AGGREGATED frame (one row per group), so the
+      // unpartitioned window is group-count-sized — never a
+      // single-partition pass over the fact table.
+      // Exactness: numerator and denominator stay DECIMAL through the
+      // group agg AND the share window (decimal sums are order-free), and
+      // become doubles only at the final division — windowed double sums
+      // would round differently per accumulation order.
+      val agg = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rdec"))
+      val wAll = Window.partitionBy()
+      agg.select(col("o_orderpriority"),
+        col("rdec").cast("double").as("revenue"),
+        (col("rdec").cast("double") /
+          sum(col("rdec")).over(wAll).cast("double")).as("share"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH agg AS (SELECT o_orderpriority,
+      |  SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rdec
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, CAST(rdec AS DOUBLE) AS revenue,
+      |  CAST(rdec AS DOUBLE) / CAST(SUM(rdec) OVER () AS DOUBLE) AS share
+      |FROM agg ORDER BY o_orderpriority""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -2108,7 +2135,7 @@ object SparkEntry {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89)
+    q88, q89, q90)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -56,10 +56,13 @@ object Sampling {
     * on physical layout, so epochs are reproducible across clusters.
     * Different seeds give independent epoch orders. */
   def deterministicShuffle(
-      df: DataFrame, keyCol: String, seed: String): DataFrame =
+      df: DataFrame, keyCol: String, seed: String): DataFrame = {
+    require(!df.columns.contains("shuffle_key"),
+      "deterministicShuffle adds a shuffle_key column; input already has one")
     df.withColumn("shuffle_key",
       md5(concat(lit(seed), col(keyCol).cast("string"))))
       .orderBy(col("shuffle_key"))
+  }
 
   /** Deterministic per-stratum downsampling: keep ≈`fraction(stratum)` of
     * rows inside each stratum, hash-assigned on the key. */
