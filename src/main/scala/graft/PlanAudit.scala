@@ -30,7 +30,10 @@ object PlanAudit {
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        df.collect() // finalize the AQE plan so the audit sees reality
+        // ONE execution serves both outputs: shuffleSummary runs the plan
+        // (finalizing AQE) and harvests the measured shuffle volume; the
+        // plan-string parse below then reads the same finalized plan
+        val m = PlanMetrics.shuffleSummary(df)
         // AQE's root is a leaf node (children hidden) → parse the final
         // plan string rather than traversing
         val planStr = df.queryExecution.executedPlan.toString
@@ -43,9 +46,6 @@ object PlanAudit {
         val pushed = count(finalPart, "PushedFilters: \\[\\w") // non-empty
         val codegen = "\\*\\((\\d+)\\)".r
           .findAllMatchIn(finalPart).map(_.group(1)).toSet.size
-        // measured shuffle volume (re-executes the frame; metrics come
-        // from the AQE-final stages, not the plan string)
-        val m = PlanMetrics.shuffleSummary(fn(spark, sfDir))
         println(s"| $name | $shuffles | $bcasts | $scans | $pushed " +
           s"| $codegen | ${m.shuffleRecords} | ${m.shuffleBytes / 1024} |")
       } catch {

@@ -67,7 +67,8 @@ object ScaleProbe {
     // growth to measure); their window/join shapes are covered by
     // q07/q19/q82 anyway.
     "q74_grouping_sets", "q81_winsorize",
-    "q82_asof_forward", "q83_vocab_coverage")
+    "q82_asof_forward", "q83_vocab_coverage",
+    "q88_funnel", "q89_retention")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

@@ -72,8 +72,14 @@ object Layout {
     val files = manifest
       .filter(col("max_v") >= lit(lo) && col("min_v") <= lit(hi))
       .select(col("file")).collect().map(_.getString(0))
-    require(files.nonEmpty, "no file overlaps the requested range")
-    spark.read.parquet(files: _*)
+    // null min/max rows (files whose clustering column is entirely null)
+    // are correctly excluded: null never satisfies a range predicate
+    if (files.isEmpty) {
+      // empty result, correct schema: scan one known file, keep no rows
+      val any = manifest.select(col("file")).limit(1).collect()
+      require(any.nonEmpty, "manifest is empty — no files to derive schema")
+      spark.read.parquet(any.head.getString(0)).filter(lit(false))
+    } else spark.read.parquet(files: _*)
   }
 
   /** Small-file compaction: rewrite a parquet directory into

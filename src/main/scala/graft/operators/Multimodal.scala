@@ -176,6 +176,11 @@ object Multimodal {
           channels = u16(pos + 10) // ADPCM, mu-law…) is not sample-per-
           rate = u32(pos + 12).toInt // sample 16-bit data even if it
           bits = u16(pos + 22) //       declares bits == 16
+          // WAVE_FORMAT_EXTENSIBLE (0xFFFE) wraps the real format in a
+          // SubFormat GUID whose first two bytes are the tag — accept it
+          // as PCM only when that inner tag is 1
+          if (fmtTag == 0xFFFE && clen >= 40 && pos + 8 + 34 <= bytes.length
+            && u16(pos + 8 + 24) == 1) fmtTag = 1
         } else if (cid == "data") {
           dataOff = pos + 8
           dataLen = math.min(clen, bytes.length - dataOff)

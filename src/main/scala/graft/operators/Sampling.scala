@@ -54,7 +54,13 @@ object Sampling {
     * range-partitioned sort — no global window, no single-partition
     * stage — and the position of a row depends only on (seed, key), never
     * on physical layout, so epochs are reproducible across clusters.
-    * Different seeds give independent epoch orders. */
+    * Different seeds give independent epoch orders.
+    *
+    * CONTRACT: `keyCol` values must be UNIQUE. Rows sharing a key get
+    * identical sort keys, and their relative order then depends on
+    * physical layout — exactly the nondeterminism this operator exists
+    * to remove. Build a composite key first when no natural unique key
+    * exists (see [[graft.pipeline.CorpusPipeline.epochOrder]]). */
   def deterministicShuffle(
       df: DataFrame, keyCol: String, seed: String): DataFrame = {
     require(!df.columns.contains("shuffle_key"),

@@ -152,6 +152,7 @@ object Similarity {
       .limit(m * k).collect()
       .map(r => (r.getInt(1), r.getSeq[Float](2)))
       .groupBy(_._1)
+    require(init.nonEmpty, "trainPq requires a non-empty corpus")
     var books: IndexedSeq[IndexedSeq[Seq[Float]]] =
       (0 until m).map { s =>
         val rows = init.getOrElse(s, Array.empty).map(_._2)

@@ -113,7 +113,9 @@ object CorpusPipeline {
       batches.withColumn("__pack_key", // (doc, chunk) is globally unique —
         concat_ws(":", col(cfg.idCol), col("chunk_id"))), // a total order,
       "__pack_key", s"epoch$epoch:") //   no nondeterministic key ties
-      .drop("__pack_key")
+      .drop("__pack_key", "shuffle_key") // order is the row order of the
+      // returned frame; dropping the helper keys keeps the batch schema
+      // clean and makes epochOrder(epochOrder(b, 1), 2) chains legal
 
   /** Corpus report: per-language doc/token/quality stats of a curated
     * frame — the monitoring output a curation run publishes. */

@@ -97,18 +97,29 @@ object EventStreams {
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
         val dir = new java.io.File(path)
+        val bak = new java.io.File(path + ".bak")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        // crash recovery: a previous batch may have died between the two
+        // renames (snapshot moved to .bak, tmp not yet promoted) — restore
+        // the backup so the replayed batch merges against real history
+        if (!dir.exists() && bak.exists())
+          require(bak.renameTo(dir), s"could not restore $bak")
         val merged =
           if (dir.exists()) graft.operators.Upsert.mergeByKey(
             spark.read.parquet(path), latest, keys)
           else latest
         val tmp = path + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        val bak = new java.io.File(path + ".bak")
-        if (dir.exists()) { dir.renameTo(bak); () }
-        new java.io.File(tmp).renameTo(dir)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
+        // every rename result is CHECKED: a failed swap must throw so the
+        // batch is NOT committed and replays, instead of silently dropping
+        // the merge while the checkpoint advances
+        if (bak.exists()) rm(bak)
+        if (dir.exists())
+          require(dir.renameTo(bak), s"could not stage $path for swap")
+        require(new java.io.File(tmp).renameTo(dir),
+          s"could not promote $tmp")
         rm(bak)
       }
       .start()

@@ -74,6 +74,11 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(e1 == e1again) // same epoch: identical order on any layout
     assert(e1 != e2) // different epoch: different order
     assert(e1.sorted == e2.sorted) // same multiset of chunks
+    // helper keys don't leak, so multi-epoch chains are legal
+    val chained = CorpusPipeline.epochOrder(
+      CorpusPipeline.epochOrder(batches, 1), 2)
+    assert(!chained.columns.contains("shuffle_key"))
+    assert(chained.count() == batches.count())
     batches.unpersist()
   }
 

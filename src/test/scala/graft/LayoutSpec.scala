@@ -106,6 +106,11 @@ class LayoutSpec extends SparkTestBase {
       extremes.head.split('/').last.takeWhile(_ != '.')) ||
       !filesRead.contains(
         extremes.last.split('/').last.takeWhile(_ != '.')))
+    // a range overlapping NO file returns empty with the right schema,
+    // not an exception (fresh table state, all matching data compacted…)
+    val none = Layout.readRangeWithSkipping(
+      spark, manifest, Long.MaxValue - 10, Long.MaxValue)
+    assert(none.count() == 0 && none.columns.sameElements(li.columns))
     manifest.unpersist()
   }
 }

@@ -67,6 +67,24 @@ class MultimodalSpec extends SparkTestBase {
     val floatFmt = Multimodal.wavBytes(8000, Array.fill[Short](100)(5))
     floatFmt(20) = 3
     assert(Multimodal.decodeWav(7L, floatFmt).isEmpty)
+    // WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping integer PCM (SubFormat
+    // GUID tag 1) IS valid PCM-16 and must decode
+    val extSamples = Array.fill[Short](8000)(1000)
+    val dataLen = extSamples.length * 2
+    val ext = java.nio.ByteBuffer.allocate(12 + 8 + 40 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ext.put("RIFF".getBytes("US-ASCII")).putInt(4 + 48 + 8 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(40)
+      .putShort(0xFFFE.toShort).putShort(1) // extensible, mono
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .putShort(22).putShort(16).putInt(0) // cbSize, validBits, mask
+      .putShort(1).putShort(0) // SubFormat GUID: first 2 bytes = PCM tag
+      .putInt(0).putInt(0).putInt(0) // rest of the GUID
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    extSamples.foreach(ext.putShort)
+    val extDecoded = Multimodal.decodeWav(11L, ext.array())
+    assert(extDecoded.nonEmpty && extDecoded.get.duration_ms == 1000L)
   }
 
   test("BMP decode recovers exact dims and channel means (padded rows)") {
