@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.pipeline.CorpusPipeline
+
+/** Runnable end-to-end training-corpus curation on the test data —
+  * the "switch to this library" demo: annotate → quality gate → exact
+  * dedup → MinHash-LSH near-dedup → eval decontamination → split →
+  * chunk → pack → epoch order, printing per-stage row counts and the
+  * per-language report. Usage: `runMain graft.CorpusDemo [sfDir]`. */
+object CorpusDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val cfg = CorpusPipeline.Config()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val evalSet = docs.filter(org.apache.spark.sql.functions
+      .col("doc_id") % 97 === 0) // stand-in benchmark corpus
+    def stage(name: String, n: Long): Unit =
+      println(f"[corpus] $name%-22s $n%8d rows")
+
+    stage("input", docs.count())
+    val annotated = CorpusPipeline.annotate(docs, cfg)
+    val gated = CorpusPipeline.qualityGate(annotated, cfg)
+    stage("quality gate", gated.count())
+    val exact = CorpusPipeline.exactDedup(gated, cfg)
+    stage("exact dedup", exact.count())
+    val near = CorpusPipeline.nearDedup(exact, cfg)
+    stage("near dedup (LSH)", near.count())
+    val clean = CorpusPipeline.decontaminate(near, Some(evalSet), cfg)
+    stage("decontaminated", clean.count())
+    val curated = CorpusPipeline.split(clean, cfg)
+    val batches = CorpusPipeline.toTrainingBatches(curated, cfg)
+    stage("packed chunks", batches.count())
+    val epoch1 = CorpusPipeline.epochOrder(batches, epoch = 1, cfg)
+    stage("epoch-1 ordered", epoch1.count())
+
+    println("[corpus] per-language report:")
+    CorpusPipeline.report(curated).show(truncate = false)
+    spark.stop()
+  }
+}

@@ -15,6 +15,15 @@ object TableIO {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Schema-evolution read: union the schemas of ALL files (mergeSchema)
+    * so a table whose later files gained columns reads as one frame —
+    * rows from older files carry nulls in the new columns. Costs a
+    * footer-read per file at planning time (that's why it is not the
+    * default); at 100 TB, prefer evolving through an explicit declared
+    * schema once the new columns stabilize. */
+  def readParquetEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   def writeParquet(df: DataFrame, path: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(path)

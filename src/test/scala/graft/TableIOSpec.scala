@@ -23,6 +23,22 @@ class TableIOSpec extends SparkTestBase {
     assert(asSet(jsonBack) == asSet(nation))
   }
 
+  test("schema-evolution read unions old and new file schemas") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_evolve").toString
+    // epoch 1: two columns; epoch 2: a third column appears
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(s"$tmp/t/epoch=1")
+    Seq((3L, "c", 0.9)).toDF("id", "name", "quality")
+      .write.parquet(s"$tmp/t/epoch=2")
+    val evolved = TableIO.readParquetEvolved(spark, s"$tmp/t")
+    assert(evolved.columns.toSet == Set("id", "name", "quality", "epoch"))
+    val rows = evolved.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("quality"))) // old file
+    assert(rows(2).getDouble(rows(2).fieldIndex("quality")) == 0.9)
+  }
+
   test("jdbc sink round-trips through embedded Derby") {
     // warehouse stand-in: Derby embedded (in Spark's own classpath) — the
     // same df.write.jdbc path a Snowflake/Postgres URL would take
