@@ -252,6 +252,41 @@ object Similarity {
     encoded.agg(avg(err)).head().getDouble(0)
   }
 
+  /** IVF-PQ: the composed billion-scale design — the coarse quantizer
+    * prunes to `nProbe` inverted lists, and WITHIN the probed lists rows
+    * are scored by ADC over their PQ codes, so the probe reads
+    * (nProbe/nCentroids) of the corpus and touches only m small codes per
+    * row, never the float vectors. Build = IVF assignment + PQ encode in
+    * one frame; at 100 TB the encoded index is ~dim×4/m the size of the
+    * raw embeddings and the scan is lookup-adds instead of FMAs. */
+  def buildIvfPq(
+      spark: SparkSession,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, m: Int, k: Int, dim: Int,
+      iterations: Int = 2): (IvfIndex, PqCodebooks, DataFrame) = {
+    val ivf = buildIvf(spark, corpus, idCol, vecCol, nCentroids, iterations)
+    val books = trainPq(corpus, idCol, vecCol, dim, m, k, iterations)
+    val encoded = encodePq(ivf.assigned, vecCol, books)
+      .select(col(idCol), col("__centroid"), col("pq_code"))
+    (ivf, books, encoded)
+  }
+
+  /** ADC search over the probed lists of an IVF-PQ index. */
+  def searchIvfPq(
+      ivf: IvfIndex, books: PqCodebooks, encoded: DataFrame,
+      idCol: String, query: Seq[Float], topK: Int,
+      nProbe: Int = 2): DataFrame = {
+    val ranked = ivf.centroids.zipWithIndex.map { case (cvec, i) =>
+      val d = cvec.zip(query).map { case (a, b) =>
+        val diff = a.toDouble - b.toDouble; diff * diff
+      }.sum
+      (i.toLong, d)
+    }.sortBy { case (i, d) => (d, i) }.take(nProbe).map(_._1)
+    searchPqAdc(
+      encoded.filter(col("__centroid").isin(ranked: _*)),
+      idCol, books, query, topK)
+  }
+
   /** IVF probe: search only the `nProbe` inverted lists nearest the query.
     * Scanned fraction ≈ nProbe / nCentroids. */
   def searchIvf(

@@ -110,4 +110,27 @@ class SimilaritySpec extends SparkTestBase {
     val recall = (adcTop & trueTop).size / 10.0
     assert(recall >= 0.3, s"ADC recall@10 = $recall")
   }
+
+  test("IVF-PQ: pruned + quantized probe still finds near neighbors") {
+    val (ivf, books, encoded) = Similarity.buildIvfPq(
+      spark, emb, "vec_id", "embedding",
+      nCentroids = 4, m = 16, k = 16, dim = 64, iterations = 1)
+    assert(encoded.columns.toSet == Set("vec_id", "__centroid", "pq_code"))
+    assert(encoded.count() == emb.count())
+    val q = emb.filter(col("vec_id") === 7).head().getSeq[Float](1)
+    // full probe (all lists): IVF adds nothing, pure ADC ranking — the
+    // query's own (quantized) row must rank at or near the top
+    val full = Similarity.searchIvfPq(ivf, books, encoded,
+      "vec_id", q, topK = 10, nProbe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full.contains(7L), s"self not in full-probe top-10: $full")
+    // pruned probe scans only half the lists and still finds self:
+    // the query's own list is always among the nearest centroids
+    val pruned = Similarity.searchIvfPq(ivf, books, encoded,
+      "vec_id", q, topK = 10, nProbe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(pruned.contains(7L), s"self not in pruned top-10: $pruned")
+    // pruned results are a subset of the probed lists' members
+    assert(pruned.toSet.subsetOf(full.toSet ++ pruned.toSet))
+  }
 }
