@@ -2132,6 +2132,32 @@ object SparkEntry {
       |  CAST(rdec AS DOUBLE) / CAST(SUM(rdec) OVER () AS DOUBLE) AS share
       |FROM agg ORDER BY o_orderpriority""".stripMargin))
 
+  private val q91 = Q("q91_lateral_topn",
+    (s, dir) => {
+      // Correlated LATERAL subquery: per-nation top customer by balance.
+      // Catalyst decorrelates the lateral into a ranked join (no
+      // per-outer-row re-execution); prefixed temp view names keep the
+      // session namespace collision-free across the query surface.
+      t(s, dir, "nation").createOrReplaceTempView("q91_nation")
+      t(s, dir, "customer").createOrReplaceTempView("q91_customer")
+      s.sql("""
+        SELECT n.n_name, l.c_custkey AS top_custkey,
+               l.c_acctbal AS top_acctbal
+        FROM q91_nation n
+        JOIN LATERAL (
+          SELECT c_custkey, c_acctbal FROM q91_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 1) l
+        ORDER BY n.n_name""")
+    },
+    Some("""SELECT n.n_name, l.c_custkey AS top_custkey,
+      |  l.c_acctbal AS top_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 1) l
+      |ORDER BY n.n_name""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -2139,7 +2165,7 @@ object SparkEntry {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90)
+    q88, q89, q90, q91)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
