@@ -2158,6 +2158,36 @@ object SparkEntry {
       |  ORDER BY c_acctbal DESC, c_custkey LIMIT 1) l
       |ORDER BY n.n_name""".stripMargin))
 
+  private val q92 = Q("q92_recursive_cte",
+    (s, dir) => {
+      // Recursive CTE (Spark 4 WITH RECURSIVE): a 12-row month spine
+      // generated by recursion, LEFT JOINed to per-month order counts —
+      // the recursive complement of q78's sequence() spine. The
+      // recursion is bounded and tiny; the fact side aggregates BEFORE
+      // the join.
+      t(s, dir, "orders").createOrReplaceTempView("q92_orders")
+      s.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12)
+        SELECT m AS month, COALESCE(n, CAST(0 AS BIGINT)) AS n_orders
+        FROM months
+        LEFT JOIN (
+          SELECT MONTH(o_orderdate) AS mo, COUNT(*) AS n
+          FROM q92_orders WHERE YEAR(o_orderdate) = 1995
+          GROUP BY MONTH(o_orderdate)) d ON d.mo = m
+        ORDER BY m""")
+    },
+    Some("""WITH RECURSIVE months(m) AS (
+      |  SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12)
+      |SELECT m AS month, COALESCE(n, CAST(0 AS BIGINT)) AS n_orders
+      |FROM months
+      |LEFT JOIN (
+      |  SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mo,
+      |    COUNT(*) AS n
+      |  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+      |  GROUP BY 1) d ON d.mo = m
+      |ORDER BY m""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -2165,7 +2195,7 @@ object SparkEntry {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91)
+    q88, q89, q90, q91, q92)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
