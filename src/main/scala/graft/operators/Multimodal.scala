@@ -342,6 +342,11 @@ object Multimodal {
     (0 until n).map { i =>
       val kind = Seq("image", "audio", "video")(i % 3)
       val (payload, mime) = kind match {
+        case "image" if i % 6 == 3 => // alternate REAL format: 24-bit BMP
+          val w = 4 + i % 8; val h = 3 + i % 5
+          (bmpBytes(Array.tabulate(h, w)((y, x) =>
+            ((x * 40 + i) % 256, (y * 40 + i) % 256, (x + y + i) % 256))),
+            "image/bmp")
         case "image" =>
           val w = 4 + i % 8; val h = 3 + i % 5
           (ppmBytes(w, h, (x, y) => ((x * 40 + i) % 256,
