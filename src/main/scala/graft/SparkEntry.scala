@@ -2188,6 +2188,44 @@ object SparkEntry {
       |  GROUP BY 1) d ON d.mo = m
       |ORDER BY m""".stripMargin))
 
+  private val q93 = Q("q93_set_ops_all",
+    (s, dir) => {
+      // Multiset set ops (ALL variants — q11/q48 cover the DISTINCT
+      // forms): duplicate-preserving difference and intersection of the
+      // nation-key multisets of two customer segments. exceptAll/
+      // intersectAll compile to count-based joins, not row dedup.
+      val a = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_nationkey"))
+      val b = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_nationkey"))
+      val diff = a.exceptAll(b)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_except"))
+      val inter = a.intersectAll(b)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_intersect"))
+      diff.join(inter, Seq("c_nationkey"), "full_outer")
+        .select(col("c_nationkey"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"),
+          coalesce(col("n_intersect"), lit(0L)).as("n_intersect"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""WITH a AS (SELECT c_nationkey FROM customer
+      |    WHERE c_mktsegment = 'BUILDING'),
+      |b AS (SELECT c_nationkey FROM customer
+      |    WHERE c_mktsegment = 'MACHINERY'),
+      |d AS (SELECT c_nationkey, COUNT(*) AS n_except
+      |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+      |  GROUP BY c_nationkey),
+      |i AS (SELECT c_nationkey, COUNT(*) AS n_intersect
+      |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      |  GROUP BY c_nationkey)
+      |SELECT COALESCE(d.c_nationkey, i.c_nationkey) AS c_nationkey,
+      |  COALESCE(n_except, 0) AS n_except,
+      |  COALESCE(n_intersect, 0) AS n_intersect
+      |FROM d FULL OUTER JOIN i ON d.c_nationkey = i.c_nationkey
+      |ORDER BY c_nationkey""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -2195,7 +2233,7 @@ object SparkEntry {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91, q92)
+    q88, q89, q90, q91, q92, q93)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

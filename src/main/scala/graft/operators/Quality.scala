@@ -128,6 +128,31 @@ object Quality {
       .withColumn("passed", col("violations") === 0L)
   }
 
+  /** Observed pipeline counters — metrics at ZERO extra scans: `observe`
+    * attaches named aggregates to the frame itself, collected as a side
+    * effect of whatever action the caller already runs. At 100 TB this is
+    * the difference between "row counts for free" and a second full pass.
+    * Read the values after an action with [[observedValues]]. */
+  def withCounters(
+      df: DataFrame, name: String,
+      counters: Map[String, Column]): DataFrame = {
+    require(counters.nonEmpty, "at least one counter required")
+    val aggs = counters.map { case (n, c) => c.as(n) }.toSeq
+    df.observe(name, aggs.head, aggs.tail: _*)
+  }
+
+  /** Values of an observation after an action has executed the frame.
+    * The action must run THIS frame's own plan (`collect`, `write`,
+    * `foreach`, `toLocalIterator`) — `df.count()` builds a derived
+    * aggregate plan whose execution doesn't populate this frame's
+    * observation. */
+  def observedValues(df: DataFrame, name: String): Map[String, Any] = {
+    val row = df.queryExecution.observedMetrics.getOrElse(name,
+      throw new NoSuchElementException(
+        s"no observation '$name' — did an action run?"))
+    row.schema.fieldNames.map(f => f -> row.getAs[Any](f)).toMap
+  }
+
   /** Gate form: throws with a readable report when any rule fails. */
   def enforce(df: DataFrame, rules: Seq[Rule]): Unit = {
     val failed = check(df, rules).filter(!_.passed)

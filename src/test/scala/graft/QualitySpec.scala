@@ -62,6 +62,29 @@ class QualitySpec extends SparkTestBase {
     assert(only.count() == 1)
   }
 
+  test("observed counters ride the existing action — no second scan") {
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+    val observed = Quality.withCounters(orders, "ingest", Map(
+      "n_rows" -> org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      "null_cust" -> org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("o_custkey").isNull, 1L)
+          .otherwise(0L))))
+    // the caller's own action — must execute THIS frame's plan
+    // (count() would build a derived aggregate plan; see observedValues)
+    val n = observed.collect().length.toLong
+    val vals = Quality.observedValues(observed, "ingest")
+    assert(vals("n_rows") == n)
+    assert(vals("null_cust") == 0L)
+    // one scan total: the observe node adds no exchange and no extra job
+    val m = PlanMetrics.shuffleSummary(
+      Quality.withCounters(orders.select("o_orderkey"), "x",
+        Map("n" -> org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))))
+    assert(m.exchanges == 0)
+  }
+
   test("testdata tables pass their natural constraints") {
     val orders = spark.read.parquet(s"$sf001/orders.parquet")
     Quality.enforce(orders, Seq(
