@@ -77,8 +77,14 @@ object Fuzzy {
         greatest(col("__sa"), col("__sb")).as("name_b"))
       .filter(col("name_a") < col("name_b"))
       .distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= k)
+      // banded 3-arg levenshtein: O(len·k) DP instead of the full
+      // O(len²) matrix, independent of whether the session carries
+      // BoundedEditDistanceRule (which applies the same rewrite to
+      // user-written 2-arg predicates). Returns -1 past the threshold,
+      // hence the >= 0 guard; surviving rows carry the exact distance.
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), k))
+      .filter(col("dist") >= 0 && col("dist") <= k)
   }
 
   /** All (left, right) pairs with exact Jaccard ≥ `threshold` over the

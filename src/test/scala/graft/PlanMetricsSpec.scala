@@ -30,6 +30,26 @@ class PlanMetricsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE converts a runtime-small join side to broadcast") {
+    // static stats see the full orders table (too big to broadcast under
+    // a tiny threshold); the selective filter only becomes visible at
+    // runtime, when AQE re-plans the sort-merge join into a broadcast
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+    try {
+      val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      val tiny = spark.read.parquet(s"$sf001/orders.parquet")
+        .filter(col("o_totalprice") > 495000) // handful of rows
+      val joined = li.join(tiny, li("l_orderkey") === tiny("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(finalPlan.contains("BroadcastHashJoin"),
+        s"expected AQE runtime broadcast in:\n$finalPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("map-only plans shuffle zero bytes") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
       .select(col("doc_id"), length(col("text")).as("len"))
