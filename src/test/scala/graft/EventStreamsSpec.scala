@@ -83,6 +83,29 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("observed counters surface per micro-batch in streaming progress") {
+    val h = 3600L * 1000000000L
+    val dir = mkEventsDir(Seq(
+      (1L, h, 10L, "click", 1.0, "{}"),
+      (2L, h + 1, 10L, "view", 2.0, "{}"),
+      (3L, h + 2, 11L, "click", 3.0, "{}")))
+    val observed = graft.operators.Quality.withCounters(
+      EventStreams.readEventStream(spark, dir), "ingest", Map(
+        "n_rows" -> count(lit(1)),
+        "n_clicks" -> sum(when(col("event_type") === "click", 1L)
+          .otherwise(0L))))
+    val q = observed.writeStream.format("memory").queryName("obs")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val metrics = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("ingest"))).lastOption
+      assert(metrics.nonEmpty, "no observed metrics in progress")
+      assert(metrics.get.getAs[Long]("n_rows") == 3L)
+      assert(metrics.get.getAs[Long]("n_clicks") == 2L)
+    } finally q.stop()
+  }
+
   test("mergeSink: replayed batches converge, latest-in-batch wins") {
     val h = 3600L * 1000000000L
     val root = Files.createTempDirectory("graft_merge").toString
