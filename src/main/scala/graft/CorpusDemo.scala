@@ -28,24 +28,31 @@ object CorpusDemo {
     def stage(name: String, n: Long): Unit =
       println(f"[corpus] $name%-22s $n%8d rows")
 
+    // cache the expensive intermediates: every stage count below would
+    // otherwise re-run the whole upstream chain (the LSH pair join +
+    // connected components several times over) — at scale the per-stage
+    // counters would come from Quality.withCounters riding the single
+    // final write instead of standalone counts
     stage("input", docs.count())
     val annotated = CorpusPipeline.annotate(docs, cfg)
     val gated = CorpusPipeline.qualityGate(annotated, cfg)
     stage("quality gate", gated.count())
     val exact = CorpusPipeline.exactDedup(gated, cfg)
     stage("exact dedup", exact.count())
-    val near = CorpusPipeline.nearDedup(exact, cfg)
+    val near = CorpusPipeline.nearDedup(exact, cfg).cache()
     stage("near dedup (LSH)", near.count())
     val clean = CorpusPipeline.decontaminate(near, Some(evalSet), cfg)
+      .cache()
     stage("decontaminated", clean.count())
     val curated = CorpusPipeline.split(clean, cfg)
-    val batches = CorpusPipeline.toTrainingBatches(curated, cfg)
+    val batches = CorpusPipeline.toTrainingBatches(curated, cfg).cache()
     stage("packed chunks", batches.count())
     val epoch1 = CorpusPipeline.epochOrder(batches, epoch = 1, cfg)
     stage("epoch-1 ordered", epoch1.count())
 
     println("[corpus] per-language report:")
     CorpusPipeline.report(curated).show(truncate = false)
+    batches.unpersist(); clean.unpersist(); near.unpersist()
     spark.stop()
   }
 }

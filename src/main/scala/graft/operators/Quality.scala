@@ -142,10 +142,12 @@ object Quality {
   }
 
   /** Values of an observation after an action has executed the frame.
-    * The action must run THIS frame's own plan (`collect`, `write`,
-    * `foreach`, `toLocalIterator`) — `df.count()` builds a derived
-    * aggregate plan whose execution doesn't populate this frame's
-    * observation. */
+    * The action must run THIS frame's own QueryExecution — `collect`,
+    * `foreach`, or `toLocalIterator`. NEITHER `count()` (derived
+    * aggregate plan) NOR `write` (fresh command QueryExecution) populate
+    * this frame's observation; for metrics on a write, register a
+    * `QueryExecutionListener` (or use streaming progress, where each
+    * micro-batch surfaces observed metrics — see EventStreamsSpec). */
   def observedValues(df: DataFrame, name: String): Map[String, Any] = {
     val row = df.queryExecution.observedMetrics.getOrElse(name,
       throw new NoSuchElementException(

@@ -271,17 +271,25 @@ object Similarity {
     (ivf, books, encoded)
   }
 
-  /** ADC search over the probed lists of an IVF-PQ index. */
-  def searchIvfPq(
-      ivf: IvfIndex, books: PqCodebooks, encoded: DataFrame,
-      idCol: String, query: Seq[Float], topK: Int,
-      nProbe: Int = 2): DataFrame = {
-    val ranked = ivf.centroids.zipWithIndex.map { case (cvec, i) =>
+  /** The `nProbe` inverted-list ids nearest `query` (squared L2 over the
+    * driver-resident centroids; ties broken by lowest id) — shared by the
+    * exact and PQ probes so their pruning can never diverge. */
+  def nearestLists(
+      centroids: IndexedSeq[Seq[Float]], query: Seq[Float],
+      nProbe: Int): Seq[Long] =
+    centroids.zipWithIndex.map { case (cvec, i) =>
       val d = cvec.zip(query).map { case (a, b) =>
         val diff = a.toDouble - b.toDouble; diff * diff
       }.sum
       (i.toLong, d)
     }.sortBy { case (i, d) => (d, i) }.take(nProbe).map(_._1)
+
+  /** ADC search over the probed lists of an IVF-PQ index. */
+  def searchIvfPq(
+      ivf: IvfIndex, books: PqCodebooks, encoded: DataFrame,
+      idCol: String, query: Seq[Float], topK: Int,
+      nProbe: Int = 2): DataFrame = {
+    val ranked = nearestLists(ivf.centroids, query, nProbe)
     searchPqAdc(
       encoded.filter(col("__centroid").isin(ranked: _*)),
       idCol, books, query, topK)
@@ -292,12 +300,7 @@ object Similarity {
   def searchIvf(
       index: IvfIndex, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, nProbe: Int = 2): DataFrame = {
-    val ranked = index.centroids.zipWithIndex.map { case (cvec, i) =>
-      val d = cvec.zip(query).map { case (a, b) =>
-        val diff = a.toDouble - b.toDouble; diff * diff
-      }.sum
-      (i.toLong, d)
-    }.sortBy { case (i, d) => (d, i) }.take(nProbe).map(_._1)
+    val ranked = nearestLists(index.centroids, query, nProbe)
     index.assigned
       .filter(col("__centroid").isin(ranked: _*))
       .select(col(idCol),

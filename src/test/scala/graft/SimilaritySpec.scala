@@ -130,7 +130,12 @@ class SimilaritySpec extends SparkTestBase {
       "vec_id", q, topK = 10, nProbe = 2)
       .collect().map(_.getLong(0)).toSeq
     assert(pruned.contains(7L), s"self not in pruned top-10: $pruned")
-    // pruned results are a subset of the probed lists' members
-    assert(pruned.toSet.subsetOf(full.toSet ++ pruned.toSet))
+    // pruned results come ONLY from the 2 probed lists' members
+    val probedLists = Similarity.nearestLists(ivf.centroids, q, 2)
+    val members = encoded
+      .filter(col("__centroid").isin(probedLists: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pruned.toSet.subsetOf(members),
+      s"ids outside probed lists: ${pruned.toSet -- members}")
   }
 }
