@@ -28,6 +28,16 @@ object TableIO {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(path)
 
+  /** ORC — the other columnar format Spark ships natively; same
+    * pushdown/pruning behavior as parquet (predicate pushdown, column
+    * pruning, stripe-level stats). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   def readCsv(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = true): DataFrame =
     spark.read.schema(schema)

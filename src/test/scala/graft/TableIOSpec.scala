@@ -23,6 +23,19 @@ class TableIOSpec extends SparkTestBase {
     assert(asSet(jsonBack) == asSet(nation))
   }
 
+  test("orc round-trips and pushes filters to the scan") {
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    TableIO.writeOrc(nation, s"$tmp/nation_orc")
+    val back = TableIO.readOrc(spark, s"$tmp/nation_orc")
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+    val filtered = back.filter(col("n_regionkey") === 1)
+      .select("n_name")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"),
+      plan) // predicate reaches the ORC scan, same as parquet
+  }
+
   test("schema-evolution read unions old and new file schemas") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_evolve").toString
