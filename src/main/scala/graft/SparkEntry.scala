@@ -2226,6 +2226,44 @@ object SparkEntry {
       |FROM d FULL OUTER JOIN i ON d.c_nationkey = i.c_nationkey
       |ORDER BY c_nationkey""".stripMargin))
 
+  private val q94 = Q("q94_robust_outliers",
+    (s, dir) => {
+      // Robust outlier detection: median + MAD (median absolute
+      // deviation), flagging values beyond 3 scaled MADs — the
+      // outlier gate that survives heavy tails where mean/stddev
+      // (q76) get dragged. Two group-sized quantile frames broadcast
+      // back onto the fact side; exact interpolated percentiles whose
+      // cross-engine parity is proven by q46/q81.
+      val ev = t(s, dir, "events")
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+          sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH med AS (SELECT event_type,
+      |    quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type),
+      |dev AS (SELECT e.event_type, e.value, m.med,
+      |    abs(e.value - m.med) AS adev
+      |  FROM events e JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT d.event_type, MIN(d.med) AS med, MIN(m.mad) AS mad,
+      |  CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  COUNT(*) AS n
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -2233,7 +2271,7 @@ object SparkEntry {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91, q92, q93)
+    q88, q89, q90, q91, q92, q93, q94)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
