@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
 
 /** Executed-plan metric harvesting: run a frame, then read the REAL
   * executor-side SQL metrics off the (AQE-final) physical plan — shuffle
@@ -26,19 +26,27 @@ object PlanMetrics {
     var exchanges = 0
     var bytes = 0L
     var records = 0L
+    // An exchange reused across AQE stages appears once per consumer in the
+    // tree (wrapped in ReusedExchangeExec) but moves data exactly once —
+    // count by object identity so reuse-heavy plans aren't inflated.
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
     def walk(p: SparkPlan): Unit = {
       p match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
         case s: QueryStageExec => walk(s.plan)
+        case r: ReusedExchangeExec => walk(r.child)
         case sh: ShuffleExchangeLike =>
-          exchanges += 1
-          sh.metrics.get("shuffleBytesWritten")
-            .orElse(sh.metrics.get("bytesWritten"))
-            .foreach(m => bytes += m.value)
-          sh.metrics.get("shuffleRecordsWritten")
-            .orElse(sh.metrics.get("recordsWritten"))
-            .foreach(m => records += m.value)
-          sh.children.foreach(walk)
+          if (seen.add(sh)) {
+            exchanges += 1
+            sh.metrics.get("shuffleBytesWritten")
+              .orElse(sh.metrics.get("bytesWritten"))
+              .foreach(m => bytes += m.value)
+            sh.metrics.get("shuffleRecordsWritten")
+              .orElse(sh.metrics.get("recordsWritten"))
+              .foreach(m => records += m.value)
+            sh.children.foreach(walk)
+          }
         case other => other.children.foreach(walk)
       }
     }

@@ -61,13 +61,16 @@ object Layout {
 
   /** Range-predicate read that SKIPS whole files via the manifest: only
     * files whose [min, max] overlaps [lo, hi] are passed to the reader —
-    * the others are never opened (row-group stats then prune further
+    * the others are never opened — and the [lo, hi] predicate on
+    * `column` (the manifest's clustering column) is then applied to the
+    * surviving scan, so the result contains exactly the in-range rows
+    * (and the pushed filter lets parquet row-group stats prune further
     * INSIDE the selected files). On a range-clustered layout
     * ([[writeSortedFiles]]) a narrow predicate touches O(1) files out of
     * thousands. The manifest is collected to the driver — 1 row/file,
     * the same order of magnitude as the file listing itself. */
   def readRangeWithSkipping(
-      spark: SparkSession, manifest: DataFrame,
+      spark: SparkSession, manifest: DataFrame, column: String,
       lo: Any, hi: Any): DataFrame = {
     val files = manifest
       .filter(col("max_v") >= lit(lo) && col("min_v") <= lit(hi))
@@ -80,6 +83,7 @@ object Layout {
       require(any.nonEmpty, "manifest is empty — no files to derive schema")
       spark.read.parquet(any.head.getString(0)).filter(lit(false))
     } else spark.read.parquet(files: _*)
+      .filter(col(column).between(lit(lo), lit(hi)))
   }
 
   /** Small-file compaction: rewrite a parquet directory into

@@ -148,15 +148,23 @@ object Similarity {
         slice(col(vecCol), s * subDim + 1, subDim)): _*))
         .as(Seq("__sub", "__subvec")))
       .cache()
+    // Init from the lowest-id rows, DEDUPLICATED per subspace: duplicate
+    // leading subvectors would collide centroids at iteration 0, and with
+    // few Lloyd iterations + empty-cell carry-over the collided codes
+    // could stay duplicated forever, wasting codebook capacity. Collect a
+    // few times k candidates so dedup still fills k distinct seeds on
+    // repetitive corpora; repeat-first padding only when the corpus truly
+    // has fewer than k distinct subvectors.
     val init = subs.orderBy(col("__id"), col("__sub"))
-      .limit(m * k).collect()
+      .limit(4 * m * k).collect()
       .map(r => (r.getInt(1), r.getSeq[Float](2)))
       .groupBy(_._1)
     require(init.nonEmpty, "trainPq requires a non-empty corpus")
     var books: IndexedSeq[IndexedSeq[Seq[Float]]] =
       (0 until m).map { s =>
         val rows = init.getOrElse(s, Array.empty).map(_._2)
-        // if the corpus has < k rows, pad by repeating the first
+          .distinct
+        require(rows.nonEmpty, s"trainPq: no init rows for subspace $s")
         (0 until k).map(i =>
           rows(math.min(i, rows.length - 1)).toIndexedSeq).toIndexedSeq
       }

@@ -79,7 +79,9 @@ object EventStreams {
     * (Delta/Iceberg MERGE on a cluster); the merge itself
     * ([[graft.operators.Upsert.mergeByKey]]) is one anti-join + union,
     * shuffle-on-key at any scale. Latest-wins INSIDE a batch is resolved
-    * deterministically by `seqCol` (highest wins per key). */
+    * deterministically: highest `seqCol` wins per key, and a (key, seqCol)
+    * tie is broken by the remaining payload columns so a replayed batch —
+    * whatever its row order — always converges to the same snapshot. */
   def mergeSink(
       stream: DataFrame,
       path: String,
@@ -90,9 +92,14 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val spark = batch.sparkSession
+        val tieBreak = batch.schema.fields.toSeq
+          .filterNot(f => keys.contains(f.name) || f.name == seqCol)
+          .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(f.dataType))
+          .map(f => col(f.name).asc_nulls_first)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(col): _*)
-          .orderBy(col(seqCol).desc)
+          .orderBy(col(seqCol).desc +: tieBreak: _*)
         val latest = batch
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")

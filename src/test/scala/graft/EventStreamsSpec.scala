@@ -156,6 +156,39 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("mergeSink: (key, seq) ties break deterministically by payload") {
+    // two rows share (event_id, ts) — only the payload differs. Whatever
+    // order the batch arrives in, the merged snapshot must converge to
+    // the same row (payload-ascending winner), or a replay could flip it.
+    val h = 3600L * 1000000000L
+    def runOnce(tag: String, rows: Seq[(Long, Long, Long, String, Double,
+        String)]): Map[Long, (String, Double)] = {
+      val root = Files.createTempDirectory(s"graft_tie_$tag").toString
+      val src = s"$root/in"
+      Files.createDirectories(java.nio.file.Paths.get(src))
+      val tmp = s"$root/stage"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, java.nio.file.Paths.get(src, "b.parquet"))
+      val q = EventStreams.mergeSink(
+        EventStreams.readEventStream(spark, src).drop("event_time"),
+        s"$root/snap", Seq("event_id"), "ts", s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(s"$root/snap").collect()
+        .map(r => r.getLong(0) -> (r.getString(3), r.getDouble(4))).toMap
+    }
+    val tied = Seq(
+      (1L, h, 10L, "click", 2.0, "{}"),
+      (1L, h, 10L, "click", 1.0, "{}"), // same key, same seq, same type
+      (2L, h, 11L, "view", 3.0, "{}"))
+    val forward = runOnce("f", tied)
+    val backward = runOnce("b", tied.reverse)
+    assert(forward == backward, s"tie broke differently: $forward vs $backward")
+    assert(forward(1L) == ("click", 1.0)) // payload-ascending winner
+  }
+
   test("append mode emits only watermark-finalized windows across batches") {
     val s = 1000000000L
     val dir = Files.createTempDirectory("graft_wm").toString

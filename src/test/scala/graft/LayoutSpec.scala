@@ -91,12 +91,17 @@ class LayoutSpec extends SparkTestBase {
       case Array((_, hi1), (lo2, _)) => hi1 <= lo2
       case _ => true
     })
-    // a narrow range reads a strict subset of files, same answer
+    // a narrow range reads a strict subset of files, same answer — the
+    // [lo, hi] predicate is applied BY the reader, no caller re-filter
     val (lo, hi) = (ranges(3)._1, ranges(3)._2)
-    val skipped = Layout.readRangeWithSkipping(spark, manifest, lo, hi)
-      .filter(col("l_orderkey").between(lo, hi))
+    val skipped =
+      Layout.readRangeWithSkipping(spark, manifest, "l_orderkey", lo, hi)
     val full = li.filter(col("l_orderkey").between(lo, hi))
     assert(skipped.count() == full.count())
+    // no out-of-range rows leak through (the old contract made callers
+    // re-apply the predicate; now the read itself is range-exact)
+    assert(skipped.filter(
+      col("l_orderkey") < lo || col("l_orderkey") > hi).count() == 0)
     val filesRead = skipped.queryExecution.executedPlan.collectLeaves()
       .map(_.toString).mkString
     // the pruned scan's file list excludes at least the extreme files
@@ -109,7 +114,7 @@ class LayoutSpec extends SparkTestBase {
     // a range overlapping NO file returns empty with the right schema,
     // not an exception (fresh table state, all matching data compacted…)
     val none = Layout.readRangeWithSkipping(
-      spark, manifest, Long.MaxValue - 10, Long.MaxValue)
+      spark, manifest, "l_orderkey", Long.MaxValue - 10, Long.MaxValue)
     assert(none.count() == 0 && none.columns.sameElements(li.columns))
     manifest.unpersist()
   }

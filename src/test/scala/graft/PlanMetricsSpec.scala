@@ -50,6 +50,47 @@ class PlanMetricsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("a reused exchange is counted once, not once per consumer") {
+    // self-join of an aggregate: both sides shuffle the SAME exchange,
+    // which AQE wraps in ReusedExchangeExec for the second consumer —
+    // the data moved once, so the summary must count it once
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      val agg = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val self = agg.as("a").join(agg.as("b"), Seq("l_orderkey"))
+        .select(col("l_orderkey"), (col("a.q") + col("b.q")).as("qq"))
+      val m = PlanMetrics.shuffleSummary(self)
+      // occurrence count WITH duplicates (the naive walk): traverse the
+      // executed plan counting every exchange reachable, reuse included
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+      var occurrences = 0
+      var reused = 0
+      def walk(p: SparkPlan): Unit = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: QueryStageExec => walk(s.plan)
+        case r: ReusedExchangeExec => reused += 1; walk(r.child)
+        case sh: ShuffleExchangeLike =>
+          occurrences += 1; sh.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      walk(self.queryExecution.executedPlan)
+      assert(reused >= 1, "plan did not exercise exchange reuse")
+      assert(m.exchanges < occurrences,
+        s"summary counted ${m.exchanges}, naive walk saw $occurrences")
+      // sanity: the single agg exchange moves about the groupBy's input —
+      // well under double (the naive double-count would be exactly 2x)
+      val once = PlanMetrics.shuffleSummary(agg)
+      assert(m.shuffleRecords < 2 * once.shuffleRecords,
+        s"reused exchange double-counted: ${m.shuffleRecords} vs " +
+          s"single-agg ${once.shuffleRecords}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("map-only plans shuffle zero bytes") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
       .select(col("doc_id"), length(col("text")).as("len"))

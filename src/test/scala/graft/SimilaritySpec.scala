@@ -80,6 +80,29 @@ class SimilaritySpec extends SparkTestBase {
     enc.unpersist()
   }
 
+  test("PQ init dedups duplicate leading subvectors") {
+    // 3 distinct vectors but the LOWEST ids are all copies of one vector —
+    // a naive first-m*k init would seed every centroid identically and
+    // (with carry-over on empty cells) could keep the codebook collapsed.
+    val dup = (0L until 12L).map { i =>
+      val base = if (i < 8) 0 else (i - 7).toInt // ids 0-7 duplicate vector 0
+      (i, Array.tabulate(8)(d => (base * 10 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val books = Similarity.trainPq(dup, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, iterations = 0)
+    // iteration 0 = pure init: every subspace must already hold >1
+    // distinct centroid (the duplicates were skipped, not enthroned)
+    books.centroids.foreach { book =>
+      assert(book.distinct.length > 1,
+        s"collapsed codebook at init: $book")
+    }
+    // and encoding separates the distinct vectors into distinct codes
+    val enc = Similarity.encodePq(dup, "embedding", books)
+    val distinctCodes = enc.select(col("pq_code").cast("string"))
+      .distinct().count()
+    assert(distinctCodes > 1)
+  }
+
   test("PQ ADC: exact on a centroid-representable corpus; real recall") {
     // corpus whose subvectors ARE codebook centroids -> zero quantization
     // error -> ADC distance equals true distance exactly
