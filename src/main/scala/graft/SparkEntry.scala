@@ -1105,9 +1105,12 @@ object SparkEntry {
     },
     Some(q57OracleSql))
 
-  /** Oracle replica of [[Dedup.portableNearDups]], generated from the same
-    * coefficient table so the two cannot drift. */
-  private def q57OracleSql: String = {
+  /** Shared CTE block replicating [[Dedup.portableNearDups]]'s chain
+    * (tokens → shingle sets → md5-family signatures → band buckets →
+    * candidates), generated from the same coefficient table so engine and
+    * oracle cannot drift. Used by q57's oracle and reused (plus a
+    * recursive transitive closure) by q96's cluster oracle. */
+  private def portableChainCtes: String = {
     val k = 64; val bands = 16; val r = k / bands
     val coef = Dedup.portableCoefficients(k)
     val p = Dedup.portablePrime
@@ -1119,7 +1122,7 @@ object SparkEntry {
         .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($ms) AS bucket FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
        |    t -> t <> '') AS tk FROM documents
        |), sets AS (
@@ -1137,15 +1140,22 @@ object SparkEntry {
        |  FROM buckets x JOIN buckets y
        |    ON x.band = y.band AND x.bucket = y.bucket
        |   AND x.doc_id < y.doc_id
-       |)
-       |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
-       |  SELECT id_a, id_b,
-       |    CAST(len(list_intersect(sa.st, sb.st)) AS DOUBLE) /
-       |    CAST(len(list_distinct(list_concat(sa.st, sb.st))) AS DOUBLE) AS j
-       |  FROM cand JOIN sets sa ON sa.doc_id = cand.id_a
-       |            JOIN sets sb ON sb.doc_id = cand.id_b)
-       |WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin
+       |), verified AS (
+       |  SELECT id_a, id_b, j FROM (
+       |    SELECT id_a, id_b,
+       |      CAST(len(list_intersect(sa.st, sb.st)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(sa.st, sb.st))) AS DOUBLE) AS j
+       |    FROM cand JOIN sets sa ON sa.doc_id = cand.id_a
+       |              JOIN sets sb ON sb.doc_id = cand.id_b)
+       |  WHERE j >= 0.8
+       |)""".stripMargin
   }
+
+  /** Oracle replica of [[Dedup.portableNearDups]]. */
+  private def q57OracleSql: String =
+    s"""WITH $portableChainCtes
+       |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM verified
+       |ORDER BY id_a, id_b""".stripMargin
 
   private val q58 = Q("q58_simhash_portable",
     (s, dir) => {
@@ -2264,6 +2274,113 @@ object SparkEntry {
       |FROM dev d JOIN mad m USING (event_type)
       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin))
 
+  private val q95 = Q("q95_dup_ngrams",
+    (s, dir) => {
+      // Token 3-gram cross-document duplication profile — the
+      // suffix-array dedup signal of Lee et al. 2022 as a distributed
+      // plan (Dedup.duplicateNgramProfile): fraction of each doc's token
+      // spans that also occur in another document. Raw-gram keys here so
+      // the chain is oracle-replayable; the hashGrams=true scale path
+      // (8-byte xxhash64 shuffle keys) is asserted value-identical in
+      // DedupSpec.
+      Dedup.duplicateNgramProfile(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, hashGrams = false)
+        .orderBy(col("dup_frac").desc, col("doc_id")).limit(20)
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> t <> '') AS tk FROM documents),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS gram FROM (
+      |    SELECT doc_id, tk,
+      |      unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS i
+      |    FROM toks WHERE len(tk) >= 3)),
+      |gd AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gram)
+      |SELECT doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS dup_frac
+      |FROM grams JOIN gd USING (gram)
+      |GROUP BY doc_id
+      |ORDER BY dup_frac DESC, doc_id LIMIT 20""".stripMargin))
+
+  private val q96 = Q("q96_neardup_clusters",
+    (s, dir) => {
+      // Near-dup CLUSTERS, oracle-checked end to end: the q57 portable
+      // MinHash chain produces verified pairs; connectedComponents turns
+      // them into transitive clusters (min reachable id as the label).
+      // The oracle replays the same chain and closes it with a recursive
+      // CTE — so the distributed min-label propagation is verified
+      // against an exact SQL transitive closure.
+      val pairs = Dedup.portableNearDups(t(s, dir, "documents"),
+        "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.8)
+      Dedup.connectedComponents(pairs).orderBy(col("id"))
+    },
+    Some(s"""WITH RECURSIVE $portableChainCtes,
+      |sym AS (
+      |  SELECT id_a AS a, id_b AS b FROM verified
+      |  UNION SELECT id_b, id_a FROM verified
+      |  UNION SELECT id_a, id_a FROM verified
+      |  UNION SELECT id_b, id_b FROM verified),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+      |SELECT a AS id, MIN(b) AS component FROM reach
+      |GROUP BY a ORDER BY id""".stripMargin))
+
+  private val q97 = Q("q97_bloom_semijoin",
+    (s, dir) => {
+      // Bloom-prefiltered semi-join (BloomJoin.semiJoin): the build
+      // side's keys aggregate into a bloom that drops probe rows BEFORE
+      // the join's shuffle; the real semi-join then removes the bloom's
+      // false positives, so the result is exactly `WHERE … IN (…)` — the
+      // oracle is the plain semi-join, proving the prefilter changes the
+      // plan, never the answer. Shuffle-volume reduction is asserted
+      // separately in BloomJoinSpec via PlanMetrics.
+      val li = t(s, dir, "lineitem")
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      graft.operators.BloomJoin.semiJoin(li, urgent,
+          "l_orderkey", "o_orderkey", expectedItems = 100000L)
+        .groupBy(col("l_returnflag"))
+        .agg(sumd(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  private val q98 = Q("q98_unpivot",
+    (s, dir) => {
+      // Wide-to-long reshape (Dataset.unpivot) — the inverse of q18's
+      // pivot, completing the reshaping pair. Values share the double
+      // type; metric names come from the source column names in both
+      // engines.
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sumd(col("l_quantity")).as("qty"),
+          sumd(col("l_extendedprice")).as("price"),
+          sum(discPrice).cast("double").as("disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")), "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    },
+    Some(s"""SELECT l_returnflag, metric, value FROM (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS price,
+      |    CAST(CAST(SUM($discPriceSql) AS VARCHAR) AS DOUBLE) AS disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |  UNPIVOT (value FOR metric IN (qty, price, disc))
+      |ORDER BY l_returnflag, metric""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -2271,7 +2388,7 @@ object SparkEntry {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91, q92, q93, q94)
+    q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -86,6 +86,54 @@ object Layout {
       .filter(col(column).between(lit(lo), lit(hi)))
   }
 
+  /** Z-ordered (multi-dimensional clustered) layout: interleave the bits
+    * of each row's per-column QUANTILE bucket ids into one z-value, then
+    * range-partition + sort by it. A single-column sort ([[writeSortedFiles]])
+    * gives perfect file skipping on that column and none on any other;
+    * z-ordering trades a little per-column locality for useful min/max
+    * locality on EVERY clustered column — the layout Delta's
+    * `OPTIMIZE ZORDER BY` builds, re-expressed with public API only.
+    *
+    * Buckets come from `approxQuantile` boundaries (driver-tiny:
+    * `zBuckets-1` doubles per column), so skewed columns still spread
+    * across all buckets; the per-row bucket lookup is a fold over the
+    * boundary literal array (`functions.aggregate` — codegen'd, no UDF,
+    * no join). Nulls land in bucket 0. Supports 2+ columns; bits beyond
+    * 63/`cols.length` per column are never needed because zBuckets ≤ 2^16.
+    */
+  def writeZOrdered(
+      df: DataFrame, path: String, cols: Seq[String],
+      numFiles: Int, zBuckets: Int = 256,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(cols.length >= 2, "z-order needs at least 2 columns")
+    require(zBuckets >= 2 && (zBuckets & (zBuckets - 1)) == 0 &&
+      zBuckets <= 65536, "zBuckets must be a power of 2 in [2, 65536]")
+    val bitsPerCol = java.lang.Integer.numberOfTrailingZeros(zBuckets)
+    val bounds: Map[String, Array[Double]] = cols.map { c =>
+      c -> df.stat.approxQuantile(c,
+        (1 until zBuckets).map(_.toDouble / zBuckets).toArray, 0.001)
+    }.toMap
+    // materialize each bucket id once, then interleave its bits
+    def bucketOf(c: String): org.apache.spark.sql.Column =
+      aggregate(lit(bounds(c)), lit(0),
+        (acc, b) => acc + when(col(c).cast("double") > b, 1).otherwise(0))
+    val withBuckets = df.withColumns(
+      cols.map(c => s"__bk_$c" -> bucketOf(c)).toMap[String,
+        org.apache.spark.sql.Column])
+    val zBits = for {
+      bit <- 0 until bitsPerCol
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(
+      shiftright(col(s"__bk_$c"), bit).bitwiseAND(lit(1)).cast("long"),
+      bit * cols.length + j)
+    val z = zBits.reduce(_.bitwiseOR(_))
+    withBuckets.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z" +: cols.map(c => s"__bk_$c"): _*)
+      .write.mode(mode).parquet(path)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(bytes / targetFileBytes) files. Streaming sinks and per-batch
     * appends accumulate tiny files; at scale the scan's task-per-file

@@ -335,6 +335,78 @@ object Dedup {
       .select(col(idCol), sketch.as("sketch"))
   }
 
+  // ===== token-level n-gram duplication (suffix-array approximation) =====
+  // The exact-substring dedup signal of Lee et al., "Deduplicating
+  // Training Data Makes Language Models Better" (2022), re-expressed as a
+  // distributed plan: a suffix array over 100 TB is a single-machine
+  // structure, but its *decision* — "which token spans also occur in
+  // another document" — is recoverable from fixed-length token n-grams
+  // with two shuffle-on-gram-key stages, which parallelizes freely.
+
+  /** One row per token n-gram OCCURRENCE (not distinct): (idCol, __gram).
+    * Grams are runs of `n` consecutive whitespace tokens joined by a
+    * single space; docs shorter than n tokens contribute nothing.
+    * Oracle: array_to_string(tk[i:i+n-1], ' ') over
+    * generate_series(1, len(tk)-n+1). */
+  def ngramOccurrences(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__tk"))
+    // guard: sequence(1, 0) would generate a DESCENDING range, not empty
+    toks.select(col(idCol),
+      explode(when(size(col("__tk")) >= n,
+        transform(sequence(lit(1), size(col("__tk")) - (n - 1)),
+          i => array_join(slice(col("__tk"), i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))).as("__gram"))
+  }
+
+  /** Per-document duplication profile: how much of each doc is token
+    * spans that ALSO occur in another document. Two shuffles on the gram
+    * key (per-gram distinct-doc count, then count join-back) + one on the
+    * doc id — every stage is a hash-partition on its key, no pairwise
+    * comparison anywhere, so cost is linear in total token count.
+    *
+    * `hashGrams=true` (the 100 TB path) shuffles an 8-byte xxhash64 of
+    * each gram instead of the gram string — at n=20-ish training-dedup
+    * sizes the string key is ~100+ bytes, so hashing cuts shuffle volume
+    * by an order of magnitude (collisions: ~n_grams²/2⁶⁴, negligible).
+    * `hashGrams=false` keeps the raw gram so the whole profile is
+    * replayable in oracle SQL.
+    *
+    * @return (idCol, n_grams, n_dup, dup_frac) — occurrence counts and
+    *         the fraction of gram positions whose gram appears in ≥2
+    *         distinct docs. */
+  def duplicateNgramProfile(
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      hashGrams: Boolean = true): DataFrame = {
+    val occ = ngramOccurrences(docs, idCol, textCol, n)
+      .select(col(idCol),
+        (if (hashGrams) xxhash64(col("__gram")) else col("__gram")).as("__k"))
+    val docCounts = occ.groupBy(col("__k"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+    occ.join(docCounts, Seq("__k"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_grams"), 6))
+  }
+
+  /** Corpus gate on the n-gram duplication signal: drop documents whose
+    * duplicated-span fraction exceeds `maxDupFrac` (both sides of a
+    * duplicated span are dropped — this is a quality gate, not a
+    * keep-one-copy dedup; compose [[keepClusterRepresentatives]] for
+    * that). Anti-join on the doc id: one extra shuffle over the profile. */
+  def dropOverDuplicatedDocs(
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      maxDupFrac: Double, hashGrams: Boolean = true): DataFrame = {
+    val over = duplicateNgramProfile(docs, idCol, textCol, n, hashGrams)
+      .filter(col("dup_frac") > maxDupFrac)
+      .select(col(idCol))
+    docs.join(over, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over a pair list — turns pairwise near-dup
     * matches into duplicate CLUSTERS (transitive closure), so "keep one
     * per cluster" is well-defined even when A~B, B~C but A!~C.

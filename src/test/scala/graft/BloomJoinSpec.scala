@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BloomJoin
+
+class BloomJoinSpec extends SparkTestBase {
+
+  private lazy val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+  private lazy val urgent = spark.read.parquet(s"$sf001/orders.parquet")
+    .filter(col("o_orderpriority") === "1-URGENT")
+
+  test("bloom has no false negatives: every present key passes") {
+    val bloom = BloomJoin.buildBloom(urgent, col("o_orderkey"),
+      expectedItems = 10000L, numBits = BloomJoin.optimalNumBits(10000L, 0.03))
+    val misses = urgent
+      .filter(!BloomJoin.mightContain(bloom, col("o_orderkey")))
+      .count()
+    assert(misses == 0, s"$misses present keys failed the bloom")
+  }
+
+  test("prefiltered semi-join is row-identical to the plain semi-join") {
+    val viaBloom = BloomJoin.semiJoin(li, urgent,
+      "l_orderkey", "o_orderkey", expectedItems = 10000L)
+    val plain = li.join(urgent,
+      li("l_orderkey") === urgent("o_orderkey"), "left_semi")
+    assert(viaBloom.count() == plain.count())
+    assert(viaBloom.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(viaBloom).count() == 0)
+  }
+
+  test("bloom prefilter cuts the probe side's shuffle volume") {
+    // force the shuffle-join shape (the 100 TB case: neither side
+    // broadcastable) and compare records moved with and without the
+    // bloom prefilter on the probe side
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = li.join(urgent,
+        li("l_orderkey") === urgent("o_orderkey"), "left_semi")
+      val mPlain = PlanMetrics.shuffleSummary(plain)
+      val pre = BloomJoin.semiJoin(li, urgent,
+        "l_orderkey", "o_orderkey", expectedItems = 10000L, fpp = 0.01)
+      val mBloom = PlanMetrics.shuffleSummary(pre)
+      // urgent is ~1/5 of orders, so ~4/5 of lineitem should be dropped
+      // before the exchange (modulo the bloom's 1% false positives)
+      assert(mBloom.shuffleRecords < mPlain.shuffleRecords / 2,
+        s"bloom moved ${mBloom.shuffleRecords} records vs " +
+          s"plain ${mPlain.shuffleRecords}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("inner variant matches the plain inner join") {
+    val viaBloom = BloomJoin.innerJoin(
+      li.select("l_orderkey", "l_quantity"), urgent,
+      "l_orderkey", "o_orderkey", expectedItems = 10000L)
+      .groupBy().agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).as("q"))
+    val plain = li.select("l_orderkey", "l_quantity").join(urgent,
+      col("l_orderkey") === urgent("o_orderkey"))
+      .groupBy().agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).as("q"))
+    assert(viaBloom.head() == plain.head())
+  }
+
+  test("optimalNumBits follows the standard sizing curve") {
+    // 1M items at 3% fpp needs ~7.3 bits/item; tighter fpp needs more
+    val b3 = BloomJoin.optimalNumBits(1000000L, 0.03)
+    assert(b3 > 7000000L && b3 < 7600000L, s"unexpected sizing: $b3")
+    assert(BloomJoin.optimalNumBits(1000000L, 0.01) > b3)
+    intercept[IllegalArgumentException] {
+      BloomJoin.optimalNumBits(100L, 1.5)
+    }
+  }
+}

@@ -112,6 +112,50 @@ class DedupSpec extends SparkTestBase {
     assert(ids == Set(1L, 3L, 5L)) // 2 and 4 fold into component 1
   }
 
+  test("duplicateNgramProfile counts shared token spans exactly") {
+    // "a b c d" and "x y a b c" share exactly the 2-grams "a b","b c"
+    val tiny = Seq(
+      (1L, "a b c d"),        // grams: "a b","b c","c d" -> 2 of 3 dup
+      (2L, "x y a b c"),      // grams: "x y","y a","a b","b c" -> 2 of 4
+      (3L, "p q"),            // gram: "p q" -> 0 of 1 dup
+      (4L, "z")               // shorter than n -> no grams, no row
+    ).toDF("doc_id", "text")
+    val prof = Dedup.duplicateNgramProfile(tiny, "doc_id", "text",
+      n = 2, hashGrams = false)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(prof(1L) == ((3L, 2L, 0.666667)))
+    assert(prof(2L) == ((4L, 2L, 0.5)))
+    assert(prof(3L) == ((1L, 0L, 0.0)))
+    assert(!prof.contains(4L))
+  }
+
+  test("hashed-gram profile is value-identical to the raw-gram profile") {
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val raw = Dedup.duplicateNgramProfile(d, "doc_id", "text",
+      n = 3, hashGrams = false)
+    val hashed = Dedup.duplicateNgramProfile(d, "doc_id", "text",
+      n = 3, hashGrams = true)
+    assert(raw.exceptAll(hashed).count() == 0)
+    assert(hashed.exceptAll(raw).count() == 0)
+    // and the signal is non-trivial on the fixture corpus
+    assert(raw.filter(col("n_dup") > 0).count() > 0)
+  }
+
+  test("dropOverDuplicatedDocs drops both sides of a duplicated span") {
+    val tiny = Seq(
+      (1L, "a b c d"),
+      (2L, "x y a b c"),
+      (3L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropOverDuplicatedDocs(tiny, "doc_id", "text",
+      n = 2, maxDupFrac = 0.4, hashGrams = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // docs 1 (2/3 dup) and 2 (2/4 dup) exceed 0.4; doc 3 is clean;
+    // too-short docs (no grams) are never dropped by the gate
+    assert(kept == Set(3L))
+  }
+
   test("exact dedup on testdata documents is lossless (no dups present)") {
     val d = spark.read.parquet(s"$sf001/documents.parquet")
     assert(Dedup.exact(d, Seq("text")).count() == d.count())

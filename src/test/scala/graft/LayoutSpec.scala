@@ -77,6 +77,37 @@ class LayoutSpec extends SparkTestBase {
     assert(parts == 4)
   }
 
+  test("z-order clusters BOTH columns; single-col sort only one") {
+    val tmp = Files.createTempDirectory("graft_zorder").toString
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val nFiles = 16
+    Layout.writeSortedFiles(li, s"$tmp/sorted", Seq("l_orderkey"), nFiles)
+    Layout.writeZOrdered(li, s"$tmp/zorder",
+      Seq("l_orderkey", "l_partkey"), nFiles)
+    // fraction of files a 1/8-wide range predicate on `c` must read,
+    // per the min/max manifest (files whose range overlaps the probe)
+    def overlapFrac(path: String, c: String): Double = {
+      val m = Layout.statsManifest(spark, path, c).collect()
+      val (los, his) = (m.map(_.getLong(1)), m.map(_.getLong(2)))
+      val (gmin, gmax) = (los.min, his.max)
+      val width = (gmax - gmin) / 8
+      val (plo, phi) = (gmin + 3 * width, gmin + 4 * width)
+      m.count(r => r.getLong(2) >= plo && r.getLong(1) <= phi)
+        .toDouble / m.length
+    }
+    // sorted layout: near-perfect on the sort column, useless on the other
+    assert(overlapFrac(s"$tmp/sorted", "l_orderkey") <= 0.25)
+    assert(overlapFrac(s"$tmp/sorted", "l_partkey") >= 0.9)
+    // z-order: meaningful skipping on BOTH dimensions
+    assert(overlapFrac(s"$tmp/zorder", "l_orderkey") <= 0.7,
+      s"zorder failed to cluster l_orderkey")
+    assert(overlapFrac(s"$tmp/zorder", "l_partkey") <= 0.7,
+      s"zorder failed to cluster l_partkey")
+    // and the rewrite is lossless
+    assert(spark.read.parquet(s"$tmp/zorder").count() == li.count())
+  }
+
   test("stats manifest skips whole files for range predicates") {
     val tmp = Files.createTempDirectory("graft_layout3").toString
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
