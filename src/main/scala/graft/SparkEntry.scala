@@ -551,6 +551,16 @@ object SparkEntry {
       |CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** DuckDB replica of [[TF.qualityScore]] over a scope providing `text`
+    * and `toks` (the filtered token list) — shared by q31 and q99. */
+  private val qualitySqlExpr: String =
+    """ROUND(((CASE WHEN len(toks) BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END)
+      |  + (CAST(len(list_distinct(toks)) AS DOUBLE) /
+      |     CAST(GREATEST(len(toks), 1) AS DOUBLE))
+      |  + (CASE WHEN CAST(len(regexp_extract_all(text, '[.!?]')) AS DOUBLE) /
+      |       CAST(GREATEST(len(toks), 1) AS DOUBLE) < 0.3
+      |     THEN 1.0 ELSE 0.0 END)) / 3.0, 6)""".stripMargin
+
   private val q31 = Q("q31_quality_score",
     (s, dir) => {
       t(s, dir, "documents")
@@ -567,12 +577,7 @@ object SparkEntry {
       |  AS n_bpe_tokens,
       |ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) /
       |  CAST(GREATEST(len(toks), 1) AS DOUBLE), 6) AS distinct_ratio,
-      |ROUND(((CASE WHEN len(toks) BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END)
-      |  + (CAST(len(list_distinct(toks)) AS DOUBLE) /
-      |     CAST(GREATEST(len(toks), 1) AS DOUBLE))
-      |  + (CASE WHEN CAST(len(regexp_extract_all(text, '[.!?]')) AS DOUBLE) /
-      |       CAST(GREATEST(len(toks), 1) AS DOUBLE) < 0.3
-      |     THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+      |$qualitySqlExpr AS quality
       |FROM (SELECT doc_id, text,
       |  list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
       |    AS toks FROM documents)
@@ -2381,6 +2386,39 @@ object SparkEntry {
       |  UNPIVOT (value FOR metric IN (qty, price, disc))
       |ORDER BY l_returnflag, metric""".stripMargin))
 
+  private val q99 = Q("q99_token_budget",
+    (s, dir) => {
+      // Per-source token-budget selection (Mixing.selectWithinTokenBudget):
+      // greedily keep the best-quality docs per source while the running
+      // token total stays within budget — a data recipe's per-source cap
+      // in tokens, not rows. Quality ordering ties break on doc_id so the
+      // budget-edge row is layout-independent.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TF.qualityScore(col("text")).as("quality"))
+      graft.operators.Mixing.selectWithinTokenBudget(
+          d, "source", "n_tokens", budget = 2000L,
+          Seq(col("quality").desc, col("doc_id")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("__cum")).as("tokens_used"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH scored AS (
+      |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    $qualitySqlExpr AS quality
+      |  FROM (SELECT doc_id, source, text,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+      |      AS toks FROM documents)),
+      |sel AS (
+      |  SELECT source, CAST(SUM(n_tokens) OVER (PARTITION BY source
+      |    ORDER BY quality DESC, doc_id) AS BIGINT) AS cum
+      |  FROM scored)
+      |SELECT source, COUNT(*) AS n_docs, MAX(cum) AS tokens_used
+      |FROM sel WHERE cum <= 2000
+      |GROUP BY source ORDER BY source""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -2388,7 +2426,7 @@ object SparkEntry {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98)
+    q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

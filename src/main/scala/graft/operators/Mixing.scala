@@ -58,6 +58,26 @@ object Mixing {
     raised.map { case (s, p) => s -> p / z }
   }
 
+  /** Per-source token-budget selection: keep each source's documents in
+    * `orderCols` order (quality-descending, typically) while the source's
+    * RUNNING token total stays ≤ `budget` — the greedy knapsack every
+    * data recipe runs when a source's share is capped in tokens, not
+    * rows. One window per source partition (shuffle-on-source; within a
+    * partition the cumulative sum is a single sorted pass — no global
+    * window, so no serial point). Adds `__cum` (tokens through this row)
+    * to the survivors; callers drop it or aggregate on it.
+    *
+    * Deterministic: `orderCols` must be a total order (tie-break with the
+    * doc id) or the boundary row at the budget edge is layout-dependent. */
+  def selectWithinTokenBudget(
+      df: DataFrame, sourceCol: String, tokenCol: String,
+      budget: Long, orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(orderCols: _*)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(col("__cum") <= budget)
+  }
+
   /** The mixed corpus: rows from sources named in `weights`, hash-
     * downsampled to the target proportions. */
   def mixSources(

@@ -70,6 +70,28 @@ class MixingSpec extends SparkTestBase {
     assert(out.count() == 0)
   }
 
+  test("token-budget selection keeps best-first within each source's cap") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // (id, source, tokens, quality)
+      (1L, "web", 50L, 0.9), (2L, "web", 60L, 0.8), (3L, "web", 40L, 0.7),
+      (4L, "code", 100L, 0.5), (5L, "code", 30L, 0.9)
+    ).toDF("id", "source", "n_tokens", "quality")
+    val out = Mixing.selectWithinTokenBudget(docs, "source", "n_tokens",
+      budget = 120L, Seq(col("quality").desc, col("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // web: 1 (cum 50), 2 (cum 110); 3 would hit 150 > 120 -> dropped
+    // code: 5 (cum 30), 4 (cum 130 > 120) -> dropped
+    assert(out.keySet == Set(1L, 2L, 5L))
+    assert(out(2L) == 110L && out(5L) == 30L)
+    // layout independence: same survivors from a different partitioning
+    val re = Mixing.selectWithinTokenBudget(docs.repartition(7),
+      "source", "n_tokens", budget = 120L,
+      Seq(col("quality").desc, col("id")))
+      .collect().map(_.getLong(0)).toSet
+    assert(re == out.keySet)
+  }
+
   test("weights must be positive and sum to 1") {
     intercept[IllegalArgumentException] {
       Mixing.mixFractions(Map("a" -> 1L), Map("a" -> 0.4, "b" -> 0.4))
