@@ -2419,6 +2419,73 @@ object SparkEntry {
       |FROM sel WHERE cum <= 2000
       |GROUP BY source ORDER BY source""".stripMargin))
 
+  private val q100 = Q("q100_range_join",
+    (s, dir) => {
+      // Bucketized interval join (RangeJoin.pointInInterval): shipment
+      // dates joined to week-long windows through an equi-join on 7-day
+      // buckets + the exact BETWEEN in the same stage — never a
+      // BroadcastNestedLoopJoin (asserted in RangeJoinSpec). The oracle
+      // is the plain theta join, proving the bucketing is invisible in
+      // the result.
+      val windows = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 1000 === 0)
+        .select(col("o_orderkey").as("window_id"),
+          col("o_orderdate").cast("date").as("lo"),
+          date_add(col("o_orderdate").cast("date"), 6).as("hi"))
+      val ships = t(s, dir, "lineitem")
+        .select(col("l_shipdate").cast("date").as("ship"),
+          col("l_quantity"))
+      graft.operators.RangeJoin.pointInInterval(ships, windows,
+          "ship", "lo", "hi",
+          c => floor(datediff(c, lit("1970-01-01").cast("date")) / 7))
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_items"),
+          sumd(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("window_id"))
+    },
+    Some("""WITH w AS (SELECT o_orderkey AS window_id,
+      |    CAST(o_orderdate AS DATE) AS lo,
+      |    CAST(o_orderdate AS DATE) + 6 AS hi
+      |  FROM orders WHERE o_orderkey % 1000 = 0)
+      |SELECT window_id, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN w
+      |  ON CAST(l_shipdate AS DATE) BETWEEN w.lo AND w.hi
+      |GROUP BY window_id ORDER BY window_id""".stripMargin))
+
+  private val q101 = Q("q101_hard_negatives",
+    (s, dir) => {
+      // Hard-negative mining (Similarity.hardNegatives): per query
+      // vector, the top-3 most-cosine-similar vectors with a DIFFERENT
+      // label — broadcast queries + one corpus scan + the custom
+      // bounded-heap TopKPerGroup operator. Ranking runs on the
+      // unrounded cosine in both engines; rounding is output-only.
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+      Similarity.hardNegatives(e, queries,
+          "vec_id", "embedding", "label", "vec_id", k = 3)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id,
+      |    CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+      |  FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+      |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |                           CAST(e.embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(q.qv, q.qv))) AS c
+      |  FROM embeddings e JOIN q ON e.label <> q.qlabel),
+      |ranked AS (
+      |  SELECT query_id, vec_id, c,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY c DESC, vec_id) AS rn
+      |  FROM scored)
+      |SELECT query_id, vec_id, ROUND(c, 6) AS cosine FROM ranked
+      |WHERE rn <= 3 ORDER BY query_id, cosine DESC, vec_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -2426,7 +2493,8 @@ object SparkEntry {
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
-    q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99)
+    q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
+    q100, q101)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

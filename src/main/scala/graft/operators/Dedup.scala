@@ -424,8 +424,14 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
     val spark = pairs.sparkSession
-    // symmetric edge list, self-loops added so singletons keep their id
+    // Materialize the pair list ONCE before fanning it out: the symmetric
+    // edge union below references it 4 times, and `pairs` is typically
+    // the output of an expensive chain (LSH candidates + verify) that
+    // must not execute once per union arm.
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .cache()
+    fwd.count()
+    // symmetric edge list, self-loops added so singletons keep their id
     val edges = fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .union(fwd.select(col("src"), col("src").as("dst")))
@@ -455,6 +461,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    fwd.unpersist()
     if (!converged) {
       // min-label propagation needs O(component diameter) rounds; a chain
       // longer than maxIterations would silently split clusters otherwise.

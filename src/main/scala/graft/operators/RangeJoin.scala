@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join without a nested loop.
+  *
+  * Spark plans a pure inequality join — `point BETWEEN lo AND hi` — as a
+  * BroadcastNestedLoopJoin (or a cartesian product when neither side
+  * broadcasts): every probe row is compared against every interval, which
+  * is the textbook 100 TB scale-killer. The standard fix (the range-join
+  * bucketing Databricks exposes as a hint, and the binning step of every
+  * interval-join paper) is to discretize: map each point to the
+  * fixed-width bucket it falls in, explode each interval to every bucket
+  * it overlaps, equi-join on the bucket id, and apply the exact BETWEEN
+  * predicate to the (tiny) per-bucket candidate set in the same stage.
+  * The join becomes an ordinary shuffle-on-key hash join — partitionable,
+  * AQE-skew-splittable, broadcastable when the interval side is small.
+  *
+  * Bucket width tunes replication vs selectivity: an interval produces
+  * `width(interval)/bucketWidth + 1` bucket rows, a bucket collects
+  * `bucketWidth`-worth of points, so set `bucketWidth` near the typical
+  * interval width (replication stays O(1) per interval and candidates
+  * stay local).
+  */
+object RangeJoin {
+
+  /** Inner join of `facts` rows (at `pointCol`) to `intervals` rows whose
+    * `[loCol, hiCol]` (inclusive) contains the point. `bucket` maps a
+    * point/endpoint column to its integral bucket id and must be
+    * monotonic (e.g. `c => floor(c / 100)`, or week numbers for dates).
+    * Each matching (fact, interval) pair emits exactly once: a point
+    * lives in one bucket, so exploding only the interval side cannot
+    * duplicate a match. Column names must be disjoint across the two
+    * inputs (rename before joining, as with any join). */
+  def pointInInterval(
+      facts: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      bucket: Column => Column): DataFrame = {
+    val fb = facts.withColumn("__bk", bucket(col(pointCol)).cast("long"))
+    val ib = intervals.withColumn("__bk",
+      explode(sequence(bucket(col(loCol)).cast("long"),
+        bucket(col(hiCol)).cast("long"))))
+    fb.join(ib, Seq("__bk"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bk")
+  }
+}

@@ -50,6 +50,29 @@ object Similarity {
       .select(col("__qid").as("query_id"), col(idCol), col("cosine"))
   }
 
+  /** Hard-negative mining: for each query vector, the `k` most similar
+    * corpus vectors carrying a DIFFERENT label — the contrastive-training
+    * negatives worth mining because the model currently confuses them.
+    * Same shape as [[topKForQueries]] (broadcast queries, one corpus
+    * scan, bounded-heap top-k per query — no per-query sort), plus the
+    * label-mismatch predicate applied before scoring so same-label rows
+    * never reach the heap. */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      queryIdCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("__qid"), col(vecCol).as("__qv"),
+      col(labelCol).as("__qlabel")))
+    val scored = corpus.crossJoin(q)
+      .filter(col(labelCol) =!= col("__qlabel"))
+      .select(col("__qid"), col(idCol),
+        VectorFunctions.cosineFast(col(vecCol), col("__qv")).as("cosine"))
+    graft.plans.TopKPerGroup
+      .perKey(scored, Seq("__qid"), "cosine", idCol, k)
+      .select(col("__qid").as("query_id"), col(idCol), col("cosine"))
+  }
+
   /** IVF coarse quantizer: `nCentroids` centroids trained with
     * deterministic Lloyd iterations (init = lowest-id vectors; means in
     * fixed dimension order). Centroids are collected to the driver (tiny:

@@ -32,6 +32,35 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("hardNegatives returns only other-label rows, ranked by cosine") {
+    val out = Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", "label", "vec_id", k = 4)
+    val labels = emb.select(col("vec_id").as("v"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = out.collect()
+    assert(rows.length == 3 * 4)
+    rows.foreach { r =>
+      val (q, v) = (r.getLong(0), r.getLong(1))
+      assert(labels(v) != labels(q), s"negative $v shares label with $q")
+    }
+    // parity with the window formulation
+    val brute = emb.as("e").crossJoin(
+        emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("label").as("ql")))
+      .filter(col("label") =!= col("ql"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.VectorFunctions
+          .cosineFast(col("embedding"), col("qv")).as("c"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("c").desc, col("vec_id"))))
+      .filter(col("rn") <= 4)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == brute)
+  }
+
   test("IVF index: assignments cover corpus; probe recall vs brute force") {
     val idx = Similarity.buildIvf(spark, emb, "vec_id", "embedding",
       nCentroids = 4, iterations = 2)
