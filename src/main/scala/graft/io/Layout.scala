@@ -98,9 +98,20 @@ object Layout {
     * `zBuckets-1` doubles per column), so skewed columns still spread
     * across all buckets; the per-row bucket lookup is a fold over the
     * boundary literal array (`functions.aggregate` — codegen'd, no UDF,
-    * no join). Nulls land in bucket 0. Supports 2+ columns; bits beyond
-    * 63/`cols.length` per column are never needed because zBuckets ≤ 2^16.
+    * no join). Nulls land in bucket 0. Supports 2+ columns. The interleave
+    * must stay out of bit 63 (the sign bit of the long z-value — a set sign
+    * bit would sort high buckets BEFORE low ones and silently destroy the
+    * clustering), so `bitsPerCol` is capped at `63 / cols.length`: wide
+    * column sets trade bucket resolution for correct ordering (e.g. 8
+    * columns get 7 bits = 128 effective buckets each even if `zBuckets`
+    * asked for more).
     */
+  /** Per-column bit budget for the z-interleave: the requested
+    * log2(zBuckets), capped so `bitsPerCol * nCols <= 63` — the highest
+    * usable shift must stay below the long's sign bit. */
+  private[graft] def zBitsPerCol(zBuckets: Int, nCols: Int): Int =
+    math.min(java.lang.Integer.numberOfTrailingZeros(zBuckets), 63 / nCols)
+
   def writeZOrdered(
       df: DataFrame, path: String, cols: Seq[String],
       numFiles: Int, zBuckets: Int = 256,
@@ -108,10 +119,11 @@ object Layout {
     require(cols.length >= 2, "z-order needs at least 2 columns")
     require(zBuckets >= 2 && (zBuckets & (zBuckets - 1)) == 0 &&
       zBuckets <= 65536, "zBuckets must be a power of 2 in [2, 65536]")
-    val bitsPerCol = java.lang.Integer.numberOfTrailingZeros(zBuckets)
+    val bitsPerCol = zBitsPerCol(zBuckets, cols.length)
+    val effBuckets = 1 << bitsPerCol
     val bounds: Map[String, Array[Double]] = cols.map { c =>
       c -> df.stat.approxQuantile(c,
-        (1 until zBuckets).map(_.toDouble / zBuckets).toArray, 0.001)
+        (1 until effBuckets).map(_.toDouble / effBuckets).toArray, 0.001)
     }.toMap
     // materialize each bucket id once, then interleave its bits
     def bucketOf(c: String): org.apache.spark.sql.Column =

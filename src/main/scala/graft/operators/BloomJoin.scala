@@ -35,6 +35,19 @@ object BloomJoin {
     math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
   }
 
+  /** `BloomFilterAggregate` rejects numBits above the session's
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default 64 Mi
+    * bits) at analysis time — exactly the large-build-side scale the
+    * prefilter targets (≳9.2M keys at fpp=0.03 overflows it). Clamp to
+    * the conf instead of failing: the effective fpp rises, but results
+    * stay exact because the real join removes every false positive. */
+  private def clampNumBits(df: DataFrame, numBits: Long): Long = {
+    val maxBits = df.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864")
+      .toLong
+    math.max(1L, math.min(numBits, maxBits))
+  }
+
   /** Aggregate `key` of every row in `df` into a serialized Bloom filter.
     * One distributed pass with partial aggregation (per-partition blooms
     * merged by OR); the result is driver-held and bounded by `numBits`
@@ -44,7 +57,7 @@ object BloomJoin {
       expectedItems: Long, numBits: Long): Array[Byte] = {
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(Shims.expression(key))),
-      Literal(expectedItems), Literal(numBits))
+      Literal(expectedItems), Literal(clampNumBits(df, numBits)))
     val c = Shims.column(agg.toAggregateExpression())
     df.select(c.as("bf")).head().getAs[Array[Byte]](0)
   }

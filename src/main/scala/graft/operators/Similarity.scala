@@ -176,8 +176,10 @@ object Similarity {
     // few Lloyd iterations + empty-cell carry-over the collided codes
     // could stay duplicated forever, wasting codebook capacity. Collect a
     // few times k candidates so dedup still fills k distinct seeds on
-    // repetitive corpora; repeat-first padding only when the corpus truly
-    // has fewer than k distinct subvectors.
+    // repetitive corpora; when the corpus has fewer than k distinct
+    // subvectors the tail seeds all repeat the LAST distinct one (the
+    // clamped index below), and Lloyd + empty-cell carry-over re-spreads
+    // them in later iterations.
     val init = subs.orderBy(col("__id"), col("__sub"))
       .limit(4 * m * k).collect()
       .map(r => (r.getInt(1), r.getSeq[Float](2)))

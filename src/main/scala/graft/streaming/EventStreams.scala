@@ -81,7 +81,12 @@ object EventStreams {
     * shuffle-on-key at any scale. Latest-wins INSIDE a batch is resolved
     * deterministically: highest `seqCol` wins per key, and a (key, seqCol)
     * tie is broken by the remaining payload columns so a replayed batch —
-    * whatever its row order — always converges to the same snapshot. */
+    * whatever its row order — always converges to the same snapshot.
+    * Non-orderable payload columns (maps, intervals) can't sort directly,
+    * so they enter the tie-break as a deterministic surrogate —
+    * `xxhash64(to_json(struct(col)))` — which depends only on the value,
+    * never on partition layout; rows identical on every column remain
+    * interchangeable, which is still convergent. */
   def mergeSink(
       stream: DataFrame,
       path: String,
@@ -94,9 +99,12 @@ object EventStreams {
         val spark = batch.sparkSession
         val tieBreak = batch.schema.fields.toSeq
           .filterNot(f => keys.contains(f.name) || f.name == seqCol)
-          .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
-            .isOrderable(f.dataType))
-          .map(f => col(f.name).asc_nulls_first)
+          .map { f =>
+            val orderable = org.apache.spark.sql.catalyst.expressions
+              .RowOrdering.isOrderable(f.dataType)
+            if (orderable) col(f.name).asc_nulls_first
+            else xxhash64(to_json(struct(col(f.name)))).asc_nulls_first
+          }
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(col): _*)
           .orderBy(col(seqCol).desc +: tieBreak: _*)

@@ -62,6 +62,21 @@ class BloomJoinSpec extends SparkTestBase {
     assert(viaBloom.head() == plain.head())
   }
 
+  test("numBits above the session ceiling clamps instead of failing") {
+    // 50M expected items at fpp=0.03 sizes to ~365M bits — past
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (64 Mi), which
+    // made BloomFilterAggregate fail analysis at exactly the scale the
+    // prefilter targets. The clamp accepts a higher effective fpp; the
+    // real join keeps the result exact.
+    assert(BloomJoin.optimalNumBits(50000000L, 0.03) > 67108864L)
+    val viaBloom = BloomJoin.semiJoin(li, urgent,
+      "l_orderkey", "o_orderkey", expectedItems = 50000000L, fpp = 0.03)
+    val plain = li.join(urgent,
+      li("l_orderkey") === urgent("o_orderkey"), "left_semi")
+    assert(viaBloom.count() == plain.count())
+    assert(viaBloom.exceptAll(plain).count() == 0)
+  }
+
   test("optimalNumBits follows the standard sizing curve") {
     // 1M items at 3% fpp needs ~7.3 bits/item; tighter fpp needs more
     val b3 = BloomJoin.optimalNumBits(1000000L, 0.03)

@@ -189,6 +189,43 @@ class EventStreamsSpec extends SparkTestBase {
     assert(forward(1L) == ("click", 1.0)) // payload-ascending winner
   }
 
+  test("mergeSink: non-orderable (map) payload still ties deterministically") {
+    // a MapType column can't enter a sort order directly, so the tie-break
+    // folds it in as xxhash64(to_json(struct(col))) — a value-only
+    // surrogate. Two rows identical on (key, seq) but differing ONLY in
+    // the map must converge to the same winner whatever the batch order.
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("ts", LongType),
+      StructField("tags", MapType(StringType, LongType))))
+    def runOnce(tag: String, rows: Seq[(Long, Long, Map[String, Long])])
+        : Map[Long, Map[String, Long]] = {
+      val root = Files.createTempDirectory(s"graft_maptie_$tag").toString
+      val src = s"$root/in"
+      Files.createDirectories(java.nio.file.Paths.get(src))
+      val tmp = s"$root/stage"
+      rows.toDF("k", "ts", "tags").coalesce(1).write.parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, java.nio.file.Paths.get(src, "b.parquet"))
+      val q = EventStreams.mergeSink(
+        spark.readStream.schema(schema).parquet(src),
+        s"$root/snap", Seq("k"), "ts", s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(s"$root/snap").collect()
+        .map(r => r.getLong(0) -> r.getMap[String, Long](2).toMap).toMap
+    }
+    val tied = Seq(
+      (1L, 5L, Map("a" -> 1L)),
+      (1L, 5L, Map("b" -> 2L)), // same key, same seq; only the map differs
+      (2L, 5L, Map("c" -> 3L)))
+    val forward = runOnce("f", tied)
+    val backward = runOnce("b", tied.reverse)
+    assert(forward == backward,
+      s"map tie broke differently: $forward vs $backward")
+    assert(forward.keySet == Set(1L, 2L))
+  }
+
   test("append mode emits only watermark-finalized windows across batches") {
     val s = 1000000000L
     val dir = Files.createTempDirectory("graft_wm").toString

@@ -108,6 +108,27 @@ class LayoutSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$tmp/zorder").count() == li.count())
   }
 
+  test("z-order wide column sets: bit budget clamps below the sign bit") {
+    // 4 columns at zBuckets=65536 asks for 64 interleaved bits — bit 63 is
+    // the long's sign bit, so the unclamped interleave made high-bucket
+    // rows NEGATIVE and sorted them before low ones. The budget caps
+    // bitsPerCol at 63/nCols (wide sets trade resolution for ordering).
+    assert(Layout.zBitsPerCol(65536, 4) == 15) // 16 requested -> clamped
+    assert(Layout.zBitsPerCol(65536, 8) == 7)
+    assert(Layout.zBitsPerCol(256, 2) == 8)    // within budget: untouched
+    assert(Layout.zBitsPerCol(256, 8) == 7)    // the ADVICE repro shape
+    assert((0 until 8).forall(n =>
+      Layout.zBitsPerCol(65536, n + 2) * (n + 2) <= 63))
+    // and the wide write itself stays lossless end-to-end
+    val tmp = Files.createTempDirectory("graft_zorder_wide").toString
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+    Layout.writeZOrdered(li, s"$tmp/z4",
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"),
+      numFiles = 16, zBuckets = 65536)
+    assert(spark.read.parquet(s"$tmp/z4").count() == li.count())
+  }
+
   test("stats manifest skips whole files for range predicates") {
     val tmp = Files.createTempDirectory("graft_layout3").toString
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
