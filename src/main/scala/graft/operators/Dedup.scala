@@ -441,6 +441,18 @@ object Dedup {
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("component"))
       .cache()
+    // Convergence check without a join: labels under min-propagation are
+    // monotone NONINCREASING per node (self-loops keep the own label in
+    // every neighborhood min), so the label-sum strictly decreases until
+    // the fixpoint. One tiny aggregate per round — it doubles as the
+    // action that materializes the round's cache — replaces the
+    // next-vs-previous join+filter, halving the jobs per iteration.
+    def labelSig(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)), sum(col("component").cast("decimal(28,0)")))
+        .head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var sig = labelSig(labels)
     var iter = 0
     var converged = false
     while (iter < maxIterations && !converged) {
@@ -451,13 +463,11 @@ object Dedup {
         .groupBy(col("src"))
         .agg(min(col("__nbr")).as("component"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("component", "__old"),
-        Seq("src"))
-        .filter(col("component") =!= col("__old"))
-        .limit(1).count() > 0
+      val nextSig = labelSig(next)
       labels.unpersist()
       labels = next
-      converged = !changed
+      converged = nextSig == sig
+      sig = nextSig
       iter += 1
     }
     edges.unpersist()
