@@ -2486,6 +2486,136 @@ object SparkEntry {
       |SELECT query_id, vec_id, ROUND(c, 6) AS cosine FROM ranked
       |WHERE rn <= 3 ORDER BY query_id, cosine DESC, vec_id""".stripMargin))
 
+  private val q102 = Q("q102_scd2",
+    (s, dir) => {
+      // SCD2 dimension build (Scd2.fromChangeLog): the events change log
+      // becomes validity intervals per user — change compression via lag,
+      // interval close via lead, BOTH windows over the same user_id
+      // partitioning so the whole build is one shuffle. Interval bounds
+      // are epoch MICROS (ts DIV 1000 ↔ DuckDB epoch_us) — the engines'
+      // shared exact precision; DuckDB's epoch_ns pads sub-micro digits
+      // with zeros and would hash-mismatch the raw nanos.
+      val ev = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), expr("ts DIV 1000").as("ts"),
+          col("event_type"))
+      graft.operators.Scd2
+        .fromChangeLog(ev, Seq("user_id"), Seq("event_type"), "ts")
+        .orderBy(col("user_id"), col("valid_from"))
+    },
+    Some("""WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts, event_type
+      |  FROM events WHERE user_id < 50),
+      |o AS (
+      |  SELECT user_id, ts, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM ev),
+      |ch AS (
+      |  SELECT user_id, ts, event_type FROM o
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |scd AS (
+      |  SELECT user_id, event_type, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+      |  FROM ch)
+      |SELECT user_id, event_type, valid_from, valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM scd ORDER BY user_id, valid_from""".stripMargin))
+
+  private val q103 = Q("q103_heavy_hitters",
+    (s, dir) => {
+      // Exact heavy hitters via sketch-then-verify
+      // (HeavyHitters.exact): pass 1 merges bounded Misra-Gries
+      // summaries — a custom TypedImperativeAggregate whose shuffle is
+      // O(capacity) per partition, not one row per distinct token; pass
+      // 2 exact-counts only the candidates. The threshold ceil(theta*n)
+      // is computed with the same double math in both engines.
+      val toks = t(s, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+      graft.operators.HeavyHitters.exact(toks, "tok", theta = 0.034)
+        .orderBy(col("tok"))
+    },
+    Some("""WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> t <> '')) AS tok FROM documents),
+      |tot AS (SELECT COUNT(*) AS n FROM toks)
+      |SELECT tok, COUNT(*) AS cnt
+      |FROM toks, tot
+      |GROUP BY tok, n
+      |HAVING COUNT(*) >= CAST(ceil(0.034 * n) AS BIGINT)
+      |ORDER BY tok""".stripMargin))
+
+  private val q104 = Q("q104_class_balance",
+    (s, dir) => {
+      // Class-balanced downsampling (Sampling.balanceClasses): every
+      // label keeps exactly min-class-count rows, chosen by md5-hash
+      // order on vec_id — deterministic and layout-independent. The
+      // output pins WHICH rows survived (sum of kept ids per class),
+      // not just how many.
+      val e = t(s, dir, "embeddings")
+      graft.operators.Sampling.balanceClasses(e, "vec_id", "label")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("vec_id")).as("sum_ids"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH ranked AS (
+      |  SELECT label, vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY label
+      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      |  FROM embeddings),
+      |m AS (SELECT MIN(cnt) AS mn FROM (
+      |  SELECT COUNT(*) AS cnt FROM embeddings GROUP BY label))
+      |SELECT label, COUNT(*) AS n_kept, CAST(SUM(vec_id) AS BIGINT) AS sum_ids
+      |FROM ranked, m WHERE rk <= mn
+      |GROUP BY label ORDER BY label""".stripMargin))
+
+  private val q105 = Q("q105_mrl_rerank",
+    (s, dir) => {
+      // Matryoshka two-stage ANN (Similarity.truncatedRerank): stage 1
+      // ranks on the first 16 of 64 dimensions (the corpus-wide scan
+      // touches 1/4 of the vector bytes), keeps a 20-deep shortlist per
+      // query via the bounded-heap TopKPerGroup, stage 2 reranks the
+      // shortlist at full dimension and keeps 5. The oracle replays
+      // both stages exactly — slice, rank, rerank — so shortlist edges
+      // and ties are verified, not just the final ids.
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+      Similarity.truncatedRerank(e, queries,
+          "vec_id", "embedding", "vec_id",
+          prefixDim = 16, shortlist = 20, k = 5)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+    },
+    Some("""WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 5),
+      |pre AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    CAST(e.embedding AS DOUBLE[]) AS ev, q.qv,
+      |    list_dot_product(CAST(e.embedding AS DOUBLE[])[1:16], q.qv[1:16]) /
+      |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[])[1:16],
+      |                             CAST(e.embedding AS DOUBLE[])[1:16])) *
+      |       sqrt(list_dot_product(q.qv[1:16], q.qv[1:16]))) AS pc
+      |  FROM embeddings e, q),
+      |short AS (
+      |  SELECT query_id, vec_id, ev, qv FROM (
+      |    SELECT pre.*, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY pc DESC, vec_id) AS rn FROM pre)
+      |  WHERE rn <= 20),
+      |rr AS (
+      |  SELECT query_id, vec_id,
+      |    list_dot_product(ev, qv) /
+      |      (sqrt(list_dot_product(ev, ev)) *
+      |       sqrt(list_dot_product(qv, qv))) AS c
+      |  FROM short),
+      |ranked AS (
+      |  SELECT query_id, vec_id, c,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY c DESC, vec_id) AS rn
+      |  FROM rr)
+      |SELECT query_id, vec_id, ROUND(c, 6) AS cosine FROM ranked
+      |WHERE rn <= 5 ORDER BY query_id, cosine DESC, vec_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -2494,7 +2624,7 @@ object SparkEntry {
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101)
+    q100, q101, q102, q103, q104, q105)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

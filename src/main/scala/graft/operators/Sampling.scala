@@ -70,6 +70,32 @@ object Sampling {
       .orderBy(col("shuffle_key"))
   }
 
+  /** Class-balanced downsampling: keep exactly `min(class count)` rows of
+    * EVERY class — the standard rebalance before training a classifier on
+    * skewed labels. Which rows survive is decided by md5-hash order on
+    * the key (ties by key), so the kept set is deterministic and
+    * layout-independent, like every sampler here.
+    *
+    * Plan shape: one shuffle on the label for the per-class `row_number`,
+    * a broadcast of the single-row global minimum joined in (never a
+    * driver-side collect), and a filter — no second shuffle of the data.
+    * The per-class counts the minimum derives from reuse the same
+    * exchange. Scales to any row count; the label cardinality only
+    * bounds the tiny count-aggregate. */
+  def balanceClasses(
+      df: DataFrame, keyCol: String, labelCol: String): DataFrame = {
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(labelCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    val minCount = df.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("__class_n"))
+      .agg(min(col("__class_n")).as("__min_n"))
+    df.withColumn("__rk", row_number().over(rk))
+      .join(broadcast(minCount))
+      .filter(col("__rk") <= col("__min_n"))
+      .drop("__rk", "__min_n")
+  }
+
   /** Deterministic per-stratum downsampling: keep ≈`fraction(stratum)` of
     * rows inside each stratum, hash-assigned on the key. */
   def stratifiedSample(

@@ -73,6 +73,45 @@ object Similarity {
       .select(col("__qid").as("query_id"), col(idCol), col("cosine"))
   }
 
+  /** Matryoshka-style two-stage search (Kusupati et al. 2022, MRL): rank
+    * the corpus by cosine over only the FIRST `prefixDim` dimensions —
+    * for matryoshka-trained embeddings the prefix is itself a valid
+    * low-dim embedding — keep a `shortlist` per query, then re-rank just
+    * the shortlist with full-dimension cosine and keep `k`.
+    *
+    * Why at 100 TB: stage 1 is the only corpus-wide scan and it touches
+    * `prefixDim/dim` of the vector bytes (memory bandwidth, not compute,
+    * bounds brute-force search); stage 2 runs on |queries|·shortlist
+    * rows, negligible by construction. Both stages use the bounded-heap
+    * [[graft.plans.TopKPerGroup]] — no per-query sort anywhere. The
+    * result is exact IF every true top-k member ranks within the
+    * shortlist on the prefix (the MRL training objective); the operator
+    * itself is deterministic either way (ties break on id at both
+    * stages), so the recall trade is measurable, not noisy. */
+  def truncatedRerank(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      prefixDim: Int, shortlist: Int, k: Int): DataFrame = {
+    require(prefixDim >= 1, s"prefixDim must be >= 1, got $prefixDim")
+    require(shortlist >= k,
+      s"shortlist $shortlist must be >= k $k (stage 2 reranks stage 1)")
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("__qid"), col(vecCol).as("__qv")))
+    val pre = corpus.crossJoin(q)
+      .select(col("__qid"), col(idCol), col(vecCol), col("__qv"),
+        VectorFunctions.cosineFast(
+          slice(col(vecCol), 1, prefixDim),
+          slice(col("__qv"), 1, prefixDim)).as("__pre_cosine"))
+    val short = graft.plans.TopKPerGroup
+      .perKey(pre, Seq("__qid"), "__pre_cosine", idCol, shortlist)
+    val reranked = short
+      .select(col("__qid"), col(idCol),
+        VectorFunctions.cosineFast(col(vecCol), col("__qv")).as("cosine"))
+    graft.plans.TopKPerGroup
+      .perKey(reranked, Seq("__qid"), "cosine", idCol, k)
+      .select(col("__qid").as("query_id"), col(idCol), col("cosine"))
+  }
+
   /** IVF coarse quantizer: `nCentroids` centroids trained with
     * deterministic Lloyd iterations (init = lowest-id vectors; means in
     * fixed dimension order). Centroids are collected to the driver (tiny:

@@ -190,4 +190,42 @@ class SimilaritySpec extends SparkTestBase {
     assert(pruned.toSet.subsetOf(members),
       s"ids outside probed lists: ${pruned.toSet -- members}")
   }
+
+  test("truncatedRerank: full-width shortlist is exact; ranks by full dim") {
+    val queries = emb.filter(col("vec_id") < 3)
+    // shortlist = corpus size -> stage 1 prunes nothing, so the result
+    // must EQUAL exhaustive full-dimension top-k whatever the prefix
+    val n = emb.count().toInt
+    val exact = Similarity.topKForQueries(emb, queries,
+      "vec_id", "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaPrefix = Similarity.truncatedRerank(emb, queries,
+      "vec_id", "embedding", "vec_id",
+      prefixDim = 8, shortlist = n, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPrefix == exact)
+    // tight shortlist: still k rows per query, self still ranks first
+    // (the self row's prefix cosine is 1.0 — it cannot miss the shortlist)
+    val tight = Similarity.truncatedRerank(emb, queries,
+      "vec_id", "embedding", "vec_id",
+      prefixDim = 8, shortlist = 12, k = 5)
+      .collect()
+    val byQuery = tight.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L))
+    assert(byQuery.values.forall(_.length == 5))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.maxBy(_.getDouble(2)).getLong(1) == q)
+    }
+    // reranked scores are true full-dim cosines: cross-check one pair
+    // against the exhaustive scorer
+    val want = Similarity.topKForQueries(emb, queries,
+      "vec_id", "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    tight.foreach { r =>
+      want.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(math.abs(c - r.getDouble(2)) < 1e-12)
+      }
+    }
+  }
 }

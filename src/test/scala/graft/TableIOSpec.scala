@@ -99,4 +99,22 @@ class TableIOSpec extends SparkTestBase {
     assert(bySeg(seg.head) == fullCounts(seg.head)) // fraction 1.0
     assert(bySeg(seg.last) < fullCounts(seg.last)) // downsampled
   }
+
+  test("class balance keeps exactly min-class-count rows per label") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val minN = e.groupBy("label").count()
+      .agg(org.apache.spark.sql.functions.min("count")).head().getLong(0)
+    val out = Sampling.balanceClasses(e, "vec_id", "label")
+    val perLabel = out.groupBy("label").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val labels = e.select("label").distinct().count()
+    assert(perLabel.size == labels)
+    assert(perLabel.values.forall(_ == minN), perLabel)
+    // kept rows are a subset of the input and deterministic across runs
+    assert(out.join(e, Seq("vec_id"), "left_anti").count() == 0)
+    val ids1 = out.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Sampling.balanceClasses(e, "vec_id", "label")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2)
+  }
 }
