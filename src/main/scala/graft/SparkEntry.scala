@@ -2494,17 +2494,23 @@ object SparkEntry {
       // partitioning so the whole build is one shuffle. Interval bounds
       // are epoch MICROS (ts DIV 1000 ↔ DuckDB epoch_us) — the engines'
       // shared exact precision; DuckDB's epoch_ns pads sub-micro digits
-      // with zeros and would hash-mismatch the raw nanos.
+      // with zeros and would hash-mismatch the raw nanos. The micro
+      // truncation can collide two events onto one (user_id, ts) —
+      // violating fromChangeLog's (key, ts)-uniqueness contract and
+      // making lag/lead order nondeterministic in BOTH engines — so ties
+      // are resolved to min(event_type) before the build.
       val ev = t(s, dir, "events").filter(col("user_id") < 50)
         .select(col("user_id"), expr("ts DIV 1000").as("ts"),
           col("event_type"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min(col("event_type")).as("event_type"))
       graft.operators.Scd2
         .fromChangeLog(ev, Seq("user_id"), Seq("event_type"), "ts")
         .orderBy(col("user_id"), col("valid_from"))
     },
     Some("""WITH ev AS (
-      |  SELECT user_id, epoch_us(ts) AS ts, event_type
-      |  FROM events WHERE user_id < 50),
+      |  SELECT user_id, epoch_us(ts) AS ts, MIN(event_type) AS event_type
+      |  FROM events WHERE user_id < 50 GROUP BY user_id, epoch_us(ts)),
       |o AS (
       |  SELECT user_id, ts, event_type,
       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev

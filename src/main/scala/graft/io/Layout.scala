@@ -86,6 +86,12 @@ object Layout {
       .filter(col(column).between(lit(lo), lit(hi)))
   }
 
+  /** Per-column bit budget for the z-interleave: the requested
+    * log2(zBuckets), capped so `bitsPerCol * nCols <= 63` — the highest
+    * usable shift must stay below the long's sign bit. */
+  private[graft] def zBitsPerCol(zBuckets: Int, nCols: Int): Int =
+    math.min(java.lang.Integer.numberOfTrailingZeros(zBuckets), 63 / nCols)
+
   /** Z-ordered (multi-dimensional clustered) layout: interleave the bits
     * of each row's per-column QUANTILE bucket ids into one z-value, then
     * range-partition + sort by it. A single-column sort ([[writeSortedFiles]])
@@ -106,12 +112,6 @@ object Layout {
     * columns get 7 bits = 128 effective buckets each even if `zBuckets`
     * asked for more).
     */
-  /** Per-column bit budget for the z-interleave: the requested
-    * log2(zBuckets), capped so `bitsPerCol * nCols <= 63` — the highest
-    * usable shift must stay below the long's sign bit. */
-  private[graft] def zBitsPerCol(zBuckets: Int, nCols: Int): Int =
-    math.min(java.lang.Integer.numberOfTrailingZeros(zBuckets), 63 / nCols)
-
   def writeZOrdered(
       df: DataFrame, path: String, cols: Seq[String],
       numFiles: Int, zBuckets: Int = 256,

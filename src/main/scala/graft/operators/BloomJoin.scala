@@ -35,12 +35,16 @@ object BloomJoin {
     math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
   }
 
-  /** `BloomFilterAggregate` rejects numBits above the session's
-    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default 64 Mi
-    * bits) at analysis time — exactly the large-build-side scale the
-    * prefilter targets (≳9.2M keys at fpp=0.03 overflows it). Clamp to
-    * the conf instead of failing: the effective fpp rises, but results
-    * stay exact because the real join removes every false positive. */
+  /** Defensive clamp that mirrors `BloomFilterAggregate`'s own internal
+    * cap: Spark 4.1.2 lazily `Math.min`s both numBits and
+    * estimatedNumItems against the session confs
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumBits`, default 64 Mi
+    * bits), so an oversized request never fails analysis — it is silently
+    * capped. Clamping here makes that behavior explicit at the call site
+    * and keeps the sizing math (`optimalNumBits`) honest about the bits
+    * the filter will actually get: past the cap the effective fpp rises,
+    * but results stay exact because the real join removes every false
+    * positive. */
   private def clampNumBits(df: DataFrame, numBits: Long): Long = {
     val maxBits = df.sparkSession.conf
       .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864")

@@ -419,10 +419,21 @@ object Dedup {
     * real near-dup graphs (components are tiny); every round is one
     * shuffle of the edge list.
     *
+    * Hybrid execution: the VERIFIED pair list is orders of magnitude
+    * smaller than the corpus it came from (it is the near-dup graph, not
+    * the data), so when the materialized edge count is at or below
+    * `localEdgeThreshold` the closure is computed with an exact
+    * driver-side union-find — one bounded collect (≤ threshold rows of
+    * two ids), zero iteration jobs — and parallelized back out. Above
+    * the gate, the distributed min-label loop runs unchanged, so the
+    * operator never collects an unbounded set. Both paths compute the
+    * identical fixpoint (DedupSpec cross-checks them on random graphs).
+    *
     * @return (idCol, component) — component = min id reachable.
     */
   def connectedComponents(
-      pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+      pairs: DataFrame, maxIterations: Int = 10,
+      localEdgeThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     // Materialize the pair list ONCE before fanning it out: the symmetric
     // edge union below references it 4 times, and `pairs` is typically
@@ -430,7 +441,12 @@ object Dedup {
     // must not execute once per union arm.
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .cache()
-    fwd.count()
+    val nEdges = fwd.count()
+    if (nEdges <= localEdgeThreshold) {
+      val out = localComponents(fwd, pairs.schema("id_a").dataType)
+      fwd.unpersist()
+      return out
+    }
     // symmetric edge list, self-loops added so singletons keep their id
     val edges = fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -480,6 +496,48 @@ object Dedup {
           "iterations — labels may split long chains; raise maxIterations")
     }
     labels.select(col("src").as("id"), col("component"))
+  }
+
+  /** Exact driver-side closure for a BOUNDED edge list (the
+    * `localEdgeThreshold` arm of [[connectedComponents]]): union-find
+    * with path compression, roots kept at the component MINIMUM so the
+    * labels match the distributed min-propagation fixpoint exactly.
+    * Works for any Comparable id type (long, int, string). */
+  private def localComponents(
+      fwd: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = fwd.sparkSession
+    val parent = new java.util.HashMap[Any, Any]()
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    fwd.collect().foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { // attach the LARGER root under the smaller one
+        if (cmp(ra, rb) < 0) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](
+      parent.size())
+    parent.keySet().forEach(k =>
+      rows += org.apache.spark.sql.Row(k, find(k)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+      org.apache.spark.sql.types.StructField("component", idType,
+        nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq,
+        math.max(1, math.min(spark.sparkContext.defaultParallelism,
+          rows.size / 100000 + 1))), schema)
   }
 
   /** One-survivor-per-cluster dedup: from verified near-dup `pairs`,

@@ -76,6 +76,13 @@ object Sampling {
     * the key (ties by key), so the kept set is deterministic and
     * layout-independent, like every sampler here.
     *
+    * Contract: `keyCol` must be UNIQUE within each label (like
+    * [[deterministicShuffle]]'s key contract). Rows sharing a key inside
+    * a label tie on the full sort key, their relative `row_number` ranks
+    * become layout-dependent, and which payload rows survive at the
+    * cutoff is no longer deterministic. Build a composite key first when
+    * no natural unique key exists.
+    *
     * Plan shape: one shuffle on the label for the per-class `row_number`,
     * a broadcast of the single-row global minimum joined in (never a
     * driver-side collect), and a filter — no second shuffle of the data.

@@ -105,6 +105,27 @@ class DedupSpec extends SparkTestBase {
     assert(comp(20L) == 20L)
   }
 
+  test("connected components: local union-find == distributed propagation") {
+    // Random graphs through BOTH arms of the hybrid: default threshold
+    // takes the driver union-find, threshold=0 forces the distributed
+    // min-label loop; the fixpoints must be identical row-for-row.
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 30 + trial * 20
+      val edges = Seq.fill(n)(
+        (rng.nextInt(25).toLong, rng.nextInt(25).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val pairs = edges.toDF("id_a", "id_b")
+      val local = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.connectedComponents(pairs, localEdgeThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist, s"trial $trial: hybrid arms disagree")
+    }
+  }
+
   test("keepClusterRepresentatives keeps one doc per component") {
     val pairs = Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b")
     val out = Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
