@@ -7,7 +7,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Decontaminate, Dedup, Fuzzy, Mixing, Similarity}
+import graft.operators.{Collocations, Decontaminate, Dedup, Fuzzy, Mixing,
+  Sampling, Similarity}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2) over the
   * test star schema, each query paired with DuckDB oracle SQL.
@@ -2622,6 +2623,147 @@ object SparkEntry {
       |SELECT query_id, vec_id, ROUND(c, 6) AS cosine FROM ranked
       |WHERE rn <= 5 ORDER BY query_id, cosine DESC, vec_id""".stripMargin))
 
+  private val q106 = Q("q106_interval_window",
+    (s, dir) => {
+      // TIME-based sliding window (RANGE frame over epoch micros): per
+      // user, events and value-sum within the PRECEDING HOUR of each
+      // event — the value-based frame built-in window aggregation that
+      // rows-based frames (q19) can't express. RANGE includes ties
+      // symmetrically, so same-timestamp events see identical frames and
+      // the aggregates are order-independent; floor(value) keeps the
+      // windowed sum in exact integer arithmetic on both engines.
+      val ev = t(s, dir, "events").filter(col("user_id") < 30)
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("ts_us"),
+          floor(col("value")).cast("long").as("v"))
+      val hour = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      ev.select(col("event_id"), col("user_id"), col("ts_us"),
+          count(lit(1)).over(hour).as("n_1h"),
+          sum(col("v")).over(hour).as("sum_1h"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id, ts_us,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(SUM(v) OVER w AS BIGINT) AS sum_1h
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |    CAST(FLOOR(value) AS BIGINT) AS v
+      |  FROM events WHERE user_id < 30)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin))
+
+  private val q107 = Q("q107_bag_dedup",
+    (s, dir) => {
+      // Order-insensitive exact dedup (Dedup.bagDuplicateGroups): docs
+      // whose token MULTISETS are equal collide on an md5 of the sorted
+      // token list — catches sentence-shuffle / concatenation-order
+      // duplicates that byte-exact dedup (q34) misses, with no
+      // similarity threshold. One hash-aggregate; the 32-char
+      // fingerprint is the shuffle key, never the full text.
+      // minGroupSize=1 + top-20 so the md5 fingerprint VALUES are
+      // hash-compared even at scales where no collision exists (dup
+      // groups sort first when present — sf0.1 has 8).
+      Dedup.bagDuplicateGroups(t(s, dir, "documents"), "doc_id", "text",
+          minGroupSize = 1L)
+        .orderBy(col("n_docs").desc, col("rep_id")).limit(20)
+    },
+    Some("""SELECT md5(array_to_string(list_sort(tk), ' ')) AS fingerprint,
+      |  MIN(doc_id) AS rep_id, COUNT(*) AS n_docs
+      |FROM (SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+      |  FROM documents)
+      |GROUP BY 1
+      |ORDER BY n_docs DESC, rep_id LIMIT 20""".stripMargin))
+
+  private val q108 = Q("q108_collocations",
+    (s, dir) => {
+      // Bigram collocation mining (Collocations.topCollocations): lift =
+      // n_ab·N/(n_a·n_b) over adjacent-token bigrams, all counts from
+      // one bigram table. Lift, not PMI: the ratio of exact integer
+      // counts divides to an identically-rounded double everywhere,
+      // while ln() is libm-dependent. Corpus is exploded once; the
+      // marginal windows run over the vocab-sized COUNTS table.
+      Collocations.topCollocations(t(s, dir, "documents"), "text",
+        minCount = 5L, k = 20)
+    },
+    Some("""WITH bi AS (
+      |  SELECT tk[i] AS w1, tk[i+1] AS w2 FROM (
+      |    SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+      |    FROM (SELECT list_filter(
+      |        string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+      |      FROM documents)
+      |    WHERE len(tk) >= 2)),
+      |c AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bi GROUP BY w1, w2),
+      |m AS (SELECT w1, w2, n_ab,
+      |  CAST(SUM(n_ab) OVER (PARTITION BY w1) AS BIGINT) AS n_a,
+      |  CAST(SUM(n_ab) OVER (PARTITION BY w2) AS BIGINT) AS n_b,
+      |  CAST(SUM(n_ab) OVER () AS BIGINT) AS n FROM c)
+      |SELECT w1, w2, n_ab,
+      |  ROUND(CAST(n_ab * n AS DOUBLE) / (n_a * n_b), 6) AS lift
+      |FROM m WHERE n_ab >= 5
+      |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin))
+
+  private val q109 = Q("q109_leakage_split",
+    (s, dir) => {
+      // Leakage-safe train/eval split (Sampling.leakageSafeSplit): the
+      // hash-split key is the near-dup CLUSTER representative (connected
+      // component over the q57 verified-pair graph), so near-duplicates
+      // land in the same split by construction — the composition of the
+      // sketch chain, clustering, and the deterministic md5 bucket,
+      // oracle-replayed end to end including the recursive closure.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.portableNearDups(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.8)
+      Sampling.leakageSafeSplit(docs, "doc_id", pairs, trainFraction = 0.8)
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $portableChainCtes,
+      |sym AS (
+      |  SELECT id_a AS a, id_b AS b FROM verified
+      |  UNION SELECT id_b, id_a FROM verified
+      |  UNION SELECT id_a, id_a FROM verified
+      |  UNION SELECT id_b, id_b FROM verified),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      |comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a)
+      |SELECT doc_id, split_key,
+      |  CASE WHEN ((('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 4))
+      |    ::BIGINT % 1000) + 1000) % 1000 < 800
+      |    THEN 'train' ELSE 'eval' END AS split
+      |FROM (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS split_key
+      |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+      |ORDER BY doc_id""".stripMargin))
+
+  private val q110 = Q("q110_containment",
+    (s, dir) => {
+      // Asymmetric containment verify (Dedup.containmentVerify) on the
+      // SAME portable LSH candidates as q57: |A∩B|/min(|A|,|B|) over
+      // shingle sets scores subset/quotation duplicates that Jaccard
+      // under-ranks (a doc fully inside a 3×-longer one: containment 1.0,
+      // Jaccard 1/3). Candidate recall stays bounded by the Jaccard-LSH
+      // buckets — documented at the operator; the oracle replays the
+      // identical candidates so the verify math is checked exactly.
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.candidatePairs(
+        Dedup.portableBuckets(docs, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 3), "doc_id")
+      Dedup.containmentVerify(cand, docs, "doc_id", "text",
+          shingleSize = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH $portableChainCtes
+      |SELECT id_a, id_b, ROUND(c, 6) AS containment FROM (
+      |  SELECT id_a, id_b,
+      |    CAST(len(list_intersect(sa.st, sb.st)) AS DOUBLE) /
+      |    least(len(sa.st), len(sb.st)) AS c
+      |  FROM cand JOIN sets sa ON sa.doc_id = cand.id_a
+      |            JOIN sets sb ON sb.doc_id = cand.id_b)
+      |WHERE c >= 0.5 ORDER BY id_a, id_b""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -2630,7 +2772,7 @@ object SparkEntry {
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105)
+    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

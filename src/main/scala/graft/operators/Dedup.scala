@@ -285,14 +285,14 @@ object Dedup {
     sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
-  /** Full portable near-dup chain: md5-family signatures → md5 band
-    * buckets → candidates → exact-Jaccard verify. Identical math is
-    * replayable in DuckDB (see SparkEntry q57's generated oracle). */
-  def portableNearDups(
+  /** Portable band buckets (idCol, __band, __bucket): md5-family
+    * signatures → md5 band hash, the candidate-generation half of
+    * [[portableNearDups]] — exposed so other verifies (e.g.
+    * [[containmentVerify]]) can share the same LSH candidates. */
+  def portableBuckets(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16,
-      shingleSize: Int = 3, threshold: Double = 0.8,
-      seed: Long = 42L): DataFrame = {
+      shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
     val sig = portableSignatures(docs, idCol, textCol,
@@ -302,13 +302,74 @@ object Dedup {
         md5(concat_ws(",",
           (b * r until (b + 1) * r).map(i => col(s"m$i")): _*)).as("bucket"))
     }
-    val buckets = sig.select(col(idCol),
+    sig.select(col(idCol),
       explode(array(bandStructs: _*)).as("__bk"))
       .select(col(idCol), col("__bk.band").as("__band"),
         col("__bk.bucket").as("__bucket"))
+  }
+
+  /** Full portable near-dup chain: md5-family signatures → md5 band
+    * buckets → candidates → exact-Jaccard verify. Identical math is
+    * replayable in DuckDB (see SparkEntry q57's generated oracle). */
+  def portableNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, threshold: Double = 0.8,
+      seed: Long = 42L): DataFrame = {
+    val buckets = portableBuckets(docs, idCol, textCol,
+      numHashes, bands, shingleSize, seed)
     val pairs = candidatePairs(buckets, idCol)
     jaccardVerify(pairs, docs, idCol, textCol, shingleSize, threshold)
   }
+
+  /** Containment verify on candidate pairs: |A∩B| / min(|A|,|B|) over
+    * shingle sets — the asymmetric near-dup signal that catches
+    * SUBSET/quotation duplicates Jaccard under-scores (a doc fully
+    * contained in a 3×-longer one has containment 1.0 but Jaccard 1/3).
+    * Same bucketed plan shape as [[jaccardVerify]]; recall is bounded by
+    * the candidate generator (Jaccard-LSH buckets under-sample
+    * low-Jaccard/high-containment pairs — raise `bands` or block on
+    * rare shingles when subset recall matters). */
+  def containmentVerify(
+      pairs: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sets = docs
+      .select(col(idCol).as("__id"),
+        TextFunctions.shinglesFast(col(textCol), shingleSize).as("__set"))
+    pairs
+      .join(sets.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__set", "__set_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__set", "__set_b"), Seq("id_b"))
+      .withColumn("containment",
+        size(array_intersect(col("__set_a"), col("__set_b"))).cast("double") /
+          least(size(col("__set_a")), size(col("__set_b"))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
+  /** Bag-of-tokens fingerprint: md5 over the SORTED token list — equal
+    * for any permutation of the same token MULTISET, so shuffled/
+    * re-ordered copies of a document collide while any token change
+    * separates them. A 32-char shuffle key instead of the full text. */
+  def bagFingerprint(text: Column): Column =
+    md5(array_join(array_sort(TextFunctions.tokens(text)), " "))
+
+  /** Order-insensitive exact-duplicate groups: docs whose token multisets
+    * are EQUAL (catches concatenation-order / sentence-shuffle dups that
+    * byte-exact dedup misses, without any similarity threshold). One
+    * hash-aggregate on the fingerprint, with the minimum id as the
+    * deterministic representative; `minGroupSize = 2` (the default)
+    * emits only true duplicate groups, 1 the full fingerprint table. */
+  def bagDuplicateGroups(
+      docs: DataFrame, idCol: String, textCol: String,
+      minGroupSize: Long = 2L): DataFrame =
+    docs.select(col(idCol), bagFingerprint(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minGroupSize)
 
   /** Portable 60-bit SimHash as a column composition: per token,
     * H = 60-bit md5 prefix; per bit, tally = Σ(±1); sketch bit = sign.

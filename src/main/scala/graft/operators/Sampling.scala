@@ -25,6 +25,34 @@ object Sampling {
       buckets: Int = 1000): Column =
     hashBucket(key, buckets) < (trainFraction * buckets).toInt
 
+  /** Leakage-safe train/holdout split: a near-duplicate of a training
+    * doc in the holdout set leaks training data into evaluation, so the
+    * split must be decided per near-dup CLUSTER, not per doc. The split
+    * key is the doc's connected-component label over the verified
+    * near-dup `pairs` graph (its cluster representative), falling back
+    * to the doc's own id for unpaired docs; assignment is then the same
+    * deterministic md5 bucket as [[trainTestSplit]], so every member of
+    * a cluster lands in the SAME split by construction.
+    *
+    * Plan: components over the (tiny) verified-pair graph, one left
+    * equi-join of the corpus against the component map, and the
+    * stateless hash flag — a single corpus shuffle.
+    *
+    * @return df plus (split_key, split) columns, split ∈ {train, eval}.
+    */
+  def leakageSafeSplit(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      trainFraction: Double = 0.8): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "__cc_id")
+    df.join(comp, df(idCol) === comp("__cc_id"), "left")
+      .withColumn("split_key", coalesce(col("component"), col(idCol)))
+      .withColumn("split",
+        when(isTrain(col("split_key"), trainFraction), "train")
+          .otherwise("eval"))
+      .drop("__cc_id", "component")
+  }
+
   /** Split a frame into (train, holdout) on a key column. */
   def trainTestSplit(
       df: DataFrame, keyCol: String,

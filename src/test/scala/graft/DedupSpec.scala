@@ -126,6 +126,60 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("bagDuplicateGroups: token permutations collide, edits do not") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"),   // permutation of 1 → same bag
+      (3L, "alpha beta gamma"),         // subset, NOT a bag dup
+      (4L, "alpha beta beta gamma delta") // extra multiplicity → distinct
+    ).toDF("doc_id", "text")
+    val groups = Dedup.bagDuplicateGroups(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(groups.toSeq == Seq((1L, 2L))) // only {1,2}, rep = min id
+  }
+
+  test("containmentVerify scores a subset pair that Jaccard under-ranks") {
+    val short = "one two three four five six"
+    val d = Seq(
+      (1L, short),
+      (2L, short + " seven eight nine ten eleven twelve thirteen fourteen" +
+        " fifteen sixteen seventeen eighteen"), // contains all of 1's grams
+      (3L, "totally unrelated words in this other document here")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val cont = Dedup.containmentVerify(pairs, d, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(cont((1L, 2L)) == 1.0) // every shingle of 1 occurs in 2
+    assert(!cont.contains((1L, 3L)))
+    val jac = Dedup.jaccardVerify(pairs, d, "doc_id", "text",
+      shingleSize = 3, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(jac((1L, 2L)) < 0.5) // Jaccard misses what containment catches
+  }
+
+  test("leakageSafeSplit puts every near-dup cluster in one split") {
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val pairs = Dedup.portableNearDups(d, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.8)
+    assert(pairs.count() > 0)
+    val split = graft.operators.Sampling.leakageSafeSplit(
+      d, "doc_id", pairs, trainFraction = 0.8)
+    // both endpoints of every verified pair share a split label
+    val crossSplit = pairs
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")),
+        Seq("id_a"))
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")),
+        Seq("id_b"))
+      .filter(col("sa") =!= col("sb"))
+    assert(crossSplit.count() == 0)
+    // and the split is a partition of the corpus with both sides present
+    assert(split.count() == d.count())
+    assert(split.select("split").distinct().count() == 2)
+  }
+
   test("keepClusterRepresentatives keeps one doc per component") {
     val pairs = Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b")
     val out = Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
