@@ -2764,6 +2764,63 @@ object SparkEntry {
       |            JOIN sets sb ON sb.doc_id = cand.id_b)
       |WHERE c >= 0.5 ORDER BY id_a, id_b""".stripMargin))
 
+  private val q111 = Q("q111_skipgrams",
+    (s, dir) => {
+      // Skip-gram co-occurrence pairs (Collocations.topSkipgrams): for
+      // each token, the up-to-2 tokens following it — word2vec-style
+      // training-pair generation. Pair construction is MAP-ONLY (nested
+      // transform + flatten + explode inside codegen, no self-join on
+      // position); the only shuffle is the final count aggregate.
+      Collocations.topSkipgrams(t(s, dir, "documents"), "text",
+        window = 2, k = 20)
+    },
+    Some("""WITH pr AS (
+      |  SELECT unnest(flatten(list_transform(
+      |    generate_series(1, len(tk) - 1), i ->
+      |      list_transform(generate_series(1, least(2, len(tk) - i)), j ->
+      |        [tk[i], tk[i + j]])))) AS p
+      |  FROM (SELECT list_filter(
+      |      string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+      |    FROM documents)
+      |  WHERE len(tk) >= 2)
+      |SELECT p[1] AS center, p[2] AS context, COUNT(*) AS n
+      |FROM pr GROUP BY 1, 2
+      |ORDER BY n DESC, center, context LIMIT 20""".stripMargin))
+
+  private val q112 = Q("q112_adaptive_quality",
+    (s, dir) => {
+      // Per-language ADAPTIVE quality gate (the CCNet-style recipe): the
+      // cutoff is each language's own exact 25th-percentile quality
+      // score, not a global constant — so low-resource languages aren't
+      // wiped out by a threshold tuned on the dominant one. Quantile
+      // frame is |langs| rows -> broadcast back; the gate is map-side.
+      // percentile()/quantile_cont parity is the q81-proven pattern.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TF.qualityScore(col("text")).as("quality"))
+      val th = d.groupBy(col("lang"))
+        .agg(expr("percentile(quality, 0.25)").as("q25"))
+      d.join(broadcast(th), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(round(first(col("q25")), 6).as("threshold"),
+          count(lit(1)).as("n_total"),
+          sum(when(col("quality") >= col("q25"), 1).otherwise(0))
+            .cast("bigint").as("n_kept"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH d AS (
+      |  SELECT doc_id, lang, $qualitySqlExpr AS quality
+      |  FROM (SELECT doc_id, lang, text,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+      |      AS toks FROM documents)),
+      |th AS (SELECT lang, quantile_cont(quality, 0.25) AS q25
+      |  FROM d GROUP BY lang)
+      |SELECT lang, ROUND(MIN(q25), 6) AS threshold, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN quality >= q25 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept
+      |FROM d JOIN th USING (lang)
+      |GROUP BY lang ORDER BY lang""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -2772,7 +2829,8 @@ object SparkEntry {
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73,
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110)
+    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
+    q111, q112)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

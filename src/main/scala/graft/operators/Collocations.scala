@@ -71,4 +71,36 @@ object Collocations {
     bigramLift(docs, textCol, minCount)
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(k)
+
+  /** Ordered skip-gram pair rows (center, context): for every position i,
+    * the up-to-`window` tokens FOLLOWING it — word2vec-style co-occurrence
+    * pair generation (forward arcs only; the symmetric set is this
+    * unioned with its swap). MAP-ONLY: the pairs are built inside one
+    * codegen'd `transform`/`flatten`/`explode` over each doc's token
+    * array — no join, no shuffle until the caller aggregates, so the
+    * stage parallelizes embarrassingly at any corpus size. */
+  def skipgramRows(
+      docs: DataFrame, textCol: String, window: Int = 2): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val toks = docs.select(TextFunctions.tokens(col(textCol)).as("__tk"))
+    // size >= 2 guard: Spark's sequence(1, 0) is a DESCENDING range
+    toks.filter(size(col("__tk")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("__tk")) - 1),
+        i => transform(
+          sequence(lit(1), least(lit(window), size(col("__tk")) - i)),
+          j => struct(element_at(col("__tk"), i).as("center"),
+            element_at(col("__tk"), i + j).as("context")))))).as("__p"))
+      .select(col("__p.center").as("center"), col("__p.context").as("context"))
+  }
+
+  /** Most frequent skip-gram pairs, total-ordered. */
+  def topSkipgrams(
+      docs: DataFrame, textCol: String,
+      window: Int = 2, k: Int = 20): DataFrame =
+    skipgramRows(docs, textCol, window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("center"), col("context"))
+      .limit(k)
 }

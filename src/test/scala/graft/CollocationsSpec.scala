@@ -21,6 +21,15 @@ class CollocationsSpec extends SparkTestBase {
       ("a", "b", 3L, 1.666667)))
   }
 
+  test("skipgramRows emits exactly the forward arcs within the window") {
+    val d = Seq((1L, "a b c d"), (2L, "x")).toDF("doc_id", "text")
+    val got = Collocations.skipgramRows(d, "text", window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    // from "a b c d": (a,b),(a,c),(b,c),(b,d),(c,d); "x" contributes none
+    assert(got == Seq(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"),
+      ("c", "d")))
+  }
+
   test("minCount guards rare pairs; single-token docs contribute nothing") {
     val d = Seq((1L, "x y x y x y"), (2L, "z"), (3L, "")).toDF("doc_id", "text")
     val out = Collocations.bigramLift(d, "text", minCount = 3L)
