@@ -2821,6 +2821,65 @@ object SparkEntry {
       |FROM d JOIN th USING (lang)
       |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  private val q113 = Q("q113_domain_cap",
+    (s, dir) => {
+      // Per-source document cap (Sampling.capPerGroup): at most 15 docs
+      // per source, survivors decided by md5-hash order — the
+      // docs-per-domain ceiling every crawl recipe applies so one site
+      // can't dominate the mixture. Deterministic and layout-independent
+      // like every sampler here; one shuffle on the group column.
+      Sampling.capPerGroup(t(s, dir, "documents"), "doc_id", "source", 15)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, source FROM (
+      |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 15 ORDER BY doc_id""".stripMargin))
+
+  private val q114 = Q("q114_cluster_keep_best",
+    (s, dir) => {
+      // Quality-argmax near-dup survivor (Dedup.keepBestPerCluster): the
+      // kept member of each near-dup cluster is the HIGHEST-quality one
+      // (ties to lowest id), not an arbitrary id — composed from the q57
+      // verified pairs, connected components, and the q31 quality score,
+      // with the oracle replaying all three plus the ranking. Output is
+      // the per-cluster winners (kept ∩ pair nodes).
+      val docs = t(s, dir, "documents")
+        .withColumn("quality", TF.qualityScore(col("text")))
+      val pairs = Dedup.portableNearDups(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.8)
+      val kept = Dedup.keepBestPerCluster(docs, "doc_id", pairs, "quality")
+      val nodes = pairs.select(col("id_a").as("doc_id"))
+        .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+      kept.join(nodes, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $portableChainCtes,
+      |sym AS (
+      |  SELECT id_a AS a, id_b AS b FROM verified
+      |  UNION SELECT id_b, id_a FROM verified
+      |  UNION SELECT id_a, id_a FROM verified
+      |  UNION SELECT id_b, id_b FROM verified),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      |comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a),
+      |q AS (
+      |  SELECT doc_id, $qualitySqlExpr AS quality
+      |  FROM (SELECT doc_id, text,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+      |      AS toks FROM documents)),
+      |ranked AS (
+      |  SELECT c.id, q.quality, ROW_NUMBER() OVER (PARTITION BY c.component
+      |    ORDER BY q.quality DESC, c.id) AS rk
+      |  FROM comp c JOIN q ON q.doc_id = c.id)
+      |SELECT id AS doc_id, quality FROM ranked WHERE rk = 1
+      |ORDER BY doc_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -2830,7 +2889,7 @@ object SparkEntry {
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112)
+    q111, q112, q113, q114)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -611,6 +611,28 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Best-survivor-per-cluster dedup: keep the HIGHEST-`scoreCol` member
+    * of each near-dup cluster (ties broken by lowest id) — what a real
+    * recipe wants: when near-duplicates differ in quality, the keep
+    * decision should be the quality argmax, not an arbitrary id. Plan:
+    * components over the pair graph, an equi-join of only the CLUSTERED
+    * docs (cluster membership is tiny vs the corpus) to rank inside each
+    * component, then an anti-join removing the non-winners; unpaired
+    * docs never shuffle through the ranking. */
+  def keepBestPerCluster(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame = {
+    val comp = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val losers = docs.join(comp, Seq(idCol)) // clustered docs only
+      .withColumn("__rk", row_number().over(rk))
+      .filter(col("__rk") =!= 1)
+      .select(col(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding cosine near-dup: sign-LSH over `numPlanes` deterministic
     * pseudo-random hyperplanes (seeded), bucket join, exact cosine verify
     * with the fused codegen expression. */

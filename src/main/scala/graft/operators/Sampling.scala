@@ -117,6 +117,24 @@ object Sampling {
     * The per-class counts the minimum derives from reuse the same
     * exchange. Scales to any row count; the label cardinality only
     * bounds the tiny count-aggregate. */
+  /** Per-group cap: keep at most `k` rows of every group (the
+    * docs-per-domain / docs-per-source ceiling of a data recipe —
+    * protects the mixture from a single crawled site dominating it).
+    * Which rows survive is decided by md5-hash order on the key (ties by
+    * key), so the kept set is deterministic and layout-independent; one
+    * shuffle on the group column. Same keyCol-uniqueness contract as
+    * [[balanceClasses]]. */
+  def capPerGroup(
+      df: DataFrame, keyCol: String, groupCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rk", row_number().over(rk))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   def balanceClasses(
       df: DataFrame, keyCol: String, labelCol: String): DataFrame = {
     val rk = org.apache.spark.sql.expressions.Window

@@ -160,6 +160,21 @@ class DedupSpec extends SparkTestBase {
     assert(jac((1L, 2L)) < 0.5) // Jaccard misses what containment catches
   }
 
+  test("capPerGroup keeps exactly k per group, layout-independent") {
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val kept = graft.operators.Sampling.capPerGroup(d, "doc_id", "source", 10)
+    val sizes = kept.groupBy("source").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 10))
+    assert(kept.count() ==
+      d.groupBy("source").count()
+        .agg(sum(least(col("count"), lit(10L)))).head().getLong(0))
+    // same kept set under a different physical layout
+    val kept2 = graft.operators.Sampling
+      .capPerGroup(d.repartition(7, col("lang")), "doc_id", "source", 10)
+    assert(kept.select("doc_id").exceptAll(kept2.select("doc_id")).count() == 0)
+  }
+
   test("leakageSafeSplit puts every near-dup cluster in one split") {
     val d = spark.read.parquet(s"$sf001/documents.parquet")
     val pairs = Dedup.portableNearDups(d, "doc_id", "text",
@@ -185,6 +200,20 @@ class DedupSpec extends SparkTestBase {
     val out = Dedup.keepClusterRepresentatives(docs, "doc_id", pairs)
     val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 3L, 5L)) // 2 and 4 fold into component 1
+  }
+
+  test("keepBestPerCluster keeps the score argmax, unpaired docs untouched") {
+    val scored = docs.withColumn("score",
+      when(col("doc_id") === 2L, 9.0).otherwise(col("doc_id").cast("double")))
+    val pairs = Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b")
+    val ids = Dedup.keepBestPerCluster(scored, "doc_id", pairs, "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L, 3L, 5L)) // doc 2 wins its cluster on score
+    // tie case: equal scores fall back to lowest id
+    val tied = docs.withColumn("score", lit(1.0))
+    val tiedIds = Dedup.keepBestPerCluster(tied, "doc_id", pairs, "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tiedIds == Set(1L, 3L, 5L))
   }
 
   test("duplicateNgramProfile counts shared token spans exactly") {
