@@ -68,7 +68,11 @@ object ScaleProbe {
     // q07/q19/q82 anyway.
     "q74_grouping_sets", "q81_winsorize",
     "q82_asof_forward", "q83_vocab_coverage",
-    "q88_funnel", "q89_retention")
+    "q88_funnel", "q89_retention",
+    // round 6 (q106 excluded: its user_id<30 demo filter keeps input
+    // constant under the id-shifted synthesis, like q77/q84)
+    "q108_collocations", "q109_leakage_split", "q111_skipgrams",
+    "q112_adaptive_quality", "q113_domain_cap")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
