@@ -38,7 +38,20 @@ object CorpusPipeline {
       trainFraction: Double = 0.9,
       chunkSize: Int = 512,
       chunkStride: Int = 384,
-      packCapacity: Long = 4096L)
+      packCapacity: Long = 4096L,
+      // near-dup survivor policy: false = each cluster's lowest id (the
+      // round-1 behavior), true = the cluster's HIGHEST-quality member
+      // (ties to lowest id) via Dedup.keepBestPerCluster
+      keepBestQuality: Boolean = false,
+      // near-dup handling: true = remove non-survivors (default); false =
+      // RETAIN near-dups but split them leakage-safely (every cluster
+      // lands wholly in train or wholly in holdout,
+      // Sampling.leakageSafeSplit)
+      dropNearDups: Boolean = true,
+      // optional per-source document ceiling (docs-per-domain cap),
+      // applied after exact dedup
+      maxPerSource: Option[Int] = None,
+      sourceCol: String = "source")
 
   /** Stage 1: annotate every doc with analysis columns (single pass). */
   def annotate(docs: DataFrame, cfg: Config = Config()): DataFrame =
@@ -60,12 +73,20 @@ object CorpusPipeline {
   def exactDedup(gated: DataFrame, cfg: Config = Config()): DataFrame =
     Dedup.exactByFingerprint(gated, cfg.idCol, cfg.textCol)
 
-  /** Stage 4: near-dup removal — verified MinHash-LSH pairs → connected
-    * components (transitive closure) → keep each cluster's lowest id. */
-  def nearDedup(deduped: DataFrame, cfg: Config = Config()): DataFrame = {
-    val pairs = Dedup.minhashNearDups(deduped, cfg.idCol, cfg.textCol,
+  /** Verified MinHash-LSH near-dup pairs for the configured thresholds. */
+  def nearDupPairs(df: DataFrame, cfg: Config = Config()): DataFrame =
+    Dedup.minhashNearDups(df, cfg.idCol, cfg.textCol,
       shingleSize = cfg.nearDupShingle, threshold = cfg.nearDupThreshold)
-    Dedup.keepClusterRepresentatives(deduped, cfg.idCol, pairs)
+
+  /** Stage 4: near-dup removal — verified MinHash-LSH pairs → connected
+    * components (transitive closure) → keep one per cluster: the lowest
+    * id, or with `cfg.keepBestQuality` the highest-`quality` member
+    * (requires the [[annotate]] columns). */
+  def nearDedup(deduped: DataFrame, cfg: Config = Config()): DataFrame = {
+    val pairs = nearDupPairs(deduped, cfg)
+    if (cfg.keepBestQuality)
+      Dedup.keepBestPerCluster(deduped, cfg.idCol, pairs, "quality")
+    else Dedup.keepClusterRepresentatives(deduped, cfg.idCol, pairs)
   }
 
   /** Stage 5: eval-set decontamination — drop docs whose n-grams overlap
@@ -84,11 +105,33 @@ object CorpusPipeline {
     curated.withColumn("is_train",
       Sampling.isTrain(col(cfg.idCol), cfg.trainFraction))
 
-  /** The whole pipeline. */
+  /** Stage 6 (retain-near-dups policy): leakage-safe split — every
+    * near-dup cluster lands wholly in train or wholly in holdout, so
+    * retained near-duplicates can never leak training text into eval. */
+  def leakageSafeSplitStage(
+      curated: DataFrame, pairs: DataFrame,
+      cfg: Config = Config()): DataFrame =
+    Sampling.leakageSafeSplit(curated, cfg.idCol, pairs, cfg.trainFraction)
+      .withColumn("is_train", col("split") === "train")
+      .drop("split", "split_key")
+
+  /** The whole pipeline. Near-dups are either removed (default) or
+    * retained-but-co-split per `cfg.dropNearDups`; an optional
+    * per-source cap bounds any single domain's share. */
   def curate(docs: DataFrame, cfg: Config = Config(),
-      evalDocs: Option[DataFrame] = None): DataFrame =
-    split(decontaminate(nearDedup(exactDedup(qualityGate(
-      annotate(docs, cfg), cfg), cfg), cfg), evalDocs, cfg), cfg)
+      evalDocs: Option[DataFrame] = None): DataFrame = {
+    val exact = exactDedup(qualityGate(annotate(docs, cfg), cfg), cfg)
+    val capped = cfg.maxPerSource.fold(exact)(k =>
+      Sampling.capPerGroup(exact, cfg.idCol, cfg.sourceCol, k))
+    if (cfg.dropNearDups)
+      split(decontaminate(nearDedup(capped, cfg), evalDocs, cfg), cfg)
+    else {
+      val cleaned = decontaminate(capped, evalDocs, cfg)
+      // pairs over the SPLIT input: decontamination may drop docs, and a
+      // pair endpoint outside the frame would dangle in the components
+      leakageSafeSplitStage(cleaned, nearDupPairs(cleaned, cfg), cfg)
+    }
+  }
 
   /** Post-curation batch prep: overlapping context chunks, then packed
     * into fixed token budgets (shard = hash bucket of the doc id so the

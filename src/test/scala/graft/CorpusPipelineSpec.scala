@@ -113,6 +113,56 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(keptIds == gatedIds -- trueLosers)
   }
 
+  test("retain-near-dups policy co-splits every cluster leakage-safely") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val cfg = CorpusPipeline.Config(dropNearDups = false)
+    val out = CorpusPipeline.curate(docs, cfg).cache()
+    val gated = CorpusPipeline.exactDedup(CorpusPipeline.qualityGate(
+      CorpusPipeline.annotate(docs, cfg), cfg), cfg)
+    // near-dups are RETAINED (nothing removed beyond exact dedup)...
+    assert(out.count() == gated.count())
+    val pairs = CorpusPipeline.nearDupPairs(out, cfg)
+    assert(pairs.count() > 0)
+    // ...but no verified pair straddles the split boundary
+    val flags = out.select(col("doc_id"), col("is_train"))
+    val straddle = pairs
+      .join(flags.toDF("id_a", "t_a"), Seq("id_a"))
+      .join(flags.toDF("id_b", "t_b"), Seq("id_b"))
+      .filter(col("t_a") =!= col("t_b"))
+    assert(straddle.count() == 0)
+    out.unpersist()
+  }
+
+  test("keepBestQuality policy keeps each cluster's quality argmax") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val cfg = CorpusPipeline.Config(keepBestQuality = true)
+    val annotated = CorpusPipeline.exactDedup(CorpusPipeline.qualityGate(
+      CorpusPipeline.annotate(docs, cfg), cfg), cfg)
+    val pairs = CorpusPipeline.nearDupPairs(annotated, cfg)
+    val comp = graft.operators.Dedup.connectedComponents(pairs)
+    val kept = CorpusPipeline.nearDedup(annotated, cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // each component's kept member has the max quality (ties: min id)
+    val byComp = comp.join(annotated.withColumnRenamed("doc_id", "id"),
+        Seq("id"))
+      .select(col("component"), col("id"), col("quality"))
+      .collect().groupBy(_.getLong(0))
+    byComp.foreach { case (_, rows) =>
+      val winner = rows.map(r => (r.getLong(1), r.getDouble(2)))
+        .minBy { case (id, q) => (-q, id) }
+      val keptInComp = rows.map(_.getLong(1)).filter(kept)
+      assert(keptInComp.toSeq == Seq(winner._1))
+    }
+  }
+
+  test("maxPerSource caps any one domain's share of the corpus") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val cfg = CorpusPipeline.Config(maxPerSource = Some(5))
+    val out = CorpusPipeline.curate(docs, cfg)
+    val sizes = out.groupBy("source").count().collect().map(_.getLong(1))
+    assert(sizes.nonEmpty && sizes.forall(_ <= 5))
+  }
+
   test("multimodal decode features flow into embedding near-dup") {
     // cross-module integration: decoded media features are an embedding
     // column like any other — dedup operators apply unchanged
