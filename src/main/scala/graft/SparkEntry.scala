@@ -1157,6 +1157,38 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** Oracle replica of the q115 Count-Min chain, generated from the SAME
+    * [[graft.functions.PortableHash]] coefficient table as the aggregate
+    * (seed 43, depth 4, width 1024) so engine and oracle cannot drift:
+    * counters are plain GROUP BY sums over (row, affine-hash cell), the
+    * estimate is the MIN over each probe's 4 cells. */
+  private def cmsOracleSql: String = {
+    val depth = 4; val width = 1024
+    val coef = graft.functions.PortableHash.coefficients(depth, 43L)
+    val p = graft.functions.PortableHash.prime
+    val cellArms = coef.zipWithIndex.map { case ((a, b), i) =>
+      s"SELECT $i AS i, ($a * H + $b) % $p % $width AS c, COUNT(*) AS cnt " +
+        "FROM h GROUP BY 2"
+    }.mkString(" UNION ALL ")
+    val probeArms = coef.zipWithIndex.map { case ((a, b), i) =>
+      s"SELECT token, exact, $i AS i, ($a * H + $b) % $p % $width AS c " +
+        "FROM probes"
+    }.mkString(" UNION ALL ")
+    s"""WITH occ AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    t -> t <> '')) AS token FROM documents),
+       |h AS (SELECT token,
+       |  ('0x' || substr(md5(token), 1, 8))::BIGINT AS H FROM occ),
+       |cells AS ($cellArms),
+       |probes AS (
+       |  SELECT token, H, COUNT(*) AS exact FROM h GROUP BY token, H
+       |  ORDER BY exact DESC, token LIMIT 20),
+       |pc AS ($probeArms)
+       |SELECT token, exact, MIN(cnt) AS est
+       |FROM pc JOIN cells USING (i, c)
+       |GROUP BY token, exact ORDER BY exact DESC, token""".stripMargin
+  }
+
   /** Oracle replica of [[Dedup.portableNearDups]]. */
   private def q57OracleSql: String =
     s"""WITH $portableChainCtes
@@ -2880,6 +2912,27 @@ object SparkEntry {
       |SELECT id AS doc_id, quality FROM ranked WHERE rk = 1
       |ORDER BY doc_id""".stripMargin))
 
+  private val q115 = Q("q115_countmin",
+    (s, dir) => {
+      // Count-Min sketch frequency estimates (CountMinSketchOps): one
+      // aggregate pass folds all token occurrences into a 4×1024 counter
+      // table (KBs of shuffle regardless of cardinality), the broadcast
+      // sketch answers point queries map-side. The portable md5-affine
+      // row hashes make the sketch's VALUES — not just an error bound —
+      // exactly replayable in the oracle (the q43/q86 sketches only
+      // bound-check). est >= exact always; equality when no collision.
+      import graft.operators.CountMinSketchOps
+      val toks = t(s, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("token"))
+      val probes = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("token")).limit(20)
+      CountMinSketchOps.estimateCounts(toks, "token", probes, "token",
+          depth = 4, width = 1024, seed = 43L)
+        .orderBy(col("exact").desc, col("token"))
+    },
+    Some(cmsOracleSql))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -2889,7 +2942,7 @@ object SparkEntry {
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114)
+    q111, q112, q113, q114, q115)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

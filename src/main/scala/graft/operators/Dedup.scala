@@ -262,14 +262,10 @@ object Dedup {
   // whole MinHash+LSH chain is reproducible in oracle SQL (unlike the
   // xxhash64 family, which only Spark has).
 
-  val portablePrime: Long = 2147483647L
+  val portablePrime: Long = graft.functions.PortableHash.prime
 
-  def portableCoefficients(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
-    val rng = new scala.util.Random(seed)
-    Seq.fill(numHashes)(
-      (1L + rng.nextInt((portablePrime - 1).toInt).toLong,
-        rng.nextInt(portablePrime.toInt).toLong))
-  }
+  def portableCoefficients(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] =
+    graft.functions.PortableHash.coefficients(numHashes, seed)
 
   /** Signature as numHashes min-columns m0..m{k-1} (kept wide for banding). */
   def portableSignatures(
