@@ -35,6 +35,37 @@ class SessionizeChunkingSpec extends SparkTestBase {
     assert(stats == Set((0L, 2L), (1L, 1L)))
   }
 
+  test("sessionize agrees with Spark's built-in session_window") {
+    // Independent implementations of gap sessionization must agree.
+    // Spark's session merge is INCLUSIVE at the boundary (an event at
+    // exactly start+gap extends the session — verified empirically: ticks
+    // 0 and 10 merge under a 10s gap), i.e. a new session starts only
+    // when the gap is strictly greater — the same contract as
+    // Sessionize's `> gapTicks`, so the thresholds map 1:1.
+    val rng = new scala.util.Random(11)
+    val events = (0 until 400).map { i =>
+      (rng.nextInt(8).toLong, rng.nextInt(300).toLong, i.toLong)
+    }.toDF("user_id", "sec", "event_id")
+      .dropDuplicates("user_id", "sec") // unique ticks per user
+    val gapSec = 10L
+    val ours = Sessionize.sessionStats(
+      Sessionize.assign(events, "user_id", "sec", gapSec),
+      "user_id", "sec")
+      .select("user_id", "start_ts", "end_ts", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val builtin = events
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSec seconds"))
+      .agg(min(col("sec")).as("start_ts"), max(col("sec")).as("end_ts"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "start_ts", "end_ts", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(ours == builtin)
+    assert(ours.nonEmpty)
+  }
+
   test("batch sessionization agrees with the streaming sessionizer") {
     import graft.streaming.EventStreams
     val s = 1000000000L // 1s in ns
