@@ -31,6 +31,31 @@ class CountMinSpec extends SparkTestBase {
     assert(exact.exists { case (k, n) => est(k) > n })
   }
 
+  test("streaming sketch equals the batch sketch (state-store round trip)") {
+    // The aggregate must survive micro-batch incremental update: state
+    // serialize/deserialize between batches plus partial merges. Feed
+    // the same rows in three micro-batches and compare the final
+    // complete-mode sketch to the one-shot batch sketch.
+    val rows = (0 until 90).map(i => s"tok${i % 11}")
+    val batchSketch = rows.toDF("k")
+      .agg(CountMinSketchOps.cmsAggregate(col("k"), 3, 64).as("sk"))
+      .head().getSeq[Long](0)
+    implicit val sqlCtx = spark.sqlContext
+    val mem =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = mem.toDF().toDF("k")
+      .agg(CountMinSketchOps.cmsAggregate(col("k"), 3, 64).as("sk"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    rows.grouped(30).foreach { chunk =>
+      mem.addData(chunk)
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("cms_stream").head().getSeq[Long](0)
+    q.stop()
+    assert(streamed == batchSketch)
+  }
+
   test("sketch is bit-identical under any partitioning (merge order)") {
     val d = spark.read.parquet(s"$sf001/documents.parquet")
       .select(explode(graft.functions.TextFunctions.tokens(col("text")))
