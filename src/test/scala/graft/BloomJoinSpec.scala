@@ -64,11 +64,28 @@ class BloomJoinSpec extends SparkTestBase {
 
   test("numBits above the session ceiling clamps instead of failing") {
     // 50M expected items at fpp=0.03 sizes to ~365M bits — past
-    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (64 Mi), which
-    // made BloomFilterAggregate fail analysis at exactly the scale the
-    // prefilter targets. The clamp accepts a higher effective fpp; the
-    // real join keeps the result exact.
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (64 Mi).
+    // Spark 4.1.2's BloomFilterAggregate itself lazily Math.min's the
+    // request against the conf (verified below), so the clamp in
+    // BloomJoin is defensive documentation of that cap, not a crash
+    // guard. Either way the effective fpp rises and the real join keeps
+    // the result exact.
     assert(BloomJoin.optimalNumBits(50000000L, 0.03) > 67108864L)
+    // RAW oversized request straight into the aggregate — no clamp —
+    // must succeed and return a usable (capped) filter
+    val rawAgg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+          org.apache.spark.sql.graftshim.Shims
+            .expression(col("o_orderkey")))),
+        org.apache.spark.sql.catalyst.expressions.Literal(50000000L),
+        org.apache.spark.sql.catalyst.expressions.Literal(365000000L))
+    val rawBytes = urgent
+      .agg(org.apache.spark.sql.graftshim.Shims
+        .column(rawAgg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    assert(rawBytes != null && rawBytes.nonEmpty &&
+      rawBytes.length <= 67108864 / 8 + 1024) // capped, not 365M bits
     val viaBloom = BloomJoin.semiJoin(li, urgent,
       "l_orderkey", "o_orderkey", expectedItems = 50000000L, fpp = 0.03)
     val plain = li.join(urgent,
