@@ -2933,6 +2933,37 @@ object SparkEntry {
     },
     Some(cmsOracleSql))
 
+  private val q116 = Q("q116_rank_family",
+    (s, dir) => {
+      // The remaining ranking-family functions in one query: dense_rank
+      // (no gaps after ties) and cume_dist (inclusive CDF), ranked over
+      // a deliberately TIED key (price DIV 10000) so the tie semantics —
+      // where the three functions differ — are what the oracle checks.
+      // cume_dist = ties_inclusive_count/n is a ratio of exact ints; the
+      // single double division rounds identically on both engines.
+      val tier = floor(col("o_totalprice") / 10000).cast("long")
+      val tiers = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(tier.desc)
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          tier.as("price_tier"),
+          dense_rank().over(tiers).as("tier_rank"),
+          round(cume_dist().over(tiers), 6).as("tier_cdf"))
+        .filter(col("tier_rank") <= 3)
+        .orderBy(col("o_orderpriority"), col("tier_rank"), col("o_orderkey"))
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, price_tier, tier_rank,
+      |  tier_cdf FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS price_tier,
+      |    DENSE_RANK() OVER w AS tier_rank,
+      |    ROUND(CUME_DIST() OVER w, 6) AS tier_cdf
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |    ORDER BY CAST(FLOOR(o_totalprice / 10000) AS BIGINT) DESC))
+      |WHERE tier_rank <= 3
+      |ORDER BY o_orderpriority, tier_rank, o_orderkey""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -2942,7 +2973,7 @@ object SparkEntry {
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115)
+    q111, q112, q113, q114, q115, q116)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
