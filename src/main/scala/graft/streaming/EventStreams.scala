@@ -52,6 +52,24 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Event-time SLIDING-window counts: overlapping windows of
+    * `windowLength` every `slide` (each event lands in
+    * windowLength/slide windows — Spark expands the assignment map-side;
+    * state is bounded by watermark × overlap count). The moving-average
+    * / rolling-rate shape tumbling windows can't express. */
+  def slidingCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      slide: String = "15 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLength, slide),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+
   /** Streaming exact dedup on event_id: watermark-bounded state, the
     * streaming form of the batch `dropDuplicates`. */
   def dedupeStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =

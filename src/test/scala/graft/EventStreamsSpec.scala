@@ -43,6 +43,39 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("slidingCounts: overlapping windows match the batch assignment") {
+    val dir = Files.createTempDirectory("graft_sw").toString
+    Files.copy(java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // batch truth: the SAME window() expansion in batch mode (each event
+    // lands in 60/15 = 4 overlapping windows)
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("event_time",
+        expr("timestamp_micros(ts DIV 1000)"))
+      .groupBy(window(col("event_time"), "1 hour", "15 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2))
+      .toMap
+    val q = EventStreams.slidingCounts(
+      EventStreams.readEventStream(spark, dir),
+      windowLength = "1 hour", slide = "15 minutes")
+      .writeStream.format("memory").queryName("sw")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM sw")
+        .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(got == batch)
+      // genuinely overlapping: more window rows than a tumbling hour
+      val tumbling = batch.keys.map(_._1).toSet.size
+      assert(tumbling > 0 && got.keys.map(_._1).toSet.size >= tumbling)
+    } finally q.stop()
+  }
+
   test("dedupeStream drops duplicate event_ids within the watermark") {
     val h = 3600L * 1000000000L // 1h in ns
     val dir = mkEventsDir(Seq(
