@@ -12,6 +12,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS): only readable as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The 116-query run generates >100 distinct codegen classes; the
+      // default 100-entry cache evicts the MinHash-chain classes between
+      // q57 and q96, re-paying multi-second Janino compiles mid-run.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM / codegen / parquet reader paths once so timings
@@ -26,10 +30,31 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double) = f"$v%.3f"
+    // Full per-query detail goes to a file (the harness captures only the
+    // last ~2000 chars of stdout, which a 116-entry map overflows — the
+    // JSON line's head would be cut off and become unparseable).
+    val detail = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val detailPath = java.nio.file.Paths.get("bench_detail.json")
+    java.nio.file.Files.write(detailPath,
+      (s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":$detail,"sf":"$sfDir"}""" + "\n")
+        .getBytes("UTF-8"))
+    // The stdout JSON line must fit, whole, inside the captured tail
+    // (budget ~1800 chars after sbt's trailing "[success]" line), so it
+    // carries the slowest queries only, greediest-first, plus the total.
+    val byTime = results.toSeq.sortBy(-_._2)
+    val budget = 1500
+    val kept = new scala.collection.mutable.ArrayBuffer[String]
+    var used = 0
+    byTime.foreach { case (k, v) =>
+      val entry = s"\"" + k + "\":" + fmt(v)
+      if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
+    }
+    val qs = kept.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"queries_are_slowest_first":true,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
