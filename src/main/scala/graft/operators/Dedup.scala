@@ -144,7 +144,16 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard over word-shingle sets for given candidate pairs. */
+  /** Exact Jaccard over word-shingle sets for given candidate pairs.
+    *
+    * The shingle sets are built AFTER the candidate join, not in the doc
+    * scan: projecting `shinglesFast` before the join would tokenize the
+    * ENTIRE corpus on both join sides, while candidates are a vanishing
+    * fraction of a deduplicated 100 TB corpus. Joining the raw text and
+    * deferring set construction to the matched rows makes the verify
+    * stage's compute proportional to |candidates| (a doc in p pairs
+    * re-tokenizes p times, but p is bounded by bands × maxBucketSize).
+    */
   def jaccardVerify(
       pairs: DataFrame,
       docs: DataFrame,
@@ -152,16 +161,16 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val sets = docs
-      .select(col(idCol).as("__id"),
-        TextFunctions.shinglesFast(col(textCol), shingleSize).as("__set"))
+    val texts = docs.select(col(idCol).as("__id"), col(textCol).as("__txt"))
     val j = pairs
-      .join(sets.withColumnRenamed("__id", "id_a")
-        .withColumnRenamed("__set", "__set_a"), Seq("id_a"))
-      .join(sets.withColumnRenamed("__id", "id_b")
-        .withColumnRenamed("__set", "__set_b"), Seq("id_b"))
+      .join(texts.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__txt", "__txt_a"), Seq("id_a"))
+      .join(texts.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__txt", "__txt_b"), Seq("id_b"))
       .withColumn("jaccard",
-        TextFunctions.jaccardFast(col("__set_a"), col("__set_b")))
+        TextFunctions.jaccardFast(
+          TextFunctions.shinglesFast(col("__txt_a"), shingleSize),
+          TextFunctions.shinglesFast(col("__txt_b"), shingleSize)))
     j.filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -330,14 +339,16 @@ object Dedup {
       pairs: DataFrame, docs: DataFrame,
       idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sets = docs
-      .select(col(idCol).as("__id"),
-        TextFunctions.shinglesFast(col(textCol), shingleSize).as("__set"))
+    // Set construction deferred past the join — see [[jaccardVerify]]'s
+    // scale note: verify compute must track |candidates|, not |corpus|.
+    val texts = docs.select(col(idCol).as("__id"), col(textCol).as("__txt"))
     pairs
-      .join(sets.withColumnRenamed("__id", "id_a")
-        .withColumnRenamed("__set", "__set_a"), Seq("id_a"))
-      .join(sets.withColumnRenamed("__id", "id_b")
-        .withColumnRenamed("__set", "__set_b"), Seq("id_b"))
+      .join(texts.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__txt", "__txt_a"), Seq("id_a"))
+      .join(texts.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__txt", "__txt_b"), Seq("id_b"))
+      .withColumn("__set_a", TextFunctions.shinglesFast(col("__txt_a"), shingleSize))
+      .withColumn("__set_b", TextFunctions.shinglesFast(col("__txt_b"), shingleSize))
       .withColumn("containment",
         size(array_intersect(col("__set_a"), col("__set_b"))).cast("double") /
           least(size(col("__set_a")), size(col("__set_b"))).cast("double"))

@@ -48,6 +48,33 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
   }
 
+  test("deferred-set verify equals precomputed-set verify on sf0.001") {
+    // jaccardVerify builds shingle sets AFTER the candidate join (compute
+    // tracks |candidates|); this replays the legacy corpus-wide-sets
+    // formulation and asserts value equality on real data.
+    val all = spark.read.parquet(s"$sf001/documents.parquet")
+    val buckets = Dedup.portableBuckets(all, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3)
+    val pairs = Dedup.candidatePairs(buckets, "doc_id")
+    val deferred = Dedup.jaccardVerify(pairs, all, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sets = all.select(col("doc_id").as("__id"),
+      graft.functions.TextFunctions.shinglesFast(col("text"), 3).as("__set"))
+    val legacy = pairs
+      .join(sets.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__set", "__set_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__set", "__set_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        graft.functions.TextFunctions.jaccardFast(col("__set_a"), col("__set_b")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(deferred == legacy)
+    assert(deferred.nonEmpty)
+  }
+
   test("minhash signatures are stable and k-wide") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text",
       numHashes = 16, shingleSize = 2)
