@@ -2964,6 +2964,73 @@ object SparkEntry {
       |WHERE tier_rank <= 3
       |ORDER BY o_orderpriority, tier_rank, o_orderkey""".stripMargin))
 
+  private val q117 = Q("q117_oph_neardup",
+    (s, dir) => {
+      // One-permutation MinHash (Li/Owen/Zhang 2012) with rotation
+      // densification (Shrivastava/Li 2014): ONE md5 per shingle feeds
+      // all 64 signature slots (bin = H mod 64, per-bin min; an empty
+      // bin borrows from the nearest non-empty bin t to its circular
+      // right, displaced by t*2^32) — the sketch pass costs one hash
+      // per shingle instead of q57's 64 affine derivations, feeding the
+      // identical band -> candidate -> exact-Jaccard verify tail. Fully
+      // SQL-replayable because the densified slot reduces to a single
+      // MIN: the t*2^32 displacement dominates every 32-bit hash.
+      Dedup.ophNearDups(t(s, dir, "documents"), "doc_id", "text",
+        numSlots = 64, bands = 16, shingleSize = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH $ophChainCtes
+      |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM verified
+      |ORDER BY id_a, id_b""".stripMargin))
+
+  /** CTE block replicating [[Dedup.ophNearDups]]'s chain in DuckDB SQL:
+    * shared toks/sets/shingle-hash prefix with [[portableChainCtes]],
+    * then OPH bins → densified slots (one MIN, see q117's comment) →
+    * band buckets → candidates → exact-Jaccard verify. */
+  private def ophChainCtes: String = {
+    val k = 64; val bands = 16; val r = k / bands
+    val c = 4294967296L // must match Dedup.ophOffset
+    val bandArms = (0 until bands).map { b =>
+      s"SELECT doc_id, $b AS band, md5(array_to_string(list_transform(" +
+        s"sg[${b * r + 1}:${(b + 1) * r}], v -> CAST(v AS VARCHAR)), ',')) " +
+        "AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+       |    t -> t <> '') AS tk FROM documents
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(tk) - 1, 1)),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS st FROM toks
+       |), sh AS (
+       |  SELECT doc_id, ('0x' || substr(md5(unnest(st)), 1, 8))::BIGINT AS H
+       |  FROM sets
+       |), bins AS (
+       |  SELECT doc_id, H % $k AS bin, MIN(H) AS mv FROM sh GROUP BY 1, 2
+       |), slots AS (
+       |  SELECT doc_id, s.j,
+       |    MIN(((bin - s.j + $k) % $k) * $c + mv) AS v
+       |  FROM bins, (SELECT unnest(range($k)) AS j) s
+       |  GROUP BY doc_id, s.j
+       |), sig AS (
+       |  SELECT doc_id, list(v ORDER BY j) AS sg FROM slots GROUP BY doc_id
+       |), buckets AS ($bandArms
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.bucket = y.bucket
+       |   AND x.doc_id < y.doc_id
+       |), verified AS (
+       |  SELECT id_a, id_b, j FROM (
+       |    SELECT id_a, id_b,
+       |      CAST(len(list_intersect(sa.st, sb.st)) AS DOUBLE) /
+       |      CAST(len(list_distinct(list_concat(sa.st, sb.st))) AS DOUBLE) AS j
+       |    FROM cand JOIN sets sa ON sa.doc_id = cand.id_a
+       |              JOIN sets sb ON sb.doc_id = cand.id_b)
+       |  WHERE j >= 0.8
+       |)""".stripMargin
+  }
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -2973,7 +3040,7 @@ object SparkEntry {
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116)
+    q111, q112, q113, q114, q115, q116, q117)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

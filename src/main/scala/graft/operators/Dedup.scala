@@ -327,6 +327,80 @@ object Dedup {
     jaccardVerify(pairs, docs, idCol, textCol, shingleSize, threshold)
   }
 
+  // ===== one-permutation MinHash (OPH) =====
+  // Li, Owen & Zhang, "One Permutation Hashing" (NIPS 2012) with the
+  // rotation densification of Shrivastava & Li, "Improved Densification
+  // of One Permutation Hashing" (UAI 2014): hash every shingle ONCE,
+  // split the hash space into k bins (bin = H mod k), keep the per-bin
+  // min, and fill an empty bin j from the nearest non-empty bin at
+  // circular offset t to the right, displaced by t·C so borrowed values
+  // only collide when the borrowed-from bins do. ONE string hash per
+  // shingle feeds all k slots — versus k affine derivations per shingle
+  // in [[portableSignatures]] — so the signature pass's per-row CPU
+  // drops ~k-fold while keeping the same unbiased Jaccard estimator.
+
+  /** Displacement multiplier for borrowed slot values: strictly larger
+    * than any raw 32-bit hash, so ordering by (t, value) equals ordering
+    * by t·C + value — which lets BOTH engines express "value of the
+    * nearest non-empty bin" as one MIN aggregate instead of a
+    * nearest-neighbor search over bins. */
+  private val ophOffset = 4294967296L // 2^32
+
+  /** OPH signature as an array<long> of `numSlots` densified slot values,
+    * from the same portable md5-derived 32-bit shingle hash as
+    * [[portableSignatures]] (replayable in DuckDB — SparkEntry q117).
+    * Docs with no shingles (shorter than `shingleSize` tokens) drop out,
+    * matching the classic chain. */
+  def ophPortableSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      numSlots: Int = 64, shingleSize: Int = 3): DataFrame = {
+    val k = numSlots.toLong
+    val sh = shingleRows(docs, idCol, textCol, shingleSize)
+      .withColumn("__H",
+        conv(substring(md5(col("__sh")), 1, 8), 16, 10).cast("long"))
+    sh.groupBy(col(idCol), pmod(col("__H"), lit(k)).as("__bin"))
+      .agg(min(col("__H")).as("__mv"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("__bin"), col("__mv"))).as("__bins"))
+      .select(col(idCol),
+        transform(sequence(lit(0L), lit(k - 1)), j =>
+          array_min(transform(col("__bins"), e =>
+            pmod(e.getField("__bin") - j, lit(k)) * lit(ophOffset) +
+              e.getField("__mv")))).as("signature"))
+  }
+
+  /** OPH signatures → LSH band buckets (same band/bucket shape as
+    * [[portableBuckets]]: md5 over the band's comma-joined slot values). */
+  def ophPortableBuckets(
+      docs: DataFrame, idCol: String, textCol: String,
+      numSlots: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame = {
+    require(numSlots % bands == 0, "numSlots must divide into bands")
+    val r = numSlots / bands
+    val sig = ophPortableSignatures(docs, idCol, textCol, numSlots, shingleSize)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(array_join(
+          transform(slice(col("signature"), b * r + 1, r),
+            v => v.cast("string")), ",")).as("bucket"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("__bk"))
+      .select(col(idCol), col("__bk.band").as("__band"),
+        col("__bk.bucket").as("__bucket"))
+  }
+
+  /** Full OPH near-dup chain: one-hash signatures → band buckets →
+    * candidates → exact-Jaccard verify. Same tail as
+    * [[portableNearDups]]; only the sketch pass differs (~k× cheaper). */
+  def ophNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      numSlots: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = candidatePairs(
+      ophPortableBuckets(docs, idCol, textCol, numSlots, bands, shingleSize),
+      idCol)
+    jaccardVerify(pairs, docs, idCol, textCol, shingleSize, threshold)
+  }
+
   /** Containment verify on candidate pairs: |A∩B| / min(|A|,|B|) over
     * shingle sets — the asymmetric near-dup signal that catches
     * SUBSET/quotation duplicates Jaccard under-scores (a doc fully

@@ -75,6 +75,51 @@ class DedupSpec extends SparkTestBase {
     assert(deferred.nonEmpty)
   }
 
+  test("OPH signatures: k-wide, deterministic, densification fills every slot") {
+    val sig = Dedup.ophPortableSignatures(docs, "doc_id", "text",
+      numSlots = 64, shingleSize = 2)
+    val rows = sig.collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(_.getSeq[Long](1).length == 64))
+    // no slot may be null/unfilled: densification borrows for empty bins
+    assert(rows.forall(_.getSeq[Long](1).forall(_ >= 0L)))
+    val again = Dedup.ophPortableSignatures(docs, "doc_id", "text",
+      numSlots = 64, shingleSize = 2).collect()
+    assert(rows.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap ==
+      again.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap)
+    // a filled bin's slot is a raw 32-bit hash (< 2^32); a borrowed slot
+    // carries the t*2^32 displacement — both kinds should appear on this
+    // small fixture (few shingles can't fill all 64 bins)
+    val slots = rows.flatMap(_.getSeq[Long](1))
+    assert(slots.exists(_ < 4294967296L))
+    assert(slots.exists(_ >= 4294967296L))
+  }
+
+  test("OPH chain finds the planted near-dups and only true ones") {
+    val pairs = Dedup.ophNearDups(docs, "doc_id", "text",
+      numSlots = 64, bands = 32, shingleSize = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
+  test("OPH recall tracks classic MinHash on sf0.001 (same verify tail)") {
+    val all = spark.read.parquet(s"$sf001/documents.parquet")
+    val oph = Dedup.ophNearDups(all, "doc_id", "text",
+      numSlots = 64, bands = 16, shingleSize = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val classic = Dedup.portableNearDups(all, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both chains verify with exact Jaccard >= 0.8, so each output is a
+    // subset of the true near-dup pairs; candidate recall may differ by
+    // a few pairs between the two sketch families, not collapse
+    assert(oph.nonEmpty)
+    assert((oph intersect classic).size.toDouble >=
+      0.8 * math.max(oph.size, classic.size))
+  }
+
   test("minhash signatures are stable and k-wide") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text",
       numHashes = 16, shingleSize = 2)
