@@ -7,8 +7,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Collocations, Decontaminate, Dedup, Fuzzy, Mixing,
-  Sampling, Similarity}
+import graft.operators.{Collocations, Decontaminate, Dedup, Fuzzy, Metrics,
+  Mixing, PartialAgg, Sampling, Similarity}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2) over the
   * test star schema, each query paired with DuckDB oracle SQL.
@@ -3031,6 +3031,172 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  private val q118 = Q("q118_incremental_rollup",
+    (s, dir) => {
+      // Algebraic partial-state maintenance (PartialAgg): daily
+      // (day, priority) states over o_totalprice merged UP to
+      // (month, priority) without re-touching raw rows — the
+      // materialized-view rollup pattern where "recompute the month"
+      // means "merge 30 tiny states", not "rescan the fact table". The
+      // oracle aggregates raw directly, so the state→merge→report chain
+      // is proven equal to first-principles aggregation; sums ride
+      // exact DECIMAL so merge order can't perturb the values.
+      val daily = PartialAgg.states(
+        t(s, dir, "orders").withColumn("day", to_date(col("o_orderdate"))),
+        Seq("day", "o_orderpriority"), col("o_totalprice"))
+      val monthly = PartialAgg.merge(
+        daily.withColumn("month", trunc(col("day"), "month")),
+        Seq("month", "o_orderpriority"))
+      PartialAgg.report(monthly, Seq("month", "o_orderpriority"))
+        .orderBy(col("month"), col("o_orderpriority"))
+    },
+    Some("""SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+      |  o_orderpriority, COUNT(*) AS cnt,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR)
+      |    AS DOUBLE) AS sum_value,
+      |  MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+      |  ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS
+      |    VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_value
+      |FROM orders GROUP BY 1, 2
+      |ORDER BY month, o_orderpriority""".stripMargin))
+
+  private val q119 = Q("q119_kmeans_step",
+    (s, dir) => {
+      // One FULL distributed Lloyd iteration, SQL-replayable end to end:
+      // init centroids = 8 lowest-id vectors, assign (argmin squared L2,
+      // ties to lowest centroid), per-dimension means through exact
+      // DECIMAL(28,12) (float-origin values are dyadic, so the decimal
+      // rounding can never tie — both engines land identical digits),
+      // narrow to float32 like the engine's centroid storage, then
+      // re-assign under the updated centroids. Proves the distributed
+      // k-means update — partial-agg sums, driver-side k×dim collect,
+      // broadcast-literal reassign — bit-matches a single-threaded SQL
+      // replay of the same math.
+      val e = t(s, dir, "embeddings")
+      val idx = Similarity.buildIvf(s, e, "vec_id", "embedding",
+        nCentroids = 8, iterations = 1)
+      idx.assigned.select(col("vec_id"), col("__centroid").as("cluster"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), cent0 AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      |  FROM e ORDER BY vec_id LIMIT 8
+      |), a0 AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, 65),
+      |          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), c.cid)
+      |        AS rn
+      |    FROM e, cent0 c) WHERE rn = 1
+      |), mean1 AS (
+      |  SELECT cid, i AS dim,
+      |    CAST(CAST(CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS VARCHAR)
+      |      AS DOUBLE) / COUNT(*) AS REAL) AS mv
+      |  FROM a0, (SELECT unnest(range(1, 65)) AS i) dims
+      |  GROUP BY cid, i
+      |), cent1 AS (
+      |  SELECT c0.cid, COALESCE(m.cv1, c0.cv) AS cv FROM cent0 c0
+      |  LEFT JOIN (SELECT cid, list(CAST(mv AS DOUBLE) ORDER BY dim)
+      |    AS cv1 FROM mean1 GROUP BY cid) m USING (cid)
+      |)
+      |SELECT vec_id, cid AS cluster FROM (
+      |  SELECT e.vec_id, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, 65),
+      |        i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), c.cid) AS rn
+      |  FROM e, cent1 c) WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin))
+
+  private val q120 = Q("q120_auc",
+    (s, dir) => {
+      // Mann–Whitney ROC AUC (Metrics.aucRoc) of the event value
+      // separating converting events from the rest — the metric that
+      // gates a quality classifier before it filters a corpus. Integer
+      // arithmetic (doubled U) until one final division; the global
+      // prefix count runs as a sharded window over deterministic
+      // approxQuantile boundaries, never a single-reducer sort.
+      Metrics.aucRoc(t(s, dir, "events"), col("value"),
+        when(col("event_type").isin("click", "purchase"), 1L).otherwise(0L))
+    },
+    Some("""WITH g AS (
+      |  SELECT value AS s,
+      |    SUM(CASE WHEN event_type IN ('click','purchase')
+      |      THEN 1 ELSE 0 END) AS pos,
+      |    SUM(CASE WHEN event_type IN ('click','purchase')
+      |      THEN 0 ELSE 1 END) AS neg
+      |  FROM events GROUP BY value
+      |), c AS (
+      |  SELECT pos, neg, COALESCE(SUM(neg) OVER (ORDER BY s
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM g
+      |)
+      |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |  CAST(SUM(neg) AS BIGINT) AS n_neg,
+      |  ROUND(CAST(SUM(pos * (2 * below + neg)) AS DOUBLE) /
+      |    (2.0 * SUM(pos) * SUM(neg)), 6) AS auc
+      |FROM c""".stripMargin))
+
+  private val q121 = Q("q121_prefix_join",
+    (s, dir) => {
+      // FULL-corpus prefix-filtered set-similarity self-join
+      // (Fuzzy.jaccardSelfJoin — AllPairs/PPJoin, Bayardo et al. WWW'07)
+      // over 3-shingle sets: rarity-ordered prefixes give a
+      // recall-COMPLETE candidate set for shingle-Jaccard >= t —
+      // deterministic, unlike LSH — so with the exact verify the result
+      // EQUALS the all-pairs threshold join at bucket-join cost. Same
+      // set family and threshold as q57, whose LSH output this provably
+      // contains (asserted in DedupSpec); the oracle is an independent
+      // complete implementation, so any candidate the prefix filter
+      // dropped wrongly would surface as a row mismatch. Shingles (not
+      // raw tokens) keep element document frequencies low enough for
+      // the prefix to prune — q36 demos the same operator on a carved
+      // left side; this is the whole-corpus shape.
+      val sets = t(s, dir, "documents").select(col("doc_id"),
+        TF.shinglesFast(col("text"), 3).as("sh_set"))
+      Fuzzy.jaccardSelfJoin(sets, "doc_id", "sh_set",
+          threshold = 0.8, leftPred = lit(true))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH sets AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(tk) - 1, 1)),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS st
+      |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |    '\s+'), t -> t <> '') AS tk FROM documents)
+      |), toks AS (
+      |  SELECT doc_id, unnest(st) AS tok FROM sets
+      |), dfreq AS (
+      |  SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok
+      |), sz AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+      |), ranked AS (
+      |  SELECT t.doc_id, t.tok,
+      |    ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok)
+      |      AS rk, s.n
+      |  FROM toks t JOIN dfreq d USING (tok) JOIN sz s USING (doc_id)
+      |), pref AS (
+      |  SELECT doc_id, tok FROM ranked
+      |  WHERE rk <= n - CAST(CEIL(0.8 * n) AS BIGINT) + 1
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM pref a JOIN pref b
+      |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |)
+      |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
+      |  SELECT id_a, id_b,
+      |    CAST(len(list_intersect(sa.st, sb.st)) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(sa.st, sb.st))) AS DOUBLE) AS j
+      |  FROM cand JOIN sets sa ON sa.doc_id = cand.id_a
+      |            JOIN sets sb ON sb.doc_id = cand.id_b)
+      |WHERE j >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3040,7 +3206,7 @@ object SparkEntry {
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed evaluation metrics for model-assisted data curation — the
+  * read side of quality-classifier filtering: before a score column gates
+  * a 100 TB corpus, measure how well it separates the classes.
+  */
+object Metrics {
+
+  /** ROC AUC by the Mann–Whitney U statistic, ties handled exactly
+    * (tied scores contribute half): AUC = U / (nPos·nNeg) with
+    * U = Σ_g pos_g · (negBelow_g + neg_g/2) over distinct-score groups g.
+    *
+    * Everything stays in integer arithmetic (U is accumulated doubled:
+    * 2·negBelow + neg) until one final double division, so the result is
+    * exact and independent of partial-aggregation order.
+    *
+    * Scale design: the prefix count of negatives below each score needs a
+    * GLOBAL ordering, which a bare window would serialize on one reducer.
+    * Instead the distinct-score groups are range-sharded by DETERMINISTIC
+    * value boundaries (approxQuantile on the scores — the explicit form
+    * of what Spark's range partitioner samples), the prefix sum runs
+    * per-shard in parallel, and each shard adds a precomputed offset =
+    * total negatives of all lower shards (a `numShards`-row window —
+    * trivially small). Two passes over the grouped scores, zero global
+    * sorts.
+    *
+    * `label` must evaluate to 1 (positive) or 0 (negative) per row.
+    * Output: one row (n_pos, n_neg, auc). AUC is null if either class is
+    * empty.
+    */
+  def aucRoc(
+      df: DataFrame, score: Column, label: Column,
+      numShards: Int = 32): DataFrame = {
+    val g = df.select(score.cast("double").as("__s"),
+        label.cast("long").as("__y"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).as("__pos"),
+        (count(lit(1)) - sum(col("__y"))).as("__neg"))
+    // Deterministic monotone shard id from value boundaries. The
+    // boundaries collect is numShards-1 doubles — driver-tiny, same
+    // class of collect as an IVF centroid pull.
+    val bounds =
+      if (numShards <= 1) Array.empty[Double]
+      else g.stat.approxQuantile("__s",
+        (1 until numShards).map(_.toDouble / numShards).toArray, 0.001)
+        .distinct.sorted
+    val shard = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__s") > b, 1).otherwise(0)
+    }
+    val sharded = g.withColumn("__shard", shard)
+    val wLocal = Window.partitionBy(col("__shard")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = sharded.withColumn("__below_local",
+      coalesce(sum(col("__neg")).over(wLocal), lit(0L)))
+    val wOff = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("__shard"))
+      .agg(sum(col("__neg")).as("__negtot"))
+      .withColumn("__offset", coalesce(sum(col("__negtot")).over(wOff), lit(0L)))
+      .select(col("__shard"), col("__offset"))
+    local.join(broadcast(offsets), Seq("__shard"))
+      .withColumn("__below", col("__below_local") + col("__offset"))
+      .agg(
+        sum(col("__pos") * (lit(2L) * col("__below") + col("__neg")))
+          .as("__u2"),
+        sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("__u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Algebraic partial-aggregate states for incremental (materialized-view)
+  * maintenance: compute fine-grained states once, then MERGE them to any
+  * coarser grouping without touching the raw table again.
+  *
+  * This is the rollup-maintenance pattern for an append-only 100 TB fact
+  * store: "recompute the month" must mean "merge 30 daily states", not
+  * "rescan 3 TB of raw rows". count/sum/min/max are algebraic (their
+  * states merge associatively); avg is derived sum/count at read time,
+  * never stored. Sums run through exact DECIMAL so that merge ORDER
+  * cannot perturb the result — a double sum's value depends on the
+  * partial-aggregation tree, which would make `merge(states(day))` and
+  * `states(month)` differ in the last bit and break the central equality
+  * this operator exists to provide.
+  *
+  * Typical use: `states(fact, day-grain keys, value)` appended daily;
+  * `merge(allStates, month-grain keys)` serves the rollup; a late
+  * partition's correction is one more state row unioned in, then the
+  * same merge.
+  */
+object PartialAgg {
+
+  /** Per-group partial state of `value`: groupCols* → (cnt, sum, mn, mx).
+    * `value` is cast through DECIMAL(18,4) for the sum leg (exact,
+    * merge-order-free); min/max keep the native type. */
+  def states(
+      df: DataFrame, groupCols: Seq[String], value: Column): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(value).as("cnt"),
+        sum(value.cast("decimal(18,4)")).as("sum"),
+        min(value).as("mn"),
+        max(value).as("mx"))
+
+  /** Merge states down to a coarser grouping (any subset or derivation of
+    * the state's group columns present on `st`). The output is again a
+    * valid state: merge composes, so day→month→year chains reuse it. */
+  def merge(st: DataFrame, groupCols: Seq[String]): DataFrame =
+    st.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("sum")).as("sum"),
+        min(col("mn")).as("mn"),
+        max(col("mx")).as("mx"))
+
+  /** Read-time report over a state: exact sum surfaced as double plus the
+    * derived average — the columns a rollup consumer actually selects. */
+  def report(st: DataFrame, groupCols: Seq[String]): DataFrame =
+    st.select(groupCols.map(col) ++ Seq(
+      col("cnt"),
+      col("sum").cast("double").as("sum_value"),
+      col("mn"), col("mx"),
+      round(col("sum").cast("double") / col("cnt"), 6).as("avg_value")): _*)
+}

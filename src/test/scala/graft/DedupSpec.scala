@@ -120,6 +120,24 @@ class DedupSpec extends SparkTestBase {
       0.8 * math.max(oph.size, classic.size))
   }
 
+  test("prefix self-join (Fuzzy) contains the LSH chain's verified pairs") {
+    // LSH candidate generation is probabilistic (can miss); the prefix
+    // filter is recall-complete — so at the same threshold and set
+    // family the LSH output must be a subset of the exact join's.
+    val all = spark.read.parquet(s"$sf001/documents.parquet")
+    val sets = all.select(col("doc_id"),
+      graft.functions.TextFunctions.shinglesFast(col("text"), 3).as("st"))
+    val pf = graft.operators.Fuzzy.jaccardSelfJoin(
+        sets, "doc_id", "st", threshold = 0.8, leftPred = lit(true))
+      .filter(col("id_a") < col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.portableNearDups(all, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(pf))
+    assert(pf.nonEmpty)
+  }
+
   test("minhash signatures are stable and k-wide") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text",
       numHashes = 16, shingleSize = 2)

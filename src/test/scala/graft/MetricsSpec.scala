@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Metrics
+
+class MetricsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("AUC = 1.0 for perfect separation, 0.0 for inverted") {
+    val df = Seq((0.9, 1L), (0.8, 1L), (0.7, 1L), (0.3, 0L), (0.2, 0L))
+      .toDF("score", "y")
+    val r = Metrics.aucRoc(df, col("score"), col("y")).head()
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 1.0)
+    val inv = Metrics.aucRoc(df, -col("score"), col("y")).head()
+    assert(inv.getDouble(2) == 0.0)
+  }
+
+  test("AUC = 0.5 when every score ties") {
+    val df = Seq((1.0, 1L), (1.0, 0L), (1.0, 1L), (1.0, 0L)).toDF("s", "y")
+    assert(Metrics.aucRoc(df, col("s"), col("y")).head().getDouble(2) == 0.5)
+  }
+
+  test("AUC matches the hand-computed rank-sum on a mixed case") {
+    // scores: pos at 0.9, 0.5(tied with a neg), 0.1; neg at 0.7, 0.5, 0.3
+    // pairs (pos, neg): (0.9 beats 0.7, 0.5, 0.3)=3; (0.5 beats 0.3)=1 +
+    // tie with 0.5 = 0.5; (0.1 beats none)=0  => U = 4.5, AUC = 4.5/9
+    val df = Seq((0.9, 1L), (0.5, 1L), (0.1, 1L),
+      (0.7, 0L), (0.5, 0L), (0.3, 0L)).toDF("s", "y")
+    val r = Metrics.aucRoc(df, col("s"), col("y")).head()
+    assert(r.getDouble(2) == math.rint(4.5 / 9.0 * 1e6) / 1e6)
+  }
+
+  test("AUC is invariant to shard count (parallel prefix = serial prefix)") {
+    val events = spark.read.parquet(s"$sf001/events.parquet")
+    val lab = when(col("event_type").isin("click", "purchase"), 1L)
+      .otherwise(0L)
+    val one = Metrics.aucRoc(events, col("value"), lab, numShards = 1)
+      .head().getDouble(2)
+    val many = Metrics.aucRoc(events, col("value"), lab, numShards = 32)
+      .head().getDouble(2)
+    assert(one == many)
+    assert(one > 0.0 && one < 1.0)
+  }
+}
