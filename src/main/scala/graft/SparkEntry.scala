@@ -3197,6 +3197,65 @@ object SparkEntry {
       |WHERE j >= 0.8
       |ORDER BY id_a, id_b""".stripMargin))
 
+  private val q122 = Q("q122_pagerank",
+    (s, dir) => {
+      // PageRank over the supplier→customer trade graph (who supplied
+      // whom, via lineitem⋈orders), 3 iterations at d=0.85 — the
+      // propagation shape behind site-authority scoring of a crawl
+      // corpus. Node namespaces are prefixed ('S'/'C') because suppkey
+      // and custkey overlap numerically. Every iteration is one
+      // edges×ranks join + one per-destination DECIMAL mass sum, so the
+      // whole trace is bit-reproducible and the oracle replays all 3
+      // iterations in DuckDB; doubles compare exactly.
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("S"), col("l_suppkey")).as("src"),
+          concat(lit("C"), col("o_custkey")).as("dst"))
+      graft.operators.Graph.pagerank(edges, iterations = 3, damping = 0.85)
+        .select(col("id"), round(col("pr"), 9).as("pr"))
+        .orderBy(col("pr").desc, col("id")).limit(20)
+    },
+    Some("""WITH edges AS (
+      |  SELECT DISTINCT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), nodes AS (
+      |  SELECT src AS id FROM edges UNION SELECT dst FROM edges
+      |), nn AS (SELECT COUNT(*) AS n FROM nodes
+      |), outdeg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src
+      |), pr0 AS (
+      |  SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM nodes, nn
+      |), it1 AS (
+      |  SELECT nd.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+      |    CAST(0.85 AS DOUBLE) * COALESCE(m.mass, 0.0) AS pr
+      |  FROM nodes nd CROSS JOIN nn LEFT JOIN (
+      |    SELECT e.dst AS id, CAST(CAST(SUM(CAST(p.pr / o.odeg AS
+      |      DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) AS mass
+      |    FROM edges e JOIN outdeg o ON e.src = o.src
+      |                 JOIN pr0 p ON p.id = e.src
+      |    GROUP BY e.dst) m ON m.id = nd.id
+      |), it2 AS (
+      |  SELECT nd.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+      |    CAST(0.85 AS DOUBLE) * COALESCE(m.mass, 0.0) AS pr
+      |  FROM nodes nd CROSS JOIN nn LEFT JOIN (
+      |    SELECT e.dst AS id, CAST(CAST(SUM(CAST(p.pr / o.odeg AS
+      |      DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) AS mass
+      |    FROM edges e JOIN outdeg o ON e.src = o.src
+      |                 JOIN it1 p ON p.id = e.src
+      |    GROUP BY e.dst) m ON m.id = nd.id
+      |), it3 AS (
+      |  SELECT nd.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+      |    CAST(0.85 AS DOUBLE) * COALESCE(m.mass, 0.0) AS pr
+      |  FROM nodes nd CROSS JOIN nn LEFT JOIN (
+      |    SELECT e.dst AS id, CAST(CAST(SUM(CAST(p.pr / o.odeg AS
+      |      DECIMAL(28,18))) AS VARCHAR) AS DOUBLE) AS mass
+      |    FROM edges e JOIN outdeg o ON e.src = o.src
+      |                 JOIN it2 p ON p.id = e.src
+      |    GROUP BY e.dst) m ON m.id = nd.id
+      |)
+      |SELECT id, ROUND(pr, 9) AS pr FROM it3
+      |ORDER BY pr DESC, id LIMIT 20""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3206,7 +3265,8 @@ object SparkEntry {
     q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87,
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
+    q122)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

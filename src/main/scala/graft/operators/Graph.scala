@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algorithms as repeated join+aggregate plans — the
+  * shapes that scale horizontally: each iteration is one shuffle-on-key
+  * join (edges × ranks) and one aggregation (per-destination mass), so a
+  * 1000-executor cluster runs every iteration fully parallel. The
+  * driver's only role is loop control and one COUNT for the node total.
+  *
+  * Related: [[Dedup.connectedComponents]] (min-label propagation) covers
+  * the undirected-components case; this file holds the weighted/ranked
+  * propagation family.
+  */
+object Graph {
+
+  /** PageRank (Page/Brin/Motwani/Winograd 1999) with the classic "leaky"
+    * dangling-node treatment: pr = (1−d)/N + d·Σ_in pr(u)/outdeg(u);
+    * nodes without out-edges simply leak their mass (their rank is still
+    * computed — they only stop redistributing). Fixed iteration count:
+    * rank propagation needs O(diameter) rounds to mix, and a fixed count
+    * keeps the plan static and the output reproducible.
+    *
+    * Determinism: the per-destination mass sum runs through exact
+    * DECIMAL(28,18) — a double Σ would depend on partial-aggregation
+    * order and drift between runs/engines. Division pr/outdeg and the
+    * (1−d)/N + d·mass combination are per-row double ops (deterministic),
+    * so the whole fixpoint trace is bit-reproducible and SQL-replayable
+    * (SparkEntry q122 replays 3 iterations in DuckDB exactly).
+    *
+    * Input `edges`: (src, dst) columns, any orderable type; parallel
+    * edges collapse (DISTINCT). Output: (id, pr) for every node that
+    * appears as a src or dst. */
+  def pagerank(
+      edges: DataFrame, iterations: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    // one driver-side scalar — the node total that seeds both constants
+    val n = nodes.count()
+    val base = (1.0 - damping) / n
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__odeg"))
+    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    var iter = 0
+    while (iter < iterations) {
+      val mass = e.join(outdeg, Seq("src"))
+        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"),
+          (col("pr") / col("__odeg")).cast("decimal(28,18)").as("__c"))
+        .groupBy(col("id"))
+        .agg(sum(col("__c")).cast("double").as("__mass"))
+      pr = nodes.join(mass, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + lit(damping) * coalesce(col("__mass"), lit(0.0)))
+            .as("pr"))
+      iter += 1
+    }
+    pr
+  }
+}

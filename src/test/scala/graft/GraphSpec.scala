@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pagerank matches the hand-computed one-iteration values") {
+    // A→B, A→C, B→C; n=3, d=0.85, init 1/3
+    // iter1: base = 0.15/3 = 0.05
+    //   B gets prA/2 = 1/6  → 0.05 + 0.85/6
+    //   C gets prA/2 + prB  → 0.05 + 0.85·(1/6 + 1/3)
+    //   A gets nothing      → 0.05
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "C")).toDF("src", "dst")
+    val pr = Graph.pagerank(edges, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr("A") - 0.05) < 1e-12)
+    assert(math.abs(pr("B") - (0.05 + 0.85 / 6)) < 1e-12)
+    assert(math.abs(pr("C") - (0.05 + 0.85 * 0.5)) < 1e-12)
+  }
+
+  test("pagerank: authority accumulates at sinks, mass stays bounded") {
+    val edges = Seq(("A", "D"), ("B", "D"), ("C", "D"), ("D", "E"))
+      .toDF("src", "dst")
+    val pr = Graph.pagerank(edges, iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // D aggregates 3 sources; E drains the hub D — both far outrank the
+    // leaves (E even outranks D: it receives D's whole mass while D's
+    // inputs are three base-rank leaves)
+    assert(Set("D", "E") ==
+      pr.toSeq.sortBy(-_._2).take(2).map(_._1).toSet)
+    assert(pr("D") > pr("A") && pr("E") > pr("A"))
+    // leaky formulation: total mass never exceeds 1
+    assert(pr.values.sum <= 1.0 + 1e-12)
+    assert(pr.values.forall(_ > 0))
+  }
+
+  test("pagerank is deterministic across partition layouts") {
+    val e = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(spark.read.parquet(s"$sf001/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("S"), col("l_suppkey")).as("src"),
+        concat(lit("C"), col("o_custkey")).as("dst"))
+    val a = Graph.pagerank(e.repartition(3), iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = Graph.pagerank(e.repartition(17), iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b) // bit-identical, not approximately equal
+    assert(a.nonEmpty)
+  }
+}
