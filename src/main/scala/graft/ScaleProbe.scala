@@ -72,7 +72,12 @@ object ScaleProbe {
     // round 6 (q106 excluded: its user_id<30 demo filter keeps input
     // constant under the id-shifted synthesis, like q77/q84)
     "q108_collocations", "q109_leakage_split", "q111_skipgrams",
-    "q112_adaptive_quality", "q113_domain_cap")
+    "q112_adaptive_quality", "q113_domain_cap",
+    // round 6: OPH sketch chain, state merge, Lloyd step (10x vectors),
+    // AUC (10x events), exact prefix join (output grows like q36 — its
+    // contract is every qualifying pair), PageRank (10x customers)
+    "q117_oph_neardup", "q118_incremental_rollup", "q119_kmeans_step",
+    "q120_auc", "q121_prefix_join", "q122_pagerank")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

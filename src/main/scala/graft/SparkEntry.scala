@@ -3207,8 +3207,14 @@ object SparkEntry {
       // edges×ranks join + one per-destination DECIMAL mass sum, so the
       // whole trace is bit-reproducible and the oracle replays all 3
       // iterations in DuckDB; doubles compare exactly.
+      // urgent orders only: the full trade graph is near-bipartite-
+      // complete (~5M of 15M possible supplier×customer pairs at sf0.1)
+      // — a filtered slice keeps real graph structure AND pushes the
+      // predicate to the orders scan
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
       val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(concat(lit("S"), col("l_suppkey")).as("src"),
           concat(lit("C"), col("o_custkey")).as("dst"))
@@ -3219,6 +3225,7 @@ object SparkEntry {
     Some("""WITH edges AS (
       |  SELECT DISTINCT 'S' || l_suppkey AS src, 'C' || o_custkey AS dst
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderpriority = '1-URGENT'
       |), nodes AS (
       |  SELECT src AS id FROM edges UNION SELECT dst FROM edges
       |), nn AS (SELECT COUNT(*) AS n FROM nodes
@@ -3256,6 +3263,66 @@ object SparkEntry {
       |SELECT id, ROUND(pr, 9) AS pr FROM it3
       |ORDER BY pr DESC, id LIMIT 20""".stripMargin))
 
+  private val q123 = Q("q123_auc_by_group",
+    (s, dir) => {
+      // Stratified classifier evaluation (Metrics.aucByGroup): ROC AUC
+      // of the event value per user cohort — the sliced view that
+      // catches a quality score working globally but failing a slice.
+      // Per-group windows parallelize across cohorts; same tie-exact
+      // doubled-U arithmetic as q120.
+      Metrics.aucByGroup(t(s, dir, "events"),
+          pmod(col("user_id"), lit(8L)).as("cohort"), col("value"),
+          when(col("event_type").isin("click", "purchase"), 1L)
+            .otherwise(0L))
+        .withColumnRenamed("grp", "cohort")
+        .orderBy(col("cohort"))
+    },
+    Some("""WITH g AS (
+      |  SELECT user_id % 8 AS cohort, value AS s,
+      |    SUM(CASE WHEN event_type IN ('click','purchase')
+      |      THEN 1 ELSE 0 END) AS pos,
+      |    SUM(CASE WHEN event_type IN ('click','purchase')
+      |      THEN 0 ELSE 1 END) AS neg
+      |  FROM events GROUP BY 1, 2
+      |), c AS (
+      |  SELECT cohort, pos, neg, COALESCE(SUM(neg) OVER (
+      |    PARTITION BY cohort ORDER BY s
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      |  FROM g
+      |)
+      |SELECT cohort, CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |  CAST(SUM(neg) AS BIGINT) AS n_neg,
+      |  ROUND(CAST(SUM(pos * (2 * below + neg)) AS DOUBLE) /
+      |    (2.0 * SUM(pos) * SUM(neg)), 6) AS auc
+      |FROM c GROUP BY cohort ORDER BY cohort""".stripMargin))
+
+  private val q124 = Q("q124_calibration",
+    (s, dir) => {
+      // Reliability curve (Metrics.calibrationBins): decile bins over
+      // the observed score range with per-bin positive rate and
+      // exact-DECIMAL mean score — the calibration companion to q120's
+      // discrimination metric. Bin edges derive from one min/max
+      // aggregate broadcast back (scalar-subquery shape, k-row).
+      Metrics.calibrationBins(t(s, dir, "events"), col("value"),
+          when(col("event_type").isin("click", "purchase"), 1L)
+            .otherwise(0L), bins = 10)
+        .orderBy(col("bin"))
+    },
+    Some("""WITH s AS (
+      |  SELECT value AS v,
+      |    CASE WHEN event_type IN ('click','purchase') THEN 1 ELSE 0 END
+      |      AS y FROM events
+      |), mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM s
+      |), b AS (
+      |  SELECT LEAST(CAST(FLOOR((v - mn) / (mx - mn) * 10) AS BIGINT),
+      |    9) AS bin, v, y FROM s, mm
+      |)
+      |SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+      |  ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate,
+      |  ROUND(CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS VARCHAR)
+      |    AS DOUBLE) / COUNT(*), 6) AS mean_score
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3266,7 +3333,7 @@ object SparkEntry {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122)
+    q122, q123, q124)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

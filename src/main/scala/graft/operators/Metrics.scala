@@ -72,4 +72,57 @@ object Metrics {
         round(col("__u2").cast("double") /
           (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
   }
+
+  /** Per-group ROC AUC — [[aucRoc]]'s math with the prefix count as a
+    * per-group window over distinct scores: groups parallelize naturally
+    * (the window partitions on the group key), so no value-sharding is
+    * needed unless a single group dominates the corpus — in that shape,
+    * run [[aucRoc]] per heavy group instead. AUC is null for groups
+    * missing a class (0/0 division), which is the honest answer. */
+  def aucByGroup(
+      df: DataFrame, group: Column, score: Column,
+      label: Column): DataFrame = {
+    val g = df.select(group.as("grp"), score.cast("double").as("__s"),
+        label.cast("long").as("__y"))
+      .groupBy(col("grp"), col("__s"))
+      .agg(sum(col("__y")).as("__pos"),
+        (count(lit(1)) - sum(col("__y"))).as("__neg"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("__below", coalesce(sum(col("__neg")).over(w), lit(0L)))
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("__pos") * (lit(2L) * col("__below") + col("__neg")))
+          .as("__u2"),
+        sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"))
+      .select(col("grp"), col("n_pos"), col("n_neg"),
+        round(col("__u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  /** Reliability (calibration) bins: fixed-width buckets over the score's
+    * observed [min, max], per-bin count / positive rate / exact-DECIMAL
+    * mean score. The min/max pair is one tiny aggregate broadcast back
+    * (scalar-subquery shape); bin edges are therefore data-derived but
+    * deterministic. A perfectly calibrated score has pos_rate tracking
+    * mean_score per bin. */
+  def calibrationBins(
+      df: DataFrame, score: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    val s = df.select(score.cast("double").as("__s"),
+      label.cast("long").as("__y"))
+    val mm = s.agg(min(col("__s")).as("__mn"), max(col("__s")).as("__mx"))
+    val binned = s.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        least(floor((col("__s") - col("__mn")) /
+          (col("__mx") - col("__mn")) * bins).cast("long"),
+          lit((bins - 1).toLong)))
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y")).as("n_pos"),
+        round(sum(col("__y")).cast("double") / count(lit(1)), 6)
+          .as("pos_rate"),
+        round(sum(col("__s").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_score"))
+  }
 }

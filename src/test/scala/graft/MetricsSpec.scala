@@ -31,6 +31,34 @@ class MetricsSpec extends SparkTestBase {
     assert(r.getDouble(2) == math.rint(4.5 / 9.0 * 1e6) / 1e6)
   }
 
+  test("per-group AUC matches whole-frame AUC computed per slice") {
+    val events = spark.read.parquet(s"$sf001/events.parquet")
+    val lab = when(col("event_type").isin("click", "purchase"), 1L)
+      .otherwise(0L)
+    val grouped = Metrics.aucByGroup(events,
+        pmod(col("user_id"), lit(4L)), col("value"), lab)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    (0L until 4L).foreach { c =>
+      val solo = Metrics.aucRoc(
+        events.filter(pmod(col("user_id"), lit(4L)) === c),
+        col("value"), lab).head().getDouble(2)
+      assert(grouped(c) == solo, s"cohort $c")
+    }
+  }
+
+  test("calibration bins: counts partition the frame, rates bounded") {
+    val events = spark.read.parquet(s"$sf001/events.parquet")
+    val lab = when(col("event_type").isin("click", "purchase"), 1L)
+      .otherwise(0L)
+    val bins = Metrics.calibrationBins(events, col("value"), lab, bins = 10)
+      .collect()
+    assert(bins.map(_.getLong(1)).sum == events.count())
+    assert(bins.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    assert(bins.map(_.getLong(0)).toSet.subsetOf((0L to 9L).toSet))
+    // a perfectly separable label this is not: rates stay interior
+    assert(bins.map(_.getDouble(3)).distinct.length > 1)
+  }
+
   test("AUC is invariant to shard count (parallel prefix = serial prefix)") {
     val events = spark.read.parquet(s"$sf001/events.parquet")
     val lab = when(col("event_type").isin("click", "purchase"), 1L)
