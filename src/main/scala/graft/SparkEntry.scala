@@ -3323,6 +3323,45 @@ object SparkEntry {
       |    AS DOUBLE) / COUNT(*), 6) AS mean_score
       |FROM b GROUP BY bin ORDER BY bin""".stripMargin))
 
+  private val q125 = Q("q125_rolling_zscore",
+    (s, dir) => {
+      // Rolling-window anomaly detection (Metrics.rollingZscore): per
+      // user, each event's value against the sample mean/std of the
+      // PREVIOUS 5 events (the row under test excluded from its own
+      // baseline -- included, a lone spike caps its own score below
+      // the threshold); |z| >= 2 flags. Moments ride exact
+      // DECIMAL windowed sums so the variance trace is engine-identical;
+      // sqrt is IEEE-correctly-rounded on both sides; std > 0 in the
+      // predicate keeps NaN comparisons (where engines disagree) out.
+      Metrics.rollingZscore(t(s, dir, "events"),
+          col("user_id"), Seq(col("ts"), col("event_id")), col("value"),
+          windowSize = 5, zThreshold = 2.0)
+        .select(col("user_id"), col("event_id"), col("value"),
+          round(col("z"), 6).as("z"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""WITH w AS (
+      |  SELECT user_id, event_id, value,
+      |    COUNT(*) OVER win AS cnt,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE)
+      |      / CAST(5.0 AS DOUBLE) AS mean,
+      |    CAST(CAST(SUM(CAST(value * value AS DECIMAL(28,12))) OVER win
+      |      AS VARCHAR) AS DOUBLE) / CAST(5.0 AS DOUBLE) AS ex2
+      |  FROM events
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+      |), z AS (
+      |  SELECT user_id, event_id, value, cnt,
+      |    SQRT(GREATEST((ex2 - mean * mean) * CAST(1.25 AS DOUBLE),
+      |      CAST(0.0 AS DOUBLE))) AS std, mean
+      |  FROM w
+      |)
+      |SELECT user_id, event_id, value,
+      |  ROUND((value - mean) / std, 6) AS z
+      |FROM z
+      |WHERE cnt = 5 AND std > 0 AND ABS((value - mean) / std) >= 2.0
+      |ORDER BY user_id, event_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3333,7 +3372,7 @@ object SparkEntry {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124)
+    q122, q123, q124, q125)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -100,6 +100,44 @@ object Metrics {
           (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
   }
 
+  /** Rolling z-score anomaly flags: each row's value against the sample
+    * mean/std of the PREVIOUS `windowSize` rows of its key (ordered by
+    * `order` columns, which must form a unique key within a partition —
+    * a ROWS frame over peer rows has engine-chosen order otherwise).
+    * The row under test is EXCLUDED from its own baseline: included, a
+    * lone spike inflates the window's std enough to cap its own score
+    * at (n−1)/√n (< 2 for n=5), so no single outlier could ever fire.
+    * Mean and E[x²] ride exact-DECIMAL windowed sums, variance uses the
+    * n/(n−1) sample correction with a max(·,0) guard (exact-arithmetic
+    * variance can round to −ε), and only FULL baselines emit — the
+    * first windowSize rows of a key have none. `std > 0` participates
+    * in the flag predicate so constant baselines never reach the
+    * NaN-comparison trap (engines disagree on NaN ordering). One window
+    * pass per key — parallel across keys, no global sort. */
+  def rollingZscore(
+      df: DataFrame, partitionBy: Column, order: Seq[Column],
+      value: Column, windowSize: Int = 5,
+      zThreshold: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy(partitionBy).orderBy(order: _*)
+      .rowsBetween(-windowSize, -1)
+    val n = windowSize.toDouble
+    val corr = windowSize / (windowSize - 1.0)
+    val sumd = sum(value.cast("decimal(18,6)")).over(w).cast("double")
+    val sqd = sum((value * value).cast("decimal(28,12)")).over(w)
+      .cast("double")
+    val mean = sumd / lit(n)
+    val ex2 = sqd / lit(n)
+    val variance = (ex2 - mean * mean) * lit(corr)
+    val std = sqrt(greatest(variance, lit(0.0)))
+    df.withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__mean", mean)
+      .withColumn("__std", std)
+      .withColumn("z", (value - col("__mean")) / col("__std"))
+      .filter(col("__cnt") === windowSize && col("__std") > 0.0 &&
+        abs(col("z")) >= zThreshold)
+      .drop("__cnt")
+  }
+
   /** Reliability (calibration) bins: fixed-width buckets over the score's
     * observed [min, max], per-bin count / positive rate / exact-DECIMAL
     * mean score. The min/max pair is one tiny aggregate broadcast back

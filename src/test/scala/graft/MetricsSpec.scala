@@ -59,6 +59,20 @@ class MetricsSpec extends SparkTestBase {
     assert(bins.map(_.getDouble(3)).distinct.length > 1)
   }
 
+  test("rolling z-score flags a planted spike, skips warm-up and flats") {
+    val rows = // key A: flat baseline then one spike; key B: constant
+      (1 to 8).map(i => ("A", i.toLong, if (i == 7) 100.0 else 10.0 + i * 0.1)) ++
+        (1 to 6).map(i => ("B", i.toLong, 5.0))
+    val df = rows.toDF("k", "seq", "v")
+    val out = Metrics.rollingZscore(df, col("k"), Seq(col("seq")), col("v"),
+      windowSize = 5, zThreshold = 2.0)
+      .select(col("k"), col("seq")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out.contains(("A", 7L)))            // the spike
+    assert(!out.exists(_._1 == "B"))           // constant key: std = 0
+    assert(!out.exists { case (_, s) => s < 5 }) // no partial windows
+  }
+
   test("AUC is invariant to shard count (parallel prefix = serial prefix)") {
     val events = spark.read.parquet(s"$sf001/events.parquet")
     val lab = when(col("event_type").isin("click", "purchase"), 1L)
