@@ -46,8 +46,10 @@ object Multimodal {
     * (with `#` comments), then raw RGB triplets. Feature (8-dim): mean
     * R/G/B, mean/min/max luminance (Rec.601 weights), RMS luminance
     * contrast, aspect ratio — all in [0,1]-ish ranges, deterministic. */
-  def decodePpm(
-      id: Long, bytes: Array[Byte]): Option[DecodedMedia] = {
+  /** Parsed P6 header → (width, height, maxval, pixelDataOffset).
+    * Exactly ONE whitespace byte separates header from pixel data; long
+    * arithmetic so adversarial w·h cannot overflow the length check. */
+  private def ppmHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (bytes == null || bytes.length < 2 ||
       bytes(0) != 'P' || bytes(1) != '6') return None
     var pos = 2
@@ -64,14 +66,19 @@ object Multimodal {
       else scala.util.Try(
         new String(bytes, start, pos - start, "US-ASCII").toInt).toOption
     }
-    val header = (nextToken(), nextToken(), nextToken())
-    header match {
+    (nextToken(), nextToken(), nextToken()) match {
       case (Some(w), Some(h), Some(maxval))
         if w > 0 && h > 0 && maxval > 0 && maxval < 256 &&
-          // exactly ONE whitespace byte separates header from pixel data;
-          // long arithmetic so adversarial w*h cannot overflow the check
           (bytes.length - (pos + 1)).toLong >= w.toLong * h * 3 =>
-      val data = pos + 1
+        Some((w, h, maxval, pos + 1))
+      case _ => None
+    }
+  }
+
+  def decodePpm(
+      id: Long, bytes: Array[Byte]): Option[DecodedMedia] = {
+    ppmHeader(bytes) match {
+      case Some((w, h, maxval, data)) =>
       var sr = 0.0; var sg = 0.0; var sb = 0.0
       var sy = 0.0; var sy2 = 0.0
       var minY = Double.MaxValue; var maxY = Double.MinValue
@@ -95,6 +102,63 @@ object Multimodal {
           (w.toDouble / h).toFloat)))
       case _ => None
     }
+  }
+
+  /** REAL nearest-neighbor PPM resize: decode P6 → sample → re-encode
+    * P6. Output pixel (x, y) samples input (x·W div ow, y·H div oh) —
+    * integer arithmetic only, so the result is byte-deterministic.
+    * Output dimensions follow [[resizePlan]]'s contract exactly
+    * (scale = min(maxSide/w, maxSide/h, 1), half-up rounding, never
+    * upscales); images already within bounds are returned unchanged. */
+  def resizePpmNearest(
+      bytes: Array[Byte], maxSide: Int): Option[Array[Byte]] =
+    ppmHeader(bytes).map { case (w, h, maxval, data) =>
+      val scale = math.min(
+        math.min(maxSide.toDouble / w, maxSide.toDouble / h), 1.0)
+      val ow = math.max(1, math.round(w * scale).toInt)
+      val oh = math.max(1, math.round(h * scale).toInt)
+      if (ow == w && oh == h) bytes
+      else {
+        val head = s"P6\n$ow $oh\n$maxval\n".getBytes("US-ASCII")
+        val out = new Array[Byte](head.length + ow * oh * 3)
+        System.arraycopy(head, 0, out, 0, head.length)
+        var y = 0
+        while (y < oh) {
+          val sy = y * h / oh
+          var x = 0
+          while (x < ow) {
+            val sx = x * w / ow
+            val src = data + (sy * w + sx) * 3
+            val dst = head.length + (y * ow + x) * 3
+            out(dst) = bytes(src)
+            out(dst + 1) = bytes(src + 1)
+            out(dst + 2) = bytes(src + 2)
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    }
+
+  /** Batched image-resize stage over the media table (same per-partition
+    * iteration shape as [[decode]]): PPM payloads are resized for REAL;
+    * payloads the parser rejects pass through unchanged (a 100 TB batch
+    * must not abort on one malformed blob — the quality gates catch
+    * them). Non-image rows are dropped. */
+  def resizeImages(media: DataFrame, maxSide: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"),
+      col("meta.source"), col("meta.mime"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.filter(_.kind == "image").map { r =>
+          (r.media_id,
+            resizePpmNearest(r.payload, maxSide).getOrElse(r.payload))
+        }
+      }
+      .toDF("media_id", "payload")
   }
 
   /** Uncompressed 24-bit BMP decode — pure JVM. BITMAPFILEHEADER ("BM",

@@ -124,6 +124,41 @@ class MultimodalSpec extends SparkTestBase {
     assert(idx.zipWithIndex.forall { case (v, i) => v == i * 10 })
   }
 
+  test("PPM nearest-neighbor resize: exact sampled pixels, real re-encode") {
+    // 4x4 quadrant image -> 2x2: output (x,y) samples input (2x, 2y),
+    // i.e. the top-left pixel of each quadrant
+    val colors = Map((0, 0) -> (255, 0, 0), (1, 0) -> (0, 255, 0),
+      (0, 1) -> (0, 0, 255), (1, 1) -> (255, 255, 0))
+    val px = Multimodal.ppmBytes(4, 4, (x, y) => colors((x / 2, y / 2)))
+    val out = Multimodal.resizePpmNearest(px, maxSide = 2).get
+    val d = Multimodal.decodePpm(1L, out).get
+    assert(d.width == 2 && d.height == 2)
+    // decode means: each quadrant contributes exactly one pixel
+    assert(math.abs(d.feature(0) - 0.5f) < 1e-6) // mean R: (255+0+0+255)/4
+    assert(math.abs(d.feature(1) - 0.5f) < 1e-6) // mean G
+    assert(math.abs(d.feature(2) - 0.25f) < 1e-6) // mean B
+    // raw bytes: first output pixel is the red quadrant sample
+    val data = out.indexOfSlice("255\n".getBytes("US-ASCII")) + 4
+    assert((out(data) & 0xff) == 255 && (out(data + 1) & 0xff) == 0)
+    // an image already within bounds passes through untouched
+    assert(Multimodal.resizePpmNearest(px, maxSide = 16).get eq px)
+    // garbage is None at this level (the batched stage passes it through)
+    assert(Multimodal.resizePpmNearest(Array[Byte](1, 2, 3), 2).isEmpty)
+  }
+
+  test("batched resize stage: images only, malformed payloads survive") {
+    val media = Multimodal.syntheticMedia(spark, 12)
+    val resized = Multimodal.resizeImages(media, maxSide = 8)
+    val kinds = media.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(resized.count() == kinds("image")) // non-images dropped
+    // every PPM payload decodes after resize with both sides <= 8
+    val dims = resized.collect().flatMap(r =>
+      Multimodal.decodePpm(r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(dims.nonEmpty)
+    assert(dims.forall(d => d.width <= 8 && d.height <= 8))
+  }
+
   test("resize plan preserves aspect ratio and caps the long side") {
     val plan = Multimodal.resizePlan(Multimodal.decode(media), maxSide = 256)
     plan.collect().foreach { r =>
