@@ -3362,6 +3362,40 @@ object SparkEntry {
       |WHERE cnt = 5 AND std > 0 AND ABS((value - mean) / std) >= 2.0
       |ORDER BY user_id, event_id""".stripMargin))
 
+  private val q126 = Q("q126_sketch_rollup",
+    (s, dir) => {
+      // Incremental DISTINCT-count rollup (PartialAgg.distinctStates /
+      // mergeDistinct): per-(day, priority) HLL sketch states merged up
+      // to priority grain. Both the merged and the direct one-pass
+      // estimate must sit within the q43-pattern bound of the
+      // bit-exact-hashed exact count (Datasketches unions may switch
+      // internal representation, so merged==direct is NOT guaranteed —
+      // the bound is the honest contract); a drifting sketch or a
+      // lossy merge goes red.
+      val o = t(s, dir, "orders").withColumn("day", to_date(col("o_orderdate")))
+      val daily = PartialAgg.distinctStates(o,
+        Seq("day", "o_orderpriority"), col("o_custkey"))
+      val merged = PartialAgg.mergeDistinct(daily, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"),
+          PartialAgg.distinctEstimate(col("sketch")).as("merged_est"))
+      val direct = o.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("exact_custs"),
+          PartialAgg.distinctEstimate(
+            hll_sketch_agg(col("o_custkey"), lit(12))).as("direct_est"))
+      merged.join(direct, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("exact_custs"),
+          (abs(col("merged_est") - col("exact_custs")) <=
+            col("exact_custs") * lit(0.06)).as("merged_ok"),
+          (abs(col("direct_est") - col("exact_custs")) <=
+            col("exact_custs") * lit(0.06)).as("approx_ok"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority,
+      |COUNT(DISTINCT o_custkey) AS exact_custs,
+      |TRUE AS merged_ok, TRUE AS approx_ok
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3372,7 +3406,7 @@ object SparkEntry {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125)
+    q122, q123, q124, q125, q126)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -53,4 +53,35 @@ object PartialAgg {
       col("sum").cast("double").as("sum_value"),
       col("mn"), col("mx"),
       round(col("sum").cast("double") / col("cnt"), 6).as("avg_value")): _*)
+
+  // ===== distinct-count states (HLL sketch columns) =====
+  // COUNT(DISTINCT) is the aggregate that BREAKS the algebraic pattern
+  // above — distinct counts don't add across states. The mergeable form
+  // is the HyperLogLog sketch itself, stored as a binary column per
+  // fine-grain group (Spark's Datasketches-backed hll_sketch_agg).
+  // Merging preserves the DISTINCT-SET information (conceptually a
+  // register-wise max under one hash), but Datasketches unions may
+  // switch internal representation (sparse→dense, HLL_4→HLL_8) and
+  // with it the estimator, so a merged estimate can differ from the
+  // direct one-pass estimate by a sliver WITHIN the sketch's error —
+  // bounded, not bit-identical (q126 and PartialAggSpec assert the
+  // bound; the exact-equality claim fails in practice at sf0.01).
+
+  /** Per-group HLL sketch state of `value`'s distinct set.
+    * lgConfigK = 12 → 4 KiB registers, ~1.6% standard error. */
+  def distinctStates(
+      df: DataFrame, groupCols: Seq[String], value: Column,
+      lgConfigK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(value, lit(lgConfigK)).as("sketch"))
+
+  /** Merge distinct-count states to a coarser grouping; output is again
+    * a state (composes, like [[merge]]). */
+  def mergeDistinct(st: DataFrame, groupCols: Seq[String]): DataFrame =
+    st.groupBy(groupCols.map(col): _*)
+      .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+
+  /** Estimated distinct count of a (possibly merged) state. */
+  def distinctEstimate(sketch: Column): Column =
+    hll_sketch_estimate(sketch)
 }

@@ -56,6 +56,51 @@ class PartialAggSpec extends SparkTestBase {
     assert(delta.count() > 0 && old.count() > 0)
   }
 
+  test("HLL distinct states: merged and direct estimates track exact") {
+    // Datasketches unions may switch internal representation, so
+    // merged == direct is NOT the contract; both within the sketch
+    // error of exact is.
+    val daily = PartialAgg.distinctStates(fact,
+      Seq("day", "o_orderpriority"), col("o_custkey"))
+    val merged = PartialAgg.mergeDistinct(daily, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"),
+        PartialAgg.distinctEstimate(col("sketch")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = fact.groupBy(col("o_orderpriority"))
+      .agg(PartialAgg.distinctEstimate(
+        hll_sketch_agg(col("o_custkey"), lit(12))).as("est"),
+        countDistinct(col("o_custkey")).as("exact"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    direct.foreach { case (k, (est, exact)) =>
+      assert(math.abs(est - exact) <= exact * 0.06,
+        s"direct estimate off for $k: $est vs $exact")
+      assert(math.abs(merged(k) - exact) <= exact * 0.06,
+        s"merged estimate off for $k: ${merged(k)} vs $exact")
+    }
+    assert(merged.nonEmpty)
+  }
+
+  test("HLL states update incrementally: old + delta merge tracks full") {
+    val old = fact.filter(col("o_orderkey") % 5 =!= 0)
+    val delta = fact.filter(col("o_orderkey") % 5 === 0)
+    def states(df: org.apache.spark.sql.DataFrame) =
+      PartialAgg.distinctStates(df, Seq("day", "o_orderpriority"),
+        col("o_custkey"))
+    val inc = PartialAgg.mergeDistinct(
+      states(old).unionByName(states(delta)), Seq("o_orderpriority"))
+      .select(col("o_orderpriority"),
+        PartialAgg.distinctEstimate(col("sketch")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = fact.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(inc(k) - ex) <= ex * 0.06,
+        s"incremental estimate off for $k: ${inc(k)} vs $ex")
+    }
+  }
+
   test("merge composes: day -> month -> year equals day -> year") {
     val daily = PartialAgg.states(fact, Seq("day"), col("o_totalprice"))
     val viaMonth = PartialAgg.merge(
