@@ -77,7 +77,7 @@ object ScaleProbe {
     // AUC (10x events), exact prefix join (output grows like q36 — its
     // contract is every qualifying pair), PageRank (10x customers)
     "q117_oph_neardup", "q118_incremental_rollup", "q119_kmeans_step",
-    "q120_auc", "q121_prefix_join", "q122_pagerank")
+    "q120_auc", "q121_prefix_join", "q122_pagerank", "q126_sketch_rollup")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
