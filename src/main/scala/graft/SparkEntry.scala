@@ -3396,6 +3396,41 @@ object SparkEntry {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin))
 
+  private val q127 = Q("q127_centroid_matrix",
+    (s, dir) => {
+      // Class-separation structure of the labeled embedding corpus
+      // (Similarity.centroidSimilarityMatrix): exact-DECIMAL per-label
+      // centroids, then all 45 pairwise label cosines over the 10-row
+      // centroid frame — the "which classes need hard negatives" view
+      // feeding q101. Sequential-fold dots replay exactly in DuckDB's
+      // list_sum; the join is over centroids, never the corpus.
+      Similarity.centroidSimilarityMatrix(
+          t(s, dir, "embeddings"), "label", "embedding")
+        .select(col("group_a").as("label_a"), col("group_b").as("label_b"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("label_a"), col("label_b"))
+    },
+    Some("""WITH e AS (
+      |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), m AS (
+      |  SELECT label, i AS dim,
+      |    CAST(CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS VARCHAR)
+      |      AS DOUBLE) / COUNT(*) AS mv
+      |  FROM e, (SELECT unnest(range(1, 65)) AS i) dims
+      |  GROUP BY label, i
+      |), c AS (
+      |  SELECT label, list(mv ORDER BY dim) AS cv FROM m GROUP BY label
+      |)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |  ROUND(list_sum(list_transform(range(1, 65),
+      |      i -> a.cv[i] * b.cv[i])) /
+      |    (SQRT(list_sum(list_transform(range(1, 65),
+      |      i -> a.cv[i] * a.cv[i]))) *
+      |     SQRT(list_sum(list_transform(range(1, 65),
+      |      i -> b.cv[i] * b.cv[i])))), 6) AS cosine
+      |FROM c a JOIN c b ON a.label < b.label
+      |ORDER BY label_a, label_b""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3406,7 +3441,7 @@ object SparkEntry {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126)
+    q122, q123, q124, q125, q126, q127)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

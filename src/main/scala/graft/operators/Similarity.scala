@@ -367,6 +367,47 @@ object Similarity {
       idCol, books, query, topK)
   }
 
+  /** Per-group mean embedding (centroid) with exact-DECIMAL per-dim
+    * sums — the same narrow (group, dim) aggregation as [[buildIvf]]'s
+    * Lloyd update, so the centroid is layout-independent and replayable
+    * in SQL. Output: (groupCol, centroid array<double> of `dim`). */
+  def groupCentroids(
+      df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol),
+        posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+      .groupBy(col(groupCol), col("__dim"))
+      .agg((sum(col("__v").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("__m"))
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("__dim"), col("__m"))))
+        .as("__o"))
+      .select(col(groupCol), expr("transform(__o, s -> s.__m)")
+        .as("centroid"))
+
+  /** Pairwise cosine between group centroids — the class-separation /
+    * confusion-structure view of a labeled embedding corpus (which
+    * classes sit close enough to need hard negatives, q101's input
+    * question). k groups → k·(k−1)/2 rows; the join is over the tiny
+    * centroid frame, never the corpus. Sequential-fold dot products so
+    * the doubles replay exactly in SQL (SparkEntry q127). */
+  def centroidSimilarityMatrix(
+      df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val cent = groupCentroids(df, groupCol, vecCol)
+    val dot = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+        "0D, (acc, x) -> acc + x)")
+    cent.as("a")
+      .withColumnRenamed(groupCol, "group_a")
+      .withColumnRenamed("centroid", "ca")
+      .join(cent.as("b").withColumnRenamed(groupCol, "group_b")
+        .withColumnRenamed("centroid", "cb"),
+        col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        (dot("ca", "cb") /
+          (sqrt(dot("ca", "ca")) * sqrt(dot("cb", "cb"))))
+          .as("cosine"))
+  }
+
   /** IVF probe: search only the `nProbe` inverted lists nearest the query.
     * Scanned fraction ≈ nProbe / nCentroids. */
   def searchIvf(

@@ -228,4 +228,32 @@ class SimilaritySpec extends SparkTestBase {
       }
     }
   }
+
+  test("centroid matrix: orthogonal groups score 0, aligned score 1") {
+    // group A along axis 0, B along axis 1 (orthogonal), C = A scaled
+    val mk = (axis: Int, scale: Float) =>
+      Array.tabulate(4)(i => if (i == axis) scale else 0f).toSeq
+    val df = Seq(
+      ("A", mk(0, 1f)), ("A", mk(0, 3f)),
+      ("B", mk(1, 2f)), ("B", mk(1, 4f)),
+      ("C", mk(0, 5f)), ("C", mk(0, 7f))
+    ).toDF("label", "embedding")
+    val m = Similarity.centroidSimilarityMatrix(df, "label", "embedding")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(m(("A", "B"))) < 1e-12)
+    assert(math.abs(m(("A", "C")) - 1.0) < 1e-12)
+    assert(math.abs(m(("B", "C"))) < 1e-12)
+    assert(m.size == 3)
+  }
+
+  test("group centroids are exact means, layout-independent") {
+    val df = Seq(("g", Seq(1f, 3f)), ("g", Seq(3f, 5f))).toDF("l", "v")
+    val c1 = Similarity.groupCentroids(df.repartition(1), "l", "v")
+      .head().getSeq[Double](1)
+    val c7 = Similarity.groupCentroids(df.repartition(7), "l", "v")
+      .head().getSeq[Double](1)
+    assert(c1 == Seq(2.0, 4.0))
+    assert(c1 == c7)
+  }
 }
