@@ -29,8 +29,9 @@ object Metrics {
     * sorts.
     *
     * `label` must evaluate to 1 (positive) or 0 (negative) per row.
-    * Output: one row (n_pos, n_neg, auc). AUC is null if either class is
-    * empty.
+    * Output: one row (n_pos, n_neg, auc). With an empty class the
+    * denominator is 0 and auc is NaN/±∞ (Spark double division) —
+    * check n_pos/n_neg before trusting it.
     */
   def aucRoc(
       df: DataFrame, score: Column, label: Column,
@@ -77,8 +78,9 @@ object Metrics {
     * per-group window over distinct scores: groups parallelize naturally
     * (the window partitions on the group key), so no value-sharding is
     * needed unless a single group dominates the corpus — in that shape,
-    * run [[aucRoc]] per heavy group instead. AUC is null for groups
-    * missing a class (0/0 division), which is the honest answer. */
+    * run [[aucRoc]] per heavy group instead. For a group missing a
+    * class the denominator is 0 and auc is NaN/±∞ — filter on
+    * n_pos/n_neg before trusting a group's value. */
   def aucByGroup(
       df: DataFrame, group: Column, score: Column,
       label: Column): DataFrame = {
