@@ -213,14 +213,47 @@ object Dedup {
       newDocs: DataFrame, oldDocs: DataFrame, oldBuckets: DataFrame,
       idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
-      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
-    val nb = minhashBuckets(newDocs, idCol, textCol,
-      numHashes, bands, shingleSize)
-    val newNew = candidatePairs(nb, idCol, maxBucketSize)
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame =
+    incrementalFromBuckets(
+      minhashBuckets(newDocs, idCol, textCol, numHashes, bands, shingleSize),
+      oldBuckets, newDocs, oldDocs, idCol, textCol,
+      shingleSize, threshold, maxBucketSize)
+
+  /** Incremental near-dup for the OPH sketch family (see
+    * [[ophPortableBuckets]]): same contract as
+    * [[incrementalMinhashNearDups]] — the caller persists the corpus
+    * bucket table and appends each batch's buckets after the check — but
+    * the batch's sketch pass hashes each shingle ONCE instead of
+    * numHashes times, so the cheapest sketch also serves the
+    * continuous-ingest shape. Per-batch cost scales with the BATCH, not
+    * the corpus (DedupSpec: equality with the full [[ophNearDups]] run
+    * restricted to new-doc pairs). */
+  def incrementalOphNearDups(
+      newDocs: DataFrame, oldDocs: DataFrame, oldBuckets: DataFrame,
+      idCol: String, textCol: String,
+      numSlots: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame =
+    incrementalFromBuckets(
+      ophPortableBuckets(newDocs, idCol, textCol, numSlots, bands, shingleSize),
+      oldBuckets, newDocs, oldDocs, idCol, textCol,
+      shingleSize, threshold, maxBucketSize)
+
+  /** Shared incremental tail over any bucket family: candidates =
+    * (new × new) within the batch plus (new × old) via an equi-join of
+    * the batch's buckets against the persisted index, then the exact
+    * Jaccard verify over old ∪ new texts. Old buckets above
+    * `maxBucketSize` drop via a semi-join against their counts (the LSH
+    * skew guardrail). */
+  private def incrementalFromBuckets(
+      newBuckets: DataFrame, oldBuckets: DataFrame,
+      newDocs: DataFrame, oldDocs: DataFrame,
+      idCol: String, textCol: String,
+      shingleSize: Int, threshold: Double, maxBucketSize: Int): DataFrame = {
+    val newNew = candidatePairs(newBuckets, idCol, maxBucketSize)
     val oldSizes = oldBuckets.groupBy(col("__band"), col("__bucket"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucketSize)
-    val newOld = nb
+    val newOld = newBuckets
       .select(col("__band"), col("__bucket"), col(idCol).as("__id_new"))
       .join(oldBuckets.select(col("__band"), col("__bucket"),
         col(idCol).as("__id_old")), Seq("__band", "__bucket"))
@@ -571,12 +604,27 @@ object Dedup {
     * operator never collects an unbounded set. Both paths compute the
     * identical fixpoint (DedupSpec cross-checks them on random graphs).
     *
+    * `checkpointDir` hardens the distributed loop for long cluster runs:
+    * None (default) caches each round's labels — recoverable (Spark
+    * recomputes lost cache partitions from lineage) but plan depth grows
+    * by one join per round. A reliable directory (HDFS/object store)
+    * instead CHECKPOINTS each round, truncating lineage so a
+    * high-diameter graph (many rounds) can't accumulate a recompute
+    * cliff behind a lost executor. Both arms compute the identical
+    * fixpoint (DedupSpec asserts equality).
+    *
     * @return (idCol, component) — component = min id reachable.
     */
   def connectedComponents(
       pairs: DataFrame, maxIterations: Int = 10,
-      localEdgeThreshold: Long = 1000000L): DataFrame = {
+      localEdgeThreshold: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // per-round label materialization: reliable checkpoint on a cluster
+    // (lineage-truncating), cache locally (lineage-preserving)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.cache()
     // Materialize the pair list ONCE before fanning it out: the symmetric
     // edge union below references it 4 times, and `pairs` is typically
     // the output of an expensive chain (LSH candidates + verify) that
@@ -596,9 +644,8 @@ object Dedup {
       .union(fwd.select(col("dst").as("src"), col("dst")))
       .distinct()
       .cache()
-    var labels = edges.groupBy(col("src"))
-      .agg(min(col("dst")).as("component"))
-      .cache()
+    var labels = materialize(edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("component")))
     // Convergence check without a join: labels under min-propagation are
     // monotone NONINCREASING per node (self-loops keep the own label in
     // every neighborhood min), so the label-sum strictly decreases until
@@ -615,12 +662,11 @@ object Dedup {
     var converged = false
     while (iter < maxIterations && !converged) {
       // propagate: node label = min(own label, neighbors' labels)
-      val next = edges
+      val next = materialize(edges
         .join(labels.withColumnRenamed("src", "dst")
           .withColumnRenamed("component", "__nbr"), Seq("dst"))
         .groupBy(col("src"))
-        .agg(min(col("__nbr")).as("component"))
-        .cache()
+        .agg(min(col("__nbr")).as("component")))
       val nextSig = labelSig(next)
       labels.unpersist()
       labels = next

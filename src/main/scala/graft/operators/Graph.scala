@@ -34,15 +34,28 @@ object Graph {
     * appears as a src or dst. */
   def pagerank(
       edges: DataFrame, iterations: Int = 3,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame = {
     // Loop invariants are CACHED for the duration of training and the
-    // per-iteration rank frame is localCheckpoint'ed: left lazy, each
+    // per-iteration rank frame is checkpointed: left lazy, each
     // iteration's plan would re-derive the whole edge lineage of every
     // previous iteration (the classic exponential-DAG trap of iterative
     // Spark), turning 3 iterations over a 6M-edge graph into ~20 s of
     // recomputation. Checkpointing keeps the per-iteration plan depth
     // O(1); invariants are released before returning, and the returned
     // frame reads the final checkpoint, not the raw lineage.
+    //
+    // `checkpointDir` picks the truncation medium: None (default) uses
+    // localCheckpoint — executor-local blocks, fastest, right for
+    // local[n] and short-lived jobs, but NOT fault-tolerant (a lost
+    // executor loses the truncated lineage and kills the job). On a real
+    // multi-node cluster pass a reliable directory (HDFS/object store):
+    // iterations then survive executor loss at the cost of one
+    // write+read of the rank frame (2 small columns) per iteration.
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() // reliable, eager
+      else df.localCheckpoint() // eager: materializes + truncates lineage
     val e = edges.select(col("src"), col("dst")).distinct().cache()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
@@ -63,11 +76,10 @@ object Graph {
           (col("pr") / col("__odeg")).cast("decimal(28,18)").as("__c"))
         .groupBy(col("id"))
         .agg(sum(col("__c")).cast("double").as("__mass"))
-      pr = nodes.join(mass, Seq("id"), "left")
+      pr = truncate(nodes.join(mass, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + lit(damping) * coalesce(col("__mass"), lit(0.0)))
-            .as("pr"))
-        .localCheckpoint() // eager: materializes + truncates lineage
+            .as("pr")))
       iter += 1
     }
     e.unpersist(); nodes.unpersist(); eo.unpersist()

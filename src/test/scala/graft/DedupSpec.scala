@@ -216,6 +216,49 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("connected components: reliable-checkpoint loop == cached loop") {
+    // threshold=0 forces the distributed min-label loop through both
+    // materialization arms; the fixpoints must be identical.
+    val rng = new scala.util.Random(11)
+    val pairs = Seq.fill(60)(
+      (rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+      .distinct.toDF("id_a", "id_b")
+    val cached = Dedup.connectedComponents(pairs, localEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val reliable = Dedup.connectedComponents(pairs,
+        localEdgeThreshold = 0L, checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cached == reliable)
+      assert(cached.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir)); ()
+    }
+  }
+
+  test("incremental OPH equals the full run restricted to new-doc pairs") {
+    val all = spark.read.parquet(s"$sf001/documents.parquet")
+    val newDocs = all.filter(col("doc_id") % 10 === 0)
+    val oldDocs = all.filter(col("doc_id") % 10 =!= 0)
+    val oldBuckets = Dedup.ophPortableBuckets(oldDocs, "doc_id", "text",
+      numSlots = 64, bands = 16, shingleSize = 3)
+    val inc = Dedup.incrementalOphNearDups(
+      newDocs, oldDocs, oldBuckets, "doc_id", "text",
+      numSlots = 64, bands = 16, shingleSize = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.ophNearDups(all, "doc_id", "text",
+      numSlots = 64, bands = 16, shingleSize = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullTouchingNew = full.filter { case (a, b) =>
+      a % 10 == 0 || b % 10 == 0 }
+    assert(inc == fullTouchingNew)
+    assert(inc.nonEmpty)
+  }
+
   test("bagDuplicateGroups: token permutations collide, edits do not") {
     val d = Seq(
       (1L, "alpha beta gamma delta"),

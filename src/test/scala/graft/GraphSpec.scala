@@ -36,6 +36,28 @@ class GraphSpec extends SparkTestBase {
     assert(pr.values.forall(_ > 0))
   }
 
+  test("pagerank: reliable-checkpoint arm equals the localCheckpoint arm") {
+    // the cluster fault-tolerance arm must not change a single bit of the
+    // fixpoint trace — only the lineage-truncation medium differs
+    val e = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select(concat(lit("P"), col("l_partkey")).as("src"),
+        concat(lit("S"), col("l_suppkey")).as("dst"))
+    val local = Graph.pagerank(e, iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    try {
+      val reliable = Graph.pagerank(e, iterations = 2,
+        checkpointDir = Some(dir))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(local == reliable) // bit-identical
+      assert(local.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir)); ()
+    }
+  }
+
   test("pagerank is deterministic across partition layouts") {
     val e = spark.read.parquet(s"$sf001/lineitem.parquet")
       .select(col("l_orderkey"), col("l_suppkey"))
