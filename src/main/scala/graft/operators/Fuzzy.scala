@@ -51,7 +51,8 @@ object Fuzzy {
     * verify runs per candidate, codegen'd.
     */
   def editDistanceSelfJoin(
-      df: DataFrame, strCol: String, k: Int): DataFrame = {
+      df: DataFrame, strCol: String, k: Int,
+      maxPairsPerDoc: Int = Int.MaxValue): DataFrame = {
     require(k >= 1, s"edit-distance threshold must be >= 1, got $k")
     val strs = df
       .select(col(strCol).cast("string").as("__s"))
@@ -85,6 +86,9 @@ object Fuzzy {
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b"), k))
       .filter(col("dist") >= 0 && col("dist") <= k)
+      .transform(capPerDoc("name_a",
+        Seq(col("dist").asc, col("name_b").asc), maxPairsPerDoc,
+        "graft.fuzzy.edit_distance_truncation"))
   }
 
   /** All (left, right) pairs with exact Jaccard ≥ `threshold` over the
@@ -146,7 +150,8 @@ object Fuzzy {
     */
   def jaccardSelfJoin(
       sets: DataFrame, idCol: String, setCol: String,
-      threshold: Double, leftPred: Column): DataFrame = {
+      threshold: Double, leftPred: Column,
+      maxPairsPerDoc: Int = Int.MaxValue): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val r = sets.select(col(idCol).as("id_b"),
@@ -169,7 +174,39 @@ object Fuzzy {
     verify(candidates,
       r.select(col("id_b").as("id_a"), col("__set_b").as("__set_a")),
       r, threshold)
+      .transform(capPerDoc("id_a",
+        Seq(col("jaccard").desc, col("id_b").asc), maxPairsPerDoc,
+        "graft.fuzzy.jaccard_truncation"))
   }
+
+  /** Per-doc output cap for the exact threshold joins. The PLANS of both
+    * self-joins are sub-quadratic, but their ANSWER is inherently
+    * quadratic on duplicate-heavy corpora (one 10k-copy template alone is
+    * 5·10⁷ pairs), so at 100 TB an uncapped pair report is the wrong ask.
+    * `maxPairsPerDoc` keeps the strongest `cap` partners per left doc
+    * (best score first, ties by partner id — deterministic), and the
+    * number of pairs dropped is reported through a named `observe` metric
+    * logged by [[ObservedLog]] when the consuming action finishes. The
+    * default (Int.MaxValue) byte-preserves the uncapped contract — the
+    * oracle queries run uncapped. Full-corpus dedup at scale should go
+    * through LSH + connectedComponents instead of pair reports. */
+  private def capPerDoc(
+      docCol: String, order: Seq[Column], cap: Int, metric: String)(
+      pairs: DataFrame): DataFrame =
+    if (cap == Int.MaxValue) pairs
+    else {
+      require(cap >= 1, s"maxPairsPerDoc must be >= 1, got $cap")
+      ObservedLog.ensure(pairs.sparkSession)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(docCol)).orderBy(order: _*)
+      pairs.withColumn("__rank", row_number().over(w))
+        .observe(metric,
+          sum(when(col("__rank") > cap, 1L).otherwise(0L))
+            .as("dropped_pairs"),
+          count(lit(1)).as("pairs_before_cap"))
+        .filter(col("__rank") <= cap)
+        .drop("__rank")
+    }
 
   /** Rarity-ordered prefix tokens of each set: (id, set size, token) for
     * the first |s| - ceil(t·|s|) + 1 tokens under (df, token) order. */

@@ -109,4 +109,44 @@ class FuzzySpec extends SparkTestBase {
     assert(self == two)
     assert(self == bruteJac(sets, t).filter(_._1 % 5 == 0))
   }
+
+  test("maxPairsPerDoc keeps the strongest partners, default is uncapped") {
+    val rng = new scala.util.Random(17)
+    val vocab = (0 until 20).map(i => s"w$i")
+    val sets = (0L until 50L).map(i =>
+      (i, Seq.fill(1 + rng.nextInt(10))(vocab(rng.nextInt(vocab.size)))))
+    val df = sets.toDF("id", "st")
+    val t = 0.3
+    val full = Fuzzy.jaccardSelfJoin(df, "id", "st", t, lit(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cap = 2
+    val capped = Fuzzy.jaccardSelfJoin(df, "id", "st", t, lit(true),
+        maxPairsPerDoc = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // capped = per-id_a top-`cap` of the full result under
+    // (jaccard desc, id_b asc) — same rows, never reordered scores
+    val expected = full.toSeq.groupBy(_._1).values.flatMap(rows =>
+      rows.sortBy(r => (-r._3, r._2)).take(cap)).toSet
+    assert(capped.toSet == expected)
+    assert(capped.length < full.length) // the fixture overflows the cap
+    // a cap larger than any doc's pair count is the identity
+    val loose = Fuzzy.jaccardSelfJoin(df, "id", "st", t, lit(true),
+        maxPairsPerDoc = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(loose.toSet == full.toSet)
+  }
+
+  test("editDistanceSelfJoin cap keeps nearest partners per name") {
+    val df = Seq("aaaa", "aaab", "aaac", "aabb", "zzzz")
+      .toDF("name")
+    val full = Fuzzy.editDistanceSelfJoin(df, "name", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    val capped = Fuzzy.editDistanceSelfJoin(df, "name", 2,
+        maxPairsPerDoc = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    val expected = full.toSeq.groupBy(_._1).values.flatMap(rows =>
+      rows.sortBy(r => (r._3, r._2)).take(1)).toSet
+    assert(capped.toSet == expected)
+    assert(capped.length < full.length)
+  }
 }
