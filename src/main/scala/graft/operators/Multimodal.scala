@@ -9,13 +9,15 @@ import org.apache.spark.sql.types._
   *
   * The Spark side — schema, partition sizing, batch iteration shape,
   * output contract — is real and tested, and so is the decode for the
-  * codec-free formats: [[decodePpm]] (binary PPM "P6" images) and
+  * pure-JVM-decodable formats: [[decodePpm]] (binary PPM "P6"),
+  * [[decodeBmp]] (uncompressed 24-bit BMP), [[decodePng]] (baseline
+  * RGB/RGBA PNG via `java.util.zip.Inflater` + scanline unfilter), and
   * [[decodeWav]] (RIFF/WAVE PCM-16 audio) parse real payload bytes into
-  * real dimensions/durations/features in pure JVM code. Formats that
-  * need an external codec (video, JPEG, MP3 — none available in this
-  * container) fall back to the clearly-marked [[decodeStub]]; swapping
-  * in a real codec (JNI/javacv, or a Python `mapInPandas` stage on a
-  * cluster with codecs) changes only that dispatch arm.
+  * real dimensions/durations/features. Formats that need an external
+  * codec (video, JPEG, MP3 — none available in this container) fall
+  * back to the clearly-marked [[decodeStub]]; swapping in a real codec
+  * (JNI/javacv, or a Python `mapInPandas` stage on a cluster with
+  * codecs) changes only that dispatch arm.
   */
 object Multimodal {
 
@@ -211,6 +213,133 @@ object Multimodal {
         (w.toDouble / h).toFloat)))
   }
 
+  /** PNG decode — pure JVM (`java.util.zip.Inflater` + per-scanline
+    * unfilter), no codec dependency. Supports the baseline truecolor
+    * profile: 8-bit depth, color type 2 (RGB) or 6 (RGBA — alpha parsed
+    * but excluded from the features), compression 0, filter method 0,
+    * non-interlaced; ancillary chunks are skipped. All five scanline
+    * filters (None/Sub/Up/Average/Paeth) are implemented. Same 8-dim
+    * feature contract as [[decodePpm]] — identical pixels produce
+    * bit-identical features (MultimodalSpec asserts exact equality
+    * against the PPM decode of the same image). Truncated streams,
+    * corrupt chunk lengths, and absurd declared dimensions return None
+    * rather than throwing — a 100 TB batch must not abort on one blob. */
+  def decodePng(id: Long, bytes: Array[Byte]): Option[DecodedMedia] = {
+    if (bytes == null || bytes.length < 8 + 25 + 12 ||
+      !pngSig.indices.forall(i => bytes(i) == pngSig(i))) return None
+    def u32(o: Int): Long = ((bytes(o) & 0xffL) << 24) |
+      ((bytes(o + 1) & 0xffL) << 16) | ((bytes(o + 2) & 0xffL) << 8) |
+      (bytes(o + 3) & 0xffL)
+    var pos = 8
+    var w = 0; var h = 0; var bpp = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var ok = true; var done = false
+    while (ok && !done && pos + 8 <= bytes.length) {
+      val len = u32(pos)
+      // length check BEFORE use: a corrupt 0xFFFFFFFF length must not
+      // overflow pos or walk outside the buffer
+      if (len > bytes.length - pos - 12) { ok = false }
+      else {
+        val data = pos + 8
+        new String(bytes, pos + 4, 4, "US-ASCII") match {
+          case "IHDR" if len == 13 =>
+            w = u32(data).toInt; h = u32(data + 4).toInt
+            val depth = bytes(data + 8) & 0xff
+            bpp = (bytes(data + 9) & 0xff) match {
+              case 2 => 3 case 6 => 4 case _ => 0 // RGB / RGBA only
+            }
+            val comp = bytes(data + 10) & 0xff
+            val filt = bytes(data + 11) & 0xff
+            val inter = bytes(data + 12) & 0xff
+            if (w <= 0 || h <= 0 || depth != 8 || bpp == 0 ||
+              comp != 0 || filt != 0 || inter != 0) ok = false
+          case "IHDR" => ok = false
+          case "IDAT" => idat.write(bytes, data, len.toInt)
+          case "IEND" => done = true
+          case _ => () // ancillary chunk — skipped, CRC not validated
+        }
+        pos = data + len.toInt + 4
+      }
+    }
+    val stride = w.toLong * bpp
+    if (!ok || w <= 0 || idat.size() == 0 ||
+      (stride + 1) * h > Int.MaxValue - 64) return None
+    val raw = new Array[Byte](((stride + 1) * h).toInt)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return None // truncated or preset-dictionary stream
+        off += n
+      }
+      if (off < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // per-scanline unfilter into the flat pixel buffer; a/b/c are the
+    // RECONSTRUCTED left/up/up-left bytes per the PNG spec
+    val img = new Array[Byte]((stride * h).toInt)
+    val rowLen = stride.toInt
+    var y = 0
+    while (y < h) {
+      val rs = y * (rowLen + 1)
+      val ft = raw(rs) & 0xff
+      if (ft > 4) return None
+      val out = y * rowLen
+      var i = 0
+      while (i < rowLen) {
+        val x = raw(rs + 1 + i) & 0xff
+        val a = if (i >= bpp) img(out + i - bpp) & 0xff else 0
+        val b = if (y > 0) img(out - rowLen + i) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case _ =>
+            val c = if (y > 0 && i >= bpp) img(out - rowLen + i - bpp) & 0xff
+              else 0
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        img(out + i) = (v & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    // identical accumulation order and weights as decodePpm (row-major,
+    // maxval 255) so PNG and PPM of the same pixels agree bit-for-bit
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var sy = 0.0; var sy2 = 0.0
+    var minY = Double.MaxValue; var maxY = Double.MinValue
+    val n = w * h
+    var i = 0
+    while (i < n) {
+      val r = (img(i * bpp) & 0xff).toDouble / 255
+      val g = (img(i * bpp + 1) & 0xff).toDouble / 255
+      val b = (img(i * bpp + 2) & 0xff).toDouble / 255
+      val yy = 0.299 * r + 0.587 * g + 0.114 * b
+      sr += r; sg += g; sb += b; sy += yy; sy2 += yy * yy
+      if (yy < minY) minY = yy
+      if (yy > maxY) maxY = yy
+      i += 1
+    }
+    val meanY = sy / n
+    val contrast = math.sqrt(math.max(sy2 / n - meanY * meanY, 0.0))
+    Some(DecodedMedia(id, "image", w, h, 1, 0L,
+      Array((sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+        meanY.toFloat, minY.toFloat, maxY.toFloat, contrast.toFloat,
+        (w.toDouble / h).toFloat)))
+  }
+
+  private val pngSig: Array[Byte] =
+    Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte)
+
   /** RIFF/WAVE PCM-16 decode — pure JVM. Walks the chunk list to `fmt `
     * and `data`; duration from sample count / rate; feature (8-dim):
     * normalized RMS of 8 equal time segments (a crude loudness envelope).
@@ -309,6 +438,7 @@ object Multimodal {
           val real = r.mime match {
             case "image/x-portable-pixmap" => decodePpm(r.media_id, r.payload)
             case "image/bmp" => decodeBmp(r.media_id, r.payload)
+            case "image/png" => decodePng(r.media_id, r.payload)
             case "audio/wav" => decodeWav(r.media_id, r.payload)
             case _ => None
           }
@@ -354,6 +484,65 @@ object Multimodal {
       val (r, g, b) = pixel(x, y)
       out.write(r & 0xff); out.write(g & 0xff); out.write(b & 0xff)
     }
+    out.toByteArray
+  }
+
+  /** Deterministic baseline PNG bytes (8-bit RGB, non-interlaced) — a
+    * REAL image payload for tests. Scanline `y` is encoded with filter
+    * type `y % 5`, so a multi-row image exercises every unfilter path of
+    * [[decodePng]] (None/Sub/Up/Average/Paeth). */
+  def pngBytes(w: Int, h: Int, pixel: (Int, Int) => (Int, Int, Int))
+      : Array[Byte] = {
+    val img = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pixel(x, y)
+      val o = (y * w + x) * 3
+      img(o) = r.toByte; img(o + 1) = g.toByte; img(o + 2) = b.toByte
+    }
+    val rowLen = w * 3
+    val raw = new Array[Byte]((rowLen + 1) * h)
+    for (y <- 0 until h) {
+      val ft = y % 5
+      raw(y * (rowLen + 1)) = ft.toByte
+      for (i <- 0 until rowLen) {
+        val cur = img(y * rowLen + i) & 0xff
+        val a = if (i >= 3) img(y * rowLen + i - 3) & 0xff else 0
+        val b = if (y > 0) img((y - 1) * rowLen + i) & 0xff else 0
+        val c = if (y > 0 && i >= 3) img((y - 1) * rowLen + i - 3) & 0xff
+          else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw(y * (rowLen + 1) + 1 + i) = ((cur - pred) & 0xff).toByte
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(pngSig)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array())
+      val tb = ctype.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4)
+        .putInt(crc.getValue.toInt).array())
+    }
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte) // depth 8, color type 2 (RGB)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array())
+    val zipped = new java.io.ByteArrayOutputStream()
+    val dos = new java.util.zip.DeflaterOutputStream(zipped)
+    dos.write(raw); dos.finish()
+    chunk("IDAT", zipped.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
     out.toByteArray
   }
 
@@ -406,11 +595,16 @@ object Multimodal {
     (0 until n).map { i =>
       val kind = Seq("image", "audio", "video")(i % 3)
       val (payload, mime) = kind match {
-        case "image" if i % 6 == 3 => // alternate REAL format: 24-bit BMP
+        case "image" if i % 9 == 3 => // alternate REAL format: 24-bit BMP
           val w = 4 + i % 8; val h = 3 + i % 5
           (bmpBytes(Array.tabulate(h, w)((y, x) =>
             ((x * 40 + i) % 256, (y * 40 + i) % 256, (x + y + i) % 256))),
             "image/bmp")
+        case "image" if i % 9 == 6 => // alternate REAL format: PNG (RGB)
+          val w = 4 + i % 8; val h = 3 + i % 5
+          (pngBytes(w, h, (x, y) => ((x * 40 + i) % 256,
+            (y * 40 + i) % 256, (x + y + i) % 256)),
+            "image/png")
         case "image" =>
           val w = 4 + i % 8; val h = 3 + i % 5
           (ppmBytes(w, h, (x, y) => ((x * 40 + i) % 256,

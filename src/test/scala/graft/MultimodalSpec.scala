@@ -113,6 +113,58 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodePpm(6L, bomb).isEmpty)
   }
 
+  test("PNG decode is bit-identical to PPM decode of the same pixels") {
+    // 7 rows > 5 filter types: pngBytes encodes row y with filter y % 5,
+    // so this image round-trips every unfilter path (incl. Paeth)
+    val pix = (x: Int, y: Int) =>
+      ((x * 37 + y * 11) % 256, (y * 53 + x) % 256, (x * y + 7) % 256)
+    val png = Multimodal.decodePng(1L, Multimodal.pngBytes(6, 7, pix)).get
+    val ppm = Multimodal.decodePpm(1L, Multimodal.ppmBytes(6, 7, pix)).get
+    assert(png.width == 6 && png.height == 7)
+    assert(png.feature.toSeq == ppm.feature.toSeq) // exact, not approx
+    assert(png.kind == "image" && png.duration_ms == 0L)
+    // single-row image (only filter 0) and single-pixel edge cases
+    val one = Multimodal.decodePng(2L, Multimodal.pngBytes(1, 1, pix)).get
+    assert(one.width == 1 && one.height == 1 && one.feature(7) == 1.0f)
+  }
+
+  test("PNG decode refuses corrupt and unsupported payloads") {
+    val good = Multimodal.pngBytes(5, 4, (x, y) => (x * 50, y * 60, 30))
+    // truncated IDAT (drop the tail incl. IEND): inflate can't fill
+    assert(Multimodal.decodePng(1L, good.dropRight(20)).isEmpty)
+    // bad signature
+    val badSig = good.clone(); badSig(0) = 'X'.toByte
+    assert(Multimodal.decodePng(2L, badSig).isEmpty)
+    // 16-bit depth is not baseline-supported: refuse, don't mis-decode
+    val deep = good.clone(); deep(8 + 8 + 8) = 16.toByte
+    assert(Multimodal.decodePng(3L, deep).isEmpty)
+    // interlaced flag set
+    val inter = good.clone(); inter(8 + 8 + 12) = 1.toByte
+    assert(Multimodal.decodePng(4L, inter).isEmpty)
+    // corrupt chunk length must terminate, not loop or throw
+    val corrupt = good.clone()
+    corrupt(8) = -1; corrupt(9) = -1; corrupt(10) = -1; corrupt(11) = -1
+    assert(Multimodal.decodePng(5L, corrupt).isEmpty)
+    // garbage bytes
+    assert(Multimodal.decodePng(6L, Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("PNG payloads decode for real through the batched pipeline") {
+    // syntheticMedia plants PNG at media_id % 9 == 6 — those rows must
+    // come back with REAL header dimensions, not stub dimensions
+    val decoded = Multimodal.decode(media).collect()
+    val pngRows = decoded.filter(r => r.kind == "image" && r.media_id % 9 == 6)
+    assert(pngRows.nonEmpty)
+    assert(pngRows.forall(r =>
+      r.width == 4 + (r.media_id % 8) && r.height == 3 + (r.media_id % 5)))
+    // and the features equal a direct single-payload decode
+    val row6 = media.filter(col("media_id") === 6)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val direct = Multimodal.decodePng(6L, row6).get
+    val staged = pngRows.find(_.media_id == 6L).get
+    assert(direct.feature.toSeq == staged.feature.toSeq)
+  }
+
   test("frame sampling fans out only video rows") {
     val decoded = Multimodal.decode(media)
     val frames = Multimodal.sampleFrames(decoded, everyN = 10)
