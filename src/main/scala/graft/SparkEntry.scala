@@ -3431,6 +3431,88 @@ object SparkEntry {
       |FROM c a JOIN c b ON a.label < b.label
       |ORDER BY label_a, label_b""".stripMargin))
 
+  private val q128 = Q("q128_ann_ivfpq",
+    (s, dir) => {
+      // The composed billion-scale ANN design (Similarity.buildIvfPq +
+      // searchIvfPq) under init quantizers — IVF centroids = the 8
+      // lowest-id vectors, PQ codebooks = subvectors of the 4 lowest-id
+      // rows (m=4 × k=4, subDim=16), iterations=0 — so every arithmetic
+      // step (coarse assign, code assign, driver LUT, ADC lookup-sum) is
+      // exactly SQL-replayable; Lloyd-refined build quality is covered by
+      // SimilaritySpec. The probe scans nProbe=2 of 8 inverted lists and
+      // touches only the 4 int codes per row, never the float vectors.
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val (ivf, books, encoded) = Similarity.buildIvfPq(s, e, "vec_id",
+        "embedding", nCentroids = 8, m = 4, k = 4, dim = 64, iterations = 0)
+      Similarity.searchIvfPq(ivf, books, encoded, "vec_id", qv,
+        topK = 10, nProbe = 2)
+        .select(col("vec_id"), round(col("adc_dist_sq"), 6).as("adc_dist_sq"))
+    },
+    Some("""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), q AS (
+      |  SELECT v AS qv FROM e WHERE vec_id = 0
+      |), cent AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      |  FROM e ORDER BY vec_id LIMIT 8
+      |), assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, 65),
+      |          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), c.cid)
+      |        AS rn
+      |    FROM e, cent c) WHERE rn = 1
+      |), probes AS (
+      |  SELECT cid FROM cent, q ORDER BY
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (cv[i] - qv[i]) * (cv[i] - qv[i]))), cid LIMIT 2
+      |), subs AS (
+      |  SELECT vec_id, s,
+      |    list_transform(range(1, 17), i -> v[s * 16 + i]) AS sv
+      |  FROM e, (SELECT unnest(range(0, 4)) AS s) sp
+      |), cb AS (
+      |  SELECT s, cv, c FROM (
+      |    SELECT s, sv AS cv,
+      |      row_number() OVER (PARTITION BY s ORDER BY fid) - 1 AS c
+      |    FROM (SELECT s, sv, MIN(vec_id) AS fid FROM subs
+      |      WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)
+      |      GROUP BY s, sv))
+      |  WHERE c <= 3
+      |), codes AS (
+      |  SELECT vec_id, s, c FROM (
+      |    SELECT sub.vec_id, sub.s, cb.c,
+      |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s ORDER BY
+      |        list_sum(list_transform(range(1, 17),
+      |          i -> (sub.sv[i] - cb.cv[i]) * (sub.sv[i] - cb.cv[i]))),
+      |        cb.c) AS rn
+      |    FROM subs sub JOIN cb ON sub.s = cb.s) WHERE rn = 1
+      |), lut AS (
+      |  SELECT cb.s, cb.c, list_sum(list_transform(range(1, 17),
+      |    i -> (cb.cv[i] - q.qv[cb.s * 16 + i]) *
+      |         (cb.cv[i] - q.qv[cb.s * 16 + i]))) AS d
+      |  FROM cb, q
+      |), cw AS (
+      |  SELECT vec_id,
+      |    MAX(CASE WHEN s = 0 THEN c END) AS c0,
+      |    MAX(CASE WHEN s = 1 THEN c END) AS c1,
+      |    MAX(CASE WHEN s = 2 THEN c END) AS c2,
+      |    MAX(CASE WHEN s = 3 THEN c END) AS c3
+      |  FROM codes GROUP BY vec_id
+      |)
+      |SELECT vec_id, ROUND(adc, 6) AS adc_dist_sq FROM (
+      |  SELECT cw.vec_id, ((l0.d + l1.d) + l2.d) + l3.d AS adc
+      |  FROM cw
+      |  JOIN lut l0 ON l0.s = 0 AND l0.c = cw.c0
+      |  JOIN lut l1 ON l1.s = 1 AND l1.c = cw.c1
+      |  JOIN lut l2 ON l2.s = 2 AND l2.c = cw.c2
+      |  JOIN lut l3 ON l3.s = 3 AND l3.c = cw.c3
+      |  WHERE cw.vec_id IN (SELECT vec_id FROM assigned
+      |    WHERE cid IN (SELECT cid FROM probes)))
+      |ORDER BY adc, vec_id LIMIT 10""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3441,7 +3523,7 @@ object SparkEntry {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126, q127)
+    q122, q123, q124, q125, q126, q127, q128)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
