@@ -4,6 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Per-query times are MEDIANS over `runs` full sweeps: a single
+    // sequential pass lets one heavy query's GC/JIT land on its small
+    // neighbors (2-3x apparent swings on untouched 0.5 s queries between
+    // rounds), which makes regressions unfalsifiable. Three sweeps cost
+    // ~3x wall-clock once per round and give every query a noise-robust
+    // central value; the sweep order is identical across passes so
+    // neighborhood effects are at least stable.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
@@ -12,7 +20,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS): only readable as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // The 116-query run generates >100 distinct codegen classes; the
+      // The 128-query run generates >100 distinct codegen classes; the
       // default 100-entry cache evicts the MinHash-chain classes between
       // q57 and q96, re-paying multi-second Janino compiles mid-run.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
@@ -25,36 +33,56 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.keys.toSeq
+    val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (_ <- 0 until runs) {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      }
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = names.map(n => n -> median(samples(n)))
+    val total = results.map(_._2).sum
     def fmt(v: Double) = f"$v%.3f"
-    // Full per-query detail goes to a file (the harness captures only the
-    // last ~2000 chars of stdout, which a 116-entry map overflows — the
-    // JSON line's head would be cut off and become unparseable).
-    val detail = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // Full detail (median map + every raw sample) goes to files: the
+    // harness captures only the last ~2000 chars of stdout, which a
+    // 128-entry map overflows. bench_detail.json is the current round's
+    // view; bench_history.jsonl is APPEND-ONLY so no round's per-query
+    // detail is ever lost to an overwrite (the r05 detail was).
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val detailPath = java.nio.file.Paths.get("bench_detail.json")
-    java.nio.file.Files.write(detailPath,
-      (s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""queries":$detail,"sf":"$sfDir"}""" + "\n")
-        .getBytes("UTF-8"))
+    val allRuns = names.map { n =>
+      "\"" + n + "\":[" + samples(n).map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""runs":$runs,"queries":$detail,"all_runs":$allRuns,""" +
+      s""""sf":"$sfDir","ts":${System.currentTimeMillis()}}""" + "\n"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"), line.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_history.jsonl"), line.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     // The stdout JSON line must fit, whole, inside the captured tail
     // (budget ~1800 chars after sbt's trailing "[success]" line), so it
     // carries the slowest queries only, greediest-first, plus the total.
-    val byTime = results.toSeq.sortBy(-_._2)
+    val byTime = results.sortBy(-_._2)
     val budget = 1500
     val kept = new scala.collection.mutable.ArrayBuffer[String]
     var used = 0
     byTime.foreach { case (k, v) =>
-      val entry = s"\"" + k + "\":" + fmt(v)
+      val entry = "\"" + k + "\":" + fmt(v)
       if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
     }
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"queries_are_slowest_first":true,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"n_queries":${results.size},"queries_are_slowest_first":true,"queries_are_medians":true,"detail":"bench_detail.json","history":"bench_history.jsonl","sf":"$sfDir"}""")
     spark.stop()
   }
 }
