@@ -102,15 +102,46 @@ object ScaleProbe {
       SparkEntry.queries(name)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    val rows = probes.map { name =>
-      val small = time(src, name)
-      val big = time(out, name)
-      (name, small, big, big / small)
+    // "caponly" arg skips the main table (re-measure just the q36 cap)
+    if (!args.contains("caponly")) {
+      val rows = probes.map { name =>
+        val small = time(src, name)
+        val big = time(out, name)
+        (name, small, big, big / small)
+      }
+      println("query,sf0.1_sec,sf1synth_sec,ratio_at_10x_data")
+      rows.foreach { case (n, s, b, r) =>
+        println(f"$n,$s%.2f,$b%.2f,$r%.1f")
+      }
     }
-    println("query,sf0.1_sec,sf1synth_sec,ratio_at_10x_data")
-    rows.foreach { case (n, s, b, r) =>
-      println(f"$n,$s%.2f,$b%.2f,$r%.1f")
+    // round 8: q36's 1%-slice left side, capped vs uncapped at the
+    // OPERATOR level (no external orientation filter on either arm —
+    // post-cap filters are a different contract AND cannot push through
+    // the cap window; see Fuzzy.capPerDoc's plan note). The uncapped
+    // contract (every qualifying pair) has quadratic OUTPUT on the
+    // dup-heavy 10x synthesis; maxPairsPerDoc bounds what downstream
+    // stages receive. The cap bounds the ANSWER, not the candidate
+    // search, so the time stays ~the uncapped time; full-corpus dedup at
+    // scale goes through LSH + components instead. Dropped counts are
+    // printed here and logged per-action by ObservedLog via the
+    // operator's observe metric.
+    def q36Shape(dir: String, cap: Int): (Double, Long) = {
+      val sets = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.shinglesFast(col("text"), 1).as("st"))
+      val j = graft.operators.Fuzzy.jaccardSelfJoin(sets, "doc_id", "st",
+        0.3, col("doc_id") % 100 === 0, maxPairsPerDoc = cap)
+      val t0 = System.nanoTime()
+      val n = j.count()
+      ((System.nanoTime() - t0) / 1e9, n)
     }
+    val (tCapS, nCapS) = q36Shape(src, 16)
+    val (tUncS, nUncS) = q36Shape(src, Int.MaxValue)
+    val (tCapB, nCapB) = q36Shape(out, 16)
+    val (tUncB, nUncB) = q36Shape(out, Int.MaxValue)
+    println(f"q36_cap16: time $tCapS%.2f->$tCapB%.2f s, " +
+      f"rows $nCapS->$nCapB (dropped ${nUncS - nCapS}->${nUncB - nCapB}); " +
+      f"uncapped time $tUncS%.2f->$tUncB%.2f s, rows $nUncS->$nUncB")
     spark.stop()
   }
 }

@@ -189,7 +189,15 @@ object Fuzzy {
     * logged by [[ObservedLog]] when the consuming action finishes. The
     * default (Int.MaxValue) byte-preserves the uncapped contract — the
     * oracle queries run uncapped. Full-corpus dedup at scale should go
-    * through LSH + connectedComponents instead of pair reports. */
+    * through LSH + connectedComponents instead of pair reports.
+    *
+    * Plan note: the cap window blocks predicate pushdown — a caller's
+    * post-cap filter on (id_a, id_b) (e.g. `id_a < id_b` orientation)
+    * can no longer reach the candidate stage, where uncapped it would
+    * halve the verify work. That is also semantically required: pairs
+    * filtered AFTER the cap still count against each doc's budget.
+    * Put selection predicates in `leftPred` (they push) and treat the
+    * cap as a per-doc output budget over ALL partners. */
   private def capPerDoc(
       docCol: String, order: Seq[Column], cap: Int, metric: String)(
       pairs: DataFrame): DataFrame =

@@ -136,6 +136,45 @@ class FuzzySpec extends SparkTestBase {
     assert(loose.toSet == full.toSet)
   }
 
+  test("cap truncation metric reports the exact dropped-pair count") {
+    val rng = new scala.util.Random(19)
+    val vocab = (0 until 15).map(i => s"w$i")
+    val sets = (0L until 40L).map(i =>
+      (i, Seq.fill(1 + rng.nextInt(8))(vocab(rng.nextInt(vocab.size)))))
+    val df = sets.toDF("id", "st")
+    @volatile var observed: Option[(Long, Long)] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.get("graft.fuzzy.jaccard_truncation")
+          .foreach { row =>
+            observed = Some((row.getLong(row.fieldIndex("dropped_pairs")),
+              row.getLong(row.fieldIndex("pairs_before_cap"))))
+          }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val full = Fuzzy.jaccardSelfJoin(df, "id", "st", 0.3, lit(true))
+        .count()
+      val capped = Fuzzy.jaccardSelfJoin(df, "id", "st", 0.3, lit(true),
+          maxPairsPerDoc = 1)
+        .count()
+      // QueryExecutionListener delivery is async — poll with a deadline
+      val deadline = System.currentTimeMillis + 20000
+      while (observed.isEmpty && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(observed.nonEmpty, "truncation metric never observed")
+      val (dropped, before) = observed.get
+      assert(before == full) // metric sees every pre-cap pair
+      assert(dropped == full - capped) // and counts exactly the drops
+      assert(dropped > 0)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("editDistanceSelfJoin cap keeps nearest partners per name") {
     val df = Seq("aaaa", "aaab", "aaac", "aabb", "zzzz")
       .toDF("name")
