@@ -3513,6 +3513,42 @@ object SparkEntry {
       |    WHERE cid IN (SELECT cid FROM probes)))
       |ORDER BY adc, vec_id LIMIT 10""".stripMargin))
 
+  private val q129 = Q("q129_semantic_dedup",
+    (s, dir) => {
+      // SemDeDup-style semantic near-dups (Dedup.semanticNearDups):
+      // k-means-cluster the embedding space, exact-cosine verify only
+      // WITHIN clusters — cluster assignment bounds the quadratic term
+      // to cluster populations. Init quantizer (8 lowest-id centroids,
+      // iterations=0) so assignment + verify replay exactly in SQL;
+      // Lloyd-refined clustering quality is covered by SimilaritySpec
+      // and the nClusters=1 brute-force equality in DedupSpec.
+      Dedup.semanticNearDups(t(s, dir, "embeddings"), "vec_id",
+          "embedding", nClusters = 8, threshold = 0.4, iterations = 0)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), cent AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      |  FROM e ORDER BY vec_id LIMIT 8
+      |), assigned AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, 65),
+      |          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), c.cid)
+      |        AS rn
+      |    FROM e, cent c) WHERE rn = 1
+      |)
+      |SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) *
+      |     sqrt(list_dot_product(b.v, b.v))) AS c
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cid = b.cid AND a.vec_id < b.vec_id)
+      |WHERE c >= 0.4 ORDER BY id_a, id_b""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3523,7 +3559,7 @@ object SparkEntry {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126, q127, q128)
+    q122, q123, q124, q125, q126, q127, q128, q129)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -796,4 +796,53 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas, Tirumala, Simig,
+    * Ganguli & Morcos, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", 2023): cluster the embedding space
+    * with the deterministic IVF quantizer, then verify exact cosine only
+    * WITHIN each cluster — the cluster assignment bounds the quadratic
+    * term to cluster populations the same way LSH bands bound it for
+    * token near-dups, and the same way the paper makes web-scale
+    * semantic dedup tractable. Complements [[embeddingNearDups]]
+    * (sign-LSH buckets): k-means clusters adapt to the corpus's density
+    * instead of random hyperplanes, at the cost of the training pass.
+    *
+    * Clusters larger than `maxClusterSize` are dropped via a semi-join
+    * against their counts (the skew guardrail — a cluster of C vectors
+    * yields C²/2 candidate pairs); with `iterations = 0` the init
+    * quantizer (nClusters lowest-id vectors) makes the whole chain
+    * SQL-replayable (SparkEntry q129).
+    *
+    * @return (id_a, id_b, cosine) with id_a < id_b, same cluster, and
+    *         cosine >= threshold. With nClusters = 1 this degenerates to
+    *         the complete all-pairs threshold join (DedupSpec uses that
+    *         arm as the brute-force equality check). */
+  def semanticNearDups(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      threshold: Double = 0.95,
+      iterations: Int = 2,
+      maxClusterSize: Int = 100000): DataFrame = {
+    val ivf = Similarity.buildIvf(corpus.sparkSession, corpus, idCol,
+      vecCol, nClusters, iterations)
+    val assigned = ivf.assigned
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"), col("__centroid"))
+    val sizes = assigned.groupBy(col("__centroid"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxClusterSize)
+    val bounded = assigned.join(sizes, Seq("__centroid"), "left_semi")
+    val a = bounded.select(col("__centroid"), col("__id").as("id_a"),
+      col("__v").as("__va"))
+    val b = bounded.select(col("__centroid"), col("__id").as("id_b"),
+      col("__v").as("__vb"))
+    a.join(b, Seq("__centroid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        VectorFunctions.cosineFast(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
 }

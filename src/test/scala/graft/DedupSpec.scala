@@ -259,6 +259,39 @@ class DedupSpec extends SparkTestBase {
     assert(inc.nonEmpty)
   }
 
+  test("semanticNearDups: nClusters=1 equals brute force; planted dup found") {
+    val rng = new scala.util.Random(23)
+    val base = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rng.nextFloat() * 2 - 1)))
+    // plant an exact duplicate of vector 5 as id 100
+    val vecs = base :+ (100L, base(5)._2.clone())
+    val df = vecs.toDF("vec_id", "embedding")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val brute = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && cos(va, vb) >= 0.8
+    } yield (ia, ib)).toSet
+    // one cluster -> the complete all-pairs threshold join
+    val one = Dedup.semanticNearDups(df, "vec_id", "embedding",
+      nClusters = 1, threshold = 0.8, iterations = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one == brute)
+    assert(one.contains((5L, 100L)))
+    // clustered run: the exact duplicate lands in its twin's cluster by
+    // construction (identical vectors share a nearest centroid), so the
+    // planted pair survives any k
+    val clustered = Dedup.semanticNearDups(df, "vec_id", "embedding",
+      nClusters = 4, threshold = 0.8, iterations = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clustered.contains((5L, 100L)))
+    assert(clustered.subsetOf(brute)) // verify is exact: no false pairs
+  }
+
   test("bagDuplicateGroups: token permutations collide, edits do not") {
     val d = Seq(
       (1L, "alpha beta gamma delta"),
