@@ -131,9 +131,34 @@ object Dedup {
   def candidatePairs(
       buckets: DataFrame, idCol: String,
       maxBucketSize: Int = 1000): DataFrame = {
+    // No silent caps: buckets dropped by the skew guardrail are counted
+    // through a named observe metric (logged by [[ObservedLog]] when the
+    // consuming action runs — no extra job), including the candidate
+    // pairs each dropped bucket would have produced. A recall-sensitive
+    // caller seeing a large pairs_skipped should raise bands or
+    // maxBucketSize. Metric names must be unique within one plan, hence
+    // the counter (a chain may invoke candidatePairs more than once).
+    // Caveat: if EVERY bucket is dropped, the whole stage emits 0 rows and
+    // AQE's empty-relation propagation replaces the subtree — including
+    // the CollectMetrics node — with an empty LocalTableScan, so the
+    // observation is lost for that one degenerate shape (verified on
+    // Spark 4.1.2). Callers see an empty pair set there regardless, which
+    // is its own unmissable signal.
+    ObservedLog.ensure(buckets.sparkSession)
+    val metric =
+      s"graft.dedup.oversized_buckets.${metricSeq.incrementAndGet()}"
     val grouped = buckets
       .groupBy(col("__band"), col("__bucket"))
       .agg(collect_list(col(idCol)).as("__ids"))
+      .observe(metric,
+        sum(when(size(col("__ids")) > maxBucketSize, 1L).otherwise(0L))
+          .as("buckets_dropped"),
+        sum(when(size(col("__ids")) > maxBucketSize,
+          // n*(n-1) is even; shiftright keeps this exact-integer (SQL `/`
+          // would silently widen to double)
+          shiftright(size(col("__ids")).cast("long")
+            * (size(col("__ids")) - 1), 1))
+          .otherwise(0L)).as("pairs_skipped"))
       .filter(size(col("__ids")).between(2, maxBucketSize))
       .select(array_sort(col("__ids")).as("__ids"))
     grouped
@@ -143,6 +168,8 @@ object Dedup {
           .as("id_b"))
       .distinct()
   }
+
+  private val metricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Exact Jaccard over word-shingle sets for given candidate pairs.
     *

@@ -259,6 +259,47 @@ class DedupSpec extends SparkTestBase {
     assert(inc.nonEmpty)
   }
 
+  test("oversized-bucket guardrail reports its drops, never silently") {
+    // 30 identical docs saturate one bucket per band; with
+    // maxBucketSize=5 every one of their 4 buckets is dropped, and the
+    // observe metric must report 4 dropped buckets and the 4*(30*29/2)
+    // skipped pairs. Two twin docs with unrelated text keep one small
+    // bucket per band alive — without at least one surviving candidate,
+    // AQE's empty-relation propagation would prune the CollectMetrics
+    // node itself (documented caveat in candidatePairs).
+    val dups = ((0L until 30L)
+      .map(i => (i, "the same text for every single document")) ++ Seq(
+        (100L, "an entirely different pair of twin documents"),
+        (101L, "an entirely different pair of twin documents")))
+      .toDF("doc_id", "text")
+    @volatile var seen: Option[(Long, Long)] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.collectFirst {
+          case (name, row) if name.startsWith("graft.dedup.oversized_buckets") =>
+            (row.getLong(row.fieldIndex("buckets_dropped")),
+              row.getLong(row.fieldIndex("pairs_skipped")))
+        }.foreach(v => seen = Some(v))
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val buckets = Dedup.portableBuckets(dups, "doc_id", "text",
+        numHashes = 16, bands = 4, shingleSize = 2)
+      val pairs = Dedup.candidatePairs(buckets, "doc_id", maxBucketSize = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((100L, 101L))) // hot buckets dropped, twins kept
+      val deadline = System.currentTimeMillis + 20000
+      while (seen.isEmpty && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(seen.contains((4L, 4L * (30 * 29 / 2))))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("semanticNearDups: nClusters=1 equals brute force; planted dup found") {
     val rng = new scala.util.Random(23)
     val base = (0L until 40L).map(i =>
