@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.operators.{Collocations, Decontaminate, Dedup, Fuzzy, Metrics,
-  Mixing, PartialAgg, Sampling, Similarity}
+  Mixing, PartialAgg, RepeatedSpans, Sampling, Similarity}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2) over the
   * test star schema, each query paired with DuckDB oracle SQL.
@@ -3549,6 +3549,62 @@ object SparkEntry {
       |    ON a.cid = b.cid AND a.vec_id < b.vec_id)
       |WHERE c >= 0.4 ORDER BY id_a, id_b""".stripMargin))
 
+  private val q130 = Q("q130_repeated_spans",
+    (s, dir) => {
+      // Cross-document repeated-substring signal (RepeatedSpans
+      // .dupStats): positional 6-gram postings, grams in >= 2 distinct
+      // docs, per-doc duplicated-position count and merged span
+      // coverage — the substring-level dedup view whole-doc/LSH dedup
+      // misses (boilerplate, quoted passages). hashKeys=false here so
+      // the grouping key replays exactly in DuckDB; the hashed arm is
+      // equality-tested in RepeatedSpansSpec.
+      RepeatedSpans.dupStats(t(s, dir, "documents"), "doc_id", "text",
+          k = 6, minDocs = 2, hashKeys = false)
+        .filter(col("dup_kgrams") > 0)
+        .select(col("doc_id"), col("total_kgrams"), col("dup_kgrams"),
+          round(col("dup_ratio"), 6).as("dup_ratio"),
+          col("covered_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> t <> '') AS tk FROM documents
+      |), grams AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+      |    tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] AS g
+      |  FROM toks, LATERAL unnest(range(1, greatest(len(tk) - 4, 1))) u(i)
+      |), hot AS (
+      |  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+      |), marked AS (
+      |  SELECT grams.doc_id, grams.pos, hot.g AS hit
+      |  FROM grams LEFT JOIN hot ON grams.g = hot.g
+      |), merged AS (
+      |  -- fixed-width spans sorted by pos: previous span's end is
+      |  -- prev_pos + 6, so a new span adds min(6, pos - prev_pos) tokens
+      |  SELECT doc_id, pos,
+      |    CASE WHEN MAX(pos) OVER w IS NULL
+      |      OR pos - MAX(pos) OVER w >= 6 THEN 6
+      |    ELSE pos - MAX(pos) OVER w END AS added
+      |  FROM marked WHERE hit IS NOT NULL
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |), stats AS (
+      |  SELECT m.doc_id, CAST(COUNT(*) AS BIGINT) AS total_kgrams,
+      |    CAST(COUNT(m.hit) AS BIGINT) AS dup_kgrams
+      |  FROM marked m GROUP BY m.doc_id
+      |), cov AS (
+      |  SELECT doc_id, CAST(SUM(added) AS BIGINT) AS covered_tokens
+      |  FROM merged GROUP BY doc_id
+      |)
+      |SELECT s.doc_id, s.total_kgrams, s.dup_kgrams,
+      |  ROUND(CAST(s.dup_kgrams AS DOUBLE) /
+      |    CAST(s.total_kgrams AS DOUBLE), 6) AS dup_ratio,
+      |  cov.covered_tokens
+      |FROM stats s JOIN cov ON s.doc_id = cov.doc_id
+      |WHERE s.dup_kgrams > 0
+      |ORDER BY s.doc_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3559,7 +3615,7 @@ object SparkEntry {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126, q127, q128, q129)
+    q122, q123, q124, q125, q126, q127, q128, q129, q130)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Cross-document repeated-substring detection — the "dedup at the
+  * substring level" signal of Lee et al. 2021 (Deduplicating Training
+  * Data Makes Language Models Better), which found that memorized text
+  * is dominated by substrings repeated ACROSS documents that whole-doc
+  * dedup never sees (boilerplate headers, licenses, quoted passages).
+  *
+  * The exact method there is a corpus-wide suffix array — inherently a
+  * single sorted view of all bytes, which at 100 TB means one global
+  * sort. This is the Spark-native restatement: positional token k-grams
+  * as the fixed-width proxy for "substring of length ≥ k", a shuffle on
+  * the k-gram key to find grams occurring in ≥ `minDocs` distinct
+  * documents, and a per-document roll-up of how much of each document is
+  * covered by such shared spans. A k-gram posting list is exactly the
+  * k-prefix bucketing of the suffix array, so every repeated substring of
+  * ≥ k tokens is caught (shorter repeats are deliberately below the
+  * radar, as in the paper's min-length threshold).
+  *
+  * Plan shape: token/k-gram construction is map-only inside whole-stage
+  * codegen; the only wide stages are the hot-gram aggregate and the
+  * postings⋈hot join, both keyed on the gram. With `hashKeys` (default)
+  * the key is xxhash64(gram) — 8 bytes per posting through the shuffle
+  * instead of the ~k·word-length string, which at 100 TB is the
+  * difference between shuffling ~0.5 PB of strings and ~40 TB of longs.
+  * A 64-bit collision could only flag a gram spuriously (never miss
+  * one); at 2^40 distinct grams the expected number of colliding PAIRS
+  * is ~2^16/2^25 ≈ 0.03 docs mis-flagged corpus-wide — acceptable for a
+  * filtering signal, and `hashKeys = false` keeps the exact-string arm.
+  */
+object RepeatedSpans {
+
+  /** Positional k-grams: one row per (id, __pos, __g) with __pos the
+    * 0-based token offset of the gram. Documents shorter than k tokens
+    * emit nothing (no substring of length k exists). */
+  def positionalGrams(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tk = TextFunctions.tokens(col(textCol))
+    // sequence(1, n) DESCENDS when n < 1, so the short-doc case must be
+    // an explicit empty array, not sequence's wraparound.
+    val gramArr = when(size(tk) >= k,
+      transform(sequence(lit(1), size(tk) - lit(k - 1)),
+        i => array_join(slice(tk, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol),
+      posexplode(gramArr).as(Seq("__pos", "__g")))
+  }
+
+  private def keyed(grams: DataFrame, hashKeys: Boolean): DataFrame =
+    if (hashKeys) grams.withColumn("__key", xxhash64(col("__g")))
+    else grams.withColumn("__key", col("__g"))
+
+  /** K-grams appearing in at least `minDocs` distinct documents:
+    * (__key, n_docs). One shuffle on the gram key. */
+  def hotGrams(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int = 2, hashKeys: Boolean = true): DataFrame =
+    keyed(positionalGrams(docs, idCol, textCol, k), hashKeys)
+      .groupBy(col("__key"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Per-document cross-corpus duplication roll-up:
+    * (idCol, total_kgrams, dup_kgrams, dup_ratio, covered_tokens).
+    *
+    *  - dup_kgrams / dup_ratio: k-gram positions whose gram also occurs
+    *    in ≥ minDocs−1 OTHER documents (the gram's doc-count includes
+    *    this one).
+    *  - covered_tokens: tokens of the document lying under at least one
+    *    duplicated span — the merged-interval length of all [pos, pos+k)
+    *    windows, the quantity Lee et al. cut; computed with one
+    *    `aggregate` fold over the sorted position list, no second
+    *    shuffle.
+    *
+    * Documents with fewer than k tokens emit no row (nothing can repeat),
+    * matching [[Decontaminate.ngramOverlap]]'s convention. The hot-gram
+    * side carries multiplicity one into the join, so no fan-out. */
+  def dupStats(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int = 2, hashKeys: Boolean = true): DataFrame = {
+    val postings = keyed(positionalGrams(docs, idCol, textCol, k), hashKeys)
+    val hot = hotGrams(docs, idCol, textCol, k, minDocs, hashKeys)
+      .select(col("__key"), lit(1).as("__hot"))
+    val perDoc = postings.join(hot, Seq("__key"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("total_kgrams"),
+        count(col("__hot")).as("dup_kgrams"),
+        sort_array(collect_list(when(col("__hot").isNotNull,
+          col("__pos")))).as("__dup_pos"))
+    // Merged-interval fold: positions ascend, acc = (covered, end); each
+    // span [p, p+k) adds p+k − max(p, end) new tokens (clamped — a span
+    // wholly inside the previous one adds none).
+    val covered = aggregate(col("__dup_pos"),
+      struct(lit(0L).as("cov"), lit(0L).as("end")),
+      (acc, p) => {
+        val pL = p.cast("long")
+        struct(
+          (acc.getField("cov") + greatest(lit(0L),
+            pL + k - greatest(pL, acc.getField("end")))).as("cov"),
+          greatest(acc.getField("end"), pL + k).as("end"))
+      }).getField("cov")
+    perDoc.select(col(idCol), col("total_kgrams"), col("dup_kgrams"),
+      (col("dup_kgrams").cast("double") /
+        col("total_kgrams").cast("double")).as("dup_ratio"),
+      covered.as("covered_tokens"))
+  }
+
+  /** Corpus with heavily-duplicated documents removed: drops documents
+    * whose duplicated-span coverage exceeds `maxDupRatio` of their
+    * k-gram positions. Anti-join back on the id — original rows pass
+    * through untouched. */
+  def clean(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int = 2, maxDupRatio: Double = 0.5,
+      hashKeys: Boolean = true): DataFrame = {
+    val flagged = dupStats(docs, idCol, textCol, k, minDocs, hashKeys)
+      .filter(col("dup_ratio") > maxDupRatio)
+      .select(col(idCol))
+    docs.join(flagged, Seq(idCol), "left_anti")
+  }
+}
