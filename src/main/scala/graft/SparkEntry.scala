@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.operators.{Collocations, Decontaminate, Dedup, Fuzzy, Metrics,
-  Mixing, PartialAgg, RepeatedSpans, Sampling, Similarity}
+  Mixing, PartialAgg, RepeatedSpans, Sampling, Scoring, Similarity}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2) over the
   * test star schema, each query paired with DuckDB oracle SQL.
@@ -3605,6 +3605,42 @@ object SparkEntry {
       |WHERE s.dup_kgrams > 0
       |ORDER BY s.doc_id""".stripMargin))
 
+  private val q131 = Q("q131_classifier_score",
+    (s, dir) => {
+      // Hashed-feature linear classifier inference (Scoring.score) — the
+      // fastText/CCNet-style quality-filter pass: md5-bucket hashing
+      // trick into 64 dims, one typedlit weight array, sequential-fold
+      // logit, sigmoid. Map-only (ScoringSpec asserts no Exchange); the
+      // dyadic demo weights render exactly in decimal so the DuckDB
+      // replay folds the identical doubles. round(6) absorbs the
+      // one-ulp exp() divergence between runtimes.
+      val w = Scoring.dyadicWeights(64)
+      t(s, dir, "documents").select(col("doc_id"),
+          round(Scoring.score(col("text"), w, bias = 0.25,
+            meanPool = true, portable = true), 6).as("quality_prob"))
+        .withColumn("keep", col("quality_prob") >= 0.5)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val wList = Scoring.dyadicWeights(64).mkString("[", ", ", "]")
+      s"""WITH scored AS (
+      |  SELECT doc_id,
+      |    1.0 / (1.0 + exp(-(
+      |      list_sum(list_transform(
+      |        list_filter(string_split_regex(lower(text), '\\s+'),
+      |          t -> t <> ''),
+      |        t -> ($wList)[
+      |          CAST((('0x' || substr(md5(t), 1, 8))::BIGINT % 64)
+      |            AS INT) + 1]))
+      |      / greatest(len(list_filter(
+      |          string_split_regex(lower(text), '\\s+'), t -> t <> '')), 1)
+      |      + 0.25))) AS p
+      |  FROM documents)
+      |SELECT doc_id, ROUND(p, 6) AS quality_prob,
+      |  ROUND(p, 6) >= 0.5 AS keep
+      |FROM scored ORDER BY doc_id""".stripMargin
+    })
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3615,7 +3651,7 @@ object SparkEntry {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126, q127, q128, q129, q130)
+    q122, q123, q124, q125, q126, q127, q128, q129, q130, q131)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
