@@ -3641,6 +3641,39 @@ object SparkEntry {
       |FROM scored ORDER BY doc_id""".stripMargin
     })
 
+  private val q132 = Q("q132_char_entropy",
+    (s, dir) => {
+      // Gibberish/byte-soup quality signal: per-doc Shannon entropy over
+      // code points via the fused codegen CharEntropy expression (one
+      // histogram pass per row — the declarative form would explode to
+      // chars and shuffle twice per document). Both sides fold c·log2(c)
+      // over ASCENDING counts, so the only divergence is log2's last
+      // ulp — absorbed by round(6).
+      t(s, dir, "documents").select(col("doc_id"),
+          round(graft.functions.TextFunctions.charEntropy(col("text")), 6)
+            .as("char_entropy"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH chars AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |  FROM documents
+      |), counts AS (
+      |  SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c
+      |  FROM chars GROUP BY doc_id, ch
+      |), lists AS (
+      |  SELECT doc_id, list_sort(list(c)) AS cs, SUM(c) AS n
+      |  FROM counts GROUP BY doc_id
+      |), ents AS (
+      |  SELECT doc_id,
+      |    log2(n) - list_sum(list_transform(cs, c -> c * log2(c))) / n
+      |      AS h
+      |  FROM lists
+      |)
+      |SELECT d.doc_id,
+      |  ROUND(COALESCE(e.h, 0.0), 6) AS char_entropy
+      |FROM documents d LEFT JOIN ents e ON d.doc_id = e.doc_id
+      |ORDER BY d.doc_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3651,7 +3684,7 @@ object SparkEntry {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126, q127, q128, q129, q130, q131)
+    q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -23,6 +23,7 @@ object GraftFunctions {
     "rolling_hash" -> (es => RollingHash(es(0))),
     "normalize_unicode" -> (es => NormalizeUnicode(es(0), "NFC")),
     "jaccard_similarity" -> (es => JaccardSimilarity(es(0), es(1))),
+    "char_entropy" -> (es => CharEntropy(es(0))),
     // n / k arguments arrive as foldable int literals from SQL
     "word_shingles" -> (es => WordShingles(es(0),
       es(1).eval().asInstanceOf[Number].intValue())))

@@ -156,6 +156,16 @@ object TextFunctions {
         distinctN.cast("double") / total.cast("double"))
   }
 
+  /** Shannon entropy (bits per code point) via the fused codegen'd
+    * [[CharEntropy]] expression — the gibberish/byte-soup quality signal
+    * (low = repetitive boilerplate, high = base64/minified noise).
+    * Oracle: log2(n) − list_sum over sorted per-char counts c·log2(c)
+    * divided by n (see q132). */
+  def charEntropy(text: Column): Column =
+    org.apache.spark.sql.graftshim.Shims.column(
+      CharEntropy(
+        org.apache.spark.sql.graftshim.Shims.expression(text)))
+
   /** Exact Jaccard of two distinct-element string-array columns via the
     * fused codegen'd [[JaccardSimilarity]] expression — value-identical
     * to `size(array_intersect)/size(array_union)` without materializing

@@ -555,3 +555,76 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): WordShingles =
     copy(child = c)
 }
+
+/** Static helper for [[CharEntropy]] — standalone object so generated
+  * Java calls it through the Scala static forwarder. */
+object EntropyUtil {
+  /** Shannon entropy in bits over the string's Unicode code points,
+    * via the identity  H = log2(n) − (Σ c·log2 c)/n  with the count
+    * terms summed in ASCENDING-count order — c·log2 c depends only on
+    * the count, so the sorted fold is deterministic no matter which
+    * characters tie, and the DuckDB oracle replays the identical
+    * sequential sum (list_sort → list_transform → list_sum). Empty
+    * string → 0.0. */
+  def compute(s: UTF8String): Double = {
+    val str = s.toString
+    if (str.isEmpty) return 0.0
+    val hist = new java.util.HashMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      hist.merge(cp, 1L, (a, b) => a + b)
+      i += Character.charCount(cp)
+      n += 1
+    }
+    val counts = new Array[Double](hist.size)
+    val it = hist.values().iterator()
+    var j = 0
+    while (it.hasNext) { counts(j) = it.next().toDouble; j += 1 }
+    java.util.Arrays.sort(counts)
+    var s2 = 0.0
+    j = 0
+    val log2 = java.lang.Math.log(2.0)
+    while (j < counts.length) {
+      s2 += counts(j) * (java.lang.Math.log(counts(j)) / log2)
+      j += 1
+    }
+    java.lang.Math.log(n.toDouble) / log2 - s2 / n
+  }
+}
+
+/** Shannon entropy (bits/char) of a string — the byte-soup/gibberish
+  * quality signal: natural language sits ~3.5–4.5 bits over code
+  * points, base64 blobs and minified code run higher, boilerplate
+  * repetition lower. One fused histogram pass inside whole-stage
+  * codegen; no per-char row explosion (the declarative equivalent is an
+  * explode + two shuffles PER DOCUMENT COLUMN at 100 TB). */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_entropy requires string, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Double.valueOf(
+      EntropyUtil.compute(v.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.EntropyUtil.compute($c);")
+
+  override protected def withNewChildInternal(c: Expression): CharEntropy =
+    copy(child = c)
+}

@@ -110,4 +110,50 @@ class ExpressionsSpec extends SparkTestBase {
     fastVsSlow.foreach(r =>
       assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
+
+  test("CharEntropy: hand-computed values, degenerate cases, null") {
+    val df = Seq(
+      (1L, "aab"),      // -(2/3)log2(2/3) - (1/3)log2(1/3)
+      (2L, ""),         // empty -> 0
+      (3L, "zzzzzz"),   // single symbol -> 0
+      (4L, "abcd"),     // uniform over 4 -> 2 bits
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select(col("id"),
+        graft.functions.TextFunctions.charEntropy(col("t")).as("h"))
+      .collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    val aab = -(2.0 / 3) * (math.log(2.0 / 3) / math.log(2)) -
+      (1.0 / 3) * (math.log(1.0 / 3) / math.log(2))
+    assert(math.abs(df(1L).get - aab) < 1e-12)
+    assert(df(2L).get == 0.0)
+    assert(df(3L).get == 0.0)
+    assert(math.abs(df(4L).get - 2.0) < 1e-12)
+    assert(df(5L).isEmpty)
+  }
+
+  test("CharEntropy counts code points, not UTF-16 units; SQL-callable") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    // U+1D11E (musical G clef) is a surrogate pair: two of them + two 'x'
+    // must read as 4 code points, 2 symbols each -> exactly 1 bit.
+    val r = spark.sql("SELECT char_entropy('𝄞x𝄞x') AS h")
+      .head().getDouble(0)
+    assert(r == 1.0)
+  }
+
+  test("CharEntropy interpreted eval matches codegen") {
+    val texts = Seq("the quick brown fox", "aaaa bbbb", "x", "",
+      "mixed 123 !?. content").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "t")
+    val fused = df.select(col("id"),
+      graft.functions.TextFunctions.charEntropy(col("t")).as("h"))
+    val interp = texts.map { case (i, t) =>
+      i -> graft.functions.EntropyUtil.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+    }.toMap
+    fused.collect().foreach(r =>
+      assert(r.getDouble(1) == interp(r.getLong(0))))
+  }
 }
