@@ -3674,6 +3674,38 @@ object SparkEntry {
       |FROM documents d LEFT JOIN ents e ON d.doc_id = e.doc_id
       |ORDER BY d.doc_id""".stripMargin))
 
+  private val q133 = Q("q133_quantile_rollup",
+    (s, dir) => {
+      // Incremental ORDER-STATISTIC rollup (PartialAgg.quantileStates /
+      // mergeQuantiles) — the quantile leg of the q118/q126 mergeable-
+      // state family: per-(day, priority) KLL-style sketch states merged
+      // up to priority grain, read with percentile_disc rank semantics.
+      // Group sizes (~3000) sit under the sketch capacity (4096), so
+      // nothing compacts and the merged sketch IS the exact multiset —
+      // DuckDB's quantile_disc must match exactly, whatever the merge
+      // tree. Compaction behavior beyond capacity is spec-measured
+      // (QuantileSketchSpec), the q43/q86/q126 honesty pattern.
+      val o = t(s, dir, "orders")
+        .withColumn("day", to_date(col("o_orderdate")))
+      val st = PartialAgg.quantileStates(o,
+        Seq("day", "o_orderpriority"), col("o_totalprice"), k = 4096)
+      PartialAgg.mergeQuantiles(st, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"),
+          PartialAgg.quantileEstimate(col("qsketch"),
+            Seq(0.25, 0.5, 0.75, 0.95)).as("qs"))
+        .select(col("o_orderpriority"),
+          col("qs")(0).as("p25"), col("qs")(1).as("p50"),
+          col("qs")(2).as("p75"), col("qs")(3).as("p95"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority,
+      |quantile_disc(o_totalprice, 0.25) AS p25,
+      |quantile_disc(o_totalprice, 0.50) AS p50,
+      |quantile_disc(o_totalprice, 0.75) AS p75,
+      |quantile_disc(o_totalprice, 0.95) AS p95
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3684,7 +3716,8 @@ object SparkEntry {
     q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
+    q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
+    q133)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

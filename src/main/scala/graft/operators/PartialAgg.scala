@@ -84,4 +84,38 @@ object PartialAgg {
   /** Estimated distinct count of a (possibly merged) state. */
   def distinctEstimate(sketch: Column): Column =
     hll_sketch_estimate(sketch)
+
+  // ===== quantile states (KLL-style sketch columns) =====
+  // Order statistics break the algebraic pattern the same way DISTINCT
+  // does: medians don't add. The mergeable form is the quantile sketch
+  // ([[graft.functions.QuantileSketchAgg]]) — exact (and merge-shape
+  // independent) while a group holds ≤ k values, deterministic
+  // parity-compaction beyond that with spec-measured rank error.
+
+  private val shims = org.apache.spark.sql.graftshim.Shims
+
+  /** Per-group quantile-sketch state of `value` (binary column). */
+  def quantileStates(
+      df: DataFrame, groupCols: Seq[String], value: Column,
+      k: Int = 4096): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(shims.column(graft.functions.QuantileSketchAgg(
+        shims.expression(value), k).toAggregateExpression()).as("qsketch"))
+
+  /** Merge quantile states to a coarser grouping; output is again a
+    * state (composes, like [[merge]] / [[mergeDistinct]]). */
+  def mergeQuantiles(st: DataFrame, groupCols: Seq[String]): DataFrame =
+    st.groupBy(groupCols.map(col): _*)
+      .agg(shims.column(graft.functions.QuantileSketchUnion(
+        shims.expression(col("qsketch"))).toAggregateExpression())
+        .as("qsketch"))
+
+  /** Discrete quantiles of a (possibly merged) state at `probs` —
+    * percentile_disc rank semantics (item at cumulative weight ≥
+    * max(1, ceil(q·n))); null for an empty sketch. */
+  def quantileEstimate(sketch: Column, probs: Seq[Double]): Column =
+    shims.column(graft.functions.SketchQuantiles(
+      shims.expression(sketch),
+      shims.expression(
+        org.apache.spark.sql.functions.typedlit(probs.toArray))))
 }

@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.KllBuffer
+import graft.operators.PartialAgg
+import org.apache.spark.sql.functions._
+
+class QuantileSketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("under capacity: states -> merge -> quantiles is EXACT and equals " +
+      "a direct full-data sketch") {
+    val rows = (1 to 3000).map(i => ((i % 7).toString, i.toDouble))
+    val df = rows.toDF("g", "v").withColumn("shard", col("v") % 13)
+    // fine grain: (g, shard) states; coarse: merge up to g
+    val st = PartialAgg.quantileStates(df, Seq("g", "shard"), col("v"),
+      k = 4096)
+    val merged = PartialAgg.mergeQuantiles(st, Seq("g"))
+      .select(col("g"), PartialAgg.quantileEstimate(col("qsketch"),
+        Seq(0.1, 0.5, 0.9)).as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val direct = PartialAgg.quantileStates(df, Seq("g"), col("v"), k = 4096)
+      .select(col("g"), PartialAgg.quantileEstimate(col("qsketch"),
+        Seq(0.1, 0.5, 0.9)).as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    // exact percentile_disc reference
+    rows.groupBy(_._1).foreach { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val expect = Seq(0.1, 0.5, 0.9).map { q =>
+        sorted(math.max(1, math.ceil(q * sorted.size).toInt) - 1)
+      }
+      assert(merged(g) == expect, s"merged group $g")
+      assert(direct(g) == expect, s"direct group $g")
+    }
+  }
+
+  test("beyond capacity: compaction engages, rank error stays small") {
+    val n = 100000
+    val buf = new KllBuffer(256, 0L)
+    // adversarially ordered: descending, so level-0 is never pre-sorted
+    (n to 1 by -1).foreach(i => buf.insert(i.toDouble))
+    val probs = Array(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val got = buf.quantiles(probs)
+    probs.zip(got).foreach { case (q, v) =>
+      val trueRank = q * n
+      val gotRank = v // values ARE their rank in this fixture
+      val err = math.abs(gotRank - trueRank) / n
+      assert(err <= 0.01, s"q=$q err=$err (got $v)")
+    }
+    // sketch is actually bounded: far fewer stored items than n
+    val stored = buf.levels.map(_.size).sum
+    assert(stored < 6000, s"stored $stored")
+  }
+
+  test("merge of compacted sketches keeps the bound") {
+    val shards = (0 until 10).map { s =>
+      val b = new KllBuffer(256, 0L)
+      (0 until 10000).foreach(i => b.insert((i * 10 + s).toDouble))
+      b
+    }
+    val all = new KllBuffer(256, 0L)
+    shards.foreach(all.mergeIn)
+    assert(all.n == 100000L)
+    val probs = Array(0.1, 0.5, 0.9)
+    val got = all.quantiles(probs)
+    probs.zip(got).foreach { case (q, v) =>
+      val err = math.abs(v / 99999.0 - q) // values uniform on [0, 99999]
+      assert(err <= 0.02, s"q=$q err=$err (got $v)")
+    }
+  }
+
+  test("serialize/deserialize round-trips exactly") {
+    val b = new KllBuffer(64, 0L)
+    (1 to 1000).foreach(i => b.insert(math.sin(i) * 100))
+    val back = KllBuffer.deserialize(b.serialize())
+    assert(back.n == b.n)
+    assert(back.levels.map(_.toSeq) == b.levels.map(_.toSeq))
+    assert(back.parity.toSeq == b.parity.toSeq)
+    assert(back.quantiles(Array(0.3, 0.7)).toSeq ==
+      b.quantiles(Array(0.3, 0.7)).toSeq)
+  }
+
+  test("empty and null handling: empty group yields null quantiles") {
+    val df = Seq(("a", Some(1.0)), ("b", None), ("a", Some(2.0)))
+      .toDF("g", "v")
+    val out = PartialAgg.quantileStates(df, Seq("g"), col("v"))
+      .select(col("g"),
+        PartialAgg.quantileEstimate(col("qsketch"), Seq(0.5)).as("qs"))
+      .collect().map(r =>
+        r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getSeq[Double](1))))
+      .toMap
+    assert(out("a").contains(Seq(1.0)))
+    assert(out("b").isEmpty) // only-null group -> empty sketch -> null
+  }
+}
