@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{TextFunctions => TF, UrlFunctions, VectorFunctions => VF}
 import graft.operators.{Collocations, Decontaminate, Dedup, Fuzzy, Metrics,
   Mixing, PartialAgg, RepeatedSpans, Sampling, Scoring, Similarity}
 
@@ -3706,6 +3706,87 @@ object SparkEntry {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin))
 
+  private val q134 = Q("q134_url_canonical",
+    (s, dir) => {
+      // URL canonicalization + registrable-domain keys (UrlFunctions) —
+      // the normalization in front of exact-URL dedup and per-domain
+      // caps (q113). No URL column exists in the star schema, so the
+      // query synthesizes deterministic messy URLs (case noise, default
+      // ports, tracking params, fragments — all modulo-branched per doc)
+      // and both engines replay synthesis AND canonicalization; the
+      // q41-style literal-replay pattern. Map-only built-ins throughout.
+      val id = col("doc_id")
+      val messy = concat(
+        when(id % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://www.")),
+        col("source"),
+        when(id % 3 === 0, lit(".Example.CO.UK")).otherwise(lit(".example.com")),
+        when(id % 2 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), (id % 7).cast("string"),
+        lit("?utm_source=feed&b=2&a="), (id % 5).cast("string"),
+        when(id % 3 === 1, lit("&fbclid=abc")).otherwise(lit("")),
+        lit("#sec"))
+      t(s, dir, "documents").select(id,
+          UrlFunctions.canonicalizeUrl(messy).as("url_canonical"),
+          UrlFunctions.urlDomain(messy).as("domain"))
+        .orderBy(id)
+    },
+    Some("""WITH raw AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+      |          ELSE 'https://www.' END)
+      |    || source
+      |    || (CASE WHEN doc_id % 3 = 0 THEN '.Example.CO.UK'
+      |             ELSE '.example.com' END)
+      |    || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)
+      |    || '/docs/' || CAST(doc_id % 7 AS VARCHAR)
+      |    || '?utm_source=feed&b=2&a=' || CAST(doc_id % 5 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 3 = 1 THEN '&fbclid=abc' ELSE '' END)
+      |    || '#sec' AS u
+      |  FROM documents
+      |), parts AS (
+      |  SELECT doc_id, regexp_replace(u, '#.*$', '') AS nf FROM raw
+      |), pieces AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |      AS scheme,
+      |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^?]*)', 1)
+      |      AS hostpath,
+      |    regexp_extract(nf, '\?(.*)$', 1) AS rawq
+      |  FROM parts
+      |), hp AS (
+      |  SELECT doc_id, scheme, rawq,
+      |    lower(regexp_extract(hostpath, '^([^/]*)', 1)) AS hostport,
+      |    regexp_extract(hostpath, '^[^/]*(/.*)?$', 1) AS rawpath
+      |  FROM pieces
+      |), canon AS (
+      |  SELECT doc_id, scheme,
+      |    CASE WHEN scheme = 'http'
+      |           THEN regexp_replace(hostport, ':80$', '')
+      |         WHEN scheme = 'https'
+      |           THEN regexp_replace(hostport, ':443$', '')
+      |         ELSE hostport END AS host,
+      |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+      |    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p,
+      |        '^(utm_[^=]*|gclid|fbclid|msclkid)(=|$)'))), '&') AS q
+      |  FROM hp
+      |), dom AS (
+      |  SELECT doc_id, host, string_split(host, '.') AS ls FROM canon
+      |)
+      |SELECT c.doc_id,
+      |  c.scheme || '://' || c.host || c.path ||
+      |    (CASE WHEN c.q = '' THEN '' ELSE '?' || c.q END)
+      |    AS url_canonical,
+      |  CASE WHEN len(d.ls) <= 1 THEN d.host
+      |       WHEN len(d.ls) >= 3 AND (d.ls[-2] || '.' || d.ls[-1]) IN
+      |         ('co.uk', 'org.uk', 'ac.uk', 'gov.uk', 'com.au', 'net.au',
+      |          'org.au', 'co.jp', 'co.nz', 'co.in', 'com.br', 'com.cn',
+      |          'com.mx', 'co.za')
+      |         THEN d.ls[-3] || '.' || d.ls[-2] || '.' || d.ls[-1]
+      |       ELSE d.ls[-2] || '.' || d.ls[-1] END AS domain
+      |FROM canon c JOIN dom d ON c.doc_id = d.doc_id
+      |ORDER BY c.doc_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3717,7 +3798,7 @@ object SparkEntry {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133)
+    q133, q134)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
