@@ -86,6 +86,12 @@ object RepeatedSpans {
     val postings = keyed(positionalGrams(docs, idCol, textCol, k), hashKeys)
     val hot = hotGrams(docs, idCol, textCol, k, minDocs, hashKeys)
       .select(col("__key"), lit(1).as("__hot"))
+    statsFromPostings(postings, hot, idCol, k)
+  }
+
+  private def statsFromPostings(
+      postings: DataFrame, hot: DataFrame,
+      idCol: String, k: Int): DataFrame = {
     val perDoc = postings.join(hot, Seq("__key"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("total_kgrams"),
@@ -108,6 +114,55 @@ object RepeatedSpans {
       (col("dup_kgrams").cast("double") /
         col("total_kgrams").cast("double")).as("dup_ratio"),
       covered.as("covered_tokens"))
+  }
+
+  /** Per-gram distinct-doc counts (__key, n_docs) — the index a
+    * continuous-ingest caller persists between batches (the
+    * [[Dedup.incrementalMinhashNearDups]] contract, restated for
+    * substring dedup). */
+  def gramIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, hashKeys: Boolean = true): DataFrame =
+    keyed(positionalGrams(docs, idCol, textCol, k), hashKeys)
+      .groupBy(col("__key"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+
+  /** Index refresh after a batch: old index + the batch's gram counts.
+    * Doc ids are assumed unique across batches, so the counts ADD
+    * exactly — the merged index equals [[gramIndex]] over the full
+    * corpus, whatever the batch boundaries. */
+  def mergeGramIndex(
+      oldIndex: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String,
+      k: Int, hashKeys: Boolean = true): DataFrame =
+    oldIndex.union(gramIndex(newDocs, idCol, textCol, k, hashKeys))
+      .groupBy(col("__key"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+
+  /** Incremental [[dupStats]]: the duplication roll-up for a NEW batch
+    * against an already-indexed corpus, without rescanning the corpus —
+    * per-batch cost scales with the BATCH. A gram is hot when its
+    * combined distinct-doc count (batch + index) reaches `minDocs`;
+    * counts add exactly (unlike the LSH guardrail there is no
+    * approximation here), so the result EQUALS the full-corpus
+    * [[dupStats]] restricted to the batch's documents — the equality
+    * RepeatedSpansSpec asserts. Existing docs whose grams a new batch
+    * just made hot are the caller's re-score set; their keys are exactly
+    * the index rows the merge bumped across the threshold. */
+  def incrementalDupStats(
+      newDocs: DataFrame, gramIdx: DataFrame,
+      idCol: String, textCol: String,
+      k: Int, minDocs: Int = 2, hashKeys: Boolean = true): DataFrame = {
+    val postings = keyed(positionalGrams(newDocs, idCol, textCol, k),
+      hashKeys)
+    val newCounts = postings
+      .groupBy(col("__key"))
+      .agg(countDistinct(col(idCol)).as("__n_new"))
+    val hot = newCounts.join(gramIdx, Seq("__key"), "left")
+      .filter(col("__n_new") +
+        coalesce(col("n_docs"), lit(0L)) >= minDocs)
+      .select(col("__key"), lit(1).as("__hot"))
+    statsFromPostings(postings, hot, idCol, k)
   }
 
   /** Corpus with heavily-duplicated documents removed: drops documents

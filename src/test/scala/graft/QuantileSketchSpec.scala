@@ -79,6 +79,39 @@ class QuantileSketchSpec extends SparkTestBase {
       b.quantiles(Array(0.3, 0.7)).toSeq)
   }
 
+  test("streaming sketch quantiles equal the batch sketch " +
+      "(state-store round trip)") {
+    // Micro-batch incremental update: buffer serialize/deserialize
+    // between batches plus partial merges. Under capacity nothing
+    // compacts, so the streamed summary is the same multiset as the
+    // one-shot batch — quantiles must match EXACTLY (the byte layouts
+    // may differ: level-0 order is arrival order).
+    val rows = (1 to 900).map(i => ((i * 7919) % 900).toDouble)
+    val probs = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+    def sketchCol = org.apache.spark.sql.graftshim.Shims.column(
+      graft.functions.QuantileSketchAgg(
+        org.apache.spark.sql.graftshim.Shims.expression(col("v")),
+        k = 4096).toAggregateExpression())
+    val batch = rows.toDF("v").agg(sketchCol.as("sk"))
+      .select(PartialAgg.quantileEstimate(col("sk"), probs).as("qs"))
+      .head().getSeq[Double](0)
+    implicit val sqlCtx = spark.sqlContext
+    val mem =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Double]
+    val q = mem.toDF().toDF("v").agg(sketchCol.as("sk"))
+      .writeStream.format("memory").queryName("qsketch_stream")
+      .outputMode("complete").start()
+    rows.grouped(300).foreach { chunk =>
+      mem.addData(chunk)
+      q.processAllAvailable()
+    }
+    val streamed = spark.table("qsketch_stream")
+      .select(PartialAgg.quantileEstimate(col("sk"), probs).as("qs"))
+      .head().getSeq[Double](0)
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("empty and null handling: empty group yields null quantiles") {
     val df = Seq(("a", Some(1.0)), ("b", None), ("a", Some(2.0)))
       .toDF("g", "v")

@@ -72,6 +72,26 @@ class RepeatedSpansSpec extends SparkTestBase {
     assert(hashed.nonEmpty)
   }
 
+  test("incremental stats over a persisted gram index equal the " +
+      "full-corpus run restricted to the batch") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val idx = RepeatedSpans.gramIndex(old, "doc_id", "text", k = 6)
+    val inc = RepeatedSpans.incrementalDupStats(batch, idx,
+        "doc_id", "text", k = 6).orderBy("doc_id").collect().toSeq
+    val fullForBatch = RepeatedSpans.dupStats(docs, "doc_id", "text", k = 6)
+      .filter(col("doc_id") % 5 === 0).orderBy("doc_id").collect().toSeq
+    assert(inc == fullForBatch)
+    assert(inc.nonEmpty)
+    // merged index equals the from-scratch full-corpus index
+    val merged = RepeatedSpans.mergeGramIndex(idx, batch, "doc_id", "text",
+        k = 6).orderBy("__key").collect().toSeq
+    val full = RepeatedSpans.gramIndex(docs, "doc_id", "text", k = 6)
+      .orderBy("__key").collect().toSeq
+    assert(merged == full)
+  }
+
   test("clean drops exactly the docs above the dup-ratio cutoff") {
     val kept = RepeatedSpans.clean(corpus, "doc_id", "text",
       k = 3, maxDupRatio = 0.2).select("doc_id").as[Long].collect().toSet
