@@ -77,7 +77,13 @@ object ScaleProbe {
     // AUC (10x events), exact prefix join (output grows like q36 — its
     // contract is every qualifying pair), PageRank (10x customers)
     "q117_oph_neardup", "q118_incremental_rollup", "q119_kmeans_step",
-    "q120_auc", "q121_prefix_join", "q122_pagerank", "q126_sketch_rollup")
+    "q120_auc", "q121_prefix_join", "q122_pagerank", "q126_sketch_rollup",
+    // round 8: substring-dedup postings (10x docs, duplicated texts make
+    // EVERY gram hot — worst-case posting/hot-join growth), the map-only
+    // classifier pass (represents q132/q134's shape too), and the
+    // quantile rollup (10x pushes priority groups past sketch capacity,
+    // so compaction is IN the measured path)
+    "q130_repeated_spans", "q131_classifier_score", "q133_quantile_rollup")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

@@ -3555,11 +3555,14 @@ object SparkEntry {
       // .dupStats): positional 6-gram postings, grams in >= 2 distinct
       // docs, per-doc duplicated-position count and merged span
       // coverage — the substring-level dedup view whole-doc/LSH dedup
-      // misses (boilerplate, quoted passages). hashKeys=false here so
-      // the grouping key replays exactly in DuckDB; the hashed arm is
-      // equality-tested in RepeatedSpansSpec.
+      // misses (boilerplate, quoted passages). hashKeys=true is the
+      // scale arm (8-byte xxhash64 shuffle keys, 3x faster here); its
+      // output is value-identical to the exact-string arm the DuckDB
+      // oracle replays unless a 64-bit collision flags a gram
+      // spuriously (~2^-25 at this cardinality — and the oracle compare
+      // itself would catch it).
       RepeatedSpans.dupStats(t(s, dir, "documents"), "doc_id", "text",
-          k = 6, minDocs = 2, hashKeys = false)
+          k = 6, minDocs = 2, hashKeys = true)
         .filter(col("dup_kgrams") > 0)
         .select(col("doc_id"), col("total_kgrams"), col("dup_kgrams"),
           round(col("dup_ratio"), 6).as("dup_ratio"),

@@ -628,3 +628,83 @@ case class CharEntropy(child: Expression)
   override protected def withNewChildInternal(c: Expression): CharEntropy =
     copy(child = c)
 }
+
+/** Static helper for [[PositionalWordShingles]] — standalone object so
+  * generated Java reaches it through the static forwarder. */
+object PositionalShingleUtil {
+  /** All word n-grams of the text IN POSITION ORDER (index = 0-based
+    * token offset), same tokenizer as [[ShingleUtil.compute]] (lowercase,
+    * Java `\s+` splits, empties dropped) but keeping duplicates and
+    * order — the postings form substring-dedup needs. Value-identical to
+    * `transform(sequence(...), i -> array_join(slice(tokens, i, n), " "))`
+    * over `filter(split(lower(text), "\s+"), _ =!= "")`, which as an
+    * interpreted higher-order-function tree costs ~30× more per row
+    * (measured: 3.1 s → 0.1 s for 246k postings at sf0.1). */
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toLowerCase.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      while (i < len && isWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(str.charAt(i))) i += 1
+      if (i > start) toks.add(str.substring(start, i))
+    }
+    val nt = toks.size()
+    val count = math.max(nt - n + 1, 0)
+    val arr = new Array[AnyRef](count)
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j < count) {
+      sb.setLength(0)
+      var w = 0
+      while (w < n) {
+        if (w > 0) sb.append(' ')
+        sb.append(toks.get(j + w))
+        w += 1
+      }
+      arr(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+}
+
+/** Positional word n-grams (duplicates and order kept; element index =
+  * token offset) as one fused codegen pass — the postings generator for
+  * [[graft.operators.RepeatedSpans]]. */
+case class PositionalWordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"positional_word_shingles requires string, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    PositionalShingleUtil.compute(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PositionalShingleUtil.compute($c, $n);")
+
+  override protected def withNewChildInternal(
+      c: Expression): PositionalWordShingles =
+    copy(child = c)
+}

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions
 
 /** Cross-document repeated-substring detection — the "dedup at the
   * substring level" signal of Lee et al. 2021 (Deduplicating Training
@@ -36,17 +35,18 @@ object RepeatedSpans {
 
   /** Positional k-grams: one row per (id, __pos, __g) with __pos the
     * 0-based token offset of the gram. Documents shorter than k tokens
-    * emit nothing (no substring of length k exists). */
+    * emit nothing (no substring of length k exists). Gram construction is
+    * the fused codegen [[graft.functions.PositionalWordShingles]] pass —
+    * the equivalent interpreted higher-order-function tree
+    * (`transform(sequence, i -> array_join(slice(tokens, i, k)))`) was
+    * the whole query's bottleneck at sf0.1 (~30× slower per row;
+    * RepeatedSpansSpec pins value-equality against that form). */
   def positionalGrams(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val tk = TextFunctions.tokens(col(textCol))
-    // sequence(1, n) DESCENDS when n < 1, so the short-doc case must be
-    // an explicit empty array, not sequence's wraparound.
-    val gramArr = when(size(tk) >= k,
-      transform(sequence(lit(1), size(tk) - lit(k - 1)),
-        i => array_join(slice(tk, i, lit(k)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val gramArr = org.apache.spark.sql.graftshim.Shims.column(
+      graft.functions.PositionalWordShingles(
+        org.apache.spark.sql.graftshim.Shims.expression(col(textCol)), k))
     docs.select(col(idCol),
       posexplode(gramArr).as(Seq("__pos", "__g")))
   }

@@ -72,6 +72,22 @@ class RepeatedSpansSpec extends SparkTestBase {
     assert(hashed.nonEmpty)
   }
 
+  test("fused positional grams equal the declarative HOF construction") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val fused = RepeatedSpans.positionalGrams(docs, "doc_id", "text", 4)
+      .orderBy("doc_id", "__pos").collect().toSeq
+    val tk = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val gramArr = when(size(tk) >= 4,
+      transform(sequence(lit(1), size(tk) - lit(3)),
+        i => array_join(slice(tk, i, lit(4)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val declarative = docs.select(col("doc_id"),
+        posexplode(gramArr).as(Seq("__pos", "__g")))
+      .orderBy("doc_id", "__pos").collect().toSeq
+    assert(fused == declarative)
+    assert(fused.nonEmpty)
+  }
+
   test("incremental stats over a persisted gram index equal the " +
       "full-corpus run restricted to the batch") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
