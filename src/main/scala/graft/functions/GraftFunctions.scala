@@ -24,6 +24,14 @@ object GraftFunctions {
     "normalize_unicode" -> (es => NormalizeUnicode(es(0), "NFC")),
     "jaccard_similarity" -> (es => JaccardSimilarity(es(0), es(1))),
     "char_entropy" -> (es => CharEntropy(es(0))),
+    "positional_word_shingles" -> (es => PositionalWordShingles(es(0),
+      es(1).eval().asInstanceOf[Number].intValue())),
+    // aggregates: the analyzer wraps a returned AggregateFunction in an
+    // AggregateExpression itself, same as the built-in registry entries
+    "quantile_sketch_agg" -> (es => QuantileSketchAgg(es(0),
+      es(1).eval().asInstanceOf[Number].intValue())),
+    "quantile_sketch_union" -> (es => QuantileSketchUnion(es(0))),
+    "sketch_quantiles" -> (es => SketchQuantiles(es(0), es(1))),
     // n / k arguments arrive as foldable int literals from SQL
     "word_shingles" -> (es => WordShingles(es(0),
       es(1).eval().asInstanceOf[Number].intValue())))

@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Chunking, Decontaminate, Dedup, Packing, Sampling}
+import graft.operators.{Chunking, Decontaminate, Dedup, Packing,
+  RepeatedSpans, Sampling, Scoring}
 
 /** End-to-end training-corpus curation: the composition a 100 TB text
   * pipeline actually runs, as one declarative plan per stage —
@@ -51,23 +52,54 @@ object CorpusPipeline {
       // optional per-source document ceiling (docs-per-domain cap),
       // applied after exact dedup
       maxPerSource: Option[Int] = None,
-      sourceCol: String = "source")
+      sourceCol: String = "source",
+      // char-entropy gate (bits/code point): natural language sits
+      // ~3.5–4.5; low = repetitive boilerplate, high = base64/minified
+      // noise. Defaults keep the gate open.
+      minEntropy: Double = 0.0,
+      maxEntropy: Double = Double.MaxValue,
+      // optional learned quality filter (Scoring.score): hashed-feature
+      // weights + bias from an offline-trained linear classifier; docs
+      // below `minClassifierProb` are gated out
+      classifierWeights: Option[(Array[Double], Double)] = None,
+      minClassifierProb: Double = 0.5,
+      // optional substring-level dedup (RepeatedSpans.clean): drop docs
+      // whose cross-corpus duplicated-k-gram ratio exceeds the cap —
+      // catches boilerplate/quoted passages whole-doc dedup misses
+      maxSubstringDupRatio: Option[Double] = None,
+      substringK: Int = 6)
 
-  /** Stage 1: annotate every doc with analysis columns (single pass). */
-  def annotate(docs: DataFrame, cfg: Config = Config()): DataFrame =
-    docs
+  /** Stage 1: annotate every doc with analysis columns (single pass —
+    * every signal here is a map-only codegen expression, including the
+    * optional learned-classifier probability). */
+  def annotate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val base = docs
       .withColumn("lang_pred", TextFunctions.langId(col(cfg.textCol)))
       .withColumn("n_tokens", TextFunctions.tokenCount(col(cfg.textCol)))
       .withColumn("quality", TextFunctions.qualityScore(col(cfg.textCol)))
       .withColumn("repetition",
         TextFunctions.repetitionScore(col(cfg.textCol), 3))
+      .withColumn("char_entropy",
+        TextFunctions.charEntropy(col(cfg.textCol)))
       .withColumn("fp", TextFunctions.fingerprint(col(cfg.textCol)))
+    cfg.classifierWeights.fold(base) { case (w, bias) =>
+      base.withColumn("classifier_prob",
+        Scoring.score(col(cfg.textCol), w, bias))
+    }
+  }
 
-  /** Stage 2: quality gate (cheap filters before any shuffle). */
-  def qualityGate(annotated: DataFrame, cfg: Config = Config()): DataFrame =
-    annotated.filter(
+  /** Stage 2: quality gate (cheap filters before any shuffle) —
+    * heuristic score, token count, repetition, entropy band, and the
+    * learned classifier probability when weights are configured. */
+  def qualityGate(annotated: DataFrame, cfg: Config = Config()): DataFrame = {
+    val heuristic = annotated.filter(
       col("quality") >= cfg.minQuality && col("n_tokens") >= cfg.minTokens &&
-        col("repetition") <= cfg.maxRepetition)
+        col("repetition") <= cfg.maxRepetition &&
+        col("char_entropy").between(cfg.minEntropy, cfg.maxEntropy))
+    if (cfg.classifierWeights.isDefined)
+      heuristic.filter(col("classifier_prob") >= cfg.minClassifierProb)
+    else heuristic
+  }
 
   /** Stage 3: exact dedup on normalized fingerprint (lowest id wins). */
   def exactDedup(gated: DataFrame, cfg: Config = Config()): DataFrame =
@@ -121,8 +153,13 @@ object CorpusPipeline {
   def curate(docs: DataFrame, cfg: Config = Config(),
       evalDocs: Option[DataFrame] = None): DataFrame = {
     val exact = exactDedup(qualityGate(annotate(docs, cfg), cfg), cfg)
-    val capped = cfg.maxPerSource.fold(exact)(k =>
-      Sampling.capPerGroup(exact, cfg.idCol, cfg.sourceCol, k))
+    // substring-level dedup sits between exact and near-dup: it removes
+    // boilerplate-dominated docs, shrinking the LSH stage's input
+    val subClean = cfg.maxSubstringDupRatio.fold(exact)(r =>
+      RepeatedSpans.clean(exact, cfg.idCol, cfg.textCol,
+        k = cfg.substringK, maxDupRatio = r))
+    val capped = cfg.maxPerSource.fold(subClean)(k =>
+      Sampling.capPerGroup(subClean, cfg.idCol, cfg.sourceCol, k))
     if (cfg.dropNearDups)
       split(decontaminate(nearDedup(capped, cfg), evalDocs, cfg), cfg)
     else {

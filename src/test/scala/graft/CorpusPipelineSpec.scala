@@ -163,6 +163,40 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(sizes.nonEmpty && sizes.forall(_ <= 5))
   }
 
+  test("round-8 gates: entropy band, classifier threshold, substring cap") {
+    // 16-token boilerplate run: in a 20-token doc that is 11 of 15
+    // 6-gram positions duplicated (0.73 > the 0.5 cap)
+    val boiler = "standard license header text granted free of charge to " +
+      "any person obtaining a copy of this"
+    val docs = Seq(
+      (1L, "a genuinely informative document about query planning in spark"),
+      (2L, s"$boiler plus trailing words one"),
+      (3L, s"$boiler and differing suffix two"),
+      (4L, "zzzz zzzz zzzz zzzz zzzz zzzz") // near-zero entropy
+    ).toDF("doc_id", "text")
+    val w = graft.operators.Scoring.dyadicWeights(64)
+    val cfg = CorpusPipeline.Config(
+      minQuality = 0.0, minTokens = 3, maxRepetition = 1.0,
+      nearDupThreshold = 0.95,
+      minEntropy = 2.0, // kills doc 4 (few distinct chars)
+      classifierWeights = Some((w, 4.0)), // bias 4 -> everyone passes
+      minClassifierProb = 0.5,
+      maxSubstringDupRatio = Some(0.5), substringK = 6)
+    val out = CorpusPipeline.curate(docs, cfg)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(4L)) // entropy gate
+    // docs 2,3 share an 8-token boilerplate run: >50% of their 6-gram
+    // positions are duplicated -> substring cap drops BOTH
+    assert(!ids.contains(2L) && !ids.contains(3L))
+    assert(ids.contains(1L))
+    assert(out.columns.contains("char_entropy"))
+    assert(out.columns.contains("classifier_prob"))
+    // a hostile classifier bias gates everything
+    val strict = CorpusPipeline.curate(docs,
+      cfg.copy(classifierWeights = Some((w, -4.0))))
+    assert(strict.count() == 0L)
+  }
+
   test("multimodal decode features flow into embedding near-dup") {
     // cross-module integration: decoded media features are an embedding
     // column like any other — dedup operators apply unchanged

@@ -112,6 +112,25 @@ class QuantileSketchSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("sketch aggregates are SQL-callable after registration") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    (1 to 100).map(i => (i % 4, i.toDouble)).toDF("g", "v")
+      .createOrReplaceTempView("qsk_input")
+    val r = spark.sql(
+      """SELECT g, sketch_quantiles(sk, array(0.5D))[0] AS med FROM (
+        |  SELECT g, quantile_sketch_union(s) AS sk FROM (
+        |    SELECT g, v % 10 AS shard, quantile_sketch_agg(v, 64) AS s
+        |    FROM qsk_input GROUP BY g, v % 10
+        |  ) GROUP BY g
+        |)""".stripMargin)
+      .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    // group g holds {g, g+4, ..., <=100}: 25 values, disc median = 13th
+    (0 to 3).foreach { g =>
+      val vals = (1 to 100).filter(_ % 4 == g).map(_.toDouble).sorted
+      assert(r(g) == vals(math.ceil(0.5 * vals.size).toInt - 1), s"g=$g")
+    }
+  }
+
   test("empty and null handling: empty group yields null quantiles") {
     val df = Seq(("a", Some(1.0)), ("b", None), ("a", Some(2.0)))
       .toDF("g", "v")
