@@ -70,6 +70,37 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"))
 
+  /** Event-time windowed VALUE QUANTILES — streaming latency/size
+    * percentile monitoring (p50/p95/p99 per window), the order-statistic
+    * monitor a counter can't express. State per (window, type) group is
+    * ONE mergeable quantile sketch ([[graft.functions.QuantileSketchAgg]]
+    * — exact under `sketchK` values, deterministic compaction past it),
+    * not the window's raw values, so watermark × groups bounds memory
+    * however many events land in a window. QuantileSketchSpec proves the
+    * state-store round trip equals the one-shot batch sketch; the spec
+    * here checks windows against batch groupBy on the same rows. */
+  def windowedQuantiles(
+      events: DataFrame,
+      valueCol: String = "value",
+      probs: Seq[Double] = Seq(0.5, 0.95, 0.99),
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours",
+      sketchK: Int = 4096): DataFrame = {
+    val shims = org.apache.spark.sql.graftshim.Shims
+    val sketch = shims.column(graft.functions.QuantileSketchAgg(
+      shims.expression(col(valueCol)), sketchK).toAggregateExpression())
+    val qs = graft.operators.PartialAgg.quantileEstimate(col("__sk"), probs)
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sketch.as("__sk"))
+      .select(Seq(col("window.start").as("window_start"),
+        col("event_type"), col("n")) ++
+        probs.zipWithIndex.map { case (p, i) =>
+          qs(i).as(s"p${(p * 100).round}")
+        }: _*)
+  }
+
   /** Streaming exact dedup on event_id: watermark-bounded state, the
     * streaming form of the batch `dropDuplicates`. */
   def dedupeStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =

@@ -50,6 +50,40 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowedQuantiles over a file stream match exact batch " +
+      "percentiles per window") {
+    val dir = Files.createTempDirectory("graft_wq").toString
+    Files.copy(java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // exact percentile_disc truth per (hour window, type): event counts
+    // per group sit far under sketchK, so the sketch must be EXACT
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(expr("timestamp_micros((ts DIV 3600000000000) * 3600000000)")
+        .as("window_start"), col("event_type"))
+      .agg(expr("percentile(value, array(0.5, 0.95), 1)").as("exact"),
+        collect_list(col("value")).as("vals"))
+      .collect().map { r =>
+        val vals = r.getSeq[Double](3).sorted
+        def disc(q: Double) =
+          vals(math.max(1, math.ceil(q * vals.size).toInt) - 1)
+        (r.get(0).toString, r.getString(1)) -> ((disc(0.5), disc(0.95)))
+      }.toMap
+    val stream = EventStreams.readEventStream(spark, dir)
+    val q = EventStreams.windowedQuantiles(stream,
+        probs = Seq(0.5, 0.95))
+      .writeStream.format("memory").queryName("wq")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM wq")
+        .collect().map(r => (r.get(0).toString, r.getString(1)) ->
+          ((r.getDouble(3), r.getDouble(4)))).toMap
+      assert(got == batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("slidingCounts: overlapping windows match the batch assignment") {
     val dir = Files.createTempDirectory("graft_sw").toString
     Files.copy(java.nio.file.Paths.get(s"$sf001/events.parquet"),
