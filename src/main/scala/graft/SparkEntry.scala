@@ -3709,6 +3709,66 @@ object SparkEntry {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin))
 
+  private val q135 = Q("q135_incremental_spans",
+    (s, dir) => {
+      // Incremental substring dedup under the oracle gate: batch docs
+      // (doc_id % 5 = 0) scored against a PERSISTED gram index built
+      // from the rest of the corpus — per-batch cost scales with the
+      // batch, never the corpus. Because gram doc-counts ADD exactly,
+      // the incremental result EQUALS the full-corpus q130 restricted
+      // to the batch, so the full-corpus SQL with that restriction IS
+      // the oracle: any drift in the index join, combined-count
+      // hotness, or stats roll-up goes red here.
+      val docs = t(s, dir, "documents")
+      val idx = RepeatedSpans.gramIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", k = 6)
+      RepeatedSpans.incrementalDupStats(
+          docs.filter(col("doc_id") % 5 === 0), idx, "doc_id", "text",
+          k = 6, minDocs = 2)
+        .filter(col("dup_kgrams") > 0)
+        .select(col("doc_id"), col("total_kgrams"), col("dup_kgrams"),
+          round(col("dup_ratio"), 6).as("dup_ratio"),
+          col("covered_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> t <> '') AS tk FROM documents
+      |), grams AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+      |    tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] AS g
+      |  FROM toks, LATERAL unnest(range(1, greatest(len(tk) - 4, 1))) u(i)
+      |), hot AS (
+      |  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+      |), marked AS (
+      |  SELECT grams.doc_id, grams.pos, hot.g AS hit
+      |  FROM grams LEFT JOIN hot ON grams.g = hot.g
+      |  WHERE grams.doc_id % 5 = 0
+      |), merged AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN MAX(pos) OVER w IS NULL
+      |      OR pos - MAX(pos) OVER w >= 6 THEN 6
+      |    ELSE pos - MAX(pos) OVER w END AS added
+      |  FROM marked WHERE hit IS NOT NULL
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |), stats AS (
+      |  SELECT m.doc_id, CAST(COUNT(*) AS BIGINT) AS total_kgrams,
+      |    CAST(COUNT(m.hit) AS BIGINT) AS dup_kgrams
+      |  FROM marked m GROUP BY m.doc_id
+      |), cov AS (
+      |  SELECT doc_id, CAST(SUM(added) AS BIGINT) AS covered_tokens
+      |  FROM merged GROUP BY doc_id
+      |)
+      |SELECT s.doc_id, s.total_kgrams, s.dup_kgrams,
+      |  ROUND(CAST(s.dup_kgrams AS DOUBLE) /
+      |    CAST(s.total_kgrams AS DOUBLE), 6) AS dup_ratio,
+      |  cov.covered_tokens
+      |FROM stats s JOIN cov ON s.doc_id = cov.doc_id
+      |WHERE s.dup_kgrams > 0
+      |ORDER BY s.doc_id""".stripMargin))
+
   private val q134 = Q("q134_url_canonical",
     (s, dir) => {
       // URL canonicalization + registrable-domain keys (UrlFunctions) —
@@ -3801,7 +3861,7 @@ object SparkEntry {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134)
+    q133, q134, q135)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
