@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, UrlFunctions, VectorFunctions => VF}
 import graft.operators.{Collocations, Decontaminate, Dedup, Fuzzy, Metrics,
-  Mixing, PartialAgg, RepeatedSpans, Sampling, Scoring, Similarity}
+  Mixing, PartialAgg, RepeatedSpans, Retrieval, Sampling, Scoring,
+  Similarity}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2) over the
   * test star schema, each query paired with DuckDB oracle SQL.
@@ -3850,6 +3851,55 @@ object SparkEntry {
       |FROM canon c JOIN dom d ON c.doc_id = d.doc_id
       |ORDER BY c.doc_id""".stripMargin))
 
+  private val q136 = Q("q136_bm25",
+    (s, dir) => {
+      // Okapi BM25 corpus scoring (Retrieval.bm25) — query-targeted
+      // curation. Scale shape: token filter BEFORE the shuffle (only
+      // query-term hits move), |Q|-row idf table broadcast back, corpus
+      // stats one 1-row collect of exact integers. Per-term partials are
+      // DECIMAL(22,9)-rounded then decimal-summed, so partial-agg order
+      // can't move the per-doc sum; ln()'s last ulp is absorbed by
+      // round(6) (q131/q132 precedent). The oracle mirrors the exact
+      // double evaluation order: (idf*(tf*2.2))/(tf+1.2*(0.25+
+      // (0.75*dl)/avgdl)), avgdl = toDouble/toDouble.
+      Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Seq("hash", "join", "vector", "stream", "spark"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '') AS ts
+      |  FROM documents
+      |), docs_dl AS (
+      |  SELECT doc_id, ts, len(ts) AS dl FROM toks
+      |), stats AS (
+      |  SELECT COUNT(*) AS n_docs, SUM(dl) AS tot FROM docs_dl
+      |), hits AS (
+      |  SELECT doc_id, dl, unnest(ts) AS term FROM docs_dl
+      |), tf AS (
+      |  SELECT doc_id, term, dl, COUNT(*) AS tf
+      |  FROM hits
+      |  WHERE term IN ('hash', 'join', 'vector', 'stream', 'spark')
+      |  GROUP BY doc_id, term, dl
+      |), idf AS (
+      |  SELECT term,
+      |    ln((s.n_docs - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1.0) AS idf
+      |  FROM tf, stats s GROUP BY term, s.n_docs
+      |), scored AS (
+      |  SELECT t.doc_id,
+      |    CAST((i.idf * (t.tf * 2.2)) /
+      |      (t.tf + 1.2 * (0.25 + (0.75 * t.dl) /
+      |        (CAST((SELECT tot FROM stats) AS DOUBLE) /
+      |         CAST((SELECT n_docs FROM stats) AS DOUBLE))))
+      |      AS DECIMAL(22,9)) AS s_term
+      |  FROM tf t JOIN idf i ON t.term = i.term
+      |)
+      |SELECT doc_id,
+      |  ROUND(CAST(SUM(s_term) AS DOUBLE), 6) AS bm25,
+      |  COUNT(*) AS n_terms
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3861,7 +3911,7 @@ object SparkEntry {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135)
+    q133, q134, q135, q136)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
