@@ -7,8 +7,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, UrlFunctions, VectorFunctions => VF}
-import graft.operators.{Collocations, Decontaminate, Dedup, Fuzzy, Metrics,
-  Mixing, PartialAgg, RepeatedSpans, Retrieval, Sampling, Scoring,
+import graft.operators.{Bpe, Collocations, Decontaminate, Dedup, Fuzzy,
+  Metrics, Mixing, PartialAgg, RepeatedSpans, Retrieval, Sampling, Scoring,
   Similarity}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2) over the
@@ -3900,6 +3900,86 @@ object SparkEntry {
       |  COUNT(*) AS n_terms
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** One DuckDB BPE learning iteration: pair counts from the rendered
+    * vocab CTE `$from`, winner by (cnt desc, l, r), merged vocab. */
+  private def bpeIterSql(i: Int, from: String): String =
+    s"""p$i AS (
+      |  SELECT pr.l AS l, pr.r AS r, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+      |    SELECT n, unnest(list_transform(range(1, len(syms)),
+      |      k -> {'l': syms[k], 'r': syms[k+1]})) AS pr
+      |    FROM (SELECT list_filter(string_split_regex(s, '[| ]+'),
+      |      x -> x <> '') AS syms, n FROM $from)
+      |  ) GROUP BY pr.l, pr.r
+      |), w$i AS (
+      |  SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1
+      |), v$i AS (
+      |  SELECT replace(s, '|' || w.l || ' |' || w.r || ' ',
+      |                 '|' || w.l || w.r || ' ') AS s, n
+      |  FROM $from, w$i w
+      |)""".stripMargin
+
+  private val q137 = Q("q137_bpe_learn",
+    (s, dir) => {
+      // Distributed BPE merge learning (Bpe.learnMerges), 3 iterations
+      // replayed exactly in SQL (the q122-pagerank chained-CTE pattern).
+      // Corpus folds ONCE into distinct-word counts; each iteration is a
+      // vocab-sized pair-count shuffle + 1-row winner collect; merge
+      // apply is one codegen'd replace on the "|sym " rendering, whose
+      // left-to-right non-overlapping scan IS greedy BPE. All counts
+      // exact integers — hash-exact oracle, no float anywhere.
+      Bpe.learnMerges(t(s, dir, "documents"), "text", numMerges = 3)
+    },
+    Some(s"""WITH wc AS (
+      |  SELECT w AS word, COUNT(*) AS n FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(text),
+      |      '\\s+'), x -> x <> '')) AS w
+      |    FROM documents)
+      |  WHERE NOT contains(w, '|')
+      |  GROUP BY w
+      |), v0 AS (
+      |  SELECT regexp_replace(word, '(.)', '|\\1 ', 'g') AS s, n FROM wc
+      |), ${bpeIterSql(1, "v0")},
+      |${bpeIterSql(2, "v1")},
+      |${bpeIterSql(3, "v2")}
+      |SELECT * FROM (
+      |  SELECT 1 AS "rank", l AS "left", r AS "right",
+      |    cnt AS pair_count FROM w1
+      |  UNION ALL SELECT 2, l, r, cnt FROM w2
+      |  UNION ALL SELECT 3, l, r, cnt FROM w3
+      |) ORDER BY "rank"""".stripMargin))
+
+  private val q138 = Q("q138_bpe_encode",
+    (s, dir) => {
+      // BPE encode under a fixed rank-ordered merge list — the entire
+      // encode is a whole-stage-codegen chain (one regexp_replace render
+      // + one replace per merge), BpeSpec-asserted; original whitespace
+      // is the word barrier (2+ spaces between units across words, so a
+      // "|l |r " pattern can never span words). Counts exact integers.
+      val m = Seq(("h", "a"), ("ha", "s"), ("has", "h"),
+        ("j", "o"), ("jo", "i"), ("joi", "n"))
+      t(s, dir, "documents").select(col("doc_id"),
+          Bpe.tokenCount(col("text"), m).as("n_bpe"),
+          Bpe.symbolCount(col("text"), m, "hash").as("n_hash"),
+          Bpe.symbolCount(col("text"), m, "join").as("n_join"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH enc AS (
+      |  SELECT doc_id,
+      |    replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(replace(lower(text), '|', ''),
+      |        '(\S)', '|\1 ', 'g'),
+      |      '|h |a ', '|ha '), '|ha |s ', '|has '),
+      |      '|has |h ', '|hash '), '|j |o ', '|jo '),
+      |      '|jo |i ', '|joi '), '|joi |n ', '|join ') AS s
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(s) - len(replace(s, '|', '')) AS BIGINT) AS n_bpe,
+      |  CAST((len(s) - len(replace(s, '|hash ', ''))) // 6 AS BIGINT)
+      |    AS n_hash,
+      |  CAST((len(s) - len(replace(s, '|join ', ''))) // 6 AS BIGINT)
+      |    AS n_join
+      |FROM enc ORDER BY doc_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3911,7 +3991,7 @@ object SparkEntry {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136)
+    q133, q134, q135, q136, q137, q138)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,215 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, IntegerType, StringType,
+  StructField, StructType}
+
+import graft.functions.{TextFunctions => TF}
+
+/** Byte-pair-encoding merge learning and encoding — the tokenizer-
+  * training leg of an LLM data pipeline (Sennrich, Haddow & Birch 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units";
+  * GPT-2-style char-level variant without end-of-word markers).
+  *
+  * Scale design (the reason this shape survives 100 TB):
+  *   - The corpus is folded ONCE into a distinct-word count table
+  *     (`wordCounts` — the only corpus-sized shuffle). Every learning
+  *     iteration then runs over the vocabulary, whose size is bounded by
+  *     distinct words, not corpus tokens — the classic BPE trick.
+  *   - Word symbol state is a single rendered string per word: symbol
+  *     `s` → unit `"|s "` (pipe before, space after). Applying a merge
+  *     (l, r) → lr is then ONE codegen'd `replace(s, "|l |r ", "|lr ")`
+  *     — string replace's left-to-right non-overlapping scan IS the
+  *     greedy BPE merge order, and no per-row imperative code exists
+  *     anywhere in the loop.
+  *   - Pair counting is map-side (slice + zip_with over the symbol
+  *     array), so each iteration costs one vocab-sized partial-agg
+  *     shuffle of (left, right, Σn) plus a 1-row collect of the winner.
+  *   - Lineage is truncated per iteration (localCheckpoint by default;
+  *     `checkpointDir` switches to reliable checkpoints for long cluster
+  *     runs — the Graph.pagerank pattern).
+  *   - A driver-local arm (`localVocabThreshold`) runs the identical
+  *     algorithm over a collected vocab when it is small — the
+  *     Dedup.connectedComponents hybrid gate. Both arms are
+  *     tie-broken identically (max count, then lexicographic (l, r))
+  *     and are asserted equal in BpeSpec.
+  *
+  * Words containing the structural `'|'` glyph are excluded from
+  * learning (and stripped before encoding): `'|'` delimits symbol
+  * units. Original inter-word whitespace is the cross-word barrier —
+  * rendered units are separated by exactly one space inside a word and
+  * two or more across words, so a merge pattern `"|l |r "` can never
+  * span a word boundary.
+  *
+  * Reference behavior reproduced: the reference pipeline counts
+  * whitespace tokens only (`dags/utils.py:214` token statistics); BPE
+  * learning is the standard strengthening of that surface for a
+  * tokenizer-training corpus pass.
+  */
+object Bpe {
+
+  /** Render a word as symbol units: "abc" → "|a |b |c ". */
+  def renderWord(word: Column): Column =
+    regexp_replace(word, "(.)", "|$1 ")
+
+  /** Symbols of a rendered string (symbols never contain '|' or ' '). */
+  def symbolsOf(s: Column): Column =
+    filter(split(s, "[| ]+"), x => x =!= "")
+
+  /** Distinct-word counts — the single corpus-sized shuffle. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TF.tokens(col(textCol))).as("word"))
+      .filter(!col("word").contains("|"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Learn `numMerges` BPE merges from the corpus. Returns
+    * (rank int starting at 1, left, right, pair_count long), rank-ordered.
+    *
+    * Pair counts follow the standard adjacency convention: every
+    * adjacent index pair counts, so a run "aaa" contributes (a,a) twice.
+    */
+  def learnMerges(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      localVocabThreshold: Long = 2000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val vocab0 = wordCounts(docs, textCol)
+      .select(renderWord(col("word")).as("s"), col("n"))
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+
+    val vocabSize = vocab0.count()
+    val merges =
+      if (vocabSize <= localVocabThreshold)
+        learnLocal(vocab0.collect().map(r =>
+          (r.getString(0), r.getLong(1))), numMerges)
+      else
+        learnDistributed(vocab0, numMerges, checkpointDir.isDefined)
+
+    val schema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("left", StringType, nullable = false),
+      StructField("right", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.zipWithIndex.map {
+        case ((l, r, c), i) => Row(i + 1, l, r, c)
+      }, numSlices = 1), schema)
+  }
+
+  /** Driver arm: identical algorithm over the collected vocab. */
+  private def learnLocal(
+      vocab: Array[(String, Long)],
+      numMerges: Int): Seq[(String, String, Long)] = {
+    // mutable symbol vectors, scanned with the same greedy left-to-right
+    // non-overlapping merge the string-replace arm performs
+    val words = vocab.map { case (s, n) =>
+      (mutable.ArrayBuffer.from(
+        s.split("[| ]+").iterator.filter(_.nonEmpty)), n)
+    }
+    val out = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var k = 0
+    while (k < numMerges) {
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (sym, n) =>
+        var i = 0
+        while (i < sym.length - 1) {
+          val p = (sym(i), sym(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) return out.toSeq
+      val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+      out += ((l, r, c))
+      words.foreach { case (sym, _) =>
+        var i = 0
+        while (i < sym.length - 1) {
+          if (sym(i) == l && sym(i + 1) == r) {
+            sym(i) = l + r
+            sym.remove(i + 1)
+          } // merged symbol is never re-examined: greedy non-overlap
+          i += 1
+        }
+      }
+      k += 1
+    }
+    out.toSeq
+  }
+
+  /** Distributed arm: vocab-sized pair-count shuffle + 1-row collect per
+    * iteration; lineage truncated each round. */
+  private def learnDistributed(
+      vocab0: DataFrame,
+      numMerges: Int,
+      reliable: Boolean): Seq[(String, String, Long)] = {
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    var vocab = truncate(vocab0)
+    val out = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var k = 0
+    while (k < numMerges) {
+      val sym = symbolsOf(col("s"))
+      // map-side pair generation; vocab-sized shuffle of (l, r, Σn)
+      val winners = vocab
+        .select(col("n"), explode(zip_with(
+          slice(sym, lit(1), size(sym) - 1),
+          slice(sym, lit(2), size(sym) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (winners.isEmpty) return out.toSeq
+      val w = winners.head
+      val (l, r, c) = (w.getString(0), w.getString(1), w.getLong(2))
+      out += ((l, r, c))
+      vocab = truncate(vocab.withColumn("s",
+        replace(col("s"), lit(s"|$l |$r "), lit(s"|$l$r "))))
+      k += 1
+    }
+    out.toSeq
+  }
+
+  /** Rendered BPE encoding of a whole text column under a fixed merge
+    * list, applied in rank order (the canonical encode). One
+    * regexp_replace renders every non-space char as a unit; original
+    * whitespace (2+ spaces between units across words) is the word
+    * barrier; each merge is one codegen'd `replace`. The entire encode
+    * is a whole-stage-codegen expression chain — suitable for merge
+    * lists up to the low hundreds; beyond that, batch the chain or
+    * pre-encode the vocab and join (vocab-join encode).
+    */
+  def applyMerges(text: Column, merges: Seq[(String, String)]): Column = {
+    val rendered = regexp_replace(
+      translate(lower(text), "|", ""), "(\\S)", "|$1 ")
+    merges.foldLeft(rendered) { case (c, (l, r)) =>
+      replace(c, lit(s"|$l |$r "), lit(s"|$l$r "))
+    }
+  }
+
+  /** BPE tokens of `text` under `merges` (word-boundary-safe). */
+  def encode(text: Column, merges: Seq[(String, String)]): Column =
+    symbolsOf(applyMerges(text, merges))
+
+  /** BPE token count: one '|' per unit — length difference, no split. */
+  def tokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    val s = applyMerges(text, merges)
+    (length(s) - length(replace(s, lit("|"), lit("")))).cast("long")
+  }
+
+  /** Occurrences of a fully-merged symbol in the encoded text. */
+  def symbolCount(
+      text: Column,
+      merges: Seq[(String, String)],
+      symbol: String): Column = {
+    val s = applyMerges(text, merges)
+    val unit = s"|$symbol "
+    ((length(s) - length(replace(s, lit(unit), lit("")))) /
+      unit.length).cast("long")
+  }
+}

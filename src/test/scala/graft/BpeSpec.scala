@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def merges(df: org.apache.spark.sql.DataFrame)
+    : Seq[(Int, String, String, Long)] =
+    df.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  test("learnMerges golden: hand-checkable corpus") {
+    // counts: "low low low low low" + "lower lower" + "newest"
+    val docs = Seq(
+      "low low low",
+      "low low lower",
+      "lower newest").toDF("text")
+    // adjacent pairs weighted by word count: low×5 → (l,o)=7, (o,w)=7
+    // (lower has both too), lower×2 → (w,e)=3 [+newest], ...
+    // tie (l,o) vs (o,w) at 7 broken lexicographically → (l,o) first.
+    val got = merges(Bpe.learnMerges(docs, "text", 3))
+    assert(got.head === ((1, "l", "o", 7L)))
+    // after merge 1: low → [lo,w], lower → [lo,w,e,r]; (lo,w)=7 wins
+    assert(got(1) === ((2, "lo", "w", 7L)))
+    // after merge 2: low → [low], lower → [low,e,r], newest untouched;
+    // pairs: (low,e)=2, (e,r)=2, (n,e)=1,(e,w)=1,(w,e)=1,(e,s)=1,(s,t)=1
+    // tie at 2 → lexicographic: ("e","r") < ("low","e")
+    assert(got(2) === ((3, "e", "r", 2L)))
+  }
+
+  test("distributed arm equals driver arm (same tie-breaks)") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(120)
+    val local = merges(Bpe.learnMerges(docs, "text", 5,
+      localVocabThreshold = Long.MaxValue))
+    val dist = merges(Bpe.learnMerges(docs, "text", 5,
+      localVocabThreshold = 0L))
+    assert(local === dist)
+    assert(local.length === 5)
+  }
+
+  test("reliable-checkpoint arm matches localCheckpoint arm") {
+    val docs = Seq("aa ab aa ab abc", "aa aa bc").toDF("text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("bpe_ckpt").toString
+    val a = merges(Bpe.learnMerges(docs, "text", 3,
+      localVocabThreshold = 0L))
+    val b = merges(Bpe.learnMerges(docs, "text", 3,
+      localVocabThreshold = 0L, checkpointDir = Some(dir)))
+    assert(a === b)
+  }
+
+  test("encode applies merges in rank order, greedy within runs") {
+    val m = Seq(("a", "a"), ("aa", "b"))
+    val got = Seq("aaa aaaa aab baaab")
+      .toDF("text")
+      .select(Bpe.encode(col("text"), m).as("t"))
+      .as[Seq[String]].head()
+    // aaa → [aa, a]; aaaa → [aa, aa]; aab → [aab]; baaab → [b, aa, a, b]
+    // (the (a,a) pass leaves b·aa·a·b, which has no adjacent (aa, b) —
+    // canonical rank-order encode, same as Sennrich's reference code)
+    assert(got === Seq("aa", "a", "aa", "aa", "aab", "b", "aa", "a", "b"))
+  }
+
+  test("merges never cross word boundaries") {
+    val m = Seq(("a", "b"))
+    val got = Seq("a b ab").toDF("text")
+      .select(Bpe.encode(col("text"), m).as("t"))
+      .as[Seq[String]].head()
+    // "a b" stays two tokens; "ab" merges
+    assert(got === Seq("a", "b", "ab"))
+  }
+
+  test("tokenCount and symbolCount agree with encode") {
+    val m = Seq(("h", "a"), ("ha", "s"), ("has", "h"))
+    val df = spark.read.parquet(s"$sf001/documents.parquet").limit(50)
+      .select(col("doc_id"),
+        Bpe.encode(col("text"), m).as("toks"),
+        Bpe.tokenCount(col("text"), m).as("n"),
+        Bpe.symbolCount(col("text"), m, "hash").as("nh"))
+    df.collect().foreach { r =>
+      val toks = r.getSeq[String](1)
+      assert(r.getLong(2) === toks.length.toLong, s"doc ${r.getLong(0)}")
+      assert(r.getLong(3) === toks.count(_ == "hash").toLong)
+    }
+    // the merge chain actually fires on this corpus
+    assert(df.agg(sum("nh")).head().getLong(0) > 0)
+  }
+
+  test("structural pipe is stripped before encode, excluded from learn") {
+    val m = Seq(("a", "b"))
+    val got = Seq("a|b ab").toDF("text")
+      .select(Bpe.encode(col("text"), m).as("t"))
+      .as[Seq[String]].head()
+    // '|' stripped → "ab ab" → both merge
+    assert(got === Seq("ab", "ab"))
+    val learned = merges(Bpe.learnMerges(
+      Seq("x|y x|y zq").toDF("text"), "text", 1))
+    // words containing '|' are excluded → only "zq" remains
+    assert(learned === Seq((1, "z", "q", 1L)))
+  }
+
+  test("whole encode chain stays in whole-stage codegen (no UDF)") {
+    val m = Seq(("t", "h"), ("th", "e"))
+    val df = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(Bpe.tokenCount(col("text"), m).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    // whole-stage codegen renders as the "*(n)" stage prefix
+    assert(plan.contains("*(1)"), plan)
+    assert(!plan.contains("BatchEvalPython"), plan)
+  }
+}
