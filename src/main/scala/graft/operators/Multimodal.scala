@@ -12,12 +12,14 @@ import org.apache.spark.sql.types._
   * pure-JVM-decodable formats: [[decodePpm]] (binary PPM "P6"),
   * [[decodeBmp]] (uncompressed 24-bit BMP), [[decodePng]] (baseline
   * RGB/RGBA PNG via `java.util.zip.Inflater` + scanline unfilter), and
-  * [[decodeWav]] (RIFF/WAVE PCM-16 audio) parse real payload bytes into
-  * real dimensions/durations/features. Formats that need an external
-  * codec (video, JPEG, MP3 — none available in this container) fall
-  * back to the clearly-marked [[decodeStub]]; swapping in a real codec
-  * (JNI/javacv, or a Python `mapInPandas` stage on a cluster with
-  * codecs) changes only that dispatch arm.
+  * [[decodeWav]] (RIFF/WAVE PCM-16 audio), and [[decodeAvi]]
+  * (uncompressed RIFF/AVI 24-bit DIB video, incl. real per-frame
+  * extraction via [[extractVideoFrames]]) parse real payload bytes into
+  * real dimensions/durations/frames/features. Formats that need an
+  * external codec (H.264/MP4 video, JPEG, MP3 — none available in this
+  * container) fall back to the clearly-marked [[decodeStub]]; swapping
+  * in a real codec (JNI/javacv, or a Python `mapInPandas` stage on a
+  * cluster with codecs) changes only that dispatch arm.
   */
 object Multimodal {
 
@@ -401,9 +403,151 @@ object Multimodal {
       nSamples.toLong * 1000L / rate, feat))
   }
 
+  /** Parsed uncompressed-AVI payload: frame geometry, timing, and the
+    * (offset, size) of every '..db'/'..dc' chunk inside LIST movi. */
+  private final case class AviInfo(
+      w: Int, h: Int, usPerFrame: Long, frames: Vector[(Int, Int)]) {
+    def stride: Int = ((w * 3 + 3) / 4) * 4
+  }
+
+  /** RIFF/AVI walk — pure JVM, uncompressed 24-bit DIB video only
+    * ('DIB '/BI_RGB, the one video form that needs no codec). Parses
+    * 'RIFF…AVI ', LIST hdrl (avih: µs/frame at +0), LIST strl (strf =
+    * BITMAPINFOHEADER: dims, 24 bpp, BI_RGB), LIST movi ('00db' frame
+    * chunks, bottom-up BGR rows on a 4-byte stride). Chunks are
+    * word-aligned (odd sizes pad 1 byte). Returns None for anything
+    * compressed — that stays with [[decodeStub]] honestly. */
+  private def aviInfo(bytes: Array[Byte]): Option[AviInfo] = {
+    if (bytes == null || bytes.length < 24) return None
+    def fcc(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (bytes(o) & 0xffL) |
+      ((bytes(o + 1) & 0xffL) << 8) | ((bytes(o + 2) & 0xffL) << 16) |
+      ((bytes(o + 3) & 0xffL) << 24)
+    def i32(o: Int): Int = u32(o).toInt
+    if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return None
+    var usPerFrame = 0L
+    var w = 0; var h = 0; var bpp = 0; var compression = -1L
+    val frames = Vector.newBuilder[(Int, Int)]
+    var ok = true
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (ok && p + 8 <= end) {
+        val id4 = fcc(p); val sz = u32(p + 4).toInt; val data = p + 8
+        if (sz < 0 || data + sz > bytes.length) { ok = false; return }
+        id4 match {
+          case "LIST" if sz >= 4 => walk(data + 4, data + sz)
+          case "avih" if sz >= 40 => usPerFrame = u32(data)
+          case "strf" if sz >= 40 && u32(data) == 40 =>
+            w = i32(data + 4); h = i32(data + 8)
+            bpp = u16(data + 14); compression = u32(data + 16)
+          case c if c.endsWith("db") || c.endsWith("dc") =>
+            frames += ((data, sz))
+          case _ => // strh, idx1, junk — skipped
+        }
+        p = data + sz + (sz & 1)
+      }
+    }
+    walk(12, math.min(bytes.length, (8L + u32(4)).toInt))
+    val info = AviInfo(w, h, usPerFrame, frames.result())
+    if (!ok || w <= 0 || h <= 0 || bpp != 24 || compression != 0L ||
+      info.frames.isEmpty ||
+      info.frames.exists(_._2 != info.stride * h)) None
+    else Some(info)
+  }
+
+  /** Uncompressed-AVI video decode: real dimensions, real frame count
+    * (counted '00db' chunks), real duration (µs/frame × frames), and the
+    * 8-dim [[decodePpm]] feature contract computed over the FIRST frame
+    * (bottom-up BGR → top-down RGB). */
+  def decodeAvi(id: Long, bytes: Array[Byte]): Option[DecodedMedia] =
+    aviInfo(bytes).map { info =>
+      val (off, _) = info.frames.head
+      val (w, h, stride) = (info.w, info.h, info.stride)
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      var sy = 0.0; var sy2 = 0.0
+      var minY = Double.MaxValue; var maxY = Double.MinValue
+      val n = w * h
+      var y = 0
+      while (y < h) {
+        val row = off + (h - 1 - y) * stride // bottom-up storage
+        var x = 0
+        while (x < w) {
+          val b = (bytes(row + x * 3) & 0xff).toDouble / 255
+          val g = (bytes(row + x * 3 + 1) & 0xff).toDouble / 255
+          val r = (bytes(row + x * 3 + 2) & 0xff).toDouble / 255
+          val lum = 0.299 * r + 0.587 * g + 0.114 * b
+          sr += r; sg += g; sb += b; sy += lum; sy2 += lum * lum
+          if (lum < minY) minY = lum
+          if (lum > maxY) maxY = lum
+          x += 1
+        }
+        y += 1
+      }
+      val meanY = sy / n
+      val contrast = math.sqrt(math.max(sy2 / n - meanY * meanY, 0.0))
+      DecodedMedia(id, "video", w, h, info.frames.length,
+        info.usPerFrame * info.frames.length / 1000L,
+        Array((sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+          meanY.toFloat, minY.toFloat, maxY.toFloat, contrast.toFloat,
+          (w.toDouble / h).toFloat))
+    }
+
+  /** k-th AVI frame re-encoded as P6 PPM (top-down RGB) — the video →
+    * frames-as-images handoff; every downstream image op (decodePpm,
+    * resizePpmNearest) applies unchanged. */
+  def aviFrameToPpm(bytes: Array[Byte], frameIdx: Int): Option[Array[Byte]] =
+    aviInfo(bytes).filter(i =>
+      frameIdx >= 0 && frameIdx < i.frames.length).map { info =>
+      val (off, _) = info.frames(frameIdx)
+      val (w, h, stride) = (info.w, info.h, info.stride)
+      val head = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](head.length + w * h * 3)
+      System.arraycopy(head, 0, out, 0, head.length)
+      var y = 0
+      while (y < h) {
+        val row = off + (h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          val dst = head.length + (y * w + x) * 3
+          out(dst) = bytes(row + x * 3 + 2)     // R
+          out(dst + 1) = bytes(row + x * 3 + 1) // G
+          out(dst + 2) = bytes(row + x * 3)     // B
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+  /** Batched frame-extraction stage: every `everyN`-th frame of each
+    * decodable AVI payload becomes a (media_id, frame_idx, ppm) row —
+    * the per-partition imperative fan-out a real codec stage would use
+    * (decode context per partition, frames streamed out). Payloads the
+    * parser rejects (codec-bound video) are passed over silently; the
+    * metadata path still reports them via [[decodeStub]]. */
+  def extractVideoFrames(media: DataFrame, everyN: Int): DataFrame = {
+    require(everyN >= 1, "everyN must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"),
+      col("meta.source"), col("meta.mime"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.filter(_.kind == "video").flatMap { r =>
+          aviInfo(r.payload).iterator.flatMap { info =>
+            (0 until info.frames.length by everyN).iterator.map { k =>
+              (r.media_id, k, aviFrameToPpm(r.payload, k).get)
+            }
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "ppm")
+  }
+
   /** ==== STUB ====
-    * Deterministic fake decode for codec-bound formats (video, and any
-    * payload [[decodePpm]]/[[decodeWav]] cannot parse): "dimensions" and
+    * Deterministic fake decode for codec-bound formats (compressed
+    * video, and any payload the real decoders cannot parse): "dimensions" and
     * an 8-dim "feature" are derived from the payload bytes (stable across
     * runs), standing in for a real codec. */
   private[operators] def decodeStub(
@@ -440,6 +584,8 @@ object Multimodal {
             case "image/bmp" => decodeBmp(r.media_id, r.payload)
             case "image/png" => decodePng(r.media_id, r.payload)
             case "audio/wav" => decodeWav(r.media_id, r.payload)
+            case "video/avi" | "video/x-msvideo" =>
+              decodeAvi(r.media_id, r.payload)
             case _ => None
           }
           real.getOrElse(decodeStub(r.media_id, r.kind, r.payload))
@@ -572,6 +718,49 @@ object Multimodal {
     bb.array()
   }
 
+  /** Deterministic uncompressed RIFF/AVI bytes (24-bit DIB 'vids'
+    * stream, bottom-up BGR, 4-byte stride) — a REAL video payload for
+    * tests. `pixel(frame, x, y)` gives top-down RGB. */
+  def aviBytes(w: Int, h: Int, nFrames: Int, usPerFrame: Int,
+      pixel: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameLen = stride * h
+    val moviLen = 4 + nFrames * (8 + frameLen)
+    val hdrlLen = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40)))
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(s: String) = bb.put(s.getBytes("US-ASCII"))
+    fcc("RIFF"); bb.putInt(riffLen); fcc("AVI ")
+    fcc("LIST"); bb.putInt(hdrlLen); fcc("hdrl")
+    fcc("avih"); bb.putInt(56)
+    bb.putInt(usPerFrame).putInt(0).putInt(0).putInt(0) // µs/frame,…
+      .putInt(nFrames).putInt(0).putInt(1).putInt(frameLen) // frames,…,streams
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    fcc("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); fcc("strl")
+    fcc("strh"); bb.putInt(56)
+    fcc("vids"); fcc("DIB "); bb.putInt(0).putInt(0).putInt(0)
+      .putInt(usPerFrame).putInt(1000000) // dwScale, dwRate → fps
+      .putInt(0).putInt(nFrames).putInt(frameLen).putInt(-1).putInt(0)
+      .putInt(0).putInt(0) // rcFrame
+    fcc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(frameLen).putInt(0).putInt(0).putInt(0).putInt(0)
+    fcc("LIST"); bb.putInt(moviLen); fcc("movi")
+    for (f <- 0 until nFrames) {
+      fcc("00db"); bb.putInt(frameLen)
+      for (y <- (h - 1) to 0 by -1) { // bottom-up rows
+        for (x <- 0 until w) {
+          val (r, g, b) = pixel(f, x, y)
+          bb.put(b.toByte).put(g.toByte).put(r.toByte) // BGR
+        }
+        var pad = stride - w * 3
+        while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      }
+    }
+    bb.array()
+  }
+
   /** Deterministic RIFF/WAVE PCM-16 mono bytes — a REAL audio payload. */
   def wavBytes(rate: Int, samples: Array[Short]): Array[Byte] = {
     val dataLen = samples.length * 2
@@ -587,9 +776,10 @@ object Multimodal {
     bb.array()
   }
 
-  /** Deterministic synthetic media table for tests: REAL PPM images and
-    * WAV audio (decoded for real by the pipeline), stub-backed fake video
-    * (the one genuinely codec-bound kind in this container). */
+  /** Deterministic synthetic media table for tests: REAL PPM/BMP/PNG
+    * images, WAV audio, and uncompressed-AVI video (all decoded for
+    * real by the pipeline), plus stub-backed fake video for the
+    * genuinely codec-bound compressed formats. */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     (0 until n).map { i =>
@@ -615,7 +805,13 @@ object Multimodal {
           val samples = Array.tabulate[Short](800 + i * 10)(s =>
             (math.sin(s * 0.05 * (1 + i % 3)) * 8192).toShort)
           (wavBytes(rate, samples), "audio/wav")
-        case _ =>
+        case "video" if i % 6 == 2 => // REAL format: uncompressed AVI
+          val w = 4 + i % 6; val h = 3 + i % 4
+          (aviBytes(w, h, nFrames = 2 + i % 4, usPerFrame = 40000,
+            (f, x, y) => ((x * 30 + f * 10 + i) % 256,
+              (y * 30 + f * 10 + i) % 256, (x + y + f + i) % 256)),
+            "video/avi")
+        case _ => // codec-bound video stays with the honest stub
           (Array.tabulate[Byte](32 + i % 64)(j => ((i * 31 + j) % 251).toByte),
             "video/fake")
       }

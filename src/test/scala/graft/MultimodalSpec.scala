@@ -220,4 +220,81 @@ class MultimodalSpec extends SparkTestBase {
       assert(ow <= w && oh <= h) // never upscale
     }
   }
+
+  private val aviPix = (f: Int, x: Int, y: Int) =>
+    ((x * 37 + f * 9) % 256, (y * 53 + f) % 256, (x * y + f * 3) % 256)
+
+  test("AVI decode: exact dims, frames, duration, first-frame features") {
+    val avi = Multimodal.aviBytes(5, 4, nFrames = 3, usPerFrame = 40000,
+      aviPix)
+    val d = Multimodal.decodeAvi(1L, avi).get
+    assert(d.kind == "video" && d.width == 5 && d.height == 4)
+    assert(d.n_frames == 3)
+    assert(d.duration_ms == 120L) // 3 frames x 40000 µs
+    // feature contract: identical to PPM decode of frame 0 — exact,
+    // same accumulation order, not approximate
+    val ppm0 = Multimodal.decodePpm(1L,
+      Multimodal.ppmBytes(5, 4, (x, y) => aviPix(0, x, y))).get
+    assert(d.feature.toSeq == ppm0.feature.toSeq)
+  }
+
+  test("AVI frame re-encode is byte-identical to direct PPM encode") {
+    // width 5 → stride 16 vs 15 raw: exercises row padding; bottom-up
+    // storage must come back top-down
+    val avi = Multimodal.aviBytes(5, 3, nFrames = 4, usPerFrame = 33000,
+      aviPix)
+    for (k <- 0 until 4) {
+      val got = Multimodal.aviFrameToPpm(avi, k).get
+      val want = Multimodal.ppmBytes(5, 3, (x, y) => aviPix(k, x, y))
+      assert(got.toSeq == want.toSeq, s"frame $k")
+    }
+    assert(Multimodal.aviFrameToPpm(avi, 4).isEmpty) // out of range
+    assert(Multimodal.aviFrameToPpm(avi, -1).isEmpty)
+  }
+
+  test("AVI refuses corrupt and codec-bound payloads") {
+    val good = Multimodal.aviBytes(4, 3, 2, 40000, aviPix)
+    assert(Multimodal.decodeAvi(1L, good.dropRight(8)).isEmpty) // truncated
+    val badSig = good.clone(); badSig(8) = 'X'.toByte
+    assert(Multimodal.decodeAvi(2L, badSig).isEmpty)
+    val strf = good.indexOfSlice("strf".getBytes("US-ASCII")) + 8
+    val deep = good.clone(); deep(strf + 14) = 16.toByte // 16 bpp
+    assert(Multimodal.decodeAvi(3L, deep).isEmpty)
+    val comp = good.clone(); comp(strf + 16) = 1.toByte // not BI_RGB
+    assert(Multimodal.decodeAvi(4L, comp).isEmpty)
+    assert(Multimodal.decodeAvi(5L, Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("AVI payloads decode for real through the batched pipeline") {
+    // syntheticMedia plants real AVI at media_id % 6 == 2
+    val decoded = Multimodal.decode(media).collect()
+    val aviRows = decoded.filter(r =>
+      r.kind == "video" && r.media_id % 6 == 2)
+    assert(aviRows.nonEmpty)
+    assert(aviRows.forall(r =>
+      r.width == 4 + (r.media_id % 6) && r.height == 3 + (r.media_id % 4) &&
+        r.n_frames == 2 + (r.media_id % 4)))
+    // codec-bound fake video still flows through the stub, not a crash
+    val stubRows = decoded.filter(r =>
+      r.kind == "video" && r.media_id % 6 != 2)
+    assert(stubRows.nonEmpty)
+  }
+
+  test("extractVideoFrames: real sampled frames, pixel-exact, stub skipped") {
+    val frames = Multimodal.extractVideoFrames(media, everyN = 2).collect()
+    // only decodable AVI rows fan out
+    assert(frames.map(_.getLong(0)).distinct.sorted.toSeq ==
+      media.collect().map(_.getLong(0)).filter(id =>
+        id % 3 == 2 && id % 6 == 2).sorted.toSeq)
+    frames.foreach { r =>
+      val (id, k) = (r.getLong(0), r.getInt(1))
+      assert(k % 2 == 0)
+      val payload = media.filter(col("media_id") === id)
+        .select("payload").head().getAs[Array[Byte]](0)
+      val want = Multimodal.aviFrameToPpm(payload, k).get
+      assert(r.getAs[Array[Byte]](2).toSeq == want.toSeq, s"media $id frame $k")
+      // and the extracted frame is a decodable image for downstream ops
+      assert(Multimodal.decodePpm(id, want).nonEmpty)
+    }
+  }
 }
