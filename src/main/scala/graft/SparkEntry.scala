@@ -7,9 +7,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, UrlFunctions, VectorFunctions => VF}
-import graft.operators.{Bpe, Collocations, Decontaminate, Dedup, Fuzzy,
-  Metrics, Mixing, PartialAgg, RepeatedSpans, Retrieval, Sampling, Scoring,
-  Similarity}
+import graft.operators.{Boilerplate, Bpe, Collocations, Decontaminate,
+  Dedup, Fuzzy, Metrics, Mixing, PartialAgg, RepeatedSpans, Retrieval,
+  Sampling, Scoring, Similarity}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2) over the
   * test star schema, each query paired with DuckDB oracle SQL.
@@ -3980,6 +3980,59 @@ object SparkEntry {
       |    AS n_join
       |FROM enc ORDER BY doc_id""".stripMargin))
 
+  private val q139 = Q("q139_line_dedup",
+    (s, dir) => {
+      // CCNet/C4-style line-level boilerplate removal
+      // (Boilerplate.removeBoilerplate): template lines repeating across
+      // ≥50% of a source's docs are dropped, documents survive. The
+      // fixture injects a per-source NAV header and COPYRIGHT footer
+      // (the q134 in-query-synthesis pattern) — those must vanish, body
+      // lines must stay, original order restored. All counts exact
+      // integers; 0.5·n is exact in binary — hash-exact oracle.
+      val d2 = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        concat(lit("NAV "), col("source"), lit("\n"), col("text"),
+          lit("\nCOPYRIGHT "), col("source")).as("text2"))
+      Boilerplate.removeBoilerplate(d2, "doc_id", "text2", "source")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH docs2 AS (
+      |  SELECT doc_id, source,
+      |    'NAV ' || source || chr(10) || text || chr(10) ||
+      |      'COPYRIGHT ' || source AS t
+      |  FROM documents
+      |), lines AS (
+      |  SELECT doc_id, source,
+      |    unnest(string_split(t, chr(10))) AS line,
+      |    unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+      |  FROM docs2
+      |), grp AS (
+      |  SELECT source, COUNT(DISTINCT doc_id) AS nd
+      |  FROM docs2 GROUP BY source
+      |), lc AS (
+      |  SELECT source, line, COUNT(DISTINCT doc_id) AS n
+      |  FROM lines GROUP BY source, line
+      |), bp AS (
+      |  SELECT lc.source, lc.line
+      |  FROM lc JOIN grp ON lc.source = grp.source
+      |  WHERE lc.n >= 2 AND lc.n >= 0.5 * grp.nd
+      |), kept AS (
+      |  SELECT l.doc_id, l.pos, l.line
+      |  FROM lines l LEFT JOIN bp
+      |    ON l.source = bp.source AND l.line = bp.line
+      |  WHERE bp.line IS NULL
+      |), reb AS (
+      |  SELECT doc_id,
+      |    array_to_string(list(line ORDER BY pos), chr(10)) AS text_clean,
+      |    COUNT(*) AS n_kept
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, d.source,
+      |  COALESCE(r.text_clean, '') AS text_clean,
+      |  CAST(len(string_split(d.t, chr(10))) AS BIGINT) AS n_lines,
+      |  COALESCE(r.n_kept, 0) AS n_kept
+      |FROM docs2 d LEFT JOIN reb r ON d.doc_id = r.doc_id
+      |ORDER BY d.doc_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -3991,7 +4044,7 @@ object SparkEntry {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138)
+    q133, q134, q135, q136, q137, q138, q139)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Boilerplate
+import org.apache.spark.sql.functions._
+
+class BoilerplateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // site A: shared header+footer, distinct bodies; site B: small, only
+  // 1 of 2 docs shares the header → under minDocs/minFrac, kept
+  private val docs = Seq(
+    (1L, "a", "HEAD\nbody one\nFOOT"),
+    (2L, "a", "HEAD\nbody two\nFOOT"),
+    (3L, "a", "HEAD\nbody three\nFOOT"),
+    (4L, "a", "HEAD\nbody four\nFOOT"),
+    (5L, "b", "HEAD\nother body\nEND"),
+    (6L, "b", "solo line")
+  ).toDF("doc_id", "source", "text")
+
+  test("template lines drop, bodies stay, order preserved") {
+    val out = Boilerplate
+      .removeBoilerplate(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    // site a: HEAD and FOOT in 4/4 docs → boilerplate
+    assert(out(1L) === (("body one", 3L, 1L)))
+    assert(out(2L) === (("body two", 3L, 1L)))
+    // site b: HEAD appears in 1/2 docs (< minDocs=2) → kept
+    assert(out(5L) === (("HEAD\nother body\nEND", 3L, 3L)))
+    assert(out(6L) === (("solo line", 1L, 1L)))
+  }
+
+  test("a fully-boilerplate document survives as an empty row") {
+    val d = Seq(
+      (1L, "a", "SAME\nSAME2"),
+      (2L, "a", "SAME\nSAME2"),
+      (3L, "a", "SAME\nunique")).toDF("doc_id", "source", "text")
+    val out = Boilerplate.removeBoilerplate(d, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getLong(4)))).toMap
+    // SAME in 3/3, SAME2 in 2/3 ≥ 50% → doc 1 and 2 fully emptied
+    assert(out(1L) === (("", 0L)))
+    assert(out(2L) === (("", 0L)))
+    assert(out(3L) === (("unique", 1L)))
+    assert(out.size === 3) // no document row is lost
+  }
+
+  test("duplicate kept lines within one doc keep all occurrences") {
+    val d = Seq(
+      (1L, "a", "x\ny\nx"),
+      (2L, "a", "z")).toDF("doc_id", "source", "text")
+    val out = Boilerplate.removeBoilerplate(d, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) === "x\ny\nx")
+  }
+
+  test("thresholds: minFrac gates relative, minDocs gates absolute") {
+    val d = Seq(
+      (1L, "a", "L\nu1"), (2L, "a", "L\nu2"), (3L, "a", "u3"),
+      (4L, "a", "u4"), (5L, "a", "u5")).toDF("doc_id", "source", "text")
+    // L in 2/5 docs = 40% < 50% → kept under default
+    val kept = Boilerplate.removeBoilerplate(d, "doc_id", "text", "source")
+      .filter(col("doc_id") === 1).head().getString(2)
+    assert(kept === "L\nu1")
+    // lower minFrac to 0.4 → dropped
+    val dropped = Boilerplate.removeBoilerplate(d, "doc_id", "text",
+      "source", minFrac = 0.4)
+      .filter(col("doc_id") === 1).head().getString(2)
+    assert(dropped === "u1")
+  }
+
+  test("lineFrequencies is the audit view behind the threshold") {
+    val lf = Boilerplate.lineFrequencies(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(lf(("a", "HEAD")) === ((4L, 4L)))
+    assert(lf(("b", "HEAD")) === ((1L, 2L)))
+    assert(lf(("a", "body one")) === ((1L, 4L)))
+  }
+}
