@@ -83,7 +83,11 @@ object ScaleProbe {
     // classifier pass (represents q132/q134's shape too), and the
     // quantile rollup (10x pushes priority groups past sketch capacity,
     // so compaction is IN the measured path)
-    "q130_repeated_spans", "q131_classifier_score", "q133_quantile_rollup")
+    "q130_repeated_spans", "q131_classifier_score", "q133_quantile_rollup",
+    // round 8 late additions: BM25 (hit-filtered explode + broadcast
+    // idf), BPE learn (vocab-sized iterations), BPE encode (map-only
+    // codegen chain), line-level boilerplate removal (3 line-shuffles)
+    "q136_bm25", "q137_bpe_learn", "q138_bpe_encode", "q139_line_dedup")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
@@ -108,9 +112,15 @@ object ScaleProbe {
       SparkEntry.queries(name)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    // "caponly" arg skips the main table (re-measure just the q36 cap)
+    // "caponly" arg skips the main table (re-measure just the q36 cap);
+    // "only=<substr>" restricts the main table for fast iteration
+    val onlyFilter: String => Boolean =
+      args.find(_.startsWith("only=")) match {
+        case Some(a) => _.contains(a.stripPrefix("only="))
+        case None => _ => true
+      }
     if (!args.contains("caponly")) {
-      val rows = probes.map { name =>
+      val rows = probes.filter(onlyFilter).map { name =>
         val small = time(src, name)
         val big = time(out, name)
         (name, small, big, big / small)
@@ -141,13 +151,17 @@ object ScaleProbe {
       val n = j.count()
       ((System.nanoTime() - t0) / 1e9, n)
     }
-    val (tCapS, nCapS) = q36Shape(src, 16)
-    val (tUncS, nUncS) = q36Shape(src, Int.MaxValue)
-    val (tCapB, nCapB) = q36Shape(out, 16)
-    val (tUncB, nUncB) = q36Shape(out, Int.MaxValue)
-    println(f"q36_cap16: time $tCapS%.2f->$tCapB%.2f s, " +
-      f"rows $nCapS->$nCapB (dropped ${nUncS - nCapS}->${nUncB - nCapB}); " +
-      f"uncapped time $tUncS%.2f->$tUncB%.2f s, rows $nUncS->$nUncB")
+    // the q36 cap re-measure is expensive (~10 min at 10×): skip it
+    // when an only= filter asked for a targeted main-table run
+    if (!args.exists(_.startsWith("only="))) {
+      val (tCapS, nCapS) = q36Shape(src, 16)
+      val (tUncS, nUncS) = q36Shape(src, Int.MaxValue)
+      val (tCapB, nCapB) = q36Shape(out, 16)
+      val (tUncB, nUncB) = q36Shape(out, Int.MaxValue)
+      println(f"q36_cap16: time $tCapS%.2f->$tCapB%.2f s, " +
+        f"rows $nCapS->$nCapB (dropped ${nUncS - nCapS}->${nUncB - nCapB}); " +
+        f"uncapped time $tUncS%.2f->$tUncB%.2f s, rows $nUncS->$nUncB")
+    }
     spark.stop()
   }
 }
