@@ -34,7 +34,10 @@ object GraftFunctions {
     "sketch_quantiles" -> (es => SketchQuantiles(es(0), es(1))),
     // n / k arguments arrive as foldable int literals from SQL
     "word_shingles" -> (es => WordShingles(es(0),
-      es(1).eval().asInstanceOf[Number].intValue())))
+      es(1).eval().asInstanceOf[Number].intValue())),
+    // rank-ordered merge list as a foldable 'l r;l2 r2' literal
+    "bpe_apply" -> (es => graft.operators.Bpe.applyMergesExpr(es(0),
+      graft.operators.Bpe.parseMerges(es(1).eval().toString))))
 
   def registerAll(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

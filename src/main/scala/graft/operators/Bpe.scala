@@ -192,6 +192,34 @@ object Bpe {
     }
   }
 
+  /** [[applyMerges]] as a raw Catalyst expression tree — the SQL
+    * registration path (`bpe_apply(text, 'l r;l2 r2')`); built from the
+    * same Lower→translate→render→replace-chain nodes the Column arm
+    * resolves to, so SQL and Column results are identical. */
+  private[graft] def applyMergesExpr(
+      text: org.apache.spark.sql.catalyst.expressions.Expression,
+      merges: Seq[(String, String)])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Lower,
+      RegExpReplace, StringReplace, StringTranslate}
+    val rendered = RegExpReplace(
+      StringTranslate(Lower(text), Literal("|"), Literal("")),
+      Literal("(\\S)"), Literal("|$1 "))
+    merges.foldLeft(
+      rendered: org.apache.spark.sql.catalyst.expressions.Expression) {
+      case (c, (l, r)) =>
+        StringReplace(c, Literal(s"|$l |$r "), Literal(s"|$l$r "))
+    }
+  }
+
+  /** Parse a `'l r;l2 r2'` rank-ordered merge-list literal. */
+  private[graft] def parseMerges(s: String): Seq[(String, String)] =
+    s.split(";").toSeq.filter(_.nonEmpty).map { m =>
+      val i = m.indexOf(' ')
+      require(i > 0 && i < m.length - 1, s"bad merge entry '$m'")
+      (m.substring(0, i), m.substring(i + 1))
+    }
+
   /** BPE tokens of `text` under `merges` (word-boundary-safe). */
   def encode(text: Column, merges: Seq[(String, String)]): Column =
     symbolsOf(applyMerges(text, merges))

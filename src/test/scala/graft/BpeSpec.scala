@@ -101,6 +101,19 @@ class BpeSpec extends SparkTestBase {
     assert(learned === Seq((1, "z", "q", 1L)))
   }
 
+  test("bpe_apply is SQL-callable and equals the Column arm") {
+    val m = Seq(("h", "a"), ("ha", "s"), ("has", "h"))
+    val sql = spark.sql(
+      "SELECT bpe_apply('Hash hashes', 'h a;ha s;has h') AS s")
+      .head().getString(0)
+    val colArm = Seq("Hash hashes").toDF("t")
+      .select(Bpe.applyMerges(col("t"), m).as("s")).head().getString(0)
+    assert(sql === colArm)
+    // note the DOUBLE space: the original inter-word space is preserved
+    // — it IS the cross-word merge barrier
+    assert(sql === "|hash  |hash |e |s ")
+  }
+
   test("whole encode chain stays in whole-stage codegen (no UDF)") {
     val m = Seq(("t", "h"), ("th", "e"))
     val df = spark.read.parquet(s"$sf001/documents.parquet")
