@@ -230,6 +230,87 @@ object Bpe {
     (length(s) - length(replace(s, lit("|"), lit("")))).cast("long")
   }
 
+  /** Imperative single-word encode under a rank map — the per-word
+    * greedy loop every production BPE tokenizer runs. Repeatedly merges
+    * the PRESENT pair with the lowest rank (left-to-right,
+    * non-overlapping); equivalent to rank-order application because a
+    * merge never creates an adjacency of two pre-existing symbols, so
+    * it can never introduce a lower-rank pair. */
+  private[graft] def encodeWord(
+      word: String, ranks: Map[(String, String), Int]): Array[String] = {
+    // code-point split, matching the '(.)' regex of the render arm
+    val sym = mutable.ArrayBuffer.empty[String]
+    var ci = 0
+    while (ci < word.length) {
+      val cp = word.codePointAt(ci)
+      sym += new String(Character.toChars(cp))
+      ci += Character.charCount(cp)
+    }
+    var done = sym.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var bl = ""; var br = ""
+      var i = 0
+      while (i < sym.length - 1) {
+        val r = ranks.getOrElse((sym(i), sym(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bl = sym(i); br = sym(i + 1) }
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        var j = 0
+        while (j < sym.length - 1) {
+          if (sym(j) == bl && sym(j + 1) == br) {
+            sym(j) = bl + br
+            sym.remove(j + 1)
+          }
+          j += 1
+        }
+        done = sym.length < 2
+      }
+    }
+    sym.toArray
+  }
+
+  /** Production-size encode: the DISTINCT words are encoded once with
+    * the imperative loop (merge-rank map broadcast to executors), then
+    * joined back positionally. Encode cost is ∝ vocabulary — the corpus
+    * pays one word explode, one (word) join, and one order-restoring
+    * rebuild — and the merge list can be full production size (50k+),
+    * where the [[applyMerges]] codegen chain would blow past JVM method
+    * limits. Returns (idCol, tokens array<string>), token stream equal
+    * to [[encode]] (BpeSpec property). */
+  def encodeViaVocab(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val ranks = merges.zipWithIndex.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+
+    val words = docs.select(col(idCol),
+      posexplode(TF.tokens(translate(col(textCol), "|", "")))
+        .as(Seq("pos", "word")))
+
+    import spark.implicits._
+    val vocabToks = words.select(col("word")).distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val r = bc.value // resolved once per partition
+        it.map(w => (w, encodeWord(w, r)))
+      }
+      .toDF("word", "toks")
+
+    words.join(vocabToks, "word")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("toks"))))
+        .as("ordered"))
+      .select(col(idCol),
+        flatten(transform(col("ordered"), _.getField("toks")))
+          .as("tokens"))
+  }
+
   /** Occurrences of a fully-merged symbol in the encoded text. */
   def symbolCount(
       text: Column,

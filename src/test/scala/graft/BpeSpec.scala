@@ -101,6 +101,31 @@ class BpeSpec extends SparkTestBase {
     assert(learned === Seq((1, "z", "q", 1L)))
   }
 
+  test("encodeViaVocab token stream equals the codegen replace chain") {
+    val m = Seq(("h", "a"), ("ha", "s"), ("has", "h"),
+      ("j", "o"), ("jo", "i"), ("joi", "n"), ("a", "a"))
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(80)
+    val chain = docs.select(col("doc_id"),
+        Bpe.encode(col("text"), m).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val vocabArm = Bpe.encodeViaVocab(docs, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(vocabArm.keySet === chain.keySet)
+    chain.foreach { case (id, toks) =>
+      assert(vocabArm(id) === toks, s"doc $id")
+    }
+  }
+
+  test("encodeWord: greedy priority loop matches known encodes") {
+    val ranks = Seq(("a", "a"), ("aa", "b")).zipWithIndex.toMap
+    assert(Bpe.encodeWord("aaaa", ranks).toSeq === Seq("aa", "aa"))
+    assert(Bpe.encodeWord("aaa", ranks).toSeq === Seq("aa", "a"))
+    assert(Bpe.encodeWord("aab", ranks).toSeq === Seq("aab"))
+    assert(Bpe.encodeWord("baaab", ranks).toSeq ===
+      Seq("b", "aa", "a", "b"))
+    assert(Bpe.encodeWord("x", ranks).toSeq === Seq("x"))
+  }
+
   test("bpe_apply is SQL-callable and equals the Column arm") {
     val m = Seq(("h", "a"), ("ha", "s"), ("has", "h"))
     val sql = spark.sql(
