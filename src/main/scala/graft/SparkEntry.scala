@@ -4033,6 +4033,75 @@ object SparkEntry {
       |FROM docs2 d LEFT JOIN reb r ON d.doc_id = r.doc_id
       |ORDER BY d.doc_id""".stripMargin))
 
+  private val q140 = Q("q140_script_detect",
+    (s, dir) => {
+      // Unicode-script detection (TF.scriptCounts/dominantScript) — the
+      // writing-system signal langid needs where marker words fail. The
+      // fixture appends native-script tokens per lang tag (the q134/q139
+      // in-query-synthesis pattern: the base corpus is ASCII-only, so
+      // without injection every class but latin would be untested).
+      // Exact integer counts; map-only codegen regexes.
+      val suffix = when(col("lang") === "zh", lit(" 中文数据模型 训练语料"))
+        .when(col("lang") === "fr", lit(" déjà vu année métrique"))
+        .when(col("lang") === "de", lit(" über größe prüfung"))
+        .when(col("lang") === "es", lit(" años métrica año"))
+        .otherwise(lit(" 42 samples"))
+      val d2 = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        concat(col("text"), suffix).as("t2"))
+      val sc = TF.scriptCounts(col("t2"))
+      d2.select((Seq(col("doc_id"), col("lang")) ++
+          TF.scriptClasses.map { case (n, _) =>
+            sc.getField(s"n_$n").as(s"n_$n") } ++
+          Seq(sc.getField("n_chars").as("n_chars"),
+            TF.dominantScript(col("t2")).as("script"))): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d2 AS (
+      |  SELECT doc_id, lang,
+      |    text || CASE lang
+      |      WHEN 'zh' THEN ' 中文数据模型 训练语料'
+      |      WHEN 'fr' THEN ' déjà vu année métrique'
+      |      WHEN 'de' THEN ' über größe prüfung'
+      |      WHEN 'es' THEN ' años métrica año'
+      |      ELSE ' 42 samples' END AS t2
+      |  FROM documents
+      |), counts AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(regexp_extract_all(t2,
+      |      '[A-Za-z\x{00C0}-\x{024F}]')) AS BIGINT) AS n_latin,
+      |    CAST(len(regexp_extract_all(t2,
+      |      '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+      |    CAST(len(regexp_extract_all(t2,
+      |      '[\x{0370}-\x{03FF}]')) AS BIGINT) AS n_greek,
+      |    CAST(len(regexp_extract_all(t2,
+      |      '[\x{0600}-\x{06FF}]')) AS BIGINT) AS n_arabic,
+      |    CAST(len(regexp_extract_all(t2,
+      |      '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]'))
+      |      AS BIGINT) AS n_cjk,
+      |    CAST(len(regexp_extract_all(t2, '[0-9]')) AS BIGINT) AS n_digit,
+      |    CAST(len(regexp_replace(t2, '\s', '', 'g')) AS BIGINT)
+      |      AS n_chars
+      |  FROM d2
+      |)
+      |SELECT doc_id, lang, n_latin, n_cyrillic, n_greek, n_arabic,
+      |  n_cjk, n_digit, n_chars,
+      |  CASE
+      |    WHEN n_latin > 0 AND n_latin = greatest(n_latin, n_cyrillic,
+      |      n_greek, n_arabic, n_cjk, n_digit) THEN 'latin'
+      |    WHEN n_cyrillic > 0 AND n_cyrillic = greatest(n_latin,
+      |      n_cyrillic, n_greek, n_arabic, n_cjk, n_digit)
+      |      THEN 'cyrillic'
+      |    WHEN n_greek > 0 AND n_greek = greatest(n_latin, n_cyrillic,
+      |      n_greek, n_arabic, n_cjk, n_digit) THEN 'greek'
+      |    WHEN n_arabic > 0 AND n_arabic = greatest(n_latin, n_cyrillic,
+      |      n_greek, n_arabic, n_cjk, n_digit) THEN 'arabic'
+      |    WHEN n_cjk > 0 AND n_cjk = greatest(n_latin, n_cyrillic,
+      |      n_greek, n_arabic, n_cjk, n_digit) THEN 'cjk'
+      |    WHEN n_digit > 0 AND n_digit = greatest(n_latin, n_cyrillic,
+      |      n_greek, n_arabic, n_cjk, n_digit) THEN 'digit'
+      |    ELSE 'other' END AS script
+      |FROM counts ORDER BY doc_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4044,7 +4113,7 @@ object SparkEntry {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138, q139)
+    q133, q134, q135, q136, q137, q138, q139, q140)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -89,6 +89,44 @@ object TextFunctions {
     }
   }
 
+  /** Unicode-script character classes for script detection — the
+    * writing-system complement to [[langId]]'s marker-word heuristic
+    * (script is robust where marker words are absent: names, code,
+    * short strings). Java-regex ranges; the DuckDB oracle uses the same
+    * ranges in RE2 `\x{…}` syntax. CJK folds Han + kana + Hangul. */
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\u00C0-\\u024F]",
+    "cyrillic" -> "[\\u0400-\\u04FF]",
+    "greek" -> "[\\u0370-\\u03FF]",
+    "arabic" -> "[\\u0600-\\u06FF]",
+    "cjk" -> "[\\u4E00-\\u9FFF\\u3040-\\u30FF\\uAC00-\\uD7AF]",
+    "digit" -> "[0-9]")
+
+  /** Per-script character counts plus the non-whitespace total, as a
+    * struct of exact longs — map-only, all codegen'd built-ins. */
+  def scriptCounts(text: Column): Column = {
+    val counts = scriptClasses.map { case (name, pat) =>
+      size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
+        .as(s"n_$name")
+    }
+    val total = length(regexp_replace(text, "\\s", "")).cast("long")
+      .as("n_chars")
+    struct(counts :+ total: _*)
+  }
+
+  /** Dominant script by character count (ties break in [[scriptClasses]]
+    * declaration order; 'other' when no class matches anything). */
+  def dominantScript(text: Column): Column = {
+    val sc = scriptCounts(text)
+    val names = scriptClasses.map(_._1)
+    val best = names.map(n => sc.getField(s"n_$n"))
+      .reduce((a, b) => greatest(a, b))
+    names.foldRight(lit("other"): Column) { case (n, other) =>
+      when(sc.getField(s"n_$n") > 0 && sc.getField(s"n_$n") === best,
+        lit(n)).otherwise(other)
+    }
+  }
+
   /** Normalized-text fingerprint: md5 of lowercase, whitespace-collapsed,
     * trimmed text. Oracle: md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) */
   def fingerprint(text: Column): Column =

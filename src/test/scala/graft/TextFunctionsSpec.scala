@@ -68,4 +68,23 @@ class TextFunctionsSpec extends SparkTestBase {
       .asInstanceOf[Double]
     assert(short < good && good <= 1.0 && short >= 0.0)
   }
+
+  test("scriptCounts: exact per-class counts, whitespace excluded") {
+    val r = one(TF.scriptCounts(col("text")), "abc Привет 中文 42 é!")
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(r.getAs[Long]("n_latin") === 4L)    // a b c é
+    assert(r.getAs[Long]("n_cyrillic") === 6L) // Привет
+    assert(r.getAs[Long]("n_cjk") === 2L)
+    assert(r.getAs[Long]("n_digit") === 2L)
+    assert(r.getAs[Long]("n_greek") === 0L)
+    assert(r.getAs[Long]("n_chars") === 15L)   // incl. '!' (other)
+  }
+
+  test("dominantScript: majority wins, declaration order breaks ties") {
+    assert(one(TF.dominantScript(col("text")), "Привет мир ok") == "cyrillic")
+    assert(one(TF.dominantScript(col("text")), "中文数据") == "cjk")
+    assert(one(TF.dominantScript(col("text")), "!!!") == "other")
+    // 2 latin vs 2 digit: latin is declared first
+    assert(one(TF.dominantScript(col("text")), "ab 12") == "latin")
+  }
 }
