@@ -4102,6 +4102,61 @@ object SparkEntry {
       |    ELSE 'other' END AS script
       |FROM counts ORDER BY doc_id""".stripMargin))
 
+  private val q141 = Q("q141_pii_scan",
+    (s, dir) => {
+      // PII scanning with Luhn card validation (TF.piiCounts) — the
+      // audit gate in front of the q55 redaction pass. Fixture
+      // synthesizes an email, an IPv4, and a 16-digit card-shaped run
+      // per doc (validity falls where the mod-10 arithmetic lands —
+      // NOT precomputed; both engines must agree digit by digit).
+      // Exact integers; regexes avoid lookarounds for Java/RE2 parity
+      // (the Luhn HOFs run over ≤19-element arrays, not the corpus).
+      val card = concat(lit("4"), lpad((col("doc_id") * 7919 %
+        1000000000000000L).cast("string"), 15, "0"))
+      val t2 = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.org from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0.1 card "), card)
+      val pc = TF.piiCounts(t2)
+      t(s, dir, "documents").select(col("doc_id"),
+          pc.getField("n_email").as("n_email"),
+          pc.getField("n_ipv4").as("n_ipv4"),
+          pc.getField("n_card").as("n_card"),
+          pc.getField("n_card_valid").as("n_card_valid"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d2 AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |      || '@example.org from 10.' || CAST(doc_id % 256 AS VARCHAR)
+      |      || '.0.1 card 4'
+      |      || lpad(CAST(doc_id * 7919 % 1000000000000000 AS VARCHAR),
+      |           15, '0') AS t2
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(t2,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |      AS n_email,
+      |    len(regexp_extract_all(t2,
+      |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+      |    regexp_extract_all(t2, '\b[0-9]{13,19}\b') AS cards
+      |  FROM d2
+      |)
+      |SELECT doc_id,
+      |  CAST(n_email AS BIGINT) AS n_email,
+      |  CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+      |  CAST(len(cards) AS BIGINT) AS n_card,
+      |  CAST(len(list_filter(cards, s ->
+      |    list_sum(list_transform(range(1, len(reverse(s)) + 1), i ->
+      |      CASE WHEN i % 2 = 0 THEN
+      |        CASE WHEN 2 * CAST(reverse(s)[i] AS INT) > 9
+      |          THEN 2 * CAST(reverse(s)[i] AS INT) - 9
+      |          ELSE 2 * CAST(reverse(s)[i] AS INT) END
+      |      ELSE CAST(reverse(s)[i] AS INT) END)) % 10 = 0))
+      |    AS BIGINT) AS n_card_valid
+      |FROM c ORDER BY doc_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4113,7 +4168,7 @@ object SparkEntry {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138, q139, q140)
+    q133, q134, q135, q136, q137, q138, q139, q140, q141)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

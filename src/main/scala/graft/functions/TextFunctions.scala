@@ -127,6 +127,44 @@ object TextFunctions {
     }
   }
 
+  /** Luhn mod-10 check over a digit string — the card-number validity
+    * test that separates real PII from random digit runs. Reversed
+    * digits, every second doubled (−9 past 9), sum ≡ 0 (mod 10).
+    * Composed from HOFs over a ≤19-char array (bounded, not a hot
+    * scan), exact integers throughout. */
+  def luhnValid(digits: Column): Column = {
+    // Spark's split keeps the empty match at end-of-string (limit -1
+    // semantics) — drop it before the ANSI cast
+    val ds = transform(
+      filter(split(reverse(digits), "(?!^)"), c => c =!= ""),
+      _.cast("int"))
+    val sum = aggregate(
+      zip_with(ds, sequence(lit(0), size(ds) - 1), (d, i) =>
+        when(i % 2 === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)),
+      lit(0), (acc, x) => acc + x)
+    sum % 10 === 0
+  }
+
+  /** PII-candidate counts as exact longs: emails, IPv4 literals, card-
+    * length digit runs (13–19), and the Luhn-VALID subset of those runs
+    * — the audit view a redaction pass (see [[redact]]) is gated on.
+    * Regexes avoid lookarounds so Java and RE2 (DuckDB) agree. */
+  def piiCounts(text: Column): Column = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipPat = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val cardPat = "\\b[0-9]{13,19}\\b"
+    val cards = regexp_extract_all(text, lit(cardPat), lit(0))
+    struct(
+      size(regexp_extract_all(text, lit(emailPat), lit(0))).cast("long")
+        .as("n_email"),
+      size(regexp_extract_all(text, lit(ipPat), lit(0))).cast("long")
+        .as("n_ipv4"),
+      size(cards).cast("long").as("n_card"),
+      size(filter(cards, c => luhnValid(c))).cast("long")
+        .as("n_card_valid"))
+  }
+
   /** Normalized-text fingerprint: md5 of lowercase, whitespace-collapsed,
     * trimmed text. Oracle: md5(trim(regexp_replace(lower(text),'\s+',' ','g'))) */
   def fingerprint(text: Column): Column =

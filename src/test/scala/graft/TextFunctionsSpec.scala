@@ -69,6 +69,30 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(short < good && good <= 1.0 && short >= 0.0)
   }
 
+  test("luhnValid: canonical card numbers, off-by-one rejected") {
+    def luhn(s: String): Boolean =
+      one(TF.luhnValid(col("text")), s).asInstanceOf[Boolean]
+    assert(luhn("4111111111111111"))  // canonical Visa test number
+    assert(!luhn("4111111111111112"))
+    assert(luhn("79927398713"))       // the textbook Luhn example
+    assert(!luhn("79927398714"))
+  }
+
+  test("piiCounts: emails, IPv4s, card runs and their Luhn subset") {
+    val r = one(TF.piiCounts(col("text")),
+      "mail a@b.org and c.d@e-f.co from 192.168.0.1; " +
+        "cards 4111111111111111 and 4111111111111112 end")
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(r.getAs[Long]("n_email") === 2L)
+    assert(r.getAs[Long]("n_ipv4") === 1L)
+    assert(r.getAs[Long]("n_card") === 2L)
+    assert(r.getAs[Long]("n_card_valid") === 1L)
+    // short digit runs are not card candidates
+    val none = one(TF.piiCounts(col("text")), "call 555 0100 now")
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(none.getAs[Long]("n_card") === 0L)
+  }
+
   test("scriptCounts: exact per-class counts, whitespace excluded") {
     val r = one(TF.scriptCounts(col("text")), "abc Привет 中文 42 é!")
       .asInstanceOf[org.apache.spark.sql.Row]
