@@ -4,8 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Chunking, Decontaminate, Dedup, Packing,
-  RepeatedSpans, Sampling, Scoring}
+import graft.operators.{Boilerplate, Chunking, Decontaminate, Dedup,
+  Packing, RepeatedSpans, Sampling, Scoring}
 
 /** End-to-end training-corpus curation: the composition a 100 TB text
   * pipeline actually runs, as one declarative plan per stage —
@@ -67,7 +67,22 @@ object CorpusPipeline {
       // whose cross-corpus duplicated-k-gram ratio exceeds the cap —
       // catches boilerplate/quoted passages whole-doc dedup misses
       maxSubstringDupRatio: Option[Double] = None,
-      substringK: Int = 6)
+      substringK: Int = 6,
+      // optional writing-system gate (TextFunctions.dominantScript):
+      // keep only docs whose dominant script is in the set — the robust
+      // complement to lang_pred where marker words are absent
+      allowedScripts: Option[Set[String]] = None,
+      // optional PII ceiling (TextFunctions.piiCounts): drop docs with
+      // more than this many emails + IPv4s + Luhn-valid card numbers
+      // (None = open; Some(0) = zero-tolerance before redaction)
+      maxPiiHits: Option[Long] = None,
+      // optional line-level boilerplate pre-stage
+      // (Boilerplate.removeBoilerplate keyed by `sourceCol`): template
+      // lines are deleted BEFORE any signal is computed, so headers and
+      // footers can neither poison fingerprints/shingles nor prop up
+      // token counts
+      stripBoilerplate: Boolean = false,
+      boilerplateMinFrac: Double = 0.5)
 
   /** Stage 1: annotate every doc with analysis columns (single pass —
     * every signal here is a map-only codegen expression, including the
@@ -82,8 +97,19 @@ object CorpusPipeline {
       .withColumn("char_entropy",
         TextFunctions.charEntropy(col(cfg.textCol)))
       .withColumn("fp", TextFunctions.fingerprint(col(cfg.textCol)))
-    cfg.classifierWeights.fold(base) { case (w, bias) =>
-      base.withColumn("classifier_prob",
+    val withScript =
+      if (cfg.allowedScripts.isEmpty && cfg.maxPiiHits.isEmpty) base
+      else {
+        val pc = TextFunctions.piiCounts(col(cfg.textCol))
+        base
+          .withColumn("script",
+            TextFunctions.dominantScript(col(cfg.textCol)))
+          .withColumn("pii_hits",
+            pc.getField("n_email") + pc.getField("n_ipv4") +
+              pc.getField("n_card_valid"))
+      }
+    cfg.classifierWeights.fold(withScript) { case (w, bias) =>
+      withScript.withColumn("classifier_prob",
         Scoring.score(col(cfg.textCol), w, bias))
     }
   }
@@ -96,9 +122,13 @@ object CorpusPipeline {
       col("quality") >= cfg.minQuality && col("n_tokens") >= cfg.minTokens &&
         col("repetition") <= cfg.maxRepetition &&
         col("char_entropy").between(cfg.minEntropy, cfg.maxEntropy))
+    val scripted = cfg.allowedScripts.fold(heuristic)(ok =>
+      heuristic.filter(col("script").isin(ok.toSeq: _*)))
+    val piiGated = cfg.maxPiiHits.fold(scripted)(cap =>
+      scripted.filter(col("pii_hits") <= cap))
     if (cfg.classifierWeights.isDefined)
-      heuristic.filter(col("classifier_prob") >= cfg.minClassifierProb)
-    else heuristic
+      piiGated.filter(col("classifier_prob") >= cfg.minClassifierProb)
+    else piiGated
   }
 
   /** Stage 3: exact dedup on normalized fingerprint (lowest id wins). */
@@ -152,7 +182,19 @@ object CorpusPipeline {
     * per-source cap bounds any single domain's share. */
   def curate(docs: DataFrame, cfg: Config = Config(),
       evalDocs: Option[DataFrame] = None): DataFrame = {
-    val exact = exactDedup(qualityGate(annotate(docs, cfg), cfg), cfg)
+    // line-level boilerplate removal runs FIRST when configured:
+    // template lines must not reach fingerprints, shingles, or counts
+    val input =
+      if (!cfg.stripBoilerplate) docs
+      else {
+        val cleaned = Boilerplate.removeBoilerplate(docs, cfg.idCol,
+          cfg.textCol, cfg.sourceCol, minFrac = cfg.boilerplateMinFrac)
+          .select(col(cfg.idCol), col("text_clean"))
+        docs.drop(cfg.textCol)
+          .join(cleaned, cfg.idCol)
+          .withColumnRenamed("text_clean", cfg.textCol)
+      }
+    val exact = exactDedup(qualityGate(annotate(input, cfg), cfg), cfg)
     // substring-level dedup sits between exact and near-dup: it removes
     // boilerplate-dominated docs, shrinking the LSH stage's input
     val subClean = cfg.maxSubstringDupRatio.fold(exact)(r =>

@@ -197,6 +197,38 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(strict.count() == 0L)
   }
 
+  test("round-8 late gates: script allowlist, PII ceiling, boilerplate") {
+    val docs = Seq(
+      (1L, "s1", "NAVBAR\nan informative document about query planning\nFOOTER"),
+      (2L, "s1", "NAVBAR\nanother genuinely useful document body here\nFOOTER"),
+      (3L, "s1", "NAVBAR\nthird body text with enough distinct words\nFOOTER"),
+      (4L, "s1", "NAVBAR\nПривет мир Привет мир Привет мир документ\nFOOTER"),
+      (5L, "s1", "NAVBAR\ncontact me at a@b.org or 10.0.0.1 with card " +
+        "4111111111111111 attached\nFOOTER")
+    ).toDF("doc_id", "source", "text")
+    val cfg = CorpusPipeline.Config(
+      minQuality = 0.0, minTokens = 3, maxRepetition = 1.0,
+      nearDupThreshold = 0.95,
+      allowedScripts = Some(Set("latin")),
+      maxPiiHits = Some(0L),
+      stripBoilerplate = true)
+    val out = CorpusPipeline.curate(docs, cfg).cache()
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(4L)) // cyrillic-dominant under latin allowlist
+    assert(!ids.contains(5L)) // 3 PII hits > 0 ceiling
+    assert(ids === Set(1L, 2L, 3L))
+    // the template lines were stripped BEFORE signals: no NAVBAR/FOOTER
+    out.select("text").collect().foreach { r =>
+      assert(!r.getString(0).contains("NAVBAR"))
+      assert(!r.getString(0).contains("FOOTER"))
+    }
+    // and without stripping, the same corpus keeps its templates
+    val keep = CorpusPipeline.curate(docs,
+      cfg.copy(stripBoilerplate = false))
+    assert(keep.filter(col("text").contains("NAVBAR")).count() > 0)
+    out.unpersist()
+  }
+
   test("multimodal decode features flow into embedding near-dup") {
     // cross-module integration: decoded media features are an embedding
     // column like any other — dedup operators apply unchanged
