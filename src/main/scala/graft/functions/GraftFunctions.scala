@@ -37,7 +37,8 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Number].intValue())),
     // rank-ordered merge list as a foldable 'l r;l2 r2' literal
     "bpe_apply" -> (es => graft.operators.Bpe.applyMergesExpr(es(0),
-      graft.operators.Bpe.parseMerges(es(1).eval().toString))))
+      graft.operators.Bpe.parseMerges(es(1).eval().toString))),
+    "compression_ratio" -> (es => CompressionRatio(es(0))))
 
   def registerAll(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

@@ -170,6 +170,14 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** zlib-deflate compression ratio (compressed/raw UTF-8 bytes) — the
+    * Gopher-family repetition/noise heuristic via the custom expression.
+    * Spec-gated (not DuckDB-expressible); see [[CompressionRatioUtil]]. */
+  def compressionRatio(text: Column): Column =
+    org.apache.spark.sql.graftshim.Shims.column(
+      CompressionRatio(
+        org.apache.spark.sql.graftshim.Shims.expression(text)))
+
   /** Unicode-normalize (NFC/NFD/NFKC/NFKD) via the custom expression. */
   def normalizeUnicode(text: Column, form: String = "NFC"): Column =
     org.apache.spark.sql.graftshim.Shims.column(

@@ -708,3 +708,60 @@ case class PositionalWordShingles(child: Expression, n: Int)
       c: Expression): PositionalWordShingles =
     copy(child = c)
 }
+
+/** zlib-deflate compression ratio of a string's UTF-8 bytes —
+  * compressed/raw in (0, ~1.05]. The Gopher/RedPajama-family quality
+  * heuristic: natural prose sits ~0.3–0.6; heavy repetition compresses
+  * far below it, base64/minified noise sits near (or above) 1. NOT
+  * SQL-expressible in DuckDB, so this signal is spec-gated rather than
+  * oracle-gated (the q35/q37 honesty convention). Deflater instances
+  * are thread-local and reset per row — no per-row allocation.
+  */
+object CompressionRatioUtil {
+  private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION,
+        true) // nowrap: no 6-byte zlib header skewing short docs
+  }
+  def ratio(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.isEmpty) return 1.0
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    val buf = new Array[Byte](256)
+    var compressed = 0L
+    while (!d.finished()) compressed += d.deflate(buf)
+    compressed.toDouble / raw.length.toDouble
+  }
+}
+
+case class CompressionRatio(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"compression_ratio requires string, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    CompressionRatioUtil.ratio(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CompressionRatioUtil.ratio($c);")
+
+  override protected def withNewChildInternal(
+      c: Expression): CompressionRatio =
+    copy(child = c)
+}

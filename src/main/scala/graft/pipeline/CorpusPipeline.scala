@@ -76,6 +76,12 @@ object CorpusPipeline {
       // more than this many emails + IPv4s + Luhn-valid card numbers
       // (None = open; Some(0) = zero-tolerance before redaction)
       maxPiiHits: Option[Long] = None,
+      // optional zlib-compression-ratio band (Gopher-family heuristic:
+      // prose ~0.3–0.6; far below = repetition, near/above 1 = noise).
+      // Defaults keep the gate open; spec-gated signal (not DuckDB-
+      // expressible), see functions.CompressionRatioUtil
+      minCompressionRatio: Double = 0.0,
+      maxCompressionRatio: Double = Double.MaxValue,
       // optional line-level boilerplate pre-stage
       // (Boilerplate.removeBoilerplate keyed by `sourceCol`): template
       // lines are deleted BEFORE any signal is computed, so headers and
@@ -97,11 +103,17 @@ object CorpusPipeline {
       .withColumn("char_entropy",
         TextFunctions.charEntropy(col(cfg.textCol)))
       .withColumn("fp", TextFunctions.fingerprint(col(cfg.textCol)))
+    val withCompression =
+      if (cfg.minCompressionRatio == 0.0 &&
+        cfg.maxCompressionRatio == Double.MaxValue) base
+      else base.withColumn("compression_ratio",
+        TextFunctions.compressionRatio(col(cfg.textCol)))
     val withScript =
-      if (cfg.allowedScripts.isEmpty && cfg.maxPiiHits.isEmpty) base
+      if (cfg.allowedScripts.isEmpty && cfg.maxPiiHits.isEmpty)
+        withCompression
       else {
         val pc = TextFunctions.piiCounts(col(cfg.textCol))
-        base
+        withCompression
           .withColumn("script",
             TextFunctions.dominantScript(col(cfg.textCol)))
           .withColumn("pii_hits",
@@ -122,8 +134,13 @@ object CorpusPipeline {
       col("quality") >= cfg.minQuality && col("n_tokens") >= cfg.minTokens &&
         col("repetition") <= cfg.maxRepetition &&
         col("char_entropy").between(cfg.minEntropy, cfg.maxEntropy))
-    val scripted = cfg.allowedScripts.fold(heuristic)(ok =>
-      heuristic.filter(col("script").isin(ok.toSeq: _*)))
+    val compressed =
+      if (cfg.minCompressionRatio == 0.0 &&
+        cfg.maxCompressionRatio == Double.MaxValue) heuristic
+      else heuristic.filter(col("compression_ratio")
+        .between(cfg.minCompressionRatio, cfg.maxCompressionRatio))
+    val scripted = cfg.allowedScripts.fold(compressed)(ok =>
+      compressed.filter(col("script").isin(ok.toSeq: _*)))
     val piiGated = cfg.maxPiiHits.fold(scripted)(cap =>
       scripted.filter(col("pii_hits") <= cap))
     if (cfg.classifierWeights.isDefined)

@@ -229,6 +229,34 @@ class CorpusPipelineSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("compression-ratio band gates repetition below and noise above") {
+    val rnd = new scala.util.Random(42) // seeded: deterministic spec
+    val noise =
+      (0 until 200).map(_ => (rnd.nextInt(94) + 33).toChar).mkString
+    // prose long enough for deflate history to engage — very short docs
+    // sit near ratio 1 regardless of quality, so a band gate belongs
+    // after a minTokens floor in practice
+    val docs = Seq(
+      (1L, "a genuinely informative document about query planning today, " +
+        "covering how the optimizer pushes filters toward the scan, why " +
+        "broadcast joins beat shuffles for small dimensions, and when " +
+        "adaptive execution re-plans a skewed exchange at runtime; the " +
+        "closing section compares partition pruning strategies across " +
+        "several storage layouts and their maintenance costs"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam " +
+        "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, s"noise payload $noise")
+    ).toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(
+      minQuality = 0.0, minTokens = 1, maxRepetition = 1.0,
+      nearDupThreshold = 0.95,
+      minCompressionRatio = 0.25, maxCompressionRatio = 0.75)
+    val out = CorpusPipeline.curate(docs, cfg)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L))
+    assert(out.columns.contains("compression_ratio"))
+  }
+
   test("multimodal decode features flow into embedding near-dup") {
     // cross-module integration: decoded media features are an embedding
     // column like any other — dedup operators apply unchanged

@@ -156,4 +156,39 @@ class ExpressionsSpec extends SparkTestBase {
     fused.collect().foreach(r =>
       assert(r.getDouble(1) == interp(r.getLong(0))))
   }
+
+  test("CompressionRatio: repetition compresses, noise doesn't; SQL") {
+    import graft.functions.{TextFunctions => TF}
+    def ratio(s: String): Double =
+      Seq(s).toDF("t").select(TF.compressionRatio(col("t")))
+        .head().getDouble(0)
+    val repetitive = ratio("spam spam spam spam spam spam spam spam " * 8)
+    val prose = ratio("a genuinely informative sentence about query " +
+      "planning, shuffles, and broadcast joins in a distributed engine")
+    val rnd = new scala.util.Random(42) // seeded: deterministic spec
+    val noise = ratio(
+      (0 until 256).map(_ => (rnd.nextInt(94) + 33).toChar).mkString)
+    assert(repetitive < prose, s"$repetitive !< $prose")
+    assert(prose < noise, s"$prose !< $noise")
+    assert(repetitive < 0.2 && noise > 0.8)
+    // empty input is defined (1.0), null stays null
+    assert(ratio("") == 1.0)
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(TF.compressionRatio(col("t"))).head()
+    assert(n.isNullAt(0))
+    // SQL-registered and identical to the Column arm
+    val viaSql = spark.sql(
+      "SELECT compression_ratio('spam spam spam spam spam spam')")
+      .head().getDouble(0)
+    assert(viaSql == ratio("spam spam spam spam spam spam"))
+    // deterministic across partitions/threads (thread-local deflater)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(64)
+    val a = docs.select(col("doc_id"),
+      TF.compressionRatio(col("text")).as("r")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = docs.repartition(8).select(col("doc_id"),
+      TF.compressionRatio(col("text")).as("r")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a === b)
+  }
 }
