@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, UrlFunctions, VectorFunctions => VF}
 import graft.operators.{Boilerplate, Bpe, Collocations, Decontaminate,
-  Dedup, Fuzzy, Metrics, Mixing, PartialAgg, RepeatedSpans, Retrieval,
-  Sampling, Scoring, Similarity}
+  Dedup, Fuzzy, LangModel, Metrics, Mixing, PartialAgg, RepeatedSpans,
+  Retrieval, Sampling, Scoring, Similarity}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2) over the
   * test star schema, each query paired with DuckDB oracle SQL.
@@ -4157,6 +4157,75 @@ object SparkEntry {
       |    AS BIGINT) AS n_card_valid
       |FROM c ORDER BY doc_id""".stripMargin))
 
+  private val q142 = Q("q142_lm_score",
+    (s, dir) => {
+      // CCNet-style LM quality scoring (LangModel.train/scoreDocs):
+      // interpolated unigram/bigram with add-one smoothing over a
+      // top-64 vocab + <unk>, trained on the corpus and replayed END TO
+      // END in SQL — every probability is a ratio of exact integer
+      // counts, per-token ln() DECIMAL(24,10)-rounded then decimal-
+      // summed (aggregation order can't move a score), ln/exp ulp
+      // absorbed by round(6). λ=0.75 because 0.75 and 1−0.75 are both
+      // dyadic-exact — a 0.7 literal would make 1−λ differ between the
+      // Scala constant-folded 0.30000000000000004 and SQL's 0.3.
+      val docs = t(s, dir, "documents")
+      val model = LangModel.train(docs, "text", vocabSize = 64)
+      LangModel.scoreDocs(docs, "doc_id", "text", model, lambda = 0.75)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(ts) AS tok,
+      |    unnest(range(1, len(ts) + 1)) AS pos
+      |  FROM (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '') AS ts FROM documents)
+      |), counts AS (
+      |  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+      |), tot AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts
+      |), vocab AS (
+      |  SELECT tok AS sym, c AS c1 FROM counts
+      |  ORDER BY c DESC, tok LIMIT 64
+      |), unig AS (
+      |  SELECT sym, c1 FROM vocab
+      |  UNION ALL
+      |  SELECT '<unk>', (SELECT n FROM tot) -
+      |    (SELECT CAST(SUM(c1) AS BIGINT) FROM vocab)
+      |), sy AS (
+      |  SELECT t.doc_id, t.pos,
+      |    CASE WHEN v.sym IS NULL THEN '<unk>' ELSE t.tok END AS sym
+      |  FROM toks t LEFT JOIN vocab v ON t.tok = v.sym
+      |), pairs AS (
+      |  SELECT doc_id, sym,
+      |    lead(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS next_sym
+      |  FROM sy
+      |), pr AS (
+      |  SELECT doc_id, sym, next_sym FROM pairs
+      |  WHERE next_sym IS NOT NULL
+      |), big AS (
+      |  SELECT sym, next_sym, COUNT(*) AS c2 FROM pr
+      |  GROUP BY sym, next_sym
+      |), scored AS (
+      |  SELECT p.doc_id,
+      |    CAST(ln(0.75 * ((COALESCE(b.c2, 0) + 1) / (ua.c1 + 65))
+      |       + 0.25 * ((ub.c1 + 1) / ((SELECT n FROM tot) + 65)))
+      |      AS DECIMAL(24,10)) AS lp
+      |  FROM pr p
+      |  JOIN unig ua ON p.sym = ua.sym
+      |  JOIN unig ub ON p.next_sym = ub.sym
+      |  LEFT JOIN big b ON p.sym = b.sym AND p.next_sym = b.next_sym
+      |), agg AS (
+      |  SELECT doc_id, SUM(lp) AS lp_sum, COUNT(*) AS n_scored
+      |  FROM scored GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(a.n_scored, 0) AS n_scored,
+      |  ROUND(CAST(a.lp_sum AS DOUBLE) / a.n_scored, 6) AS mean_logprob,
+      |  ROUND(exp(-(CAST(a.lp_sum AS DOUBLE) / a.n_scored)), 6) AS pplx
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4168,7 +4237,7 @@ object SparkEntry {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138, q139, q140, q141)
+    q133, q134, q135, q136, q137, q138, q139, q140, q141, q142)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
