@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.operators.{Boilerplate, Chunking, Decontaminate, Dedup,
-  Packing, RepeatedSpans, Sampling, Scoring}
+  LangModel, Packing, RepeatedSpans, Sampling, Scoring}
 
 /** End-to-end training-corpus curation: the composition a 100 TB text
   * pipeline actually runs, as one declarative plan per stage —
@@ -82,6 +82,15 @@ object CorpusPipeline {
       // expressible), see functions.CompressionRatioUtil
       minCompressionRatio: Double = 0.0,
       maxCompressionRatio: Double = Double.MaxValue,
+      // optional LM-perplexity band (the CCNet recipe: fit a small LM
+      // on a REFERENCE corpus — lmRef — and gate crawl docs whose
+      // perplexity under it falls outside [min, max]; too high =
+      // noise, too low = degenerate/templated). Docs with no scorable
+      // bigram (< 2 tokens) are dropped when a band is set.
+      lmRef: Option[DataFrame] = None,
+      lmPplxBand: (Double, Double) = (0.0, Double.MaxValue),
+      lmVocabSize: Int = 512,
+      lmLambda: Double = 0.75,
       // optional line-level boilerplate pre-stage
       // (Boilerplate.removeBoilerplate keyed by `sourceCol`): template
       // lines are deleted BEFORE any signal is computed, so headers and
@@ -211,7 +220,19 @@ object CorpusPipeline {
           .join(cleaned, cfg.idCol)
           .withColumnRenamed("text_clean", cfg.textCol)
       }
-    val exact = exactDedup(qualityGate(annotate(input, cfg), cfg), cfg)
+    val gated = qualityGate(annotate(input, cfg), cfg)
+    // LM-perplexity band: model fitted on the reference corpus, scores
+    // joined back per doc (broadcast vocab tables; see LangModel)
+    val lmGated = cfg.lmRef.fold(gated) { ref =>
+      val model = LangModel.train(ref, cfg.textCol, cfg.lmVocabSize,
+        cfg.idCol)
+      val scores = LangModel.scoreDocs(gated, cfg.idCol, cfg.textCol,
+        model, cfg.lmLambda)
+        .select(col(cfg.idCol), col("pplx"))
+      gated.join(scores, cfg.idCol)
+        .filter(col("pplx").between(cfg.lmPplxBand._1, cfg.lmPplxBand._2))
+    }
+    val exact = exactDedup(lmGated, cfg)
     // substring-level dedup sits between exact and near-dup: it removes
     // boilerplate-dominated docs, shrinking the LSH stage's input
     val subClean = cfg.maxSubstringDupRatio.fold(exact)(r =>

@@ -257,6 +257,27 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(out.columns.contains("compression_ratio"))
   }
 
+  test("LM-perplexity band: reference-fitted model gates rare-word noise") {
+    val ref = spark.read.parquet(s"$sf001/documents.parquet")
+    val docs = Seq(
+      (1L, "table join hash row scan batch window group order value data"),
+      (2L, "xylophone quixotic zephyr bandersnatch vorpal jabberwock " +
+        "galumphing frabjous borogoves mimsy")).toDF("doc_id", "text")
+    // calibrate the band from the corpus-typical doc's own pplx
+    val m = graft.operators.LangModel.train(ref, "text", 512)
+    val typical = graft.operators.LangModel
+      .scoreDocs(docs, "doc_id", "text", m)
+      .filter(col("doc_id") === 1).head().getDouble(3)
+    val cfg = CorpusPipeline.Config(
+      minQuality = 0.0, minTokens = 3, maxRepetition = 1.0,
+      nearDupThreshold = 0.95,
+      lmRef = Some(ref), lmPplxBand = (0.0, typical * 2.0))
+    val out = CorpusPipeline.curate(docs, cfg)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L))
+    assert(out.columns.contains("pplx"))
+  }
+
   test("multimodal decode features flow into embedding near-dup") {
     // cross-module integration: decoded media features are an embedding
     // column like any other — dedup operators apply unchanged
