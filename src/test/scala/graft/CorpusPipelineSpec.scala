@@ -278,6 +278,37 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(out.columns.contains("pplx"))
   }
 
+  test("annotate + quality gates run UNCHANGED on a file stream") {
+    // every annotate signal and every round-8 gate (script, PII,
+    // compression band) is a stateless map — so the same code is legal
+    // in Structured Streaming with no rewrite. (Boilerplate, LM, and
+    // dedup stages aggregate/join across docs and stay batch/foreachBatch.)
+    val dir = java.nio.file.Files
+      .createTempDirectory("gates_stream").toString
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(200)
+    docs.write.mode("overwrite").parquet(dir)
+    val cfg = CorpusPipeline.Config(
+      allowedScripts = Some(Set("latin")),
+      maxPiiHits = Some(5L),
+      minCompressionRatio = 0.05, maxCompressionRatio = 0.99)
+    val stream = spark.readStream
+      .schema(docs.schema).parquet(dir)
+    val gated = CorpusPipeline.qualityGate(
+      CorpusPipeline.annotate(stream, cfg), cfg)
+    assert(gated.isStreaming)
+    val q = gated.writeStream.format("memory").queryName("gates_mem")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("gates_mem")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = CorpusPipeline.qualityGate(
+      CorpusPipeline.annotate(docs, cfg), cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("multimodal decode features flow into embedding near-dup") {
     // cross-module integration: decoded media features are an embedding
     // column like any other — dedup operators apply unchanged
