@@ -21,8 +21,17 @@ object CorpusDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val cfg = CorpusPipeline.Config()
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // round-8-late gates ON, with open-but-real bounds: latin-dominant
+    // docs only, no Luhn-valid cards/emails/IPs, compression band wide
+    // enough for prose, LM perplexity ≤ 10x the corpus median under a
+    // model fitted on the corpus itself
+    val docsAll = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cfg = CorpusPipeline.Config(
+      allowedScripts = Some(Set("latin")),
+      maxPiiHits = Some(0L),
+      minCompressionRatio = 0.05, maxCompressionRatio = 0.95,
+      lmRef = Some(docsAll), lmPplxBand = (0.0, 500.0))
+    val docs = docsAll
     val evalSet = docs.filter(org.apache.spark.sql.functions
       .col("doc_id") % 97 === 0) // stand-in benchmark corpus
     def stage(name: String, n: Long): Unit =
@@ -37,7 +46,17 @@ object CorpusDemo {
     val annotated = CorpusPipeline.annotate(docs, cfg)
     val gated = CorpusPipeline.qualityGate(annotated, cfg)
     stage("quality gate", gated.count())
-    val exact = CorpusPipeline.exactDedup(gated, cfg)
+    val model = graft.operators.LangModel.train(docs, cfg.textCol,
+      cfg.lmVocabSize, cfg.idCol)
+    val lmScores = graft.operators.LangModel.scoreDocs(gated, cfg.idCol,
+      cfg.textCol, model, cfg.lmLambda)
+      .select(org.apache.spark.sql.functions.col(cfg.idCol),
+        org.apache.spark.sql.functions.col("pplx"))
+    val lmGated = gated.join(lmScores, cfg.idCol)
+      .filter(org.apache.spark.sql.functions.col("pplx")
+        .between(cfg.lmPplxBand._1, cfg.lmPplxBand._2)).cache()
+    stage("LM pplx band", lmGated.count())
+    val exact = CorpusPipeline.exactDedup(lmGated, cfg)
     stage("exact dedup", exact.count())
     val near = CorpusPipeline.nearDedup(exact, cfg).cache()
     stage("near dedup (LSH)", near.count())
