@@ -4226,6 +4226,59 @@ object SparkEntry {
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY d.doc_id""".stripMargin))
 
+  private val q143 = Q("q143_span_excise",
+    (s, dir) => {
+      // Span EXCISION (RepeatedSpans.excise) — Lee et al.'s remedy
+      // applied: cut cross-corpus duplicated 6-gram spans, keep the
+      // document, keep-one canonical copy (lowest doc id owning each
+      // hot gram). Same postings shuffle as q130 plus an owner
+      // aggregate; the k-wide explode touches only FLAGGED positions.
+      // hashKeys=true scale arm; exact strings/ints → hash-exact
+      // oracle (the q130 collision caveat applies identically).
+      RepeatedSpans.excise(t(s, dir, "documents"), "doc_id", "text",
+          k = 6, minDocs = 2, hashKeys = true)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |    '\s+'), t -> t <> '') AS tk FROM documents
+      |), tokpos AS (
+      |  SELECT doc_id, unnest(tk) AS tok,
+      |    unnest(range(1, len(tk) + 1)) AS ti
+      |  FROM toks
+      |), grams AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+      |    tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] AS g
+      |  FROM toks, LATERAL unnest(range(1, greatest(len(tk) - 4, 1))) u(i)
+      |), own AS (
+      |  SELECT g, MIN(doc_id) AS owner FROM grams
+      |  GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+      |), flagged AS (
+      |  SELECT grams.doc_id, grams.pos
+      |  FROM grams JOIN own ON grams.g = own.g
+      |  WHERE grams.doc_id <> own.owner
+      |), cut AS (
+      |  SELECT DISTINCT doc_id, ti0 FROM (
+      |    SELECT doc_id, unnest(range(pos, pos + 6)) AS ti0 FROM flagged)
+      |), kept AS (
+      |  SELECT t.doc_id, t.ti, t.tok
+      |  FROM tokpos t LEFT JOIN cut c
+      |    ON t.doc_id = c.doc_id AND t.ti - 1 = c.ti0
+      |  WHERE c.ti0 IS NULL
+      |), reb AS (
+      |  SELECT doc_id,
+      |    array_to_string(list(tok ORDER BY ti), ' ') AS text_clean,
+      |    COUNT(*) AS n_kept
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(r.text_clean, '') AS text_clean,
+      |  CAST(len(d.tk) AS BIGINT) AS n_tokens,
+      |  CAST(len(d.tk) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_excised
+      |FROM toks d LEFT JOIN reb r ON d.doc_id = r.doc_id
+      |ORDER BY d.doc_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4237,7 +4290,7 @@ object SparkEntry {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138, q139, q140, q141, q142)
+    q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -178,4 +178,59 @@ object RepeatedSpans {
       .select(col(idCol))
     docs.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** Span EXCISION — Lee et al. 2021's actual remedy: cut the
+    * duplicated substring out, KEEP the document, and keep ONE
+    * canonical copy of every span (the LOWEST doc id among a hot
+    * gram's holders keeps its tokens; every other holder loses the
+    * k-token windows). Returns one row per input document:
+    * (idCol, text_clean, n_tokens, n_excised), text rebuilt in
+    * original token order.
+    *
+    * Shape: the postings shuffle [[dupStats]] already pays, plus a
+    * per-gram (owner = min id) aggregate, a k-wide `sequence` explode
+    * of the FLAGGED positions only (∝ duplicated volume, not corpus),
+    * an anti join on (id, token idx), and one per-doc rebuild. Docs
+    * shorter than k tokens pass through whole. */
+  def excise(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int = 2, hashKeys: Boolean = true): DataFrame = {
+    val postings = keyed(positionalGrams(docs, idCol, textCol, k), hashKeys)
+    val owners = postings.groupBy(col("__key"))
+      .agg(countDistinct(col(idCol)).as("__n"),
+        min(col(idCol)).as("__owner"))
+      .filter(col("__n") >= minDocs)
+      .select(col("__key"), col("__owner"))
+    val flagged = postings.join(owners, Seq("__key"))
+      .filter(col(idCol) =!= col("__owner"))
+      .select(col(idCol), col("__pos"))
+    val cut = flagged
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + lit(k - 1)))
+          .as("__ti"))
+      .distinct()
+
+    val toks = docs.select(col(idCol),
+      posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as(Seq("__ti", "__tok")))
+    val rebuilt = toks.join(cut, Seq(idCol, "__ti"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__ti"), col("__tok"))))
+        .as("__o"),
+        count(lit(1)).as("__n_kept"))
+      .select(col(idCol),
+        array_join(transform(col("__o"), _.getField("__tok")), " ")
+          .as("text_clean"),
+        col("__n_kept"))
+
+    docs.select(col(idCol),
+        size(graft.functions.TextFunctions.tokens(col(textCol)))
+          .cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_excised"))
+  }
 }

@@ -115,4 +115,44 @@ class RepeatedSpansSpec extends SparkTestBase {
     // nothing to flag) stay.
     assert(kept == Set(3L, 4L))
   }
+
+  test("excise cuts the span from NON-owners only, keeps every doc") {
+    val out = RepeatedSpans.excise(corpus, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 owns "shared boiler plate" (lowest id) -> untouched
+    assert(out(1L) === (("alpha shared boiler plate omega unique1",
+      6L, 0L)))
+    // doc 2 loses the 3-token window at pos 1, keeps the rest in order
+    assert(out(2L) === (("beta text gamma", 6L, 3L)))
+    // unique and too-short docs pass through whole
+    assert(out(3L)._3 === 0L)
+    assert(out(4L) === (("too short", 2L, 0L)))
+    assert(out.size === 4) // no document row is lost
+  }
+
+  test("excise: overlapping flagged spans merge (no double-cutting)") {
+    // docs share a 4-token run -> NON-owner has flagged positions 0 and
+    // 1 whose [p, p+3) windows overlap; union = tokens 0..3, not 6
+    val d = Seq(
+      (1L, "one two three four alpha"),
+      (2L, "one two three four beta")).toDF("doc_id", "text")
+    val out = RepeatedSpans.excise(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(3)))).toMap
+    assert(out(1L) === (("one two three four alpha", 0L)))
+    assert(out(2L) === (("beta", 4L)))
+  }
+
+  test("excise: hashed and exact-string key arms agree on real data") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(150)
+    def run(h: Boolean) =
+      RepeatedSpans.excise(docs, "doc_id", "text", k = 6, hashKeys = h)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val a = run(true); val b = run(false)
+    assert(a === b)
+    // the corpus's planted dups actually exercise the cut
+    assert(a.values.exists(_._3 > 0))
+  }
 }
