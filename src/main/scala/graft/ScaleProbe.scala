@@ -88,7 +88,8 @@ object ScaleProbe {
     // idf), BPE learn (vocab-sized iterations), BPE encode (map-only
     // codegen chain), line-level boilerplate removal (3 line-shuffles)
     "q136_bm25", "q137_bpe_learn", "q138_bpe_encode", "q139_line_dedup",
-    "q140_script_detect", "q141_pii_scan", "q142_lm_score")
+    "q140_script_detect", "q141_pii_scan", "q142_lm_score",
+    "q143_span_excise")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
