@@ -4279,6 +4279,52 @@ object SparkEntry {
       |FROM toks d LEFT JOIN reb r ON d.doc_id = r.doc_id
       |ORDER BY d.doc_id""".stripMargin))
 
+  private val q144 = Q("q144_interval_join",
+    (s, dir) => {
+      // Interval-OVERLAP join (RangeJoin.intervalOverlap): both sides
+      // carry [lo, hi] date ranges; bucketized to weeks, equi-joined,
+      // deduped by the first-overlapping-bucket guard — never a
+      // BroadcastNestedLoopJoin. Fixture: two order samples with
+      // key-dependent window widths; overlap_days is exact integer
+      // datediff arithmetic.
+      val o = t(s, dir, "orders")
+        .withColumn("d", to_date(col("o_orderdate")))
+      val left = o.filter(col("o_orderkey") % 311 === 0)
+        .select(col("o_orderkey").as("lk"), col("d").as("llo"),
+          date_add(col("d"), (col("o_orderkey") % 30).cast("int") + 1)
+            .as("lhi"))
+      val right = o.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("rk"), col("d").as("rlo"),
+          date_add(col("d"), (col("o_orderkey") % 45).cast("int") + 1)
+            .as("rhi"))
+      val weeks: Column => Column =
+        c => floor(datediff(c, lit("1970-01-01").cast("date")) / 7)
+      graft.operators.RangeJoin.intervalOverlap(left, right,
+          "llo", "lhi", "rlo", "rhi", weeks)
+        .select(col("lk"), col("rk"),
+          (datediff(least(col("lhi"), col("rhi")),
+            greatest(col("llo"), col("rlo"))) + lit(1))
+            .cast("long").as("overlap_days"))
+        .orderBy(col("lk"), col("rk"))
+    },
+    Some("""WITH o AS (
+      |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders
+      |), l AS (
+      |  SELECT o_orderkey AS lk, d AS llo,
+      |    d + CAST(o_orderkey % 30 + 1 AS INT) AS lhi
+      |  FROM o WHERE o_orderkey % 311 = 0
+      |), r AS (
+      |  SELECT o_orderkey AS rk, d AS rlo,
+      |    d + CAST(o_orderkey % 45 + 1 AS INT) AS rhi
+      |  FROM o WHERE o_orderkey % 97 = 0
+      |)
+      |SELECT l.lk, r.rk,
+      |  CAST(date_diff('day', greatest(l.llo, r.rlo),
+      |    least(l.lhi, r.rhi)) + 1 AS BIGINT) AS overlap_days
+      |FROM l JOIN r
+      |  ON l.llo <= r.rhi AND r.rlo <= l.lhi
+      |ORDER BY l.lk, r.rk""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4290,7 +4336,8 @@ object SparkEntry {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143)
+    q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
+    q144)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -45,4 +45,32 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bk")
   }
+
+  /** Interval-OVERLAP join (range × range): left `[lLo, lHi]` rows to
+    * right `[rLo, rHi]` rows with a non-empty inclusive intersection —
+    * the time-interval overlap primitive (sessions × promo windows,
+    * visits × incidents). Same bucketization as [[pointInInterval]],
+    * with BOTH sides exploded to their overlapped buckets; a pair that
+    * co-occurs in several buckets is emitted exactly once via the
+    * FIRST-OVERLAPPING-BUCKET guard — the joined bucket must equal
+    * `bucket(greatest(lLo, rLo))`, which for an overlapping pair lies
+    * inside both sides' bucket ranges and is unique. No `distinct`, no
+    * nested loop; an ordinary shuffle-on-key equi-join, AQE-manageable.
+    * Column names must be disjoint across the inputs. */
+  def intervalOverlap(
+      left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      bucket: Column => Column): DataFrame = {
+    val lb = left.withColumn("__bk",
+      explode(sequence(bucket(col(lLo)).cast("long"),
+        bucket(col(lHi)).cast("long"))))
+    val rb = right.withColumn("__bk",
+      explode(sequence(bucket(col(rLo)).cast("long"),
+        bucket(col(rHi)).cast("long"))))
+    lb.join(rb, Seq("__bk"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__bk") ===
+        bucket(greatest(col(lLo), col(rLo))).cast("long"))
+      .drop("__bk")
+  }
 }

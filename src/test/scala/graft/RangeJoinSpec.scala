@@ -61,4 +61,45 @@ class RangeJoinSpec extends SparkTestBase {
       .toSet
     assert(out == Set((1L, 10L), (2L, 20L), (3L, 20L)))
   }
+
+  test("intervalOverlap equals brute force, exactly-once per pair") {
+    val rng = new scala.util.Random(23)
+    val left = (0 until 120).map { i =>
+      val lo = rng.nextInt(1000).toLong
+      (i.toLong, lo, lo + rng.nextInt(60))
+    }
+    val right = (0 until 150).map { i =>
+      val lo = rng.nextInt(1000).toLong
+      (i.toLong, lo, lo + rng.nextInt(200)) // wider: multi-bucket spans
+    }
+    val lDf = left.toDF("lid", "llo", "lhi")
+    val rDf = right.toDF("rid", "rlo", "rhi")
+    val got = RangeJoin.intervalOverlap(lDf, rDf,
+        "llo", "lhi", "rlo", "rhi", c => floor(c / 50))
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = for {
+      (li, llo, lhi) <- left
+      (ri, rlo, rhi) <- right
+      if llo <= rhi && rlo <= lhi
+    } yield (li, ri)
+    // multiset equality: exactly once per overlapping pair, no bucket
+    // duplicates survive the first-overlapping-bucket guard
+    assert(got.sorted == want.sorted)
+    assert(got.distinct.length == got.length)
+    assert(got.nonEmpty)
+  }
+
+  test("intervalOverlap plans as an equi-join, not a nested loop") {
+    val lDf = (0L to 50L).map(i => (i, i * 10, i * 10 + 25))
+      .toDF("lid", "llo", "lhi")
+    val rDf = (0L to 50L).map(i => (i, i * 7, i * 7 + 40))
+      .toDF("rid", "rlo", "rhi")
+    val j = RangeJoin.intervalOverlap(lDf, rDf,
+      "llo", "lhi", "rlo", "rhi", c => floor(c / 32))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
 }
