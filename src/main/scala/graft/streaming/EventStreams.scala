@@ -101,6 +101,30 @@ object EventStreams {
         }: _*)
   }
 
+  /** Streaming windowed HEAVY HITTERS over a high-cardinality key
+    * (user ids, URLs): per-window state is ONE Misra-Gries summary of
+    * `capacity` counters — not a per-key count — so state is
+    * `watermark-bounded windows × capacity` at ANY key cardinality.
+    * Emits the window's candidate array, PROVABLY a superset of every
+    * key with frequency > n/(capacity+1) in that window (the
+    * [[graft.operators.HeavyHitters]] guarantee; close with an exact
+    * batch count over the flagged windows when exact counts matter —
+    * the streaming analogue of its two-pass shape). */
+  def windowedHeavyHitters(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      capacity: Int = 32,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLength))
+      .agg(count(lit(1)).as("n"),
+        graft.operators.HeavyHitters
+          .mgCandidates(col(keyCol), capacity).as("candidates"))
+      .select(col("window.start").as("window_start"), col("n"),
+        col("candidates"))
+
   /** Streaming exact dedup on event_id: watermark-bounded state, the
     * streaming form of the batch `dropDuplicates`. */
   def dedupeStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =

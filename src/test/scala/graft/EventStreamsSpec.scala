@@ -84,6 +84,45 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowedHeavyHitters: bounded state, MG superset guarantee " +
+    "per window") {
+    val dir = Files.createTempDirectory("graft_hh").toString
+    Files.copy(java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val capacity = 8
+    // exact per-(hour, user) truth for the guarantee check
+    val exact = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(expr("timestamp_micros((ts DIV 3600000000000) * 3600000000)")
+        .as("window_start"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().groupBy(_.get(0).toString)
+      .view.mapValues(_.map(r => r.getLong(1) -> r.getLong(2)).toMap)
+      .toMap
+    val stream = EventStreams.readEventStream(spark, dir)
+    val q = EventStreams.windowedHeavyHitters(stream,
+        keyCol = "user_id", capacity = capacity)
+      .writeStream.format("memory").queryName("whh")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM whh").collect()
+        .map(r => r.get(0).toString ->
+          ((r.getLong(1), r.getSeq[Long](2)))).toMap
+      assert(got.nonEmpty && got.keySet == exact.keySet)
+      got.foreach { case (w, (n, cands)) =>
+        assert(cands.length <= capacity, s"window $w state unbounded")
+        assert(n === exact(w).values.sum)
+        // every key above n/(capacity+1) must be in the candidates
+        val mustHave = exact(w).collect {
+          case (u, c) if c > n.toDouble / (capacity + 1) => u
+        }
+        mustHave.foreach(u => assert(cands.contains(u),
+          s"window $w: heavy user $u missing from ${cands.toSeq}"))
+      }
+    } finally q.stop()
+  }
+
   test("slidingCounts: overlapping windows match the batch assignment") {
     val dir = Files.createTempDirectory("graft_sw").toString
     Files.copy(java.nio.file.Paths.get(s"$sf001/events.parquet"),
