@@ -79,4 +79,62 @@ class OperatorPropertySpec extends SparkTestBase {
     }.toSet
     assert(got == expected)
   }
+
+  test("BPE: driver and distributed learners agree on random corpora") {
+    val rng = new scala.util.Random(31L)
+    val alphabet = "abcd"
+    for (round <- 0 until 3) {
+      val docs = (0 until 40).map { i =>
+        (i.toLong, (0 until 8).map(_ =>
+          (0 until (1 + rng.nextInt(5))).map(_ =>
+            alphabet(rng.nextInt(alphabet.length))).mkString)
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val a = graft.operators.Bpe.learnMerges(docs, "text", 4,
+        localVocabThreshold = Long.MaxValue).collect().toSeq
+      val b = graft.operators.Bpe.learnMerges(docs, "text", 4,
+        localVocabThreshold = 0L).collect().toSeq
+      assert(a.map(_.toSeq) == b.map(_.toSeq), s"round $round")
+    }
+  }
+
+  test("boilerplate removal is idempotent (kept lines stay kept)") {
+    val rng = new scala.util.Random(41L)
+    val templates = Seq("HEAD", "FOOT", "NAV")
+    val docs = (0 until 60).map { i =>
+      val body = (0 until 3).map(_ => s"body ${rng.nextInt(1000)}")
+      val lines = rng.shuffle(templates.take(1 + rng.nextInt(3)) ++ body)
+      (i.toLong, s"s${i % 3}", lines.mkString("\n"))
+    }.toDF("doc_id", "source", "text")
+    val once = graft.operators.Boilerplate
+      .removeBoilerplate(docs, "doc_id", "text", "source")
+      .select(col("doc_id"), col("source"),
+        col("text_clean").as("text"))
+    val twice = graft.operators.Boilerplate
+      .removeBoilerplate(once, "doc_id", "text", "source")
+    val a = once.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = twice.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b) // a line kept in pass 1 is below threshold in pass 2
+  }
+
+  test("span excision conserves tokens: kept + excised = total; " +
+    "dup-free corpora pass through identity") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(120)
+    val out = graft.operators.RepeatedSpans
+      .excise(docs, "doc_id", "text", k = 6).collect()
+    out.foreach { r =>
+      val kept = r.getString(1).split("\\s+").count(_.nonEmpty)
+      assert(kept + r.getLong(3) === r.getLong(2),
+        s"doc ${r.getLong(0)}")
+    }
+    // a corpus of all-distinct single docs has nothing to excise
+    val uniq = Seq((1L, "entirely fresh words never repeated"),
+      (2L, "another disjoint sentence here today")).toDF("doc_id", "text")
+    val id = graft.operators.RepeatedSpans
+      .excise(uniq, "doc_id", "text", k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(id(1L) === (("entirely fresh words never repeated", 0L)))
+    assert(id(2L)._2 === 0L)
+  }
 }
