@@ -4325,6 +4325,70 @@ object SparkEntry {
       |  ON l.llo <= r.rhi AND r.rlo <= l.lhi
       |ORDER BY l.lk, r.rk""".stripMargin))
 
+  private val q145 = Q("q145_bpe_pipeline",
+    (s, dir) => {
+      // END-TO-END learned tokenizer under one oracle: learn 5 BPE
+      // merges from the corpus (q137's loop, 2 more rounds), then apply
+      // THOSE learned merges corpus-wide (q138's codegen chain, merge
+      // list now data-derived) and count tokens. The merge table is a
+      // 5-row collect (k-row by construction — the kmeans-centroid
+      // justification). SQL replays learning as chained CTEs and the
+      // apply as replaces driven by the per-iteration winner CTEs.
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.learnMerges(docs, "text", numMerges = 5)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      docs.select(col("doc_id"),
+          TF.tokenCount(col("text")).cast("long").as("n_ws"),
+          Bpe.tokenCount(col("text"), merges).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH wc AS (
+      |  SELECT w AS word, COUNT(*) AS n FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(text),
+      |      '\\s+'), x -> x <> '')) AS w
+      |    FROM documents)
+      |  WHERE NOT contains(w, '|')
+      |  GROUP BY w
+      |), v0 AS (
+      |  SELECT regexp_replace(word, '(.)', '|\\1 ', 'g') AS s, n FROM wc
+      |), ${bpeIterSql(1, "v0")},
+      |${bpeIterSql(2, "v1")},
+      |${bpeIterSql(3, "v2")},
+      |${bpeIterSql(4, "v3")},
+      |${bpeIterSql(5, "v4")},
+      |e0 AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+      |      x -> x <> '')) AS BIGINT) AS n_ws,
+      |    regexp_replace(replace(lower(text), '|', ''),
+      |      '(\\S)', '|\\1 ', 'g') AS s
+      |  FROM documents
+      |), e1 AS (
+      |  SELECT doc_id, n_ws, replace(e0.s,
+      |    '|' || w.l || ' |' || w.r || ' ',
+      |    '|' || w.l || w.r || ' ') AS s FROM e0, w1 w
+      |), e2 AS (
+      |  SELECT doc_id, n_ws, replace(e1.s,
+      |    '|' || w.l || ' |' || w.r || ' ',
+      |    '|' || w.l || w.r || ' ') AS s FROM e1, w2 w
+      |), e3 AS (
+      |  SELECT doc_id, n_ws, replace(e2.s,
+      |    '|' || w.l || ' |' || w.r || ' ',
+      |    '|' || w.l || w.r || ' ') AS s FROM e2, w3 w
+      |), e4 AS (
+      |  SELECT doc_id, n_ws, replace(e3.s,
+      |    '|' || w.l || ' |' || w.r || ' ',
+      |    '|' || w.l || w.r || ' ') AS s FROM e3, w4 w
+      |), e5 AS (
+      |  SELECT doc_id, n_ws, replace(e4.s,
+      |    '|' || w.l || ' |' || w.r || ' ',
+      |    '|' || w.l || w.r || ' ') AS s FROM e4, w5 w
+      |)
+      |SELECT doc_id, n_ws,
+      |  CAST(len(s) - len(replace(s, '|', '')) AS BIGINT) AS n_bpe
+      |FROM e5 ORDER BY doc_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4337,7 +4401,7 @@ object SparkEntry {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144)
+    q144, q145)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
