@@ -89,7 +89,7 @@ object ScaleProbe {
     // codegen chain), line-level boilerplate removal (3 line-shuffles)
     "q136_bm25", "q137_bpe_learn", "q138_bpe_encode", "q139_line_dedup",
     "q140_script_detect", "q141_pii_scan", "q142_lm_score",
-    "q143_span_excise")
+    "q143_span_excise", "q144_interval_join", "q145_bpe_pipeline")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
