@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, UrlFunctions, VectorFunctions => VF}
 import graft.operators.{Boilerplate, Bpe, Collocations, Decontaminate,
-  Dedup, Fuzzy, LangModel, Metrics, Mixing, PartialAgg, RepeatedSpans,
-  Retrieval, Sampling, Scoring, Similarity}
+  Dedup, Drift, Fuzzy, LangModel, Metrics, Mixing, PartialAgg,
+  RepeatedSpans, Retrieval, Sampling, Scoring, Similarity}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2) over the
   * test star schema, each query paired with DuckDB oracle SQL.
@@ -4389,6 +4389,100 @@ object SparkEntry {
       |  CAST(len(s) - len(replace(s, '|', '')) AS BIGINT) AS n_bpe
       |FROM e5 ORDER BY doc_id""".stripMargin))
 
+  private val q146 = Q("q146_psi_drift",
+    (s, dir) => {
+      // Distribution-drift gate (Drift.psi): PSI + total-variation
+      // between a reference window and a candidate window of the same
+      // metric, over fixed bins with Laplace smoothing — the
+      // admit-a-new-source health check. Nothing wider than the 8-bin
+      // frame shuffles; ln()'s ulp is absorbed by the DECIMAL(24,10)
+      // round (q142 recipe), bin totals are exact decimal sums.
+      val ev = t(s, dir, "events")
+      Drift.psi(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"),
+        "value", Seq(5, 10, 20, 40, 80, 160, 320))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH rc AS (
+      |  SELECT (CASE WHEN value >= 5 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 10 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 20 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 40 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 80 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 160 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 320 THEN 1 ELSE 0 END) AS bin,
+      |    COUNT(*) AS n_ref
+      |  FROM events WHERE event_type = 'view' GROUP BY 1
+      |), cc AS (
+      |  SELECT (CASE WHEN value >= 5 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 10 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 20 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 40 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 80 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 160 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 320 THEN 1 ELSE 0 END) AS bin,
+      |    COUNT(*) AS n_cur
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+      |), b AS (
+      |  SELECT unnest(range(8)) AS bin
+      |), j AS (
+      |  SELECT b.bin, COALESCE(rc.n_ref, 0) AS n_ref,
+      |    COALESCE(cc.n_cur, 0) AS n_cur
+      |  FROM b LEFT JOIN rc ON b.bin = rc.bin
+      |    LEFT JOIN cc ON b.bin = cc.bin
+      |), p AS (
+      |  SELECT bin, n_ref, n_cur,
+      |    CAST(n_ref + 1 AS DOUBLE) /
+      |      CAST((SUM(n_ref) OVER ()) + 8 AS DOUBLE) AS p_ref,
+      |    CAST(n_cur + 1 AS DOUBLE) /
+      |      CAST((SUM(n_cur) OVER ()) + 8 AS DOUBLE) AS p_cur
+      |  FROM j
+      |), tm AS (
+      |  SELECT bin, n_ref, n_cur, p_ref, p_cur,
+      |    CAST((p_cur - p_ref) *
+      |      CAST(CAST(ln(p_cur / p_ref) AS DECIMAL(24,10)) AS DOUBLE)
+      |      AS DECIMAL(28,12)) AS term,
+      |    CAST(abs(p_cur - p_ref) AS DECIMAL(28,12)) AS ad
+      |  FROM p
+      |)
+      |SELECT bin, n_ref, n_cur,
+      |  ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+      |  ROUND(CAST(term AS DOUBLE), 6) AS psi_term,
+      |  ROUND(CAST(SUM(term) OVER () AS DOUBLE), 6) AS psi_total,
+      |  ROUND(CAST(SUM(ad) OVER () AS DOUBLE) / 2, 6) AS tvd
+      |FROM tm ORDER BY bin""".stripMargin))
+
+  private val q147 = Q("q147_cross_decontam",
+    (s, dir) => {
+      // Cross-set decontamination report (Dedup.crossContamination):
+      // eval docs (odd ids) with a near-dup leak from the train set
+      // (even ids), via the portable MinHash-LSH chain joined ACROSS
+      // the two sets, exact-Jaccard verified, best train match per
+      // eval doc. The oracle replays the q57 chain and takes the
+      // cross-parity slice — signatures are per-doc, so the subset
+      // chains and the whole-corpus chain agree by construction.
+      val docs = t(s, dir, "documents")
+      Dedup.crossContamination(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.8)
+        .orderBy(col("eval_id"))
+    },
+    Some(s"""WITH $portableChainCtes,
+      |cross_pairs AS (
+      |  SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS eval_id,
+      |    CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS train_id, j
+      |  FROM verified WHERE (id_a % 2) <> (id_b % 2)
+      |)
+      |SELECT eval_id, train_id, ROUND(j, 6) AS jaccard FROM (
+      |  SELECT eval_id, train_id, j,
+      |    ROW_NUMBER() OVER (PARTITION BY eval_id
+      |      ORDER BY j DESC, train_id) AS rn
+      |  FROM cross_pairs) WHERE rn = 1
+      |ORDER BY eval_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4401,7 +4495,7 @@ object SparkEntry {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145)
+    q144, q145, q146, q147)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -792,6 +792,78 @@ object Dedup {
     * with the fused codegen expression. */
   /** Deterministic pseudo-random hyperplanes for sign-LSH; exposed so
     * oracle SQL can embed the SAME plane literals (q41). */
+  /** Cross-set contamination report — the text-side train-vs-benchmark
+    * decontamination audit: eval docs whose exact shingle-set Jaccard
+    * against some TRAIN doc reaches `threshold`, reduced to the best
+    * train match per eval doc (max Jaccard, ties to the lowest train
+    * id). Complements [[Decontaminate.ngramOverlap]] (which gates on
+    * shared raw n-grams): this one runs the full portable MinHash-LSH
+    * chain ACROSS the two sets, so it finds paraphrase-level near-dup
+    * leakage that a fixed n-gram hit count misses, with the same
+    * replayable md5 hash family as [[portableNearDups]].
+    *
+    * Scale shape: signatures and band buckets are computed per side
+    * (cost linear in each set), candidates come from an equi-join of
+    * eval buckets against train buckets — never all-pairs — with the
+    * train side (the 100 TB side) capped by `maxBucketSize` via a
+    * semi-join against bucket counts, the standard LSH skew guardrail.
+    * Exact-Jaccard verify tokenizes only candidate rows (the
+    * [[jaccardVerify]] argument), and the final best-match reduction is
+    * one window partitioned by eval id over verified candidates only.
+    */
+  def crossContamination(
+      train: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+      seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val tb = portableBuckets(train, idCol, textCol,
+      numHashes, bands, shingleSize, seed)
+      .select(col("__band"), col("__bucket"), col(idCol).as("train_id"))
+    val eb = portableBuckets(evalSet, idCol, textCol,
+      numHashes, bands, shingleSize, seed)
+      .select(col("__band"), col("__bucket"), col(idCol).as("eval_id"))
+    // Skew guardrail on the corpus side, with the no-silent-caps
+    // observe metric (same contract as candidatePairs).
+    ObservedLog.ensure(train.sparkSession)
+    val metric =
+      s"graft.dedup.oversized_buckets.${metricSeq.incrementAndGet()}"
+    val sized = tb.groupBy(col("__band"), col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .observe(metric,
+        sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L))
+          .as("buckets_dropped"))
+      .filter(col("__n") <= maxBucketSize)
+      .select(col("__band"), col("__bucket"))
+    val cand = eb.join(tb.join(sized, Seq("__band", "__bucket"), "left_semi"),
+        Seq("__band", "__bucket"))
+      .select(col("eval_id"), col("train_id")).distinct()
+    val evalTexts = evalSet.select(col(idCol).as("eval_id"),
+      col(textCol).as("__txt_e"))
+    val trainTexts = train.select(col(idCol).as("train_id"),
+      col(textCol).as("__txt_t"))
+    val verified = cand
+      .join(evalTexts, Seq("eval_id"))
+      .join(trainTexts, Seq("train_id"))
+      .withColumn("__j", TextFunctions.jaccardFast(
+        TextFunctions.shinglesFast(col("__txt_e"), shingleSize),
+        TextFunctions.shinglesFast(col("__txt_t"), shingleSize)))
+      .filter(col("__j") >= threshold)
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("eval_id"))
+      .orderBy(col("__j").desc, col("train_id"))
+    verified
+      .withColumn("__rn", row_number().over(best))
+      .filter(col("__rn") === 1)
+      .select(col("eval_id"), col("train_id"),
+        round(col("__j"), 6).as("jaccard"))
+  }
+
   def signPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Float]] = {
     val rng = new scala.util.Random(seed)
     Seq.fill(numPlanes)(Seq.fill(dim)((rng.nextGaussian()).toFloat))

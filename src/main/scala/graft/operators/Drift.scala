@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift metrics between two snapshots of a numeric
+  * column — the health check a training-data pipeline runs before
+  * admitting a new crawl/source into the mix (reference window vs
+  * candidate window), and the train-vs-serve skew monitor on the
+  * model side.
+  *
+  * The headline metric is PSI (population stability index,
+  * `sum((p_cur - p_ref) * ln(p_cur / p_ref))` over fixed bins) with
+  * Laplace-smoothed bin fractions `p = (n + 1) / (total + nbins)` so
+  * empty bins stay finite and every fraction is an exact integer
+  * ratio. The same per-bin frame carries the total-variation distance
+  * (`sum(|p_cur - p_ref|) / 2`), giving a bounded [0,1] companion to
+  * the unbounded PSI.
+  *
+  * Scale shape: one scan + one nbins-row aggregate per side, an
+  * nbins-row join against the literal bin frame, and window totals
+  * over nbins rows — nothing wider than the bin count ever shuffles,
+  * so the cost at 100 TB is the two scans (which push the value
+  * column projection down to parquet).
+  *
+  * Float parity with the SQL oracle (README rules): smoothed
+  * fractions are correctly-rounded double divisions of exact
+  * integers; `ln` (libm, last-ulp-unspecified) is absorbed by a
+  * DECIMAL(24,10) round before any further arithmetic (the q142
+  * recipe); per-bin products go through DECIMAL(28,12) so the
+  * whole-frame totals are order-independent exact decimal sums.
+  */
+object Drift {
+
+  /** 0-based bin index over sorted `edges`: number of edges <= v,
+    * i.e. bin 0 is (-inf, e0), bin i is [e(i-1), e(i)), last bin is
+    * [e(n-1), +inf). Pure codegen comparison chain, no UDF. */
+  def binIndex(v: Column, edges: Seq[Double]): Column = {
+    require(edges.nonEmpty && edges == edges.sorted, "edges must be sorted")
+    edges.map(e => when(v >= lit(e), lit(1)).otherwise(lit(0)))
+      .reduce(_ + _)
+  }
+
+  /** Per-bin drift frame between `ref` and `cur` on `valueCol`:
+    * (bin, n_ref, n_cur, p_ref, p_cur, psi_term, psi_total, tvd).
+    * `psi_total` and `tvd` are whole-distribution scalars repeated on
+    * every row (window sums over the nbins-row frame) so the output
+    * stays a single tidy relation. */
+  def psi(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      edges: Seq[Double]): DataFrame = {
+    val nbins = edges.size + 1
+    val spark = ref.sparkSession
+
+    def binned(df: DataFrame, cnt: String): DataFrame =
+      df.select(binIndex(col(valueCol), edges).cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(cnt))
+
+    // Literal 0..nbins-1 frame so empty bins surface with count 0
+    // (the Laplace smoothing depends on seeing them).
+    val bins = spark.range(nbins).select(col("id").as("bin"))
+    val joined = bins
+      .join(binned(ref, "n_ref"), Seq("bin"), "left")
+      .join(binned(cur, "n_cur"), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+
+    val all = Window.partitionBy(lit(1))
+    val totRef = sum(col("n_ref")).over(all)
+    val totCur = sum(col("n_cur")).over(all)
+    // Exact-integer ratios -> correctly-rounded double division.
+    val pRef = (col("n_ref") + lit(1)).cast("double") /
+      (totRef + lit(nbins)).cast("double")
+    val pCur = (col("n_cur") + lit(1)).cast("double") /
+      (totCur + lit(nbins)).cast("double")
+    // ln ulp absorbed by DECIMAL(24,10); products through
+    // DECIMAL(28,12) make the window totals order-independent.
+    val lnRatio = log(col("p_cur") / col("p_ref"))
+      .cast("decimal(24,10)").cast("double")
+    val psiTerm = ((col("p_cur") - col("p_ref")) * lnRatio)
+      .cast("decimal(28,12)")
+    val absDiff = abs(col("p_cur") - col("p_ref")).cast("decimal(28,12)")
+
+    joined
+      .withColumn("p_ref", pRef)
+      .withColumn("p_cur", pCur)
+      .withColumn("__psi_term", psiTerm)
+      .withColumn("__abs_diff", absDiff)
+      .select(
+        col("bin"), col("n_ref"), col("n_cur"),
+        round(col("p_ref"), 6).as("p_ref"),
+        round(col("p_cur"), 6).as("p_cur"),
+        round(col("__psi_term").cast("double"), 6).as("psi_term"),
+        round(sum(col("__psi_term")).over(all).cast("double"), 6)
+          .as("psi_total"),
+        round(sum(col("__abs_diff")).over(all).cast("double") / lit(2), 6)
+          .as("tvd"))
+  }
+}

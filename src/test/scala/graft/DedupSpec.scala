@@ -471,4 +471,29 @@ class DedupSpec extends SparkTestBase {
     val d = spark.read.parquet(s"$sf001/documents.parquet")
     assert(Dedup.exact(d, Seq("text")).count() == d.count())
   }
+
+  test("crossContamination = cross-parity slice of the full chain, best match per eval doc") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val cross = Dedup.crossContamination(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: whole-corpus portable chain (per-doc signatures make the
+    // subset chains identical), cross-parity pairs only, argmax per eval
+    val ref = Dedup.portableNearDups(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a % 2 != b % 2 }
+      .map { case (a, b, j) => if (a % 2 == 1) (a, b, j) else (b, a, j) }
+      .groupBy(_._1).map { case (_, ms) => ms.minBy(m => (-m._3, m._2)) }
+      .toSet
+    assert(cross == ref)
+    assert(cross.nonEmpty) // planted near-dups do cross the split
+  }
+
+  test("crossContamination finds nothing between disjoint corpora") {
+    val a = Seq((0L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+    assert(Dedup.crossContamination(a, b, "doc_id", "text").isEmpty)
+  }
 }

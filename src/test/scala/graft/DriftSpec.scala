@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Drift
+
+class DriftSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val edges = Seq(10.0, 20.0, 40.0)
+
+  test("binIndex: below first edge is 0, edges are left-closed") {
+    val df = Seq(5.0, 10.0, 19.9, 20.0, 39.9, 40.0, 1e9).toDF("v")
+      .select(Drift.binIndex(col("v"), edges).as("b"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 1, 1, 2, 2, 3, 3))
+  }
+
+  test("identical snapshots: psi and tvd are exactly zero") {
+    val a = Seq(1.0, 12.0, 25.0, 50.0, 50.0).toDF("v")
+    val rows = Drift.psi(a, a, "v", edges).collect()
+    assert(rows.length == edges.size + 1)
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("psi_term")) == 0.0)
+      assert(r.getDouble(r.fieldIndex("psi_total")) == 0.0)
+      assert(r.getDouble(r.fieldIndex("tvd")) == 0.0)
+    }
+  }
+
+  test("bin counts partition both frames; empty bins stay finite") {
+    val ref = Seq(1.0, 2.0, 3.0, 15.0).toDF("v")     // nothing >= 20
+    val cur = Seq(25.0, 45.0, 45.0).toDF("v")        // nothing < 20
+    val rows = Drift.psi(ref, cur, "v", edges).collect()
+    assert(rows.map(_.getLong(1)).sum == 4L)
+    assert(rows.map(_.getLong(2)).sum == 3L)
+    rows.foreach { r =>
+      val t = r.getDouble(r.fieldIndex("psi_term"))
+      assert(!t.isNaN && !t.isInfinite)
+    }
+    // total mass shift: psi strictly positive, tvd in (0, 1]
+    val psi = rows.head.getDouble(rows.head.fieldIndex("psi_total"))
+    val tvd = rows.head.getDouble(rows.head.fieldIndex("tvd"))
+    assert(psi > 0.0)
+    assert(tvd > 0.0 && tvd <= 1.0)
+  }
+
+  test("psi is symmetric under swapping ref and cur") {
+    val ref = Seq(1.0, 2.0, 15.0, 15.0, 25.0).toDF("v")
+    val cur = Seq(15.0, 25.0, 45.0).toDF("v")
+    val ab = Drift.psi(ref, cur, "v", edges)
+      .select("psi_total").head().getDouble(0)
+    val ba = Drift.psi(cur, ref, "v", edges)
+      .select("psi_total").head().getDouble(0)
+    // each term (p-q)ln(p/q) is symmetric; totals agree to the round-6
+    assert(math.abs(ab - ba) <= 1e-6)
+  }
+
+  test("drift on real events: type-split frames produce a finite profile") {
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val rows = Drift.psi(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"),
+      "value", Seq(5, 10, 20, 40, 80, 160, 320)).collect()
+    assert(rows.length == 8)
+    val psi = rows.head.getDouble(rows.head.fieldIndex("psi_total"))
+    assert(psi >= 0.0 && psi < 1.0) // same synthetic generator: low drift
+  }
+}
