@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, UrlFunctions, VectorFunctions => VF}
 import graft.operators.{Boilerplate, Bpe, Collocations, Decontaminate,
-  Dedup, Drift, Fuzzy, LangModel, Metrics, Mixing, PartialAgg,
-  RepeatedSpans, Retrieval, Sampling, Scoring, Similarity}
+  Dedup, Drift, Fuzzy, LangModel, Metrics, Mixing, Normalize,
+  PartialAgg, RepeatedSpans, Retrieval, Sampling, Scoring, Similarity}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2) over the
   * test star schema, each query paired with DuckDB oracle SQL.
@@ -4483,6 +4483,112 @@ object SparkEntry {
       |  FROM cross_pairs) WHERE rn = 1
       |ORDER BY eval_id""".stripMargin))
 
+  private val q148 = Q("q148_psi_series",
+    (s, dir) => {
+      // Drift SERIES (Drift.psiSeries): one PSI/TVD row per purchase
+      // WEEK, each measured against the all-time view distribution —
+      // the continuous-monitoring form of q146. Nothing wider than
+      // weeks x 8 bins shuffles; same decimal/ln discipline as q146.
+      val ev = t(s, dir, "events")
+      val weekNs = 604800000000000L
+      Drift.psiSeries(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase")
+          .withColumn("week", expr(s"ts DIV $weekNs")),
+        "value", "week", Seq(5, 10, 20, 40, 80, 160, 320))
+        .orderBy(col("grp"))
+    },
+    Some("""WITH refc AS (
+      |  SELECT (CASE WHEN value >= 5 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 10 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 20 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 40 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 80 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 160 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 320 THEN 1 ELSE 0 END) AS bin,
+      |    COUNT(*) AS n_ref
+      |  FROM events WHERE event_type = 'view' GROUP BY 1
+      |), b AS (
+      |  SELECT unnest(range(8)) AS bin
+      |), pref AS (
+      |  SELECT b.bin,
+      |    CAST(COALESCE(refc.n_ref, 0) + 1 AS DOUBLE) /
+      |      CAST((SUM(COALESCE(refc.n_ref, 0)) OVER ()) + 8 AS DOUBLE)
+      |      AS p_ref
+      |  FROM b LEFT JOIN refc ON b.bin = refc.bin
+      |), curc AS (
+      |  SELECT epoch_ns(ts) // 604800000000000 AS grp,
+      |    (CASE WHEN value >= 5 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 10 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 20 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 40 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 80 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 160 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN value >= 320 THEN 1 ELSE 0 END) AS bin,
+      |    COUNT(*) AS n_cur
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      |), cells AS (
+      |  SELECT f.grp, f.bin, COALESCE(c.n_cur, 0) AS n_cur
+      |  FROM (SELECT g.grp, b.bin
+      |        FROM (SELECT DISTINCT grp FROM curc) g CROSS JOIN b) f
+      |  LEFT JOIN curc c ON f.grp = c.grp AND f.bin = c.bin
+      |), p AS (
+      |  SELECT grp, bin, n_cur,
+      |    CAST(n_cur + 1 AS DOUBLE) /
+      |      CAST((SUM(n_cur) OVER (PARTITION BY grp)) + 8 AS DOUBLE)
+      |      AS p_cur
+      |  FROM cells
+      |), tm AS (
+      |  SELECT p.grp, p.n_cur,
+      |    CAST((p.p_cur - pref.p_ref) *
+      |      CAST(CAST(ln(p.p_cur / pref.p_ref) AS DECIMAL(24,10))
+      |        AS DOUBLE) AS DECIMAL(28,12)) AS term,
+      |    CAST(abs(p.p_cur - pref.p_ref) AS DECIMAL(28,12)) AS ad
+      |  FROM p JOIN pref ON p.bin = pref.bin
+      |)
+      |SELECT grp, CAST(SUM(n_cur) AS BIGINT) AS n_cur,
+      |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi,
+      |  ROUND(CAST(SUM(ad) AS DOUBLE) / 2, 6) AS tvd
+      |FROM tm GROUP BY grp ORDER BY grp""".stripMargin))
+
+  private val q149 = Q("q149_quantile_norm",
+    (s, dir) => {
+      // Quantile normalization (Normalize.quantileNormalize): re-express
+      // every crawl doc's length signal as the CURATED-reference (src0)
+      // value at the same within-source rank position, on an 11-point
+      // grid — after this a single global threshold means the same
+      // thing for every source. All INTEGER rank arithmetic; crawl side
+      // = one per-source rank window + a broadcast grid join.
+      val docs = t(s, dir, "documents")
+      Normalize.quantileNormalize(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "n_chars", "source", k = 10)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("normalized"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH ref AS (
+      |  SELECT n_chars AS ref_score, doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS g,
+      |    COUNT(*) OVER () AS m
+      |  FROM documents WHERE source = 'src0'
+      |), grid AS (
+      |  SELECT ii.i, ref.ref_score AS normalized
+      |  FROM (SELECT unnest(range(11)) AS i) ii
+      |  JOIN ref ON ref.g = 1 + ((ref.m - 1) * ii.i) // 10
+      |), cur AS (
+      |  SELECT doc_id, source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS r,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM documents WHERE source <> 'src0'
+      |)
+      |SELECT c.doc_id, c.source, c.n_chars, grid.normalized
+      |FROM cur c JOIN grid ON grid.i =
+      |  CASE WHEN c.n = 1 THEN 0 ELSE ((c.r - 1) * 10) // (c.n - 1) END
+      |ORDER BY c.doc_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4495,7 +4601,7 @@ object SparkEntry {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145, q146, q147)
+    q144, q145, q146, q147, q148, q149)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -98,4 +98,66 @@ object Drift {
         round(sum(col("__abs_diff")).over(all).cast("double") / lit(2), 6)
           .as("tvd"))
   }
+
+  /** Drift SERIES: one (grp, n_cur, psi, tvd) row per value of
+    * `groupCol` in `cur` (e.g. per week), each measured against the
+    * single fixed `ref` distribution — the continuous monitoring form
+    * of [[psi]] (which compares two snapshots once).
+    *
+    * Scale shape: the reference collapses to an nbins-row profile, the
+    * current side to a (groups × nbins)-row count aggregate; the bin
+    * frame joins broadcast, per-group totals are windows over the same
+    * (groups × nbins) relation, and the final reduce is a groups-row
+    * aggregate — nothing wider than groups × nbins ever shuffles, so
+    * at 100 TB the cost is the two pushed-projection scans. Float
+    * discipline is [[psi]]'s: exact-integer smoothed ratios, ln ulp
+    * absorbed by DECIMAL(24,10), decimal-summed terms. */
+  def psiSeries(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      edges: Seq[Double]): DataFrame = {
+    val nbins = edges.size + 1
+    val spark = ref.sparkSession
+
+    val bins = spark.range(nbins).select(col("id").as("bin"))
+    val refCounts = bins.join(
+        ref.select(binIndex(col(valueCol), edges).cast("long").as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("n_ref")),
+        Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref"))
+    val allRef = Window.partitionBy(lit(1))
+    val pRef = refCounts.select(col("bin"),
+      ((col("n_ref") + lit(1)).cast("double") /
+        (sum(col("n_ref")).over(allRef) + lit(nbins)).cast("double"))
+        .as("p_ref"))
+
+    val curCounts = cur.select(col(groupCol).as("grp"),
+        binIndex(col(valueCol), edges).cast("long").as("bin"))
+      .groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("n_cur"))
+    // (groups x nbins) frame so per-group empty bins surface with 0.
+    val frame = curCounts.select(col("grp")).distinct().crossJoin(bins)
+    val byGrp = Window.partitionBy(col("grp"))
+    val cells = frame
+      .join(curCounts, Seq("grp", "bin"), "left")
+      .na.fill(0L, Seq("n_cur"))
+      .join(pRef, Seq("bin"))
+      .withColumn("p_cur",
+        (col("n_cur") + lit(1)).cast("double") /
+          (sum(col("n_cur")).over(byGrp) + lit(nbins)).cast("double"))
+      .withColumn("__term",
+        ((col("p_cur") - col("p_ref")) *
+          log(col("p_cur") / col("p_ref"))
+            .cast("decimal(24,10)").cast("double"))
+          .cast("decimal(28,12)"))
+      .withColumn("__ad",
+        abs(col("p_cur") - col("p_ref")).cast("decimal(28,12)"))
+
+    cells.groupBy(col("grp"))
+      .agg(
+        sum(col("n_cur")).as("n_cur"),
+        round(sum(col("__term")).cast("double"), 6).as("psi"),
+        round(sum(col("__ad")).cast("double") / lit(2), 6).as("tvd"))
+  }
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Quantile normalization of a per-document signal onto a curated
+  * REFERENCE distribution — the CCNet move: per-source score scales
+  * are incomparable (one crawl's "0.7" is another's "0.3"), so each
+  * document is re-expressed as the reference-corpus value at its own
+  * within-source rank position. After normalization a single global
+  * threshold means the same thing for every source.
+  *
+  * All rank arithmetic is INTEGER (ranks, counts, floor division onto
+  * a k-point grid) — no float percentiles — so the result is exactly
+  * reproducible on any engine and independent of partition layout.
+  *
+  * Scale shape: the crawl side does one rank window PER SOURCE
+  * (partitioned — scales out) plus a broadcast join against the k+1
+  * grid rows. The reference side is ranked in a single partition by
+  * design: the curated reference corpus (wiki-grade seed data) is
+  * orders of magnitude smaller than the crawl — the caller's contract,
+  * matching the bounded-collect convention of the IVF/mixing
+  * operators. The grid, not the reference, is what the crawl joins.
+  */
+object Normalize {
+
+  /** Map each row's `scoreCol` to the reference value at the same
+    * quantile position, on a k-point grid.
+    *
+    * Grid: grid(i) = reference score at rank `1 + ((m-1)*i) div k`
+    * (m = reference row count, ranks ordered by (score, id) for
+    * determinism). A document with within-source rank r of n maps to
+    * grid index `((r-1)*k) div (n-1)` (0 when n = 1), so the lowest
+    * doc per source lands on grid(0), the highest on grid(k).
+    * Output: input columns + `normalized`.
+    */
+  def quantileNormalize(
+      cur: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      sourceCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // Bounded-by-contract reference: one ordered pass, m rows.
+    val ranked = ref.select(col(scoreCol).as("__ref_score"),
+        col(idCol).as("__ref_id"))
+      .withColumn("__g", row_number().over(
+        Window.orderBy(col("__ref_score"), col("__ref_id"))))
+      .withColumn("__m", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+    // k+1 grid rows: i -> reference score at rank 1 + ((m-1)*i) div k.
+    // Integer DIV throughout — float division could truncate across an
+    // integer boundary and break cross-engine exactness.
+    val grid = ranked.sparkSession.range(k + 1L)
+      .select(col("id").as("__i"))
+      .crossJoin(ranked)
+      .filter(expr(s"__g = 1 + ((__m - 1) * __i) DIV $k"))
+      .select(col("__i"), col("__ref_score").as("normalized"))
+
+    val bySrc = Window.partitionBy(col(sourceCol))
+    cur
+      .withColumn("__r", row_number().over(
+        bySrc.orderBy(col(scoreCol), col(idCol))))
+      .withColumn("__n", count(lit(1)).over(bySrc))
+      .withColumn("__i",
+        when(col("__n") === 1, lit(0L))
+          .otherwise(expr(s"((__r - 1) * CAST($k AS BIGINT)) DIV (__n - 1)")))
+      .join(broadcast(grid), Seq("__i"))
+      .drop("__i", "__r", "__n")
+  }
+}

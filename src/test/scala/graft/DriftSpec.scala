@@ -53,6 +53,37 @@ class DriftSpec extends SparkTestBase {
     assert(math.abs(ab - ba) <= 1e-6)
   }
 
+  test("psiSeries with one group reproduces psi's whole-frame totals") {
+    val ref = Seq(1.0, 2.0, 15.0, 15.0, 25.0).toDF("v")
+    val cur = Seq(15.0, 25.0, 45.0).toDF("v")
+    val once = Drift.psi(ref, cur, "v", edges).head()
+    val series = Drift.psiSeries(ref,
+      cur.withColumn("g", lit(7L)), "v", "g", edges).head()
+    assert(series.getLong(series.fieldIndex("grp")) == 7L)
+    assert(series.getLong(series.fieldIndex("n_cur")) == 3L)
+    assert(series.getDouble(series.fieldIndex("psi")) ==
+      once.getDouble(once.fieldIndex("psi_total")))
+    assert(series.getDouble(series.fieldIndex("tvd")) ==
+      once.getDouble(once.fieldIndex("tvd")))
+  }
+
+  test("psiSeries: per-group rows are independent of other groups") {
+    val ref = Seq(1.0, 12.0, 25.0, 50.0).toDF("v")
+    val curA = Seq((1L, 1.0), (1L, 12.0), (1L, 25.0), (1L, 50.0))
+    val curB = Seq((2L, 45.0), (2L, 45.0), (2L, 45.0))
+    val both = Drift.psiSeries(ref,
+      (curA ++ curB).toDF("g", "v"), "v", "g", edges)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val alone = Drift.psiSeries(ref,
+      curB.toDF("g", "v"), "v", "g", edges).head()
+    // identical-to-ref group drifts zero; skewed group matches its solo run
+    assert(both(1L).getDouble(both(1L).fieldIndex("psi")) == 0.0)
+    assert(both(2L).getDouble(both(2L).fieldIndex("psi")) ==
+      alone.getDouble(alone.fieldIndex("psi")))
+    assert(both(2L).getDouble(both(2L).fieldIndex("tvd")) ==
+      alone.getDouble(alone.fieldIndex("tvd")))
+  }
+
   test("drift on real events: type-split frames produce a finite profile") {
     val ev = spark.read.parquet(s"$sf001/events.parquet")
     val rows = Drift.psi(

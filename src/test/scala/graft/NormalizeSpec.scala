@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Normalize
+
+class NormalizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("grid endpoints: per-source min maps to ref min, max to ref max") {
+    val ref = Seq((1L, 100.0), (2L, 200.0), (3L, 300.0), (4L, 400.0),
+      (5L, 500.0)).toDF("id", "score")
+    val cur = Seq((10L, 7.0, "a"), (11L, 9.0, "a"), (12L, 11.0, "a"),
+      (20L, 1000.0, "b"), (21L, 2000.0, "b")).toDF("id", "score", "src")
+    val out = Normalize.quantileNormalize(cur, ref, "id", "score", "src")
+      .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+        r.getDouble(r.fieldIndex("normalized"))).toMap
+    // source a: ranks 1..3 of 3 -> grid 0, 5, 10 -> ref ranks 1, 3, 5
+    assert(out(10L) == 100.0 && out(11L) == 300.0 && out(12L) == 500.0)
+    // source b: 2 docs -> grid 0 and 10, regardless of raw magnitude
+    assert(out(20L) == 100.0 && out(21L) == 500.0)
+  }
+
+  test("normalization is monotone within a source and rank-only") {
+    val ref = (1L to 7L).map(i => (i, i * 10.0)).toDF("id", "score")
+    // two sources with wildly different scales but identical rank shape
+    val a = (1L to 20L).map(i => (i, i * 1.0, "a"))
+    val b = (21L to 40L).map(i => (i, 1e6 + (i - 20) * 777.0, "b"))
+    val out = Normalize.quantileNormalize((a ++ b).toDF("id", "score", "src"),
+        ref, "id", "score", "src")
+      .select(col("src"), col("id"), col("normalized"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byA = out.filter(_._1 == "a").sortBy(_._2).map(_._3)
+    val byB = out.filter(_._1 == "b").sortBy(_._2).map(_._3)
+    // same rank shape => identical normalized sequences (scale vanishes)
+    assert(byA.toSeq == byB.toSeq)
+    assert(byA.zip(byA.tail).forall { case (x, y) => x <= y })
+    assert(byA.head == 10.0 && byA.last == 70.0)
+  }
+
+  test("singleton source and singleton reference stay defined") {
+    val ref = Seq((1L, 42.0)).toDF("id", "score")
+    val cur = Seq((10L, 5.0, "a"), (11L, 6.0, "a"), (12L, 9.0, "b"))
+      .toDF("id", "score", "src")
+    val rows = Normalize.quantileNormalize(cur, ref, "id", "score", "src")
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach(r => assert(r.getDouble(r.fieldIndex("normalized")) == 42.0))
+  }
+
+  test("layout independence on real documents") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val ref = docs.filter(col("source") === "src0")
+    val cur = docs.filter(col("source") =!= "src0")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Normalize.quantileNormalize(c, ref, "doc_id", "n_chars", "source")
+        .select("doc_id", "normalized").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(run(cur) == run(cur.repartition(13)))
+  }
+}
