@@ -89,7 +89,11 @@ object ScaleProbe {
     // codegen chain), line-level boilerplate removal (3 line-shuffles)
     "q136_bm25", "q137_bpe_learn", "q138_bpe_encode", "q139_line_dedup",
     "q140_script_detect", "q141_pii_scan", "q142_lm_score",
-    "q143_span_excise", "q144_interval_join", "q145_bpe_pipeline")
+    "q143_span_excise", "q144_interval_join", "q145_bpe_pipeline",
+    // round 8 close: PSI drift (events 10x, bin frame constant) and the
+    // cross-set LSH decontamination chain (duplicated texts make true
+    // cross pairs grow ~1000x like q35/q57 — the LSH-bounded shape)
+    "q146_psi_drift", "q147_cross_decontam")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"

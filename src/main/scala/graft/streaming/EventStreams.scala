@@ -125,6 +125,64 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("n"),
         col("candidates"))
 
+  /** Streaming DRIFT monitor: per event-time window, the PSI and
+    * total-variation of the window's `valueCol` distribution against a
+    * STATIC reference profile — the live train-vs-serve skew alarm
+    * companion to [[graft.operators.Drift.psi]] (one-shot batch) and
+    * `Drift.psiSeries` (retrospective series).
+    *
+    * The reference profile is collected ONCE at stream definition — an
+    * nbins-row bounded collect, the smoothed fractions embedded as
+    * literals. State per window is the nbins binned counters (fixed
+    * width, whatever the event rate), so memory is watermark-bounded.
+    * Emits (window_start, n, psi, tvd) under exactly Drift.psi's float
+    * discipline (exact-integer smoothed ratios, ln ulp absorbed by
+    * DECIMAL(24,10), per-bin terms decimal-added) — a closed window's
+    * row equals the batch `Drift.psi` totals on the same rows, which
+    * the spec asserts. */
+  def windowedDrift(
+      events: DataFrame,
+      ref: DataFrame,
+      edges: Seq[Double],
+      valueCol: String = "value",
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val nbins = edges.size + 1
+    val refCounts = ref
+      .select(graft.operators.Drift.binIndex(col(valueCol), edges)
+        .cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val totRef = refCounts.values.sum
+    val pRef = (0 until nbins).map(b =>
+      (refCounts.getOrElse(b.toLong, 0L) + 1).toDouble /
+        (totRef + nbins).toDouble)
+
+    val bin = graft.operators.Drift.binIndex(col(valueCol), edges)
+    val counters = (0 until nbins).map(b =>
+      sum(when(bin === lit(b), lit(1L)).otherwise(lit(0L))).as(s"__c$b"))
+    val n = (0 until nbins).map(b => col(s"__c$b")).reduce(_ + _)
+    def pCur(b: Int) = (col(s"__c$b") + lit(1)).cast("double") /
+      (col("n") + lit(nbins)).cast("double")
+    def term(b: Int) =
+      ((pCur(b) - lit(pRef(b))) *
+        log(pCur(b) / lit(pRef(b))).cast("decimal(24,10)").cast("double"))
+        .cast("decimal(28,12)")
+    def ad(b: Int) =
+      abs(pCur(b) - lit(pRef(b))).cast("decimal(28,12)")
+
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLength))
+      .agg(counters.head, counters.tail: _*)
+      .withColumn("n", n)
+      .select(col("window.start").as("window_start"), col("n"),
+        round((0 until nbins).map(term).reduce(_ + _).cast("double"), 6)
+          .as("psi"),
+        round((0 until nbins).map(ad).reduce(_ + _).cast("double") / lit(2),
+          6).as("tvd"))
+  }
+
   /** Streaming exact dedup on event_id: watermark-bounded state, the
     * streaming form of the batch `dropDuplicates`. */
   def dedupeStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =

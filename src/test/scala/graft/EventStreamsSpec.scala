@@ -550,4 +550,41 @@ class EventStreamsSpec extends SparkTestBase {
       assert(sess.start_ns == base && sess.end_ns == base + 20 * s)
     } finally q.stop()
   }
+
+  test("windowedDrift: per-window PSI/TVD equal batch Drift.psi on the " +
+      "same rows") {
+    val dir = Files.createTempDirectory("graft_wd").toString
+    Files.copy(java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val edges = Seq(5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0)
+    val all = spark.read.parquet(s"$dir/events.parquet")
+    val ref = all.filter(col("event_type") === "view")
+    // batch truth: Drift.psi per hour window over the same rows
+    val hourNs = 3600000000000L
+    val hours = all.select(expr(s"ts DIV $hourNs").as("h"))
+      .distinct().collect().map(_.getLong(0))
+    val truth = hours.map { h =>
+      val rows = all.filter(expr(s"ts DIV $hourNs") === h)
+      val head = graft.operators.Drift.psi(ref, rows, "value", edges).head()
+      h -> ((rows.count(),
+        head.getDouble(head.fieldIndex("psi_total")),
+        head.getDouble(head.fieldIndex("tvd"))))
+    }.toMap
+
+    val q = EventStreams.windowedDrift(
+        EventStreams.readEventStream(spark, dir), ref, edges)
+      .writeStream.format("memory").queryName("wd")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM wd").collect().map { r =>
+        val startUs = r.getTimestamp(0).getTime * 1000L
+        (startUs * 1000L / hourNs) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      }.toMap
+      assert(got.nonEmpty)
+      assert(got == truth)
+    } finally q.stop()
+  }
 }
