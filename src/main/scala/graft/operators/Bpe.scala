@@ -55,9 +55,14 @@ object Bpe {
   def renderWord(word: Column): Column =
     regexp_replace(word, "(.)", "|$1 ")
 
-  /** Symbols of a rendered string (symbols never contain '|' or ' '). */
+  /** Symbols of a rendered string (symbols never contain '|' or
+    * whitespace). Splits on ALL whitespace, not just ' ': the render in
+    * [[applyMerges]] wraps only non-space chars (`(\S)`), so a source
+    * text's raw `\n`/`\t` survive into the rendered string and must be
+    * barrier chars here too — otherwise they'd surface as spurious
+    * tokens and break the encode == encodeViaVocab equivalence. */
   def symbolsOf(s: Column): Column =
-    filter(split(s, "[| ]+"), x => x =!= "")
+    filter(split(s, "[|\\s]+"), x => x =!= "")
 
   /** Distinct-word counts — the single corpus-sized shuffle. */
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =
@@ -109,7 +114,7 @@ object Bpe {
     // non-overlapping merge the string-replace arm performs
     val words = vocab.map { case (s, n) =>
       (mutable.ArrayBuffer.from(
-        s.split("[| ]+").iterator.filter(_.nonEmpty)), n)
+        s.split("[|\\s]+").iterator.filter(_.nonEmpty)), n)
     }
     val out = mutable.ArrayBuffer.empty[(String, String, Long)]
     var k = 0
@@ -142,7 +147,17 @@ object Bpe {
   }
 
   /** Distributed arm: vocab-sized pair-count shuffle + 1-row collect per
-    * iteration; lineage truncated each round. */
+    * iteration; lineage truncated each round.
+    *
+    * Regime note: this arm is iterative-SYNCHRONOUS — one full vocab
+    * shuffle and a driver barrier PER MERGE, so a production merge count
+    * (~32k) means ~32k barriers. It is the right arm only when the
+    * DISTINCT-WORD vocabulary itself exceeds driver memory (>
+    * `localVocabThreshold`, i.e. multi-billion distinct words — unusual
+    * even at 100 TB, since vocabulary grows sub-linearly in corpus
+    * size). For every realistic corpus the local arm is preferred: the
+    * corpus-sized work (wordCounts) is already distributed, and the
+    * merge loop is vocabulary-bounded, measured flat at 10× corpus. */
   private def learnDistributed(
       vocab0: DataFrame,
       numMerges: Int,

@@ -198,6 +198,12 @@ object Fuzzy {
     * filtered AFTER the cap still count against each doc's budget.
     * Put selection predicates in `leftPred` (they push) and treat the
     * cap as a per-doc output budget over ALL partners. */
+  /** Per-invocation suffix for observe() metric names: Spark rejects a
+    * plan containing two CollectMetrics nodes with the same name (e.g.
+    * two capped self-joins composed into one union), so every cap gets
+    * a unique name — same convention as Dedup.metricSeq. */
+  private val metricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def capPerDoc(
       docCol: String, order: Seq[Column], cap: Int, metric: String)(
       pairs: DataFrame): DataFrame =
@@ -208,7 +214,7 @@ object Fuzzy {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(docCol)).orderBy(order: _*)
       pairs.withColumn("__rank", row_number().over(w))
-        .observe(metric,
+        .observe(s"$metric.${metricSeq.incrementAndGet()}",
           sum(when(col("__rank") > cap, 1L).otherwise(0L))
             .as("dropped_pairs"),
           count(lit(1)).as("pairs_before_cap"))

@@ -41,22 +41,32 @@ object Normalize {
       idCol: String,
       scoreCol: String,
       sourceCol: String,
-      k: Int = 10): DataFrame = {
+      k: Int = 10,
+      maxRefRows: Long = 10000000L): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // Fail-fast contract enforcement, not just prose: the reference is
+    // ranked in ONE partition, so a caller passing a crawl-sized frame
+    // as `ref` would melt a single executor. The count() is the one
+    // action the ref side pays; an empty reference would otherwise
+    // silently drop every input row through the grid inner join.
+    val m = ref.count()
+    require(m > 0, "quantileNormalize: reference corpus is empty — " +
+      "the grid join would silently drop every input row")
+    require(m <= maxRefRows, s"quantileNormalize: reference has $m rows, " +
+      s"over the single-partition ranking bound maxRefRows=$maxRefRows; " +
+      "pass a curated (small) reference, or raise maxRefRows knowingly")
     // Bounded-by-contract reference: one ordered pass, m rows.
     val ranked = ref.select(col(scoreCol).as("__ref_score"),
         col(idCol).as("__ref_id"))
       .withColumn("__g", row_number().over(
         Window.orderBy(col("__ref_score"), col("__ref_id"))))
-      .withColumn("__m", count(lit(1)).over(
-        Window.partitionBy(lit(1))))
     // k+1 grid rows: i -> reference score at rank 1 + ((m-1)*i) div k.
     // Integer DIV throughout — float division could truncate across an
     // integer boundary and break cross-engine exactness.
     val grid = ranked.sparkSession.range(k + 1L)
       .select(col("id").as("__i"))
       .crossJoin(ranked)
-      .filter(expr(s"__g = 1 + ((__m - 1) * __i) DIV $k"))
+      .filter(expr(s"__g = 1 + ((${m}L - 1) * __i) DIV $k"))
       .select(col("__i"), col("__ref_score").as("normalized"))
 
     val bySrc = Window.partitionBy(col(sourceCol))

@@ -25,13 +25,17 @@ import org.apache.spark.sql.functions._
 object PartialAgg {
 
   /** Per-group partial state of `value`: groupCols* → (cnt, sum, mn, mx).
-    * `value` is cast through DECIMAL(18,4) for the sum leg (exact,
-    * merge-order-free); min/max keep the native type. */
+    * `value` is cast through DECIMAL(28,4) for the sum leg (exact,
+    * merge-order-free), so the stored state is DECIMAL(38,4) — overflow
+    * bound 10^34, i.e. 10^20 rows of 10^14-valued measures before a
+    * non-ANSI null could appear. The narrower DECIMAL(18,4) input cast
+    * would have bounded the STATE at 10^24, reachable by a plausible
+    * 100 TB × extreme-value corner; min/max keep the native type. */
   def states(
       df: DataFrame, groupCols: Seq[String], value: Column): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(count(value).as("cnt"),
-        sum(value.cast("decimal(18,4)")).as("sum"),
+        sum(value.cast("decimal(28,4)")).as("sum"),
         min(value).as("mn"),
         max(value).as("mx"))
 

@@ -116,6 +116,39 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("multi-line text: \\n and \\t are word barriers, never tokens") {
+    // Regression: symbolsOf split only on '[| ]+', so raw \n/\t left in
+    // the rendered string by applyMerges ('(\S)' wraps non-space only)
+    // surfaced as spurious tokens, breaking encode == encodeViaVocab.
+    val m = Seq(("l", "o"), ("lo", "w"))
+    val docs = Seq(
+      (1L, "low\nlower\tlow"),
+      (2L, "low \n\t lower"),
+      (3L, "\nlow\t")).toDF("doc_id", "text")
+    val chain = docs.select(col("doc_id"),
+        Bpe.encode(col("text"), m).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // no token contains whitespace, and none IS whitespace
+    chain.values.flatten.foreach { t =>
+      assert(t.nonEmpty && !t.exists(_.isWhitespace), s"bad token '$t'")
+    }
+    assert(chain(1L) === Seq("low", "low", "e", "r", "low"))
+    assert(chain(3L) === Seq("low"))
+    // and the vocab-join arm agrees (the documented equivalence)
+    val vocabArm = Bpe.encodeViaVocab(docs, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    chain.foreach { case (id, toks) =>
+      assert(vocabArm(id) === toks, s"doc $id")
+    }
+    // newline must also be a cross-word merge barrier: "w l" never
+    // merges across "low\nlower" even if such a merge exists
+    val m2 = Seq(("w", "l"))
+    val toks2 = Seq((1L, "low\nlower")).toDF("doc_id", "text")
+      .select(Bpe.encode(col("text"), m2).as("t"))
+      .head().getSeq[String](0)
+    assert(toks2 === Seq("l", "o", "w", "l", "o", "w", "e", "r"))
+  }
+
   test("encodeWord: greedy priority loop matches known encodes") {
     val ranks = Seq(("a", "a"), ("aa", "b")).zipWithIndex.toMap
     assert(Bpe.encodeWord("aaaa", ranks).toSeq === Seq("aa", "aa"))

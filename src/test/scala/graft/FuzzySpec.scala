@@ -147,8 +147,10 @@ class FuzzySpec extends SparkTestBase {
       override def onSuccess(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           d: Long): Unit =
-        qe.observedMetrics.get("graft.fuzzy.jaccard_truncation")
-          .foreach { row =>
+        qe.observedMetrics.collectFirst {
+          case (name, row)
+              if name.startsWith("graft.fuzzy.jaccard_truncation") => row
+        }.foreach { row =>
             observed = Some((row.getLong(row.fieldIndex("dropped_pairs")),
               row.getLong(row.fieldIndex("pairs_before_cap"))))
           }
@@ -173,6 +175,19 @@ class FuzzySpec extends SparkTestBase {
       assert(dropped == full - capped) // and counts exactly the drops
       assert(dropped > 0)
     } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("two capped joins compose into one plan (unique metric names)") {
+    // Regression: a fixed observe() name made `cappedA union cappedB`
+    // fail analysis with a duplicate-observed-metric error.
+    val df = Seq(
+      (1L, Seq("a", "b", "c")), (2L, Seq("a", "b", "c")),
+      (3L, Seq("a", "b", "d")), (4L, Seq("a", "b"))).toDF("id", "st")
+    val a = Fuzzy.jaccardSelfJoin(df, "id", "st", 0.3, lit(true),
+      maxPairsPerDoc = 1)
+    val b = Fuzzy.jaccardSelfJoin(df, "id", "st", 0.5, lit(true),
+      maxPairsPerDoc = 1)
+    assert(a.unionByName(b).count() > 0) // analyzes and runs
   }
 
   test("editDistanceSelfJoin cap keeps nearest partners per name") {
