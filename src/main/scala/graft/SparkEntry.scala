@@ -4589,6 +4589,71 @@ object SparkEntry {
       |  CASE WHEN c.n = 1 THEN 0 ELSE ((c.r - 1) * 10) // (c.n - 1) END
       |ORDER BY c.doc_id""".stripMargin))
 
+  private val q150 = Q("q150_capped_jaccard",
+    (s, dir) => {
+      // The SCALE-SAFE arm of the exact similarity join: q36/q121's
+      // answer is inherently quadratic on duplicate-heavy corpora, so
+      // the 100 TB form is `maxPairsPerDoc` — keep the strongest `cap`
+      // partners per left doc under (jaccard desc, id_b asc), drops
+      // reported via observe(). The oracle replays cap-then-orient
+      // EXACTLY: self-pairs (jaccard 1.0) count against the budget
+      // BEFORE the id_a != id_b orientation filter, per the capPerDoc
+      // contract ("pairs filtered AFTER the cap still count").
+      val docs = t(s, dir, "documents")
+      val sets = docs
+        .select(col("doc_id"), TF.shinglesFast(col("text"), 1).as("st"))
+      Fuzzy.jaccardSelfJoin(sets, "doc_id", "st", 0.3,
+          col("doc_id") % 50 === 0, maxPairsPerDoc = 3)
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH sets AS (
+      |  SELECT doc_id, list_distinct(list_filter(
+      |    string_split_regex(lower(text), '\s+'), t -> t <> '')) AS st
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(a.st, b.st))) AS DOUBLE) AS j
+      |  FROM (SELECT * FROM sets WHERE doc_id % 50 = 0) a
+      |  CROSS JOIN sets b
+      |), kept AS (
+      |  SELECT id_a, id_b, j, ROW_NUMBER() OVER (
+      |    PARTITION BY id_a ORDER BY j DESC, id_b) AS rk
+      |  FROM pairs WHERE j >= 0.3
+      |)
+      |SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+      |FROM kept WHERE rk <= 3 AND id_a <> id_b
+      |ORDER BY id_a, id_b""".stripMargin))
+
+  private val q151 = Q("q151_capped_editdist",
+    (s, dir) => {
+      // Capped arm of the PassJoin edit-distance self-join: per left
+      // name keep the `cap` NEAREST partners (dist asc, name_b asc).
+      // Unlike q150 the pairs are pre-oriented (name_a < name_b), so
+      // the cap is a budget over each name's lexicographic-right
+      // partners only — the oracle replays that orientation first.
+      Fuzzy.editDistanceSelfJoin(
+          t(s, dir, "part").select(col("p_name")), "p_name", 3,
+          maxPairsPerDoc = 2)
+        .orderBy(col("name_a"), col("name_b"))
+    },
+    Some("""WITH pairs AS (
+      |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |    CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      |  FROM (SELECT DISTINCT p_name FROM part) a
+      |  JOIN (SELECT DISTINCT p_name FROM part) b ON a.p_name < b.p_name
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |)
+      |SELECT name_a, name_b, dist FROM (
+      |  SELECT name_a, name_b, dist, ROW_NUMBER() OVER (
+      |    PARTITION BY name_a ORDER BY dist, name_b) AS rk
+      |  FROM pairs)
+      |WHERE rk <= 2
+      |ORDER BY name_a, name_b""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4601,7 +4666,7 @@ object SparkEntry {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145, q146, q147, q148, q149)
+    q144, q145, q146, q147, q148, q149, q150, q151)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
