@@ -11,7 +11,9 @@ import org.apache.spark.sql.types._
   * output contract — is real and tested, and so is the decode for the
   * pure-JVM-decodable formats: [[decodePpm]] (binary PPM "P6"),
   * [[decodeBmp]] (uncompressed 24-bit BMP), [[decodePng]] (baseline
-  * RGB/RGBA PNG via `java.util.zip.Inflater` + scanline unfilter), and
+  * RGB/RGBA PNG via `java.util.zip.Inflater` + scanline unfilter),
+  * [[decodeGif]] (GIF87a/89a with a full LZW decoder, interlace, and
+  * animation metadata), and
   * [[decodeWav]] (RIFF/WAVE PCM-16 audio), and [[decodeAvi]]
   * (uncompressed RIFF/AVI 24-bit DIB video, incl. real per-frame
   * extraction via [[extractVideoFrames]]) parse real payload bytes into
@@ -342,6 +344,216 @@ object Multimodal {
   private val pngSig: Array[Byte] =
     Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte)
 
+  /** GIF87a/89a decode — pure JVM, full LZW. Walks the block stream:
+    * logical screen descriptor + global color table, graphic-control
+    * extensions (frame delays), image descriptors (+ local color
+    * tables). The FIRST frame's raster is LZW-decoded (variable-width
+    * codes LSB-first, CLEAR/END handling, deferred-clear tolerant) and
+    * de-interlaced if flagged; the 8-dim feature uses the identical
+    * accumulation order and weights as [[decodePpm]], so a GIF and a PPM
+    * of the same pixels agree bit-for-bit. Later frames contribute
+    * metadata only: `n_frames` = image-descriptor count, `duration_ms` =
+    * Σ graphic-control delays (centiseconds × 10). Transparency is
+    * ignored (the transparent index's palette color is used) — features
+    * are over the raw first-frame raster, not a composited canvas. */
+  def decodeGif(id: Long, bytes: Array[Byte]): Option[DecodedMedia] = {
+    if (bytes == null || bytes.length < 13) return None
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val sw = u16(6); val sh = u16(8)
+    val packed = bytes(10) & 0xff
+    var pos = 13
+    var gct: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (pos + 3 * n > bytes.length) return None
+      gct = Array.tabulate(n)(i =>
+        ((bytes(pos + 3 * i) & 0xff) << 16) |
+          ((bytes(pos + 3 * i + 1) & 0xff) << 8) |
+          (bytes(pos + 3 * i + 2) & 0xff))
+      pos += 3 * n
+    }
+    // sub-block walker: returns position after the 0x00 terminator, or
+    // -1 on truncation; optionally collects the concatenated payload
+    def subBlocks(start: Int, sink: java.io.ByteArrayOutputStream): Int = {
+      var p = start
+      while (p < bytes.length && (bytes(p) & 0xff) != 0) {
+        val n = bytes(p) & 0xff
+        if (p + 1 + n > bytes.length) return -1
+        if (sink != null) sink.write(bytes, p + 1, n)
+        p += 1 + n
+      }
+      if (p >= bytes.length) -1 else p + 1
+    }
+    var frames = 0; var durationMs = 0L
+    var firstPixels: Array[Int] = null // RGB of frame 1, row-major
+    var fw = 0; var fh = 0
+    var done = false
+    while (!done && pos < bytes.length) {
+      (bytes(pos) & 0xff) match {
+        case 0x3b => done = true // trailer
+        case 0x21 => // extension: label + sub-blocks
+          if (pos + 2 > bytes.length) return None
+          val label = bytes(pos + 1) & 0xff
+          if (label == 0xf9 && pos + 7 < bytes.length &&
+            (bytes(pos + 2) & 0xff) == 4)
+            durationMs += u16(pos + 4) * 10L // delay in centiseconds
+          pos = subBlocks(pos + 2, null)
+          if (pos < 0) return None
+        case 0x2c => // image descriptor
+          if (pos + 10 > bytes.length) return None
+          val iw = u16(pos + 5); val ih = u16(pos + 7)
+          val ip = bytes(pos + 9) & 0xff
+          val interlaced = (ip & 0x40) != 0
+          pos += 10
+          var pal = gct
+          if ((ip & 0x80) != 0) {
+            val n = 2 << (ip & 7)
+            if (pos + 3 * n > bytes.length) return None
+            pal = Array.tabulate(n)(i =>
+              ((bytes(pos + 3 * i) & 0xff) << 16) |
+                ((bytes(pos + 3 * i + 1) & 0xff) << 8) |
+                (bytes(pos + 3 * i + 2) & 0xff))
+            pos += 3 * n
+          }
+          if (pos >= bytes.length) return None
+          val minCode = bytes(pos) & 0xff
+          if (frames == 0) {
+            if (pal == null || minCode < 2 || minCode > 8 ||
+              iw <= 0 || ih <= 0 ||
+              iw.toLong * ih > Int.MaxValue - 64) return None
+            val data = new java.io.ByteArrayOutputStream()
+            pos = subBlocks(pos + 1, data)
+            if (pos < 0) return None
+            val idx = lzwDecode(data.toByteArray, minCode, iw * ih)
+            if (idx == null) return None
+            // de-interlace: four passes over destination rows
+            val rowOf: Int => Int =
+              if (!interlaced) y => y
+              else {
+                val order = new Array[Int](ih)
+                var k = 0
+                for (step <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                     y <- step._1 until ih by step._2) {
+                  order(k) = y; k += 1
+                }
+                src => order(src)
+              }
+            firstPixels = new Array[Int](iw * ih)
+            var srcRow = 0
+            while (srcRow < ih) {
+              val dst = rowOf(srcRow) * iw
+              var x = 0
+              while (x < iw) {
+                val ci = idx(srcRow * iw + x)
+                if (ci >= pal.length) return None
+                firstPixels(dst + x) = pal(ci)
+                x += 1
+              }
+              srcRow += 1
+            }
+            fw = iw; fh = ih
+          } else {
+            pos = subBlocks(pos + 1, null)
+            if (pos < 0) return None
+          }
+          frames += 1
+        case _ => return None
+      }
+    }
+    if (firstPixels == null) return None
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var sy = 0.0; var sy2 = 0.0
+    var minY = Double.MaxValue; var maxY = Double.MinValue
+    val n = fw * fh
+    var i = 0
+    while (i < n) {
+      val p = firstPixels(i)
+      val r = ((p >> 16) & 0xff).toDouble / 255
+      val g = ((p >> 8) & 0xff).toDouble / 255
+      val b = (p & 0xff).toDouble / 255
+      val yy = 0.299 * r + 0.587 * g + 0.114 * b
+      sr += r; sg += g; sb += b; sy += yy; sy2 += yy * yy
+      if (yy < minY) minY = yy
+      if (yy > maxY) maxY = yy
+      i += 1
+    }
+    val meanY = sy / n
+    val contrast = math.sqrt(math.max(sy2 / n - meanY * meanY, 0.0))
+    Some(DecodedMedia(id, "image", sw, sh, frames,
+      if (frames > 1) durationMs else 0L,
+      Array((sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+        meanY.toFloat, minY.toFloat, maxY.toFloat, contrast.toFloat,
+        (fw.toDouble / fh).toFloat)))
+  }
+
+  /** GIF LZW decode: `data` = concatenated sub-block payload, codes
+    * LSB-first at variable width (minCode+1 .. 12). Dictionary as
+    * prefix/suffix arrays, strings emitted via stack unwind. Returns
+    * exactly `nPixels` indices, or null on any malformation. */
+  private def lzwDecode(
+      data: Array[Byte], minCode: Int, nPixels: Int): Array[Int] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    val out = new Array[Int](nPixels)
+    var outN = 0
+    var width = minCode + 1
+    var next = end + 1
+    var prev = -1
+    var acc = 0L; var accBits = 0; var bp = 0
+    val stack = new Array[Int](4096)
+    while (outN < nPixels) {
+      while (accBits < width && bp < data.length) {
+        acc |= (data(bp) & 0xffL) << accBits
+        accBits += 8; bp += 1
+      }
+      if (accBits < width) return null // ran out of codes
+      val code = (acc & ((1L << width) - 1)).toInt
+      acc >>>= width; accBits -= width
+      if (code == clear) {
+        width = minCode + 1; next = end + 1; prev = -1
+      } else if (code == end) {
+        return null // END before all pixels produced
+      } else {
+        // first-char of a dictionary string = walk prefixes to a literal
+        def firstOf(c0: Int): Int = {
+          var c = c0
+          while (c >= end + 1) c = prefix(c)
+          c
+        }
+        var sp = 0
+        var cur = code
+        if (prev == -1) {
+          if (code >= clear) return null // first code must be a literal
+        } else if (code == next) {
+          // KwKwK: string = dict[prev] ++ [firstOf(prev)] — push the
+          // trailing char FIRST (stack pops in reverse), then expand prev
+          stack(sp) = firstOf(prev); sp += 1
+          cur = prev
+        } else if (code > next) return null
+        while (cur >= end + 1) {
+          stack(sp) = suffix(cur); sp += 1
+          cur = prefix(cur)
+        }
+        stack(sp) = cur; sp += 1 // `cur` is the string's first char
+        if (outN + sp > nPixels) return null // overflows the raster
+        while (sp > 0) {
+          sp -= 1; out(outN) = stack(sp); outN += 1
+        }
+        if (prev != -1 && next < 4096) {
+          prefix(next) = prev; suffix(next) = cur
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    out
+  }
+
   /** RIFF/WAVE PCM-16 decode — pure JVM. Walks the chunk list to `fmt `
     * and `data`; duration from sample count / rate; feature (8-dim):
     * normalized RMS of 8 equal time segments (a crude loudness envelope).
@@ -583,6 +795,7 @@ object Multimodal {
             case "image/x-portable-pixmap" => decodePpm(r.media_id, r.payload)
             case "image/bmp" => decodeBmp(r.media_id, r.payload)
             case "image/png" => decodePng(r.media_id, r.payload)
+            case "image/gif" => decodeGif(r.media_id, r.payload)
             case "audio/wav" => decodeWav(r.media_id, r.payload)
             case "video/avi" | "video/x-msvideo" =>
               decodeAvi(r.media_id, r.payload)
@@ -689,6 +902,111 @@ object Multimodal {
     dos.write(raw); dos.finish()
     chunk("IDAT", zipped.toByteArray)
     chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Deterministic GIF89a bytes (single frame, global color table,
+    * optionally interlaced) — a REAL image payload for tests. Requires
+    * ≤ 256 distinct colors in the frame. The LZW stream is written as
+    * literal codes with the code width tracked in decoder-sync (an
+    * entry per emitted code after the first since CLEAR, width bump at
+    * 2^width, CLEAR before the table fills) — so a multi-row image
+    * exercises variable-width reads and CLEAR handling in
+    * [[decodeGif]]. */
+  def gifBytes(w: Int, h: Int, pixel: (Int, Int) => (Int, Int, Int),
+      interlaced: Boolean = false): Array[Byte] =
+    gifAnimBytes(w, h, Seq(pixel), delayCs = 0, interlaced)
+
+  /** Deterministic animated GIF89a bytes: one full-canvas frame per
+    * pixel function, each preceded by a graphic-control extension with
+    * `delayCs` centiseconds — a REAL multi-frame payload for tests. */
+  def gifAnimBytes(w: Int, h: Int,
+      framePixels: Seq[(Int, Int) => (Int, Int, Int)],
+      delayCs: Int, interlaced: Boolean = false): Array[Byte] = {
+    require(framePixels.nonEmpty, "at least one frame")
+    def rgb(p: (Int, Int, Int)): Int =
+      ((p._1 & 0xff) << 16) | ((p._2 & 0xff) << 8) | (p._3 & 0xff)
+    // global palette over all frames, first-seen order
+    val palette = new java.util.LinkedHashMap[Integer, Integer]()
+    val frameIdx = framePixels.map { pf =>
+      val idx = new Array[Int](w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val c = rgb(pf(x, y))
+        var i = palette.get(c)
+        if (i == null) { i = palette.size(); palette.put(c, i) }
+        idx(y * w + x) = i
+      }
+      idx
+    }
+    require(palette.size() <= 256,
+      s"gifBytes supports <= 256 distinct colors, got ${palette.size()}")
+    var gctBits = 1 // GCT holds 2^(bits+1) entries
+    while ((2 << gctBits) < palette.size()) gctBits += 1
+    val minCode = math.max(2, gctBits + 1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(w); w16(h)
+    out.write(0x80 | gctBits) // GCT present, 2^(gctBits+1) entries
+    out.write(0); out.write(0) // bg index, aspect
+    val colors = new Array[Int](2 << gctBits)
+    palette.forEach((c, i) => colors(i) = c)
+    colors.foreach { c =>
+      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff)
+      out.write(c & 0xff)
+    }
+    val rowOrder: Seq[Int] =
+      if (!interlaced) 0 until h
+      else Seq((0, 8), (4, 8), (2, 4), (1, 2))
+        .flatMap { case (o, s) => o until h by s }
+    frameIdx.foreach { idx =>
+      if (framePixels.length > 1) { // graphic-control extension
+        out.write(0x21); out.write(0xf9); out.write(4)
+        out.write(0); w16(delayCs); out.write(0); out.write(0)
+      }
+      out.write(0x2c) // image descriptor: full canvas
+      w16(0); w16(0); w16(w); w16(h)
+      out.write(if (interlaced) 0x40 else 0)
+      out.write(minCode)
+      // literal-code LZW, width tracked in decoder sync
+      val clear = 1 << minCode; val end = clear + 1
+      val lzw = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var accBits = 0
+      var width = minCode + 1; var dictNext = end + 1; var first = true
+      def emit(code: Int): Unit = {
+        acc |= code.toLong << accBits; accBits += width
+        while (accBits >= 8) {
+          lzw.write((acc & 0xff).toInt); acc >>>= 8; accBits -= 8
+        }
+      }
+      emit(clear)
+      rowOrder.foreach { y =>
+        var x = 0
+        while (x < w) {
+          emit(idx(y * w + x))
+          if (first) first = false
+          else if (dictNext < 4096) {
+            dictNext += 1
+            if (dictNext == (1 << width) && width < 12) width += 1
+          }
+          if (dictNext == 4095) { // reset before the table can fill
+            emit(clear); width = minCode + 1; dictNext = end + 1
+            first = true
+          }
+          x += 1
+        }
+      }
+      emit(end)
+      if (accBits > 0) lzw.write((acc & 0xff).toInt)
+      val data = lzw.toByteArray
+      var off = 0
+      while (off < data.length) { // 255-byte sub-blocks
+        val n = math.min(255, data.length - off)
+        out.write(n); out.write(data, off, n); off += n
+      }
+      out.write(0) // sub-block terminator
+    }
+    out.write(0x3b) // trailer
     out.toByteArray
   }
 

@@ -165,6 +165,87 @@ class MultimodalSpec extends SparkTestBase {
     assert(direct.feature.toSeq == staged.feature.toSeq)
   }
 
+  test("GIF decode is bit-identical to PPM decode of the same pixels") {
+    // 20x17 with a 200-color palette: codes outgrow the initial width,
+    // so the variable-width LZW read path is exercised for real
+    val pix = (x: Int, y: Int) => {
+      val v = (x * 37 + y * 53) % 200
+      (v, (v * 3) % 200, (v * 7) % 200)
+    }
+    val gif = Multimodal.decodeGif(1L, Multimodal.gifBytes(20, 17, pix)).get
+    val ppm = Multimodal.decodePpm(1L, Multimodal.ppmBytes(20, 17, pix)).get
+    assert(gif.width == 20 && gif.height == 17 && gif.n_frames == 1)
+    assert(gif.feature.toSeq == ppm.feature.toSeq) // exact, not approx
+    assert(gif.kind == "image" && gif.duration_ms == 0L)
+    // 2-color image uses the minimum code size path
+    val bw = (x: Int, y: Int) =>
+      if ((x + y) % 2 == 0) (0, 0, 0) else (255, 255, 255)
+    val g2 = Multimodal.decodeGif(2L, Multimodal.gifBytes(9, 5, bw)).get
+    val p2 = Multimodal.decodePpm(2L, Multimodal.ppmBytes(9, 5, bw)).get
+    assert(g2.feature.toSeq == p2.feature.toSeq)
+    // single pixel
+    val one = Multimodal.decodeGif(3L,
+      Multimodal.gifBytes(1, 1, (_, _) => (10, 20, 30))).get
+    assert(one.width == 1 && one.height == 1 && one.feature(7) == 1.0f)
+  }
+
+  test("GIF interlaced decode equals the non-interlaced decode") {
+    val pix = (x: Int, y: Int) => ((x * 11 + y * 29) % 97, y % 97, x % 97)
+    // 13 rows: all four interlace passes are non-empty
+    val plain = Multimodal.decodeGif(1L,
+      Multimodal.gifBytes(8, 13, pix)).get
+    val inter = Multimodal.decodeGif(1L,
+      Multimodal.gifBytes(8, 13, pix, interlaced = true)).get
+    assert(inter.feature.toSeq == plain.feature.toSeq)
+    assert(inter.width == plain.width && inter.height == plain.height)
+  }
+
+  test("GIF animation: frame count and summed delay metadata") {
+    val frames = Seq.tabulate(4)(f =>
+      (x: Int, y: Int) => ((x + f * 40) % 256, y % 256, f * 60))
+    val d = Multimodal.decodeGif(9L,
+      Multimodal.gifAnimBytes(6, 4, frames, delayCs = 12)).get
+    assert(d.n_frames == 4)
+    assert(d.duration_ms == 4 * 120L) // 12 cs = 120 ms per frame
+    // feature comes from the FIRST frame's raster
+    val first = Multimodal.decodeGif(9L,
+      Multimodal.gifBytes(6, 4, frames.head)).get
+    assert(d.feature.toSeq == first.feature.toSeq)
+  }
+
+  test("GIF decode refuses corrupt payloads") {
+    val good = Multimodal.gifBytes(7, 6, (x, y) => (x * 30, y * 40, 50))
+    assert(Multimodal.decodeGif(1L, good).nonEmpty)
+    // truncated LZW data / missing trailer
+    assert(Multimodal.decodeGif(2L, good.dropRight(8)).isEmpty)
+    // bad signature
+    val bad = good.clone(); bad(0) = 'X'.toByte
+    assert(Multimodal.decodeGif(3L, bad).isEmpty)
+    // garbage and empty
+    assert(Multimodal.decodeGif(4L, Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeGif(5L, Array.emptyByteArray).isEmpty)
+    // an unknown block type terminates cleanly (no throw, no loop);
+    // 0x2c never occurs in this fixture's palette bytes, so the first
+    // match after the screen descriptor IS the image-descriptor byte
+    val ip = good.indexWhere(_ == 0x2c.toByte, 13)
+    val unk = good.clone(); unk(ip) = 0x7f.toByte
+    assert(Multimodal.decodeGif(6L, unk).isEmpty)
+  }
+
+  test("GIF payloads decode for real through the batched pipeline") {
+    val spark2 = spark
+    import spark2.implicits._
+    val payload = Multimodal.gifBytes(12, 9,
+      (x, y) => ((x * 21) % 256, (y * 17) % 256, 99))
+    val df = Seq((1L, "image", payload, ("t", "image/gif", payload.length.toLong)))
+      .toDF("media_id", "kind", "payload", "meta")
+      .withColumn("meta", col("meta").cast(
+        "struct<source:string,mime:string,n_bytes:bigint>"))
+    val out = Multimodal.decode(df).collect()
+    assert(out.length == 1)
+    assert(out.head.width == 12 && out.head.height == 9) // real, not stub
+  }
+
   test("frame sampling fans out only video rows") {
     val decoded = Multimodal.decode(media)
     val frames = Multimodal.sampleFrames(decoded, everyN = 10)
