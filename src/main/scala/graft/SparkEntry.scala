@@ -7,9 +7,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, UrlFunctions, VectorFunctions => VF}
-import graft.operators.{Boilerplate, Bpe, Collocations, Decontaminate,
-  Dedup, Drift, Fuzzy, LangModel, Metrics, Mixing, Normalize,
-  PartialAgg, RepeatedSpans, Retrieval, Sampling, Scoring, Similarity}
+import graft.operators.{Boilerplate, Bpe, C4Clean, Collocations,
+  Decontaminate, Dedup, Drift, Fuzzy, GopherRules, LangModel, Metrics,
+  Mixing, Normalize, PartialAgg, RepeatedSpans, Retrieval, Sampling,
+  Scoring, Similarity, Zipf}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2) over the
   * test star schema, each query paired with DuckDB oracle SQL.
@@ -4654,6 +4655,205 @@ object SparkEntry {
       |WHERE rk <= 2
       |ORDER BY name_a, name_b""".stripMargin))
 
+  private val q152 = Q("q152_gopher_rules",
+    (s, dir) => {
+      // Gopher quality-rule battery (GopherRules.score — Rae et al.
+      // 2021 A1.1): one map-only codegen pass per doc; every PASS flag
+      // compares integer counts by cross-multiplication, so the gate is
+      // engine-exact. minWords lowered to 10 so the sf fixtures spread
+      // across both outcomes.
+      GopherRules.score(t(s, dir, "documents"), "doc_id", "text",
+          minWords = 10)
+        .select(col("doc_id"), col("n_words"), col("n_lines"),
+          col("mean_word_len"), col("alpha_words"), col("symbol_hits"),
+          col("bullet_lines"), col("ellipsis_lines"),
+          col("stopword_hits"), col("passes"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH sig AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(text, '\\S+')) AS n_words,
+      |    len(string_split(text, chr(10))) AS n_lines,
+      |    length(regexp_replace(text, '\\s+', '', 'g')) AS word_chars,
+      |    len(regexp_extract_all(text, '[^\\s]*[A-Za-z][^\\s]*'))
+      |      AS alpha_words,
+      |    len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS symbol_hits,
+      |    len(regexp_extract_all(chr(10) || text,
+      |      chr(10) || '[ \t]*[-*•]')) AS bullet_lines,
+      |    len(regexp_extract_all(text || chr(10),
+      |      '(\\.\\.\\.|…)[ \t]*' || chr(10))) AS ellipsis_lines,
+      |    ${GopherRules.StopWords.map(w =>
+             s"(CASE WHEN contains(' ' || regexp_replace(lower(text), " +
+               s"'\\s+', ' ', 'g') || ' ', ' $w ') THEN 1 ELSE 0 END)")
+             .mkString(" + ")} AS stopword_hits
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_words, n_lines,
+      |  ROUND(CAST(word_chars AS DOUBLE) / nullif(n_words, 0), 6)
+      |    AS mean_word_len,
+      |  alpha_words, symbol_hits, bullet_lines, ellipsis_lines,
+      |  stopword_hits,
+      |  (n_words BETWEEN 10 AND 100000) AND
+      |    (word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+      |      AND n_words > 0) AND
+      |    (symbol_hits * 10 <= n_words) AND
+      |    (bullet_lines * 10 <= n_lines * 9) AND
+      |    (ellipsis_lines * 10 <= n_lines * 3) AND
+      |    (alpha_words * 5 >= n_words * 4 AND n_words > 0) AND
+      |    (stopword_hits >= 2) AS passes
+      |FROM sig ORDER BY doc_id""".stripMargin))
+
+  private val q153 = Q("q153_c4_clean",
+    (s, dir) => {
+      // C4 page cleaning (C4Clean.clean — Raffel et al. 2020 §2.2):
+      // line gate = terminal punctuation + >=3 words + no 'javascript';
+      // page gate = >=2 kept lines, no '{', no 'lorem ipsum'.
+      // The fixture text is single-line and punctuation-free, so the
+      // query first synthesizes line structure deterministically
+      // (literal ' table ' → '.\n' — same leftmost non-overlapping
+      // replace-all in both engines); 221/500 docs survive at sf0.01,
+      // with 0–8 kept lines, so keep and drop are both exercised.
+      C4Clean.clean(
+          t(s, dir, "documents").withColumn("text",
+            regexp_replace(col("text"), lit(" table "), lit(".\n"))),
+          "doc_id", "text", minLineWords = 3, minKeptLines = 2)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH pages AS (
+      |  SELECT doc_id, replace(text, ' table ', '.' || chr(10)) AS text
+      |  FROM documents
+      |  WHERE NOT contains(replace(text, ' table ', '.' || chr(10)), '{')
+      |    AND NOT contains(lower(replace(text, ' table ',
+      |      '.' || chr(10))), 'lorem ipsum')
+      |), cleaned AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_filter(string_split(text, chr(10)),
+      |      l -> regexp_matches(l, '[.!?"][ \t]*$')
+      |        AND len(regexp_extract_all(l, '\S+')) >= 3
+      |        AND NOT contains(lower(l), 'javascript')), chr(10))
+      |      AS text_clean,
+      |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(string_split(text, chr(10)),
+      |      l -> regexp_matches(l, '[.!?"][ \t]*$')
+      |        AND len(regexp_extract_all(l, '\S+')) >= 3
+      |        AND NOT contains(lower(l), 'javascript'))) AS BIGINT)
+      |      AS n_kept
+      |  FROM pages
+      |)
+      |SELECT doc_id, text_clean, n_lines, n_kept
+      |FROM cleaned WHERE n_kept >= 2
+      |ORDER BY doc_id""".stripMargin))
+
+  private val q154 = Q("q154_zipf_fit",
+    (s, dir) => {
+      // Zipf power-law fit (Zipf.fit): least-squares ln(freq)~ln(rank)
+      // over the top-500 tokens. Distributed top-K carve, bounded rank
+      // window, ln ulp absorbed by DECIMAL(24,10), decimal-exact sums
+      // (the q146 discipline) — one row, engine-exact to 6 decimals.
+      Zipf.fit(t(s, dir, "documents"), "text", topK = 500)
+    },
+    Some("""WITH freq AS (
+      |  SELECT tok, COUNT(*) AS freq FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(text),
+      |      '\s+'), x -> x <> '')) AS tok
+      |    FROM documents)
+      |  GROUP BY tok
+      |), top AS (
+      |  SELECT tok, freq FROM freq ORDER BY freq DESC, tok LIMIT 500
+      |), ranked AS (
+      |  SELECT freq,
+      |    ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+      |  FROM top
+      |), terms AS (
+      |  SELECT
+      |    CAST(CAST(CAST(ln(rank) AS DECIMAL(24,10)) AS DOUBLE)
+      |      AS DECIMAL(24,10)) AS x,
+      |    CAST(CAST(CAST(ln(freq) AS DECIMAL(24,10)) AS DOUBLE)
+      |      AS DECIMAL(24,10)) AS y,
+      |    CAST(CAST(CAST(ln(rank) AS DECIMAL(24,10)) AS DOUBLE) *
+      |      CAST(CAST(ln(freq) AS DECIMAL(24,10)) AS DOUBLE)
+      |      AS DECIMAL(28,12)) AS xy,
+      |    CAST(CAST(CAST(ln(rank) AS DECIMAL(24,10)) AS DOUBLE) *
+      |      CAST(CAST(ln(rank) AS DECIMAL(24,10)) AS DOUBLE)
+      |      AS DECIMAL(28,12)) AS xx,
+      |    CAST(CAST(CAST(ln(freq) AS DECIMAL(24,10)) AS DOUBLE) *
+      |      CAST(CAST(ln(freq) AS DECIMAL(24,10)) AS DOUBLE)
+      |      AS DECIMAL(28,12)) AS yy
+      |  FROM ranked
+      |), sums AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(xy) AS DOUBLE) AS sxy,
+      |    CAST(SUM(xx) AS DOUBLE) AS sxx,
+      |    CAST(SUM(yy) AS DOUBLE) AS syy
+      |  FROM terms
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_tokens,
+      |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+      |    6) AS intercept,
+      |  ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM sums""".stripMargin))
+
+  private val q155 = Q("q155_tokenizer_fertility",
+    (s, dir) => {
+      // Tokenizer fertility per source: BPE tokens per whitespace word
+      // under a FIXED merge list (the deployment-monitoring shape —
+      // the tokenizer is a frozen artifact; learning is q137/q145).
+      // Integer token sums per source; one final rounded division.
+      val merges = Seq(("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"),
+        ("o", "n"), ("e", "r"))
+      t(s, dir, "documents")
+        .select(col("source"),
+          TF.tokenCount(col("text")).cast("long").as("ws"),
+          Bpe.tokenCount(col("text"), merges).as("bpe"))
+        .groupBy(col("source"))
+        .agg(sum(col("ws")).as("n_words"), sum(col("bpe")).as("n_bpe"))
+        .withColumn("fertility", round(
+          col("n_bpe").cast("double") / col("n_words"), 6))
+        .orderBy(col("source"))
+    },
+    Some("""WITH r AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '')) AS BIGINT) AS ws,
+      |    replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(replace(lower(text), '|', ''),
+      |        '(\S)', '|\1 ', 'g'),
+      |      '|t |h ', '|th '), '|th |e ', '|the '), '|a |n ', '|an '),
+      |      '|i |n ', '|in '), '|o |n ', '|on '), '|e |r ', '|er ') AS s
+      |  FROM documents
+      |)
+      |SELECT source, SUM(ws) AS n_words,
+      |  SUM(CAST(len(s) - len(replace(s, '|', '')) AS BIGINT)) AS n_bpe,
+      |  ROUND(CAST(SUM(CAST(len(s) - len(replace(s, '|', ''))
+      |    AS BIGINT)) AS DOUBLE) / SUM(ws), 6) AS fertility
+      |FROM r GROUP BY source ORDER BY source""".stripMargin))
+
+  private val q156 = Q("q156_dup_rate_by_source",
+    (s, dir) => {
+      // Per-source exact-duplication health report (Dedup.
+      // dupRateByGroup): duplicate GROUPS are corpus-wide (md5 of
+      // text), attribution is per source — the admission dashboard a
+      // mixing pipeline reads before q68/q112 weighting.
+      Dedup.dupRateByGroup(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))
+    },
+    Some("""WITH h AS (
+      |  SELECT source, md5(text) AS hh FROM documents
+      |), sizes AS (
+      |  SELECT hh, COUNT(*) AS copies FROM h GROUP BY hh
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+      |  COUNT(DISTINCT CASE WHEN copies > 1 THEN h.hh END)
+      |    AS n_dup_groups,
+      |  ROUND(CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*), 6) AS dup_rate
+      |FROM h JOIN sizes ON h.hh = sizes.hh
+      |GROUP BY source ORDER BY source""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4666,7 +4866,8 @@ object SparkEntry {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145, q146, q147, q148, q149, q150, q151)
+    q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
+    q155, q156)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -42,6 +42,29 @@ object Dedup {
       .drop("__fp", "__rk")
   }
 
+  /** Per-group exact-duplication report — the corpus-health view a
+    * crawl admission pipeline reads before mixing a source in: for each
+    * `groupCol` value, how many documents, how many sit in a CORPUS-WIDE
+    * exact-duplicate group (md5 of the text — duplicate detection is
+    * global, attribution is per-source, so a mirror site's copies count
+    * against both sources), and the duplicate share. Two shuffles
+    * (hash-keyed count + group agg), both map-side combined; the rate is
+    * a final integer-over-integer division, rounded for reporting. */
+  def dupRateByGroup(
+      df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(col(groupCol), md5(col(textCol)).as("__h"))
+    val groupSizes = hashed.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__copies"))
+    hashed.join(groupSizes, Seq("__h"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        countDistinct(when(col("__copies") > 1, col("__h")))
+          .as("n_dup_groups"))
+      .withColumn("dup_rate", round(
+        col("n_dup_docs").cast("double") / col("n_docs"), 6))
+  }
+
   /** MinHash signature: base hash H = low 31 bits of xxhash64(shingle),
     * then k affine derivations h_i = (a_i·H + b_i) mod (2³¹−1) — the
     * standard universal family (Carter–Wegman) over one strong hash, so

@@ -496,4 +496,28 @@ class DedupSpec extends SparkTestBase {
     val b = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
     assert(Dedup.crossContamination(a, b, "doc_id", "text").isEmpty)
   }
+
+  test("dupRateByGroup: duplicate groups are corpus-wide, counts per source") {
+    // 'mirror' text appears in BOTH sources: every copy counts as dup
+    val d = Seq(
+      (1L, "a", "mirror"), (2L, "a", "mirror"), (3L, "a", "unique a"),
+      (4L, "b", "mirror"), (5L, "b", "only in b"), (6L, "b", "also only b")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.dupRateByGroup(d, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getAs[Double]("dup_rate")))).toMap
+    // source a: 3 docs, 2 in the mirror group → rate 2/3
+    assert(out("a") === ((3L, 2L, 1L, 0.666667)))
+    // source b: its single mirror copy is a dup because the GROUP has
+    // 3 members corpus-wide, even though b holds only one of them
+    assert(out("b") === ((3L, 1L, 1L, 0.333333)))
+  }
+
+  test("dupRateByGroup on a dup-free source reports zero everywhere") {
+    val d = Seq((1L, "a", "x"), (2L, "a", "y")).toDF("doc_id", "source", "text")
+    val r = Dedup.dupRateByGroup(d, "source", "text").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getAs[Double]("dup_rate")) === ((2L, 0L, 0L, 0.0)))
+  }
 }
