@@ -560,6 +560,40 @@ object Dedup {
       .select(col(idCol), sketch.as("sketch"))
   }
 
+  /** SimHash near-dup under the portable md5-derived hash family: 60-bit
+    * [[portableSimhash]] sketches → 4×15-bit band buckets (any equal band
+    * → candidate; a pair with Hamming ≤ 3 differs in at most 3 of the 4
+    * bands, so it is CAUGHT exactly — plus a recall tail above that) →
+    * exact Hamming verify via bit_count(a XOR b). Unlike
+    * [[simhashNearDups]] (xxhash64 family, Spark-only), every step here
+    * is replayable in DuckDB — SparkEntry q37's generated oracle.
+    * Same banded-bucket plan shape: candidates come from an equi-join on
+    * (band, key), never an all-pairs comparison. */
+  def portableSimhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sk = portableSimhash(docs, idCol, textCol)
+      .select(col(idCol).as("__id"), col("sketch").as("__sk"))
+    val banded = sk.select(col("__id"), col("__sk"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("__sk"), i * 15).bitwiseAND(lit(0x7fffL))
+            .as("key"))): _*)).as("__b"))
+      .select(col("__id"), col("__sk"),
+        col("__b.band").as("__band"), col("__b.key").as("__key"))
+    val a = banded.select(col("__band"), col("__key"),
+      col("__id").as("id_a"), col("__sk").as("sk_a"))
+    val b = banded.select(col("__band"), col("__key"),
+      col("__id").as("id_b"), col("__sk").as("sk_b"))
+    a.join(b, Seq("__band", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sk_a").bitwiseXOR(col("sk_b"))).cast("int")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ===== token-level n-gram duplication (suffix-array approximation) =====
   // The exact-substring dedup signal of Lee et al., "Deduplicating
   // Training Data Makes Language Models Better" (2022), re-expressed as a

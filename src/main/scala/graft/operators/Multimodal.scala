@@ -14,14 +14,16 @@ import org.apache.spark.sql.types._
   * RGB/RGBA PNG via `java.util.zip.Inflater` + scanline unfilter),
   * [[decodeGif]] (GIF87a/89a with a full LZW decoder, interlace, and
   * animation metadata), and
-  * [[decodeWav]] (RIFF/WAVE PCM-16 audio), and [[decodeAvi]]
+  * [[decodeWav]] (RIFF/WAVE PCM-16 audio), [[decodeAvi]]
   * (uncompressed RIFF/AVI 24-bit DIB video, incl. real per-frame
-  * extraction via [[extractVideoFrames]]) parse real payload bytes into
-  * real dimensions/durations/frames/features. Formats that need an
-  * external codec (H.264/MP4 video, JPEG, MP3 — none available in this
-  * container) fall back to the clearly-marked [[decodeStub]]; swapping
-  * in a real codec (JNI/javacv, or a Python `mapInPandas` stage on a
-  * cluster with codecs) changes only that dispatch arm.
+  * extraction via [[extractVideoFrames]]), and [[decodeImageIo]]
+  * (JPEG + TIFF through the JDK's own `javax.imageio` codecs) parse
+  * real payload bytes into real dimensions/durations/frames/features.
+  * Formats that need an external codec (H.264/MP4 video, MP3 — none
+  * available in this container) fall back to the clearly-marked
+  * [[decodeStub]]; swapping in a real codec (JNI/javacv, or a Python
+  * `mapInPandas` stage on a cluster with codecs) changes only that
+  * dispatch arm.
   */
 object Multimodal {
 
@@ -554,6 +556,61 @@ object Multimodal {
     out
   }
 
+  /** One-time ImageIO setup: disable the disk-backed stream cache so
+    * executor threads never touch java.io.tmpdir (decode stays pure
+    * in-memory per batch). */
+  private lazy val imageIoInit: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** JPEG/TIFF decode via the JDK's own `javax.imageio` codecs (part of
+    * Java SE since 1.4 / 9 — no external dependency, works headless).
+    * TIFF is lossless, so features are bit-identical to [[decodePpm]] of
+    * the same pixels; JPEG is lossy, so dimensions are exact but channel
+    * features carry codec quantization error (MultimodalSpec bounds it).
+    * Same 8-dim feature contract as [[decodePpm]]. Undecodable or
+    * absurdly-dimensioned payloads return None rather than throwing —
+    * a 100 TB batch must not abort on one malformed blob. */
+  def decodeImageIo(id: Long, bytes: Array[Byte]): Option[DecodedMedia] = {
+    if (bytes == null || bytes.length < 4) return None
+    imageIoInit
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      // 64 MPix guard: a crafted header must not allocate a huge raster
+      if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      var sy = 0.0; var sy2 = 0.0
+      var minY = Double.MaxValue; var maxY = Double.MinValue
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = row(x)
+          val r = ((p >> 16) & 0xff).toDouble / 255
+          val g = ((p >> 8) & 0xff).toDouble / 255
+          val b = (p & 0xff).toDouble / 255
+          val lum = 0.299 * r + 0.587 * g + 0.114 * b
+          sr += r; sg += g; sb += b; sy += lum; sy2 += lum * lum
+          if (lum < minY) minY = lum
+          if (lum > maxY) maxY = lum
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toDouble * h
+      val meanY = sy / n
+      val contrast = math.sqrt(math.max(sy2 / n - meanY * meanY, 0.0))
+      Some(DecodedMedia(id, "image", w, h, 1, 0L,
+        Array((sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+          meanY.toFloat, minY.toFloat, maxY.toFloat, contrast.toFloat,
+          (w.toDouble / h).toFloat)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** RIFF/WAVE PCM-16 decode — pure JVM. Walks the chunk list to `fmt `
     * and `data`; duration from sample count / rate; feature (8-dim):
     * normalized RMS of 8 equal time segments (a crude loudness envelope).
@@ -796,6 +853,8 @@ object Multimodal {
             case "image/bmp" => decodeBmp(r.media_id, r.payload)
             case "image/png" => decodePng(r.media_id, r.payload)
             case "image/gif" => decodeGif(r.media_id, r.payload)
+            case "image/jpeg" | "image/tiff" =>
+              decodeImageIo(r.media_id, r.payload)
             case "audio/wav" => decodeWav(r.media_id, r.payload)
             case "video/avi" | "video/x-msvideo" =>
               decodeAvi(r.media_id, r.payload)
@@ -1079,6 +1138,30 @@ object Multimodal {
     bb.array()
   }
 
+  /** Encode pixels through the JDK's ImageIO writers ("jpg" or "tiff") —
+    * a REAL compressed-image payload for fixtures, produced by the same
+    * codec family [[decodeImageIo]] reads. */
+  def imageIoBytes(format: String, w: Int, h: Int,
+      pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    imageIoInit
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pixel(x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, format, out)
+    require(ok, s"no ImageIO writer for format '$format'")
+    out.toByteArray
+  }
+
   /** Deterministic RIFF/WAVE PCM-16 mono bytes — a REAL audio payload. */
   def wavBytes(rate: Int, samples: Array[Short]): Array[Byte] = {
     val dataLen = samples.length * 2
@@ -1094,15 +1177,25 @@ object Multimodal {
     bb.array()
   }
 
-  /** Deterministic synthetic media table for tests: REAL PPM/BMP/PNG
-    * images, WAV audio, and uncompressed-AVI video (all decoded for
-    * real by the pipeline), plus stub-backed fake video for the
-    * genuinely codec-bound compressed formats. */
+  /** Deterministic synthetic media table for tests: REAL PPM/BMP/PNG/
+    * JPEG/TIFF images, WAV audio, and uncompressed-AVI video (all
+    * decoded for real by the pipeline), plus stub-backed fake video for
+    * the genuinely codec-bound compressed formats. */
   def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     (0 until n).map { i =>
       val kind = Seq("image", "audio", "video")(i % 3)
       val (payload, mime) = kind match {
+        case "image" if i % 18 == 9 => // REAL codec format: JPEG (ImageIO)
+          val w = 4 + i % 8; val h = 3 + i % 5
+          (imageIoBytes("jpg", w, h, (x, y) => ((x * 40 + i) % 256,
+            (y * 40 + i) % 256, (x + y + i) % 256)),
+            "image/jpeg")
+        case "image" if i % 18 == 12 => // REAL codec format: TIFF (ImageIO)
+          val w = 4 + i % 8; val h = 3 + i % 5
+          (imageIoBytes("tiff", w, h, (x, y) => ((x * 40 + i) % 256,
+            (y * 40 + i) % 256, (x + y + i) % 256)),
+            "image/tiff")
         case "image" if i % 9 == 3 => // alternate REAL format: 24-bit BMP
           val w = 4 + i % 8; val h = 3 + i % 5
           (bmpBytes(Array.tabulate(h, w)((y, x) =>

@@ -165,6 +165,62 @@ class MultimodalSpec extends SparkTestBase {
     assert(direct.feature.toSeq == staged.feature.toSeq)
   }
 
+  test("TIFF decode is bit-identical to PPM decode of the same pixels") {
+    // TIFF is lossless, so the ImageIO path must reproduce the exact
+    // 8-dim features of the raw-pixel PPM decode
+    val pix = (x: Int, y: Int) =>
+      ((x * 31 + y * 7) % 256, (y * 19 + x) % 256, (x * y + 3) % 256)
+    val tiff = Multimodal.decodeImageIo(1L,
+      Multimodal.imageIoBytes("tiff", 11, 6, pix)).get
+    val ppm = Multimodal.decodePpm(1L, Multimodal.ppmBytes(11, 6, pix)).get
+    assert(tiff.width == 11 && tiff.height == 6 && tiff.kind == "image")
+    assert(tiff.feature.toSeq == ppm.feature.toSeq) // exact, not approx
+  }
+
+  test("JPEG decode: exact dims, bounded codec error on channel means") {
+    // uniform color: JPEG quantization is near-lossless on a flat block
+    val flat = Multimodal.decodeImageIo(2L,
+      Multimodal.imageIoBytes("jpg", 16, 16, (_, _) => (128, 64, 32))).get
+    assert(flat.width == 16 && flat.height == 16 && flat.n_frames == 1)
+    assert(math.abs(flat.feature(0) - 128f / 255) < 0.02)
+    assert(math.abs(flat.feature(1) - 64f / 255) < 0.02)
+    assert(math.abs(flat.feature(2) - 32f / 255) < 0.02)
+    assert(flat.feature(7) == 1.0f) // aspect ratio survives exactly
+    // smooth gradient: means stay within codec tolerance of the source
+    val pix = (x: Int, y: Int) => (x * 8, y * 8, (x + y) * 4)
+    val jpg = Multimodal.decodeImageIo(3L,
+      Multimodal.imageIoBytes("jpg", 32, 32, pix)).get
+    val ref = Multimodal.decodePpm(3L, Multimodal.ppmBytes(32, 32, pix)).get
+    for (d <- 0 until 4) // mean R/G/B + mean luminance
+      assert(math.abs(jpg.feature(d) - ref.feature(d)) < 0.05,
+        s"dim $d: ${jpg.feature(d)} vs ${ref.feature(d)}")
+    // garbage and truncated payloads refuse rather than throw
+    assert(Multimodal.decodeImageIo(4L, Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeImageIo(5L,
+      Multimodal.imageIoBytes("jpg", 8, 8, (_, _) => (9, 9, 9)).take(12))
+      .isEmpty)
+    assert(Multimodal.decodeImageIo(6L, null).isEmpty)
+  }
+
+  test("JPEG/TIFF payloads decode for real through the batched pipeline") {
+    // syntheticMedia plants JPEG at media_id % 18 == 9 and TIFF at
+    // media_id % 18 == 12 — those rows must come back with REAL header
+    // dimensions (exact even for the lossy codec), not stub dimensions
+    val decoded = Multimodal.decode(media).collect()
+    val jpegRows = decoded.filter(r => r.kind == "image" && r.media_id % 18 == 9)
+    val tiffRows = decoded.filter(r => r.kind == "image" && r.media_id % 18 == 12)
+    assert(jpegRows.nonEmpty && tiffRows.nonEmpty)
+    assert((jpegRows ++ tiffRows).forall(r =>
+      r.width == 4 + (r.media_id % 8) && r.height == 3 + (r.media_id % 5)))
+    // TIFF row features equal the PPM decode of the same generator pixels
+    val t = tiffRows.find(_.media_id == 12L).get
+    val i = 12
+    val ppm = Multimodal.decodePpm(12L, Multimodal.ppmBytes(
+      4 + i % 8, 3 + i % 5, (x, y) => ((x * 40 + i) % 256,
+        (y * 40 + i) % 256, (x + y + i) % 256))).get
+    assert(t.feature.toSeq == ppm.feature.toSeq)
+  }
+
   test("GIF decode is bit-identical to PPM decode of the same pixels") {
     // 20x17 with a 200-color palette: codes outgrow the initial width,
     // so the variable-width LZW read path is exercised for real
