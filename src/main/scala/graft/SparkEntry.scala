@@ -8,9 +8,9 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, UrlFunctions, VectorFunctions => VF}
 import graft.operators.{Boilerplate, Bpe, C4Clean, Collocations,
-  Decontaminate, Dedup, Drift, Fuzzy, GopherRules, LangModel, Metrics,
-  Mixing, Normalize, PartialAgg, RepeatedSpans, Retrieval, Sampling,
-  Scoring, Similarity, Zipf}
+  Decontaminate, Dedup, Drift, EventTime, Fuzzy, GopherRules, LangModel,
+  Metrics, Mixing, Normalize, PartialAgg, RepeatedSpans, Retrieval,
+  Sampling, Scoring, Similarity, Zipf}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2) over the
   * test star schema, each query paired with DuckDB oracle SQL.
@@ -798,15 +798,15 @@ object SparkEntry {
   private val q42 = Q("q42_hourly_events",
     (s, dir) => {
       // Batch form of the streaming windowed aggregation
-      // (graft.streaming.EventStreams uses the same grouping).
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
-      // long (nanosAsLong, set in every entry-point session builder);
-      // hour bucketing is integer ns math, identical to
-      // date_trunc('hour') for positive epochs.
+      // (graft.streaming.EventStreams uses the same grouping). ts is
+      // normalized through EventTime (fixture generations differ:
+      // epoch-ns long vs timestamp[us]); hour bucketing is native
+      // date_trunc under the UTC session timezone.
+      val ev = t(s, dir, "events")
       val hourStart = date_format(
-        timestamp_seconds(expr("ts DIV 3600000000000") * 3600),
+        date_trunc("hour", EventTime.tsTimestamp(ev)),
         "yyyy-MM-dd HH:mm")
-      t(s, dir, "events")
+      ev
         .groupBy(hourStart.as("hour_start"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double")
@@ -863,9 +863,9 @@ object SparkEntry {
     (s, dir) => {
       // Backward as-of join (composed union+window, operators.AsofJoin):
       // each click matched to the user's most recent purchase at-or-before
-      // it. Oracle: DuckDB's native ASOF LEFT JOIN. (events.ts needs
-      // nanosAsLong — set in every entry-point session builder, not here:
-      // a query lambda must not leak session-global config.)
+      // it. Oracle: DuckDB's native ASOF LEFT JOIN. ts is compared
+      // natively (ordering is type-agnostic, so no EventTime tick
+      // normalization is needed — no arithmetic touches it).
       val ev = t(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
@@ -1390,13 +1390,11 @@ object SparkEntry {
     (s, dir) => {
       // Batch sessionization (operators.Sessionize): 30-min inactivity gap
       // splits each user's event stream; ONE shuffle + two window passes,
-      // no self-join. ts is parquet TIMESTAMP(NANOS) read as long
-      // (nanosAsLong, set in every entry-point session builder) →
-      // microsecond ticks via integer division, matching DuckDB's
-      // epoch_us exactly (no float time math).
-      val e = t(s, dir, "events")
-        .select(col("user_id"), col("event_id"),
-          expr("ts DIV 1000").as("ts_us"))
+      // no self-join. ts → integer epoch-µs ticks via EventTime,
+      // matching DuckDB's epoch_us exactly (no float time math).
+      val ev = t(s, dir, "events")
+      val e = ev.select(col("user_id"), col("event_id"),
+          EventTime.tsMicros(ev).as("ts_us"))
       val assigned = graft.operators.Sessionize.assign(
         e, "user_id", "ts_us", 1800L * 1000000L, tieCols = Seq("event_id"))
       graft.operators.Sessionize.sessionStats(assigned, "user_id", "ts_us")
@@ -1880,33 +1878,35 @@ object SparkEntry {
     (s, dir) => {
       // Forward as-of with tolerance (AsofJoin.asofForward): each click ->
       // the user's NEXT purchase within 7 days, null past that. Same
-      // single-shuffle union+window shape as q44, on negated epoch ticks.
+      // single-shuffle union+window shape as q44, on negated epoch-µs
+      // ticks (asofForward negates ts, so the numeric EventTime form).
       val ev = t(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
+        .select(col("event_id"), col("user_id"),
+          EventTime.tsMicros(ev).as("ts_us"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"),
+        .select(col("user_id"), EventTime.tsMicros(ev).as("ts_us"),
           col("event_id").as("p_event_id"), col("value"))
       graft.operators.AsofJoin.asofForward(
-        clicks, purchases, Seq("user_id"), "ts", "ts",
+        clicks, purchases, Seq("user_id"), "ts_us", "ts_us",
         rightPayload = Seq("p_event_id", "value"),
-        toleranceNs = Some(7L * 86400L * 1000000000L))
+        tolerance = Some(7L * 86400L * 1000000L))
         .select(col("event_id"), col("user_id"),
           col("asof_p_event_id"), col("asof_value"))
         .orderBy(col("event_id"))
     },
-    Some("""WITH c AS (SELECT event_id, user_id, epoch_ns(ts) AS nts
+    Some("""WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS uts
       |    FROM events WHERE event_type = 'click'),
-      |p AS (SELECT user_id, epoch_ns(ts) AS nts,
+      |p AS (SELECT user_id, epoch_us(ts) AS uts,
       |    event_id AS p_event_id, value
       |    FROM events WHERE event_type = 'purchase')
       |SELECT c.event_id, c.user_id,
-      |  CASE WHEN p.nts - c.nts <= 604800000000000
+      |  CASE WHEN p.uts - c.uts <= 604800000000
       |    THEN p.p_event_id END AS asof_p_event_id,
-      |  CASE WHEN p.nts - c.nts <= 604800000000000
+      |  CASE WHEN p.uts - c.uts <= 604800000000
       |    THEN p.value END AS asof_value
       |FROM c ASOF LEFT JOIN p
-      |  ON c.user_id = p.user_id AND c.nts <= p.nts
+      |  ON c.user_id = p.user_id AND c.uts <= p.uts
       |ORDER BY c.event_id""".stripMargin))
 
   private val q83 = Q("q83_vocab_coverage",
@@ -2129,13 +2129,15 @@ object SparkEntry {
       // (cohort, offset) cell counts distinct users active k weeks later.
       // Two keyed aggs + one join on user_id; cells bounded by
       // weeks x offsets, not by events.
-      val weekNs = 604800000000000L
-      val e = t(s, dir, "events")
+      val weekUs = 604800000000L
+      val ev = t(s, dir, "events")
+      val e = ev.select(col("user_id"), col("event_type"),
+        EventTime.tsMicros(ev).as("ts_us"))
       val cohorts = e.filter(col("event_type") === "signup")
         .groupBy(col("user_id"))
-        .agg(min(expr(s"ts DIV $weekNs")).as("cohort_week"))
+        .agg(min(expr(s"ts_us DIV $weekUs")).as("cohort_week"))
       val active = e.select(col("user_id"),
-        expr(s"ts DIV $weekNs").as("active_week")).distinct()
+        expr(s"ts_us DIV $weekUs").as("active_week")).distinct()
       cohorts.join(active, Seq("user_id"))
         .withColumn("k", col("active_week") - col("cohort_week"))
         .filter(col("k").between(0, 3))
@@ -2144,11 +2146,11 @@ object SparkEntry {
         .orderBy(col("cohort_week"), col("k"))
     },
     Some("""WITH cohorts AS (
-      |  SELECT user_id, MIN(epoch_ns(ts) // 604800000000000)
+      |  SELECT user_id, MIN(epoch_us(ts) // 604800000000)
       |    AS cohort_week
       |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
       |active AS (SELECT DISTINCT user_id,
-      |    epoch_ns(ts) // 604800000000000 AS active_week FROM events)
+      |    epoch_us(ts) // 604800000000 AS active_week FROM events)
       |SELECT cohort_week, active_week - cohort_week AS k,
       |  COUNT(DISTINCT c.user_id) AS n_users
       |FROM cohorts c JOIN active a ON c.user_id = a.user_id
@@ -2527,15 +2529,16 @@ object SparkEntry {
       // becomes validity intervals per user — change compression via lag,
       // interval close via lead, BOTH windows over the same user_id
       // partitioning so the whole build is one shuffle. Interval bounds
-      // are epoch MICROS (ts DIV 1000 ↔ DuckDB epoch_us) — the engines'
+      // are epoch MICROS (EventTime.tsMicros ↔ DuckDB epoch_us) — the engines'
       // shared exact precision; DuckDB's epoch_ns pads sub-micro digits
       // with zeros and would hash-mismatch the raw nanos. The micro
       // truncation can collide two events onto one (user_id, ts) —
       // violating fromChangeLog's (key, ts)-uniqueness contract and
       // making lag/lead order nondeterministic in BOTH engines — so ties
       // are resolved to min(event_type) before the build.
-      val ev = t(s, dir, "events").filter(col("user_id") < 50)
-        .select(col("user_id"), expr("ts DIV 1000").as("ts"),
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.filter(col("user_id") < 50)
+        .select(col("user_id"), EventTime.tsMicros(ev0).as("ts"),
           col("event_type"))
         .groupBy(col("user_id"), col("ts"))
         .agg(min(col("event_type")).as("event_type"))
@@ -2666,9 +2669,10 @@ object SparkEntry {
       // symmetrically, so same-timestamp events see identical frames and
       // the aggregates are order-independent; floor(value) keeps the
       // windowed sum in exact integer arithmetic on both engines.
-      val ev = t(s, dir, "events").filter(col("user_id") < 30)
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.filter(col("user_id") < 30)
         .select(col("event_id"), col("user_id"),
-          expr("ts DIV 1000").as("ts_us"),
+          EventTime.tsMicros(ev0).as("ts_us"),
           floor(col("value")).cast("long").as("v"))
       val hour = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
         .rangeBetween(-3600L * 1000000L, 0L)
@@ -4491,11 +4495,12 @@ object SparkEntry {
       // the continuous-monitoring form of q146. Nothing wider than
       // weeks x 8 bins shuffles; same decimal/ln discipline as q146.
       val ev = t(s, dir, "events")
-      val weekNs = 604800000000000L
+      val weekUs = 604800000000L
       Drift.psiSeries(
         ev.filter(col("event_type") === "view"),
         ev.filter(col("event_type") === "purchase")
-          .withColumn("week", expr(s"ts DIV $weekNs")),
+          .withColumn("ts_us", EventTime.tsMicros(ev))
+          .withColumn("week", expr(s"ts_us DIV $weekUs")).drop("ts_us"),
         "value", "week", Seq(5, 10, 20, 40, 80, 160, 320))
         .orderBy(col("grp"))
     },
@@ -4518,7 +4523,7 @@ object SparkEntry {
       |      AS p_ref
       |  FROM b LEFT JOIN refc ON b.bin = refc.bin
       |), curc AS (
-      |  SELECT epoch_ns(ts) // 604800000000000 AS grp,
+      |  SELECT epoch_us(ts) // 604800000000 AS grp,
       |    (CASE WHEN value >= 5 THEN 1 ELSE 0 END) +
       |    (CASE WHEN value >= 10 THEN 1 ELSE 0 END) +
       |    (CASE WHEN value >= 20 THEN 1 ELSE 0 END) +
@@ -4825,8 +4830,9 @@ object SparkEntry {
       |      '|i |n ', '|in '), '|o |n ', '|on '), '|e |r ', '|er ') AS s
       |  FROM documents
       |)
-      |SELECT source, SUM(ws) AS n_words,
-      |  SUM(CAST(len(s) - len(replace(s, '|', '')) AS BIGINT)) AS n_bpe,
+      |SELECT source, CAST(SUM(ws) AS BIGINT) AS n_words,
+      |  CAST(SUM(CAST(len(s) - len(replace(s, '|', ''))
+      |    AS BIGINT)) AS BIGINT) AS n_bpe,
       |  ROUND(CAST(SUM(CAST(len(s) - len(replace(s, '|', ''))
       |    AS BIGINT)) AS DOUBLE) / SUM(ws), 6) AS fertility
       |FROM r GROUP BY source ORDER BY source""".stripMargin))
@@ -4846,7 +4852,8 @@ object SparkEntry {
       |  SELECT hh, COUNT(*) AS copies FROM h GROUP BY hh
       |)
       |SELECT source, COUNT(*) AS n_docs,
-      |  SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+      |  CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_docs,
       |  COUNT(DISTINCT CASE WHEN copies > 1 THEN h.hh END)
       |    AS n_dup_groups,
       |  ROUND(CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END)

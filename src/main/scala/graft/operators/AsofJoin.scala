@@ -35,7 +35,7 @@ object AsofJoin {
       leftTs: String,
       rightTs: String,
       rightPayload: Seq[String],
-      toleranceNs: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None): DataFrame = {
     val reserved = Seq("__ts", "__tag", "__rpay", "__match", "__m")
     require(!left.columns.exists(reserved.contains),
       s"left frame uses reserved column names: ${reserved.mkString(", ")}")
@@ -68,7 +68,7 @@ object AsofJoin {
       .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
 
-    val withinTol = toleranceNs match {
+    val withinTol = tolerance match {
       case Some(tol) =>
         when(col("__match").isNotNull &&
           (col("__ts") - col(s"__match.$rightTs")) <= tol, col("__match"))
@@ -85,8 +85,9 @@ object AsofJoin {
     * implemented by negating the ts columns and reusing the same
     * union + carry-forward window (still ONE shuffle, no range join).
     * Numeric (epoch-tick) ts columns only, since negation must be exact.
-    * A right row at exactly `leftTs` matches; `toleranceNs` bounds
-    * `rightTs - leftTs`. */
+    * A right row at exactly `leftTs` matches; `tolerance` bounds
+    * `rightTs - leftTs`, expressed in the ts columns' own ticks
+    * (epoch µs for [[EventTime.tsMicros]]-normalized columns). */
   def asofForward(
       left: DataFrame,
       right: DataFrame,
@@ -94,7 +95,7 @@ object AsofJoin {
       leftTs: String,
       rightTs: String,
       rightPayload: Seq[String],
-      toleranceNs: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None): DataFrame = {
     require(Seq(left.schema(leftTs), right.schema(rightTs)).forall(
       _.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]),
       "asofForward negates ts columns: numeric epoch-tick ts required")
@@ -102,7 +103,7 @@ object AsofJoin {
     val rn = right.withColumn("__nrts", -col(rightTs))
     // tolerance transfers exactly: backward checks __ts - match.rightTs =
     // (-leftTs) - (-rightTs) = rightTs - leftTs <= tol, the forward gap.
-    asofBackward(ln, rn, keys, "__nlts", "__nrts", rightPayload, toleranceNs)
+    asofBackward(ln, rn, keys, "__nlts", "__nrts", rightPayload, tolerance)
       .drop("__nlts")
   }
 

@@ -16,24 +16,25 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.parquet ts is TIMESTAMP(NANOS) → read as long ns
-    * (`nanosAsLong`), then derive a μs timestamp for event-time ops. */
-  val eventSchemaNanosAsLong: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanoseconds since epoch
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming file source over an events-shaped parquet directory. */
+  /** Streaming file source over an events-shaped parquet directory.
+    *
+    * A streaming source must declare its schema up front, but the ts
+    * physical type differs across fixture generations (epoch-ns long via
+    * `nanosAsLong` vs native timestamp[us]) — so peek at the directory's
+    * CURRENT schema with a one-off batch read (metadata-only: file
+    * footers, no data scan) and declare that, then normalize to a µs
+    * `event_time` timestamp via [[graft.operators.EventTime]]. Every
+    * downstream operator keys on `event_time` only, so the fixture shape
+    * never leaks past this reader. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchemaNanosAsLong)
+    val static = spark.read.parquet(dir)
+    val raw = spark.readStream
+      .schema(static.schema)
       .option("maxFilesPerTrigger", "32")
       .parquet(dir)
-      .withColumn("event_time", expr("timestamp_micros(ts DIV 1000)"))
+    raw.withColumn("event_time",
+      graft.operators.EventTime.tsTimestamp(raw))
   }
 
   /** Event-time tumbling-window counts with a watermark bounding state.
@@ -322,8 +323,14 @@ object EventStreams {
       gapNs: Long): Dataset[UserSession] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // ts_ns is derived from the normalized event_time (µs-truncated ticks
+    // × 1000), not the raw ts column — so either fixture shape works; the
+    // ns unit is kept for the gapNs/state contract. Sub-µs precision was
+    // never real data (the nanos fixtures' sub-µs digits were zero).
     val typed = events
-      .select(col("user_id"), col("ts").as("ts_ns"), col("value"))
+      .select(col("user_id"),
+        (unix_micros(col("event_time")) * lit(1000L)).as("ts_ns"),
+        col("value"))
       .as[SessionEvent]
 
     def fn(userId: Long, it: Iterator[SessionEvent],

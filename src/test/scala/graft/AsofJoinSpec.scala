@@ -51,7 +51,7 @@ class AsofJoinSpec extends SparkTestBase {
 
   test("forward tolerance bounds the lookahead") {
     val m = AsofJoin.asofForward(left, right, Seq("k"), "ts", "rts",
-      Seq("p"), toleranceNs = Some(30L))
+      Seq("p"), tolerance = Some(30L))
       .select(col("id"), col("asof_p"))
       .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(m(1L).contains("a@100")) // gap 0 <= 30

@@ -28,10 +28,11 @@ class EventStreamsSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft_wc").toString
     Files.copy(java.nio.file.Paths.get(s"$sf001/events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet"))
-    // batch truth straight from the parquet (ns → hour buckets)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .groupBy(expr("timestamp_micros((ts DIV 3600000000000) * 3600000000)")
+    // batch truth straight from the parquet (hour buckets via the same
+    // EventTime normalization the stream reader uses)
+    val all = spark.read.parquet(s"$dir/events.parquet")
+    val batch = all
+      .groupBy(date_trunc("hour", graft.operators.EventTime.tsTimestamp(all))
         .as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2))
@@ -55,11 +56,11 @@ class EventStreamsSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft_wq").toString
     Files.copy(java.nio.file.Paths.get(s"$sf001/events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // exact percentile_disc truth per (hour window, type): event counts
     // per group sit far under sketchK, so the sketch must be EXACT
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .groupBy(expr("timestamp_micros((ts DIV 3600000000000) * 3600000000)")
+    val all = spark.read.parquet(s"$dir/events.parquet")
+    val batch = all
+      .groupBy(date_trunc("hour", graft.operators.EventTime.tsTimestamp(all))
         .as("window_start"), col("event_type"))
       .agg(expr("percentile(value, array(0.5, 0.95), 1)").as("exact"),
         collect_list(col("value")).as("vals"))
@@ -89,11 +90,11 @@ class EventStreamsSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft_hh").toString
     Files.copy(java.nio.file.Paths.get(s"$sf001/events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val capacity = 8
     // exact per-(hour, user) truth for the guarantee check
-    val exact = spark.read.parquet(s"$dir/events.parquet")
-      .groupBy(expr("timestamp_micros((ts DIV 3600000000000) * 3600000000)")
+    val all = spark.read.parquet(s"$dir/events.parquet")
+    val exact = all
+      .groupBy(date_trunc("hour", graft.operators.EventTime.tsTimestamp(all))
         .as("window_start"), col("user_id"))
       .agg(count(lit(1)).as("cnt"))
       .collect().groupBy(_.get(0).toString)
@@ -127,12 +128,12 @@ class EventStreamsSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft_sw").toString
     Files.copy(java.nio.file.Paths.get(s"$sf001/events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // batch truth: the SAME window() expansion in batch mode (each event
     // lands in 60/15 = 4 overlapping windows)
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val all = spark.read.parquet(s"$dir/events.parquet")
+    val batch = all
       .withColumn("event_time",
-        expr("timestamp_micros(ts DIV 1000)"))
+        graft.operators.EventTime.tsTimestamp(all))
       .groupBy(window(col("event_time"), "1 hour", "15 minutes"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -556,16 +557,17 @@ class EventStreamsSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft_wd").toString
     Files.copy(java.nio.file.Paths.get(s"$sf001/events.parquet"),
       java.nio.file.Paths.get(dir, "events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val edges = Seq(5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0)
-    val all = spark.read.parquet(s"$dir/events.parquet")
+    val all0 = spark.read.parquet(s"$dir/events.parquet")
+    val all = all0.withColumn("ts_us",
+      graft.operators.EventTime.tsMicros(all0))
     val ref = all.filter(col("event_type") === "view")
     // batch truth: Drift.psi per hour window over the same rows
-    val hourNs = 3600000000000L
-    val hours = all.select(expr(s"ts DIV $hourNs").as("h"))
+    val hourUs = 3600000000L
+    val hours = all.select(expr(s"ts_us DIV $hourUs").as("h"))
       .distinct().collect().map(_.getLong(0))
     val truth = hours.map { h =>
-      val rows = all.filter(expr(s"ts DIV $hourNs") === h)
+      val rows = all.filter(expr(s"ts_us DIV $hourUs") === h)
       val head = graft.operators.Drift.psi(ref, rows, "value", edges).head()
       h -> ((rows.count(),
         head.getDouble(head.fieldIndex("psi_total")),
@@ -580,7 +582,7 @@ class EventStreamsSpec extends SparkTestBase {
       q.processAllAvailable()
       val got = spark.sql("SELECT * FROM wd").collect().map { r =>
         val startUs = r.getTimestamp(0).getTime * 1000L
-        (startUs * 1000L / hourNs) ->
+        (startUs / hourUs) ->
           ((r.getLong(1), r.getDouble(2), r.getDouble(3)))
       }.toMap
       assert(got.nonEmpty)

@@ -49,7 +49,7 @@ class OperatorPropertySpec extends SparkTestBase {
 
     val got = AsofJoin.asofForward(
       left.toDF("id", "k", "ts"), right.toDF("k", "rts", "p"),
-      Seq("k"), "ts", "rts", Seq("p"), toleranceNs = Some(tol))
+      Seq("k"), "ts", "rts", Seq("p"), tolerance = Some(tol))
       .select(col("id"), col("asof_p"))
       .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
 

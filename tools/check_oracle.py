@@ -51,6 +51,20 @@ def main():
             print(f"FAIL {name}: columns {list(sa.columns)} vs {list(ob.columns)}")
             n_fail += 1
             continue
+        # The driver's compare hashes value REPRESENTATIONS, so an
+        # int-vs-float column skew is a FAIL there even when Python's
+        # lenient == passes (123 == 123.0): e.g. DuckDB returns a bare
+        # SUM(int) as HUGEINT -> pandas float64 while Spark emits int64
+        # ("13298" vs "13298.0"). Width skews (int32 vs int64) hash the
+        # same, so compare dtype KINDS, not exact dtypes.
+        da = [t.kind for t in sa.dtypes]
+        db = [t.kind for t in ob.dtypes]
+        if da != db:
+            print(f"FAIL {name}: dtype-kind skew "
+                  f"{[c for c, x, y in zip(sa.columns, da, db) if x != y]}: "
+                  f"{da} vs {db}")
+            n_fail += 1
+            continue
         ra = sorted([tuple(norm_cell(v) for v in row)
                      for row in sa.itertuples(index=False)],
                     key=lambda r: tuple(str(x) for x in r))
