@@ -620,16 +620,26 @@ object SparkEntry {
 
   private val q35 = Q("q35_minhash_neardup",
     (s, dir) => {
-      // Word 3-gram MinHash-LSH at the standard 0.8 threshold — the
-      // scale-honest configuration (unigram shingles on a 40-word
-      // vocabulary make every doc pair collide, which is O(n²) candidate
-      // volume at 100 TB). xxhash64-family signatures are not
-      // SQL-oracle-expressible → rows-only.
-      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-        numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.8)
+      // Word 3-gram MinHash-LSH near-dup chain at a SECOND operating
+      // point of the portable md5-derived hash family: k=128 signature
+      // rows in 32 bands of r=4 (higher candidate recall at the same
+      // band width as q57's standard k=64/16-band point) and a looser
+      // 0.7 verify threshold — oracle-verified end to end like q57.
+      // The xxhash64-family arm (Dedup.minhashNearDups) remains the
+      // production default (one 8-byte hash, no md5 hex parse) and is
+      // family-equality-tested in DedupSpec.
+      Dedup.portableNearDups(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 128, bands = 32, shingleSize = 3, threshold = 0.7)
         .orderBy(col("id_a"), col("id_b"))
     },
-    None)
+    Some(q35OracleSql))
+
+  /** Oracle replica of [[Dedup.portableNearDups]] at q35's operating
+    * point (k=128, 32 bands, 0.7) — same generated chain as q57. */
+  private def q35OracleSql: String =
+    s"""WITH ${portableChainCtes(128, 32, 3, 0.7)}
+       |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM verified
+       |ORDER BY id_a, id_b""".stripMargin
 
   private val q36 = Q("q36_jaccard_pairs",
     (s, dir) => {
@@ -660,16 +670,39 @@ object SparkEntry {
       |  ON a.doc_id < b.doc_id)
       |WHERE j >= 0.3 ORDER BY id_a, id_b""".stripMargin))
 
-  private val q37 = Q("q37_simhash",
+  private val q37 = Q("q37_simhash_neardup",
     (s, dir) => {
-      // 64-bit SimHash sketch per doc (custom Catalyst expression over
-      // xxhash64 token hashes) — not SQL-expressible → rows-only.
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          VF.simhash(TF.tokens(col("text"))).as("sketch"))
-        .orderBy(col("doc_id"))
+      // SimHash near-dup pairs under the portable md5-derived 60-bit
+      // family (Dedup.portableSimhashNearDups): 4×15-bit band buckets →
+      // equi-join candidates → exact bit_count(XOR) Hamming verify;
+      // Hamming ≤ 3 pairs are caught exactly (≤3 flipped bits leave ≥1
+      // of 4 bands equal). Every step is DuckDB-replayable — generated
+      // oracle below. The xxhash64 SimHash64 expression arm stays the
+      // cheaper production hash, operator-tested in ExpressionsSpec and
+      // DedupSpec.
+      Dedup.portableSimhashNearDups(t(s, dir, "documents"),
+          "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
     },
-    None)
+    Some(q37OracleSql))
+
+  /** Oracle replica of [[Dedup.portableSimhashNearDups]]: shares the
+    * generated sketch SELECT with q58's oracle, then replays the banded
+    * candidate join and Hamming verify in SQL. */
+  private def q37OracleSql: String =
+    s"""WITH sk AS (
+       |$portableSimhashSketchSql
+       |), banded AS (
+       |  SELECT doc_id, sketch, CAST(bb.b AS INT) AS band,
+       |    (sketch >> (CAST(bb.b AS INT) * 15)) & 32767 AS key
+       |  FROM sk CROSS JOIN (SELECT unnest(range(4)) AS b) bb
+       |)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |    CAST(bit_count(xor(x.sketch, y.sketch)) AS INT) AS hamming
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+       |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
 
   // ================= similarity search =================
 
@@ -1116,10 +1149,15 @@ object SparkEntry {
   /** Shared CTE block replicating [[Dedup.portableNearDups]]'s chain
     * (tokens → shingle sets → md5-family signatures → band buckets →
     * candidates), generated from the same coefficient table so engine and
-    * oracle cannot drift. Used by q57's oracle and reused (plus a
-    * recursive transitive closure) by q96's cluster oracle. */
-  private def portableChainCtes: String = {
-    val k = 64; val bands = 16; val r = k / bands
+    * oracle cannot drift. The default operating point (k=64, 16 bands,
+    * 3-shingles, 0.8) serves q57's oracle and is reused (plus a recursive
+    * transitive closure) by q96's cluster oracle; q35 instantiates a
+    * second point (k=128, 32 bands, 0.7). */
+  private def portableChainCtes: String = portableChainCtes(64, 16, 3, 0.8)
+
+  private def portableChainCtes(
+      k: Int, bands: Int, shingleSize: Int, threshold: Double): String = {
+    val r = k / bands
     val coef = Dedup.portableCoefficients(k)
     val p = Dedup.portablePrime
     val minCols = coef.zipWithIndex.map { case ((a, b), i) =>
@@ -1130,13 +1168,17 @@ object SparkEntry {
         .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($ms) AS bucket FROM sig"
     }.mkString(" UNION ALL ")
+    // i = 1 .. len-n+1 shingle starts: range() end is exclusive, so
+    // len - (n - 2); the guard keeps short docs at an empty range.
+    val shingle = (0 until shingleSize)
+      .map(j => if (j == 0) "tk[i]" else s"tk[i+$j]").mkString(" || ' ' || ")
     s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
        |    t -> t <> '') AS tk FROM documents
        |), sets AS (
        |  SELECT doc_id, list_distinct(list_transform(
-       |    range(1, greatest(len(tk) - 1, 1)),
-       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS st FROM toks
+       |    range(1, greatest(len(tk) - ${shingleSize - 2}, 1)),
+       |    i -> $shingle)) AS st FROM toks
        |), sh AS (
        |  SELECT doc_id, ('0x' || substr(md5(unnest(st)), 1, 8))::BIGINT AS H
        |  FROM sets
@@ -1155,7 +1197,7 @@ object SparkEntry {
        |      CAST(len(list_distinct(list_concat(sa.st, sb.st))) AS DOUBLE) AS j
        |    FROM cand JOIN sets sa ON sa.doc_id = cand.id_a
        |              JOIN sets sb ON sb.doc_id = cand.id_b)
-       |  WHERE j >= 0.8
+       |  WHERE j >= $threshold
        |)""".stripMargin
   }
 
@@ -1206,8 +1248,10 @@ object SparkEntry {
     },
     Some(q58OracleSql))
 
-  /** Oracle replica of [[Dedup.portableSimhash]] (generated to match). */
-  private def q58OracleSql: String = {
+  /** Generated SELECT producing the portable 60-bit SimHash sketch per
+    * doc ([[Dedup.portableSimhash]] replica) — shared by q58's oracle
+    * (plus an ORDER BY) and q37's banded near-dup oracle (as a CTE). */
+  private def portableSimhashSketchSql: String = {
     val bits = 60
     val tallies = (0 until bits).map(b =>
       s"SUM(CASE WHEN (H >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS t$b")
@@ -1222,9 +1266,13 @@ object SparkEntry {
        |        string_split_regex(lower(text), '\\s+'), t -> t <> ''))),
        |        1, 15))::BIGINT AS H
        |    FROM documents)
-       |  GROUP BY doc_id)
-       |ORDER BY doc_id""".stripMargin
+       |  GROUP BY doc_id)""".stripMargin
   }
+
+  /** Oracle replica of [[Dedup.portableSimhash]] (generated to match). */
+  private def q58OracleSql: String =
+    s"""$portableSimhashSketchSql
+       |ORDER BY doc_id""".stripMargin
 
   private val q59 = Q("q59_array_agg",
     (s, dir) => {
