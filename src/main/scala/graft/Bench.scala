@@ -18,7 +18,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS): only readable as long
+      // legacy-fixture compatibility: older events.parquet drops wrote
+      // TIMESTAMP(NANOS), readable only as an epoch-ns long; current
+      // drops write timestamp[us]. operators.EventTime dispatches on the
+      // actual type, so this conf is harmless-but-required dual support.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // The 128-query run generates >100 distinct codegen classes; the
       // default 100-entry cache evicts the MinHash-chain classes between
@@ -36,18 +39,25 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
-    for (_ <- 0 until runs) {
-      SparkEntry.queries.foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
-      }
+    def runOnce(name: String): Unit = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
+      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
+    for (_ <- 0 until runs) names.foreach(runOnce)
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // The heaviest queries dominate the total AND carry the worst
+    // run-to-run contention noise (a 3-sample median can still land on an
+    // outlier — q122 read [21.4, 9.5, 4.0] one round). Give the top-10 by
+    // provisional median two extra sweeps: their medians become
+    // 5-sample, everything else stays at `runs`.
+    val top10 = names.sortBy(n => -median(samples(n))).take(10)
+    for (_ <- 0 until 2) top10.foreach(runOnce)
     val results = names.map(n => n -> median(samples(n)))
     val total = results.map(_._2).sum
     def fmt(v: Double) = f"$v%.3f"
@@ -61,8 +71,17 @@ object Bench {
     val allRuns = names.map { n =>
       "\"" + n + "\":[" + samples(n).map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // Explicit [min, median, max] per query so a regression read is one
+    // line (is the new median inside last round's spread?) instead of
+    // all_runs archaeology.
+    val spreadAll = names.map { n =>
+      val s = samples(n)
+      "\"" + n + "\":[" + fmt(s.min) + "," + fmt(median(s)) + "," +
+        fmt(s.max) + "]"
+    }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""runs":$runs,"queries":$detail,"all_runs":$allRuns,""" +
+      s""""runs":$runs,"queries":$detail,"spread":$spreadAll,""" +
+      s""""all_runs":$allRuns,""" +
       s""""sf":"$sfDir","ts":${System.currentTimeMillis()}}""" + "\n"
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"), line.getBytes("UTF-8"))
@@ -74,7 +93,15 @@ object Bench {
     // (budget ~1800 chars after sbt's trailing "[success]" line), so it
     // carries the slowest queries only, greediest-first, plus the total.
     val byTime = results.sortBy(-_._2)
-    val budget = 1500
+    // Spread for the 10 slowest ([min, median, max]) rides in the stdout
+    // line too — these are the queries whose medians move under
+    // contention, so the spread is what tells a regression from noise.
+    val spreadTop = byTime.take(10).map { case (k, _) =>
+      val s = samples(k)
+      "\"" + k + "\":[" + fmt(s.min) + "," + fmt(median(s)) + "," +
+        fmt(s.max) + "]"
+    }.mkString("{", ",", "}")
+    val budget = 1100
     val kept = new scala.collection.mutable.ArrayBuffer[String]
     var used = 0
     byTime.foreach { case (k, v) =>
@@ -82,7 +109,7 @@ object Bench {
       if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
     }
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"n_queries":${results.size},"queries_are_slowest_first":true,"queries_are_medians":true,"detail":"bench_detail.json","history":"bench_history.jsonl","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"spread_top10":$spreadTop,"n_queries":${results.size},"queries_are_slowest_first":true,"queries_are_medians":true,"detail":"bench_detail.json","history":"bench_history.jsonl","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,14 +17,14 @@ object ScaleProbe {
 
   private val copies = 10
 
-  def synthesize(spark: SparkSession, srcDir: String, outDir: String): Unit = {
-    def shiftCopies(df: DataFrame, shifts: Map[String, Long]): DataFrame =
-      (0 until copies).map { i =>
-        shifts.foldLeft(df) { case (d, (c, base)) =>
-          d.withColumn(c, col(c) + lit(i * base))
-        }
-      }.reduce(_ unionByName _)
+  private def shiftCopies(df: DataFrame, shifts: Map[String, Long]): DataFrame =
+    (0 until copies).map { i =>
+      shifts.foldLeft(df) { case (d, (c, base)) =>
+        d.withColumn(c, col(c) + lit(i * base))
+      }
+    }.reduce(_ unionByName _)
 
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
     val o = spark.read.parquet(s"$srcDir/orders.parquet")
     val c = spark.read.parquet(s"$srcDir/customer.parquet")
@@ -53,6 +53,29 @@ object ScaleProbe {
     // dimensions stay as-is (they are dimensions)
     Seq("nation", "region", "supplier", "part").foreach { t =>
       spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
+  /** Second decade: ~100× from the 10× synthesis, SELECTIVE — only the
+    * tables the x100 spot probes (q117, q122) read. The shift base is
+    * 10¹⁰ so the second round of copies cannot collide with the first's
+    * `orig + i·10⁹` id space. Documents duplicate again, so each original
+    * text now has a 100-member exact-dup cluster — the worst-case LSH
+    * stress another decade out. */
+  def synthesize100(spark: SparkSession, tenxDir: String, outDir: String): Unit = {
+    val base100 = 10000000000L
+    shiftCopies(spark.read.parquet(s"$tenxDir/documents.parquet"),
+      Map("doc_id" -> base100))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    shiftCopies(spark.read.parquet(s"$tenxDir/customer.parquet"),
+      Map("c_custkey" -> base100))
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    shiftCopies(spark.read.parquet(s"$tenxDir/orders.parquet"),
+      Map("o_orderkey" -> base100, "o_custkey" -> base100))
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$tenxDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
   }
@@ -93,7 +116,15 @@ object ScaleProbe {
     // round 8 close: PSI drift (events 10x, bin frame constant) and the
     // cross-set LSH decontamination chain (duplicated texts make true
     // cross pairs grow ~1000x like q35/q57 — the LSH-bounded shape)
-    "q146_psi_drift", "q147_cross_decontam")
+    "q146_psi_drift", "q147_cross_decontam",
+    // round 10: the r9 additions (q148-q156) + the two ANN rows the
+    // verdict flagged as missing (q128/q129) + the portable banded
+    // SimHash arm (q37; dup clusters make its hamming-0 pairs grow
+    // quadratically per cluster like q35's, bounded by band buckets)
+    "q128_ann_ivfpq", "q129_semantic_dedup", "q37_simhash_neardup",
+    "q148_psi_series", "q149_quantile_norm", "q150_capped_jaccard",
+    "q151_capped_editdist", "q152_gopher_rules", "q153_c4_clean",
+    "q154_zipf_fit", "q155_tokenizer_fertility", "q156_dup_rate_by_source")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
@@ -167,6 +198,25 @@ object ScaleProbe {
       println(f"q36_cap16: time $tCapS%.2f->$tCapB%.2f s, " +
         f"rows $nCapS->$nCapB (dropped ${nUncS - nCapS}->${nUncB - nCapB}); " +
         f"uncapped time $tUncS%.2f->$tUncB%.2f s, rows $nUncS->$nUncB")
+    }
+    // round 10 (one decade further): `x100` times q117 (OPH LSH chain)
+    // and q122 (PageRank) at ~100× sf0.1 with measured shuffle volume —
+    // the "does the 10× curve hold another decade?" spot check. Output
+    // rows for q117 grow ~100× (100-member dup clusters ⇒ ~4950
+    // pairs/cluster); the claim under test is that TIME tracks output +
+    // input, never candidate-pair quadratics outside the clusters.
+    if (args.contains("x100")) {
+      val out100 = out + "_x100"
+      if (!new java.io.File(s"$out100/documents.parquet").exists())
+        synthesize100(spark, out, out100)
+      Seq("q117_oph_neardup", "q122_pagerank").foreach { name =>
+        val df = SparkEntry.queries(name)(spark, out100)
+        val t0 = System.nanoTime()
+        val m = PlanMetrics.shuffleSummary(df)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"x100,$name,$sec%.2f s,${m.shuffleRecords} shuffled rows," +
+          f"${m.shuffleBytes / 1024 / 1024} shuffled MiB")
+      }
     }
     spark.stop()
   }

@@ -19,7 +19,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS): only readable as long
+      // legacy-fixture compatibility: older events.parquet drops wrote
+      // TIMESTAMP(NANOS), readable only as an epoch-ns long; current
+      // drops write timestamp[us]. operators.EventTime dispatches on the
+      // actual type, so this conf is harmless-but-required dual support.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
