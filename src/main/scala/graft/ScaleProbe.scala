@@ -150,10 +150,13 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
     // "caponly" arg skips the main table (re-measure just the q36 cap);
-    // "only=<substr>" restricts the main table for fast iteration
+    // "only=<substr>[,<substr>...]" restricts the main table for fast
+    // iteration (a probe runs if it contains ANY listed substring)
     val onlyFilter: String => Boolean =
       args.find(_.startsWith("only=")) match {
-        case Some(a) => _.contains(a.stripPrefix("only="))
+        case Some(a) =>
+          val terms = a.stripPrefix("only=").split(",").toSeq
+          name => terms.exists(name.contains)
         case None => _ => true
       }
     if (!args.contains("caponly")) {
