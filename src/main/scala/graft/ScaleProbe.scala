@@ -74,6 +74,11 @@ object ScaleProbe {
     shiftCopies(spark.read.parquet(s"$tenxDir/orders.parquet"),
       Map("o_orderkey" -> base100, "o_custkey" -> base100))
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    // q122 joins lineitem⋈orders for its edge list (suppliers stay a
+    // dimension: unshifted, like nation/region)
+    shiftCopies(spark.read.parquet(s"$tenxDir/lineitem.parquet"),
+      Map("l_orderkey" -> base100))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     Seq("nation", "region").foreach { t =>
       spark.read.parquet(s"$tenxDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
@@ -210,11 +215,23 @@ object ScaleProbe {
     // input, never candidate-pair quadratics outside the clusters.
     if (args.contains("x100")) {
       val out100 = out + "_x100"
-      if (!new java.io.File(s"$out100/documents.parquet").exists())
+      // existence check on the LAST-ADDED table so a probe-set extension
+      // (which widens synthesize100) re-synthesizes an older partial dir
+      if (!new java.io.File(s"$out100/lineitem.parquet").exists())
         synthesize100(spark, out, out100)
-      Seq("q117_oph_neardup", "q122_pagerank").foreach { name =>
-        val df = SparkEntry.queries(name)(spark, out100)
+      val x100Filter: String => Boolean =
+        args.find(_.startsWith("x100only=")) match {
+          case Some(a) => _.contains(a.stripPrefix("x100only="))
+          case None => _ => true
+        }
+      Seq("q117_oph_neardup", "q122_pagerank").filter(x100Filter)
+        .foreach { name =>
+        // t0 BEFORE df construction: q122's iterations execute eagerly
+        // inside Graph.pagerank (cache + per-iteration checkpoint), so
+        // construction IS the work; its shuffle summary reads ~0 (the
+        // checkpoint-scan audit artifact documented in PLANS.md).
         val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, out100)
         val m = PlanMetrics.shuffleSummary(df)
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"x100,$name,$sec%.2f s,${m.shuffleRecords} shuffled rows," +
