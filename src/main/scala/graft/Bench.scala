@@ -56,8 +56,9 @@ object Bench {
     // outlier — q122 read [21.4, 9.5, 4.0] one round). Give the top-10 by
     // provisional median two extra sweeps: their medians become
     // 5-sample, everything else stays at `runs`.
+    val extraRuns = 2
     val top10 = names.sortBy(n => -median(samples(n))).take(10)
-    for (_ <- 0 until 2) top10.foreach(runOnce)
+    for (_ <- 0 until extraRuns) top10.foreach(runOnce)
     val results = names.map(n => n -> median(samples(n)))
     val total = results.map(_._2).sum
     def fmt(v: Double) = f"$v%.3f"
@@ -79,8 +80,12 @@ object Bench {
       "\"" + n + "\":[" + fmt(s.min) + "," + fmt(median(s)) + "," +
         fmt(s.max) + "]"
     }.mkString("{", ",", "}")
+    // "runs" is the BASE sweep count; the 10 provisionally-slowest
+    // queries carry runs+top10_extra_runs samples (their all_runs arrays
+    // are the ground truth for per-query sample counts).
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""runs":$runs,"queries":$detail,"spread":$spreadAll,""" +
+      s""""runs":$runs,"top10_extra_runs":$extraRuns,""" +
+      s""""queries":$detail,"spread":$spreadAll,""" +
       s""""all_runs":$allRuns,""" +
       s""""sf":"$sfDir","ts":${System.currentTimeMillis()}}""" + "\n"
     java.nio.file.Files.write(
@@ -109,7 +114,7 @@ object Bench {
       if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
     }
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"spread_top10":$spreadTop,"n_queries":${results.size},"queries_are_slowest_first":true,"queries_are_medians":true,"detail":"bench_detail.json","history":"bench_history.jsonl","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"top10_extra_runs":$extraRuns,"queries":$qs,"spread_top10":$spreadTop,"n_queries":${results.size},"queries_are_slowest_first":true,"queries_are_medians":true,"detail":"bench_detail.json","history":"bench_history.jsonl","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -83,6 +83,13 @@ object ScaleProbe {
       spark.read.parquet(s"$tenxDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
+    // completion marker: written LAST, so a mid-synthesis crash (partial
+    // table dirs on disk) re-synthesizes on the next run instead of
+    // silently probing against corrupt data
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, "_GRAFT_COMPLETE"),
+      Array.emptyByteArray)
+    ()
   }
 
   private val probes = Seq(
@@ -156,14 +163,16 @@ object ScaleProbe {
     }
     // "caponly" arg skips the main table (re-measure just the q36 cap);
     // "only=<substr>[,<substr>...]" restricts the main table for fast
-    // iteration (a probe runs if it contains ANY listed substring)
-    val onlyFilter: String => Boolean =
-      args.find(_.startsWith("only=")) match {
+    // iteration (a probe runs if it contains ANY listed substring);
+    // "x100only=" does the same for the x100 block — one shared parser
+    def substrFilter(prefix: String): String => Boolean =
+      args.find(_.startsWith(prefix)) match {
         case Some(a) =>
-          val terms = a.stripPrefix("only=").split(",").toSeq
+          val terms = a.stripPrefix(prefix).split(",").toSeq
           name => terms.exists(name.contains)
         case None => _ => true
       }
+    val onlyFilter = substrFilter("only=")
     if (!args.contains("caponly")) {
       val rows = probes.filter(onlyFilter).map { name =>
         val small = time(src, name)
@@ -215,16 +224,12 @@ object ScaleProbe {
     // input, never candidate-pair quadratics outside the clusters.
     if (args.contains("x100")) {
       val out100 = out + "_x100"
-      // existence check on the LAST-ADDED table so a probe-set extension
-      // (which widens synthesize100) re-synthesizes an older partial dir
-      if (!new java.io.File(s"$out100/lineitem.parquet").exists())
+      // the marker is written LAST by synthesize100, so partial output
+      // from a crashed run (or a pre-marker layout) re-synthesizes
+      if (!new java.io.File(s"$out100/_GRAFT_COMPLETE").exists())
         synthesize100(spark, out, out100)
-      val x100Filter: String => Boolean =
-        args.find(_.startsWith("x100only=")) match {
-          case Some(a) => _.contains(a.stripPrefix("x100only="))
-          case None => _ => true
-        }
-      Seq("q117_oph_neardup", "q122_pagerank").filter(x100Filter)
+      Seq("q117_oph_neardup", "q122_pagerank")
+        .filter(substrFilter("x100only="))
         .foreach { name =>
         // t0 BEFORE df construction: q122's iterations execute eagerly
         // inside Graph.pagerank (cache + per-iteration checkpoint), so

@@ -16,6 +16,17 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** The events contract schema with the CURRENT fixture ts type
+    * (timestamp[us] → TIMESTAMP_NTZ) — the declared schema when a stream
+    * starts on a still-empty landing directory (nothing to peek). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** Streaming file source over an events-shaped parquet directory.
     *
     * A streaming source must declare its schema up front, but the ts
@@ -25,12 +36,23 @@ object EventStreams {
     * footers, no data scan) and declare that, then normalize to a µs
     * `event_time` timestamp via [[graft.operators.EventTime]]. Every
     * downstream operator keys on `event_time` only, so the fixture shape
-    * never leaks past this reader. */
+    * never leaks past this reader. An EMPTY landing directory (the
+    * normal start state of a production stream) has nothing to peek and
+    * falls back to [[eventSchema]], the current-generation contract. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val static = spark.read.parquet(dir)
+    // Only a genuinely EMPTY-but-existing landing dir falls back to the
+    // contract schema; a missing path or unreadable footers should fail
+    // HERE (the schema decision point), not surface confusingly later.
+    val d = new java.io.File(dir)
+    val hasData = d.isDirectory && Option(d.listFiles()).exists(
+      _.exists(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")))
+    require(d.isDirectory, s"events stream dir does not exist: $dir")
+    val schema =
+      if (hasData) spark.read.parquet(dir).schema
+      else eventSchema
     val raw = spark.readStream
-      .schema(static.schema)
+      .schema(schema)
       .option("maxFilesPerTrigger", "32")
       .parquet(dir)
     raw.withColumn("event_time",

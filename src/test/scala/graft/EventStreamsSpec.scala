@@ -23,6 +23,25 @@ class EventStreamsSpec extends SparkTestBase {
     dir
   }
 
+  test("readEventStream starts on an EMPTY landing dir and picks up " +
+      "the first files (contract-schema fallback)") {
+    val dir = Files.createTempDirectory("graft_empty").toString
+    // nothing to peek yet: the reader must fall back to eventSchema
+    val stream = EventStreams.readEventStream(spark, dir)
+    val q = EventStreams.windowedCounts(stream)
+      .writeStream.format("memory").queryName("wce")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM wce").count() == 0)
+      // first files land AFTER the stream started — current fixture shape
+      Files.copy(java.nio.file.Paths.get(s"$sf001/events.parquet"),
+        java.nio.file.Paths.get(dir, "events.parquet"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM wce").count() > 0)
+    } finally q.stop()
+  }
+
   test("windowedCounts over a file stream matches the batch aggregate") {
     // streaming file source needs a directory: stage the single parquet
     val dir = Files.createTempDirectory("graft_wc").toString
