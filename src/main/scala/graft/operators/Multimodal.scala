@@ -672,6 +672,106 @@ object Multimodal {
       nSamples.toLong * 1000L / rate, feat))
   }
 
+  /** Parsed MP3 stream metadata (headers only): frame count, exact
+    * duration, sample rate, channels, mean bitrate. */
+  final case class Mp3Info(
+      frames: Int, durationMs: Long, sampleRate: Int, channels: Int,
+      meanBitrateKbps: Int)
+
+  // MPEG audio frame-header tables (ISO/IEC 11172-3 §2.4.2.3 and
+  // 13818-3; indices 1-14 valid, 0 = free format, 15 = forbidden)
+  private val mp3BitrateKbps: Map[(Int, Int), Array[Int]] = Map(
+    // (versionGroup 1=MPEG1 / 2=MPEG2&2.5, layer 1/2/3) -> kbps by index
+    (1, 1) -> Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2) -> Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3) -> Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1) -> Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2) -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3) -> Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+  private val mp3SampleRate: Map[Int, Array[Int]] = Map(
+    3 -> Array(44100, 48000, 32000), // MPEG1
+    2 -> Array(22050, 24000, 16000), // MPEG2
+    0 -> Array(11025, 12000, 8000)) //  MPEG2.5
+
+  /** MP3 (MPEG-1/2/2.5 audio) metadata from a frame-header walk — the
+    * codec-free half of the format: sync/version/layer/bitrate-index/
+    * sample-rate-index/padding per 4-byte header give each frame's exact
+    * byte length and sample count, which accumulate to frame count and
+    * duration (ISO/IEC 11172-3 frame-length arithmetic). An ID3v2 prefix
+    * is skipped via its syncsafe length; a trailing ID3v1 "TAG" block
+    * (128 B) is tolerated. Returns None when no coherent frame sequence
+    * parses (free-format bitrate, truncation, not MP3) — SAMPLE decode
+    * (Huffman + IMDCT) genuinely needs a codec and stays with
+    * [[decodeStub]]. */
+  def mp3Info(bytes: Array[Byte]): Option[Mp3Info] = {
+    if (bytes == null || bytes.length < 4) return None
+    var pos = 0
+    // ID3v2: "ID3" vM vR flags + 4-byte syncsafe size (of the tag body)
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+      bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      pos = 10 + size
+      if (pos >= bytes.length) return None
+    }
+    var frames = 0
+    var durationUs = 0L
+    var rate0 = 0; var chans0 = 0; var kbpsSum = 0L
+    var bad = false
+    while (!bad && pos + 4 <= bytes.length) {
+      val b1 = bytes(pos) & 0xff; val b2 = bytes(pos + 1) & 0xff
+      val b3 = bytes(pos + 2) & 0xff; val b4 = bytes(pos + 3) & 0xff
+      if (b1 != 0xff || (b2 & 0xe0) != 0xe0) bad = true
+      else {
+        val version = (b2 >> 3) & 3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=res
+        val layerBits = (b2 >> 1) & 3 // 3=L1, 2=L2, 1=L3, 0=reserved
+        val brIdx = b3 >> 4
+        val srIdx = (b3 >> 2) & 3
+        val padding = (b3 >> 1) & 1
+        val mode = b4 >> 6 // 3 = single channel
+        if (version == 1 || layerBits == 0 || brIdx == 0 || brIdx == 15 ||
+          srIdx == 3) bad = true
+        else {
+          val layer = 4 - layerBits // 1/2/3
+          val vGroup = if (version == 3) 1 else 2
+          val kbps = mp3BitrateKbps((vGroup, layer))(brIdx)
+          val rate = mp3SampleRate(version)(srIdx)
+          val spf = // samples per frame
+            if (layer == 1) 384
+            else if (layer == 2) 1152
+            else if (vGroup == 1) 1152 else 576 // L3: MPEG1 vs MPEG2/2.5
+          val frameLen =
+            if (layer == 1) (12 * kbps * 1000 / rate + padding) * 4
+            else spf / 8 * kbps * 1000 / rate + padding
+          if (frameLen <= 4 || pos + frameLen > bytes.length) bad = true
+          else {
+            if (frames == 0) { rate0 = rate; chans0 = if (mode == 3) 1 else 2 }
+            frames += 1
+            kbpsSum += kbps
+            durationUs += spf.toLong * 1000000L / rate
+            pos += frameLen
+          }
+        }
+      }
+    }
+    val tail = bytes.length - pos
+    val tailOk = tail == 0 ||
+      (tail == 128 && bytes(pos) == 'T' && bytes(pos + 1) == 'A' &&
+        bytes(pos + 2) == 'G')
+    if (frames == 0 || !tailOk) None
+    else Some(Mp3Info(frames, durationUs / 1000L, rate0, chans0,
+      (kbpsSum / frames).toInt))
+  }
+
+  /** MP3 metadata as a [[DecodedMedia]] row: REAL frame count and
+    * duration from [[mp3Info]]'s header walk; the 8-dim feature is
+    * all-zero — explicitly "no signal", because extracting audio
+    * features requires the sample decode that stays codec-bound. */
+  def decodeMp3Meta(id: Long, bytes: Array[Byte]): Option[DecodedMedia] =
+    mp3Info(bytes).map(i =>
+      DecodedMedia(id, "audio", 0, 0, i.frames, i.durationMs,
+        new Array[Float](8)))
+
   /** Parsed uncompressed-AVI payload: frame geometry, timing, and the
     * (offset, size) of every '..db'/'..dc' chunk inside LIST movi. */
   private final case class AviInfo(
@@ -856,6 +956,7 @@ object Multimodal {
             case "image/jpeg" | "image/tiff" =>
               decodeImageIo(r.media_id, r.payload)
             case "audio/wav" => decodeWav(r.media_id, r.payload)
+            case "audio/mpeg" => decodeMp3Meta(r.media_id, r.payload)
             case "video/avi" | "video/x-msvideo" =>
               decodeAvi(r.media_id, r.payload)
             case _ => None

@@ -434,4 +434,57 @@ class MultimodalSpec extends SparkTestBase {
       assert(Multimodal.decodePpm(id, want).nonEmpty)
     }
   }
+
+  // ==== MP3 frame-header metadata (headers are codec-free; samples are
+  // not — decodeMp3Meta returns REAL frames/duration and a zero feature)
+
+  /** One CBR MPEG-1 Layer III frame: 128 kbps, 44100 Hz, joint stereo,
+    * no padding → 144·128000/44100 = 417 bytes (floor). */
+  private def mp3Frame(): Array[Byte] = {
+    val f = new Array[Byte](417)
+    f(0) = 0xff.toByte; f(1) = 0xfb.toByte // sync + MPEG1 + L3 + no CRC
+    f(2) = 0x90.toByte // bitrate idx 9 (128), sr idx 0 (44100), no pad
+    f(3) = 0x40.toByte // joint stereo
+    f
+  }
+
+  test("mp3Info: frame walk yields exact count/duration/rate/channels") {
+    val stream = Array.fill(38)(mp3Frame()).flatten.toArray
+    val info = Multimodal.mp3Info(stream).get
+    assert(info.frames == 38)
+    assert(info.sampleRate == 44100 && info.channels == 2)
+    assert(info.meanBitrateKbps == 128)
+    // 38 frames x floor(1152e6/44100) µs = 992,636 µs -> 992 ms
+    assert(info.durationMs == 992L)
+  }
+
+  test("mp3Info: ID3v2 prefix skipped, trailing ID3v1 TAG tolerated") {
+    val body = Array.fill(5)(mp3Frame()).flatten.toArray
+    val id3body = new Array[Byte](300)
+    val header = Array[Byte]('I', 'D', '3', 4, 0, 0,
+      0, 0, (300 >> 7).toByte, (300 & 0x7f).toByte)
+    val tag = Array[Byte]('T', 'A', 'G') ++ new Array[Byte](125)
+    val full = header ++ id3body ++ body ++ tag
+    val info = Multimodal.mp3Info(full).get
+    assert(info.frames == 5 && info.sampleRate == 44100)
+  }
+
+  test("mp3Info rejects free-format, truncation, and non-MP3 bytes") {
+    val free = mp3Frame(); free(2) = 0x00 // bitrate index 0 = free format
+    assert(Multimodal.mp3Info(free).isEmpty)
+    val truncated = Array.fill(3)(mp3Frame()).flatten.dropRight(10).toArray
+    assert(Multimodal.mp3Info(truncated).isEmpty)
+    assert(Multimodal.mp3Info("not an mp3 stream at all".getBytes).isEmpty)
+    assert(Multimodal.mp3Info(null).isEmpty)
+  }
+
+  test("decodeMp3Meta: real metadata, explicitly zero feature; garbage " +
+      "audio/mpeg falls back to the stub") {
+    val stream = Array.fill(7)(mp3Frame()).flatten.toArray
+    val d = Multimodal.decodeMp3Meta(1L, stream).get
+    assert(d.kind == "audio" && d.n_frames == 7)
+    assert(d.duration_ms == 7L * 26122L / 1000L)
+    assert(d.feature.forall(_ == 0f)) // no sample decode -> no signal
+    assert(Multimodal.decodeMp3Meta(2L, Array[Byte](1, 2, 3)).isEmpty)
+  }
 }
