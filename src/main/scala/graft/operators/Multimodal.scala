@@ -772,6 +772,122 @@ object Multimodal {
       DecodedMedia(id, "audio", 0, 0, i.frames, i.durationMs,
         new Array[Float](8)))
 
+  /** Parsed H.264 sequence-parameter-set geometry. */
+  final case class H264Info(
+      width: Int, height: Int, profileIdc: Int, levelIdc: Int)
+
+  /** Exp-Golomb bit reader over an RBSP (emulation-prevention bytes
+    * already stripped). Throws on exhaustion — caller catches to None. */
+  private final class BitReader(bytes: Array[Byte]) {
+    private var pos = 0
+    def u1(): Int = {
+      val b = (bytes(pos >> 3) >> (7 - (pos & 7))) & 1
+      pos += 1; b
+    }
+    def u(n: Int): Int = { var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | u1(); i += 1 }; v }
+    def ue(): Int = { // Exp-Golomb: n leading zeros, then n+1 bits
+      var zeros = 0
+      while (u1() == 0) { zeros += 1; require(zeros < 32, "ue overflow") }
+      (1 << zeros) - 1 + u(zeros)
+    }
+    def se(): Int = { val k = ue(); if ((k & 1) == 1) (k + 1) / 2 else -(k / 2) }
+  }
+
+  /** H.264 stream geometry from the SPS NAL — the codec-free header half
+    * of the format (ITU-T H.264 §7.3.2.1.1): find an Annex-B start code
+    * whose NAL type is 7, strip emulation-prevention 03 bytes, and
+    * Exp-Golomb-parse the SPS through pic dimensions and frame cropping.
+    * `width = (pic_width_in_mbs+1)·16 − crop`, height likewise scaled by
+    * `frame_mbs_only_flag` and the chroma-format crop units. Returns
+    * None for streams with no parseable SPS (or a scaling-matrix SPS —
+    * parsing those lists adds nothing to geometry and is skipped
+    * honestly). Macroblock/slice decode stays codec-bound with
+    * [[decodeStub]]. */
+  def h264SpsInfo(bytes: Array[Byte]): Option[H264Info] = {
+    if (bytes == null || bytes.length < 5) return None
+    // find Annex-B start code (00 00 01 / 00 00 00 01) + nal_unit_type 7
+    var i = 0
+    var spsStart = -1
+    while (spsStart < 0 && i + 4 < bytes.length) {
+      if (bytes(i) == 0 && bytes(i + 1) == 0 &&
+        (bytes(i + 2) == 1 ||
+          (bytes(i + 2) == 0 && i + 5 < bytes.length && bytes(i + 3) == 1))) {
+        val hdr = i + (if (bytes(i + 2) == 1) 3 else 4)
+        val nal = bytes(hdr) & 0xff
+        if ((nal & 0x80) == 0 && (nal & 0x1f) == 7) spsStart = hdr + 1
+        else i = hdr
+      } else i += 1
+    }
+    if (spsStart < 0) return None
+    // RBSP extraction: copy until the next start code, dropping the
+    // emulation-prevention byte in every 00 00 03 run
+    val rbsp = Array.newBuilder[Byte]
+    var j = spsStart
+    var done = false
+    while (!done && j < bytes.length) {
+      if (j + 2 < bytes.length && bytes(j) == 0 && bytes(j + 1) == 0 &&
+        (bytes(j + 2) == 0 || bytes(j + 2) == 1)) done = true
+      else if (j + 2 < bytes.length && bytes(j) == 0 && bytes(j + 1) == 0 &&
+        bytes(j + 2) == 3) {
+        rbsp += 0; rbsp += 0; j += 3
+      } else { rbsp += bytes(j); j += 1 }
+    }
+    try {
+      val r = new BitReader(rbsp.result())
+      val profile = r.u(8)
+      r.u(8) // constraint flags + reserved
+      val level = r.u(8)
+      r.ue() // seq_parameter_set_id
+      var chromaFormat = 1 // default 4:2:0 for profiles without the branch
+      if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+        .contains(profile)) {
+        chromaFormat = r.ue()
+        if (chromaFormat == 3) r.u1() // separate_colour_plane_flag
+        r.ue(); r.ue() // bit_depth_luma/chroma _minus8
+        r.u1() // qpprime_y_zero_transform_bypass
+        if (r.u1() == 1) return None // seq_scaling_matrix: skip honestly
+      }
+      r.ue() // log2_max_frame_num_minus4
+      val pocType = r.ue()
+      if (pocType == 0) r.ue()
+      else if (pocType == 1) {
+        r.u1(); r.se(); r.se()
+        val n = r.ue()
+        var k = 0; while (k < n) { r.se(); k += 1 }
+      }
+      r.ue() // max_num_ref_frames
+      r.u1() // gaps_in_frame_num_value_allowed
+      val widthMbs = r.ue() + 1
+      val heightMapUnits = r.ue() + 1
+      val frameMbsOnly = r.u1()
+      if (frameMbsOnly == 0) r.u1() // mb_adaptive_frame_field_flag
+      r.u1() // direct_8x8_inference_flag
+      var cropL = 0; var cropR = 0; var cropT = 0; var cropB = 0
+      if (r.u1() == 1) { cropL = r.ue(); cropR = r.ue(); cropT = r.ue(); cropB = r.ue() }
+      val (subW, subH) = chromaFormat match {
+        case 0 => (1, 1) // monochrome: crop units are luma samples
+        case 1 => (2, 2) // 4:2:0
+        case 2 => (2, 1) // 4:2:2
+        case _ => (1, 1) // 4:4:4
+      }
+      val cropUnitX = subW
+      val cropUnitY = subH * (2 - frameMbsOnly)
+      val w = widthMbs * 16 - (cropL + cropR) * cropUnitX
+      val h = (2 - frameMbsOnly) * heightMapUnits * 16 -
+        (cropT + cropB) * cropUnitY
+      if (w <= 0 || h <= 0) None else Some(H264Info(w, h, profile, level))
+    } catch { case _: RuntimeException => None }
+  }
+
+  /** H.264 geometry as a [[DecodedMedia]] row: REAL width/height from
+    * [[h264SpsInfo]]; frame count/duration 0 and feature all-zero —
+    * those need the slice decode that stays codec-bound. */
+  def decodeH264Meta(id: Long, bytes: Array[Byte]): Option[DecodedMedia] =
+    h264SpsInfo(bytes).map(i =>
+      DecodedMedia(id, "video", i.width, i.height, 0, 0L,
+        new Array[Float](8)))
+
   /** Parsed uncompressed-AVI payload: frame geometry, timing, and the
     * (offset, size) of every '..db'/'..dc' chunk inside LIST movi. */
   private final case class AviInfo(
@@ -959,6 +1075,8 @@ object Multimodal {
             case "audio/mpeg" => decodeMp3Meta(r.media_id, r.payload)
             case "video/avi" | "video/x-msvideo" =>
               decodeAvi(r.media_id, r.payload)
+            case "video/h264" => // Annex-B elementary stream (start codes;
+              decodeH264Meta(r.media_id, r.payload) // MP4 boxes stay stub)
             case _ => None
           }
           real.getOrElse(decodeStub(r.media_id, r.kind, r.payload))

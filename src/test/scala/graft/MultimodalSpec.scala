@@ -487,4 +487,94 @@ class MultimodalSpec extends SparkTestBase {
     assert(d.feature.forall(_ == 0f)) // no sample decode -> no signal
     assert(Multimodal.decodeMp3Meta(2L, Array[Byte](1, 2, 3)).isEmpty)
   }
+
+  // ==== H.264 SPS geometry (Exp-Golomb headers are codec-free; slice
+  // decode is not)
+
+  /** Minimal bit writer producing an RBSP + emulation-prevention +
+    * Annex-B start code, so the test encodes exactly what the parser
+    * must invert. */
+  private final class SpsWriter {
+    private val bits = scala.collection.mutable.ArrayBuffer[Int]()
+    def u(v: Int, n: Int): this.type = {
+      (n - 1 to 0 by -1).foreach(b => bits += ((v >> b) & 1)); this
+    }
+    def ue(v: Int): this.type = { // Exp-Golomb
+      val code = v + 1
+      val n = 32 - Integer.numberOfLeadingZeros(code)
+      u(0, n - 1); u(code, n)
+    }
+    def annexB(nalType: Int): Array[Byte] = {
+      u(1, 1) // rbsp_stop_one_bit
+      while (bits.length % 8 != 0) u(0, 1)
+      val raw = bits.grouped(8)
+        .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+      // emulation prevention: 00 00 followed by 00/01/02/03 -> insert 03
+      val out = scala.collection.mutable.ArrayBuffer[Byte](0, 0, 1,
+        nalType.toByte)
+      var zeros = 0
+      raw.foreach { b =>
+        if (zeros >= 2 && (b & 0xff) <= 3) { out += 3; zeros = 0 }
+        out += b
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      out.toArray
+    }
+  }
+
+  private def sps(widthMbs: Int, heightMapUnits: Int, frameMbsOnly: Int,
+      crops: Option[(Int, Int, Int, Int)]): Array[Byte] = {
+    val w = new SpsWriter
+    w.u(66, 8) // profile_idc: baseline (no chroma branch)
+      .u(0, 8).u(31, 8) // constraints, level 3.1
+      .ue(0) // sps_id
+      .ue(0) // log2_max_frame_num_minus4
+      .ue(0) // pic_order_cnt_type 0
+      .ue(0) // log2_max_pic_order_cnt_lsb_minus4
+      .ue(1) // max_num_ref_frames
+      .u(0, 1) // gaps_in_frame_num
+      .ue(widthMbs - 1)
+      .ue(heightMapUnits - 1)
+      .u(frameMbsOnly, 1)
+    if (frameMbsOnly == 0) w.u(0, 1) // mb_adaptive
+    w.u(1, 1) // direct_8x8
+    crops match {
+      case Some((l, r, t, b)) =>
+        w.u(1, 1).ue(l).ue(r).ue(t).ue(b)
+      case None => w.u(0, 1)
+    }
+    w.u(0, 1) // vui_parameters_present
+    w.annexB(0x67) // forbidden 0, nal_ref_idc 3, type 7
+  }
+
+  test("h264SpsInfo: uncropped 1280x720 baseline SPS") {
+    val stream = Array[Byte](9, 9) ++ sps(80, 45, 1, None) ++
+      Array[Byte](0, 0, 1, 0x68, 0x55) // trailing PPS NAL ignored
+    val info = Multimodal.h264SpsInfo(stream).get
+    assert(info.width == 1280 && info.height == 720)
+    assert(info.profileIdc == 66 && info.levelIdc == 31)
+  }
+
+  test("h264SpsInfo: 1920x1080 via frame cropping (4:2:0 crop units)") {
+    // 68 map units x 16 = 1088; crop_bottom 4 x cropUnitY 2 = 8 -> 1080
+    val info = Multimodal.h264SpsInfo(sps(120, 68, 1, Some((0, 0, 0, 4)))).get
+    assert(info.width == 1920 && info.height == 1080)
+  }
+
+  test("h264SpsInfo: interlaced (frame_mbs_only=0) doubles map units") {
+    // 34 map units, fields: height = 2 x 34 x 16 = 1088
+    val info = Multimodal.h264SpsInfo(sps(120, 34, 0, None)).get
+    assert(info.width == 1920 && info.height == 1088)
+  }
+
+  test("h264SpsInfo rejects streams without a parseable SPS") {
+    assert(Multimodal.h264SpsInfo("no start code here".getBytes).isEmpty)
+    assert(Multimodal.h264SpsInfo(null).isEmpty)
+    // PPS-only stream (nal type 8): no SPS to parse
+    assert(Multimodal.h264SpsInfo(
+      Array[Byte](0, 0, 1, 0x68, 0x12, 0x34)).isEmpty)
+    // truncated SPS: header found, bits run out mid-parse
+    val cut = sps(80, 45, 1, None).take(6)
+    assert(Multimodal.h264SpsInfo(cut).isEmpty)
+  }
 }
