@@ -888,6 +888,82 @@ object Multimodal {
       DecodedMedia(id, "video", i.width, i.height, 0, 0L,
         new Array[Float](8)))
 
+  /** Parsed MP4/ISO-BMFF container metadata. */
+  final case class Mp4Info(
+      durationMs: Long, width: Int, height: Int, codec: String)
+
+  /** MP4 (ISO base media file format) metadata from a pure box walk —
+    * the container is codec-free structure: `size`+4cc boxes nest, so
+    * `moov/mvhd` gives timescale+duration (version 0: u32s; version 1:
+    * u64s), the first video `trak/tkhd` gives 16.16-fixed width/height,
+    * and `trak/mdia/minf/stbl/stsd`'s first sample entry names the codec
+    * (avc1, hev1, mp4v, …). Returns None when the box tree doesn't
+    * parse (not MP4, truncated). Sample data stays codec-bound —
+    * compose [[h264SpsInfo]] when the avcC SPS is at hand. */
+  def mp4Info(bytes: Array[Byte]): Option[Mp4Info] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def fourcc(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    // children of [from, until): list of (type, payloadStart, payloadEnd)
+    def boxes(from: Int, until: Int): List[(String, Int, Int)] = {
+      val out = List.newBuilder[(String, Int, Int)]
+      var p = from
+      var ok = true
+      while (ok && p + 8 <= until) {
+        val sz = u32(p)
+        val (hdr, len) =
+          if (sz == 1 && p + 16 <= until) (16, u64(p + 8)) else (8, sz)
+        if (len < hdr || p + len > until) ok = false
+        else { out += ((fourcc(p + 4), p + hdr, p + len.toInt)); p += len.toInt }
+      }
+      if (ok) out.result() else Nil
+    }
+    def child(bs: List[(String, Int, Int)], t: String): Option[(Int, Int)] =
+      bs.collectFirst { case (`t`, s, e) => (s, e) }
+    val top = boxes(0, bytes.length)
+    if (!top.exists(_._1 == "ftyp")) return None
+    for {
+      (moovS, moovE) <- child(top, "moov")
+      moov = boxes(moovS, moovE)
+      (mvhdS, _) <- child(moov, "mvhd")
+      version = bytes(mvhdS) & 0xff
+      (timescale, duration) =
+        if (version == 1) (u32(mvhdS + 20), u64(mvhdS + 24))
+        else (u32(mvhdS + 12), u32(mvhdS + 16))
+      if timescale > 0
+      // first trak carrying a non-zero tkhd geometry = the video track
+      trakGeo = moov.collect { case ("trak", s, e) =>
+        val trak = boxes(s, e)
+        child(trak, "tkhd").map { case (ts, _) =>
+          val v = bytes(ts) & 0xff
+          val base = if (v == 1) ts + 88 else ts + 76
+          val w = (u32(base) >> 16).toInt // 16.16 fixed
+          val h = (u32(base + 4) >> 16).toInt
+          val codec = (for {
+            (ms, me) <- child(trak, "mdia")
+            (mis, mie) <- child(boxes(ms, me), "minf")
+            (sts, ste) <- child(boxes(mis, mie), "stbl")
+            (sds, sde) <- child(boxes(sts, ste), "stsd")
+            entry <- boxes(sds + 8, sde).headOption // ver/flags + count
+          } yield entry._1).getOrElse("")
+          (w, h, codec)
+        }
+      }.flatten.find(g => g._1 > 0 && g._2 > 0)
+      (w, h, codec) <- trakGeo
+    } yield Mp4Info(duration * 1000L / timescale, w, h, codec)
+  }
+
+  /** MP4 metadata as a [[DecodedMedia]] row: REAL geometry and duration
+    * from the box walk; frame count 0 and feature all-zero — sample
+    * decode stays codec-bound. */
+  def decodeMp4Meta(id: Long, bytes: Array[Byte]): Option[DecodedMedia] =
+    mp4Info(bytes).map(i =>
+      DecodedMedia(id, "video", i.width, i.height, 0, i.durationMs,
+        new Array[Float](8)))
+
   /** Parsed uncompressed-AVI payload: frame geometry, timing, and the
     * (offset, size) of every '..db'/'..dc' chunk inside LIST movi. */
   private final case class AviInfo(
@@ -1075,8 +1151,9 @@ object Multimodal {
             case "audio/mpeg" => decodeMp3Meta(r.media_id, r.payload)
             case "video/avi" | "video/x-msvideo" =>
               decodeAvi(r.media_id, r.payload)
-            case "video/h264" => // Annex-B elementary stream (start codes;
-              decodeH264Meta(r.media_id, r.payload) // MP4 boxes stay stub)
+            case "video/h264" => // Annex-B elementary stream (start codes)
+              decodeH264Meta(r.media_id, r.payload)
+            case "video/mp4" => decodeMp4Meta(r.media_id, r.payload)
             case _ => None
           }
           real.getOrElse(decodeStub(r.media_id, r.kind, r.payload))

@@ -567,6 +567,53 @@ class MultimodalSpec extends SparkTestBase {
     assert(info.width == 1920 && info.height == 1088)
   }
 
+  // ==== MP4 box-walk metadata (container structure is codec-free)
+
+  private def box(t: String, payload: Array[Byte]): Array[Byte] = {
+    val len = payload.length + 8
+    Array[Byte]((len >> 24).toByte, (len >> 16).toByte, (len >> 8).toByte,
+      len.toByte) ++ t.getBytes("US-ASCII") ++ payload
+  }
+  private def u32be(v: Long): Array[Byte] = Array(
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+
+  /** Minimal ftyp+moov tree: 90 s at timescale 600, one 640x360 avc1
+    * video trak preceded by a zero-geometry (audio-like) trak that the
+    * walk must skip. */
+  private def mp4(timescale: Long = 600L, duration: Long = 54000L,
+      w: Int = 640, h: Int = 360): Array[Byte] = {
+    val mvhd = box("mvhd", new Array[Byte](4) ++ // version 0 + flags
+      u32be(0) ++ u32be(0) ++ u32be(timescale) ++ u32be(duration) ++
+      new Array[Byte](80))
+    def tkhd(w: Int, h: Int) = box("tkhd", new Array[Byte](4) ++
+      new Array[Byte](72) ++ // creation..matrix for version 0
+      u32be(w.toLong << 16) ++ u32be(h.toLong << 16))
+    val stsd = box("stsd", new Array[Byte](8) ++ // ver/flags + count
+      box("avc1", new Array[Byte](20)))
+    val mdia = box("mdia", box("minf", box("stbl", stsd)))
+    val soundTrak = box("trak", tkhd(0, 0))
+    val videoTrak = box("trak", tkhd(w, h) ++ mdia)
+    box("ftyp", "isom0000".getBytes) ++
+      box("moov", mvhd ++ soundTrak ++ videoTrak)
+  }
+
+  test("mp4Info: box walk yields duration, geometry, codec 4cc") {
+    val info = Multimodal.mp4Info(mp4()).get
+    assert(info.durationMs == 90000L) // 54000 / 600 ticks/s
+    assert(info.width == 640 && info.height == 360)
+    assert(info.codec == "avc1")
+    val d = Multimodal.decodeMp4Meta(5L, mp4()).get
+    assert(d.width == 640 && d.duration_ms == 90000L)
+    assert(d.feature.forall(_ == 0f))
+  }
+
+  test("mp4Info rejects non-MP4 and truncated trees") {
+    assert(Multimodal.mp4Info("RIFFnotanmp4".getBytes ++
+      new Array[Byte](20)).isEmpty)
+    assert(Multimodal.mp4Info(mp4().dropRight(30)).isEmpty)
+    assert(Multimodal.mp4Info(null).isEmpty)
+  }
+
   test("h264SpsInfo rejects streams without a parseable SPS") {
     assert(Multimodal.h264SpsInfo("no start code here".getBytes).isEmpty)
     assert(Multimodal.h264SpsInfo(null).isEmpty)
