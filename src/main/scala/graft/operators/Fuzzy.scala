@@ -87,7 +87,7 @@ object Fuzzy {
         levenshtein(col("name_a"), col("name_b"), k))
       .filter(col("dist") >= 0 && col("dist") <= k)
       .transform(capPerDoc("name_a",
-        Seq(col("dist").asc, col("name_b").asc), maxPairsPerDoc,
+        -col("dist"), "name_b", maxPairsPerDoc,
         "graft.fuzzy.edit_distance_truncation"))
   }
 
@@ -175,7 +175,7 @@ object Fuzzy {
       r.select(col("id_b").as("id_a"), col("__set_b").as("__set_a")),
       r, threshold)
       .transform(capPerDoc("id_a",
-        Seq(col("jaccard").desc, col("id_b").asc), maxPairsPerDoc,
+        col("jaccard"), "id_b", maxPairsPerDoc,
         "graft.fuzzy.jaccard_truncation"))
   }
 
@@ -184,42 +184,54 @@ object Fuzzy {
     * quadratic on duplicate-heavy corpora (one 10k-copy template alone is
     * 5·10⁷ pairs), so at 100 TB an uncapped pair report is the wrong ask.
     * `maxPairsPerDoc` keeps the strongest `cap` partners per left doc
-    * (best score first, ties by partner id — deterministic), and the
-    * number of pairs dropped is reported through a named `observe` metric
-    * logged by [[ObservedLog]] when the consuming action finishes. The
-    * default (Int.MaxValue) byte-preserves the uncapped contract — the
-    * oracle queries run uncapped. Full-corpus dedup at scale should go
-    * through LSH + connectedComponents instead of pair reports.
+    * (best score first, ties by partner id — deterministic). The default
+    * (Int.MaxValue) byte-preserves the uncapped contract — the oracle
+    * queries run uncapped. Full-corpus dedup at scale should go through
+    * LSH + connectedComponents instead of pair reports.
     *
-    * Plan note: the cap window blocks predicate pushdown — a caller's
-    * post-cap filter on (id_a, id_b) (e.g. `id_a < id_b` orientation)
-    * can no longer reach the candidate stage, where uncapped it would
-    * halve the verify work. That is also semantically required: pairs
-    * filtered AFTER the cap still count against each doc's budget.
-    * Put selection predicates in `leftPred` (they push) and treat the
-    * cap as a per-doc output budget over ALL partners. */
+    * The cap rides the engine's heap-based
+    * [[graft.plans.TopKPerGroupExec]] — O(n log k) per partition,
+    * O(#docs × k) memory, and the only exchange is the hash partition on
+    * the doc key. The previous formulation (`row_number` window) SORTED
+    * the full pre-cap pair set — exactly the quadratic-ish intermediate
+    * the cap exists to bound; SCALING.md measured q150 at 125× time for
+    * 10× data under it. Drops stay observable two ways: paired
+    * `observe` counts (`pairs_before_cap` on the input /
+    * `pairs_after_cap` on the output, logged by [[ObservedLog]] —
+    * dropped = before − after) and the exec node's own
+    * `numDroppedRows` SQL metric in the Spark UI.
+    *
+    * Plan note: the cap blocks predicate pushdown — a caller's post-cap
+    * filter on (id_a, id_b) (e.g. `id_a < id_b` orientation) can no
+    * longer reach the candidate stage, where uncapped it would halve the
+    * verify work. That is also semantically required: pairs filtered
+    * AFTER the cap still count against each doc's budget. Put selection
+    * predicates in `leftPred` (they push) and treat the cap as a per-doc
+    * output budget over ALL partners. */
   /** Per-invocation suffix for observe() metric names: Spark rejects a
     * plan containing two CollectMetrics nodes with the same name (e.g.
     * two capped self-joins composed into one union), so every cap gets
     * a unique name — same convention as Dedup.metricSeq. */
   private val metricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** `orderDesc` ranks best-first DESC (negate ascending measures at the
+    * call site); `tieCol` breaks ties ASC and must be integral or string
+    * (the TopKPerGroup contract). */
   private def capPerDoc(
-      docCol: String, order: Seq[Column], cap: Int, metric: String)(
-      pairs: DataFrame): DataFrame =
+      docCol: String, orderDesc: Column, tieCol: String, cap: Int,
+      metric: String)(pairs: DataFrame): DataFrame =
     if (cap == Int.MaxValue) pairs
     else {
       require(cap >= 1, s"maxPairsPerDoc must be >= 1, got $cap")
       ObservedLog.ensure(pairs.sparkSession)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(docCol)).orderBy(order: _*)
-      pairs.withColumn("__rank", row_number().over(w))
-        .observe(s"$metric.${metricSeq.incrementAndGet()}",
-          sum(when(col("__rank") > cap, 1L).otherwise(0L))
-            .as("dropped_pairs"),
-          count(lit(1)).as("pairs_before_cap"))
-        .filter(col("__rank") <= cap)
-        .drop("__rank")
+      val n = metricSeq.incrementAndGet()
+      val pre = pairs
+        .observe(s"$metric.$n.pre", count(lit(1)).as("pairs_before_cap"))
+        .withColumn("__ord", orderDesc)
+      graft.plans.TopKPerGroup
+        .perKey(pre, Seq(docCol), "__ord", tieCol, cap)
+        .drop("__ord")
+        .observe(s"$metric.$n.post", count(lit(1)).as("pairs_after_cap"))
     }
 
   /** Rarity-ordered prefix tokens of each set: (id, set size, token) for

@@ -24,7 +24,8 @@ import org.apache.spark.sql.graftshim.Shims
   * deterministic window). Rows with a null/NaN `order` or a null `tie`
   * value are dropped. Integral orders rank at full 64-bit precision
   * (values past 2^53 are NOT coerced through Double); fractional orders
-  * use an order-preserving bit mapping.
+  * use an order-preserving bit mapping. Ties are integral (exact 64-bit
+  * compare) or string (raw UTF-8 byte order — Spark's binary collation).
   *
   * Wiring: logical node [[TopKPerGroupPlan]] → [[TopKStrategy]] →
   * [[TopKPerGroupExec]]; `TopKPerGroup.perKey` is the Column-API entry and
@@ -62,12 +63,20 @@ case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(grouping) :: Nil
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "output rows"),
+    "numDroppedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "rows dropped by per-group k-cap"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val groupingExprs = grouping
     val orderExpr = order
     val tieExpr = tie
     val kk = k
+    val outputRows = longMetric("numOutputRows")
+    val droppedRows = longMetric("numDroppedRows")
     // integral orders compare as raw longs — full 64-bit precision (a
     // Double coercion would collapse longs past 2^53 and mis-rank ties);
     // fractional orders map through the order-preserving bit trick below
@@ -78,6 +87,10 @@ case class TopKPerGroupExec(
            org.apache.spark.sql.types.LongType => true
       case _ => false
     }
+    // string ties break on raw UTF-8 byte order (UTF8String.compareTo) —
+    // the same binary collation Spark's own string sort uses
+    val stringTie = tieExpr.dataType ==
+      org.apache.spark.sql.types.StringType
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupingExprs, childOutput)
       val boundOrder = BindReferences.bindReference(orderExpr, childOutput)
@@ -89,35 +102,50 @@ case class TopKPerGroupExec(
         val b = java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
         b ^ ((b >> 63) & java.lang.Long.MAX_VALUE)
       }
+      // tie values are stored pre-converted: boxed Long for integral ties
+      // (exact 64-bit compare), cloned UTF8String for string ties (eval
+      // returns a view into the reused row buffer — it must be copied
+      // before outliving the iterator step)
+      val tieCmp: (Any, Any) => Int =
+        if (stringTie)
+          (a, b) => a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+        else
+          (a, b) => java.lang.Long.compare(
+            a.asInstanceOf[java.lang.Long], b.asInstanceOf[java.lang.Long])
       // min-heap ordered by "badness": head is the weakest kept row
       // (lowest order value; among equals, the HIGHEST tie value)
-      implicit val badness: Ordering[(Long, Long, UnsafeRow)] =
+      implicit val badness: Ordering[(Long, Any, UnsafeRow)] =
         Ordering.fromLessThan { (a, b) =>
-          if (a._1 != b._1) a._1 < b._1 else a._2 > b._2
+          if (a._1 != b._1) a._1 < b._1 else tieCmp(a._2, b._2) > 0
         }
       val heaps = mutable.LinkedHashMap.empty[
-        UnsafeRow, mutable.PriorityQueue[(Long, Long, UnsafeRow)]]
+        UnsafeRow, mutable.PriorityQueue[(Long, Any, UnsafeRow)]]
       iter.foreach { row =>
         val ov = boundOrder.eval(row)
         val tv = boundTie.eval(row)
         // NaN order values are dropped along with nulls: NaN comparisons
         // are false both ways, which would make heap contents depend on
         // row arrival order (nondeterministic across shuffles). Null tie
-        // values are skipped under the same policy (perKey() requires an
-        // integral tie column, but nullable columns can still hold nulls).
+        // values are skipped under the same policy (perKey() rejects
+        // non-orderable tie types, but nullable columns can still hold
+        // nulls).
         if (ov != null && tv != null &&
           (integralOrder ||
             !java.lang.Double.isNaN(ov.asInstanceOf[Number].doubleValue()))) {
           val v =
             if (integralOrder) ov.asInstanceOf[Number].longValue()
             else sortableBits(ov.asInstanceOf[Number].doubleValue())
-          val t = tv.asInstanceOf[Number].longValue()
+          val t: Any =
+            if (stringTie)
+              tv.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].clone()
+            else java.lang.Long.valueOf(tv.asInstanceOf[Number].longValue())
           val key = keyProj(row)
           val heap = heaps.get(key) match {
             case Some(h) => h
             case None =>
               val h = mutable.PriorityQueue
-                .empty[(Long, Long, UnsafeRow)](badness.reverse)
+                .empty[(Long, Any, UnsafeRow)](badness.reverse)
               heaps.put(key.copy(), h)
               h
           }
@@ -128,6 +156,9 @@ case class TopKPerGroupExec(
             if (badness.gt((v, t, null), worst)) {
               heap.dequeue()
               heap.enqueue((v, t, row.asInstanceOf[UnsafeRow].copy()))
+              droppedRows += 1
+            } else {
+              droppedRows += 1
             }
           }
         }
@@ -137,6 +168,7 @@ case class TopKPerGroupExec(
         val elems = new Array[InternalRow](h.size)
         var i = h.size - 1
         while (h.nonEmpty) { elems(i) = h.dequeue()._3; i -= 1 }
+        outputRows += elems.length
         elems.iterator
       }
     }
@@ -176,10 +208,12 @@ object TopKPerGroup {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => ()
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType => ()
       case other => throw new IllegalArgumentException(
         s"tie column $tieCol must be an integral type (its 64-bit value " +
-          s"breaks ties exactly), got ${other.sql}")
+          s"breaks ties exactly) or a string (raw UTF-8 byte order), " +
+          s"got ${other.sql}")
     }
     val plan = TopKPerGroupPlan(
       keys.map(attr), orderAttr, tieAttr, k, child)

@@ -142,18 +142,25 @@ class FuzzySpec extends SparkTestBase {
     val sets = (0L until 40L).map(i =>
       (i, Seq.fill(1 + rng.nextInt(8))(vocab(rng.nextInt(vocab.size)))))
     val df = sets.toDF("id", "st")
-    @volatile var observed: Option[(Long, Long)] = None
+    // the cap reports paired counts: <name>.pre carries pairs_before_cap
+    // on the TopK input, <name>.post carries pairs_after_cap on its
+    // output — dropped pairs = before − after
+    @volatile var observedPre: Option[Long] = None
+    @volatile var observedPost: Option[Long] = None
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           d: Long): Unit =
-        qe.observedMetrics.collectFirst {
-          case (name, row)
-              if name.startsWith("graft.fuzzy.jaccard_truncation") => row
-        }.foreach { row =>
-            observed = Some((row.getLong(row.fieldIndex("dropped_pairs")),
-              row.getLong(row.fieldIndex("pairs_before_cap"))))
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft.fuzzy.jaccard_truncation")) {
+            if (name.endsWith(".pre"))
+              observedPre =
+                Some(row.getLong(row.fieldIndex("pairs_before_cap")))
+            else if (name.endsWith(".post"))
+              observedPost =
+                Some(row.getLong(row.fieldIndex("pairs_after_cap")))
           }
+        }
       override def onFailure(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           e: Exception): Unit = ()
@@ -167,13 +174,15 @@ class FuzzySpec extends SparkTestBase {
         .count()
       // QueryExecutionListener delivery is async — poll with a deadline
       val deadline = System.currentTimeMillis + 20000
-      while (observed.isEmpty && System.currentTimeMillis < deadline)
+      while ((observedPre.isEmpty || observedPost.isEmpty) &&
+        System.currentTimeMillis < deadline)
         Thread.sleep(50)
-      assert(observed.nonEmpty, "truncation metric never observed")
-      val (dropped, before) = observed.get
-      assert(before == full) // metric sees every pre-cap pair
-      assert(dropped == full - capped) // and counts exactly the drops
-      assert(dropped > 0)
+      assert(observedPre.nonEmpty && observedPost.nonEmpty,
+        "truncation metrics never observed")
+      assert(observedPre.get == full) // pre metric sees every pre-cap pair
+      assert(observedPost.get == capped) // post metric sees the kept set
+      assert(observedPre.get - observedPost.get == full - capped)
+      assert(observedPre.get - observedPost.get > 0)
     } finally spark.listenerManager.unregister(listener)
   }
 

@@ -108,11 +108,41 @@ class TopKPerGroupSpec extends SparkTestBase {
     assert(got == want)
   }
 
-  test("non-integral tie column is rejected at plan time") {
-    val df = Seq(("a", 1.0, "x")).toDF("k", "v", "t")
+  test("fractional tie column is rejected at plan time") {
+    val df = Seq(("a", 1.0, 2.0)).toDF("k", "v", "t")
     val e = intercept[IllegalArgumentException] {
       TopKPerGroup.perKey(df, Seq("k"), "v", "t", 2)
     }
     assert(e.getMessage.contains("integral"))
+  }
+
+  test("string-tie ranking matches the window formulation (property)") {
+    // heavy order-value collisions so the string tie actually decides;
+    // enough rows per partition that UTF8String row-buffer reuse would
+    // corrupt un-copied ties
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 500).map { i =>
+      (s"g${rng.nextInt(5)}", rng.nextInt(4).toDouble,
+        f"id${rng.nextInt(100000)}%06d-$i")
+    }
+    val df = rows.toDF("k", "v", "t").repartition(3)
+    val w = Window.partitionBy(col("k")).orderBy(col("v").desc, col("t"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4).select("k", "t")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val got = TopKPerGroup.perKey(df, Seq("k"), "v", "t", 4)
+      .select("k", "t")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want)
+  }
+
+  test("string ties break on byte order, nulls dropped") {
+    val df = Seq(
+      ("a", 1.0, Some("bb")), ("a", 1.0, Some("aa")),
+      ("a", 1.0, None), ("a", 1.0, Some("ab"))
+    ).toDF("k", "v", "t")
+    val got = TopKPerGroup.perKey(df, Seq("k"), "v", "t", 2)
+      .select("t").collect().map(_.getString(0)).toSet
+    assert(got == Set("aa", "ab"))
   }
 }
