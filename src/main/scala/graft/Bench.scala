@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Harness-main-only log hygiene: five deliberately single-partition
+    * windows (q90 group-count share, Zipf ≤topK rank, Metrics shard
+    * offsets, Normalize maxRefRows-guarded rank, Skew topN diagnostic)
+    * are all bounded by construction and `require`-guarded at their
+    * sites (see PLANS.md), but each still emits WindowExec's generic
+    * "No Partition Defined" WARN, making every bench/verify tail read
+    * dirtier than it is. Raise that ONE logger to ERROR in the bench and
+    * verify mains only — library code never touches log config, so any
+    * production session keeps the warning. */
+  def silenceKnownBoundedWindowWarn(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,6 +43,7 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    silenceKnownBoundedWindowWarn()
     // Warm up the JVM / codegen / parquet reader paths once so timings
     // measure the queries, not first-query JIT+classloading (~4s).
     try {

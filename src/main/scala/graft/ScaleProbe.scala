@@ -140,7 +140,11 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
-    val out = args.headOption.getOrElse("/tmp/graft_sf1synth")
+    // outDir is the first POSITIONAL arg — option args (only=/x100only=/
+    // caponly/x100) must not be mistaken for it, or the 10× synthesis
+    // lands in a directory literally named "only=q150"
+    val out = args.find(a => !a.contains("=") &&
+      a != "caponly" && a != "x100").getOrElse("/tmp/graft_sf1synth")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -4909,6 +4909,38 @@ object SparkEntry {
       |FROM h JOIN sizes ON h.hh = sizes.hh
       |GROUP BY source ORDER BY source""".stripMargin))
 
+  private val q157 = Q("q157_xxhash_exact_dups",
+    (s, dir) => {
+      // The PRODUCTION xxhash64 MinHash-LSH chain (Dedup.
+      // minhashNearDups — one 8-byte hash per shingle, no md5 hex
+      // detour), oracle-verified end to end despite DuckDB lacking
+      // xxhash64: at verify threshold 1.0 the answer is
+      // hash-INDEPENDENT. Jaccard 1.0 ⟺ identical distinct-shingle
+      // sets ⟹ identical minhash signatures under ANY hash family ⟹
+      // equal buckets in EVERY band, so LSH recall is provably 100%
+      // and the exact verify pins precision — the oracle just joins
+      // docs on sorted-shingle-set equality. Keeps the xxhash64 arm
+      // (q35/q37's former production path before their md5-portable
+      // swap) exercised by the bench sweep AND the oracle gate, not
+      // only by unit-level family-equality tests.
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3, threshold = 1.0)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |    '\s+'), t -> t <> '') AS tk FROM documents
+      |), sets AS (
+      |  SELECT doc_id, list_sort(list_distinct(list_transform(
+      |    range(1, greatest(len(tk) - 1, 1)),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS st
+      |  FROM toks
+      |), ne AS (SELECT doc_id, st FROM sets WHERE len(st) > 0)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(1.0 AS DOUBLE) AS jaccard
+      |FROM ne a JOIN ne b ON a.st = b.st AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4922,7 +4954,7 @@ object SparkEntry {
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
-    q155, q156)
+    q155, q156, q157)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

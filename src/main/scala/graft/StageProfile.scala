@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Stage-level profile of one declared query: per-stage wall time, task
+  * count, total executor time, max/sum task skew, and shuffle volume —
+  * the "which stage is the bottleneck, and is it parallel?" answer that
+  * a wall-clock total hides. Usage:
+  *   runMain graft.StageProfile <sfDir> <queryName> [runs]
+  * Env: SPARK_GRAFT_CPUS (default 32). Prints a CSV sorted by total
+  * executor time, worst first. A stage whose maxTask ≈ wallMs while
+  * sumTaskMs ≈ maxTask is a ONE-TASK stage — the 1000-executor cluster
+  * would idle through it. */
+object StageProfile {
+
+  private final case class St(
+      name: String, wallMs: Long, tasks: Int, sumTaskMs: Long,
+      maxTaskMs: Long, shufReadRec: Long, shufWriteRec: Long,
+      shufWriteMb: Double)
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val name = args(1)
+    val runs = if (args.length > 2) args(2).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val taskMs = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
+    val taskMax = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAccumulator]()
+    val stages = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[St]())
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val d = t.taskInfo.duration
+        taskMs.computeIfAbsent(t.stageId,
+          _ => new java.util.concurrent.atomic.LongAdder).add(d)
+        taskMax.computeIfAbsent(t.stageId,
+          _ => new java.util.concurrent.atomic.LongAccumulator(Math.max _, 0L))
+          .accumulate(d)
+      }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        val m = i.taskMetrics
+        val wall = (for {a <- i.completionTime; b <- i.submissionTime}
+          yield a - b).getOrElse(0L)
+        stages.add(St(
+          i.name.takeWhile(_ != '\n').take(70), wall, i.numTasks,
+          Option(taskMs.get(i.stageId)).map(_.sum).getOrElse(0L),
+          Option(taskMax.get(i.stageId)).map(_.get).getOrElse(0L),
+          m.shuffleReadMetrics.recordsRead,
+          m.shuffleWriteMetrics.recordsWritten,
+          m.shuffleWriteMetrics.bytesWritten / 1e6))
+      }
+    })
+    // warm-up so JIT/codegen doesn't land on the profiled run
+    spark.read.parquet(s"$dir/documents.parquet").count()
+    var wall = 0.0
+    for (_ <- 0 until runs) {
+      stages.clear(); taskMs.clear(); taskMax.clear()
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, dir)
+      // EXPLAIN mode drives the frame itself (collect) so the printed
+      // plan is the AQE FINAL plan of the profiled run, not a re-plan
+      val n =
+        if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.collect().length.toLong
+        else df.count()
+      wall = (System.nanoTime() - t0) / 1e9
+      println(f"== $name on $dir: $n rows, $wall%.2f s")
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+        println(df.queryExecution.executedPlan.toString)
+    }
+    Thread.sleep(500) // let the async listener bus drain
+    println("stage,wallMs,tasks,sumTaskMs,maxTaskMs,shufReadRec," +
+      "shufWriteRec,shufWriteMb")
+    import scala.jdk.CollectionConverters._
+    stages.asScala.sortBy(-_.sumTaskMs).take(20).foreach { s =>
+      println(s"${s.name.replace(',', ';')},${s.wallMs},${s.tasks}," +
+        s"${s.sumTaskMs},${s.maxTaskMs},${s.shufReadRec}," +
+        s"${s.shufWriteRec},${f"${s.shufWriteMb}%.1f"}")
+    }
+  }
+}

@@ -38,7 +38,10 @@ object GraftFunctions {
     // rank-ordered merge list as a foldable 'l r;l2 r2' literal
     "bpe_apply" -> (es => graft.operators.Bpe.applyMergesExpr(es(0),
       graft.operators.Bpe.parseMerges(es(1).eval().toString))),
-    "compression_ratio" -> (es => CompressionRatio(es(0))))
+    "compression_ratio" -> (es => CompressionRatio(es(0))),
+    // hexChars arrives as a foldable int literal from SQL
+    "md5_prefix64" -> (es => Md5Prefix64(es(0),
+      es(1).eval().asInstanceOf[Number].intValue())))
 
   def registerAll(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

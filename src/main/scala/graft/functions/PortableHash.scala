@@ -12,6 +12,18 @@ object PortableHash {
 
   val prime: Long = 2147483647L
 
+  /** Column form of the base hash: first `hexChars` hex chars of md5 as
+    * an unsigned long, via the fused codegen'd
+    * [[Md5Prefix64]] expression — value-identical to
+    * `conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")` (the
+    * spelling every generated oracle keeps), minus the string
+    * round-trip. */
+  def md5Prefix(c: org.apache.spark.sql.Column,
+      hexChars: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftshim.Shims.column(
+      Md5Prefix64(
+        org.apache.spark.sql.graftshim.Shims.expression(c), hexChars))
+
   /** Deterministic (a_i, b_i) coefficient table for `k` derived hashes.
     * The SAME table must be embedded in any oracle SQL replaying the
     * chain — generate it from here, never hand-copy. */

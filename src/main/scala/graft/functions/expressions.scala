@@ -765,3 +765,72 @@ case class CompressionRatio(child: Expression)
       c: Expression): CompressionRatio =
     copy(child = c)
 }
+
+/** Static helper for [[Md5Prefix64]] — standalone object so generated
+  * Java calls it through the Scala static forwarder. The MessageDigest
+  * instance is thread-local: MD5 digesters are stateful and not
+  * thread-safe, and `getInstance` per row would dominate the hash. */
+object Md5PrefixUtil {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First `hexChars` hex characters of md5(utf8 bytes of `s`) as an
+    * unsigned long — bit-identical to
+    * `conv(substring(md5(s), 1, hexChars), 16, 10)` without the
+    * hex-encode / substring / base-16 re-parse string round-trip.
+    * hexChars ≤ 15 keeps the value positive in a signed 64-bit long. */
+  def compute(s: UTF8String, hexChars: Int): Long = {
+    val d = md.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < hexChars) {
+      val b = digest(i >> 1) & 0xff
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    v
+  }
+}
+
+/** The portable hash family's base hash as ONE codegen'd expression:
+  * first `hexChars` hex chars of md5 as an unsigned long. Replaces the
+  * `conv(substring(md5(col), 1, n), 16, 10).cast("long")` column tree —
+  * value-identical (the oracle SQL keeps exactly that spelling; see
+  * [[PortableHash]]), but skips two UTF8String allocations and the
+  * base-16 character re-parse per row on the minhash/simhash/sampling
+  * hot paths. hexChars ∈ [1, 15] so the result stays non-negative.
+  */
+case class Md5Prefix64(child: Expression, hexChars: Int)
+    extends UnaryExpression {
+
+  require(hexChars >= 1 && hexChars <= 15,
+    s"hexChars must be in [1, 15], got $hexChars")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md5_prefix64 requires string, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    Md5PrefixUtil.compute(v.asInstanceOf[UTF8String], hexChars)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5PrefixUtil.compute($c, $hexChars);")
+
+  override protected def withNewChildInternal(c: Expression): Md5Prefix64 =
+    copy(child = c)
+}

@@ -366,7 +366,7 @@ object Dedup {
     val coef = portableCoefficients(numHashes, seed)
     val sh = shingleRows(df, idCol, textCol, shingleSize)
       .withColumn("__H",
-        conv(substring(md5(col("__sh")), 1, 8), 16, 10).cast("long"))
+        graft.functions.PortableHash.md5Prefix(col("__sh"), 8))
     val mins = coef.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("__H") + lit(b)) % lit(portablePrime)).as(s"m$i")
     }
@@ -440,7 +440,7 @@ object Dedup {
     val k = numSlots.toLong
     val sh = shingleRows(docs, idCol, textCol, shingleSize)
       .withColumn("__H",
-        conv(substring(md5(col("__sh")), 1, 8), 16, 10).cast("long"))
+        graft.functions.PortableHash.md5Prefix(col("__sh"), 8))
     sh.groupBy(col(idCol), pmod(col("__H"), lit(k)).as("__bin"))
       .agg(min(col("__H")).as("__mv"))
       .groupBy(col(idCol))
@@ -548,7 +548,7 @@ object Dedup {
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), explode(col("__toks")).as("__t"))
       .withColumn("__H",
-        conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long"))
+        graft.functions.PortableHash.md5Prefix(col("__t"), 15))
     val tallies = (0 until bits).map(b =>
       sum(when(shiftright(col("__H"), b).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"t$b"))

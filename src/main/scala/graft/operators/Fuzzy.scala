@@ -142,9 +142,13 @@ object Fuzzy {
   }
 
   /** Self-join form of [[jaccardJoin]] with a predicate selecting the left
-    * side — tokens are exploded, ordered, and prefixed ONCE over the whole
-    * corpus, and the (usually much smaller) left side is carved out of the
-    * shared prefix table by `leftPred` instead of recomputing the chain.
+    * side. Token rarity (`__df`) comes from ONE whole-corpus frequency
+    * aggregate; the LEFT branch then explodes and prefix-carves only the
+    * `leftPred`-filtered docs (the predicate pushes to the scan), so a
+    * selective left side never pays the full-corpus groupBy+sort of the
+    * prefix build — only the right side must be whole-corpus. Both sides
+    * order by the SAME shared `tokenDf`, which is all the prefix-filter
+    * containment argument needs (the verify is exact regardless).
     * Returns (id_a, id_b, jaccard) with id_a satisfying `leftPred`,
     * id_a != id_b not implied — callers orient (e.g. id_a < id_b).
     */
@@ -156,20 +160,29 @@ object Fuzzy {
       s"threshold must be in (0, 1], got $threshold")
     val r = sets.select(col(idCol).as("id_b"),
       array_distinct(col(setCol)).as("__set_b"))
-    // single-corpus rarity: one window over the exploded tokens replaces
-    // the separate frequency aggregate + join of the two-sided form
-    val annotated = r.select(col("id_b"), explode(col("__set_b")).as("__t"))
-      .withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__t"))))
-    val rp = orderedPrefixes(annotated, "id_b", threshold)
-    val lp = sets.filter(leftPred)
-      .select(col(idCol).as("id_a"))
-      .join(rp.withColumnRenamed("id_b", "id_a")
-        .withColumnRenamed("__n_id_b", "__n_id_a"), Seq("id_a"))
+    // whole-corpus rarity: map-side-combined frequency aggregate (left
+    // docs are a subset of r, so counting r once is the single-corpus df)
+    val tokenDf = r.select(explode(col("__set_b")).as("__t"))
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("__df"))
+    val rp = prefixes(r, "id_b", "__set_b", tokenDf, threshold)
+    val l = sets.filter(leftPred)
+      .select(col(idCol).as("id_a"),
+        array_distinct(col(setCol)).as("__set_a"))
+    // Candidate fan-out parallelism: the prefix-carve groupBys on BOTH
+    // sides are pinned inside [[orderedPrefixes]] (see the note there),
+    // so whichever side the planner streams through the candidate probe
+    // — it broadcasts the smaller prefix table — runs at the session's
+    // configured shuffle parallelism. The candidate distinct gets the
+    // same pin below: its grouping rides the pinned exchange (same key,
+    // no further shuffle).
+    val numPart = sets.sparkSession.sessionState.conf.numShufflePartitions
+    val lp = prefixes(l, "id_a", "__set_a", tokenDf, threshold)
     val candidates = lp.join(rp, Seq("__t"))
       .filter(least(col("__n_id_a"), col("__n_id_b")) >=
         lit(threshold) * greatest(col("__n_id_a"), col("__n_id_b")) - 1e-9)
       .select(col("id_a"), col("id_b"))
+      .repartition(numPart, col("id_a"), col("id_b"))
       .distinct()
     verify(candidates,
       r.select(col("id_b").as("id_a"), col("__set_b").as("__set_a")),
@@ -244,10 +257,27 @@ object Fuzzy {
       id, threshold)
 
   /** Prefix carve-out over rows (id, __t, __df) already annotated with
-    * token frequency. */
+    * token frequency.
+    *
+    * FANOUT-POINT PARALLELISM PIN: the carve's groupBy exchange is a
+    * repartition with an EXPLICIT count (REPARTITION_BY_NUM — the one
+    * shuffle shape AQE's byte-based coalescing must not touch), because
+    * everything downstream of the carve hangs off it with no further
+    * exchange: the posexplode, the candidate equi-join probe (the other
+    * side broadcasts), and its massive pair fan-out. Prefix rows are
+    * tiny in BYTES but each feeds thousands of candidate pairs, so
+    * letting AQE coalesce this exchange by size folds the entire
+    * candidate generation into one task — measured 790 of 805 s in ONE
+    * task at the 10× probe before the pin (a 1000-executor cluster
+    * idles identically). The aggregate's required distribution is
+    * satisfied by the pinned exchange, so this replaces — not adds to —
+    * the ENSURE_REQUIREMENTS shuffle. */
   private def orderedPrefixes(
-      annotated: DataFrame, id: String, threshold: Double): DataFrame =
+      annotated: DataFrame, id: String, threshold: Double): DataFrame = {
+    val numPart =
+      annotated.sparkSession.sessionState.conf.numShufflePartitions
     annotated
+      .repartition(numPart, col(id))
       .groupBy(col(id))
       .agg(sort_array(collect_list(struct(col("__df").as("f"),
         col("__t").as("t")))).as("__o"))
@@ -257,17 +287,34 @@ object Fuzzy {
       .filter(col("__i") <
         col("__n") - ceil(lit(threshold) * col("__n") - 1e-9) + 1)
       .select(col(id), col("__n").as(s"__n_$id"), col("__t"))
+  }
 
-  /** Exact-Jaccard verify over candidate (id_a, id_b) pairs. */
+  /** Exact-Jaccard verify over candidate (id_a, id_b) pairs.
+    *
+    * Join order matters at scale: the LAST join keys on `id_a`, so the
+    * verified pair set leaves here hash-partitioned by id_a — which
+    * satisfies the per-doc cap's ClusteredDistribution(id_a)
+    * ([[capPerDoc]]/TopKPerGroupExec) with NO additional exchange. The
+    * reversed order (id_a first) would re-shuffle the entire pair set —
+    * the largest intermediate in the plan — once more just to cap it. */
   private def verify(
       candidates: DataFrame, l: DataFrame, r: DataFrame,
-      threshold: Double): DataFrame =
+      threshold: Double): DataFrame = {
+    // Same fan-out pin as the candidate stage: the pair set is SKINNY in
+    // bytes but each row costs an exact set-intersection here, so AQE's
+    // byte-based coalescing must not be allowed to fold the verify into
+    // a few (or one) partitions. Pinned count = session shuffle
+    // parallelism.
+    val numPart =
+      candidates.sparkSession.sessionState.conf.numShufflePartitions
     candidates
-      .join(l, Seq("id_a"))
+      .repartition(numPart, col("id_b"))
       .join(r, Seq("id_b"))
+      .join(l, Seq("id_a"))
       .withColumn("jaccard",
         graft.functions.TextFunctions.jaccardFast(
           col("__set_a"), col("__set_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 }

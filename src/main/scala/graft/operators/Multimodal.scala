@@ -934,6 +934,14 @@ object Multimodal {
         if (version == 1) (u32(mvhdS + 20), u64(mvhdS + 24))
         else (u32(mvhdS + 12), u32(mvhdS + 16))
       if timescale > 0
+      // ISO-BMFF all-ones mvhd duration is the 'unknown duration'
+      // sentinel (fragmented files, live captures) — duration*1000/
+      // timescale over it would fabricate a multi-million-second value
+      // as REAL metadata. Geometry stays exact; duration reports 0,
+      // matching how the other parsers never invent values.
+      durationMs =
+        if (duration == (if (version == 1) -1L else 0xFFFFFFFFL)) 0L
+        else duration * 1000L / timescale
       // first trak carrying a non-zero tkhd geometry = the video track
       trakGeo = moov.collect { case ("trak", s, e) =>
         val trak = boxes(s, e)
@@ -953,7 +961,7 @@ object Multimodal {
         }
       }.flatten.find(g => g._1 > 0 && g._2 > 0)
       (w, h, codec) <- trakGeo
-    } yield Mp4Info(duration * 1000L / timescale, w, h, codec)
+    } yield Mp4Info(durationMs, w, h, codec)
   }
 
   /** MP4 metadata as a [[DecodedMedia]] row: REAL geometry and duration

@@ -17,8 +17,8 @@ object Sampling {
     * (First 4 hex chars → 16 bits → modulo; md5 is uniform enough for
     * split purposes and exists in every engine.) */
   def hashBucket(key: Column, buckets: Int): Column =
-    (conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int")
-      % buckets + buckets) % buckets
+    (graft.functions.PortableHash.md5Prefix(key.cast("string"), 4)
+      .cast("int") % buckets + buckets) % buckets
 
   /** Deterministic train/holdout flag: true ≈ trainFraction of rows. */
   def isTrain(key: Column, trainFraction: Double = 0.8,
@@ -74,7 +74,7 @@ object Sampling {
 
   /** hashBucket with 6 hex chars (24 bits) for fine-grained weights. */
   def hashBucket6(key: Column, buckets: Int): Column =
-    (conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long")
+    (graft.functions.PortableHash.md5Prefix(key.cast("string"), 6)
       % buckets + buckets) % buckets
 
   /** Deterministic global shuffle for training-order randomization: a

@@ -27,7 +27,8 @@ object Scoring {
   /** Portable feature bucket in [0, dim): first 8 md5 hex chars → int →
     * mod. Oracle: (('0x' || substr(md5(t), 1, 8))::BIGINT) % dim. */
   def bucketPortable(token: Column, dim: Int): Column =
-    pmod(conv(substring(md5(token), 1, 8), 16, 10).cast("long"), lit(dim))
+    pmod(graft.functions.PortableHash.md5Prefix(token.cast("string"), 8),
+      lit(dim))
 
   /** Production bucket: xxhash64, one hash per token, no hex detour. */
   def bucketFast(token: Column, dim: Int): Column =

@@ -32,7 +32,7 @@ object CountMinSketchOps {
   def cmsEstimate(
       sketch: Column, key: Column,
       depth: Int, width: Int, seed: Long = 43L): Column = {
-    val h = conv(substring(md5(key), 1, 8), 16, 10).cast("long")
+    val h = PortableHash.md5Prefix(key.cast("string"), 8)
     PortableHash.coefficients(depth, seed).zipWithIndex.map {
       case ((a, b), i) =>
         element_at(sketch,

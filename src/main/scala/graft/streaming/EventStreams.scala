@@ -38,16 +38,34 @@ object EventStreams {
     * downstream operator keys on `event_time` only, so the fixture shape
     * never leaks past this reader. An EMPTY landing directory (the
     * normal start state of a production stream) has nothing to peek and
-    * falls back to [[eventSchema]], the current-generation contract. */
+    * falls back to [[eventSchema]], the current-generation contract —
+    * if the FIRST files to land later carry the legacy epoch-ns shape
+    * instead, the stream's first batch fails with a schema mismatch;
+    * restart the stream (the peek then sees real footers and
+    * dispatches). That restart-once contract is the deliberate trade:
+    * a streaming source cannot re-negotiate its declared schema
+    * mid-query, and guessing legacy-on-empty would break the common
+    * case to save the already-degraded one. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Only a genuinely EMPTY-but-existing landing dir falls back to the
     // contract schema; a missing path or unreadable footers should fail
     // HERE (the schema decision point), not surface confusingly later.
-    val d = new java.io.File(dir)
-    val hasData = d.isDirectory && Option(d.listFiles()).exists(
-      _.exists(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")))
-    require(d.isDirectory, s"events stream dir does not exist: $dir")
+    // The peek walks the directory RECURSIVELY through the Hadoop
+    // FileSystem API: partitioned (nested-dir) layouts and non-local
+    // schemes (hdfs://, s3a://) count as data too — a top-level
+    // java.io.File scan would silently treat both as empty.
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(path) && fs.getFileStatus(path).isDirectory,
+      s"events stream dir does not exist: $dir")
+    val files = fs.listFiles(path, /* recursive = */ true)
+    var hasData = false
+    while (!hasData && files.hasNext) {
+      val name = files.next().getPath.getName
+      hasData = name.endsWith(".parquet") &&
+        !name.startsWith("_") && !name.startsWith(".")
+    }
     val schema =
       if (hasData) spark.read.parquet(dir).schema
       else eventSchema

@@ -191,4 +191,50 @@ class ExpressionsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(a === b)
   }
+
+  test("Md5Prefix64 is bit-identical to the conv/substring/md5 spelling") {
+    import graft.functions.PortableHash
+    val rng = new scala.util.Random(23)
+    val strs = (0 until 300).map { i =>
+      rng.nextInt(4) match {
+        case 0 => ""
+        case 1 => s"token$i"
+        case 2 => rng.nextString(1 + rng.nextInt(20)) // arbitrary unicode
+        case _ => List.fill(1 + rng.nextInt(8))(
+          s"w${rng.nextInt(50)}").mkString(" ")
+      }
+    } :+ "café € 😀" // multi-byte incl. surrogates
+    val df = strs.toDF("s")
+    for (n <- Seq(4, 6, 8, 15)) {
+      val rows = df.select(
+        PortableHash.md5Prefix(col("s"), n).as("fast"),
+        conv(substring(md5(col("s")), 1, n), 16, 10).cast("long").as("ref"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"n=$n mismatch: ${r.getLong(0)} vs ${r.getLong(1)}"))
+    }
+    // JVM-side hash32 agrees with the column form at 8 hex chars
+    val jvm = strs.map(s => graft.functions.PortableHash.hash32(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val colv = df.select(PortableHash.md5Prefix(col("s"), 8))
+      .collect().map(_.getLong(0))
+    assert(jvm.zip(colv).forall { case (a, b) => a == b })
+    // null in → null out; SQL-callable through the registry
+    graft.functions.GraftFunctions.registerAll(spark)
+    val nulls = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("id", "s")
+      .selectExpr("md5_prefix64(s, 8) AS h").collect()
+    assert(nulls.count(_.isNullAt(0)) == 1)
+  }
+
+  test("Md5Prefix64 interpreted eval matches codegen") {
+    import graft.functions.Md5Prefix64
+    val e = Md5Prefix64(
+      org.apache.spark.sql.catalyst.expressions.Literal("hello world"), 8)
+    val interpreted = e.eval(null).asInstanceOf[Long]
+    val viaDf = Seq("hello world").toDF("s")
+      .select(graft.functions.PortableHash.md5Prefix(col("s"), 8))
+      .collect().head.getLong(0)
+    assert(interpreted == viaDf)
+  }
 }

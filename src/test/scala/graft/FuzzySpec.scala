@@ -212,4 +212,36 @@ class FuzzySpec extends SparkTestBase {
     assert(capped.toSet == expected)
     assert(capped.length < full.length)
   }
+
+  test("the cap never sorts, and adds at most one skinny exchange") {
+    // The heap-based cap must not sort anything (that was the
+    // row_number formulation's scale bug), and the only exchange it may
+    // add over the uncapped plan is the hash partition of the SKINNY
+    // verified (id_a, id_b, jaccard) rows for TopK's distribution — it
+    // must never re-shuffle the fat pre-verify candidate/set data.
+    val rng = new scala.util.Random(31)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val df = (0L until 60L).map(i =>
+      (i, Seq.fill(2 + rng.nextInt(6))(vocab(rng.nextInt(vocab.size)))))
+      .toDF("id", "st")
+    def countNodes(q: org.apache.spark.sql.DataFrame,
+        needle: String): Int = {
+      q.collect() // force the AQE final plan
+      // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan"
+      // section — count the FINAL plan only, or every node tallies twice
+      q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+        .linesIterator.count(_.contains(needle))
+    }
+    val uncapped = Fuzzy.jaccardSelfJoin(df, "id", "st", 0.3, lit(true))
+    val capped = Fuzzy.jaccardSelfJoin(df, "id", "st", 0.3, lit(true),
+      maxPairsPerDoc = 2)
+    val extraExchanges =
+      countNodes(capped, "Exchange") - countNodes(uncapped, "Exchange")
+    assert(extraExchanges <= 1,
+      s"capping added $extraExchanges exchanges — it re-shuffled more " +
+        "than the skinny verified pair set")
+    assert(countNodes(capped, "Sort") == countNodes(uncapped, "Sort"),
+      "capping sorted the verified pair set")
+  }
 }

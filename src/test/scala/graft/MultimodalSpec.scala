@@ -607,6 +607,18 @@ class MultimodalSpec extends SparkTestBase {
     assert(d.feature.forall(_ == 0f))
   }
 
+  test("mp4Info: all-ones mvhd duration is the unknown sentinel, not " +
+      "a real value") {
+    // version-0 sentinel 0xFFFFFFFF: geometry stays exact, duration 0 —
+    // never 0xFFFFFFFF*1000/600 ≈ 7.16M seconds of fabricated metadata
+    val info = Multimodal.mp4Info(mp4(duration = 0xFFFFFFFFL)).get
+    assert(info.durationMs == 0L)
+    assert(info.width == 640 && info.height == 360 && info.codec == "avc1")
+    // one tick below the sentinel still computes normally
+    assert(Multimodal.mp4Info(mp4(duration = 0xFFFFFFFEL)).get
+      .durationMs == 0xFFFFFFFEL * 1000L / 600L)
+  }
+
   test("mp4Info rejects non-MP4 and truncated trees") {
     assert(Multimodal.mp4Info("RIFFnotanmp4".getBytes ++
       new Array[Byte](20)).isEmpty)

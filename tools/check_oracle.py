@@ -56,12 +56,18 @@ def main():
         # lenient == passes (123 == 123.0): e.g. DuckDB returns a bare
         # SUM(int) as HUGEINT -> pandas float64 while Spark emits int64
         # ("13298" vs "13298.0"). Width skews (int32 vs int64) hash the
-        # same, so compare dtype KINDS, not exact dtypes.
-        da = [t.kind for t in sa.dtypes]
-        db = [t.kind for t in ob.dtypes]
+        # same, so compare dtype KINDS, not exact dtypes. Skip the gate
+        # for columns with no non-null value on either side (incl. both
+        # frames empty): with nothing to infer from, pandas picks
+        # object-vs-float64 arbitrarily, and the driver's hash agrees on
+        # zero/None representations anyway.
+        comparable = [c for c in sa.columns
+                      if sa[c].notna().any() and ob[c].notna().any()]
+        da = [sa[c].dtype.kind for c in comparable]
+        db = [ob[c].dtype.kind for c in comparable]
         if da != db:
             print(f"FAIL {name}: dtype-kind skew "
-                  f"{[c for c, x, y in zip(sa.columns, da, db) if x != y]}: "
+                  f"{[c for c, x, y in zip(comparable, da, db) if x != y]}: "
                   f"{da} vs {db}")
             n_fail += 1
             continue
