@@ -83,14 +83,13 @@ object Dedup {
     val sh = shingleRows(df, idCol, textCol, shingleSize)
       .select(col(idCol),
         xxhash64(col("__sh")).bitwiseAND(lit(0x7FFFFFFFL)).as("__H"))
-    val mins = portableCoefficients(numHashes, 42L).zipWithIndex.map {
-      case ((a, b), i) =>
-        min((lit(a) * col("__H") + lit(b)) % lit(portablePrime)).as(s"__h$i")
-    }
+    // one fused k-slot aggregate (PortableMinHashAgg) — value-identical
+    // to k separate min((a_i*H+b_i) % p) aggregate expressions, whose
+    // per-row update machinery dominated the signature pass's profile
     sh.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol),
-        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("signature"))
+      .agg(graft.functions.PortableMinHashAgg.column(col("__H"),
+        portableCoefficients(numHashes, 42L), portablePrime)
+        .as("signature"))
   }
 
   /** One row per (doc, distinct shingle) — the fused [[graft.functions.WordShingles]]
@@ -103,30 +102,15 @@ object Dedup {
       explode(TextFunctions.shinglesFast(col(textCol), shingleSize))
         .as("__sh"))
 
-  /** Fused signatures → LSH band buckets: the per-band bucket hash is
-    * computed straight from the band's min-columns, skipping the
-    * full-signature array materialization ([[minhashSignatures]] +
-    * [[lshBuckets]] compose to the same values — xxhash64 over the same
-    * r longs — with one extra projection). */
+  /** Signatures → LSH band buckets in one chain: the fused k-slot
+    * aggregate builds the signature array, each band hashes its slice
+    * ([[minhashSignatures]] + [[lshBuckets]] compose to the SAME values —
+    * xxhash64 over the same r longs). */
   def minhashBuckets(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val sh = shingleRows(df, idCol, textCol, shingleSize)
-      .select(col(idCol),
-        xxhash64(col("__sh")).bitwiseAND(lit(0x7FFFFFFFL)).as("__H"))
-    val mins = portableCoefficients(numHashes, 42L).zipWithIndex.map {
-      case ((a, b), i) =>
-        min((lit(a) * col("__H") + lit(b)) % lit(portablePrime)).as(s"__h$i")
-    }
-    val sig = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-    val bandHashes = array((0 until bands).map(b =>
-      xxhash64(lit(b),
-        array((b * r until (b + 1) * r).map(i => col(s"__h$i")): _*))): _*)
-    sig.select(col(idCol),
-      posexplode(bandHashes).as(Seq("__band", "__bucket")))
-  }
+      numHashes: Int, bands: Int, shingleSize: Int): DataFrame =
+    lshBuckets(minhashSignatures(df, idCol, textCol, numHashes, shingleSize),
+      idCol, numHashes, bands)
 
   /** LSH banding of a minhash signature: `bands` buckets per doc, bucket id
     * = hash of the band's signature slice (order-deterministic: xxhash64
@@ -367,10 +351,14 @@ object Dedup {
     val sh = shingleRows(df, idCol, textCol, shingleSize)
       .withColumn("__H",
         graft.functions.PortableHash.md5Prefix(col("__sh"), 8))
-    val mins = coef.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("__H") + lit(b)) % lit(portablePrime)).as(s"m$i")
-    }
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    // fused k-slot aggregate, then projected back to the wide m0..m{k-1}
+    // shape the band hashers and the generated oracles consume —
+    // value-identical to k separate min((a_i*H+b_i) % p) aggregates
+    sh.groupBy(col(idCol))
+      .agg(graft.functions.PortableMinHashAgg.column(col("__H"), coef,
+        portablePrime).as("__mh"))
+      .select(col(idCol) +: (0 until numHashes).map(i =>
+        element_at(col("__mh"), i + 1).as(s"m$i")): _*)
   }
 
   /** Portable band buckets (idCol, __band, __bucket): md5-family

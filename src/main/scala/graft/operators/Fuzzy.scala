@@ -131,11 +131,15 @@ object Fuzzy {
       .groupBy(col("__t"))
       .agg(count(lit(1)).as("__df"))
 
+    // same pinned id_b exchange as the self-join form: one shuffle for
+    // the distinct AND the verify's co-partitioned r join
+    val numPart = left.sparkSession.sessionState.conf.numShufflePartitions
     val candidates = prefixes(l, "id_a", "__set_a", tokenDf, threshold)
       .join(prefixes(r, "id_b", "__set_b", tokenDf, threshold), Seq("__t"))
       .filter(least(col("__n_id_a"), col("__n_id_b")) >=
         lit(threshold) * greatest(col("__n_id_a"), col("__n_id_b")) - 1e-9)
       .select(col("id_a"), col("id_b"))
+      .repartition(numPart, col("id_b"))
       .distinct()
 
     verify(candidates, l, r, threshold)
@@ -143,14 +147,14 @@ object Fuzzy {
 
   /** Self-join form of [[jaccardJoin]] with a predicate selecting the left
     * side. Token rarity (`__df`) comes from ONE whole-corpus frequency
-    * aggregate; the LEFT branch then explodes and prefix-carves only the
-    * `leftPred`-filtered docs (the predicate pushes to the scan), so a
-    * selective left side never pays the full-corpus groupBy+sort of the
-    * prefix build — only the right side must be whole-corpus. Both sides
-    * order by the SAME shared `tokenDf`, which is all the prefix-filter
-    * containment argument needs (the verify is exact regardless).
-    * Returns (id_a, id_b, jaccard) with id_a satisfying `leftPred`,
-    * id_a != id_b not implied — callers orient (e.g. id_a < id_b).
+    * aggregate, and the whole corpus is exploded, annotated, and
+    * prefix-carved ONCE (`rp`) — the left side is carved OUT of that
+    * shared prefix table by an id join against the `leftPred` doc ids
+    * (broadcast when the slice is small), so neither a selective slice
+    * nor the whole-corpus form (leftPred = true, where both references
+    * to `rp` are one reused exchange) pays the carve twice. Returns
+    * (id_a, id_b, jaccard) with id_a satisfying `leftPred`, id_a !=
+    * id_b not implied — callers orient (e.g. id_a < id_b).
     */
   def jaccardSelfJoin(
       sets: DataFrame, idCol: String, setCol: String,
@@ -165,24 +169,25 @@ object Fuzzy {
     val tokenDf = r.select(explode(col("__set_b")).as("__t"))
       .groupBy(col("__t"))
       .agg(count(lit(1)).as("__df"))
+    // one shared prefix carve, pinned inside orderedPrefixes — the
+    // candidate probe streams it at the session's shuffle parallelism
+    // whichever side the planner broadcasts
     val rp = prefixes(r, "id_b", "__set_b", tokenDf, threshold)
-    val l = sets.filter(leftPred)
-      .select(col(idCol).as("id_a"),
-        array_distinct(col(setCol)).as("__set_a"))
-    // Candidate fan-out parallelism: the prefix-carve groupBys on BOTH
-    // sides are pinned inside [[orderedPrefixes]] (see the note there),
-    // so whichever side the planner streams through the candidate probe
-    // — it broadcasts the smaller prefix table — runs at the session's
-    // configured shuffle parallelism. The candidate distinct gets the
-    // same pin below: its grouping rides the pinned exchange (same key,
-    // no further shuffle).
+    val lp = sets.filter(leftPred)
+      .select(col(idCol).as("id_a"))
+      .join(rp.withColumnRenamed("id_b", "id_a")
+        .withColumnRenamed("__n_id_b", "__n_id_a"), Seq("id_a"))
+    // ONE pinned exchange serves both the distinct and the verify:
+    // hashing by id_b co-locates duplicate (id_a, id_b) rows (subset of
+    // the distinct keys → the aggregate needs no further shuffle) AND
+    // co-partitions the verify's id_b join with `r` — see the fan-out
+    // note on orderedPrefixes for why the pin must be explicit
     val numPart = sets.sparkSession.sessionState.conf.numShufflePartitions
-    val lp = prefixes(l, "id_a", "__set_a", tokenDf, threshold)
     val candidates = lp.join(rp, Seq("__t"))
       .filter(least(col("__n_id_a"), col("__n_id_b")) >=
         lit(threshold) * greatest(col("__n_id_a"), col("__n_id_b")) - 1e-9)
       .select(col("id_a"), col("id_b"))
-      .repartition(numPart, col("id_a"), col("id_b"))
+      .repartition(numPart, col("id_b"))
       .distinct()
     verify(candidates,
       r.select(col("id_b").as("id_a"), col("__set_b").as("__set_a")),
@@ -276,11 +281,26 @@ object Fuzzy {
       annotated: DataFrame, id: String, threshold: Double): DataFrame = {
     val numPart =
       annotated.sparkSession.sessionState.conf.numShufflePartitions
+    // Two-phase aggregation so the PIN does not lose map-side combining:
+    // a naive repartition(id)+groupBy ships every exploded token row raw
+    // (measured 13× the records — and 13× the stage CPU — of the
+    // ENSURE_REQUIREMENTS plan, whose partial_collect_list packs each
+    // mapper's rows per doc into one buffer before the shuffle). Phase 1
+    // groups by (id, input partition id): the partial aggregate is then
+    // map-side COMPLETE — one compact list row per (mapper, doc) — and
+    // its cheap ENSURE exchange ships only those. Phase 2 is the pinned
+    // merge: flatten + sort over doc-count-bounded rows. The sort makes
+    // the result independent of how phase 1 split each doc. The pinned
+    // exchange feeds a groupBy that REQUIRES its distribution, which
+    // also keeps AQE's local-shuffle-read from quietly replacing the
+    // pinned partitioning with the mapper count.
     annotated
+      .groupBy(col(id), spark_partition_id().as("__p"))
+      .agg(collect_list(struct(col("__df").as("f"),
+        col("__t").as("t"))).as("__pl"))
       .repartition(numPart, col(id))
       .groupBy(col(id))
-      .agg(sort_array(collect_list(struct(col("__df").as("f"),
-        col("__t").as("t")))).as("__o"))
+      .agg(sort_array(flatten(collect_list(col("__pl")))).as("__o"))
       .select(col(id), size(col("__o")).as("__n"),
         posexplode(expr("transform(__o, s -> s.t)"))
           .as(Seq("__i", "__t")))
@@ -297,18 +317,17 @@ object Fuzzy {
     * ([[capPerDoc]]/TopKPerGroupExec) with NO additional exchange. The
     * reversed order (id_a first) would re-shuffle the entire pair set —
     * the largest intermediate in the plan — once more just to cap it. */
+  /** Exact-Jaccard verify over candidate (id_a, id_b) pairs. The pair
+    * set is SKINNY in bytes but each row costs an exact set
+    * intersection, so callers hand in `candidates` already behind a
+    * PINNED id_b hash exchange (their distinct rides the same one) —
+    * the verify's r join is then co-partitioned at the session's
+    * shuffle parallelism, immune to AQE's byte-based coalescing folding
+    * it into one task. */
   private def verify(
       candidates: DataFrame, l: DataFrame, r: DataFrame,
-      threshold: Double): DataFrame = {
-    // Same fan-out pin as the candidate stage: the pair set is SKINNY in
-    // bytes but each row costs an exact set-intersection here, so AQE's
-    // byte-based coalescing must not be allowed to fold the verify into
-    // a few (or one) partitions. Pinned count = session shuffle
-    // parallelism.
-    val numPart =
-      candidates.sparkSession.sessionState.conf.numShufflePartitions
+      threshold: Double): DataFrame =
     candidates
-      .repartition(numPart, col("id_b"))
       .join(r, Seq("id_b"))
       .join(l, Seq("id_a"))
       .withColumn("jaccard",
@@ -316,5 +335,4 @@ object Fuzzy {
           col("__set_a"), col("__set_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 }
