@@ -136,8 +136,7 @@ object Fuzzy {
     val numPart = left.sparkSession.sessionState.conf.numShufflePartitions
     val candidates = prefixes(l, "id_a", "__set_a", tokenDf, threshold)
       .join(prefixes(r, "id_b", "__set_b", tokenDf, threshold), Seq("__t"))
-      .filter(least(col("__n_id_a"), col("__n_id_b")) >=
-        lit(threshold) * greatest(col("__n_id_a"), col("__n_id_b")) - 1e-9)
+      .filter(candidateFilter(threshold))
       .select(col("id_a"), col("id_b"))
       .repartition(numPart, col("id_b"))
       .distinct()
@@ -176,7 +175,8 @@ object Fuzzy {
     val lp = sets.filter(leftPred)
       .select(col(idCol).as("id_a"))
       .join(rp.withColumnRenamed("id_b", "id_a")
-        .withColumnRenamed("__n_id_b", "__n_id_a"), Seq("id_a"))
+        .withColumnRenamed("__n_id_b", "__n_id_a")
+        .withColumnRenamed("__i_id_b", "__i_id_a"), Seq("id_a"))
     // ONE pinned exchange serves both the distinct and the verify:
     // hashing by id_b co-locates duplicate (id_a, id_b) rows (subset of
     // the distinct keys → the aggregate needs no further shuffle) AND
@@ -184,8 +184,7 @@ object Fuzzy {
     // note on orderedPrefixes for why the pin must be explicit
     val numPart = sets.sparkSession.sessionState.conf.numShufflePartitions
     val candidates = lp.join(rp, Seq("__t"))
-      .filter(least(col("__n_id_a"), col("__n_id_b")) >=
-        lit(threshold) * greatest(col("__n_id_a"), col("__n_id_b")) - 1e-9)
+      .filter(candidateFilter(threshold))
       .select(col("id_a"), col("id_b"))
       .repartition(numPart, col("id_b"))
       .distinct()
@@ -306,8 +305,29 @@ object Fuzzy {
           .as(Seq("__i", "__t")))
       .filter(col("__i") <
         col("__n") - ceil(lit(threshold) * col("__n") - 1e-9) + 1)
-      .select(col(id), col("__n").as(s"__n_$id"), col("__t"))
+      .select(col(id), col("__n").as(s"__n_$id"),
+        col("__i").as(s"__i_$id"), col("__t"))
   }
+
+  /** PPJoin positional filter (Xiao, Wang, Lin & Yu, "Efficient
+    * Similarity Joins for Near Duplicate Detection", WWW 2008) plus the
+    * size-ratio filter, applied per matched prefix-token row: a match at
+    * 0-based prefix positions (i_a, i_b) bounds the overlap by
+    * 1 + min(n_a − i_a − 1, n_b − i_b − 1), and J ≥ t requires overlap
+    * ≥ t/(1+t)·(n_a+n_b). EXACT: for a true pair the bound is valid at
+    * its FIRST shared token (every shared token sits at or after that
+    * position in both orders), so that row always survives — later
+    * matched rows of the same pair may be pruned, which only thins
+    * duplicate candidate rows before the distinct. ceil() subtracts
+    * 1e-9 so double rounding can only weaken the filter, never drop a
+    * true pair. */
+  private def candidateFilter(threshold: Double): Column =
+    (least(col("__n_id_a"), col("__n_id_b")) >=
+      lit(threshold) * greatest(col("__n_id_a"), col("__n_id_b")) - 1e-9) &&
+      (lit(1) + least(col("__n_id_a") - col("__i_id_a") - 1,
+        col("__n_id_b") - col("__i_id_b") - 1) >=
+        ceil(lit(threshold / (1.0 + threshold)) *
+          (col("__n_id_a") + col("__n_id_b")) - 1e-9))
 
   /** Exact-Jaccard verify over candidate (id_a, id_b) pairs.
     *
