@@ -4919,22 +4919,23 @@ object SparkEntry {
       // sets ⟹ identical minhash signatures under ANY hash family ⟹
       // equal buckets in EVERY band, so LSH recall is provably 100%
       // and the exact verify pins precision — the oracle just joins
-      // docs on sorted-shingle-set equality. Keeps the xxhash64 arm
-      // (q35/q37's former production path before their md5-portable
-      // swap) exercised by the bench sweep AND the oracle gate, not
-      // only by unit-level family-equality tests.
+      // docs on sorted-token-set equality. shingleSize 1 (distinct
+      // TOKEN sets) because the synthetic fixtures carry bag-of-words
+      // duplicates (same vocabulary, different order) but no exact
+      // 3-shingle duplicates at the sf0.01 gate scale — this operating
+      // point gives the chain a non-trivial answer (hundreds of pairs)
+      // to prove itself on. Keeps the xxhash64 arm (q35/q37's former
+      // production path before their md5-portable swap) exercised by
+      // the bench sweep AND the oracle gate, not only by unit-level
+      // family-equality tests.
       Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-        numHashes = 64, bands = 16, shingleSize = 3, threshold = 1.0)
+        numHashes = 64, bands = 16, shingleSize = 1, threshold = 1.0)
         .orderBy(col("id_a"), col("id_b"))
     },
-    Some("""WITH toks AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text),
-      |    '\s+'), t -> t <> '') AS tk FROM documents
-      |), sets AS (
-      |  SELECT doc_id, list_sort(list_distinct(list_transform(
-      |    range(1, greatest(len(tk) - 1, 1)),
-      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS st
-      |  FROM toks
+    Some("""WITH sets AS (
+      |  SELECT doc_id, list_sort(list_distinct(list_filter(
+      |    string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS st
+      |  FROM documents
       |), ne AS (SELECT doc_id, st FROM sets WHERE len(st) > 0)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  CAST(1.0 AS DOUBLE) AS jaccard
