@@ -2936,10 +2936,10 @@ object SparkEntry {
         .withColumn("quality", TF.qualityScore(col("text")))
       val pairs = Dedup.portableNearDups(docs, "doc_id", "text",
         numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.8)
-      val kept = Dedup.keepBestPerCluster(docs, "doc_id", pairs, "quality")
-      val nodes = pairs.select(col("id_a").as("doc_id"))
-        .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
-      kept.join(nodes, Seq("doc_id"), "left_semi")
+      // bestPerCluster ≡ keepBestPerCluster ∩ pair nodes, but the pair
+      // chain executes ONCE (a separate node-set recompute would run
+      // the whole LSH sketch→bucket→verify pipeline a second time)
+      Dedup.bestPerCluster(docs, "doc_id", pairs, "quality")
         .select(col("doc_id"), col("quality"))
         .orderBy(col("doc_id"))
     },

@@ -114,3 +114,120 @@ object PortableMinHashAgg {
         org.apache.spark.sql.graftshim.Shims.expression(h), coef, prime)
         .toAggregateExpression())
 }
+
+/** One-permutation-hashing signature as ONE aggregate: buffer = per-bin
+  * raw minima (long[k], bin = H mod k), eval applies the rotation
+  * densification of Shrivastava & Li (UAI 2014) — slot j = min over
+  * non-empty bins b of ((b − j) mod k)·offset + min_H(b).
+  *
+  * Replaces the two-shuffle formulation (groupBy (doc, bin) min →
+  * groupBy doc collect_list → interpreted transform/array_min
+  * densification): one groupBy(doc), map-side-combined k-long buffers,
+  * and the O(k²)-per-doc densification runs once at eval in a tight
+  * loop instead of per-slot interpreted HOF lambdas. Values are
+  * bit-identical to the expression form, so the generated q117 oracle
+  * replays unchanged.
+  */
+case class OphMinHashAgg(
+    child: Expression,
+    numSlots: Int,
+    offset: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(numSlots >= 1, s"numSlots must be >= 1, got $numSlots")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"oph_minhash_agg requires an integral base hash, got ${other.sql}")
+    }
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(numSlots)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val raw = child.eval(input)
+    if (raw != null) {
+      val h = raw.asInstanceOf[Number].longValue()
+      val bin = java.lang.Math.floorMod(h, numSlots.toLong).toInt
+      if (h < buf(bin)) buf(bin) = h
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) {
+      if (other(i) < buf(i)) buf(i) = other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    // rotation densification: Long.MaxValue marks an empty bin (raw
+    // 32-bit hashes are far below it, and an aggregate group implies at
+    // least one non-empty bin)
+    val k = numSlots
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      var best = Long.MaxValue
+      var b = 0
+      while (b < k) {
+        if (buf(b) != Long.MaxValue) {
+          val v = java.lang.Math.floorMod((b - j).toLong, k.toLong) *
+            offset + buf(b)
+          if (v < best) best = v
+        }
+        b += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bytes = new Array[Byte](buf.length * 8)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bytes
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): OphMinHashAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): OphMinHashAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): OphMinHashAgg = copy(child = c.head)
+}
+
+object OphMinHashAgg {
+  /** Aggregate column: densified OPH signature (array<long> of numSlots
+    * values) over the group's base-hash column `h`. */
+  def column(h: Column, numSlots: Int, offset: Long): Column =
+    org.apache.spark.sql.graftshim.Shims.column(
+      OphMinHashAgg(
+        org.apache.spark.sql.graftshim.Shims.expression(h), numSlots,
+        offset).toAggregateExpression())
+}

@@ -425,19 +425,17 @@ object Dedup {
   def ophPortableSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       numSlots: Int = 64, shingleSize: Int = 3): DataFrame = {
-    val k = numSlots.toLong
     val sh = shingleRows(docs, idCol, textCol, shingleSize)
       .withColumn("__H",
         graft.functions.PortableHash.md5Prefix(col("__sh"), 8))
-    sh.groupBy(col(idCol), pmod(col("__H"), lit(k)).as("__bin"))
-      .agg(min(col("__H")).as("__mv"))
-      .groupBy(col(idCol))
-      .agg(collect_list(struct(col("__bin"), col("__mv"))).as("__bins"))
-      .select(col(idCol),
-        transform(sequence(lit(0L), lit(k - 1)), j =>
-          array_min(transform(col("__bins"), e =>
-            pmod(e.getField("__bin") - j, lit(k)) * lit(ophOffset) +
-              e.getField("__mv")))).as("signature"))
+    // one fused aggregate (OphMinHashAgg: per-bin minima in a long[k]
+    // buffer, rotation densification at eval) — value-identical to the
+    // previous two-shuffle groupBy(doc,bin)→min→collect→HOF-densify
+    // chain the generated q117 oracle replays, at ONE shuffle of
+    // map-side-combined k-long buffers
+    sh.groupBy(col(idCol))
+      .agg(graft.functions.OphMinHashAgg.column(col("__H"), numSlots,
+        ophOffset).as("signature"))
   }
 
   /** OPH signatures → LSH band buckets (same band/bucket shape as
@@ -830,6 +828,27 @@ object Dedup {
       .filter(col("__rk") =!= 1)
       .select(col(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** The per-cluster WINNERS only — [[keepBestPerCluster]] restricted to
+    * docs that appear in `pairs`. Equals `keepBestPerCluster ∩ pair
+    * nodes`, but references `pairs` exactly ONCE (inside the components
+    * build, which caches it): a caller computing the node set separately
+    * re-executes the entire upstream pair chain — an LSH
+    * sketch→bucket→verify pipeline in the dedup use — a second time,
+    * since exchange reuse shares shuffle data but not the post-exchange
+    * stages. */
+  def bestPerCluster(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame = {
+    val comp = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    docs.join(comp, Seq(idCol)) // clustered docs only
+      .withColumn("__rk", row_number().over(rk))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "component")
   }
 
   /** Embedding cosine near-dup: sign-LSH over `numPlanes` deterministic
