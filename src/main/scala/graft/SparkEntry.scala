@@ -4927,9 +4927,19 @@ object SparkEntry {
       // to prove itself on. Keeps the xxhash64 arm (q35/q37's former
       // production path before their md5-portable swap) exercised by
       // the bench sweep AND the oracle gate, not only by unit-level
-      // family-equality tests.
+      // family-equality tests. bands = 1 (one band of r = 64 rows) is
+      // the correct LSH operating point for threshold 1.0: identical
+      // sets still collide with probability exactly 1 (same
+      // signature), while a 0.9-similar pair collides with
+      // P = 0.9^64 ≈ 0.001, so buckets stay exact-dup-clique-sized.
+      // At 16 bands of r=4 this vocab-dense corpus flooded the buckets
+      // with near-miss collisions — 2.1M candidate pairs through the
+      // verify at sf0.1 AND bucket sizes past the maxBucketSize
+      // guardrail, whose documented truncation silently cost recall
+      // there (the sf0.01 gate stayed complete only because 500 docs
+      // cannot overflow a 1000-doc bucket).
       Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-        numHashes = 64, bands = 16, shingleSize = 1, threshold = 1.0)
+        numHashes = 64, bands = 1, shingleSize = 1, threshold = 1.0)
         .orderBy(col("id_a"), col("id_b"))
     },
     Some("""WITH sets AS (
