@@ -154,6 +154,18 @@ object Fuzzy {
     * to `rp` are one reused exchange) pays the carve twice. Returns
     * (id_a, id_b, jaccard) with id_a satisfying `leftPred`, id_a !=
     * id_b not implied — callers orient (e.g. id_a < id_b).
+    *
+    * FAN-OUT PIN GATE: the explicit-partition-count pins (carve +
+    * candidate exchange, see [[orderedPrefixes]]) apply only to the
+    * SELECTIVE-slice form (`leftPred` ≠ literal true). They exist for
+    * the "tiny slice probes big corpus" shape, where every downstream
+    * join broadcasts and candidate generation hangs off one
+    * AQE-coalescible exchange. The whole-corpus form never has that
+    * shape — its candidate join is a shuffle join whose own exchanges
+    * carry the parallelism — and the pin's two-phase carve plus fixed
+    * fan-out added measured constants (~2× at sf0.1, round-11 q121) to
+    * an arm that gains nothing from it, so it rides plain
+    * ENSURE_REQUIREMENTS aggregation instead.
     */
   def jaccardSelfJoin(
       sets: DataFrame, idCol: String, setCol: String,
@@ -161,6 +173,11 @@ object Fuzzy {
       maxPairsPerDoc: Int = Int.MaxValue): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    // Pin gate: literal-true leftPred = whole-corpus arm = no pin.
+    // Column equality is structural over the column-node tree, so any
+    // caller-constructed lit(true) matches (Shims.expression would only
+    // yield a lazy ColumnNodeExpression wrapper, not the Literal).
+    val selectiveSlice = leftPred != lit(true)
     val r = sets.select(col(idCol).as("id_b"),
       array_distinct(col(setCol)).as("__set_b"))
     // whole-corpus rarity: map-side-combined frequency aggregate (left
@@ -168,26 +185,40 @@ object Fuzzy {
     val tokenDf = r.select(explode(col("__set_b")).as("__t"))
       .groupBy(col("__t"))
       .agg(count(lit(1)).as("__df"))
-    // one shared prefix carve, pinned inside orderedPrefixes — the
-    // candidate probe streams it at the session's shuffle parallelism
-    // whichever side the planner broadcasts
-    val rp = prefixes(r, "id_b", "__set_b", tokenDf, threshold)
-    val lp = sets.filter(leftPred)
-      .select(col(idCol).as("id_a"))
-      .join(rp.withColumnRenamed("id_b", "id_a")
-        .withColumnRenamed("__n_id_b", "__n_id_a")
-        .withColumnRenamed("__i_id_b", "__i_id_a"), Seq("id_a"))
-    // ONE pinned exchange serves both the distinct and the verify:
-    // hashing by id_b co-locates duplicate (id_a, id_b) rows (subset of
-    // the distinct keys → the aggregate needs no further shuffle) AND
-    // co-partitions the verify's id_b join with `r` — see the fan-out
-    // note on orderedPrefixes for why the pin must be explicit
+    // one shared prefix carve, pinned inside orderedPrefixes when the
+    // slice is selective — the candidate probe then streams it at the
+    // session's shuffle parallelism whichever side the planner broadcasts
+    val rp = prefixes(r, "id_b", "__set_b", tokenDf, threshold,
+      pinFanout = selectiveSlice)
+    // The left prefix table is the corpus prefix table renamed; a
+    // selective slice carves its doc ids out of it (broadcast when the
+    // slice is small). Whole corpus: use it directly — a
+    // filter(true)-ids join would re-shuffle every prefix row for
+    // nothing (Catalyst does not eliminate a self-keyed semi join).
+    val lpFull = rp.withColumnRenamed("id_b", "id_a")
+      .withColumnRenamed("__n_id_b", "__n_id_a")
+      .withColumnRenamed("__i_id_b", "__i_id_a")
+    val lp =
+      if (selectiveSlice)
+        sets.filter(leftPred)
+          .select(col(idCol).as("id_a"))
+          .join(lpFull, Seq("id_a"))
+      else lpFull
+    // Selective slice: ONE pinned exchange serves both the distinct and
+    // the verify — hashing by id_b co-locates duplicate (id_a, id_b)
+    // rows (subset of the distinct keys → the aggregate needs no further
+    // shuffle) AND co-partitions the verify's id_b join with `r` — see
+    // the fan-out note on orderedPrefixes for why the pin must be
+    // explicit. Whole corpus: plain distinct; its ENSURE exchange is
+    // proportional to the corpus and never byte-coalesces to one task.
     val numPart = sets.sparkSession.sessionState.conf.numShufflePartitions
-    val candidates = lp.join(rp, Seq("__t"))
+    val candBase = lp.join(rp, Seq("__t"))
       .filter(candidateFilter(threshold))
       .select(col("id_a"), col("id_b"))
-      .repartition(numPart, col("id_b"))
-      .distinct()
+    val candidates =
+      if (selectiveSlice)
+        candBase.repartition(numPart, col("id_b")).distinct()
+      else candBase.distinct()
     verify(candidates,
       r.select(col("id_b").as("id_a"), col("__set_b").as("__set_a")),
       r, threshold)
@@ -255,10 +286,11 @@ object Fuzzy {
     * the first |s| - ceil(t·|s|) + 1 tokens under (df, token) order. */
   private def prefixes(
       side: DataFrame, id: String, set: String,
-      tokenDf: DataFrame, threshold: Double): DataFrame =
+      tokenDf: DataFrame, threshold: Double,
+      pinFanout: Boolean = true): DataFrame =
     orderedPrefixes(
       side.select(col(id), explode(col(set)).as("__t")).join(tokenDf, Seq("__t")),
-      id, threshold)
+      id, threshold, pinFanout)
 
   /** Prefix carve-out over rows (id, __t, __df) already annotated with
     * token frequency.
@@ -275,9 +307,17 @@ object Fuzzy {
     * task at the 10× probe before the pin (a 1000-executor cluster
     * idles identically). The aggregate's required distribution is
     * satisfied by the pinned exchange, so this replaces — not adds to —
-    * the ENSURE_REQUIREMENTS shuffle. */
+    * the ENSURE_REQUIREMENTS shuffle.
+    *
+    * `pinFanout = false` (the whole-corpus self-join arm) skips the pin
+    * AND the two-phase split: a single ENSURE_REQUIREMENTS groupBy whose
+    * partial_collect_list packs each mapper's rows per doc before the
+    * one shuffle. That is the cheapest carve when nothing downstream
+    * hangs off this exchange alone — see the gate note on
+    * [[jaccardSelfJoin]]. */
   private def orderedPrefixes(
-      annotated: DataFrame, id: String, threshold: Double): DataFrame = {
+      annotated: DataFrame, id: String, threshold: Double,
+      pinFanout: Boolean): DataFrame = {
     val numPart =
       annotated.sparkSession.sessionState.conf.numShufflePartitions
     // Two-phase aggregation so the PIN does not lose map-side combining:
@@ -293,13 +333,21 @@ object Fuzzy {
     // exchange feeds a groupBy that REQUIRES its distribution, which
     // also keeps AQE's local-shuffle-read from quietly replacing the
     // pinned partitioning with the mapper count.
-    annotated
-      .groupBy(col(id), spark_partition_id().as("__p"))
-      .agg(collect_list(struct(col("__df").as("f"),
-        col("__t").as("t"))).as("__pl"))
-      .repartition(numPart, col(id))
-      .groupBy(col(id))
-      .agg(sort_array(flatten(collect_list(col("__pl")))).as("__o"))
+    val carved =
+      if (pinFanout)
+        annotated
+          .groupBy(col(id), spark_partition_id().as("__p"))
+          .agg(collect_list(struct(col("__df").as("f"),
+            col("__t").as("t"))).as("__pl"))
+          .repartition(numPart, col(id))
+          .groupBy(col(id))
+          .agg(sort_array(flatten(collect_list(col("__pl")))).as("__o"))
+      else
+        annotated
+          .groupBy(col(id))
+          .agg(sort_array(collect_list(struct(col("__df").as("f"),
+            col("__t").as("t")))).as("__o"))
+    carved
       .select(col(id), size(col("__o")).as("__n"),
         posexplode(expr("transform(__o, s -> s.t)"))
           .as(Seq("__i", "__t")))

@@ -213,6 +213,74 @@ class FuzzySpec extends SparkTestBase {
     assert(capped.length < full.length)
   }
 
+  test("fan-out pin: selective slice is pinned, whole corpus is not") {
+    // Regression pin for the round-11 AQE pathology: with a SELECTIVE
+    // left slice every intermediate is tiny in bytes, so AQE's
+    // byte-based coalescing would fold the prefix-carve exchange to one
+    // partition, and the broadcast-resolved downstream joins would run
+    // candidate generation + verify in ONE task (790 of 805 s at the
+    // 10× probe). The fix pins REPARTITION_BY_NUM — the one shuffle
+    // shape AQE never coalesces — at the carve and candidate exchanges,
+    // but ONLY for the selective form: the whole-corpus arm's shuffles
+    // are corpus-sized and the pin's two-phase carve taxed it ~1.4×
+    // (round-12 A/B in SCALING.md). Both halves are asserted so neither
+    // a dropped pin nor a leaked pin can regress silently.
+    val rng = new scala.util.Random(37)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val df = (0L until 80L).map(i =>
+      (i, Seq.fill(2 + rng.nextInt(6))(vocab(rng.nextInt(vocab.size)))))
+      .toDF("id", "st")
+    def finalPlan(q: org.apache.spark.sql.DataFrame): String = {
+      q.collect()
+      q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+    }
+    val selective = finalPlan(
+      Fuzzy.jaccardSelfJoin(df, "id", "st", 0.3, col("id") % 4 === 0))
+    assert(selective.contains("REPARTITION_BY_NUM"),
+      "selective-slice form lost its fan-out pin — AQE can fold " +
+        "candidate generation to one task again")
+    val whole = finalPlan(
+      Fuzzy.jaccardSelfJoin(df, "id", "st", 0.3, lit(true)))
+    assert(!whole.contains("REPARTITION_BY_NUM"),
+      "whole-corpus form carries the fan-out pin — it pays the " +
+        "two-phase carve + fixed fan-out constants for nothing")
+  }
+
+  test("selective-slice candidate generation runs at pinned parallelism") {
+    // The behavioral half of the pin: on a byte-tiny selective slice,
+    // at least one post-carve stage must still run with the session's
+    // configured shuffle parallelism (here 8). Under the pathology the
+    // whole chain collapses to single-task stages, so max tasks over
+    // the job's shuffle stages would be 1.
+    val rng = new scala.util.Random(41)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val df = (0L until 80L).map(i =>
+      (i, Seq.fill(2 + rng.nextInt(6))(vocab(rng.nextInt(vocab.size)))))
+      .toDF("id", "st")
+    val maxTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        maxTasks.getAndAccumulate(s.stageInfo.numTasks, Math.max _)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Fuzzy.jaccardSelfJoin(df, "id", "st", 0.3, col("id") % 4 === 0)
+        .count()
+      // listener bus is async — poll with a deadline for the pinned
+      // stage's completion event (same pattern as the observe test)
+      val numPart = spark.sessionState.conf.numShufflePartitions
+      val deadline = System.currentTimeMillis + 20000
+      while (maxTasks.get < numPart && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(maxTasks.get >= numPart,
+        s"no stage reached the pinned parallelism ($numPart): " +
+          s"max tasks seen = ${maxTasks.get} — the carve exchange " +
+          "coalesced and candidate generation is single-task again")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("the cap never sorts, and adds at most one skinny exchange") {
     // The heap-based cap must not sort anything (that was the
     // row_number formulation's scale bug), and the only exchange it may
