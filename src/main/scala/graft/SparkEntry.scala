@@ -1166,7 +1166,8 @@ object SparkEntry {
     val bandArms = (0 until bands).map { b =>
       val ms = (b * r until (b + 1) * r)
         .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
-      s"SELECT doc_id, $b AS band, md5($ms) AS bucket FROM sig"
+      s"SELECT doc_id, $b AS band, " +
+        s"('0x' || substr(md5($ms), 1, 15))::BIGINT AS bucket FROM sig"
     }.mkString(" UNION ALL ")
     // i = 1 .. len-n+1 shingle starts: range() end is exclusive, so
     // len - (n - 2); the guard keeps short docs at an empty range.
@@ -3045,9 +3046,10 @@ object SparkEntry {
     val k = 64; val bands = 16; val r = k / bands
     val c = 4294967296L // must match Dedup.ophOffset
     val bandArms = (0 until bands).map { b =>
-      s"SELECT doc_id, $b AS band, md5(array_to_string(list_transform(" +
-        s"sg[${b * r + 1}:${(b + 1) * r}], v -> CAST(v AS VARCHAR)), ',')) " +
-        "AS bucket FROM sig"
+      s"SELECT doc_id, $b AS band, " +
+        s"('0x' || substr(md5(array_to_string(list_transform(" +
+        s"sg[${b * r + 1}:${(b + 1) * r}], v -> CAST(v AS VARCHAR)), ',')), " +
+        "1, 15))::BIGINT AS bucket FROM sig"
     }.mkString(" UNION ALL ")
     s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),

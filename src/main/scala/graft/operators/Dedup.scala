@@ -362,9 +362,18 @@ object Dedup {
   }
 
   /** Portable band buckets (idCol, __band, __bucket): md5-family
-    * signatures → md5 band hash, the candidate-generation half of
+    * signatures → md5-prefix band hash, the candidate-generation half of
     * [[portableNearDups]] — exposed so other verifies (e.g.
-    * [[containmentVerify]]) can share the same LSH candidates. */
+    * [[containmentVerify]]) can share the same LSH candidates.
+    *
+    * The bucket key is the first 60 BITS of the band md5 as a long
+    * (replayable in DuckDB as `('0x' || substr(md5(s), 1, 15))::BIGINT`),
+    * not the 32-char hex string: the band-bucket exchange is the chain's
+    * biggest shuffle (bands× the corpus row count), and an 8-byte key
+    * both shrinks it ~4× and hash-groups without string compares. A
+    * 60-bit truncation only MERGES buckets on collision (~2⁻⁶⁰ per
+    * pair) — candidates are exact-verified, and the generated oracles
+    * replay the identical truncation, so results cannot drift. */
   def portableBuckets(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16,
@@ -373,15 +382,14 @@ object Dedup {
     val r = numHashes / bands
     val sig = portableSignatures(docs, idCol, textCol,
       numHashes, shingleSize, seed)
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws(",",
-          (b * r until (b + 1) * r).map(i => col(s"m$i")): _*)).as("bucket"))
-    }
+    // posexplode over a plain long array (pos IS the band index) — same
+    // shape as the xxhash arm's lshBuckets, no per-band struct rows
+    val bandHashes = array((0 until bands).map { b =>
+      graft.functions.PortableHash.md5Prefix(concat_ws(",",
+        (b * r until (b + 1) * r).map(i => col(s"m$i")): _*), 15)
+    }: _*)
     sig.select(col(idCol),
-      explode(array(bandStructs: _*)).as("__bk"))
-      .select(col(idCol), col("__bk.band").as("__band"),
-        col("__bk.bucket").as("__bucket"))
+      posexplode(bandHashes).as(Seq("__band", "__bucket")))
   }
 
   /** Full portable near-dup chain: md5-family signatures → md5 band
@@ -439,22 +447,21 @@ object Dedup {
   }
 
   /** OPH signatures → LSH band buckets (same band/bucket shape as
-    * [[portableBuckets]]: md5 over the band's comma-joined slot values). */
+    * [[portableBuckets]]: 60-bit md5 prefix over the band's comma-joined
+    * slot values — see the bucket-key note there). */
   def ophPortableBuckets(
       docs: DataFrame, idCol: String, textCol: String,
       numSlots: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame = {
     require(numSlots % bands == 0, "numSlots must divide into bands")
     val r = numSlots / bands
     val sig = ophPortableSignatures(docs, idCol, textCol, numSlots, shingleSize)
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(array_join(
-          transform(slice(col("signature"), b * r + 1, r),
-            v => v.cast("string")), ",")).as("bucket"))
-    }
-    sig.select(col(idCol), explode(array(bandStructs: _*)).as("__bk"))
-      .select(col(idCol), col("__bk.band").as("__band"),
-        col("__bk.bucket").as("__bucket"))
+    val bandHashes = array((0 until bands).map { b =>
+      graft.functions.PortableHash.md5Prefix(array_join(
+        transform(slice(col("signature"), b * r + 1, r),
+          v => v.cast("string")), ","), 15)
+    }: _*)
+    sig.select(col(idCol),
+      posexplode(bandHashes).as(Seq("__band", "__bucket")))
   }
 
   /** Full OPH near-dup chain: one-hash signatures → band buckets →
