@@ -2911,17 +2911,20 @@ object SparkEntry {
   private val q113 = Q("q113_domain_cap",
     (s, dir) => {
       // Per-source document cap (Sampling.capPerGroup): at most 15 docs
-      // per source, survivors decided by md5-hash order — the
-      // docs-per-domain ceiling every crawl recipe applies so one site
-      // can't dominate the mixture. Deterministic and layout-independent
-      // like every sampler here; one shuffle on the group column.
+      // per source, survivors decided by 60-bit md5-prefix hash order —
+      // the docs-per-domain ceiling every crawl recipe applies so one
+      // site can't dominate the mixture. Deterministic and
+      // layout-independent like every sampler here; rides the heap
+      // TopKPerGroupExec (no per-source sort), one shuffle on the group
+      // column. The oracle replays the identical hash order.
       Sampling.capPerGroup(t(s, dir, "documents"), "doc_id", "source", 15)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     },
     Some("""SELECT doc_id, source FROM (
       |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
-      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+      |      doc_id) AS rk
       |  FROM documents)
       |WHERE rk <= 15 ORDER BY doc_id""".stripMargin))
 

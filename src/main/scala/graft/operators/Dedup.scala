@@ -826,14 +826,22 @@ object Dedup {
   def keepBestPerCluster(
       docs: DataFrame, idCol: String, pairs: DataFrame,
       scoreCol: String): DataFrame = {
+    // The argmax rides the heap-based TopKPerGroupExec (k=1): no
+    // per-component sort — on a dup-heavy corpus the biggest cluster is
+    // exactly where a window sort would hurt. Referencing `comp` twice
+    // is safe: both connectedComponents arms return a materialized
+    // frame (cached final labels / parallelized local result), so the
+    // pair chain does not re-execute. Rows with a NULL score are never
+    // winners (the TopK contract drops null-order rows) — identical to
+    // the desc-NULLS-LAST window ranking whenever a cluster has at
+    // least one scored member.
     val comp = connectedComponents(pairs).withColumnRenamed("id", idCol)
-    val rk = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("component"))
-      .orderBy(col(scoreCol).desc, col(idCol))
-    val losers = docs.join(comp, Seq(idCol)) // clustered docs only
-      .withColumn("__rk", row_number().over(rk))
-      .filter(col("__rk") =!= 1)
+    val winners = graft.plans.TopKPerGroup
+      .perKey(docs.join(comp, Seq(idCol)), Seq("component"),
+        scoreCol, idCol, 1)
       .select(col(idCol))
+    val losers = comp.select(col(idCol))
+      .join(winners, Seq(idCol), "left_anti")
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -848,14 +856,13 @@ object Dedup {
   def bestPerCluster(
       docs: DataFrame, idCol: String, pairs: DataFrame,
       scoreCol: String): DataFrame = {
+    // Same heap-based k=1 argmax as [[keepBestPerCluster]] — see the
+    // plan/null notes there.
     val comp = connectedComponents(pairs).withColumnRenamed("id", idCol)
-    val rk = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("component"))
-      .orderBy(col(scoreCol).desc, col(idCol))
-    docs.join(comp, Seq(idCol)) // clustered docs only
-      .withColumn("__rk", row_number().over(rk))
-      .filter(col("__rk") === 1)
-      .drop("__rk", "component")
+    graft.plans.TopKPerGroup
+      .perKey(docs.join(comp, Seq(idCol)), Seq("component"),
+        scoreCol, idCol, 1)
+      .drop("component")
   }
 
   /** Embedding cosine near-dup: sign-LSH over `numPlanes` deterministic

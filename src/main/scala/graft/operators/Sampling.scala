@@ -120,19 +120,28 @@ object Sampling {
   /** Per-group cap: keep at most `k` rows of every group (the
     * docs-per-domain / docs-per-source ceiling of a data recipe —
     * protects the mixture from a single crawled site dominating it).
-    * Which rows survive is decided by md5-hash order on the key (ties by
-    * key), so the kept set is deterministic and layout-independent; one
-    * shuffle on the group column. Same keyCol-uniqueness contract as
-    * [[balanceClasses]]. */
+    * Which rows survive is decided by 60-bit md5-prefix hash order on
+    * the key (ties by key) — deterministic, layout-independent, and
+    * replayable in SQL as
+    * `('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT`.
+    * Same keyCol-uniqueness contract as [[balanceClasses]]; keyCol must
+    * be castable to string and integral-or-string typed (it breaks
+    * ties — the [[graft.plans.TopKPerGroup]] contract).
+    *
+    * Rides the heap-based [[graft.plans.TopKPerGroupExec]]: O(n log k)
+    * per partition, no sort, one exchange on the group column. The
+    * previous `row_number` window formulation SORTED every group in
+    * full — on a dup-heavy crawl a single hot domain is exactly where
+    * the cap matters and exactly where that sort hurts. */
   def capPerGroup(
       df: DataFrame, keyCol: String, groupCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val rk = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
-    df.withColumn("__rk", row_number().over(rk))
-      .filter(col("__rk") <= k)
-      .drop("__rk")
+    // TopK ranks order DESC; negate the 60-bit hash for ascending order
+    val hashed = df.withColumn("__ord",
+      -graft.functions.PortableHash.md5Prefix(col(keyCol).cast("string"), 15))
+    graft.plans.TopKPerGroup
+      .perKey(hashed, Seq(groupCol), "__ord", keyCol, k)
+      .drop("__ord")
   }
 
   def balanceClasses(

@@ -382,6 +382,63 @@ class DedupSpec extends SparkTestBase {
     assert(kept.select("doc_id").exceptAll(kept2.select("doc_id")).count() == 0)
   }
 
+  test("capPerGroup: heap cap, no sort, parity with the window form") {
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val capped = graft.operators.Sampling.capPerGroup(d, "doc_id", "source", 10)
+    // plan: rides TopKPerGroupExec with NO Sort anywhere — the window
+    // formulation this replaced sorted every source group in full
+    capped.collect()
+    val plan = capped.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TopKPerGroup"), "cap lost the heap exec")
+    assert(!plan.contains("Sort"), "cap sorted — the window-form bug")
+    assert(!plan.contains("Window"), "cap still uses a window")
+    // parity: identical kept SET to the row_number window over the same
+    // 60-bit hash order (the formulation capPerGroup replaced)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(
+        graft.functions.PortableHash.md5Prefix(
+          col("doc_id").cast("string"), 15),
+        col("doc_id"))
+    val windowKept = d.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 10).select("doc_id")
+    assert(capped.select("doc_id").exceptAll(windowKept).count() == 0)
+    assert(windowKept.exceptAll(capped.select("doc_id")).count() == 0)
+  }
+
+  test("cluster argmax rides the heap exec, parity with the window form") {
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+      .withColumn("score",
+        graft.functions.TextFunctions.qualityScore(col("text")))
+    val pairs = Dedup.portableNearDups(d, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.8)
+    val best = Dedup.bestPerCluster(d, "doc_id", pairs, "score")
+    best.collect()
+    val plan = best.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TopKPerGroup"), "argmax lost the heap exec")
+    assert(!plan.contains("Window"), "argmax still uses a window")
+    // parity vs the row_number window formulation it replaced
+    val comp = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val windowBest = d.join(comp, Seq("doc_id"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).select("doc_id")
+    assert(best.select("doc_id").exceptAll(windowBest).count() == 0)
+    assert(windowBest.exceptAll(best.select("doc_id")).count() == 0)
+    // keepBestPerCluster = unpaired docs + the same winners
+    val kept = Dedup.keepBestPerCluster(d, "doc_id", pairs, "score")
+      .select("doc_id")
+    val expected = d.join(comp.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id").unionByName(windowBest)
+    assert(kept.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(kept).count() == 0)
+  }
+
   test("leakageSafeSplit puts every near-dup cluster in one split") {
     val d = spark.read.parquet(s"$sf001/documents.parquet")
     val pairs = Dedup.portableNearDups(d, "doc_id", "text",
