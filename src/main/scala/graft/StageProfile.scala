@@ -69,11 +69,13 @@ object StageProfile {
       stages.clear(); taskMs.clear(); taskMax.clear()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, dir)
-      // EXPLAIN mode drives the frame itself (collect) so the printed
-      // plan is the AQE FINAL plan of the profiled run, not a re-plan
-      val n =
-        if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.collect().length.toLong
-        else df.count()
+      // collect(), not count(): a count() lets the optimizer prune the
+      // final projection and drop top-level sorts, so the profile could
+      // omit exactly the tail stages (expensive final selects, global
+      // orderBy) the query really pays — the profiled plan must be the
+      // plan Bench/Verify execute. collect() also makes the retained
+      // queryExecution the AQE FINAL plan for EXPLAIN mode.
+      val n = df.collect().length.toLong
       wall = (System.nanoTime() - t0) / 1e9
       println(f"== $name on $dir: $n rows, $wall%.2f s")
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))

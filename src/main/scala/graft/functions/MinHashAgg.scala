@@ -159,6 +159,19 @@ case class OphMinHashAgg(
     val raw = child.eval(input)
     if (raw != null) {
       val h = raw.asInstanceOf[Number].longValue()
+      // INPUT CONTRACT, enforced: the base hash must lie in [0, offset).
+      // The densification arithmetic assumes it twice over — a value
+      // ≥ offset breaks the "displacement dominates every raw hash"
+      // ordering (and can overflow (k-1)·offset + h), while a negative
+      // or Long.MaxValue input would corrupt the bin minima / be
+      // misread as an empty bin at eval. A caller feeding raw xxhash64
+      // must mask to 32 bits first (the portable chain's md5Prefix(·, 8)
+      // satisfies this by construction); failing fast here beats
+      // silently wrong signatures.
+      if (h < 0L || h >= offset)
+        throw new IllegalArgumentException(
+          s"oph_minhash_agg base hash out of contract: $h not in " +
+            s"[0, $offset) — mask 64-bit hashes to 32 bits first")
       val bin = java.lang.Math.floorMod(h, numSlots.toLong).toInt
       if (h < buf(bin)) buf(bin) = h
     }

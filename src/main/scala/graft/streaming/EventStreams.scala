@@ -60,11 +60,29 @@ object EventStreams {
     require(fs.exists(path) && fs.getFileStatus(path).isDirectory,
       s"events stream dir does not exist: $dir")
     val files = fs.listFiles(path, /* recursive = */ true)
+    // Hidden-ness applies to EVERY path component between `dir` and the
+    // leaf (mirroring Hadoop's per-directory hiddenFileFilter), not just
+    // the file name: a parquet part under an in-flight _temporary/ or
+    // .staging/ ancestor is not data — spark.read.parquet(dir) would
+    // ignore it, so counting it here would send the peek to a schema
+    // inference that fails on an effectively-empty directory.
+    // compare against the QUALIFIED root (listFiles returns qualified
+    // paths) so the walk stops at `dir` — components ABOVE it may
+    // legitimately be dot-dirs and must not disqualify anything
+    val root = fs.makeQualified(path)
+    def visible(leaf: org.apache.hadoop.fs.Path): Boolean = {
+      var p = leaf
+      while (p != null && p != root) {
+        val n = p.getName
+        if (n.startsWith("_") || n.startsWith(".")) return false
+        p = p.getParent
+      }
+      true
+    }
     var hasData = false
     while (!hasData && files.hasNext) {
-      val name = files.next().getPath.getName
-      hasData = name.endsWith(".parquet") &&
-        !name.startsWith("_") && !name.startsWith(".")
+      val f = files.next().getPath
+      hasData = f.getName.endsWith(".parquet") && visible(f)
     }
     val schema =
       if (hasData) spark.read.parquet(dir).schema

@@ -95,6 +95,32 @@ class DedupSpec extends SparkTestBase {
     assert(slots.exists(_ >= 4294967296L))
   }
 
+  test("OPH aggregate rejects out-of-contract base hashes") {
+    // The densification math assumes hashes in [0, offset): a raw
+    // xxhash64 (negative or >= 2^32) would silently corrupt bin minima
+    // (Long.MaxValue doubles as the empty-bin marker, and the
+    // (b−j mod k)·offset displacement must dominate every raw value) —
+    // the aggregate must fail fast instead
+    val bad = Seq((1L, 1L << 40), (1L, -5L)).toDF("id", "h")
+    val err = intercept[Exception] {
+      bad.groupBy(col("id"))
+        .agg(graft.functions.OphMinHashAgg.column(col("h"), 8,
+          4294967296L).as("sig"))
+        .collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(err).exists(_.contains("out of contract")))
+    // in-contract values still aggregate
+    val ok = Seq((1L, 7L), (1L, 3L)).toDF("id", "h")
+      .groupBy(col("id"))
+      .agg(graft.functions.OphMinHashAgg.column(col("h"), 8,
+        4294967296L).as("sig"))
+      .collect()
+    assert(ok.head.getSeq[Long](1).length == 8)
+  }
+
   test("OPH chain finds the planted near-dups and only true ones") {
     val pairs = Dedup.ophNearDups(docs, "doc_id", "text",
       numSlots = 64, bands = 32, shingleSize = 2, threshold = 0.5)

@@ -42,6 +42,29 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("peek ignores parquet under hidden/temp ANCESTOR dirs " +
+      "(in-flight _temporary writes are not data)") {
+    val dir = Files.createTempDirectory("graft_hidden").toString
+    // an aborted/in-flight write's part file under _temporary/: the
+    // batch reader spark.read.parquet(dir) ignores it, so the peek must
+    // too — counting it as data sends schema inference into a directory
+    // the reader sees as empty, which fails hard where the contract
+    // fallback would have worked
+    val tmp = java.nio.file.Paths.get(dir, "_temporary", "0", "task-0")
+    Files.createDirectories(tmp)
+    Files.copy(java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      tmp.resolve("part-0.parquet"))
+    val stream = EventStreams.readEventStream(spark, dir) // must not throw
+    // fallback means the contract schema was declared
+    assert(stream.schema.fieldNames.contains("event_time"))
+    // and a REAL file at the top level still counts as data: the same
+    // walk that skips hidden ancestors must find it
+    Files.copy(java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val stream2 = EventStreams.readEventStream(spark, dir)
+    assert(stream2.schema.fieldNames.contains("event_time"))
+  }
+
   test("windowedCounts over a file stream matches the batch aggregate") {
     // streaming file source needs a directory: stage the single parquet
     val dir = Files.createTempDirectory("graft_wc").toString
