@@ -138,13 +138,40 @@ object ScaleProbe {
     "q151_capped_editdist", "q152_gopher_rules", "q153_c4_clean",
     "q154_zipf_fit", "q155_tokenizer_fertility", "q156_dup_rate_by_source")
 
+  /** Re-stage every sf table as an N-file parquet dir. The driver's sf
+    * fixtures are single-file/single-row-group, so scan-rooted stages
+    * run on ONE mapper locally and the small side of every probe ratio
+    * under-reports scan parallelism (SCALING.md's long-standing
+    * footnote). A cluster's inputs split naturally; `multifile` makes
+    * the local probe match that. round_robin repartition (not
+    * coalesce): equal-size files regardless of source row groups. */
+  def stageMultiFile(
+      spark: SparkSession, srcDir: String, outDir: String,
+      files: Int): Unit = {
+    val done = new java.io.File(s"$outDir/_GRAFT_COMPLETE")
+    if (done.exists()) return
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .repartition(files)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
-    val src = "/root/testdata/sf0.1"
+    // "multifile" re-stages sf0.1 as 8-file tables and probes from the
+    // staged copy — the small side of each ratio then scans in parallel
+    // like a cluster's split files (see stageMultiFile)
+    val multiFile = args.contains("multifile")
+    val src0 = "/root/testdata/sf0.1"
     // outDir is the first POSITIONAL arg — option args (only=/x100only=/
-    // caponly/x100) must not be mistaken for it, or the 10× synthesis
-    // lands in a directory literally named "only=q150"
+    // caponly/x100/multifile) must not be mistaken for it, or the 10×
+    // synthesis lands in a directory literally named "only=q150"
     val out = args.find(a => !a.contains("=") &&
-      a != "caponly" && a != "x100").getOrElse("/tmp/graft_sf1synth")
+      a != "caponly" && a != "x100" && a != "multifile")
+      .getOrElse("/tmp/graft_sf1synth")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -154,8 +181,16 @@ object ScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the 10× synthesis always derives from the original fixtures (same
+    // rows either way; keeps the synth dir independent of staging)
     if (!new java.io.File(s"$out/lineitem.parquet").exists())
-      synthesize(spark, src, out)
+      synthesize(spark, src0, out)
+    val src =
+      if (multiFile) {
+        val staged = "/tmp/graft_sf01_x8"
+        stageMultiFile(spark, src0, staged, files = 8)
+        staged
+      } else src0
     // warm up
     spark.read.parquet(s"$src/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
