@@ -10,6 +10,12 @@ Queries present in only one file are listed separately (added/removed).
 Both files must carry the per-query `queries` map the round-7+ bench
 writes; medians make a >threshold move meaningful rather than JIT noise
 (see Bench.scala's 3-sweep rationale).
+
+When BOTH artifacts carry `calibration_sec` (round 12+: the warm median
+of a fixed range-sum + lineitem-groupBy workload, i.e. machine speed),
+ratios are NORMALIZED by the calibration ratio before thresholding —
+cross-round totals have drifted ~30% on environment alone, and the
+calibration divides that out. Raw ratios are always shown alongside.
 """
 import argparse
 import json
@@ -22,7 +28,8 @@ def load(path):
     # history files hold one JSON object per line; take the last
     line = text.splitlines()[-1]
     d = json.loads(line)
-    return d.get("queries", {}), d.get("value"), d.get("runs")
+    return d.get("queries", {}), d.get("value"), d.get("runs"), \
+        d.get("calibration_sec")
 
 
 def main():
@@ -34,36 +41,59 @@ def main():
     ap.add_argument("--min-sec", type=float, default=0.2,
                     help="ignore queries faster than this in BOTH runs "
                          "(default 0.2 s — fixed overhead dominates there)")
+    ap.add_argument("--no-normalize", action="store_true",
+                    help="threshold on raw ratios even when both "
+                         "artifacts carry calibration_sec")
     args = ap.parse_args()
 
-    old_q, old_total, old_runs = load(args.old)
-    new_q, new_total, new_runs = load(args.new)
+    old_q, old_total, old_runs, old_cal = load(args.old)
+    new_q, new_total, new_runs, new_cal = load(args.new)
+    # environment factor: >1 means the NEW machine ran the fixed
+    # calibration workload slower, so raw new/old ratios overstate
+    # regressions by this factor — divide it out
+    env = None
+    if old_cal and new_cal and not args.no_normalize:
+        env = new_cal / old_cal
     shared = sorted(set(old_q) & set(new_q))
     rows = []
     for name in shared:
         o, n = old_q[name], new_q[name]
         if max(o, n) < args.min_sec:
             continue
-        rows.append((n / o if o > 0 else float("inf"), name, o, n))
+        raw = n / o if o > 0 else float("inf")
+        rows.append((raw / env if env else raw, raw, name, o, n))
     rows.sort(reverse=True)
 
     print(f"total: {old_total} s ({old_runs} runs) -> "
           f"{new_total} s ({new_runs} runs) on "
           f"{len(shared)} shared queries")
+    if env:
+        print(f"calibration: {old_cal} -> {new_cal} s (env factor "
+              f"{env:.2f}x — ratios below are normalized by it; "
+              f"raw in parens)")
+    elif old_cal or new_cal:
+        print("calibration present in only one artifact — raw ratios")
+
+    def fmt(ratio, raw, name, o, n):
+        tag = f"({raw:.2f}x raw)" if env else ""
+        return f"  {name:34s} {o:7.3f} -> {n:7.3f}  ({ratio:.2f}x) {tag}"
+
     flagged = [r for r in rows if r[0] >= args.threshold]
     improved = [r for r in rows if r[0] <= 1 / args.threshold]
     if flagged:
-        print(f"\nREGRESSIONS (>= {args.threshold}x, both runs "
+        print(f"\nREGRESSIONS (>= {args.threshold}x"
+              f"{' normalized' if env else ''}, both runs "
               f">= {args.min_sec}s):")
-        for ratio, name, o, n in flagged:
-            print(f"  {name:34s} {o:7.3f} -> {n:7.3f}  ({ratio:.2f}x)")
+        for r in flagged:
+            print(fmt(*r))
     else:
-        print(f"\nno regressions >= {args.threshold}x "
+        print(f"\nno regressions >= {args.threshold}x"
+              f"{' normalized' if env else ''} "
               f"(on queries >= {args.min_sec}s)")
     if improved:
         print("\nimprovements:")
-        for ratio, name, o, n in improved:
-            print(f"  {name:34s} {o:7.3f} -> {n:7.3f}  ({ratio:.2f}x)")
+        for r in improved:
+            print(fmt(*r))
     added = sorted(set(new_q) - set(old_q))
     removed = sorted(set(old_q) - set(new_q))
     if added:
