@@ -77,21 +77,23 @@ object Bench {
     // calibration ratio — round-over-round full-board totals have
     // swung ~30 % on environment alone (SCALING.md round-11 notes).
     // First rep absorbs JIT/classloading and is excluded; the emitted
-    // scalar is the median of 3 warm reps.
+    // scalar is the median of 3 warm reps. A rep whose workload THROWS
+    // (e.g. lineitem unreadable) must not produce a tiny-but-plausible
+    // number — a broken calibration silently mis-normalizes every
+    // cross-round ratio in bench_compare, which is worse than none.
+    // Emit -1 instead; bench_compare treats non-positive as absent.
     def calibrationRep(): Double = {
       val t0 = System.nanoTime()
-      try {
-        spark.range(1000000L).selectExpr("sum(id)").collect()
-        spark.read.parquet(s"$sfDir/lineitem.parquet")
-          .groupBy("l_returnflag").count().collect()
-      } catch { case _: Throwable => () }
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().collect()
       (System.nanoTime() - t0) / 1e9
     }
-    calibrationRep() // cold: JIT + classloading, discarded
-    val calibrationSec = {
-      val reps = Vector.fill(3)(calibrationRep()).sorted
-      reps(1)
-    }
+    val calibrationSec =
+      try {
+        calibrationRep() // cold: JIT + classloading, discarded
+        Vector.fill(3)(calibrationRep()).sorted.apply(1)
+      } catch { case _: Throwable => -1.0 }
     val names = SparkEntry.queries.keys.toSeq
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
@@ -163,7 +165,10 @@ object Bench {
       "\"" + k + "\":[" + fmt(s.min) + "," + fmt(median(s)) + "," +
         fmt(s.max) + "]"
     }.mkString("{", ",", "}")
-    val budget = 1100
+    // budget shrunk 1100 → 1050 when calibration_sec joined the fixed
+    // overhead: the whole stdout line must fit the ~1800-char captured
+    // tail, so every fixed-field byte comes out of the query list
+    val budget = 1050
     val kept = new scala.collection.mutable.ArrayBuffer[String]
     var used = 0
     byTime.foreach { case (k, v) =>

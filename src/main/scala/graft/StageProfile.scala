@@ -69,13 +69,20 @@ object StageProfile {
       stages.clear(); taskMs.clear(); taskMax.clear()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, dir)
-      // collect(), not count(): a count() lets the optimizer prune the
-      // final projection and drop top-level sorts, so the profile could
-      // omit exactly the tail stages (expensive final selects, global
-      // orderBy) the query really pays — the profiled plan must be the
-      // plan Bench/Verify execute. collect() also makes the retained
-      // queryExecution the AQE FINAL plan for EXPLAIN mode.
-      val n = df.collect().length.toLong
+      // The driving action is part of the plan being profiled, so make
+      // it explicit: count() (default) matches what Bench times — its
+      // pruned final projection / dropped top-level sort is exactly the
+      // plan behind every BENCH number this profiler explains.
+      // SPARK_GRAFT_PROFILE_ACTION=collect instead materializes full
+      // rows like Verify's parquet dump (tail selects and global sorts
+      // included) — use it when profiling the verify path, but note a
+      // pair-report query at the 10× synthesis can return tens of
+      // millions of rows, which count() absorbs and a driver collect
+      // does not. Either action finalizes AQE, so EXPLAIN mode prints
+      // the FINAL plan of whichever run was profiled.
+      val collectRows =
+        sys.env.get("SPARK_GRAFT_PROFILE_ACTION").contains("collect")
+      val n = if (collectRows) df.collect().length.toLong else df.count()
       wall = (System.nanoTime() - t0) / 1e9
       println(f"== $name on $dir: $n rows, $wall%.2f s")
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))

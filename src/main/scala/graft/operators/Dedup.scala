@@ -283,6 +283,22 @@ object Dedup {
       newDocs: DataFrame, oldDocs: DataFrame,
       idCol: String, textCol: String,
       shingleSize: Int, threshold: Double, maxBucketSize: Int): DataFrame = {
+    // Bucket-format guard: the persisted index and the new batch MUST
+    // carry the same __bucket type. The portable chains changed their
+    // bucket representation (32-char md5 hex string → 60-bit md5-prefix
+    // long); joining a long batch against a string index would coerce
+    // the hex strings to NULL and silently match NOTHING — every
+    // new-vs-old near-duplicate missed with no error. Fail fast with
+    // the remediation instead.
+    val newT = newBuckets.schema("__bucket").dataType
+    val oldT = oldBuckets.schema("__bucket").dataType
+    require(newT == oldT,
+      s"__bucket type mismatch: new batch is ${newT.sql}, persisted " +
+        s"index is ${oldT.sql}. The persisted bucket index was written " +
+        "by a different engine version (the portable chains moved from " +
+        "md5-hex string buckets to 60-bit md5-prefix longs) — rebuild " +
+        "the index with the current minhashBuckets/portableBuckets/" +
+        "ophPortableBuckets before appending new batches.")
     val newNew = candidatePairs(newBuckets, idCol, maxBucketSize)
     val oldSizes = oldBuckets.groupBy(col("__band"), col("__bucket"))
       .agg(count(lit(1)).as("__n"))
@@ -831,19 +847,45 @@ object Dedup {
     // exactly where a window sort would hurt. Referencing `comp` twice
     // is safe: both connectedComponents arms return a materialized
     // frame (cached final labels / parallelized local result), so the
-    // pair chain does not re-execute. Rows with a NULL score are never
-    // winners (the TopK contract drops null-order rows) — identical to
-    // the desc-NULLS-LAST window ranking whenever a cluster has at
-    // least one scored member.
+    // pair chain does not re-execute. Scores are mapped through
+    // [[argmaxOrder]] so a NULL score never deletes data (see there).
     val comp = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    val clustered = docs.join(comp, Seq(idCol))
     val winners = graft.plans.TopKPerGroup
-      .perKey(docs.join(comp, Seq(idCol)), Seq("component"),
-        scoreCol, idCol, 1)
+      .perKey(clustered.withColumn("__amx", argmaxOrder(clustered, scoreCol)),
+        Seq("component"), "__amx", idCol, 1)
       .select(col(idCol))
     val losers = comp.select(col(idCol))
       .join(winners, Seq(idCol), "left_anti")
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Null-safe argmax order for the cluster-survivor operators. The
+    * TopK contract DROPS rows whose order is null/NaN — correct for a
+    * pair cap, but lethal for a keep-one dedup: a cluster whose scores
+    * are ALL null would produce no winner and every copy of the
+    * document would be deleted. Map the score instead: NULL → the
+    * type's minimum (ranks last, matching the old window's desc
+    * NULLS LAST — an all-null cluster keeps its lowest id), NaN → +∞
+    * (NaN sorts above every double in Spark's ordering, so the window
+    * ranked it first). Integral scores stay integral — exact 64-bit
+    * ranking, no double coercion past 2⁵³. */
+  private def argmaxOrder(df: DataFrame, scoreCol: String): Column =
+    df.schema(scoreCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType =>
+        coalesce(col(scoreCol).cast("long"), lit(Long.MinValue))
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType =>
+        when(col(scoreCol).isNull, lit(Double.NegativeInfinity))
+          .when(isnan(col(scoreCol)), lit(Double.PositiveInfinity))
+          .otherwise(col(scoreCol).cast("double"))
+      case _ => // decimal etc.: no NaN; double order is fine for a keep-one
+        coalesce(col(scoreCol).cast("double"),
+          lit(Double.NegativeInfinity))
+    }
 
   /** The per-cluster WINNERS only — [[keepBestPerCluster]] restricted to
     * docs that appear in `pairs`. Equals `keepBestPerCluster ∩ pair
@@ -857,12 +899,13 @@ object Dedup {
       docs: DataFrame, idCol: String, pairs: DataFrame,
       scoreCol: String): DataFrame = {
     // Same heap-based k=1 argmax as [[keepBestPerCluster]] — see the
-    // plan/null notes there.
+    // plan/null notes there and on [[argmaxOrder]].
     val comp = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    val clustered = docs.join(comp, Seq(idCol))
     graft.plans.TopKPerGroup
-      .perKey(docs.join(comp, Seq(idCol)), Seq("component"),
-        scoreCol, idCol, 1)
-      .drop("component")
+      .perKey(clustered.withColumn("__amx", argmaxOrder(clustered, scoreCol)),
+        Seq("component"), "__amx", idCol, 1)
+      .drop("component", "__amx")
   }
 
   /** Embedding cosine near-dup: sign-LSH over `numPlanes` deterministic

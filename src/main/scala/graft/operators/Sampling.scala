@@ -126,7 +126,11 @@ object Sampling {
     * `('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT`.
     * Same keyCol-uniqueness contract as [[balanceClasses]]; keyCol must
     * be castable to string and integral-or-string typed (it breaks
-    * ties — the [[graft.plans.TopKPerGroup]] contract).
+    * ties — the [[graft.plans.TopKPerGroup]] contract; other key types
+    * fail fast with a clear error, where the old window form silently
+    * accepted them). Rows with a NULL key are DROPPED — a null key
+    * already violates the uniqueness contract (every null ties), and
+    * the hash-ordered survivor set would be nondeterministic for them.
     *
     * Rides the heap-based [[graft.plans.TopKPerGroupExec]]: O(n log k)
     * per partition, no sort, one exchange on the group column. The

@@ -506,6 +506,58 @@ class DedupSpec extends SparkTestBase {
     assert(tiedIds == Set(1L, 3L, 5L))
   }
 
+  test("keepBestPerCluster never deletes a whole cluster on null scores") {
+    // Regression for the TopK swap: the heap exec drops null-order
+    // rows, so an all-null cluster produced NO winner and every copy
+    // was deleted. argmaxOrder maps null → type minimum instead: the
+    // all-null cluster keeps its lowest id (desc-NULLS-LAST parity).
+    val pairs = Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b")
+    val nullScored = docs.withColumn("score",
+      lit(null).cast("double"))
+    val ids = Dedup.keepBestPerCluster(nullScored, "doc_id", pairs, "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 5L)) // cluster {1,2,4} keeps lowest id 1
+    val best = Dedup.bestPerCluster(nullScored, "doc_id", pairs, "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(best == Set(1L))
+    // mixed null/non-null: the scored member wins over the null ones
+    val mixed = docs.withColumn("score",
+      when(col("doc_id") === 4L, 2.0).otherwise(lit(null).cast("double")))
+    val mixedBest = Dedup.bestPerCluster(mixed, "doc_id", pairs, "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mixedBest == Set(4L))
+    // NaN ranks ABOVE every finite score (Spark's double ordering)
+    val withNan = docs.withColumn("score",
+      when(col("doc_id") === 2L, lit(Double.NaN)).otherwise(lit(1.0)))
+    val nanBest = Dedup.bestPerCluster(withNan, "doc_id", pairs, "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nanBest == Set(2L))
+  }
+
+  test("incremental dedup fails fast on a stale bucket-index format") {
+    // The portable chains moved __bucket from md5-hex string to 60-bit
+    // long; a persisted string index joined against long batch buckets
+    // would cast to NULL and silently match nothing. The operator must
+    // reject the mismatch with the rebuild remediation instead.
+    val newDocs = Seq((100L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val oldDocs = Seq((1L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val staleIndex = Seq((1L, 0, "00ff00ff00ff00ff00ff00ff00ff00ff"))
+      .toDF("doc_id", "__band", "__bucket")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.incrementalOphNearDups(newDocs, oldDocs, staleIndex,
+        "doc_id", "text", numSlots = 8, bands = 2, shingleSize = 1)
+        .collect()
+    }
+    assert(err.getMessage.contains("__bucket type mismatch"))
+    // matching formats still work end to end
+    val freshIndex = Dedup.ophPortableBuckets(oldDocs, "doc_id", "text",
+      numSlots = 8, bands = 2, shingleSize = 1)
+    val pairs = Dedup.incrementalOphNearDups(newDocs, oldDocs, freshIndex,
+      "doc_id", "text", numSlots = 8, bands = 2, shingleSize = 1)
+      .collect()
+    assert(pairs.nonEmpty) // identical text = a cross near-dup
+  }
+
   test("duplicateNgramProfile counts shared token spans exactly") {
     // "a b c d" and "x y a b c" share exactly the 2-grams "a b","b c"
     val tiny = Seq(

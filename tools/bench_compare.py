@@ -51,8 +51,11 @@ def main():
     # environment factor: >1 means the NEW machine ran the fixed
     # calibration workload slower, so raw new/old ratios overstate
     # regressions by this factor — divide it out
+    # non-positive calibration marks a run whose calibration workload
+    # failed (Bench emits -1 there) — treat as absent
     env = None
-    if old_cal and new_cal and not args.no_normalize:
+    if old_cal and new_cal and old_cal > 0 and new_cal > 0 \
+            and not args.no_normalize:
         env = new_cal / old_cal
     shared = sorted(set(old_q) & set(new_q))
     rows = []
