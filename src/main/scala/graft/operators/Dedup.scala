@@ -359,23 +359,32 @@ object Dedup {
   def portableCoefficients(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] =
     graft.functions.PortableHash.coefficients(numHashes, seed)
 
-  /** Signature as numHashes min-columns m0..m{k-1} (kept wide for banding). */
-  def portableSignatures(
+  /** Signature as ONE array<long> column `__mh` (the fused k-slot
+    * aggregate's native shape — value-identical to k separate
+    * min((a_i*H+b_i) % p) aggregates). */
+  private def portableSignatureArray(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, shingleSize: Int, seed: Long = 42L): DataFrame = {
+      numHashes: Int, shingleSize: Int, seed: Long): DataFrame = {
     val coef = portableCoefficients(numHashes, seed)
     val sh = shingleRows(df, idCol, textCol, shingleSize)
       .withColumn("__H",
         graft.functions.PortableHash.md5Prefix(col("__sh"), 8))
-    // fused k-slot aggregate, then projected back to the wide m0..m{k-1}
-    // shape the band hashers and the generated oracles consume —
-    // value-identical to k separate min((a_i*H+b_i) % p) aggregates
     sh.groupBy(col(idCol))
       .agg(graft.functions.PortableMinHashAgg.column(col("__H"), coef,
         portablePrime).as("__mh"))
+  }
+
+  /** Signature as numHashes min-columns m0..m{k-1} — the wide shape the
+    * generated oracle SQL mirrors (`sig` CTE). The engine's own band
+    * hashers consume [[portableSignatureArray]] directly: at k=128 the
+    * wide projection is 128 element_at expressions and a 128-column
+    * exchange row for no plan benefit. */
+  def portableSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleSize: Int, seed: Long = 42L): DataFrame =
+    portableSignatureArray(df, idCol, textCol, numHashes, shingleSize, seed)
       .select(col(idCol) +: (0 until numHashes).map(i =>
         element_at(col("__mh"), i + 1).as(s"m$i")): _*)
-  }
 
   /** Portable band buckets (idCol, __band, __bucket): md5-family
     * signatures → md5-prefix band hash, the candidate-generation half of
@@ -396,13 +405,19 @@ object Dedup {
       shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
-    val sig = portableSignatures(docs, idCol, textCol,
+    val sig = portableSignatureArray(docs, idCol, textCol,
       numHashes, shingleSize, seed)
     // posexplode over a plain long array (pos IS the band index) — same
-    // shape as the xxhash arm's lshBuckets, no per-band struct rows
+    // shape as the xxhash arm's lshBuckets, no per-band struct rows and
+    // no wide m0..m{k-1} projection. The band text is concat_ws over
+    // element_at slots — fully codegen (an array_join(transform(...))
+    // spelling reads nicer but the HOF lambda runs INTERPRETED per row;
+    // measured ~25 % slower on the k=128 chain) and byte-identical to
+    // the oracle's m_i || ',' || ... text.
     val bandHashes = array((0 until bands).map { b =>
       graft.functions.PortableHash.md5Prefix(concat_ws(",",
-        (b * r until (b + 1) * r).map(i => col(s"m$i")): _*), 15)
+        (b * r until (b + 1) * r).map(i =>
+          element_at(col("__mh"), i + 1).cast("string")): _*), 15)
     }: _*)
     sig.select(col(idCol),
       posexplode(bandHashes).as(Seq("__band", "__bucket")))
@@ -471,10 +486,13 @@ object Dedup {
     require(numSlots % bands == 0, "numSlots must divide into bands")
     val r = numSlots / bands
     val sig = ophPortableSignatures(docs, idCol, textCol, numSlots, shingleSize)
+    // concat_ws over element_at slots, not array_join(transform(...)):
+    // the HOF lambda is interpreted per row, this stays codegen — see
+    // the note on portableBuckets
     val bandHashes = array((0 until bands).map { b =>
-      graft.functions.PortableHash.md5Prefix(array_join(
-        transform(slice(col("signature"), b * r + 1, r),
-          v => v.cast("string")), ","), 15)
+      graft.functions.PortableHash.md5Prefix(concat_ws(",",
+        (b * r + 1 to (b + 1) * r).map(i =>
+          element_at(col("signature"), i).cast("string")): _*), 15)
     }: _*)
     sig.select(col(idCol),
       posexplode(bandHashes).as(Seq("__band", "__bucket")))
