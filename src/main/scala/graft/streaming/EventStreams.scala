@@ -329,6 +329,97 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming NEAR-dup filter — the continuous-ingest dedup shape: each
+    * micro-batch of documents is (1) internally deduplicated (OPH
+    * MinHash-LSH pairs → connected components → keep-one representative)
+    * and (2) checked against a PERSISTED bucket index of everything
+    * already accepted; a new doc that near-matches an accepted doc is
+    * dropped (first-accepted-wins). Survivors are appended to the output,
+    * and their buckets + texts are appended to the index state — so
+    * per-batch cost scales with the BATCH, never the accumulated corpus
+    * (the [[graft.operators.Dedup.incrementalOphNearDups]] argument).
+    *
+    * State layout under `statePath`: `buckets.parquet` (the LSH index —
+    * (id, __band, __bucket), equi-joinable at any scale) and
+    * `docs.parquet` ((id, text) for the exact-Jaccard verify of
+    * candidate pairs only). Both are APPEND-only: no batch ever rewrites
+    * corpus-sized state.
+    *
+    * Delivery: at-least-once on the output (a batch replayed after a
+    * crash re-appends its survivors — replay recomputes the SAME
+    * survivor set, because a doc's own index entries are excluded by id
+    * equality, so duplicates are exact row-level copies a downstream
+    * exact dedup or [[mergeSink]]-style keyed merge removes; duplicate
+    * index entries only inflate bucket counts toward the maxBucketSize
+    * guardrail, never change candidate pairs, which are distinct).
+    *
+    * Policy notes: batch-internal clusters keep their MIN id (the
+    * [[graft.operators.Dedup.keepClusterRepresentatives]] contract);
+    * recall is the LSH operating point's (raise bands for more). */
+  def nearDupFilterSink(
+      docs: DataFrame,
+      outPath: String,
+      statePath: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numSlots: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        import graft.operators.Dedup
+        val spark = batch.sparkSession
+        val b = batch.persist()
+        try {
+          if (b.count() > 0) {
+            val bucketsDir = s"$statePath/buckets.parquet"
+            val docsDir = s"$statePath/docs.parquet"
+            // (1) batch-internal keep-one
+            val internal = Dedup.ophNearDups(b, idCol, textCol,
+              numSlots, bands, shingleSize, threshold)
+            val reps = Dedup.keepClusterRepresentatives(b, idCol, internal)
+              .persist()
+            // (2) cross-check reps against the accepted-corpus index
+            val survivors =
+              if (!new java.io.File(bucketsDir).exists()) reps
+              else {
+                val oldBuckets = spark.read.parquet(bucketsDir)
+                val oldDocs = spark.read.parquet(docsDir)
+                val pairs = Dedup.incrementalOphNearDups(reps, oldDocs,
+                  oldBuckets, idCol, textCol, numSlots, bands,
+                  shingleSize, threshold, maxBucketSize)
+                val oldIds = oldDocs.select(col(idCol))
+                // a NEW endpoint paired with an OLD endpoint is dropped;
+                // (new, new) residuals among representatives survive —
+                // same contract as the batch keep-one
+                val aOld = pairs.join(oldIds.withColumnRenamed(idCol, "id_a"),
+                  Seq("id_a"), "left_semi").select(col("id_b").as(idCol))
+                val bOld = pairs.join(oldIds.withColumnRenamed(idCol, "id_b"),
+                  Seq("id_b"), "left_semi").select(col("id_a").as(idCol))
+                val dropNew = aOld.unionByName(bOld)
+                  .join(oldIds, Seq(idCol), "left_anti").distinct()
+                reps.join(dropNew, Seq(idCol), "left_anti")
+              }
+            val sv = survivors.persist()
+            try {
+              sv.select(col(idCol), col(textCol))
+                .write.mode("append").parquet(docsDir)
+              Dedup.ophPortableBuckets(sv, idCol, textCol,
+                  numSlots, bands, shingleSize)
+                .write.mode("append").parquet(bucketsDir)
+              sv.write.mode("append").parquet(outPath)
+            } finally { sv.unpersist(); () }
+            reps.unpersist()
+          }
+        } finally { b.unpersist(); () }
+        ()
+      }
+      .start()
+
   /** Stream-stream interval join: each click matched to purchases by the
     * same user within `maxDelay` AFTER the click. Both sides carry
     * watermarks so the join state is bounded (Spark retains only rows

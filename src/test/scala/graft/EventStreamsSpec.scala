@@ -65,6 +65,41 @@ class EventStreamsSpec extends SparkTestBase {
     assert(stream2.schema.fieldNames.contains("event_time"))
   }
 
+  test("nearDupFilterSink: continuous-ingest near-dedup across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val in = MemoryStream[(Long, String)]
+    val base = Files.createTempDirectory("graft_neardup").toString
+    val out = s"$base/out"; val state = s"$base/state"; val cp = s"$base/cp"
+    val q = EventStreams.nearDupFilterSink(
+      in.toDF().toDF("doc_id", "text"), out, state, cp,
+      numSlots = 16, bands = 4, shingleSize = 1, threshold = 0.8)
+    try {
+      // batch 1: two distinct docs + an in-batch near-dup of doc 1
+      in.addData(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+        (10L, "one two three four five six seven"))
+      q.processAllAvailable()
+      val r1 = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(r1 == Set(1L, 10L)) // in-batch cluster keeps min id
+      // batch 2: a near-dup of an ACCEPTED doc + one genuinely new doc
+      in.addData(
+        (20L, "alpha beta gamma delta epsilon zeta"), // dups accepted 1
+        (30L, "completely different words here entirely now"))
+      q.processAllAvailable()
+      val r2 = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(r2 == Set(1L, 10L, 30L)) // 20 dropped vs the index
+      // the index state grew append-only and holds exactly the accepted
+      val idx = spark.read.parquet(s"$state/docs.parquet")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(idx == Set(1L, 10L, 30L))
+    } finally q.stop()
+  }
+
   test("windowedCounts over a file stream matches the batch aggregate") {
     // streaming file source needs a directory: stage the single parquet
     val dir = Files.createTempDirectory("graft_wc").toString
