@@ -78,10 +78,14 @@ object StageProfile {
       // included) — use it when profiling the verify path, but note a
       // pair-report query at the 10× synthesis can return tens of
       // millions of rows, which count() absorbs and a driver collect
-      // does not. Either action finalizes AQE, so EXPLAIN mode prints
-      // the FINAL plan of whichever run was profiled.
+      // does not. EXPLAIN mode forces collect: count() runs a SEPARATE
+      // internal query execution, leaving the retained
+      // df.queryExecution un-executed (its AQE plan never finalizes),
+      // so printing it after a count would show an isFinalPlan=false
+      // initial plan that matches nothing that ran.
       val collectRows =
-        sys.env.get("SPARK_GRAFT_PROFILE_ACTION").contains("collect")
+        sys.env.get("SPARK_GRAFT_PROFILE_ACTION").contains("collect") ||
+          sys.env.contains("SPARK_GRAFT_EXPLAIN")
       val n = if (collectRows) df.collect().length.toLong else df.count()
       wall = (System.nanoTime() - t0) / 1e9
       println(f"== $name on $dir: $n rows, $wall%.2f s")

@@ -272,6 +272,25 @@ object Dedup {
       oldBuckets, newDocs, oldDocs, idCol, textCol,
       shingleSize, threshold, maxBucketSize)
 
+  /** Buckets-level incremental entry: same contract as
+    * [[incrementalOphNearDups]]/[[incrementalMinhashNearDups]] but the
+    * NEW batch's buckets are supplied by the caller — for callers that
+    * already computed them (e.g. a streaming sink that reuses ONE
+    * bucket pass for internal dedup, the cross-check, and the index
+    * append) so the sketch pass is not re-paid per use. `newBuckets`
+    * must cover exactly `newDocs` under the same family/parameters as
+    * the persisted index (the `__bucket` type guard catches a
+    * format-level mismatch; parameter drift within the same type is
+    * the caller's contract). */
+  def incrementalNearDupsFromBuckets(
+      newBuckets: DataFrame, newDocs: DataFrame,
+      oldDocs: DataFrame, oldBuckets: DataFrame,
+      idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.8,
+      maxBucketSize: Int = 1000): DataFrame =
+    incrementalFromBuckets(newBuckets, oldBuckets, newDocs, oldDocs,
+      idCol, textCol, shingleSize, threshold, maxBucketSize)
+
   /** Shared incremental tail over any bucket family: candidates =
     * (new × new) within the batch plus (new × old) via an equi-join of
     * the batch's buckets against the persisted index, then the exact
@@ -887,7 +906,15 @@ object Dedup {
     * NULLS LAST — an all-null cluster keeps its lowest id), NaN → +∞
     * (NaN sorts above every double in Spark's ordering, so the window
     * ranked it first). Integral scores stay integral — exact 64-bit
-    * ranking, no double coercion past 2⁵³. */
+    * ranking, no double coercion past 2⁵³.
+    *
+    * Known sentinel collisions (measure-zero, documented rather than
+    * encoded around): a genuine `-∞` (or `Long.MinValue`) score ties
+    * with a NULL score — both rank last, tie broken by lowest id — and
+    * a genuine `+∞` ties with NaN. Non-NUMERIC score columns are
+    * rejected with a clear error (the pre-round-12 behavior): silently
+    * casting a string score to double would send every row to the null
+    * sentinel and crown the lowest id regardless of score. */
   private def argmaxOrder(df: DataFrame, scoreCol: String): Column =
     df.schema(scoreCol).dataType match {
       case org.apache.spark.sql.types.ByteType |
@@ -900,9 +927,14 @@ object Dedup {
         when(col(scoreCol).isNull, lit(Double.NegativeInfinity))
           .when(isnan(col(scoreCol)), lit(Double.PositiveInfinity))
           .otherwise(col(scoreCol).cast("double"))
-      case _ => // decimal etc.: no NaN; double order is fine for a keep-one
+      case d: org.apache.spark.sql.types.DecimalType =>
+        // no NaN in decimal; double order is fine for a keep-one
         coalesce(col(scoreCol).cast("double"),
           lit(Double.NegativeInfinity))
+      case other =>
+        throw new IllegalArgumentException(
+          s"cluster-survivor score column $scoreCol must be numeric, " +
+            s"got ${other.sql}")
     }
 
   /** The per-cluster WINNERS only — [[keepBestPerCluster]] restricted to

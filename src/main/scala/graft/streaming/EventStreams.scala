@@ -373,24 +373,65 @@ object EventStreams {
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         import graft.operators.Dedup
         val spark = batch.sparkSession
+        // state lives behind the Hadoop FileSystem API, NOT java.io.File:
+        // a java.io existence check is always false for hdfs://-/s3a://-
+        // style state paths, which would silently disable the cross-batch
+        // check while the Spark appends kept working — same hazard class
+        // readEventStream documents for its landing-dir peek
+        val hconf = spark.sparkContext.hadoopConfiguration
+        def fsExists(p: String): Boolean = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(hconf).exists(hp)
+        }
+        val bucketsDir = s"$statePath/buckets.parquet"
+        val docsDir = s"$statePath/docs.parquet"
+        // LSH parameters are part of the index format: a restart with
+        // different bands/slots/shingles produces same-TYPE buckets that
+        // match (near) nothing against the old index — invisible to the
+        // __bucket type guard, so pin them in a manifest and fail fast.
+        val paramsFile = new org.apache.hadoop.fs.Path(
+          s"$statePath/_GRAFT_LSH_PARAMS")
+        val params = s"oph,$numSlots,$bands,$shingleSize"
+        val pfs = paramsFile.getFileSystem(hconf)
+        if (pfs.exists(paramsFile)) {
+          val in = pfs.open(paramsFile)
+          val stored = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim finally in.close()
+          require(stored == params,
+            s"near-dup index at $statePath was built with LSH params " +
+              s"[$stored] but this sink is configured with [$params] — " +
+              "same-type buckets under different params silently match " +
+              "nothing; rebuild the index or restore the original params")
+        } else {
+          val outS = pfs.create(paramsFile, true)
+          try outS.write(params.getBytes("UTF-8")) finally outS.close()
+        }
         val b = batch.persist()
+        // ONE bucket pass serves all three uses (internal dedup,
+        // cross-check, index append) — the sketch is the dominant
+        // per-batch cost and must not be paid three times
+        val bBuckets = Dedup.ophPortableBuckets(b, idCol, textCol,
+          numSlots, bands, shingleSize).persist()
+        var reps: DataFrame = null
+        var sv: DataFrame = null
         try {
           if (b.count() > 0) {
-            val bucketsDir = s"$statePath/buckets.parquet"
-            val docsDir = s"$statePath/docs.parquet"
             // (1) batch-internal keep-one
-            val internal = Dedup.ophNearDups(b, idCol, textCol,
-              numSlots, bands, shingleSize, threshold)
-            val reps = Dedup.keepClusterRepresentatives(b, idCol, internal)
+            val internal = Dedup.jaccardVerify(
+              Dedup.candidatePairs(bBuckets, idCol, maxBucketSize),
+              b, idCol, textCol, shingleSize, threshold)
+            reps = Dedup.keepClusterRepresentatives(b, idCol, internal)
               .persist()
+            val repIds = reps.select(col(idCol))
             // (2) cross-check reps against the accepted-corpus index
             val survivors =
-              if (!new java.io.File(bucketsDir).exists()) reps
+              if (!fsExists(bucketsDir)) reps
               else {
                 val oldBuckets = spark.read.parquet(bucketsDir)
                 val oldDocs = spark.read.parquet(docsDir)
-                val pairs = Dedup.incrementalOphNearDups(reps, oldDocs,
-                  oldBuckets, idCol, textCol, numSlots, bands,
+                val pairs = Dedup.incrementalNearDupsFromBuckets(
+                  bBuckets.join(repIds, Seq(idCol), "left_semi"),
+                  reps, oldDocs, oldBuckets, idCol, textCol,
                   shingleSize, threshold, maxBucketSize)
                 val oldIds = oldDocs.select(col(idCol))
                 // a NEW endpoint paired with an OLD endpoint is dropped;
@@ -404,18 +445,20 @@ object EventStreams {
                   .join(oldIds, Seq(idCol), "left_anti").distinct()
                 reps.join(dropNew, Seq(idCol), "left_anti")
               }
-            val sv = survivors.persist()
-            try {
-              sv.select(col(idCol), col(textCol))
-                .write.mode("append").parquet(docsDir)
-              Dedup.ophPortableBuckets(sv, idCol, textCol,
-                  numSlots, bands, shingleSize)
-                .write.mode("append").parquet(bucketsDir)
-              sv.write.mode("append").parquet(outPath)
-            } finally { sv.unpersist(); () }
-            reps.unpersist()
+            sv = survivors.persist()
+            sv.select(col(idCol), col(textCol))
+              .write.mode("append").parquet(docsDir)
+            bBuckets.join(sv.select(col(idCol)), Seq(idCol), "left_semi")
+              .write.mode("append").parquet(bucketsDir)
+            sv.write.mode("append").parquet(outPath)
           }
-        } finally { b.unpersist(); () }
+        } finally {
+          if (sv != null) sv.unpersist()
+          if (reps != null) reps.unpersist()
+          bBuckets.unpersist()
+          b.unpersist()
+          ()
+        }
         ()
       }
       .start()

@@ -98,6 +98,23 @@ class EventStreamsSpec extends SparkTestBase {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(idx == Set(1L, 10L, 30L))
     } finally q.stop()
+    // restarting against the same index with DIFFERENT LSH params must
+    // fail fast: same-type buckets under other params silently match
+    // nothing, which the params manifest exists to catch
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.nearDupFilterSink(
+      in2.toDF().toDF("doc_id", "text"), out, state, s"$base/cp2",
+      numSlots = 16, bands = 2, shingleSize = 1, threshold = 0.8)
+    try {
+      in2.addData((40L, "whatever text this is now"))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(err).exists(_.contains("LSH params")))
+    } finally q2.stop()
   }
 
   test("windowedCounts over a file stream matches the batch aggregate") {

@@ -74,6 +74,13 @@ def main():
         print(f"calibration: {old_cal} -> {new_cal} s (env factor "
               f"{env:.2f}x — ratios below are normalized by it; "
               f"raw in parens)")
+    elif (old_cal is not None and old_cal <= 0) or \
+            (new_cal is not None and new_cal <= 0):
+        bad = [s for s, c in (("old", old_cal), ("new", new_cal))
+               if c is not None and c <= 0]
+        print(f"calibration FAILED in the {'/'.join(bad)} run "
+              f"(sentinel {old_cal if 'old' in bad else new_cal}) — "
+              "raw ratios; treat cross-round totals as unnormalized")
     elif old_cal or new_cal:
         print("calibration present in only one artifact — raw ratios")
 
