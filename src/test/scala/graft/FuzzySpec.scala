@@ -247,6 +247,22 @@ class FuzzySpec extends SparkTestBase {
         "two-phase carve + fixed fan-out constants for nothing")
   }
 
+  test("the pin gate changes the plan, never the result") {
+    // leftPred = lit(true) takes the unpinned whole-corpus arm;
+    // a trivially-true COMPUTED predicate takes the pinned selective
+    // arm. Same semantics either way — the two arms must agree exactly.
+    val rng = new scala.util.Random(43)
+    val vocab = (0 until 10).map(i => s"w$i")
+    val df = (0L until 70L).map(i =>
+      (i, Seq.fill(2 + rng.nextInt(6))(vocab(rng.nextInt(vocab.size)))))
+      .toDF("id", "st")
+    def rows(pred: org.apache.spark.sql.Column) =
+      Fuzzy.jaccardSelfJoin(df, "id", "st", 0.4, pred)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    assert(rows(lit(true)) == rows(col("id") >= 0L))
+  }
+
   test("selective-slice candidate generation runs at pinned parallelism") {
     // The behavioral half of the pin: on a byte-tiny selective slice,
     // at least one post-carve stage must still run with the session's
