@@ -2639,10 +2639,12 @@ object SparkEntry {
   private val q104 = Q("q104_class_balance",
     (s, dir) => {
       // Class-balanced downsampling (Sampling.balanceClasses): every
-      // label keeps exactly min-class-count rows, chosen by md5-hash
-      // order on vec_id — deterministic and layout-independent. The
-      // output pins WHICH rows survived (sum of kept ids per class),
-      // not just how many.
+      // label keeps exactly min-class-count rows, chosen by 60-bit
+      // md5-prefix hash order on vec_id — deterministic and
+      // layout-independent; rides the heap TopKPerGroupExec (no
+      // per-class sort) behind one scalar cutoff collect. The output
+      // pins WHICH rows survived (sum of kept ids per class), not just
+      // how many; the oracle replays the identical hash order.
       val e = t(s, dir, "embeddings")
       graft.operators.Sampling.balanceClasses(e, "vec_id", "label")
         .groupBy(col("label"))
@@ -2653,7 +2655,8 @@ object SparkEntry {
     Some("""WITH ranked AS (
       |  SELECT label, vec_id,
       |    ROW_NUMBER() OVER (PARTITION BY label
-      |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      |      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+      |        vec_id) AS rk
       |  FROM embeddings),
       |m AS (SELECT MIN(cnt) AS mn FROM (
       |  SELECT COUNT(*) AS cnt FROM embeddings GROUP BY label))

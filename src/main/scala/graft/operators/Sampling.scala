@@ -100,23 +100,17 @@ object Sampling {
 
   /** Class-balanced downsampling: keep exactly `min(class count)` rows of
     * EVERY class — the standard rebalance before training a classifier on
-    * skewed labels. Which rows survive is decided by md5-hash order on
-    * the key (ties by key), so the kept set is deterministic and
-    * layout-independent, like every sampler here.
+    * skewed labels. Which rows survive is decided by 60-bit md5-prefix
+    * hash order on the key (ties by key), so the kept set is
+    * deterministic and layout-independent, like every sampler here.
     *
     * Contract: `keyCol` must be UNIQUE within each label (like
     * [[deterministicShuffle]]'s key contract). Rows sharing a key inside
-    * a label tie on the full sort key, their relative `row_number` ranks
-    * become layout-dependent, and which payload rows survive at the
-    * cutoff is no longer deterministic. Build a composite key first when
-    * no natural unique key exists.
-    *
-    * Plan shape: one shuffle on the label for the per-class `row_number`,
-    * a broadcast of the single-row global minimum joined in (never a
-    * driver-side collect), and a filter — no second shuffle of the data.
-    * The per-class counts the minimum derives from reuse the same
-    * exchange. Scales to any row count; the label cardinality only
-    * bounds the tiny count-aggregate. */
+    * a label tie on the full sort key, their relative ranks become
+    * layout-dependent, and which payload rows survive at the cutoff is
+    * no longer deterministic. Build a composite key first when no
+    * natural unique key exists. See [[balanceClasses]] for the plan
+    * shape (heap top-k behind one bounded scalar collect). */
   /** Per-group cap: keep at most `k` rows of every group (the
     * docs-per-domain / docs-per-source ceiling of a data recipe —
     * protects the mixture from a single crawled site dominating it).
@@ -148,18 +142,41 @@ object Sampling {
       .drop("__ord")
   }
 
+  /** Keep exactly min-class-count rows of every class, chosen by
+    * 60-bit md5-prefix hash order on the key (same replayable order as
+    * [[capPerGroup]]).
+    *
+    * EAGER: the cutoff (one scalar — the smallest class's count) is
+    * collected at call time so the keep step can ride the heap-based
+    * [[graft.plans.TopKPerGroup]] exec. The previous lazy formulation
+    * `row_number` windowed EVERY class — and on the skewed labels this
+    * operator exists for, that full-sorts the BIGGEST class to keep a
+    * min-class-sized slice of it. One count aggregate (map-combined,
+    * label-cardinality rows) + one heap pass replaces it. Falls back
+    * to the window form in the vanishing case minCount > Int.MaxValue
+    * (the TopK k is an Int). */
   def balanceClasses(
       df: DataFrame, keyCol: String, labelCol: String): DataFrame = {
-    val rk = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(labelCol))
-      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
-    val minCount = df.groupBy(col(labelCol))
+    val counts = df.groupBy(col(labelCol))
       .agg(count(lit(1)).as("__class_n"))
       .agg(min(col("__class_n")).as("__min_n"))
-    df.withColumn("__rk", row_number().over(rk))
-      .join(broadcast(minCount))
-      .filter(col("__rk") <= col("__min_n"))
-      .drop("__rk", "__min_n")
+      .collect()
+    // no rows → no classes → empty result, same as the window form
+    if (counts.isEmpty || counts.head.isNullAt(0)) return df.limit(0)
+    val minN = counts.head.getLong(0)
+    if (minN > Int.MaxValue.toLong) {
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(labelCol))
+        .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+      return df.withColumn("__rk", row_number().over(rk))
+        .filter(col("__rk") <= minN)
+        .drop("__rk")
+    }
+    val hashed = df.withColumn("__ord",
+      -graft.functions.PortableHash.md5Prefix(col(keyCol).cast("string"), 15))
+    graft.plans.TopKPerGroup
+      .perKey(hashed, Seq(labelCol), "__ord", keyCol, minN.toInt)
+      .drop("__ord")
   }
 
   /** Deterministic per-stratum downsampling: keep ≈`fraction(stratum)` of
