@@ -154,7 +154,8 @@ object Sampling {
     * min-class-sized slice of it. One count aggregate (map-combined,
     * label-cardinality rows) + one heap pass replaces it. Falls back
     * to the window form in the vanishing case minCount > Int.MaxValue
-    * (the TopK k is an Int). */
+    * (the TopK k is an Int). Rows with a NULL key are dropped — same
+    * contract (and reason) as [[capPerGroup]]. */
   def balanceClasses(
       df: DataFrame, keyCol: String, labelCol: String): DataFrame = {
     val counts = df.groupBy(col(labelCol))
