@@ -927,14 +927,22 @@ object Dedup {
         when(col(scoreCol).isNull, lit(Double.NegativeInfinity))
           .when(isnan(col(scoreCol)), lit(Double.PositiveInfinity))
           .otherwise(col(scoreCol).cast("double"))
-      case d: org.apache.spark.sql.types.DecimalType =>
-        // no NaN in decimal; double order is fine for a keep-one
+      case _: org.apache.spark.sql.types.DecimalType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.BooleanType =>
+        // orderable-through-double types with no NaN: decimal, the
+        // datetime family ("keep the newest" is a natural score), and
+        // boolean (true > false)
         coalesce(col(scoreCol).cast("double"),
           lit(Double.NegativeInfinity))
       case other =>
         throw new IllegalArgumentException(
           s"cluster-survivor score column $scoreCol must be numeric, " +
-            s"got ${other.sql}")
+            s"datetime, or boolean, got ${other.sql} — a string score " +
+            "would cast to null and crown the lowest id regardless of " +
+            "value; map it to a numeric rank first")
     }
 
   /** The per-cluster WINNERS only — [[keepBestPerCluster]] restricted to

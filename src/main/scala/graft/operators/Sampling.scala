@@ -98,19 +98,6 @@ object Sampling {
       .orderBy(col("shuffle_key"))
   }
 
-  /** Class-balanced downsampling: keep exactly `min(class count)` rows of
-    * EVERY class — the standard rebalance before training a classifier on
-    * skewed labels. Which rows survive is decided by 60-bit md5-prefix
-    * hash order on the key (ties by key), so the kept set is
-    * deterministic and layout-independent, like every sampler here.
-    *
-    * Contract: `keyCol` must be UNIQUE within each label (like
-    * [[deterministicShuffle]]'s key contract). Rows sharing a key inside
-    * a label tie on the full sort key, their relative ranks become
-    * layout-dependent, and which payload rows survive at the cutoff is
-    * no longer deterministic. Build a composite key first when no
-    * natural unique key exists. See [[balanceClasses]] for the plan
-    * shape (heap top-k behind one bounded scalar collect). */
   /** Per-group cap: keep at most `k` rows of every group (the
     * docs-per-domain / docs-per-source ceiling of a data recipe —
     * protects the mixture from a single crawled site dominating it).
@@ -142,42 +129,66 @@ object Sampling {
       .drop("__ord")
   }
 
-  /** Keep exactly min-class-count rows of every class, chosen by
-    * 60-bit md5-prefix hash order on the key (same replayable order as
-    * [[capPerGroup]]).
+  /** Heap-vs-window cutover for [[balanceClasses]]: the TopK heap holds
+    * k row copies PER LABEL PER PARTITION in executor memory, which is
+    * right when k is cap-sized and wrong when k is itself huge — the
+    * window's sort spills, the heap cannot. 2²⁰ kept rows per class per
+    * partition (~tens of MB of heap at typical row widths) is well
+    * inside executor budgets; past it, the spillable sort wins. */
+  private val balanceHeapMaxK = 1 << 20
+
+  /** Keep exactly min-class-count rows of every class — the standard
+    * rebalance before training a classifier on skewed labels — chosen
+    * by 60-bit md5-prefix hash order on the key, ties by key (same
+    * replayable order as [[capPerGroup]]): deterministic and
+    * layout-independent, like every sampler here.
+    *
+    * Contract: `keyCol` must be UNIQUE within each label (like
+    * [[deterministicShuffle]]'s key contract) — rows sharing a key tie
+    * on the full sort key and which survives the cutoff becomes
+    * layout-dependent; build a composite key first when no natural
+    * unique key exists. Rows with a NULL key are excluded from BOTH the
+    * class counts and the kept set (same reason as [[capPerGroup]]; and
+    * counting them while not keeping them would leave classes short of
+    * the advertised min count).
     *
     * EAGER: the cutoff (one scalar — the smallest class's count) is
-    * collected at call time so the keep step can ride the heap-based
-    * [[graft.plans.TopKPerGroup]] exec. The previous lazy formulation
-    * `row_number` windowed EVERY class — and on the skewed labels this
-    * operator exists for, that full-sorts the BIGGEST class to keep a
-    * min-class-sized slice of it. One count aggregate (map-combined,
-    * label-cardinality rows) + one heap pass replaces it. Falls back
-    * to the window form in the vanishing case minCount > Int.MaxValue
-    * (the TopK k is an Int). Rows with a NULL key are dropped — same
-    * contract (and reason) as [[capPerGroup]]. */
+    * collected at call time. Plan: when the cutoff is cap-sized
+    * (≤ [[balanceHeapMaxK]]) the keep rides the heap-based
+    * [[graft.plans.TopKPerGroup]] exec — the skewed-label case no
+    * longer full-sorts its biggest class; a HUGE cutoff (where a heap
+    * of k row copies would not fit executor memory, and where
+    * `row_number`'s spillable per-class sort is the right tool) falls
+    * back to the window form. The window arm ranks with the same
+    * 60-bit order, so both arms keep the identical set. (Ranks are
+    * Int-typed, so a single class beyond 2³¹ rows is outside either
+    * arm's envelope.) */
   def balanceClasses(
       df: DataFrame, keyCol: String, labelCol: String): DataFrame = {
-    val counts = df.groupBy(col(labelCol))
+    val nonNull = df.filter(col(keyCol).isNotNull)
+    val counts = nonNull.groupBy(col(labelCol))
       .agg(count(lit(1)).as("__class_n"))
       .agg(min(col("__class_n")).as("__min_n"))
       .collect()
     // no rows → no classes → empty result, same as the window form
     if (counts.isEmpty || counts.head.isNullAt(0)) return df.limit(0)
     val minN = counts.head.getLong(0)
-    if (minN > Int.MaxValue.toLong) {
+    // keep the SMALLEST hashes: window ranks the positive hash asc;
+    // the heap (which keeps the LARGEST order values) gets its negation
+    val hashAsc =
+      graft.functions.PortableHash.md5Prefix(col(keyCol).cast("string"), 15)
+    if (minN > balanceHeapMaxK.toLong) {
       val rk = org.apache.spark.sql.expressions.Window
         .partitionBy(col(labelCol))
-        .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
-      return df.withColumn("__rk", row_number().over(rk))
+        .orderBy(hashAsc.asc, col(keyCol))
+      nonNull.withColumn("__rk", row_number().over(rk))
         .filter(col("__rk") <= minN)
         .drop("__rk")
-    }
-    val hashed = df.withColumn("__ord",
-      -graft.functions.PortableHash.md5Prefix(col(keyCol).cast("string"), 15))
-    graft.plans.TopKPerGroup
-      .perKey(hashed, Seq(labelCol), "__ord", keyCol, minN.toInt)
-      .drop("__ord")
+    } else
+      graft.plans.TopKPerGroup
+        .perKey(nonNull.withColumn("__ord", -hashAsc),
+          Seq(labelCol), "__ord", keyCol, minN.toInt)
+        .drop("__ord")
   }
 
   /** Deterministic per-stratum downsampling: keep ≈`fraction(stratum)` of

@@ -393,6 +393,7 @@ object EventStreams {
           s"$statePath/_GRAFT_LSH_PARAMS")
         val params = s"oph,$numSlots,$bands,$shingleSize"
         val pfs = paramsFile.getFileSystem(hconf)
+        val bucketsDirExists = fsExists(s"$statePath/buckets.parquet")
         if (pfs.exists(paramsFile)) {
           val in = pfs.open(paramsFile)
           val stored = try scala.io.Source.fromInputStream(in, "UTF-8")
@@ -403,6 +404,15 @@ object EventStreams {
               "same-type buckets under different params silently match " +
               "nothing; rebuild the index or restore the original params")
         } else {
+          // An index WITHOUT a manifest must not silently adopt this
+          // sink's params as truth: if the restart is the misconfigured
+          // one, the manifest would pin the WRONG params and a later
+          // correctly-configured restart would be the one that fails.
+          require(!bucketsDirExists,
+            s"near-dup index at $statePath predates the LSH-params " +
+              "manifest — its build parameters cannot be verified. " +
+              "Write _GRAFT_LSH_PARAMS (family,slots,bands,shingleSize) " +
+              "from the original job config, or rebuild the index.")
           val outS = pfs.create(paramsFile, true)
           try outS.write(params.getBytes("UTF-8")) finally outS.close()
         }
