@@ -927,14 +927,25 @@ object Dedup {
         when(col(scoreCol).isNull, lit(Double.NegativeInfinity))
           .when(isnan(col(scoreCol)), lit(Double.PositiveInfinity))
           .otherwise(col(scoreCol).cast("double"))
+      case d: org.apache.spark.sql.types.DecimalType
+          if d.precision <= 18 =>
+        // long-backed decimals rank EXACTLY on their unscaled value
+        // (same scale per column ⇒ unscaled order = decimal order); a
+        // double coercion would collapse distinct values past 2⁵³ into
+        // ties and crown the wrong survivor
+        coalesce(org.apache.spark.sql.graftshim.Shims.column(
+          org.apache.spark.sql.catalyst.expressions.UnscaledValue(
+            org.apache.spark.sql.graftshim.Shims.expression(
+              col(scoreCol)))), lit(Long.MinValue))
       case _: org.apache.spark.sql.types.DecimalType |
            org.apache.spark.sql.types.TimestampType |
            org.apache.spark.sql.types.TimestampNTZType |
            org.apache.spark.sql.types.DateType |
            org.apache.spark.sql.types.BooleanType =>
-        // orderable-through-double types with no NaN: decimal, the
-        // datetime family ("keep the newest" is a natural score), and
-        // boolean (true > false)
+        // orderable-through-double types with no NaN: wide decimals
+        // (documented precision collapse past 2⁵³ — use p ≤ 18 for
+        // exact decimal ranking), the datetime family ("keep the
+        // newest" is a natural score), and boolean (true > false)
         coalesce(col(scoreCol).cast("double"),
           lit(Double.NegativeInfinity))
       case other =>

@@ -153,13 +153,14 @@ object Sampling {
     * the advertised min count).
     *
     * EAGER: the cutoff (one scalar — the smallest class's count) is
-    * collected at call time. Plan: when the cutoff is cap-sized
+    * collected at call time. Plan: when the EXPECTED per-partition kept
+    * volume (cutoff × labels-per-shuffle-partition) is cap-sized
     * (≤ [[balanceHeapMaxK]]) the keep rides the heap-based
     * [[graft.plans.TopKPerGroup]] exec — the skewed-label case no
-    * longer full-sorts its biggest class; a HUGE cutoff (where a heap
-    * of k row copies would not fit executor memory, and where
-    * `row_number`'s spillable per-class sort is the right tool) falls
-    * back to the window form. The window arm ranks with the same
+    * longer full-sorts its biggest class; past that (where heaps of k
+    * row copies would not fit executor memory, and where
+    * `row_number`'s spillable per-class sort is the right tool) it
+    * falls back to the window form. The window arm ranks with the same
     * 60-bit order, so both arms keep the identical set. (Ranks are
     * Int-typed, so a single class beyond 2³¹ rows is outside either
     * arm's envelope.) */
@@ -168,16 +169,28 @@ object Sampling {
     val nonNull = df.filter(col(keyCol).isNotNull)
     val counts = nonNull.groupBy(col(labelCol))
       .agg(count(lit(1)).as("__class_n"))
-      .agg(min(col("__class_n")).as("__min_n"))
+      .agg(min(col("__class_n")).as("__min_n"),
+        count(lit(1)).as("__labels"))
       .collect()
     // no rows → no classes → empty result, same as the window form
     if (counts.isEmpty || counts.head.isNullAt(0)) return df.limit(0)
     val minN = counts.head.getLong(0)
+    val numLabels = counts.head.getLong(1)
+    // The heap's memory is k row copies PER LABEL per partition, so the
+    // cutover must bound k × labels-per-partition, not k alone — 1 000
+    // labels of 10⁶ kept rows each would put several label heaps on one
+    // partition. Expected labels/partition under hash distribution =
+    // labels / shuffle partitions (skew adds a small factor; the 2²⁰
+    // budget leaves headroom for it).
+    val numPart =
+      df.sparkSession.sessionState.conf.numShufflePartitions.toLong
+    val perPartitionKept =
+      minN * math.max(1L, (numLabels + numPart - 1) / numPart)
     // keep the SMALLEST hashes: window ranks the positive hash asc;
     // the heap (which keeps the LARGEST order values) gets its negation
     val hashAsc =
       graft.functions.PortableHash.md5Prefix(col(keyCol).cast("string"), 15)
-    if (minN > balanceHeapMaxK.toLong) {
+    if (perPartitionKept > balanceHeapMaxK.toLong) {
       val rk = org.apache.spark.sql.expressions.Window
         .partitionBy(col(labelCol))
         .orderBy(hashAsc.asc, col(keyCol))

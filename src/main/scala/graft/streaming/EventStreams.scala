@@ -439,9 +439,14 @@ object EventStreams {
               else {
                 val oldBuckets = spark.read.parquet(bucketsDir)
                 val oldDocs = spark.read.parquet(docsDir)
+                // newDocs must match the index's (id, text) schema: the
+                // incremental verify unions old and new doc frames, and
+                // a stream carrying ANY extra column would fail that
+                // union on every post-first batch
                 val pairs = Dedup.incrementalNearDupsFromBuckets(
                   bBuckets.join(repIds, Seq(idCol), "left_semi"),
-                  reps, oldDocs, oldBuckets, idCol, textCol,
+                  reps.select(col(idCol), col(textCol)),
+                  oldDocs, oldBuckets, idCol, textCol,
                   shingleSize, threshold, maxBucketSize)
                 val oldIds = oldDocs.select(col(idCol))
                 // a NEW endpoint paired with an OLD endpoint is dropped;

@@ -534,6 +534,22 @@ class DedupSpec extends SparkTestBase {
     assert(nanBest == Set(2L))
   }
 
+  test("cluster argmax ranks long-backed decimal scores exactly") {
+    // Regression: a double coercion collapses decimals past 2^53 into
+    // ties and crowns the lower-scored doc (ties break by lowest id).
+    // p <= 18 decimals rank on their unscaled long value instead.
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val scored = Seq(
+      (1L, BigDecimal("100000000000000001")), // 1e17 + 1: same double...
+      (2L, BigDecimal("100000000000000002")), // ...as this, but smaller
+      (3L, BigDecimal("5")))
+      .toDF("doc_id", "score")
+      .select(col("doc_id"), col("score").cast("decimal(18,0)").as("score"))
+    val best = Dedup.bestPerCluster(scored, "doc_id", pairs, "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(best == Set(2L)) // exact compare: 2 wins; double would pick 1
+  }
+
   test("incremental dedup fails fast on a stale bucket-index format") {
     // The portable chains moved __bucket from md5-hex string to 60-bit
     // long; a persisted string index joined against long batch buckets

@@ -98,6 +98,27 @@ class EventStreamsSpec extends SparkTestBase {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(idx == Set(1L, 10L, 30L))
     } finally q.stop()
+    // a stream carrying EXTRA columns beyond (id, text) must keep
+    // working after the index exists: the cross-check's doc union is
+    // against the 2-column index schema (regression — full-schema reps
+    // made every post-first batch die on a union-width mismatch)
+    val in3 = MemoryStream[(Long, String, Long)]
+    val base3 = Files.createTempDirectory("graft_neardup3").toString
+    val q3 = EventStreams.nearDupFilterSink(
+      in3.toDF().toDF("doc_id", "text", "extra"),
+      s"$base3/out", s"$base3/state", s"$base3/cp",
+      numSlots = 16, bands = 4, shingleSize = 1, threshold = 0.8)
+    try {
+      in3.addData((1L, "alpha beta gamma delta", 7L))
+      q3.processAllAvailable()
+      in3.addData((2L, "alpha beta gamma delta", 8L), // dups accepted 1
+        (3L, "totally unrelated wording here", 9L))
+      q3.processAllAvailable() // must not throw
+      val out3 = spark.read.parquet(s"$base3/out")
+      assert(out3.columns.toSet == Set("doc_id", "text", "extra"))
+      assert(out3.select("doc_id").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 3L))
+    } finally q3.stop()
     // restarting against the same index with DIFFERENT LSH params must
     // fail fast: same-type buckets under other params silently match
     // nothing, which the params manifest exists to catch

@@ -74,6 +74,10 @@ def main():
         print(f"calibration: {old_cal} -> {new_cal} s (env factor "
               f"{env:.2f}x — ratios below are normalized by it; "
               f"raw in parens)")
+    elif args.no_normalize and old_cal and new_cal \
+            and old_cal > 0 and new_cal > 0:
+        print(f"calibration: {old_cal} -> {new_cal} s (normalization "
+              "disabled by --no-normalize — raw ratios)")
     elif (old_cal is not None and old_cal <= 0) or \
             (new_cal is not None and new_cal <= 0):
         bad = [s for s, c in (("old", old_cal), ("new", new_cal))
