@@ -151,6 +151,125 @@ case class EuclideanDistSq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Argmin-centroid assignment over a WHOLE centroid matrix in one
+  * expression node — the IVF/k-means/PQ assignment primitive.
+  *
+  * Why not compose from [[EuclideanDistSq]]: the per-centroid column
+  * tree (`CASE WHEN dist_i = least(dist_0..dist_k) THEN i ...`) embeds
+  * every distance expression — 64 float literals each — once per WHEN
+  * branch, an O(k² · dim) expression tree. At k=8/dim=64 the executed
+  * plan printed 344 KB and every driver pass (analysis, canonicalization
+  * for exchange reuse, AQE re-planning, Janino compile) walked it; q129's
+  * steady-state was ~2 s of DRIVER time on <1 s of executor work, with a
+  * 23 s worst run when bench-JVM GC landed on those walks. Here the
+  * matrix lives OUTSIDE the tree — a plain constructor value, shipped to
+  * codegen via `addReferenceObj` — so the plan holds one node and the
+  * generated source one loop, at any k.
+  *
+  * Semantics (bit-identical to the old tree): squared-L2 in double over
+  * float inputs, argmin with ties to the LOWEST centroid id; a centroid
+  * of mismatched length never wins (its distance was NULL under
+  * [[EuclideanDistSq]], skipped by `least`); NaN distances never win
+  * (NaN ranks above every double in `least`, and `NaN = NaN` is false);
+  * null/unmatchable input → -1 (the old tree's `otherwise` default), so
+  * the expression is never null.
+  *
+  * `centroids` is an IndexedSeq for structural case-class equality —
+  * two assignments over the same matrix canonicalize equal, which is
+  * what lets the self-join arms share one exchange. toString prints the
+  * matrix SHAPE only (k×dim), keeping plan dumps readable. */
+case class NearestCentroid(child: Expression, centroids: IndexedSeq[IndexedSeq[Float]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid requires an array<float> input, got ${other.sql}")
+    }
+
+  @transient private lazy val cents: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return java.lang.Long.valueOf(-1L)
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var best = -1L
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      if (cv.length == n) {
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val d = a.getFloat(i).toDouble - cv(i).toDouble
+          acc += d * d
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c.toLong }
+      }
+      c += 1
+    }
+    java.lang.Long.valueOf(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val mat = ctx.addReferenceObj("centroids", cents, "float[][]")
+    val a = ctx.freshName("vec")
+    val n = ctx.freshName("n")
+    val bestD = ctx.freshName("bestD")
+    val c = ctx.freshName("c")
+    val cv = ctx.freshName("cv")
+    val acc = ctx.freshName("acc")
+    val i = ctx.freshName("i")
+    val d = ctx.freshName("d")
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        long ${ev.value} = -1L;
+        if (!${childGen.isNull}) {
+          org.apache.spark.sql.catalyst.util.ArrayData $a = ${childGen.value};
+          final int $n = $a.numElements();
+          double $bestD = Double.POSITIVE_INFINITY;
+          for (int $c = 0; $c < $mat.length; $c++) {
+            final float[] $cv = $mat[$c];
+            if ($cv.length == $n) {
+              double $acc = 0.0;
+              for (int $i = 0; $i < $n; $i++) {
+                final double $d =
+                  (double) $a.getFloat($i) - (double) $cv[$i];
+                $acc += $d * $d;
+              }
+              if ($acc < $bestD) { $bestD = $acc; ${ev.value} = (long) $c; }
+            }
+          }
+        }
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override def toString: String =
+    s"nearest_centroid($child, ${centroids.length}x" +
+      s"${centroids.headOption.map(_.length).getOrElse(0)})"
+  override def sql: String =
+    s"nearest_centroid(${child.sql}, ${centroids.length}x" +
+      s"${centroids.headOption.map(_.length).getOrElse(0)})"
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of an `array<string>` token column.
   *
   * Standard construction (Charikar 2002, "Similarity Estimation Techniques

@@ -30,16 +30,37 @@ object Dedup {
     df.dropDuplicates(cols)
 
   /** Exact text dedup keyed by normalized fingerprint: keeps the lowest-id
-    * row of each duplicate group (deterministic winner). */
+    * row of each duplicate group (deterministic winner).
+    *
+    * Rides the heap-based [[graft.plans.TopKPerGroupExec]] (k=1,
+    * constant order, id as the ASC tie): no per-group sort — on a
+    * dup-heavy crawl the hottest fingerprint group is exactly where the
+    * old `row_number` window's full group sort hurt. Memory is the KEPT
+    * set only (one row per distinct fingerprint per partition — i.e.
+    * the output partition), vs the window buffering every duplicate
+    * row. Ids are mapped through [[graft.plans.TopKPerGroup.tieExpr]]
+    * (null id → ranks first, matching the window's asc nulls-first);
+    * id types outside the mapping (wide decimals, floats) keep the
+    * spillable window path. */
   def exactByFingerprint(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fp = TextFunctions.fingerprint(col(textCol))
-    df.withColumn("__fp", fp)
-      .withColumn("__rk",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__fp")).orderBy(col(idCol))))
-      .filter(col("__rk") === 1)
-      .drop("__fp", "__rk")
+    graft.plans.TopKPerGroup.tieExpr(df, idCol) match {
+      case Some(tie) =>
+        graft.plans.TopKPerGroup.perKey(
+          df.withColumn("__fp", fp)
+            .withColumn("__ord", lit(0L))
+            .withColumn("__tie", tie),
+          Seq("__fp"), "__ord", "__tie", 1)
+          .drop("__fp", "__ord", "__tie")
+      case None =>
+        df.withColumn("__fp", fp)
+          .withColumn("__rk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("__fp")).orderBy(col(idCol))))
+          .filter(col("__rk") === 1)
+          .drop("__fp", "__rk")
+    }
   }
 
   /** Per-group exact-duplication report — the corpus-health view a
@@ -889,13 +910,31 @@ object Dedup {
     val comp = connectedComponents(pairs).withColumnRenamed("id", idCol)
     val clustered = docs.join(comp, Seq(idCol))
     val winners = graft.plans.TopKPerGroup
-      .perKey(clustered.withColumn("__amx", argmaxOrder(clustered, scoreCol)),
-        Seq("component"), "__amx", idCol, 1)
+      .perKey(clustered.withColumn("__amx", argmaxOrder(clustered, scoreCol))
+          .withColumn("__tie", clusterTie(clustered, idCol)),
+        Seq("component"), "__amx", "__tie", 1)
       .select(col(idCol))
     val losers = comp.select(col(idCol))
       .join(winners, Seq(idCol), "left_anti")
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Tie column for the cluster-survivor argmax: any id type with an
+    * exact order-preserving mapping ([[graft.plans.TopKPerGroup
+    * .tieExpr]] — integral, string, decimal p ≤ 18, date/timestamp,
+    * boolean) is accepted; null ids rank first (asc nulls-first, the
+    * old window's order) instead of being silently dropped by the
+    * exec's null-tie skip. Unmappable types (wide decimals, floats)
+    * fail fast with a clear error — the round-12 behavior, now with a
+    * much smaller excluded set. */
+  private def clusterTie(df: DataFrame, idCol: String): Column =
+    graft.plans.TopKPerGroup.tieExpr(df, idCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"cluster-survivor id column $idCol has type " +
+          s"${df.schema(idCol).dataType.sql}, which has no exact " +
+          "order-preserving tie mapping (supported: integral, string, " +
+          "decimal(p<=18), date, timestamp, boolean) — map it to one " +
+          "of those first"))
 
   /** Null-safe argmax order for the cluster-survivor operators. The
     * TopK contract DROPS rows whose order is null/NaN — correct for a
@@ -972,9 +1011,10 @@ object Dedup {
     val comp = connectedComponents(pairs).withColumnRenamed("id", idCol)
     val clustered = docs.join(comp, Seq(idCol))
     graft.plans.TopKPerGroup
-      .perKey(clustered.withColumn("__amx", argmaxOrder(clustered, scoreCol)),
-        Seq("component"), "__amx", idCol, 1)
-      .drop("component", "__amx")
+      .perKey(clustered.withColumn("__amx", argmaxOrder(clustered, scoreCol))
+          .withColumn("__tie", clusterTie(clustered, idCol)),
+        Seq("component"), "__amx", "__tie", 1)
+      .drop("component", "__amx", "__tie")
   }
 
   /** Embedding cosine near-dup: sign-LSH over `numPlanes` deterministic
@@ -1044,14 +1084,31 @@ object Dedup {
         TextFunctions.shinglesFast(col("__txt_e"), shingleSize),
         TextFunctions.shinglesFast(col("__txt_t"), shingleSize)))
       .filter(col("__j") >= threshold)
-    val best = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("eval_id"))
-      .orderBy(col("__j").desc, col("train_id"))
-    verified
-      .withColumn("__rn", row_number().over(best))
-      .filter(col("__rn") === 1)
-      .select(col("eval_id"), col("train_id"),
-        round(col("__j"), 6).as("jaccard"))
+    // Best-match reduction (max Jaccard per eval doc, ties to the
+    // lowest train id) rides the heap TopKPerGroupExec k=1 — candidate
+    // lists are LSH-bounded, but a hot eval doc's list is exactly where
+    // the old per-eval-id window sort would hurt. __j is never
+    // null/NaN here (the >= threshold filter already dropped nulls);
+    // train ids map through tieExpr (same null-safe ASC order the
+    // cluster argmax uses), with the spillable window kept for id
+    // types outside the mapping.
+    graft.plans.TopKPerGroup.tieExpr(verified, "train_id") match {
+      case Some(tie) =>
+        graft.plans.TopKPerGroup.perKey(
+          verified.withColumn("__tie", tie),
+          Seq("eval_id"), "__j", "__tie", 1)
+          .select(col("eval_id"), col("train_id"),
+            round(col("__j"), 6).as("jaccard"))
+      case None =>
+        val best = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("eval_id"))
+          .orderBy(col("__j").desc, col("train_id"))
+        verified
+          .withColumn("__rn", row_number().over(best))
+          .filter(col("__rn") === 1)
+          .select(col("eval_id"), col("train_id"),
+            round(col("__j"), 6).as("jaccard"))
+    }
   }
 
   def signPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Float]] = {

@@ -157,7 +157,9 @@ object Fuzzy {
     *
     * FAN-OUT PIN GATE: the explicit-partition-count pins (carve +
     * candidate exchange, see [[orderedPrefixes]]) apply only to the
-    * SELECTIVE-slice form (`leftPred` ≠ literal true). They exist for
+    * SELECTIVE-slice form — `leftPred` not statically true after
+    * analysis + constant evaluation (see [[isStaticallyTrue]]). They
+    * exist for
     * the "tiny slice probes big corpus" shape, where every downstream
     * join broadcasts and candidate generation hangs off one
     * AQE-coalescible exchange. The whole-corpus form never has that
@@ -173,11 +175,19 @@ object Fuzzy {
       maxPairsPerDoc: Int = Int.MaxValue): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    // Pin gate: literal-true leftPred = whole-corpus arm = no pin.
-    // Column equality is structural over the column-node tree, so any
-    // caller-constructed lit(true) matches (Shims.expression would only
-    // yield a lazy ColumnNodeExpression wrapper, not the Literal).
-    val selectiveSlice = leftPred != lit(true)
+    // Pin gate: a predicate that STATICALLY evaluates to true selects
+    // the whole corpus, so it rides the unpinned arm. The check is
+    // semantic, not structural: the predicate is resolved against the
+    // input and constant-evaluated, so `lit(true)`,
+    // `lit(true).alias("x")`, and `lit(1) === lit(1)` all gate the
+    // same way — a structural `leftPred != lit(true)` test silently
+    // sent aliased/computed trivially-true predicates down the pinned
+    // selective arm with the whole corpus behind it (~1.4× carve tax,
+    // round-12 A/B). CONTRACT: only compile-time-constant truths are
+    // recognized; a data-dependent always-true predicate (e.g.
+    // `col("id") >= 0` on non-negative ids) still takes the selective
+    // arm — pass `lit(true)` when you mean the whole corpus.
+    val selectiveSlice = !isStaticallyTrue(sets, leftPred)
     val r = sets.select(col(idCol).as("id_b"),
       array_distinct(col(setCol)).as("__set_b"))
     // whole-corpus rarity: map-side-combined frequency aggregate (left
@@ -225,6 +235,26 @@ object Fuzzy {
       .transform(capPerDoc("id_a",
         col("jaccard"), "id_b", maxPairsPerDoc,
         "graft.fuzzy.jaccard_truncation"))
+  }
+
+  /** True iff `pred`, resolved against `df` and cast to boolean, is a
+    * compile-time constant `true` — the [[jaccardSelfJoin]] pin gate's
+    * whole-corpus test. Resolution goes through the analyzer (so
+    * aliases and implicit casts are normalized), then the expression is
+    * checked foldable and constant-evaluated. Foldable implies
+    * deterministic and input-independent, so eval(null) is safe. */
+  private def isStaticallyTrue(df: DataFrame, pred: Column): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
+    val analyzed =
+      df.select(pred.cast("boolean").as("__p")).queryExecution.analyzed
+    @annotation.tailrec
+    def strip(e: Expression): Expression = e match {
+      case a: Alias => strip(a.child)
+      case other => other
+    }
+    val e = strip(analyzed.asInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.Project].projectList.head)
+    e.foldable && (e.eval() == true)
   }
 
   /** Per-doc output cap for the exact threshold joins. The PLANS of both

@@ -106,12 +106,15 @@ object Sampling {
     * replayable in SQL as
     * `('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT`.
     * Same keyCol-uniqueness contract as [[balanceClasses]]; keyCol must
-    * be castable to string and integral-or-string typed (it breaks
-    * ties — the [[graft.plans.TopKPerGroup]] contract; other key types
-    * fail fast with a clear error, where the old window form silently
-    * accepted them). Rows with a NULL key are DROPPED — a null key
-    * already violates the uniqueness contract (every null ties), and
-    * the hash-ordered survivor set would be nondeterministic for them.
+    * be castable to string and carry an exact order-preserving tie
+    * mapping (integral, string, decimal p ≤ 18, date/timestamp,
+    * boolean — see [[samplerTie]]; anything else fails fast, validated
+    * up front so the failure is data-independent). Rows with a NULL key
+    * are DROPPED — a null key already violates the uniqueness contract
+    * (every null ties), and the hash-ordered survivor set would be
+    * nondeterministic for them; the drop is counted by a
+    * `graft.sampling.cap_per_group.N` observe metric
+    * (`null_key_rows_dropped`), never silent.
     *
     * Rides the heap-based [[graft.plans.TopKPerGroupExec]]: O(n log k)
     * per partition, no sort, one exchange on the group column. The
@@ -121,13 +124,46 @@ object Sampling {
   def capPerGroup(
       df: DataFrame, keyCol: String, groupCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    val tie = samplerTie(df, keyCol)
+    // The null-key drop is deliberate (see scaladoc) but must not be
+    // silent: a paired observe metric reports the dropped count per run
+    // (read it via ObservedLog / QueryExecutionListener), same
+    // no-silent-caps contract as the fuzzy-join caps.
+    ObservedLog.ensure(df.sparkSession)
+    val n = samplerMetricSeq.incrementAndGet()
+    val nonNull = df
+      .observe(s"graft.sampling.cap_per_group.$n",
+        sum(when(col(keyCol).isNull, 1L).otherwise(0L))
+          .as("null_key_rows_dropped"))
+      .filter(col(keyCol).isNotNull)
     // TopK ranks order DESC; negate the 60-bit hash for ascending order
-    val hashed = df.withColumn("__ord",
-      -graft.functions.PortableHash.md5Prefix(col(keyCol).cast("string"), 15))
+    val hashed = nonNull
+      .withColumn("__ord",
+        -graft.functions.PortableHash.md5Prefix(col(keyCol).cast("string"), 15))
+      .withColumn("__tie", tie)
     graft.plans.TopKPerGroup
-      .perKey(hashed, Seq(groupCol), "__ord", keyCol, k)
-      .drop("__ord")
+      .perKey(hashed, Seq(groupCol), "__ord", "__tie", k)
+      .drop("__ord", "__tie")
   }
+
+  /** Per-invocation suffix for observe() metric names (Spark rejects two
+    * CollectMetrics nodes sharing a name in one plan). */
+  private val samplerMetricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Tie mapping for the hash-ordered samplers, validated UP FRONT so a
+    * bad key type fails data-independently (the same call must not
+    * succeed or throw depending on which arm the data volume selects).
+    * Accepts every type with an exact order-preserving mapping
+    * ([[graft.plans.TopKPerGroup.tieExpr]]): integral, string,
+    * decimal p ≤ 18, date/timestamp, boolean. */
+  private def samplerTie(df: DataFrame, keyCol: String): Column =
+    graft.plans.TopKPerGroup.tieExpr(df, keyCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"sampler key column $keyCol has type " +
+          s"${df.schema(keyCol).dataType.sql}, which has no exact " +
+          "order-preserving tie mapping (supported: integral, string, " +
+          "decimal(p<=18), date, timestamp, boolean) — build a " +
+          "composite/string key first"))
 
   /** Heap-vs-window cutover for [[balanceClasses]]: the TopK heap holds
     * k row copies PER LABEL PER PARTITION in executor memory, which is
@@ -166,6 +202,13 @@ object Sampling {
     * arm's envelope.) */
   def balanceClasses(
       df: DataFrame, keyCol: String, labelCol: String): DataFrame = {
+    // Key-type validation happens HERE, before the arm choice: the heap
+    // arm's tie contract must not surface only when the data volume
+    // happens to select it (the same call succeeding or throwing
+    // depending on min class count × labels/partition is a
+    // data-dependent failure). Both arms then rank the identical
+    // mapped order.
+    val tie = samplerTie(df, keyCol)
     val nonNull = df.filter(col(keyCol).isNotNull)
     val counts = nonNull.groupBy(col(labelCol))
       .agg(count(lit(1)).as("__class_n"))
@@ -199,9 +242,10 @@ object Sampling {
         .drop("__rk")
     } else
       graft.plans.TopKPerGroup
-        .perKey(nonNull.withColumn("__ord", -hashAsc),
-          Seq(labelCol), "__ord", keyCol, minN.toInt)
-        .drop("__ord")
+        .perKey(nonNull.withColumn("__ord", -hashAsc)
+            .withColumn("__tie", tie),
+          Seq(labelCol), "__ord", "__tie", minN.toInt)
+        .drop("__ord", "__tie")
   }
 
   /** Deterministic per-stratum downsampling: keep ≈`fraction(stratum)` of

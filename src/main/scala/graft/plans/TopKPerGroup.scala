@@ -220,6 +220,49 @@ object TopKPerGroup {
     Shims.ofRows(spark, plan)
   }
 
+  /** Null-safe, ASC-order-preserving tie column for [[perKey]] over an
+    * arbitrary orderable id column — the internal mapping that lets the
+    * keep-one/argmax operators accept the same id types their old
+    * window formulations did, instead of rejecting everything outside
+    * the exec's native integral-or-string contract:
+    *
+    *  - integral → long, NULL → Long.MinValue (ranks first ASC — the
+    *    window's asc nulls-first; the exec would otherwise silently
+    *    DROP null-tie rows)
+    *  - string → itself, NULL → "" (byte-order-lowest; collides with a
+    *    genuine empty-string id — measure-zero, documented)
+    *  - decimal p ≤ 18 → exact unscaled long (same-scale columns order
+    *    identically; no double collapse past 2⁵³)
+    *  - date / timestamp / timestamp_ntz → exact epoch days/micros
+    *  - boolean → 0/1
+    *
+    * Returns None for types with no exact order-preserving mapping
+    * (wide decimals, floats, complex types) — callers fall back or
+    * fail with their own contract error. */
+  def tieExpr(df: DataFrame, idCol: String): Option[Column] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val c = col(idCol)
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(coalesce(c.cast("long"), lit(Long.MinValue)))
+      case StringType => Some(coalesce(c, lit("")))
+      case d: DecimalType if d.precision <= 18 =>
+        Some(coalesce(
+          Shims.column(org.apache.spark.sql.catalyst.expressions
+            .UnscaledValue(Shims.expression(c))), lit(Long.MinValue)))
+      case DateType =>
+        Some(coalesce(unix_date(c).cast("long"), lit(Long.MinValue)))
+      case TimestampType =>
+        Some(coalesce(unix_micros(c), lit(Long.MinValue)))
+      case TimestampNTZType =>
+        Some(coalesce(unix_micros(c.cast("timestamp")), lit(Long.MinValue)))
+      case BooleanType =>
+        Some(coalesce(c.cast("long"), lit(Long.MinValue)))
+      case _ => None
+    }
+  }
+
   def ensureRegistered(spark: SparkSession): Unit =
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =

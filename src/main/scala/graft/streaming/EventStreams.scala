@@ -342,8 +342,15 @@ object EventStreams {
     * State layout under `statePath`: `buckets.parquet` (the LSH index —
     * (id, __band, __bucket), equi-joinable at any scale) and
     * `docs.parquet` ((id, text) for the exact-Jaccard verify of
-    * candidate pairs only). Both are APPEND-only: no batch ever rewrites
-    * corpus-sized state.
+    * candidate pairs only). Both are APPEND-only on the batch path: no
+    * batch rewrites corpus-sized state as part of processing. Index
+    * MAINTENANCE is separate and threshold-triggered: once a dir
+    * accumulates more than `compactIndexAboveFiles` parquet data files
+    * (one fragment set lands per batch — at continuous ingest that is
+    * thousands of small files, the classic listing/open-cost killer for
+    * exactly the reads every batch pays), it is compacted into ~128 MB
+    * files and atomically swapped ([[compactIndexDir]]), with crash
+    * recovery on restart ([[recoverIndexDir]]).
     *
     * Delivery: at-least-once on the output (a batch replayed after a
     * crash re-appends its survivors — replay recomputes the SAME
@@ -356,6 +363,69 @@ object EventStreams {
     * Policy notes: batch-internal clusters keep their MIN id (the
     * [[graft.operators.Dedup.keepClusterRepresentatives]] contract);
     * recall is the LSH operating point's (raise bands for more). */
+  /** Crash recovery for [[compactIndexDir]]'s swap: the compacted
+    * rewrite (`<dir>.compact`) is only ever renamed into place AFTER its
+    * write completed, so on restart the state machine is unambiguous —
+    * if the live dir exists, any leftover `.compact`/`.bak` is stale
+    * and deleted; if only `.compact` exists the swap is completed
+    * (promote it, drop the backup); if only `.bak` exists the swap is
+    * undone (restore it). Runs through the Hadoop FileSystem API like
+    * every other state access of the sink. */
+  private def recoverIndexDir(
+      hconf: org.apache.hadoop.conf.Configuration, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(hconf)
+    val bak = new org.apache.hadoop.fs.Path(dir + ".bak")
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
+    if (fs.exists(p)) {
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(bak)) fs.delete(bak, true)
+    } else if (fs.exists(tmp)) {
+      require(fs.rename(tmp, p), s"could not promote $tmp to $p")
+      if (fs.exists(bak)) fs.delete(bak, true)
+    } else if (fs.exists(bak)) {
+      require(fs.rename(bak, p), s"could not restore $bak to $p")
+    }
+    ()
+  }
+
+  /** Threshold-triggered compaction of one append-only index directory:
+    * when the parquet data-file count exceeds `maxDataFiles`, rewrite
+    * the directory into ~128 MB files and swap atomically
+    * (write `.compact` → rename live to `.bak` → promote `.compact` →
+    * drop `.bak`; every rename result is CHECKED so a failed swap
+    * throws and the batch replays instead of committing against a
+    * half-swapped index). Row set is preserved exactly — index reads
+    * are set-semantics, so filter behavior is identical before and
+    * after. The `_GRAFT_LSH_PARAMS` manifest lives in the PARENT state
+    * dir and is untouched. */
+  private def compactIndexDir(
+      spark: SparkSession,
+      hconf: org.apache.hadoop.conf.Configuration,
+      dir: String, maxDataFiles: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) return
+    val nData = fs.listStatus(p).count { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (nData <= maxDataFiles) return
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles =
+      math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
+    val bak = new org.apache.hadoop.fs.Path(dir + ".bak")
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(dir + ".compact")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    require(fs.rename(p, bak), s"could not stage $p for compaction swap")
+    require(fs.rename(tmp, p), s"could not promote $tmp to $p")
+    fs.delete(bak, true)
+    ()
+  }
+
   def nearDupFilterSink(
       docs: DataFrame,
       outPath: String,
@@ -367,7 +437,8 @@ object EventStreams {
       bands: Int = 16,
       shingleSize: Int = 3,
       threshold: Double = 0.8,
-      maxBucketSize: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery =
+      maxBucketSize: Int = 1000,
+      compactIndexAboveFiles: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
@@ -385,6 +456,10 @@ object EventStreams {
         }
         val bucketsDir = s"$statePath/buckets.parquet"
         val docsDir = s"$statePath/docs.parquet"
+        // finish/undo any compaction swap a crash interrupted BEFORE the
+        // index is read — see compactIndexDir for the swap protocol
+        recoverIndexDir(hconf, bucketsDir)
+        recoverIndexDir(hconf, docsDir)
         // LSH parameters are part of the index format: a restart with
         // different bands/slots/shingles produces same-TYPE buckets that
         // match (near) nothing against the old index — invisible to the
@@ -394,27 +469,58 @@ object EventStreams {
         val params = s"oph,$numSlots,$bands,$shingleSize"
         val pfs = paramsFile.getFileSystem(hconf)
         val bucketsDirExists = fsExists(s"$statePath/buckets.parquet")
-        if (pfs.exists(paramsFile)) {
-          val in = pfs.open(paramsFile)
-          val stored = try scala.io.Source.fromInputStream(in, "UTF-8")
-            .mkString.trim finally in.close()
-          require(stored == params,
-            s"near-dup index at $statePath was built with LSH params " +
-              s"[$stored] but this sink is configured with [$params] — " +
-              "same-type buckets under different params silently match " +
-              "nothing; rebuild the index or restore the original params")
-        } else {
-          // An index WITHOUT a manifest must not silently adopt this
-          // sink's params as truth: if the restart is the misconfigured
-          // one, the manifest would pin the WRONG params and a later
-          // correctly-configured restart would be the one that fails.
-          require(!bucketsDirExists,
-            s"near-dup index at $statePath predates the LSH-params " +
-              "manifest — its build parameters cannot be verified. " +
-              "Write _GRAFT_LSH_PARAMS (family,slots,bands,shingleSize) " +
-              "from the original job config, or rebuild the index.")
-          val outS = pfs.create(paramsFile, true)
+        // Atomic manifest write: create-then-write leaves an EMPTY file
+        // if the process dies between create and close, and every later
+        // restart — even a correctly configured one — would then fail
+        // the stored==params check with a misleading "built with params
+        // []". Write to a temp path and rename into place instead; the
+        // rename is atomic on HDFS/posix, so the manifest is either
+        // absent or complete.
+        def writeManifest(): Unit = {
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$statePath/._GRAFT_LSH_PARAMS.tmp")
+          val outS = pfs.create(tmp, true)
           try outS.write(params.getBytes("UTF-8")) finally outS.close()
+          if (pfs.exists(paramsFile)) pfs.delete(paramsFile, false)
+          require(pfs.rename(tmp, paramsFile),
+            s"could not move LSH-params manifest into place at $paramsFile")
+        }
+        val stored: Option[String] =
+          if (!pfs.exists(paramsFile)) None
+          else {
+            val in = pfs.open(paramsFile)
+            Some(try scala.io.Source.fromInputStream(in, "UTF-8")
+              .mkString.trim finally in.close())
+          }
+        stored match {
+          case Some(s) if s.nonEmpty =>
+            require(s == params,
+              s"near-dup index at $statePath was built with LSH params " +
+                s"[$s] but this sink is configured with [$params] — " +
+                "same-type buckets under different params silently match " +
+                "nothing; rebuild the index or restore the original params")
+          case Some(_) =>
+            // Empty manifest = a torn legacy write. With no index built
+            // yet it is safely absent — rewrite it; with an index it is
+            // exactly the unverifiable-params case below.
+            require(!bucketsDirExists,
+              s"near-dup index at $statePath has an EMPTY LSH-params " +
+                "manifest (torn write) — its build parameters cannot be " +
+                "verified. Restore _GRAFT_LSH_PARAMS " +
+                "(family,slots,bands,shingleSize) from the original job " +
+                "config, or rebuild the index.")
+            writeManifest()
+          case None =>
+            // An index WITHOUT a manifest must not silently adopt this
+            // sink's params as truth: if the restart is the misconfigured
+            // one, the manifest would pin the WRONG params and a later
+            // correctly-configured restart would be the one that fails.
+            require(!bucketsDirExists,
+              s"near-dup index at $statePath predates the LSH-params " +
+                "manifest — its build parameters cannot be verified. " +
+                "Write _GRAFT_LSH_PARAMS (family,slots,bands,shingleSize) " +
+                "from the original job config, or rebuild the index.")
+            writeManifest()
         }
         val b = batch.persist()
         // ONE bucket pass serves all three uses (internal dedup,
@@ -466,6 +572,16 @@ object EventStreams {
             bBuckets.join(sv.select(col(idCol)), Seq(idCol), "left_semi")
               .write.mode("append").parquet(bucketsDir)
             sv.write.mode("append").parquet(outPath)
+            // Threshold-triggered index maintenance: each batch appends
+            // one parquet fragment set to both index dirs, and at
+            // continuous ingest thousands of small files are the classic
+            // listing/open-cost killer for exactly the reads every batch
+            // pays. Rewrite + atomic swap once the data-file count
+            // crosses the threshold; a compaction failure throws, the
+            // batch replays, and the recovery above makes the replay see
+            // a consistent index either way.
+            compactIndexDir(spark, hconf, bucketsDir, compactIndexAboveFiles)
+            compactIndexDir(spark, hconf, docsDir, compactIndexAboveFiles)
           }
         } finally {
           if (sv != null) sv.unpersist()

@@ -433,6 +433,54 @@ class DedupSpec extends SparkTestBase {
     assert(windowKept.exceptAll(capped.select("doc_id")).count() == 0)
   }
 
+  test("capPerGroup: null-key drop is counted, key types validated up front") {
+    // ADVICE r12: the null-key drop was documented but silent, and key
+    // validation happened inside the exec. Now: an observe metric
+    // carries the dropped count, and unmappable key types throw
+    // immediately — data-independently — while the mapped set widened
+    // to decimal/datetime/boolean.
+    @volatile var dropped: Option[Long] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft.sampling.cap_per_group"))
+            dropped = Some(row.getLong(row.fieldIndex("null_key_rows_dropped")))
+        }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val d = Seq((Some(1L), "a"), (None, "a"), (Some(2L), "a"),
+        (None, "b"), (Some(3L), "b"))
+        .toDF("doc_id", "source")
+      val kept = graft.operators.Sampling.capPerGroup(d, "doc_id", "source", 1)
+      assert(kept.count() == 2) // one per source, null keys dropped
+      // QueryExecutionListener delivery is async — poll with a deadline
+      val deadline = System.currentTimeMillis + 20000
+      while (dropped.isEmpty && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(dropped.contains(2L), s"observe metric reported $dropped")
+    } finally spark.listenerManager.unregister(listener)
+    // timestamp keys: newly inside the mapped set
+    val ts = Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "a"))
+      .toDF("doc_id", "source")
+    assert(graft.operators.Sampling.capPerGroup(ts, "doc_id", "source", 1)
+      .count() == 1)
+    // unmappable key type (double): fails fast at the API, not in the exec
+    val bad = Seq((1.5, "a")).toDF("doc_id", "source")
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.capPerGroup(bad, "doc_id", "source", 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.balanceClasses(bad, "doc_id", "source")
+    }
+  }
+
   test("cluster argmax rides the heap exec, parity with the window form") {
     val d = spark.read.parquet(s"$sf001/documents.parquet")
       .withColumn("score",
@@ -463,6 +511,90 @@ class DedupSpec extends SparkTestBase {
       .select("doc_id").unionByName(windowBest)
     assert(kept.exceptAll(expected).count() == 0)
     assert(expected.exceptAll(kept).count() == 0)
+  }
+
+  test("exactByFingerprint rides the heap exec, parity with the window form") {
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val out = Dedup.exactByFingerprint(d, "doc_id", "text")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TopKPerGroup"), "keep-one lost the heap exec")
+    assert(!plan.contains("Sort"), "keep-one sorted — the window-form bug")
+    assert(!plan.contains("Window"), "keep-one still uses a window")
+    // parity vs the row_number window formulation it replaced
+    val fp = graft.functions.TextFunctions.fingerprint(col("text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col("doc_id"))
+    val windowKept = d.withColumn("__fp", fp)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).select("doc_id")
+    assert(out.select("doc_id").exceptAll(windowKept).count() == 0)
+    assert(windowKept.exceptAll(out.select("doc_id")).count() == 0)
+  }
+
+  test("exactByFingerprint: string, decimal, and null ids") {
+    // string ids: kept winner is the byte-order-lowest id per group
+    val s = Seq(("b", "same text here"), ("a", "same  TEXT here"),
+      ("c", "other text entirely"))
+      .toDF("doc_id", "text")
+    val sIds = Dedup.exactByFingerprint(s, "doc_id", "text")
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(sIds == Set("a", "c"))
+    // decimal ids (p<=18): exact unscaled ranking — previously only the
+    // window path served these
+    val dec = Seq((BigDecimal("2.50"), "same text here"),
+      (BigDecimal("2.49"), "same  TEXT here"),
+      (BigDecimal("9.99"), "other text entirely"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id").cast("decimal(10,2)").as("doc_id"), col("text"))
+    val decIds = Dedup.exactByFingerprint(dec, "doc_id", "text")
+      .collect().map(_.getDecimal(0).toPlainString).toSet
+    assert(decIds == Set("2.49", "9.99"))
+    // null id ranks FIRST (the window's asc nulls-first) — it is kept,
+    // not silently dropped by the exec's null-tie skip
+    val n = Seq((Option.empty[Long], "same text here"),
+      (Some(7L), "same  TEXT here"))
+      .toDF("doc_id", "text")
+    val nOut = Dedup.exactByFingerprint(n, "doc_id", "text").collect()
+    assert(nOut.length == 1 && nOut.head.isNullAt(0))
+  }
+
+  test("crossContamination best-match rides the heap exec (no window)") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val cross = Dedup.crossContamination(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    cross.collect()
+    val plan = cross.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TopKPerGroup"), "best-match lost the heap exec")
+    assert(!plan.contains("Window"),
+      "best-match still sorts candidate lists through a window")
+  }
+
+  test("cluster argmax accepts decimal ids (exact tie mapping)") {
+    // ADVICE r12: keepBestPerCluster/bestPerCluster required
+    // integral-or-string ids after the heap routing, breaking callers
+    // with decimal/timestamp ids that the window form accepted. The
+    // tieExpr mapping restores them with exact unscaled ranking.
+    val d = Seq(
+      (BigDecimal("1.10"), "the quick brown fox jumps over the lazy dog", 0.2),
+      (BigDecimal("1.05"), "the quick brown fox jumps over the lazy dot", 0.9),
+      (BigDecimal("3.00"), "a completely unrelated document", 0.5))
+      .toDF("doc_id", "text", "score")
+      .select(col("doc_id").cast("decimal(10,2)").as("doc_id"),
+        col("text"), col("score"))
+    val pairs = Seq((BigDecimal("1.10"), BigDecimal("1.05")))
+      .toDF("id_a", "id_b")
+      .select(col("id_a").cast("decimal(10,2)").as("id_a"),
+        col("id_b").cast("decimal(10,2)").as("id_b"))
+    val kept = Dedup.keepBestPerCluster(d, "doc_id", pairs, "score")
+      .collect().map(_.getDecimal(0).toPlainString).toSet
+    assert(kept == Set("1.05", "3.00")) // 1.05 wins its cluster on score
+    val best = Dedup.bestPerCluster(d, "doc_id", pairs, "score")
+      .collect().map(_.getDecimal(0).toPlainString).toSet
+    assert(best == Set("1.05"))
   }
 
   test("leakageSafeSplit puts every near-dup cluster in one split") {

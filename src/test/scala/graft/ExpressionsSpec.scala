@@ -227,6 +227,50 @@ class ExpressionsSpec extends SparkTestBase {
     assert(nulls.count(_.isNullAt(0)) == 1)
   }
 
+  test("NearestCentroid matches the per-centroid least/CASE tree") {
+    import graft.functions.NearestCentroid
+    // Reference semantics = the old O(k²) column tree this expression
+    // replaced: argmin squared-L2 in double, ties to the LOWEST centroid
+    // id, null/length-mismatch/all-NaN input → -1.
+    val cents: IndexedSeq[IndexedSeq[Float]] = IndexedSeq(
+      IndexedSeq(0f, 0f), IndexedSeq(1f, 1f), IndexedSeq(1f, 1f), // dup: tie
+      IndexedSeq(3f, 4f))
+    def assign(vec: org.apache.spark.sql.Column) =
+      Shims.column(NearestCentroid(Shims.expression(vec), cents))
+    val df = Seq(
+      (1L, Some(Seq(0.1f, 0.1f))), // nearest c0
+      (2L, Some(Seq(1.2f, 0.9f))), // nearest c1 — and NOT the dup c2
+      (3L, Some(Seq(3f, 3.9f))), // nearest c3
+      (4L, Option.empty[Seq[Float]]), // null → -1
+      (5L, Some(Seq(1f, 2f, 3f))), // length mismatch everywhere → -1
+      (6L, Some(Seq(Float.NaN, Float.NaN)))) // all-NaN dists → -1
+      .toDF("id", "v")
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+    val got = df.select(col("id"), assign(col("v")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 3L,
+      4L -> -1L, 5L -> -1L, 6L -> -1L))
+    // interpreted eval agrees with the codegen path above
+    val e = NearestCentroid(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.2f, 0.9f),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)), cents)
+    assert(e.eval(null) == 1L)
+    // one node per assignment: the executed plan stays small at any k —
+    // the O(k² · dim) CASE/least tree this replaced printed 344 KB at
+    // k=8/dim=64 and cost ~2 s of driver time per q129 run (round-12
+    // VERDICT #1)
+    val many: IndexedSeq[IndexedSeq[Float]] =
+      IndexedSeq.tabulate(64)(i => IndexedSeq.fill(64)(i.toFloat))
+    val plan = df.select(Shims.column(NearestCentroid(
+        Shims.expression(col("v")), many)).as("c"))
+      .queryExecution.executedPlan.toString
+    assert(plan.length < 20000,
+      s"assignment plan blew up to ${plan.length} chars — the centroid " +
+        "matrix leaked back into the expression tree")
+  }
+
   test("Md5Prefix64 interpreted eval matches codegen") {
     import graft.functions.Md5Prefix64
     val e = Md5Prefix64(

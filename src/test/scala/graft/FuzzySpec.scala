@@ -245,6 +245,22 @@ class FuzzySpec extends SparkTestBase {
     assert(!whole.contains("REPARTITION_BY_NUM"),
       "whole-corpus form carries the fan-out pin — it pays the " +
         "two-phase carve + fixed fan-out constants for nothing")
+    // The gate is SEMANTIC, not structural: any predicate that
+    // constant-folds to true after analysis selects the whole corpus
+    // and must ride the unpinned arm. Under the old structural
+    // `leftPred != lit(true)` test, both of these silently took the
+    // pinned selective arm with the whole corpus behind it — the exact
+    // ~1.4× carve tax the gate exists to avoid.
+    val aliasedTrue = finalPlan(
+      Fuzzy.jaccardSelfJoin(df, "id", "st", 0.3, lit(true).alias("keep")))
+    assert(!aliasedTrue.contains("REPARTITION_BY_NUM"),
+      "aliased lit(true) took the pinned selective arm — the pin gate " +
+        "regressed to a structural Column-equality test")
+    val computedTrue = finalPlan(
+      Fuzzy.jaccardSelfJoin(df, "id", "st", 0.3, lit(1) === lit(1)))
+    assert(!computedTrue.contains("REPARTITION_BY_NUM"),
+      "foldable-true predicate took the pinned selective arm — the " +
+        "pin gate regressed to a structural Column-equality test")
   }
 
   test("the pin gate changes the plan, never the result") {
