@@ -138,6 +138,173 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("nearDupFilterSink: survivors equal the batch incremental " +
+      "composition, and replaying batch 2 is survivor-stable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    // seeded corpus: in-batch dups, cross-batch dups of accepted docs,
+    // fresh docs — shingleSize=1/threshold=0.8 makes same-word docs dups
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // in-batch dup of 1
+      (3L, "one two three four five six seven"),
+      (4L, "completely different content right here"))
+    val b2 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // dups accepted 1
+      (11L, "one two three four five six seven"), // dups accepted 3
+      (12L, "fresh new wording appears only here"),
+      (13L, "fresh new wording appears only here")) // in-batch dup of 12
+    val in = MemoryStream[(Long, String)]
+    val base = Files.createTempDirectory("graft_ndp").toString
+    val out = s"$base/out"; val state = s"$base/state"
+    val q = EventStreams.nearDupFilterSink(
+      in.toDF().toDF("doc_id", "text"), out, state, s"$base/cp",
+      numSlots = 16, bands = 4, shingleSize = 1, threshold = 0.8)
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val sinkSurvivors = ids(spark.read.parquet(out))
+
+    // BATCH ORACLE: the same split through the batch operators the sink
+    // composes — internal keep-one per batch, then the incremental
+    // cross-check against the accepted index, dropping any NEW endpoint
+    // paired with an OLD one (the q135-style incremental contract).
+    def keepOne(df: org.apache.spark.sql.DataFrame) =
+      Dedup.keepClusterRepresentatives(df, "doc_id",
+        Dedup.jaccardVerify(
+          Dedup.candidatePairs(
+            Dedup.ophPortableBuckets(df, "doc_id", "text", 16, 4, 1),
+            "doc_id"),
+          df, "doc_id", "text", 1, 0.8))
+    val d1 = b1.toDF("doc_id", "text")
+    val d2 = b2.toDF("doc_id", "text")
+    val s1 = keepOne(d1)
+    val reps2 = keepOne(d2)
+    val crossPairs = Dedup.incrementalOphNearDups(
+      reps2, s1.select("doc_id", "text"),
+      Dedup.ophPortableBuckets(s1, "doc_id", "text", 16, 4, 1),
+      "doc_id", "text", 16, 4, 1, 0.8)
+    val oldIds = s1.select("doc_id")
+    val dropNew = crossPairs
+      .join(oldIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"),
+        "left_semi").select(col("id_b").as("doc_id"))
+      .unionByName(crossPairs
+        .join(oldIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"),
+          "left_semi").select(col("id_a").as("doc_id")))
+      .join(oldIds, Seq("doc_id"), "left_anti").distinct()
+    val s2 = reps2.join(dropNew, Seq("doc_id"), "left_anti")
+    val batchSurvivors = ids(s1) ++ ids(s2)
+    assert(sinkSurvivors == batchSurvivors,
+      s"sink $sinkSurvivors != batch composition $batchSurvivors")
+    assert(sinkSurvivors == Set(1L, 3L, 4L, 12L)) // sanity: seeded truth
+
+    // CRASH-REPLAY of batch 2: a fresh checkpoint replays the batch
+    // against an index that already holds batch 2's survivors. Replay
+    // must recompute the SAME survivor set (a doc's own index entries
+    // are excluded by id equality) — at-least-once means duplicate ROW
+    // copies in the output, never a different survivor set.
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.nearDupFilterSink(
+      in2.toDF().toDF("doc_id", "text"), out, state, s"$base/cp_replay",
+      numSlots = 16, bands = 4, shingleSize = 1, threshold = 0.8)
+    try {
+      in2.addData(b2: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(ids(spark.read.parquet(out)) == batchSurvivors)
+    assert(ids(spark.read.parquet(s"$state/docs.parquet")) == batchSurvivors)
+  }
+
+  test("nearDupFilterSink: index compaction bounds file count with " +
+      "identical filter behavior") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    val in = MemoryStream[(Long, String)]
+    val base = Files.createTempDirectory("graft_ndc").toString
+    val out = s"$base/out"; val state = s"$base/state"
+    val q = EventStreams.nearDupFilterSink(
+      in.toDF().toDF("doc_id", "text"), out, state, s"$base/cp",
+      numSlots = 16, bands = 4, shingleSize = 1, threshold = 0.8,
+      compactIndexAboveFiles = 2)
+    def dataFiles(dir: String): Int =
+      Option(new java.io.File(dir).listFiles()).map(_.count { f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")
+      }).getOrElse(0)
+    try {
+      // many small batches: uncompacted, each appends a fragment set
+      (0 until 6).foreach { i =>
+        in.addData((100L + i, s"unique document number $i with words w$i"))
+        q.processAllAvailable()
+      }
+      val bucketFiles = dataFiles(s"$state/buckets.parquet")
+      val docFiles = dataFiles(s"$state/docs.parquet")
+      // threshold 2 → compaction fires repeatedly; without it 6 batches
+      // leave >= 6 fragments per dir
+      assert(bucketFiles <= 4, s"buckets.parquet holds $bucketFiles files")
+      assert(docFiles <= 4, s"docs.parquet holds $docFiles files")
+      // no swap debris
+      assert(!new java.io.File(s"$state/buckets.parquet.bak").exists())
+      assert(!new java.io.File(s"$state/buckets.parquet.compact").exists())
+      // filter behavior over the COMPACTED index is unchanged: a
+      // near-dup of the first accepted doc is still dropped, a fresh
+      // doc still accepted
+      in.addData((200L, "unique document number 0 with words w0"),
+        (201L, "entirely novel content never seen"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == (0 until 6).map(100L + _).toSet + 201L)
+    } finally q.stop()
+  }
+
+  test("nearDupFilterSink: empty (torn) LSH manifest with no index is " +
+      "rewritten; with an index it fails fast") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sqlContext
+    // case 1: empty manifest, no index yet — a crash between create and
+    // close must not brick every restart; the manifest is rewritten
+    val base = Files.createTempDirectory("graft_ndm").toString
+    val state = s"$base/state"
+    new java.io.File(state).mkdirs()
+    Files.write(java.nio.file.Paths.get(s"$state/_GRAFT_LSH_PARAMS"),
+      Array.empty[Byte])
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.nearDupFilterSink(
+      in.toDF().toDF("doc_id", "text"), s"$base/out", state, s"$base/cp",
+      numSlots = 16, bands = 4, shingleSize = 1, threshold = 0.8)
+    try {
+      in.addData((1L, "some words here"))
+      q.processAllAvailable() // must not throw
+      val stored = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(s"$state/_GRAFT_LSH_PARAMS")), "UTF-8")
+      assert(stored == "oph,16,4,1")
+    } finally q.stop()
+    // case 2: empty manifest but the index EXISTS — params unverifiable,
+    // fail fast instead of guessing
+    Files.write(java.nio.file.Paths.get(s"$state/_GRAFT_LSH_PARAMS"),
+      Array.empty[Byte])
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.nearDupFilterSink(
+      in2.toDF().toDF("doc_id", "text"), s"$base/out", state, s"$base/cp2",
+      numSlots = 16, bands = 4, shingleSize = 1, threshold = 0.8)
+    try {
+      in2.addData((2L, "other words instead"))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(err).exists(_.contains("EMPTY LSH-params")))
+    } finally q2.stop()
+  }
+
   test("windowedCounts over a file stream matches the batch aggregate") {
     // streaming file source needs a directory: stage the single parquet
     val dir = Files.createTempDirectory("graft_wc").toString
