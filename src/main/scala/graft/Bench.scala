@@ -97,11 +97,25 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
+    // Per-sample JVM GC time (whole-process, seconds): the recurring
+    // 3-6x worst-run spikes concentrate on the components/verify chains,
+    // and without an attribution signal a GC stall landing on a query is
+    // indistinguishable from a plan regression. gc ≈ wall on a spiked
+    // sample says "collector, not code"; gc ≈ 0 says look at the plan.
+    val gcSamples = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+    }
     def runOnce(name: String): Unit = {
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
       samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      gcSamples(name) = gcSamples(name) :+ (gcMillis() - g0) / 1e3
     }
     for (_ <- 0 until runs) names.foreach(runOnce)
     def median(xs: Vector[Double]): Double = {
@@ -138,6 +152,28 @@ object Bench {
       "\"" + n + "\":[" + fmt(s.min) + "," + fmt(median(s)) + "," +
         fmt(s.max) + "]"
     }.mkString("{", ",", "}")
+    // Tail-regression flag: worst/median > 3 AND worst-median > 0.5 s
+    // (the absolute floor keeps 0.1 s queries from flagging on
+    // scheduler jitter). Flagged queries carry their GC share of the
+    // worst sample so the attribution is in the artifact, not a
+    // follow-up investigation: gc_frac_worst ≈ 1 → collector stall;
+    // ≈ 0 → the plan itself went long (recompute, skew, compile).
+    val flagged = names.filter { n =>
+      val s = samples(n)
+      val m = median(s)
+      m > 0 && s.max / m > 3.0 && s.max - m > 0.5
+    }
+    val spreadFlag = flagged.map { n =>
+      val s = samples(n)
+      val worstIdx = s.indexOf(s.max)
+      val gcWorst = gcSamples(n).lift(worstIdx).getOrElse(0.0)
+      "\"" + n + "\":{\"worst\":" + fmt(s.max) + ",\"median\":" +
+        fmt(median(s)) + ",\"gc_frac_worst\":" +
+        fmt(math.min(1.0, gcWorst / math.max(s.max, 1e-9))) + "}"
+    }.mkString("{", ",", "}")
+    val gcAll = names.map { n =>
+      "\"" + n + "\":[" + gcSamples(n).map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // "runs" is the BASE sweep count; the 10 provisionally-slowest
     // queries carry runs+top10_extra_runs samples (their all_runs arrays
     // are the ground truth for per-query sample counts).
@@ -145,6 +181,7 @@ object Bench {
       s""""runs":$runs,"top10_extra_runs":$extraRuns,""" +
       s""""calibration_sec":${fmt(calibrationSec)},""" +
       s""""queries":$detail,"spread":$spreadAll,""" +
+      s""""spread_flag":$spreadFlag,"gc_all_runs":$gcAll,""" +
       s""""all_runs":$allRuns,""" +
       s""""sf":"$sfDir","ts":${System.currentTimeMillis()}}""" + "\n"
     java.nio.file.Files.write(
@@ -166,9 +203,10 @@ object Bench {
         fmt(s.max) + "]"
     }.mkString("{", ",", "}")
     // budget shrunk 1100 → 1050 when calibration_sec joined the fixed
-    // overhead: the whole stdout line must fit the ~1800-char captured
+    // overhead, and again to 900 for spread_flag (≤5 entries × ~90
+    // chars): the whole stdout line must fit the ~1800-char captured
     // tail, so every fixed-field byte comes out of the query list
-    val budget = 1050
+    val budget = 900
     val kept = new scala.collection.mutable.ArrayBuffer[String]
     var used = 0
     byTime.foreach { case (k, v) =>
@@ -176,7 +214,18 @@ object Bench {
       if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
     }
     val qs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"top10_extra_runs":$extraRuns,"calibration_sec":${fmt(calibrationSec)},"queries":$qs,"spread_top10":$spreadTop,"n_queries":${results.size},"queries_are_slowest_first":true,"queries_are_medians":true,"detail":"bench_detail.json","history":"bench_history.jsonl","sf":"$sfDir"}""")
+    // stdout carries at most the 5 worst flagged queries (full set in
+    // bench_detail.json) to stay inside the captured-tail budget
+    val flagTop = flagged.sortBy(n => -(samples(n).max / median(samples(n))))
+      .take(5).map { n =>
+        val s = samples(n)
+        val worstIdx = s.indexOf(s.max)
+        val gcWorst = gcSamples(n).lift(worstIdx).getOrElse(0.0)
+        "\"" + n + "\":{\"worst\":" + fmt(s.max) + ",\"median\":" +
+          fmt(median(s)) + ",\"gc_frac_worst\":" +
+          fmt(math.min(1.0, gcWorst / math.max(s.max, 1e-9))) + "}"
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"top10_extra_runs":$extraRuns,"calibration_sec":${fmt(calibrationSec)},"queries":$qs,"spread_top10":$spreadTop,"spread_flag":$flagTop,"n_queries":${results.size},"queries_are_slowest_first":true,"queries_are_medians":true,"detail":"bench_detail.json","history":"bench_history.jsonl","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1129,8 +1129,15 @@ object Dedup {
       val d = VectorFunctions.dot(col(vecCol), VectorFunctions.floatVec(planes(p)))
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
+    // ONE corpus scan: both self-join sides reference the same
+    // repartition-by-bucket exchange (canonically identical subtrees →
+    // ReusedExchange), so the embedding table is scanned and sketched
+    // once and the join needs no further shuffle — without the explicit
+    // repartition each side re-scans the corpus into its own join
+    // exchange (2 scans + 2 shuffle writes of identical data).
     val sk = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       bits.as("__bucket"))
+      .repartition(col("__bucket"))
     val a = sk.select(col("__bucket"), col("__id").as("id_a"),
       col("__v").as("__va"))
     val b = sk.select(col("__bucket"), col("__id").as("id_b"),
@@ -1174,8 +1181,16 @@ object Dedup {
       maxClusterSize: Int = 100000): DataFrame = {
     val ivf = Similarity.buildIvf(corpus.sparkSession, corpus, idCol,
       vecCol, nClusters, iterations)
+    // ONE corpus scan for the whole verify chain: the size guardrail
+    // and both self-join sides all hang off a single
+    // repartition-by-cluster exchange (ReusedExchange dedupes the
+    // identical subtrees; the groupBy and the join both REQUIRE that
+    // distribution, so neither adds a shuffle). Without it the
+    // embedding table is scanned + assigned 3× — once for the sizes
+    // aggregate and once per join side.
     val assigned = ivf.assigned
       .select(col(idCol).as("__id"), col(vecCol).as("__v"), col("__centroid"))
+      .repartition(col("__centroid"))
     val sizes = assigned.groupBy(col("__centroid"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxClusterSize)

@@ -128,8 +128,11 @@ object Similarity {
     // cached only for the duration of training (each Lloyd iteration
     // rescans the corpus); released before returning so a long-lived
     // session doesn't accumulate pinned RDDs — the returned `assigned`
-    // plan recomputes from source when the caller executes it
-    val cached = corpus.cache()
+    // plan recomputes from source when the caller executes it. With
+    // iterations = 0 there is exactly ONE training read (the init
+    // collect), so the cache would be pure block-manager churn — skip it.
+    val doCache = iterations > 0
+    val cached = if (doCache) corpus.cache() else corpus
     var centroids: IndexedSeq[Seq[Float]] =
       cached.orderBy(col(idCol)).limit(nCentroids)
         .select(col(vecCol)).collect()
@@ -166,7 +169,7 @@ object Similarity {
       }
       iter += 1
     }
-    cached.unpersist()
+    if (doCache) cached.unpersist()
     IvfIndex(centroids, assigned)
   }
 
