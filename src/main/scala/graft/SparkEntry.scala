@@ -4960,6 +4960,37 @@ object SparkEntry {
       |FROM ne a JOIN ne b ON a.st = b.st AND a.doc_id < b.doc_id
       |ORDER BY id_a, id_b""".stripMargin))
 
+  private val q158 = Q("q158_keep_one_dedup",
+    (s, dir) => {
+      // Keep-one-per-fingerprint dedup end to end
+      // (Dedup.exactByFingerprint, the heap TopKPerGroupExec k=1 route,
+      // round 13): the fixture corpus carries no fingerprint dups, so
+      // the query plants one mangled copy per doc — upper-cased with
+      // trailing whitespace, which the fingerprint normalization
+      // (lower + whitespace-collapse + trim) folds back onto the
+      // original — at doc_id + 1000000. The keep-one must crown every
+      // ORIGINAL (lowest id per group); a wrong winner flips rows the
+      // oracle hash catches.
+      val d = t(s, dir, "documents")
+      val mangled = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        upper(concat(col("text"), lit("  "))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      graft.operators.Dedup
+        .exactByFingerprint(d.unionByName(mangled), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH u AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, upper(text || '  '), lang, source,
+      |    n_chars FROM documents
+      |)
+      |SELECT doc_id, text, lang, source, n_chars FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |    ORDER BY doc_id) AS rn FROM u) t
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -4973,7 +5004,7 @@ object SparkEntry {
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
-    q155, q156, q157)
+    q155, q156, q157, q158)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
