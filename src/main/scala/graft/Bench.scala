@@ -163,14 +163,18 @@ object Bench {
       val m = median(s)
       m > 0 && s.max / m > 3.0 && s.max - m > 0.5
     }
-    val spreadFlag = flagged.map { n =>
+    // one formatter for both the detail artifact and the stdout line —
+    // a format/attribution fix applied to one must not silently diverge
+    // the other
+    def flagEntry(n: String): String = {
       val s = samples(n)
       val worstIdx = s.indexOf(s.max)
       val gcWorst = gcSamples(n).lift(worstIdx).getOrElse(0.0)
       "\"" + n + "\":{\"worst\":" + fmt(s.max) + ",\"median\":" +
         fmt(median(s)) + ",\"gc_frac_worst\":" +
         fmt(math.min(1.0, gcWorst / math.max(s.max, 1e-9))) + "}"
-    }.mkString("{", ",", "}")
+    }
+    val spreadFlag = flagged.map(flagEntry).mkString("{", ",", "}")
     val gcAll = names.map { n =>
       "\"" + n + "\":[" + gcSamples(n).map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
@@ -202,30 +206,25 @@ object Bench {
       "\"" + k + "\":[" + fmt(s.min) + "," + fmt(median(s)) + "," +
         fmt(s.max) + "]"
     }.mkString("{", ",", "}")
-    // budget shrunk 1100 → 1050 when calibration_sec joined the fixed
-    // overhead, and again to 900 for spread_flag (≤5 entries × ~90
-    // chars): the whole stdout line must fit the ~1800-char captured
-    // tail, so every fixed-field byte comes out of the query list
-    val budget = 900
+    // stdout carries at most the 5 worst flagged queries (full set in
+    // bench_detail.json)
+    val flagTop = flagged.sortBy(n => -(samples(n).max / median(samples(n))))
+      .take(5).map(flagEntry).mkString("{", ",", "}")
+    // The whole stdout line must fit the ~1800-char captured tail, so
+    // the query-list budget is computed from what the VARIABLE fixed
+    // fields (spread_top10, spread_flag) actually cost this run — a
+    // constant budget overflowed the tail on rounds where several
+    // queries tripped the flag.
+    def stdoutLine(qs: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"top10_extra_runs":$extraRuns,"calibration_sec":${fmt(calibrationSec)},"queries":$qs,"spread_top10":$spreadTop,"spread_flag":$flagTop,"n_queries":${results.size},"queries_are_slowest_first":true,"queries_are_medians":true,"detail":"bench_detail.json","history":"bench_history.jsonl","sf":"$sfDir"}"""
+    val budget = 1750 - stdoutLine("{}").length
     val kept = new scala.collection.mutable.ArrayBuffer[String]
     var used = 0
     byTime.foreach { case (k, v) =>
       val entry = "\"" + k + "\":" + fmt(v)
       if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
     }
-    val qs = kept.mkString("{", ",", "}")
-    // stdout carries at most the 5 worst flagged queries (full set in
-    // bench_detail.json) to stay inside the captured-tail budget
-    val flagTop = flagged.sortBy(n => -(samples(n).max / median(samples(n))))
-      .take(5).map { n =>
-        val s = samples(n)
-        val worstIdx = s.indexOf(s.max)
-        val gcWorst = gcSamples(n).lift(worstIdx).getOrElse(0.0)
-        "\"" + n + "\":{\"worst\":" + fmt(s.max) + ",\"median\":" +
-          fmt(median(s)) + ",\"gc_frac_worst\":" +
-          fmt(math.min(1.0, gcWorst / math.max(s.max, 1e-9))) + "}"
-      }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"top10_extra_runs":$extraRuns,"calibration_sec":${fmt(calibrationSec)},"queries":$qs,"spread_top10":$spreadTop,"spread_flag":$flagTop,"n_queries":${results.size},"queries_are_slowest_first":true,"queries_are_medians":true,"detail":"bench_detail.json","history":"bench_history.jsonl","sf":"$sfDir"}""")
+    println(stdoutLine(kept.mkString("{", ",", "}")))
     spark.stop()
   }
 }

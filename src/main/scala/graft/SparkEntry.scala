@@ -4963,8 +4963,9 @@ object SparkEntry {
   private val q158 = Q("q158_keep_one_dedup",
     (s, dir) => {
       // Keep-one-per-fingerprint dedup end to end
-      // (Dedup.exactByFingerprint, the heap TopKPerGroupExec k=1 route,
-      // round 13): the fixture corpus carries no fingerprint dups, so
+      // (Dedup.exactByFingerprint — round 13's spillable argmin-
+      // aggregate + semi-join, no window sort, no full-row heap): the
+      // fixture corpus carries no fingerprint dups, so
       // the query plants one mangled copy per doc — upper-cased with
       // trailing whitespace, which the fingerprint normalization
       // (lower + whitespace-collapse + trim) folds back onto the

@@ -166,13 +166,19 @@ case class EuclideanDistSq(left: Expression, right: Expression)
   * codegen via `addReferenceObj` — so the plan holds one node and the
   * generated source one loop, at any k.
   *
-  * Semantics (bit-identical to the old tree): squared-L2 in double over
-  * float inputs, argmin with ties to the LOWEST centroid id; a centroid
-  * of mismatched length never wins (its distance was NULL under
-  * [[EuclideanDistSq]], skipped by `least`); NaN distances never win
-  * (NaN ranks above every double in `least`, and `NaN = NaN` is false);
-  * null/unmatchable input → -1 (the old tree's `otherwise` default), so
-  * the expression is never null.
+  * Semantics (bit-identical to the old tree, including Spark's NaN
+  * rules): squared-L2 in double over float inputs, argmin with ties to
+  * the LOWEST centroid id; a centroid of mismatched length never wins
+  * (its distance was NULL under [[EuclideanDistSq]], skipped by
+  * `least`); a NaN distance loses to every REAL distance (NaN ranks
+  * above every double in `least`), but when EVERY length-matching
+  * distance is NaN the lowest-id length-matching centroid wins —
+  * Spark SQL's `NaN = NaN` is TRUE, so the old tree's first
+  * `WHEN dist_i = least(...)` branch fired there (assigning a
+  * garbage all-NaN vector to a cluster is arbitrary but harmless;
+  * returning -1 instead would crash downstream `element_at(lut,
+  * code + 1)` ADC lookups); null/unmatchable input → -1 (the old
+  * tree's `otherwise` default), so the expression is never null.
   *
   * `centroids` is an IndexedSeq for structural case-class equality —
   * two assignments over the same matrix canonicalize equal, which is
@@ -203,11 +209,13 @@ case class NearestCentroid(child: Expression, centroids: IndexedSeq[IndexedSeq[F
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
     var best = -1L
+    var firstCandidate = -1L // lowest-id length-matching centroid
     var bestD = Double.PositiveInfinity
     var c = 0
     while (c < cents.length) {
       val cv = cents(c)
       if (cv.length == n) {
+        if (firstCandidate < 0) firstCandidate = c.toLong
         var acc = 0.0
         var i = 0
         while (i < n) {
@@ -219,7 +227,9 @@ case class NearestCentroid(child: Expression, centroids: IndexedSeq[IndexedSeq[F
       }
       c += 1
     }
-    java.lang.Long.valueOf(best)
+    // all candidate distances NaN (NaN vector): old-tree/Spark NaN=NaN
+    // semantics crown the first length-matching centroid — see scaladoc
+    java.lang.Long.valueOf(if (best < 0) firstCandidate else best)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -234,6 +244,7 @@ case class NearestCentroid(child: Expression, centroids: IndexedSeq[IndexedSeq[F
     val acc = ctx.freshName("acc")
     val i = ctx.freshName("i")
     val d = ctx.freshName("d")
+    val firstCand = ctx.freshName("firstCand")
     ev.copy(
       code = code"""
         ${childGen.code}
@@ -242,9 +253,11 @@ case class NearestCentroid(child: Expression, centroids: IndexedSeq[IndexedSeq[F
           org.apache.spark.sql.catalyst.util.ArrayData $a = ${childGen.value};
           final int $n = $a.numElements();
           double $bestD = Double.POSITIVE_INFINITY;
+          long $firstCand = -1L;
           for (int $c = 0; $c < $mat.length; $c++) {
             final float[] $cv = $mat[$c];
             if ($cv.length == $n) {
+              if ($firstCand < 0) $firstCand = (long) $c;
               double $acc = 0.0;
               for (int $i = 0; $i < $n; $i++) {
                 final double $d =
@@ -254,6 +267,7 @@ case class NearestCentroid(child: Expression, centroids: IndexedSeq[IndexedSeq[F
               if ($acc < $bestD) { $bestD = $acc; ${ev.value} = (long) $c; }
             }
           }
+          if (${ev.value} < 0) ${ev.value} = $firstCand;
         }
       """,
       isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)

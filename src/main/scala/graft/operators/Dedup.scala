@@ -32,27 +32,37 @@ object Dedup {
   /** Exact text dedup keyed by normalized fingerprint: keeps the lowest-id
     * row of each duplicate group (deterministic winner).
     *
-    * Rides the heap-based [[graft.plans.TopKPerGroupExec]] (k=1,
-    * constant order, id as the ASC tie): no per-group sort — on a
-    * dup-heavy crawl the hottest fingerprint group is exactly where the
-    * old `row_number` window's full group sort hurt. Memory is the KEPT
-    * set only (one row per distinct fingerprint per partition — i.e.
-    * the output partition), vs the window buffering every duplicate
-    * row. Ids are mapped through [[graft.plans.TopKPerGroup.tieExpr]]
-    * (null id → ranks first, matching the window's asc nulls-first);
+    * Plan: argmin-via-aggregate — `min(tie) GROUP BY fingerprint` over
+    * SKINNY (fingerprint, tie) pairs, then a semi-join of the corpus
+    * against the winning keys. No per-group sort anywhere (the old
+    * `row_number` window sorted every duplicate group in full — on a
+    * dup-heavy crawl the hottest fingerprint group is exactly where
+    * that hurt), and — unlike a k=1 heap exec over full rows — every
+    * operator here SPILLS: the aggregate is a codegen HashAggregate
+    * over two narrow columns with map-side partial combining (the
+    * shuffle ships ~one pair per fingerprint per mapper, not raw
+    * rows), and the semi-join is an ordinary shuffled join. On a
+    * mostly-unique corpus a full-row heap would hold ≈ the whole
+    * partition's text in executor memory with no spill path; this
+    * shape holds two longs per group. Ids are mapped through
+    * [[graft.plans.TopKPerGroup.tieExpr]] (exact order-preserving;
+    * null id → ranks first, matching the window's asc nulls-first);
     * id types outside the mapping (wide decimals, floats) keep the
-    * spillable window path. */
+    * spillable window path.
+    *
+    * Degenerate edge: rows sharing BOTH fingerprint and id (duplicate
+    * ids — already outside the id contract) all survive here, where
+    * the window kept an arbitrary one. */
   def exactByFingerprint(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fp = TextFunctions.fingerprint(col(textCol))
     graft.plans.TopKPerGroup.tieExpr(df, idCol) match {
       case Some(tie) =>
-        graft.plans.TopKPerGroup.perKey(
-          df.withColumn("__fp", fp)
-            .withColumn("__ord", lit(0L))
-            .withColumn("__tie", tie),
-          Seq("__fp"), "__ord", "__tie", 1)
-          .drop("__fp", "__ord", "__tie")
+        val keyed = df.withColumn("__fp", fp).withColumn("__tie", tie)
+        val winners = keyed.groupBy(col("__fp"))
+          .agg(min(col("__tie")).as("__tie"))
+        keyed.join(winners, Seq("__fp", "__tie"), "left_semi")
+          .drop("__fp", "__tie")
       case None =>
         df.withColumn("__fp", fp)
           .withColumn("__rk",
@@ -1116,6 +1126,16 @@ object Dedup {
     Seq.fill(numPlanes)(Seq.fill(dim)((rng.nextGaussian()).toFloat))
   }
 
+  /** @param maxBucketSize skew guardrail: sign-LSH buckets above this
+    *   population are DROPPED from candidate generation (a bucket of C
+    *   vectors yields C²/2 verify pairs — a degenerate embedding region
+    *   sharing one sign pattern would otherwise run as a single
+    *   quadratic straggler task, and the explicit one-scan repartition
+    *   below is exempt from AQE's skew-join splitting, so the bound is
+    *   the guardrail). Dropped buckets are counted through a
+    *   `graft.dedup.oversized_sign_buckets.N` observe metric — never
+    *   silent. Default is high enough that healthy corpora are
+    *   unaffected. */
   def embeddingNearDups(
       df: DataFrame,
       idCol: String,
@@ -1123,7 +1143,8 @@ object Dedup {
       dim: Int,
       threshold: Double = 0.95,
       numPlanes: Int = 16,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketSize: Int = 100000): DataFrame = {
     val planes: Seq[Seq[Float]] = signPlanes(numPlanes, dim, seed)
     val bits: Column = (0 until numPlanes).map { p =>
       val d = VectorFunctions.dot(col(vecCol), VectorFunctions.floatVec(planes(p)))
@@ -1134,13 +1155,26 @@ object Dedup {
     // ReusedExchange), so the embedding table is scanned and sketched
     // once and the join needs no further shuffle — without the explicit
     // repartition each side re-scans the corpus into its own join
-    // exchange (2 scans + 2 shuffle writes of identical data).
+    // exchange (2 scans + 2 shuffle writes of identical data). The
+    // size guardrail reads its own column-pruned scan; its groupBy is
+    // map-side combined (ships ~one row per bucket per mapper).
     val sk = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       bits.as("__bucket"))
       .repartition(col("__bucket"))
-    val a = sk.select(col("__bucket"), col("__id").as("id_a"),
+    ObservedLog.ensure(df.sparkSession)
+    val metric =
+      s"graft.dedup.oversized_sign_buckets.${metricSeq.incrementAndGet()}"
+    val sized = sk.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .observe(metric,
+        sum(when(col("__n") > maxBucketSize, 1L).otherwise(0L))
+          .as("buckets_dropped"))
+      .filter(col("__n") <= maxBucketSize)
+      .select(col("__bucket"))
+    val bounded = sk.join(sized, Seq("__bucket"), "left_semi")
+    val a = bounded.select(col("__bucket"), col("__id").as("id_a"),
       col("__v").as("__va"))
-    val b = sk.select(col("__bucket"), col("__id").as("id_b"),
+    val b = bounded.select(col("__bucket"), col("__id").as("id_b"),
       col("__v").as("__vb"))
     a.join(b, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))

@@ -256,7 +256,18 @@ object TopKPerGroup {
       case TimestampType =>
         Some(coalesce(unix_micros(c), lit(Long.MinValue)))
       case TimestampNTZType =>
-        Some(coalesce(unix_micros(c.cast("timestamp")), lit(Long.MinValue)))
+        // The NTZ→timestamp cast must carry an EXPLICIT fixed-offset
+        // zone: under the session zone, a DST spring-forward gap maps
+        // distinct wall times to one instant (non-injective — distinct
+        // ids would tie and the survivor become arrival-order-dependent)
+        // and the same call would keep different winners under different
+        // session zones. UTC has no transitions, so the mapping is an
+        // exact bijection onto epoch micros.
+        Some(coalesce(
+          Shims.column(org.apache.spark.sql.catalyst.expressions.UnixMicros(
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              Shims.expression(c), org.apache.spark.sql.types.TimestampType,
+              Some("UTC")))), lit(Long.MinValue)))
       case BooleanType =>
         Some(coalesce(c.cast("long"), lit(Long.MinValue)))
       case _ => None

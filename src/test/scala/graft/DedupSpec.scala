@@ -513,15 +513,20 @@ class DedupSpec extends SparkTestBase {
     assert(expected.exceptAll(kept).count() == 0)
   }
 
-  test("exactByFingerprint rides the heap exec, parity with the window form") {
+  test("exactByFingerprint: spillable argmin-agg plan, parity with the window form") {
     val d = spark.read.parquet(s"$sf001/documents.parquet")
     val out = Dedup.exactByFingerprint(d, "doc_id", "text")
     out.collect()
     val plan = out.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(plan.contains("TopKPerGroup"), "keep-one lost the heap exec")
-    assert(!plan.contains("Sort"), "keep-one sorted — the window-form bug")
+    // argmin-via-aggregate: a spillable, map-side-combined HashAggregate
+    // over skinny (fingerprint, tie) pairs + a semi-join — never a
+    // per-group Window sort, and never a full-row heap (which would hold
+    // ~the whole partition's text unspillably on a mostly-unique corpus)
+    assert(plan.contains("HashAggregate"), "keep-one lost the hash argmin")
     assert(!plan.contains("Window"), "keep-one still uses a window")
+    assert(!plan.contains("TopKPerGroup"),
+      "keep-one routes full rows through the unspillable heap exec")
     // parity vs the row_number window formulation it replaced
     val fp = graft.functions.TextFunctions.fingerprint(col("text"))
     val w = org.apache.spark.sql.expressions.Window

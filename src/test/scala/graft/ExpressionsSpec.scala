@@ -243,13 +243,31 @@ class ExpressionsSpec extends SparkTestBase {
       (3L, Some(Seq(3f, 3.9f))), // nearest c3
       (4L, Option.empty[Seq[Float]]), // null → -1
       (5L, Some(Seq(1f, 2f, 3f))), // length mismatch everywhere → -1
-      (6L, Some(Seq(Float.NaN, Float.NaN)))) // all-NaN dists → -1
+      // all distances NaN: Spark's NaN = NaN is TRUE, so the old tree's
+      // first WHEN branch fired — lowest-id length-matching centroid
+      // wins, never -1 (a -1 code would crash ADC's element_at(lut, 0))
+      (6L, Some(Seq(Float.NaN, Float.NaN))))
       .toDF("id", "v")
       .select(col("id"), col("v").cast("array<float>").as("v"))
     val got = df.select(col("id"), assign(col("v")).as("c"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 3L,
-      4L -> -1L, 5L -> -1L, 6L -> -1L))
+      4L -> -1L, 5L -> -1L, 6L -> 0L))
+    // the old-tree equivalence on the NaN row, asserted against the
+    // ACTUAL old formulation (CASE WHEN dist = least(...)):
+    val oldTree = {
+      val dists = cents.zipWithIndex.map { case (cv, i) =>
+        i -> graft.functions.VectorFunctions.distSqFast(
+          col("v"), graft.functions.VectorFunctions.floatVec(cv))
+      }
+      val minD = dists.map(_._2).reduce(least(_, _))
+      dists.foldRight(lit(-1L): org.apache.spark.sql.Column) {
+        case ((i, d), other) => when(d === minD, lit(i.toLong)).otherwise(other)
+      }
+    }
+    val oldGot = df.select(col("id"), oldTree.as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oldGot == got)
     // interpreted eval agrees with the codegen path above
     val e = NearestCentroid(
       org.apache.spark.sql.catalyst.expressions.Literal.create(
