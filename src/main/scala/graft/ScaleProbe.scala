@@ -134,6 +134,12 @@ object ScaleProbe {
     // SimHash arm (q37; dup clusters make its hamming-0 pairs grow
     // quadratically per cluster like q35's, bounded by band buckets)
     "q128_ann_ivfpq", "q129_semantic_dedup", "q37_simhash_neardup",
+    // round 13: the one-scan sign-LSH chain (q41; dup embeddings make
+    // within-bucket true pairs grow quadratically per bucket, bounded
+    // by the new maxBucketSize guardrail) and the keep-one dedup's
+    // argmin-aggregate shape (q158; the 10× synthesis's 10-member
+    // exact-dup clusters are its group-size stress)
+    "q41_embedding_neardup", "q158_keep_one_dedup",
     "q148_psi_series", "q149_quantile_norm", "q150_capped_jaccard",
     "q151_capped_editdist", "q152_gopher_rules", "q153_c4_clean",
     "q154_zipf_fit", "q155_tokenizer_fertility", "q156_dup_rate_by_source")
