@@ -27,6 +27,14 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     println("| query | shuffles | broadcasts | scans | pushed filters | codegen stages | shuffled records | shuffled KiB |")
     println("|---|---|---|---|---|---|---|---|")
+    // Plan-SIZE regression guard (round 13): q129's 23 s bench tail was
+    // an O(k²·dim) expression tree whose 344 KB executed plan cost ~2 s
+    // of driver time per run — a pathology completely invisible to the
+    // shuffle/scan counters above. Flag any query whose FINAL plan text
+    // exceeds this bound so the next literal-tree blowup is caught at
+    // audit time, not by bench-tail archaeology.
+    val planSizeBound = 100 * 1024
+    val oversized = scala.collection.mutable.ArrayBuffer[(String, Int)]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -39,6 +47,8 @@ object PlanAudit {
         val planStr = df.queryExecution.executedPlan.toString
         val finalPart = // only the final plan section, not "Initial Plan"
           planStr.split("== Initial Plan ==").head
+        if (finalPart.length > planSizeBound)
+          oversized += name -> finalPart.length
         val shuffles =
           count(finalPart, "Exchange (hashpartitioning|rangepartitioning|SinglePartition)")
         val bcasts = count(finalPart, "BroadcastExchange")
@@ -50,6 +60,18 @@ object PlanAudit {
           s"| $codegen | ${m.shuffleRecords} | ${m.shuffleBytes / 1024} |")
       } catch {
         case e: Throwable => println(s"| $name | audit failed: ${e.getClass.getSimpleName} | | | | | | |")
+      }
+    }
+    if (oversized.isEmpty)
+      println(s"\nPlan-size guard: every final plan under " +
+        s"${planSizeBound / 1024} KiB of text (largest-tree pathology " +
+        "class of q129-r12 — see SCALING.md round 13 — not present).")
+    else {
+      println(s"\nPlan-size guard: ${oversized.size} FINAL plan(s) over " +
+        s"${planSizeBound / 1024} KiB — likely a literal/per-constant " +
+        "expression-tree blowup; driver pays O(plan size) per run:")
+      oversized.sortBy(-_._2).foreach { case (n, b) =>
+        println(s"  $n: ${b / 1024} KiB")
       }
     }
     spark.stop()

@@ -284,6 +284,62 @@ case class NearestCentroid(child: Expression, centroids: IndexedSeq[IndexedSeq[F
     copy(child = newChild)
 }
 
+/** Bloom-filter membership probe over a 64-bit hash column, with the
+  * serialized filter held OUTSIDE the expression tree — the q97 instance
+  * of the same pathology [[NearestCentroid]] fixed for centroid
+  * matrices: `BloomFilterMightContain(Literal(bytes, BinaryType), …)`
+  * prints the WHOLE filter as hex in every plan dump (359 KiB of
+  * executed-plan text for a ~1 Mi-key bloom), and every driver plan
+  * walk pays it. Here the bytes are a constructor field with a
+  * shape-only toString; the deserialized
+  * `org.apache.spark.util.sketch.BloomFilter` is built lazily once per
+  * JVM and shipped to codegen via `addReferenceObj` — per-row probes
+  * call `mightContainLong` directly, identical semantics to Spark's
+  * own expression (which also hashes with XxHash64 before probing).
+  *
+  * Array-field case-class equality is reference-based — two probes
+  * over equal bytes won't canonicalize equal. Harmless here: nothing
+  * reuses a filter-probe subtree, and each [[graft.operators
+  * .BloomJoin]] call builds its own filter anyway. */
+case class BloomProbe(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_probe expects a LONG hash input, got ${other.sql}")
+    }
+
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Boolean.valueOf(filter.mightContainLong(v.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bf = ctx.addReferenceObj("bloomFilter", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, h => s"${ev.value} = $bf.mightContainLong($h);")
+  }
+
+  override def toString: String =
+    s"bloom_probe($child, ${bloomBytes.length}B)"
+  override def sql: String =
+    s"bloom_probe(${child.sql}, ${bloomBytes.length}B)"
+
+  override protected def withNewChildInternal(newChild: Expression): BloomProbe =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of an `array<string>` token column.
   *
   * Standard construction (Charikar 2002, "Similarity Estimation Techniques

@@ -68,11 +68,19 @@ object BloomJoin {
 
   /** Membership probe against a built bloom — codegen'd, usable in any
     * filter. May return true for absent keys (rate set by sizing), never
-    * false for present ones. */
+    * false for present ones.
+    *
+    * Probes through [[graft.functions.BloomProbe]] (filter bytes held
+    * outside the expression tree) instead of
+    * `BloomFilterMightContain(Literal(bytes), …)`: the binary literal
+    * printed the WHOLE serialized filter as hex into every plan dump —
+    * 359 KiB of executed-plan text at the q97 operating point, the
+    * same driver-side plan-size pathology as r12's q129 (SCALING.md
+    * round 13). Semantics identical: same XxHash64-then-
+    * mightContainLong probe Spark's own expression performs. */
   def mightContain(bloom: Array[Byte], key: Column): Column =
-    Shims.column(BloomFilterMightContain(
-      Literal(bloom, BinaryType),
-      new XxHash64(Seq(Shims.expression(key)))))
+    Shims.column(graft.functions.BloomProbe(
+      new XxHash64(Seq(Shims.expression(key))), bloom))
 
   /** EXACT semi-join with a Bloom prefilter on the probe side: `big`
     * rows whose key fails the bloom never enter the join's shuffle; the
