@@ -3280,7 +3280,12 @@ object SparkEntry {
       val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .select(concat(lit("S"), col("l_suppkey")).as("src"),
           concat(lit("C"), col("o_custkey")).as("dst"))
-      graft.operators.Graph.pagerank(edges, iterations = 3, damping = 0.85)
+      // truncateEvery = 3: the 3-round chain fuses into ONE action (the
+      // rank recurrence is linear, so nothing recomputes); measured
+      // ~8-10 % off the median vs per-iteration localCheckpoint, ranks
+      // bit-identical (SCALING.md round 13)
+      graft.operators.Graph.pagerank(edges, iterations = 3, damping = 0.85,
+        truncateEvery = 3)
         .select(col("id"), round(col("pr"), 9).as("pr"))
         .orderBy(col("pr").desc, col("id")).limit(20)
     },

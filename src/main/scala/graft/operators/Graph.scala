@@ -31,19 +31,31 @@ object Graph {
     *
     * Input `edges`: (src, dst) columns, any orderable type; parallel
     * edges collapse (DISTINCT). Output: (id, pr) for every node that
-    * appears as a src or dst. */
+    * appears as a src or dst.
+    *
+    * `truncateEvery` sets the lineage-truncation period (MLlib's
+    * PeriodicCheckpointer discipline, default interval 10 there): each
+    * eager cut is a full Spark action, so cutting every iteration pays
+    * fixed AQE/scheduling/IO cost per round, while the in-between
+    * rounds of a longer period fuse into one job (the rank recurrence
+    * is linear — an untruncated stretch re-derives nothing). Ranks are
+    * bit-identical for any period; the final frame is always
+    * materialized so the invariant caches can be released. */
   def pagerank(
       edges: DataFrame, iterations: Int = 3,
       damping: Double = 0.85,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      truncateEvery: Int = 1): DataFrame = {
+    require(truncateEvery >= 1, "truncateEvery must be >= 1")
     // Loop invariants are CACHED for the duration of training and the
-    // per-iteration rank frame is checkpointed: left lazy, each
-    // iteration's plan would re-derive the whole edge lineage of every
-    // previous iteration (the classic exponential-DAG trap of iterative
-    // Spark), turning 3 iterations over a 6M-edge graph into ~20 s of
-    // recomputation. Checkpointing keeps the per-iteration plan depth
-    // O(1); invariants are released before returning, and the returned
-    // frame reads the final checkpoint, not the raw lineage.
+    // rank frame is checkpointed every `truncateEvery` iterations (the
+    // MLlib PeriodicCheckpointer discipline): left lazy forever, the
+    // chain's plan depth and the driver's analyzer/optimizer walks grow
+    // per iteration and a lost-cache recompute re-derives the whole
+    // edge lineage (the classic trap of iterative Spark). Truncation
+    // keeps the plan depth O(truncateEvery); invariants are released
+    // before returning, and the returned frame reads the final
+    // checkpoint, not the raw lineage.
     //
     // `checkpointDir` picks the truncation medium: None (default) uses
     // localCheckpoint — executor-local blocks, fastest, right for
@@ -76,11 +88,25 @@ object Graph {
           (col("pr") / col("__odeg")).cast("decimal(28,18)").as("__c"))
         .groupBy(col("id"))
         .agg(sum(col("__c")).cast("double").as("__mass"))
-      pr = truncate(nodes.join(mass, Seq("id"), "left")
+      val next = nodes.join(mass, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + lit(damping) * coalesce(col("__mass"), lit(0.0)))
-            .as("pr")))
+            .as("pr"))
       iter += 1
+      // The rank chain is LINEAR (pr_i feeds exactly one mass_{i+1}),
+      // so an untruncated stretch re-derives nothing — its cost is plan
+      // DEPTH, not recompute. Truncation is therefore periodic: each
+      // eager (local)checkpoint is a full Spark ACTION (AQE planning,
+      // job scheduling, block writes) whose fixed cost dominates short
+      // iterations on fast clusters, while depth must stay bounded on
+      // long runs (analyzer/optimizer walks grow with the chain and the
+      // lineage must fit the driver). truncateEvery=1 keeps the classic
+      // every-iteration cut; a small period (3-5) amortizes the action
+      // cost ~period-fold and fuses the in-between rounds into one job.
+      // The FINAL frame is always truncated: the invariant caches are
+      // released below, so the returned frame must not re-derive them.
+      pr = if (iter == iterations || iter % truncateEvery == 0) truncate(next)
+           else next
     }
     e.unpersist(); nodes.unpersist(); eo.unpersist()
     pr

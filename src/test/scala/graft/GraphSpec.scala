@@ -72,4 +72,28 @@ class GraphSpec extends SparkTestBase {
     assert(a == b) // bit-identical, not approximately equal
     assert(a.nonEmpty)
   }
+
+  test("pagerank: truncation period never changes the ranks") {
+    val e = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(spark.read.parquet(s"$sf001/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("S"), col("l_suppkey")).as("src"),
+        concat(lit("C"), col("o_custkey")).as("dst"))
+    val every = Graph.pagerank(e, iterations = 4, truncateEvery = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // period 3 over 4 iterations: one mid-chain cut + the final cut —
+    // exercises both the fused stretch and the periodic boundary
+    val fused = Graph.pagerank(e, iterations = 4, truncateEvery = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // period > iterations: the whole chain fuses into the final cut
+    val onlyFinal = Graph.pagerank(e, iterations = 4, truncateEvery = 9)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(every == fused) // bit-identical
+    assert(every == onlyFinal)
+    assert(every.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Graph.pagerank(e, iterations = 1, truncateEvery = 0)
+    }
+  }
 }
