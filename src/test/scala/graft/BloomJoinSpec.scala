@@ -18,6 +18,25 @@ class BloomJoinSpec extends SparkTestBase {
     assert(misses == 0, s"$misses present keys failed the bloom")
   }
 
+  test("probe keeps the serialized filter out of the plan text") {
+    // A ~1M-key bloom serializes to ~100s of KiB; as a BinaryType
+    // Literal Spark prints it as hex into every plan dump (the q97
+    // pathology, 359 KiB of executed-plan text). BloomProbe holds the
+    // bytes outside the printable tree — assert the plan stays small
+    // no matter how big the filter is, and names the probe.
+    val bloom = BloomJoin.buildBloom(urgent, col("o_orderkey"),
+      expectedItems = 1000000L,
+      numBits = BloomJoin.optimalNumBits(1000000L, 0.01))
+    assert(bloom.length > 100 * 1024, s"filter only ${bloom.length}B")
+    val df = li.filter(BloomJoin.mightContain(bloom, col("l_orderkey")))
+    df.count() // force the FINAL (AQE-resolved) executed plan
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("bloom_probe("), plan.take(500))
+    assert(plan.length < 20 * 1024,
+      s"executed plan text is ${plan.length}B — filter leaked into it")
+  }
+
   test("prefiltered semi-join is row-identical to the plain semi-join") {
     val viaBloom = BloomJoin.semiJoin(li, urgent,
       "l_orderkey", "o_orderkey", expectedItems = 10000L)
