@@ -35,6 +35,7 @@ object PlanAudit {
     // audit time, not by bench-tail archaeology.
     val planSizeBound = 100 * 1024
     val oversized = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+    var unmeasured = 0 // audit-failed queries: their plan size is UNKNOWN
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -59,13 +60,20 @@ object PlanAudit {
         println(s"| $name | $shuffles | $bcasts | $scans | $pushed " +
           s"| $codegen | ${m.shuffleRecords} | ${m.shuffleBytes / 1024} |")
       } catch {
-        case e: Throwable => println(s"| $name | audit failed: ${e.getClass.getSimpleName} | | | | | | |")
+        case e: Throwable =>
+          unmeasured += 1
+          println(s"| $name | audit failed: ${e.getClass.getSimpleName} | | | | | | |")
       }
     }
-    if (oversized.isEmpty)
-      println(s"\nPlan-size guard: every final plan under " +
+    if (oversized.isEmpty) {
+      val caveat =
+        if (unmeasured == 0) ""
+        else s" CAVEAT: $unmeasured quer${if (unmeasured == 1) "y" else "ies"} " +
+          "failed the audit — their plan sizes are unmeasured, not clean."
+      println(s"\nPlan-size guard: every MEASURED final plan under " +
         s"${planSizeBound / 1024} KiB of text (largest-tree pathology " +
-        "class of q129-r12 — see SCALING.md round 13 — not present).")
+        s"class of q129-r12 — see SCALING.md round 13 — not present).$caveat")
+    }
     else {
       println(s"\nPlan-size guard: ${oversized.size} FINAL plan(s) over " +
         s"${planSizeBound / 1024} KiB — likely a literal/per-constant " +

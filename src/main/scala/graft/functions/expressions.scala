@@ -304,6 +304,13 @@ case class NearestCentroid(child: Expression, centroids: IndexedSeq[IndexedSeq[F
 case class BloomProbe(child: Expression, bloomBytes: Array[Byte])
     extends UnaryExpression {
 
+  // an EMPTY build side serializes to null (BloomFilterAggregate.eval
+  // returns null at cardinality 0) — callers must map that to a null
+  // boolean column (see BloomJoin.mightContain), not construct a probe
+  require(bloomBytes != null,
+    "bloom_probe needs a non-null serialized filter; an empty build " +
+      "side yields null — emit a null-boolean column instead")
+
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true

@@ -2,10 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.graftshim.Shims
-import org.apache.spark.sql.types.BinaryType
 
 /** Bloom-prefiltered joins — the shuffle-volume lever for selective joins
   * at 100 TB.
@@ -77,9 +76,14 @@ object BloomJoin {
     * 359 KiB of executed-plan text at the q97 operating point, the
     * same driver-side plan-size pathology as r12's q129 (SCALING.md
     * round 13). Semantics identical: same XxHash64-then-
-    * mightContainLong probe Spark's own expression performs. */
+    * mightContainLong probe Spark's own expression performs — including
+    * the EMPTY-build-side case: `BloomFilterAggregate.eval` returns
+    * null for zero input rows, and `BloomFilterMightContain` of a null
+    * bloom is null (filter drops every row → correct empty join);
+    * a null `bloom` here maps to the same null-boolean column. */
   def mightContain(bloom: Array[Byte], key: Column): Column =
-    Shims.column(graft.functions.BloomProbe(
+    if (bloom == null) lit(null).cast("boolean")
+    else Shims.column(graft.functions.BloomProbe(
       new XxHash64(Seq(Shims.expression(key))), bloom))
 
   /** EXACT semi-join with a Bloom prefilter on the probe side: `big`

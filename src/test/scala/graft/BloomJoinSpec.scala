@@ -37,6 +37,25 @@ class BloomJoinSpec extends SparkTestBase {
       s"executed plan text is ${plan.length}B — filter leaked into it")
   }
 
+  test("empty build side: probe is null-boolean, joins return empty") {
+    // BloomFilterAggregate.eval returns NULL for zero input rows, so
+    // buildBloom on an empty frame yields null. The probe must map that
+    // to a null boolean (filter drops every row — the semantics of
+    // Spark's own BloomFilterMightContain over a null bloom), not NPE.
+    val none = urgent.filter(lit(false))
+    val bloom = BloomJoin.buildBloom(none, col("o_orderkey"),
+      expectedItems = 10L, numBits = 1024L)
+    assert(bloom == null)
+    assert(li.filter(BloomJoin.mightContain(bloom, col("l_orderkey")))
+      .count() == 0)
+    assert(BloomJoin.semiJoin(li, none,
+      "l_orderkey", "o_orderkey", expectedItems = 10L).count() == 0)
+    intercept[IllegalArgumentException] { // direct null-bytes construction
+      graft.functions.BloomProbe(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L), null)
+    }
+  }
+
   test("prefiltered semi-join is row-identical to the plain semi-join") {
     val viaBloom = BloomJoin.semiJoin(li, urgent,
       "l_orderkey", "o_orderkey", expectedItems = 10000L)
