@@ -4997,6 +4997,77 @@ object SparkEntry {
       |    ORDER BY doc_id) AS rn FROM u) t
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin))
 
+  private val q159 = Q("q159_ranking_eval",
+    (s, dir) => {
+      // TREC-style ranked-retrieval evaluation (Retrieval.rankingEval):
+      // per-query recall@k / MRR@k / NDCG@k — the metric gate on a
+      // retrieval stack (BM25/ANN curation, hard-negative mining)
+      // before its ranking decides what enters a corpus. Demo framing
+      // on the fixture: each customer is a "query", their orders the
+      // candidates ranked by total price, and urgent/high priority the
+      // relevance judgments (grade 2/1) — does price rank urgency on
+      // top? Scale shape: the runs side is touched ONCE by the heap
+      // top-k cut (TopKPerGroupExec — no whole-group window sort; the
+      // rank index is a row_number over the <=k survivors reusing the
+      // heap's hash distribution), the grade join is k·|Q|-bounded,
+      // and qrels (judgments — bounded by nature) pay two map-side-
+      // combined aggregates. DCG partials are DECIMAL(22,9)-rounded
+      // then decimal-summed so partial-agg order can't move the sum;
+      // log2's last ulp is absorbed by round(6) (q136 precedent).
+      val o = t(s, dir, "orders")
+      val runs = o.select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice"))
+      val qrels = o
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          when(col("o_orderpriority") === "1-URGENT", 2)
+            .otherwise(1).as("grade"))
+      Retrieval.rankingEval(runs, qrels, "o_custkey", "o_orderkey",
+          "o_totalprice", "grade", k = 5)
+        .orderBy(col("o_custkey"))
+    },
+    Some("""WITH qrels AS (
+      |  SELECT o_custkey AS q, o_orderkey AS d,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 2 ELSE 1 END AS g
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |), ranked AS (
+      |  SELECT o_custkey AS q, o_orderkey AS d,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders
+      |), judged AS (
+      |  SELECT t.q, t.rk, COALESCE(r.g, 0) AS g
+      |  FROM (SELECT * FROM ranked WHERE rk <= 5) t
+      |  LEFT JOIN qrels r ON t.q = r.q AND t.d = r.d
+      |), runagg AS (
+      |  SELECT q,
+      |    SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS hits,
+      |    MAX(CASE WHEN g > 0 THEN CAST(1 AS DOUBLE) / rk
+      |      ELSE CAST(0 AS DOUBLE) END) AS mrr,
+      |    SUM(CAST((POW(CAST(2 AS DOUBLE), g) - 1.0) / LOG2(rk + 1)
+      |      AS DECIMAL(22,9))) AS dcg
+      |  FROM judged GROUP BY q
+      |), ideal AS (
+      |  SELECT q, g, ROW_NUMBER() OVER (PARTITION BY q
+      |    ORDER BY g DESC, d) AS rk
+      |  FROM qrels
+      |), idcg AS (
+      |  SELECT q, CAST(COUNT(*) AS BIGINT) AS n_rel,
+      |    SUM(CASE WHEN rk <= 5
+      |      THEN CAST((POW(CAST(2 AS DOUBLE), g) - 1.0) / LOG2(rk + 1)
+      |        AS DECIMAL(22,9))
+      |      ELSE CAST(0 AS DECIMAL(22,9)) END) AS idcg
+      |  FROM ideal GROUP BY q
+      |)
+      |SELECT i.q AS o_custkey, i.n_rel,
+      |  ROUND(CAST(COALESCE(r.hits, 0) AS DOUBLE) / i.n_rel, 6)
+      |    AS recall_at_k,
+      |  ROUND(COALESCE(r.mrr, CAST(0 AS DOUBLE)), 6) AS mrr_at_k,
+      |  ROUND(CAST(COALESCE(r.dcg, 0) AS DOUBLE) /
+      |    CAST(i.idcg AS DOUBLE), 6) AS ndcg_at_k
+      |FROM idcg i LEFT JOIN runagg r ON i.q = r.q
+      |ORDER BY o_custkey""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -5010,7 +5081,7 @@ object SparkEntry {
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
-    q155, q156, q157, q158)
+    q155, q156, q157, q158, q159)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

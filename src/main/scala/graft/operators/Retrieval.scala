@@ -111,4 +111,107 @@ object Retrieval {
     bm25(docs, idCol, textCol, queryTerms, k1, b)
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
+
+  /** TREC-style ranked-retrieval evaluation: per-query recall@k, MRR@k
+    * and NDCG@k of a scored candidate table (`runs`) against a
+    * relevance-judgment table (`qrels`) — the read side of a retrieval
+    * stack (BM25/ANN curation passes, hard-negative mining): before a
+    * ranker gates what enters a corpus, measure how it ranks what the
+    * judgments say it should.
+    *
+    * Semantics (trec_eval conventions):
+    *   - the evaluated query set is the queries with ≥1 POSITIVE grade
+    *     in `qrels` (grade > 0); zero-grade judgments mark judged-
+    *     non-relevant docs and queries that are only in `runs` are not
+    *     scored. A scored query with no retrieved rows gets 0/0/0.
+    *   - duplicate (query, doc) judgments collapse to their MAX grade;
+    *     null grades read as 0. Grades must be small non-negative
+    *     integers (the usual 0–4 scale) — the gain is 2^grade − 1.
+    *   - retrieved ranking: `scoreCol` DESC, ties by `docCol` ASC (a
+    *     total order, so results are engine-independent). Rows with a
+    *     null/NaN score or a null doc id are dropped, matching the
+    *     heap exec's contract.
+    *   - recall@k = |relevant ∩ top-k| / n_rel (n_rel uncapped, so
+    *     recall < 1 when n_rel > k); MRR@k = 1/rank of the first
+    *     relevant retrieved doc, 0 if none in the top k; NDCG@k with
+    *     gain 2^g − 1, discount log2(rank+1), ideal from the query's
+    *     own top-min(k, n_rel) grades.
+    *
+    * Scale shape (the point, at 100 TB of `runs`):
+    *   - `runs` is touched ONCE, by the heap top-k cut
+    *     ([[graft.plans.TopKPerGroup]]) — O(n log k) per partition, one
+    *     hash exchange on the query key, NO whole-group window sort;
+    *   - the rank index is a row_number window over the ≤k survivors
+    *     per query, reusing the heap's hash distribution (in-partition
+    *     sort of k-row groups — every Sort in the final plan sits
+    *     above a heap cut, asserted in RetrievalSpec);
+    *   - the grade join touches k·|Q| rows, never the corpus;
+    *   - `qrels` (human/synthetic judgments — bounded by nature) pays
+    *     two aggregations keyed on the query, both map-side combined.
+    *
+    * Determinism: DCG partials are rounded to DECIMAL(22,9) and summed
+    * as decimals (partial-aggregation order cannot move the sum — the
+    * bm25 precedent); log2's last ulp is absorbed by the final
+    * round(6). recall and MRR are exact-integer ratios in IEEE double.
+    *
+    * Output: (queryCol, n_rel, recall_at_k, mrr_at_k, ndcg_at_k).
+    */
+  def rankingEval(
+      runs: DataFrame,
+      qrels: DataFrame,
+      queryCol: String,
+      docCol: String,
+      scoreCol: String,
+      gradeCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dcgTerm =
+      ((pow(lit(2.0), col("__g")) - lit(1.0)) /
+        log2(col("__rk") + lit(1))).cast("decimal(22,9)")
+
+    // judgments: max grade per (query, doc), null grade -> 0
+    val g = qrels
+      .select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        coalesce(col(gradeCol).cast("int"), lit(0)).as("__g"))
+      .groupBy(col("__q"), col("__d")).agg(max(col("__g")).as("__g"))
+    val positives = g.filter(col("__g") > 0)
+
+    // the one pass over the corpus-sized side: heap top-k per query,
+    // then rank the <=k survivors (bounded sort, reused distribution)
+    val cut = graft.plans.TopKPerGroup.perKey(
+      runs.select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        col(scoreCol).cast("double").as("__s")),
+      Seq("__q"), "__s", "__d", k)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__q"))
+      .orderBy(col("__s").desc, col("__d").asc)
+    val judged = cut.withColumn("__rk", row_number().over(wRun))
+      .join(g, Seq("__q", "__d"), "left")
+      .withColumn("__g", coalesce(col("__g"), lit(0)))
+    val runAgg = judged.groupBy(col("__q")).agg(
+      sum(when(col("__g") > 0, 1L).otherwise(0L)).as("__hits"),
+      max(when(col("__g") > 0, lit(1.0) / col("__rk"))
+        .otherwise(lit(0.0))).as("__mrr"),
+      sum(dcgTerm).as("__dcg"))
+
+    // ideal side: per-query relevant total + DCG of its own top-k grades
+    val relTotals = positives.groupBy(col("__q"))
+      .agg(count(lit(1)).as("n_rel"))
+    val idealCut = graft.plans.TopKPerGroup.perKey(
+      positives, Seq("__q"), "__g", "__d", k)
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__q"))
+      .orderBy(col("__g").desc, col("__d").asc)
+    val ideal = idealCut.withColumn("__rk", row_number().over(wIdeal))
+      .groupBy(col("__q")).agg(sum(dcgTerm).as("__idcg"))
+
+    relTotals.join(ideal, Seq("__q"))
+      .join(runAgg, Seq("__q"), "left")
+      .select(col("__q").as(queryCol), col("n_rel"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") /
+          col("n_rel"), 6).as("recall_at_k"),
+        round(coalesce(col("__mrr"), lit(0.0)), 6).as("mrr_at_k"),
+        round(coalesce(col("__dcg").cast("double"), lit(0.0)) /
+          col("__idcg").cast("double"), 6).as("ndcg_at_k"))
+  }
 }

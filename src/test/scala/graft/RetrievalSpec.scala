@@ -101,4 +101,112 @@ class RetrievalSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"), plan)
   }
+
+  // ---- rankingEval ----------------------------------------------------
+
+  private def evalRuns = Seq(
+    // q=1: six candidates (k=5 cuts d15), plus a null and a NaN score
+    // row that the heap contract drops
+    (1L, 10L, Some(9.0)), (1L, 11L, Some(8.0)), (1L, 12L, Some(7.0)),
+    (1L, 13L, Some(6.0)), (1L, 14L, Some(5.0)), (1L, 15L, Some(4.0)),
+    (1L, 98L, Some(Double.NaN)), (1L, 99L, None),
+    // q=3 has runs but no judgments -> not scored
+    (3L, 30L, Some(1.0))
+  ).toDF("q", "d", "s")
+
+  private def evalQrels = Seq(
+    // q=1: d11 judged twice (grades 1 and 2 -> max 2), d13 grade 1,
+    // d77 relevant but never retrieved, d10 judged NON-relevant
+    // (grade 0), d12 null grade (-> 0)
+    (1L, 11L, Some(2)), (1L, 11L, Some(1)), (1L, 13L, Some(1)),
+    (1L, 77L, Some(2)), (1L, 10L, Some(0)), (1L, 12L, None),
+    // q=2: one relevant doc, no runs at all -> 0/0/0
+    (2L, 20L, Some(3))
+  ).toDF("q", "d", "g")
+
+  test("rankingEval: trec semantics on a hand-checked fixture") {
+    val out = Retrieval.rankingEval(
+        evalRuns, evalQrels, "q", "d", "s", "g", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // evaluated set = queries with a positive judgment: 1 and 2 only
+    assert(out.keySet === Set(1L, 2L))
+    val (nRel1, recall1, mrr1, ndcg1) = out(1L)
+    // top-5 = d10(g0) d11(g2) d12(g0) d13(g1) d14(g0); relevant = {11,13,77}
+    assert(nRel1 === 3L)
+    assert(recall1 === math.floor(2.0 / 3.0 * 1e6 + 0.5) / 1e6) // 0.666667
+    assert(mrr1 === 0.5) // first relevant at rank 2
+    // ndcg: gains at ranks 2 and 4 vs ideal grades [2,2,1] — exact value
+    // pinned by the window-parity test; here just the sane range
+    assert(ndcg1 > 0.0 && ndcg1 < 1.0)
+    // q=2: judged but never retrieved
+    assert(out(2L) === ((1L, 0.0, 0.0, 0.0)))
+  }
+
+  test("rankingEval: parity with a whole-group window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(101)
+    val runs = (for {
+      q <- 0L until 40L
+      d <- 0L until (3 + rng.nextInt(8)).toLong
+    } yield (q, d, rng.nextDouble() * 10)).toDF("q", "d", "s")
+    val qrels = (for {
+      q <- 0L until 45L // some queries have judgments but no runs
+      d <- 0L until 10L
+      if rng.nextDouble() < 0.4
+    } yield (q, d, rng.nextInt(4))).toDF("q", "d", "g")
+    val k = 4
+
+    // reference: identical math over row_number windows (whole-group
+    // sorts — correct, just not the 100 TB shape)
+    val g = qrels.groupBy($"q", $"d").agg(max($"g").as("g"))
+    val pos = g.filter($"g" > 0)
+    def dcgTerm = ((pow(lit(2.0), $"g") - lit(1.0)) /
+      log2($"rk" + lit(1))).cast("decimal(22,9)")
+    val ranked = runs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"q").orderBy($"s".desc, $"d".asc)))
+      .filter($"rk" <= k)
+      .join(g, Seq("q", "d"), "left")
+      .withColumn("g", coalesce($"g", lit(0)))
+    val runAgg = ranked.groupBy($"q").agg(
+      sum(when($"g" > 0, 1L).otherwise(0L)).as("hits"),
+      max(when($"g" > 0, lit(1.0) / $"rk").otherwise(0.0)).as("mrr"),
+      sum(dcgTerm).as("dcg"))
+    val idealAgg = pos
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"q").orderBy($"g".desc, $"d".asc)))
+      .filter($"rk" <= k)
+      .groupBy($"q").agg(sum(dcgTerm).as("idcg"))
+    val expected = pos.groupBy($"q").agg(count(lit(1)).as("n_rel"))
+      .join(idealAgg, Seq("q"))
+      .join(runAgg, Seq("q"), "left")
+      .select($"q", $"n_rel",
+        round(coalesce($"hits", lit(0L)).cast("double") / $"n_rel", 6)
+          .as("recall_at_k"),
+        round(coalesce($"mrr", lit(0.0)), 6).as("mrr_at_k"),
+        round(coalesce($"dcg".cast("double"), lit(0.0)) /
+          $"idcg".cast("double"), 6).as("ndcg_at_k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+
+    val got = Retrieval.rankingEval(runs, qrels, "q", "d", "s", "g", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got === expected)
+  }
+
+  test("rankingEval plan: both cuts ride the heap exec") {
+    val df = Retrieval.rankingEval(
+      evalRuns, evalQrels, "q", "d", "s", "g", k = 5)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the corpus-sized runs cut AND the ideal-grades cut are both the
+    // bounded-heap operator — the only Sorts the operator adds are the
+    // rank windows over each cut's <=k survivors per query
+    assert(plan.sliding("TopKPerGroup".length)
+      .count(_ == "TopKPerGroup") >= 2, plan)
+  }
 }
