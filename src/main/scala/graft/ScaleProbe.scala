@@ -140,6 +140,10 @@ object ScaleProbe {
     // argmin-aggregate shape (q158; the 10× synthesis's 10-member
     // exact-dup clusters are its group-size stress)
     "q41_embedding_neardup", "q158_keep_one_dedup",
+    // round 13 late: ranked-retrieval eval (q159; 10x orders grow both
+    // the per-customer heap cut's input and the judgment aggregates —
+    // the k-bounded rank windows and grade join must stay k*|Q|-sized)
+    "q159_ranking_eval",
     "q148_psi_series", "q149_quantile_norm", "q150_capped_jaccard",
     "q151_capped_editdist", "q152_gopher_rules", "q153_c4_clean",
     "q154_zipf_fit", "q155_tokenizer_fertility", "q156_dup_rate_by_source")
