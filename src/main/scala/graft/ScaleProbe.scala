@@ -143,7 +143,10 @@ object ScaleProbe {
     // round 13 late: ranked-retrieval eval (q159; 10x orders grow both
     // the per-customer heap cut's input and the judgment aggregates —
     // the k-bounded rank windows and grade join must stay k*|Q|-sized)
-    "q159_ranking_eval",
+    // and the one-scan dup-ngram profile (q95; the dup-cluster
+    // synthesis makes every gram appear in >=10 docs — the pair-fold
+    // and join-back worst case)
+    "q159_ranking_eval", "q95_dup_ngrams",
     "q148_psi_series", "q149_quantile_norm", "q150_capped_jaccard",
     "q151_capped_editdist", "q152_gopher_rules", "q153_c4_clean",
     "q154_zipf_fit", "q155_tokenizer_fertility", "q156_dup_rate_by_source")

@@ -698,10 +698,20 @@ object Dedup {
   }
 
   /** Per-document duplication profile: how much of each doc is token
-    * spans that ALSO occur in another document. Two shuffles on the gram
-    * key (per-gram distinct-doc count, then count join-back) + one on the
-    * doc id — every stage is a hash-partition on its key, no pairwise
-    * comparison anywhere, so cost is linear in total token count.
+    * spans that ALSO occur in another document.
+    *
+    * Shape: the raw occurrence stream folds ONCE into distinct
+    * (gram, doc, within-doc count) triples — a map-side-combined
+    * aggregate, so what shuffles is the deduped pair set, not every
+    * occurrence — and BOTH downstream consumers (the per-gram
+    * doc-frequency count and the count join-back) hang off that one
+    * frame's exchange (`ReusedExchange`: the corpus is tokenized +
+    * exploded exactly once per profile). The per-doc totals are then
+    * recovered exactly from the carried counts: n_grams = Σ within-doc
+    * counts, n_dup = Σ counts of grams seen in ≥2 docs. Every exchange
+    * is planner-inserted (AQE skew-join splitting stays eligible on
+    * the join — no pinned repartition), and no stage compares pairs,
+    * so cost is linear in total token count.
     *
     * `hashGrams=true` (the 100 TB path) shuffles an 8-byte xxhash64 of
     * each gram instead of the gram string — at n=20-ish training-dedup
@@ -719,12 +729,26 @@ object Dedup {
     val occ = ngramOccurrences(docs, idCol, textCol, n)
       .select(col(idCol),
         (if (hashGrams) xxhash64(col("__gram")) else col("__gram")).as("__k"))
-    val docCounts = occ.groupBy(col("__k"))
-      .agg(countDistinct(col(idCol)).as("__nd"))
-    occ.join(docCounts, Seq("__k"))
+    // distinct (gram, doc) pairs with the occurrence count carried —
+    // the single pass over the exploded corpus
+    val pairs = occ.groupBy(col("__k"), col(idCol))
+      .agg(count(lit(1)).as("__c"))
+    // per-gram doc frequency = group size over the already-distinct
+    // pairs (exact by construction — no countDistinct needed). The
+    // count is spelled as a sum over a __c-referencing CASE (__c >= 1
+    // is always true for a count output, so this IS the group size):
+    // a plain count(1) — or count(__c), which the optimizer rewrites
+    // to count(1) — lets column pruning strip __c from THIS branch's
+    // copy of the pairs aggregate, making the two (gram, doc)
+    // exchanges structurally different, which defeats ReusedExchange
+    // and re-scans + re-explodes the whole corpus for the second
+    // branch (DedupSpec pins the single-Generate plan).
+    val docCounts = pairs.groupBy(col("__k"))
+      .agg(sum(when(col("__c") >= 1, 1L).otherwise(0L)).as("__nd"))
+    pairs.join(docCounts, Seq("__k"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .agg(sum(col("__c")).as("n_grams"),
+        sum(when(col("__nd") >= 2, col("__c")).otherwise(0L)).as("n_dup"))
       .withColumn("dup_frac",
         round(col("n_dup").cast("double") / col("n_grams"), 6))
   }

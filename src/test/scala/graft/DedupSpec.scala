@@ -729,6 +729,44 @@ class DedupSpec extends SparkTestBase {
     assert(!prof.contains(4L))
   }
 
+  test("profile counts EVERY occurrence of a within-doc repeated gram") {
+    // doc 1 repeats "a b" twice; doc 2 shares it. Both occurrences in
+    // doc 1 are duplicated spans — the distinct-pair fold carries the
+    // within-doc count, so n_dup must be 2, not 1.
+    val tiny = Seq(
+      (1L, "a b a b"),  // grams: "a b","b a","a b" -> n_grams 3, dup 2
+      (2L, "a b z")     // grams: "a b","b z"       -> n_grams 2, dup 1
+    ).toDF("doc_id", "text")
+    val prof = Dedup.duplicateNgramProfile(tiny, "doc_id", "text",
+      n = 2, hashGrams = false)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(prof(1L) == ((3L, 2L, 0.666667)))
+    assert(prof(2L) == ((2L, 1L, 0.5)))
+  }
+
+  test("profile plan tokenizes + explodes the corpus exactly once") {
+    // Both consumers of the gram stream (per-gram doc frequency and
+    // the count join-back) hang off ONE distinct-pair aggregate whose
+    // exchange is reused — a second Generate would mean the corpus is
+    // being re-scanned and re-exploded per branch.
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val prof = Dedup.duplicateNgramProfile(d, "doc_id", "text",
+      n = 3, hashGrams = true)
+    prof.collect()
+    val plan = prof.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // substring count, not a line-anchored pattern: tree-prefix glyphs
+    // (':  +-') defeat anchored regexes and silently undercount
+    val generates = "Generate explode".r.findAllMatchIn(plan).length
+    assert(generates == 1,
+      s"expected ONE explode pass over the corpus, found $generates:\n" +
+        plan.take(4000))
+    assert(plan.contains("ReusedExchange"),
+      "the doc-frequency branch is not reusing the (gram, doc) " +
+        "pair exchange:\n" + plan.take(4000))
+  }
+
   test("hashed-gram profile is value-identical to the raw-gram profile") {
     val d = spark.read.parquet(s"$sf001/documents.parquet")
     val raw = Dedup.duplicateNgramProfile(d, "doc_id", "text",
