@@ -125,12 +125,20 @@ object Retrieval {
     *     non-relevant docs and queries that are only in `runs` are not
     *     scored. A scored query with no retrieved rows gets 0/0/0.
     *   - duplicate (query, doc) judgments collapse to their MAX grade;
-    *     null grades read as 0. Grades must be small non-negative
-    *     integers (the usual 0–4 scale) — the gain is 2^grade − 1.
+    *     null grades read as 0, negative grades (spam-style labels)
+    *     participate with ZERO gain and never count as relevant.
+    *     Grades must be small integers (the usual 0–4 scale) — the
+    *     gain is 2^max(grade, 0) − 1.
     *   - retrieved ranking: `scoreCol` DESC, ties by `docCol` ASC (a
     *     total order, so results are engine-independent). Rows with a
-    *     null/NaN score or a null doc id are dropped, matching the
-    *     heap exec's contract.
+    *     null/NaN score are dropped (the heap exec's contract), and
+    *     null doc ids are dropped on BOTH sides — a null doc can
+    *     neither be retrieved nor judged, so it must not occupy a rank
+    *     slot or inflate n_rel. `runs` is expected distinct per
+    *     (query, doc); duplicate retrievals each occupy a rank slot.
+    *     Doc ids may be any type with an exact order-preserving tie
+    *     mapping (integral, string, decimal p≤18, date/timestamp,
+    *     boolean — [[graft.plans.TopKPerGroup.tieExpr]]).
     *   - recall@k = |relevant ∩ top-k| / n_rel (n_rel uncapped, so
     *     recall < 1 when n_rel > k); MRR@k = 1/rank of the first
     *     relevant retrieved doc, 0 if none in the top k; NDCG@k with
@@ -165,27 +173,42 @@ object Retrieval {
       gradeCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // gain clamps negative grades to 0 — a spam-style label must not
+    // SUBTRACT from DCG
     val dcgTerm =
-      ((pow(lit(2.0), col("__g")) - lit(1.0)) /
+      ((pow(lit(2.0), greatest(col("__g"), lit(0))) - lit(1.0)) /
         log2(col("__rk") + lit(1))).cast("decimal(22,9)")
+    def tieOf(df: DataFrame, side: String): Column =
+      graft.plans.TopKPerGroup.tieExpr(df, "__d").getOrElse(
+        throw new IllegalArgumentException(
+          s"$side doc column $docCol has no exact order-preserving " +
+            s"tie mapping (type ${df.schema("__d").dataType.sql}) — " +
+            "use an integral, string, decimal(p<=18), date/timestamp " +
+            "or boolean id"))
 
-    // judgments: max grade per (query, doc), null grade -> 0
+    // judgments: max grade per (query, doc), null grade -> 0, null
+    // doc ids dropped (they can never be retrieved — keeping them
+    // would inflate n_rel and cap recall below 1 forever)
     val g = qrels
       .select(col(queryCol).as("__q"), col(docCol).as("__d"),
         coalesce(col(gradeCol).cast("int"), lit(0)).as("__g"))
+      .filter(col("__d").isNotNull)
       .groupBy(col("__q"), col("__d")).agg(max(col("__g")).as("__g"))
     val positives = g.filter(col("__g") > 0)
 
     // the one pass over the corpus-sized side: heap top-k per query,
     // then rank the <=k survivors (bounded sort, reused distribution)
+    val r = runs.select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        col(scoreCol).cast("double").as("__s"))
+      .filter(col("__d").isNotNull)
     val cut = graft.plans.TopKPerGroup.perKey(
-      runs.select(col(queryCol).as("__q"), col(docCol).as("__d"),
-        col(scoreCol).cast("double").as("__s")),
-      Seq("__q"), "__s", "__d", k)
+      r.withColumn("__tie", tieOf(r, "runs")),
+      Seq("__q"), "__s", "__tie", k)
     val wRun = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__q"))
       .orderBy(col("__s").desc, col("__d").asc)
-    val judged = cut.withColumn("__rk", row_number().over(wRun))
+    val judged = cut.drop("__tie")
+      .withColumn("__rk", row_number().over(wRun))
       .join(g, Seq("__q", "__d"), "left")
       .withColumn("__g", coalesce(col("__g"), lit(0)))
     val runAgg = judged.groupBy(col("__q")).agg(
@@ -198,11 +221,13 @@ object Retrieval {
     val relTotals = positives.groupBy(col("__q"))
       .agg(count(lit(1)).as("n_rel"))
     val idealCut = graft.plans.TopKPerGroup.perKey(
-      positives, Seq("__q"), "__g", "__d", k)
+      positives.withColumn("__tie", tieOf(positives, "qrels")),
+      Seq("__q"), "__g", "__tie", k)
     val wIdeal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__q"))
       .orderBy(col("__g").desc, col("__d").asc)
-    val ideal = idealCut.withColumn("__rk", row_number().over(wIdeal))
+    val ideal = idealCut.drop("__tie")
+      .withColumn("__rk", row_number().over(wIdeal))
       .groupBy(col("__q")).agg(sum(dcgTerm).as("__idcg"))
 
     relTotals.join(ideal, Seq("__q"))

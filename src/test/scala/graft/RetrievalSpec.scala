@@ -162,7 +162,7 @@ class RetrievalSpec extends SparkTestBase {
     // sorts — correct, just not the 100 TB shape)
     val g = qrels.groupBy($"q", $"d").agg(max($"g").as("g"))
     val pos = g.filter($"g" > 0)
-    def dcgTerm = ((pow(lit(2.0), $"g") - lit(1.0)) /
+    def dcgTerm = ((pow(lit(2.0), greatest($"g", lit(0))) - lit(1.0)) /
       log2($"rk" + lit(1))).cast("decimal(22,9)")
     val ranked = runs
       .withColumn("rk", row_number().over(
@@ -195,6 +195,50 @@ class RetrievalSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4))).toSet
     assert(got === expected)
+  }
+
+  test("rankingEval: negative grades gain zero, never count relevant; " +
+      "null-doc judgments don't inflate n_rel") {
+    val runs = Seq(
+      (1L, Some(10L), 9.0), (1L, Some(11L), 8.0), (1L, Some(12L), 7.0)
+    ).toDF("q", "d", "s")
+    val qrels = Seq(
+      (1L, Some(10L), -2),       // spam label on the TOP hit
+      (1L, Some(11L), 1),        // the only true relevant
+      (1L, None: Option[Long], 3)// null doc id — must be ignored
+    ).toDF("q", "d", "g")
+    val out = Retrieval.rankingEval(runs, qrels, "q", "d", "s", "g", 3)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 1L)   // n_rel: the null-doc grade-3 row is out
+    assert(r.getDouble(2) === 1.0) // recall: d11 retrieved
+    assert(r.getDouble(3) === 0.5) // mrr: first RELEVANT at rank 2 — the
+                                   // spam doc at rank 1 is not relevant
+    // ndcg: dcg = 1/log2(3) (d10's negative grade gains ZERO, d12's 0
+    // too); idcg = 1/log2(2) = 1 -> ndcg = round(1/log2(3), 6)
+    val expected = BigDecimal(1.0 / (math.log(3.0) / math.log(2.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    assert(r.getDouble(4) ===
+      (expected / 1).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  test("rankingEval accepts decimal doc ids via the exact tie mapping") {
+    val runs = Seq(
+      (1L, BigDecimal("100.10"), 5.0), (1L, BigDecimal("100.02"), 5.0),
+      (1L, BigDecimal("99.99"), 4.0)
+    ).toDF("q", "d", "s")
+      .select($"q", $"d".cast("decimal(10,2)").as("d"), $"s")
+    val qrels = Seq((1L, BigDecimal("100.02"), 1))
+      .toDF("q", "d", "g")
+      .select($"q", $"d".cast("decimal(10,2)").as("d"), $"g")
+    // equal scores tie by doc ASC: 100.02 ranks before 100.10, so the
+    // relevant doc sits at rank 1 with k=2
+    val out = Retrieval.rankingEval(runs, qrels, "q", "d", "s", "g", 2)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getDouble(3) === 1.0) // mrr = 1/1
   }
 
   test("rankingEval plan: both cuts ride the heap exec") {
