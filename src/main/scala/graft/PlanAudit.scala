@@ -57,7 +57,15 @@ object PlanAudit {
         val pushed = count(finalPart, "PushedFilters: \\[\\w") // non-empty
         val codegen = "\\*\\((\\d+)\\)".r
           .findAllMatchIn(finalPart).map(_.group(1)).toSet.size
-        println(s"| $name | $shuffles | $bcasts | $scans | $pushed " +
+        // a plan with no scan AND no exchange is rooted at blocks the
+        // query materialized EAGERLY at construction (cache/checkpoint
+        // chains — q122's per-iteration checkpoints, q41's guardrail):
+        // the real shuffles ran in eager jobs this harvest can't see.
+        // Mark the row so zeros read as "measured elsewhere", not
+        // "free" (the eager stories live in SCALING.md).
+        val marker =
+          if (scans == 0 && shuffles == 0 && bcasts == 0) " †eager" else ""
+        println(s"| $name$marker | $shuffles | $bcasts | $scans | $pushed " +
           s"| $codegen | ${m.shuffleRecords} | ${m.shuffleBytes / 1024} |")
       } catch {
         case e: Throwable =>
