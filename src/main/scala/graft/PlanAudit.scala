@@ -63,8 +63,10 @@ object PlanAudit {
         // the real shuffles ran in eager jobs this harvest can't see.
         // Mark the row so zeros read as "measured elsewhere", not
         // "free" (the eager stories live in SCALING.md).
+        // ASCII on purpose: the marker survives log pipes that mangle
+        // multibyte glyphs
         val marker =
-          if (scans == 0 && shuffles == 0 && bcasts == 0) " †eager" else ""
+          if (scans == 0 && shuffles == 0 && bcasts == 0) " (eager)" else ""
         println(s"| $name$marker | $shuffles | $bcasts | $scans | $pushed " +
           s"| $codegen | ${m.shuffleRecords} | ${m.shuffleBytes / 1024} |")
       } catch {

@@ -130,12 +130,17 @@ object Retrieval {
     *     Grades must be small integers (the usual 0–4 scale) — the
     *     gain is 2^max(grade, 0) − 1.
     *   - retrieved ranking: `scoreCol` DESC, ties by `docCol` ASC (a
-    *     total order, so results are engine-independent). Rows with a
-    *     null/NaN score are dropped (the heap exec's contract), and
-    *     null doc ids are dropped on BOTH sides — a null doc can
-    *     neither be retrieved nor judged, so it must not occupy a rank
-    *     slot or inflate n_rel. `runs` is expected distinct per
-    *     (query, doc); duplicate retrievals each occupy a rank slot.
+    *     total order, so results are engine-independent). Integral and
+    *     float/double scores rank at their native precision (no 2^53
+    *     collapse for long scores); other numerics rank through
+    *     double. Rows with a null/NaN score are dropped (the heap
+    *     exec's contract), and null doc ids are dropped on BOTH
+    *     sides — a null doc can neither be retrieved nor judged, so it
+    *     must not occupy a rank slot or inflate n_rel. Duplicate
+    *     (query, doc) retrievals — an input defect trec_eval rejects
+    *     outright — collapse to their best-scored copy after the top-k
+    *     cut (metrics stay well-formed; a duplicate at the cut
+    *     boundary may leave the query with < k distinct docs).
     *     Doc ids may be any type with an exact order-preserving tie
     *     mapping (integral, string, decimal p≤18, date/timestamp,
     *     boolean — [[graft.plans.TopKPerGroup.tieExpr]]).
@@ -196,18 +201,43 @@ object Retrieval {
       .groupBy(col("__q"), col("__d")).agg(max(col("__g")).as("__g"))
     val positives = g.filter(col("__g") > 0)
 
+    // integral and native-float scores pass through UNCAST: the heap
+    // ranks integral orders at full 64-bit precision, and a blanket
+    // cast("double") would collapse long scores past 2^53 (exactly the
+    // coercion the exec's contract exists to avoid). Other numeric
+    // types (decimal, etc.) rank through double.
+    val scoreExpr = runs.schema(runs.schema.fieldIndex(scoreCol))
+      .dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => col(scoreCol)
+      case _ => col(scoreCol).cast("double")
+    }
     // the one pass over the corpus-sized side: heap top-k per query,
-    // then rank the <=k survivors (bounded sort, reused distribution)
+    // then rank the <=k survivors (bounded sort, reused distribution —
+    // the exec propagates its child's hash partitioning, so no second
+    // exchange)
     val r = runs.select(col(queryCol).as("__q"), col(docCol).as("__d"),
-        col(scoreCol).cast("double").as("__s"))
+        scoreExpr.as("__s"))
       .filter(col("__d").isNotNull)
     val cut = graft.plans.TopKPerGroup.perKey(
       r.withColumn("__tie", tieOf(r, "runs")),
       Seq("__q"), "__s", "__tie", k)
+    // duplicate (query, doc) retrievals collapse to their best-scored
+    // copy HERE, on the k·|Q|-bounded cut — without this, each copy
+    // left-joins the same judgment and recall@k can exceed 1 while DCG
+    // double-counts one document. (Collapsing after the cut means a
+    // duplicate at the boundary may leave a query with < k distinct
+    // docs — duplicates are an input defect; trec_eval rejects them
+    // outright, this bounds the damage instead of corrupting metrics.)
     val wRun = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__q"))
       .orderBy(col("__s").desc, col("__d").asc)
     val judged = cut.drop("__tie")
+      .groupBy(col("__q"), col("__d")).agg(max(col("__s")).as("__s"))
       .withColumn("__rk", row_number().over(wRun))
       .join(g, Seq("__q", "__d"), "left")
       .withColumn("__g", coalesce(col("__g"), lit(0)))

@@ -63,6 +63,17 @@ case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(grouping) :: Nil
 
+  // the exec filters rows WITHIN partitions — it never moves one — so
+  // the child's partitioning survives verbatim. Without this override
+  // the default UnknownPartitioning makes EnsureRequirements insert a
+  // redundant exchange above every cut whose consumer re-clusters on
+  // the same key (a per-key rank window, a per-key aggregate, a second
+  // cut — the rankingEval/mrlRerank shapes), re-shuffling rows that
+  // are already exactly where they need to be.
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "output rows"),

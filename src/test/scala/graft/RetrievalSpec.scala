@@ -241,6 +241,38 @@ class RetrievalSpec extends SparkTestBase {
     assert(out.head.getDouble(3) === 1.0) // mrr = 1/1
   }
 
+  test("rankingEval: duplicate retrievals collapse — recall stays <= 1, " +
+      "DCG counts a doc once") {
+    val runs = Seq(
+      (1L, 11L, 9.0), (1L, 11L, 8.0), // duplicate retrieval of d11
+      (1L, 12L, 7.0)
+    ).toDF("q", "d", "s")
+    val qrels = Seq((1L, 11L, 1)).toDF("q", "d", "g")
+    val out = Retrieval.rankingEval(runs, qrels, "q", "d", "s", "g", 5)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 1L)
+    assert(r.getDouble(2) === 1.0) // NOT 2.0 — the dup collapsed
+    assert(r.getDouble(3) === 1.0) // best copy ranks 1st
+    assert(r.getDouble(4) === 1.0) // dcg = idcg = 1/log2(2), single-counted
+  }
+
+  test("rankingEval ranks long scores at full 64-bit precision") {
+    // 2^53 and 2^53+1 collapse to the same double; the uncast integral
+    // order path must keep them distinct
+    val lo = 9007199254740992L // 2^53
+    val hi = 9007199254740993L // 2^53 + 1 — strictly higher score
+    val runs = Seq((1L, 10L, lo), (1L, 11L, hi)).toDF("q", "d", "s")
+    val qrels = Seq((1L, 11L, 1)).toDF("q", "d", "g")
+    val out = Retrieval.rankingEval(runs, qrels, "q", "d", "s", "g", 1)
+      .collect()
+    assert(out.length === 1)
+    // with k=1 only the TRUE top doc survives the cut: d11 (score 2^53+1)
+    assert(out.head.getDouble(3) === 1.0,
+      "2^53+1 ranked below 2^53 — the score was coerced through double")
+  }
+
   test("rankingEval plan: both cuts ride the heap exec") {
     val df = Retrieval.rankingEval(
       evalRuns, evalQrels, "q", "d", "s", "g", k = 5)

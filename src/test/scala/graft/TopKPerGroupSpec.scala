@@ -145,4 +145,32 @@ class TopKPerGroupSpec extends SparkTestBase {
       .select("t").collect().map(_.getString(0)).toSet
     assert(got == Set("aa", "ab"))
   }
+
+  test("exec propagates its child's partitioning — a same-key consumer " +
+      "adds no second exchange") {
+    // The exec filters rows within partitions, so the hash exchange
+    // that satisfied its required distribution also satisfies any
+    // downstream operator clustering on the same key (rank windows,
+    // per-key aggregates, a second cut). Without the
+    // outputPartitioning override the default UnknownPartitioning made
+    // EnsureRequirements re-shuffle the <=k survivors of EVERY cut —
+    // a pure-waste exchange in rankingEval, capPerGroup-then-agg, and
+    // the mrlRerank double-cut.
+    val cut = TopKPerGroup.perKey(
+      orders.select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice")),
+      Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
+    val agg = cut.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(plan).length
+    assert(plan.contains("TopKPerGroup"), plan.take(2000))
+    assert(exchanges == 1,
+      s"expected ONE hash exchange (feeding the cut), found $exchanges " +
+        "— the exec stopped propagating outputPartitioning:\n" +
+        plan.take(3000))
+  }
 }
