@@ -201,21 +201,21 @@ object Retrieval {
       .groupBy(col("__q"), col("__d")).agg(max(col("__g")).as("__g"))
     val positives = g.filter(col("__g") > 0)
 
-    // integral and native-float scores pass through UNCAST: the heap
-    // ranks integral orders at full 64-bit precision, and a blanket
+    // scores the exec ranks natively pass through UNCAST — a blanket
     // cast("double") would collapse long scores past 2^53 (exactly the
-    // coercion the exec's contract exists to avoid). Other numeric
-    // types (decimal, etc.) rank through double.
-    val scoreExpr = runs.schema(runs.schema.fieldIndex(scoreCol))
-      .dataType match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.FloatType |
-           org.apache.spark.sql.types.DoubleType => col(scoreCol)
-      case _ => col(scoreCol).cast("double")
-    }
+    // coercion the exec's integral path exists to avoid); other
+    // numerics (decimal, etc.) rank through double. Field resolution
+    // is case-INsensitive, matching col()/perKey's resolution — an
+    // exact fieldIndex lookup would reject "Score" vs "score" that
+    // every other column in this API accepts.
+    val scoreField = runs.schema.find(_.name.equalsIgnoreCase(scoreCol))
+      .getOrElse(throw new IllegalArgumentException(
+        s"score column $scoreCol not in " +
+          runs.schema.fieldNames.mkString(", ")))
+    val scoreExpr =
+      if (graft.plans.TopKPerGroup.ranksNatively(scoreField.dataType))
+        col(scoreCol)
+      else col(scoreCol).cast("double")
     // the one pass over the corpus-sized side: heap top-k per query,
     // then rank the <=k survivors (bounded sort, reused distribution —
     // the exec propagates its child's hash partitioning, so no second

@@ -231,6 +231,25 @@ object TopKPerGroup {
     Shims.ofRows(spark, plan)
   }
 
+  /** Types the exec ranks at NATIVE precision — integral orders as raw
+    * 64-bit longs, float/double through the order-preserving bit
+    * mapping. Callers with one of these order types must NOT pre-coerce
+    * through `cast("double")` (that collapses longs past 2⁵³ — the
+    * exact loss the exec's integral path exists to avoid); anything
+    * else (decimal, etc.) needs a caller-side cast to a native type
+    * first. One predicate so callers can't drift from the exec's
+    * `integralOrder` dispatch. */
+  def ranksNatively(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    }
+
   /** Null-safe, ASC-order-preserving tie column for [[perKey]] over an
     * arbitrary orderable id column — the internal mapping that lets the
     * keep-one/argmax operators accept the same id types their old
