@@ -147,6 +147,9 @@ object ScaleProbe {
     // synthesis makes every gram appear in >=10 docs — the pair-fold
     // and join-back worst case)
     "q159_ranking_eval", "q95_dup_ngrams",
+    // paired ranker t-test (q160: two full eval passes + a 1-row
+    // exact-decimal stats aggregate — must stay 2x q159's shape)
+    "q160_ranker_ttest",
     "q148_psi_series", "q149_quantile_norm", "q150_capped_jaccard",
     "q151_capped_editdist", "q152_gopher_rules", "q153_c4_clean",
     "q154_zipf_fit", "q155_tokenizer_fertility", "q156_dup_rate_by_source")

@@ -5068,6 +5068,99 @@ object SparkEntry {
       |FROM idcg i LEFT JOIN runagg r ON i.q = r.q
       |ORDER BY o_custkey""".stripMargin))
 
+  /** One ranker's full eval-to-NDCG CTE chain for the q160 oracle —
+    * rendered twice (price vs recency) against the shared qrels/idcg
+    * CTEs of the q159 stack. `score` is a DuckDB expression over the
+    * `orders` row. */
+  private def rankerNdcgSql(sfx: String, score: String): String =
+    s"""ranked_$sfx AS (
+      |  SELECT o_custkey AS q, o_orderkey AS d,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY $score DESC, o_orderkey) AS rk
+      |  FROM orders
+      |), judged_$sfx AS (
+      |  SELECT t.q, t.rk, COALESCE(r.g, 0) AS g
+      |  FROM (SELECT * FROM ranked_$sfx WHERE rk <= 5) t
+      |  LEFT JOIN qrels r ON t.q = r.q AND t.d = r.d
+      |), runagg_$sfx AS (
+      |  SELECT q,
+      |    SUM(CAST((POW(CAST(2 AS DOUBLE), GREATEST(g, 0)) - 1.0) /
+      |      LOG2(rk + 1) AS DECIMAL(22,9))) AS dcg
+      |  FROM judged_$sfx GROUP BY q
+      |), ndcg_$sfx AS (
+      |  SELECT i.q,
+      |    ROUND(CAST(COALESCE(r.dcg, 0) AS DOUBLE) /
+      |      CAST(i.idcg AS DOUBLE), 6) AS m
+      |  FROM idcg i LEFT JOIN runagg_$sfx r ON i.q = r.q
+      |)""".stripMargin
+
+  private val q160 = Q("q160_ranker_ttest",
+    (s, dir) => {
+      // Paired ranker comparison (Retrieval.compareRankers): does
+      // price-ordering beat recency-ordering at putting urgent/high
+      // orders on top? Per-query NDCG@5 deltas, paired t statistic
+      // (Smucker et al. CIKM'07 — the standard IR significance test).
+      // Deltas are exact DECIMAL(12,6) (rankingEval's 6-dp metrics),
+      // so Σd/Σd² are order-independent; mean/var/t come from the two
+      // exact sums in double — bit-replayable in the oracle. Both
+      // rankers' corpus passes ride the one-scan heap cut; recency
+      // scores are exact epoch micros (long — native 64-bit ranking).
+      val o = t(s, dir, "orders")
+      val runsA = o.select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").as("score"))
+      val runsB = o.select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("score"))
+      val qrels = o
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          when(col("o_orderpriority") === "1-URGENT", 2)
+            .otherwise(1).as("grade"))
+      Retrieval.compareRankers(runsA, runsB, qrels,
+        "o_custkey", "o_orderkey", "score", "grade", k = 5)
+    },
+    Some(s"""WITH qrels AS (
+      |  SELECT o_custkey AS q, o_orderkey AS d,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 2 ELSE 1 END AS g
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |), ideal AS (
+      |  SELECT q, g, ROW_NUMBER() OVER (PARTITION BY q
+      |    ORDER BY g DESC, d) AS rk
+      |  FROM qrels
+      |), idcg AS (
+      |  SELECT q,
+      |    SUM(CASE WHEN rk <= 5
+      |      THEN CAST((POW(CAST(2 AS DOUBLE), g) - 1.0) / LOG2(rk + 1)
+      |        AS DECIMAL(22,9))
+      |      ELSE CAST(0 AS DECIMAL(22,9)) END) AS idcg
+      |  FROM ideal GROUP BY q
+      |), ${rankerNdcgSql("a", "o_totalprice")},
+      |${rankerNdcgSql("b", "epoch_us(o_orderdate)")},
+      |d AS (
+      |  SELECT CAST(a.m AS DECIMAL(12,6)) AS ma,
+      |    CAST(b.m AS DECIMAL(12,6)) AS mb,
+      |    CAST(CAST(a.m AS DECIMAL(12,6)) - CAST(b.m AS DECIMAL(12,6))
+      |      AS DECIMAL(13,6)) AS dd
+      |  FROM ndcg_a a JOIN ndcg_b b USING (q)
+      |), st AS (
+      |  SELECT COUNT(*) AS n, SUM(ma) AS sa, SUM(mb) AS sb,
+      |    SUM(dd) AS s1, SUM(CAST(dd * dd AS DECIMAL(27,12))) AS s2
+      |  FROM d
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_queries,
+      |  ROUND(CAST(sa AS DOUBLE) / n, 6) AS mean_a,
+      |  ROUND(CAST(sb AS DOUBLE) / n, 6) AS mean_b,
+      |  ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_delta,
+      |  ROUND(CASE WHEN n >= 2 AND
+      |      (CAST(s2 AS DOUBLE) -
+      |        CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) > 0.0
+      |    THEN (CAST(s1 AS DOUBLE) / n) /
+      |      SQRT(((CAST(s2 AS DOUBLE) -
+      |        CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) /
+      |        (n - 1)) / n)
+      |    END, 6) AS t_stat,
+      |  CAST(n - 1 AS BIGINT) AS df
+      |FROM st""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -5081,7 +5174,7 @@ object SparkEntry {
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
-    q155, q156, q157, q158, q159)
+    q155, q156, q157, q158, q159, q160)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

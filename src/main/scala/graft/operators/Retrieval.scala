@@ -269,4 +269,88 @@ object Retrieval {
         round(coalesce(col("__dcg").cast("double"), lit(0.0)) /
           col("__idcg").cast("double"), 6).as("ndcg_at_k"))
   }
+
+  /** Paired comparison of two rankers over the same judgments: runs
+    * both through [[rankingEval]], joins per-query metrics, and
+    * reports the paired t statistic on the per-query deltas — the
+    * standard significance test for IR system comparison (Smucker,
+    * Allan & Carterette, CIKM 2007, find the t-test the most reliable
+    * of the common choices). The decision this gates at 100 TB:
+    * whether ranker B's corpus-curation ordering actually beats A's
+    * before swapping it into the pipeline.
+    *
+    * `metric` picks the per-query column to compare:
+    * "ndcg_at_k" (default), "recall_at_k" or "mrr_at_k".
+    *
+    * Determinism: rankingEval's metrics are 6-dp rounded, so each
+    * delta is an EXACT DECIMAL(12,6); Σd and Σd² accumulate as exact
+    * decimals (aggregation order cannot move them), and mean/variance/
+    * t are computed from those two exact sums in IEEE double at the
+    * end — bit-replayable in SQL. Variance uses the n−1 sample
+    * correction.
+    *
+    * Output: one row — (n_queries, mean_a, mean_b, mean_delta,
+    * t_stat, df). t_stat is NULL when fewer than 2 queries or when
+    * every delta is identical (zero variance — no evidence of a
+    * difference either way, and 0/0 would be NaN); the caller reads
+    * |t| against the t distribution with `df` degrees of freedom
+    * (no p-value here — keeping the operator closed-form and
+    * engine-replayable).
+    *
+    * Scale shape: two rankingEval passes (each touches its corpus-
+    * sized runs ONCE via the heap cut) + per-query joins on the
+    * judgment-bounded evaluated set + one 1-row aggregate of exact
+    * decimal sums. Both evals see the same qrels, so the evaluated
+    * query sets coincide and the join is complete by construction. */
+  def compareRankers(
+      runsA: DataFrame,
+      runsB: DataFrame,
+      qrels: DataFrame,
+      queryCol: String,
+      docCol: String,
+      scoreCol: String,
+      gradeCol: String,
+      k: Int,
+      metric: String = "ndcg_at_k"): DataFrame = {
+    require(Seq("ndcg_at_k", "recall_at_k", "mrr_at_k").contains(metric),
+      s"metric must be ndcg_at_k, recall_at_k or mrr_at_k, got $metric")
+    val a = rankingEval(runsA, qrels, queryCol, docCol, scoreCol,
+      gradeCol, k).select(col(queryCol), col(metric).as("__ma"))
+    val b = rankingEval(runsB, qrels, queryCol, docCol, scoreCol,
+      gradeCol, k).select(col(queryCol), col(metric).as("__mb"))
+    a.join(b, Seq(queryCol))
+      .select(
+        // 6-dp metrics are exact in DECIMAL(12,6); deltas in (13,6)
+        col("__ma").cast("decimal(12,6)").as("__a"),
+        col("__mb").cast("decimal(12,6)").as("__b"))
+      .withColumn("__d", (col("__a") - col("__b")).cast("decimal(13,6)"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("__a")).as("__sa"),
+        sum(col("__b")).as("__sb"),
+        sum(col("__d")).as("__s1"),
+        sum((col("__d") * col("__d")).cast("decimal(27,12)")).as("__s2"))
+      .select(
+        col("n_queries"),
+        round(col("__sa").cast("double") / col("n_queries"), 6)
+          .as("mean_a"),
+        round(col("__sb").cast("double") / col("n_queries"), 6)
+          .as("mean_b"),
+        round(col("__s1").cast("double") / col("n_queries"), 6)
+          .as("mean_delta"),
+        // t = mean / sqrt(var / n), var = (S2 - S1^2/n) / (n-1); all
+        // from the two exact sums, in double
+        round(
+          when(col("n_queries") >= 2 &&
+              (col("__s2").cast("double") -
+                col("__s1").cast("double") *
+                col("__s1").cast("double") / col("n_queries")) > 0.0,
+            (col("__s1").cast("double") / col("n_queries")) /
+              sqrt(((col("__s2").cast("double") -
+                col("__s1").cast("double") *
+                  col("__s1").cast("double") / col("n_queries")) /
+                (col("n_queries") - lit(1))) / col("n_queries"))),
+          6).as("t_stat"),
+        (col("n_queries") - lit(1)).cast("long").as("df"))
+  }
 }

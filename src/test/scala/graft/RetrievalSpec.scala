@@ -273,6 +273,57 @@ class RetrievalSpec extends SparkTestBase {
       "2^53+1 ranked below 2^53 — the score was coerced through double")
   }
 
+  test("compareRankers: paired t from exact per-query deltas") {
+    // ranker A finds the relevant doc at rank 1 for q1/q2 and rank 3
+    // for q3; ranker B mirrors it (rank 3 for q1/q2, rank 1 for q3) —
+    // known MRR deltas [2/3, 2/3, -2/3]
+    val qrels = Seq((1L, 11L, 1), (2L, 21L, 1), (3L, 31L, 1))
+      .toDF("q", "d", "g")
+    def runsOf(hits: Map[Long, Long]) = (for {
+      q <- 1L to 3L
+      (d, s) <- Seq((hits(q), 2.0), (900L + q, 1.0))
+    } yield (q, d, s)).toDF("q", "d", "s")
+    val runsA = runsOf(Map(1L -> 11L, 2L -> 21L, 3L -> 931L))
+      .union(Seq((3L, 31L, 0.5)).toDF("q", "d", "s"))
+    val runsB = runsOf(Map(1L -> 911L, 2L -> 921L, 3L -> 31L))
+      .union(Seq((1L, 11L, 0.5), (2L, 21L, 0.5)).toDF("q", "d", "s"))
+    val out = Retrieval.compareRankers(runsA, runsB, qrels,
+      "q", "d", "s", "g", k = 5, metric = "mrr_at_k").collect().head
+    assert(out.getLong(0) === 3L)
+    // A mrr: [1, 1, 1/3->0.333333]; B mrr: [1/3, 1/3, 1] (the missed
+    // relevant doc ranks THIRD — behind the 1.0-score filler)
+    assert(out.getDouble(1) ===
+      BigDecimal((1.0 + 1.0 + 0.333333) / 3)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // deltas: [0.666667, 0.666667, -0.666667]; t from the closed form
+    val d = Seq(BigDecimal("0.666667"), BigDecimal("0.666667"),
+      BigDecimal("-0.666667"))
+    val n = 3.0
+    val s1 = d.sum.toDouble; val s2 = d.map(x => x * x).sum.toDouble
+    val t = (s1 / n) / math.sqrt(((s2 - s1 * s1 / n) / (n - 1)) / n)
+    assert(out.getDouble(3) === BigDecimal(s1 / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.getDouble(4) === BigDecimal(t)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.getLong(5) === 2L)
+  }
+
+  test("compareRankers: identical rankers -> zero delta, NULL t") {
+    val qrels = Seq((1L, 11L, 1), (2L, 21L, 2)).toDF("q", "d", "g")
+    val runs = Seq((1L, 11L, 2.0), (1L, 12L, 1.0), (2L, 21L, 3.0))
+      .toDF("q", "d", "s")
+    val out = Retrieval.compareRankers(runs, runs, qrels,
+      "q", "d", "s", "g", k = 3).collect().head
+    assert(out.getDouble(3) === 0.0) // mean_delta
+    assert(out.isNullAt(4), "zero-variance t must be NULL, not NaN")
+    // single query: df 0, t NULL regardless of values
+    val one = Retrieval.compareRankers(runs, runs,
+      qrels.filter($"q" === 1L), "q", "d", "s", "g", k = 3)
+      .collect().head
+    assert(one.getLong(0) === 1L && one.isNullAt(4) &&
+      one.getLong(5) === 0L)
+  }
+
   test("rankingEval plan: both cuts ride the heap exec") {
     val df = Retrieval.rankingEval(
       evalRuns, evalQrels, "q", "d", "s", "g", k = 5)
