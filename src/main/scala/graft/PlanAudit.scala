@@ -91,6 +91,13 @@ object PlanAudit {
       oversized.sortBy(-_._2).foreach { case (n, b) =>
         println(s"  $n: ${b / 1024} KiB")
       }
+      // the unmeasured caveat applies to THIS branch too — without it,
+      // a run with one oversized plan and three audit failures reads
+      // as "exactly one pathology"
+      if (unmeasured > 0)
+        println(s"  CAVEAT: $unmeasured additional quer" +
+          s"${if (unmeasured == 1) "y" else "ies"} failed the audit — " +
+          "their plan sizes are unmeasured and could hide more.")
     }
     spark.stop()
   }

@@ -55,7 +55,13 @@ object Dedup {
     * the window kept an arbitrary one. */
   def exactByFingerprint(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = TextFunctions.fingerprint(col(textCol))
+    // null text ⇒ null md5 ⇒ null fingerprint. The window arm groups
+    // all null fingerprints into one partition and keeps a row; the
+    // semi-join arm's null-rejecting equi-join would instead DROP
+    // every null-text row (NULL == NULL never matches). Coalesce to ""
+    // — unreachable as a real fingerprint (md5 is always 32 hex
+    // chars) — so both arms keep exactly one null-text row.
+    val fp = coalesce(TextFunctions.fingerprint(col(textCol)), lit(""))
     graft.plans.TopKPerGroup.tieExpr(df, idCol) match {
       case Some(tie) =>
         val keyed = df.withColumn("__fp", fp).withColumn("__tie", tie)
@@ -1182,8 +1188,15 @@ object Dedup {
     // exchange (2 scans + 2 shuffle writes of identical data). The
     // size guardrail reads its own column-pruned scan; its groupBy is
     // map-side combined (ships ~one row per bucket per mapper).
-    val sk = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      bits.as("__bucket"))
+    // NULL vectors are dropped up front: dot(NULL, plane) is NULL, so
+    // every null-embedding row's sign bits all read 0 and the whole
+    // null population lands in bucket 0 — enough dead embeddings would
+    // push bucket 0 over maxBucketSize and silently evict the GENUINE
+    // all-negative-sign vectors sharing it (a null vector can never be
+    // a near-dup anyway: its cosine is null and fails the threshold).
+    val sk = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        bits.as("__bucket"))
       .repartition(col("__bucket"))
     ObservedLog.ensure(df.sparkSession)
     val metric =

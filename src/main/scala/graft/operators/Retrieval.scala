@@ -57,11 +57,17 @@ object Retrieval {
       TF.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")))
 
-    // corpus stats — exact integers, one 1-row collect
+    // corpus stats — exact integers, one 1-row collect. An empty (or
+    // all-null-text) corpus leaves SUM(dl) NULL — return the empty
+    // result instead of NPE-ing on getLong (the BloomProbe
+    // empty-build-side lesson, same class)
     val statsRow = toks.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_tokens")).head()
     val nDocs = statsRow.getLong(0)
+    if (nDocs == 0L || statsRow.isNullAt(1))
+      return docs.select(col(idCol), lit(0.0).as("bm25"),
+        lit(0L).as("n_terms")).limit(0)
     val totalTokens = statsRow.getLong(1)
     // IEEE division of two exact integers — bit-identical in any engine
     val avgdl = totalTokens.toDouble / nDocs.toDouble
@@ -208,10 +214,16 @@ object Retrieval {
     // is case-INsensitive, matching col()/perKey's resolution — an
     // exact fieldIndex lookup would reject "Score" vs "score" that
     // every other column in this API accepts.
-    val scoreField = runs.schema.find(_.name.equalsIgnoreCase(scoreCol))
-      .getOrElse(throw new IllegalArgumentException(
-        s"score column $scoreCol not in " +
-          runs.schema.fieldNames.mkString(", ")))
+    val scoreField =
+      runs.schema.filter(_.name.equalsIgnoreCase(scoreCol)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"score column $scoreCol not in " +
+            runs.schema.fieldNames.mkString(", "))
+        case many => throw new IllegalArgumentException(
+          s"score column $scoreCol is ambiguous — matches " +
+            many.map(_.name).mkString(", "))
+      }
     val scoreExpr =
       if (graft.plans.TopKPerGroup.ranksNatively(scoreField.dataType))
         col(scoreCol)
@@ -291,11 +303,17 @@ object Retrieval {
     *
     * Output: one row — (n_queries, mean_a, mean_b, mean_delta,
     * t_stat, df). t_stat is NULL when fewer than 2 queries or when
-    * every delta is identical (zero variance — no evidence of a
-    * difference either way, and 0/0 would be NaN); the caller reads
-    * |t| against the t distribution with `df` degrees of freedom
-    * (no p-value here — keeping the operator closed-form and
-    * engine-replayable).
+    * every delta is IDENTICAL (zero sample variance, where t is
+    * undefined: 0/0 for all-zero deltas, ±∞ for a uniform nonzero
+    * delta). READ mean_delta alongside a NULL t: NULL with
+    * mean_delta = 0 is "no difference anywhere"; NULL with a nonzero
+    * mean_delta is the OPPOSITE — every query moved by exactly the
+    * same amount (t → ∞, maximal consistent evidence). The caller
+    * reads |t| against the t distribution with `df` degrees of
+    * freedom (no p-value here — keeping the operator closed-form and
+    * engine-replayable). A degenerate EMPTY evaluated set (qrels with
+    * no positive grade) yields n_queries=0 with NULL means/t and
+    * df=-1 — check n_queries before reading anything else.
     *
     * Scale shape: two rankingEval passes (each touches its corpus-
     * sized runs ONCE via the heap cut) + per-query joins on the

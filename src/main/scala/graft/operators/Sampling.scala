@@ -209,7 +209,16 @@ object Sampling {
     // data-dependent failure). Both arms then rank the identical
     // mapped order.
     val tie = samplerTie(df, keyCol)
-    val nonNull = df.filter(col(keyCol).isNotNull)
+    // same no-silent-drops contract as capPerGroup: the null-key drop
+    // is deliberate but observable — a paired observe metric reports
+    // the dropped count per run
+    ObservedLog.ensure(df.sparkSession)
+    val nonNull = df
+      .observe(
+        s"graft.sampling.balance_classes.${samplerMetricSeq.incrementAndGet()}",
+        sum(when(col(keyCol).isNull, 1L).otherwise(0L))
+          .as("null_key_rows_dropped"))
+      .filter(col(keyCol).isNotNull)
     val counts = nonNull.groupBy(col(labelCol))
       .agg(count(lit(1)).as("__class_n"))
       .agg(min(col("__class_n")).as("__min_n"),

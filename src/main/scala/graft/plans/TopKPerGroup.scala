@@ -205,9 +205,17 @@ object TopKPerGroup {
     ensureRegistered(spark)
     val child = Shims.logicalPlan(df)
     def attr(n: String): Attribute =
-      child.output.find(_.name.equalsIgnoreCase(n)).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $n not in ${child.output.map(_.name).mkString(", ")}"))
+      child.output.filter(_.name.equalsIgnoreCase(n)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $n not in ${child.output.map(_.name).mkString(", ")}")
+        case many =>
+          // match Spark's own case-insensitive resolver: two columns
+          // differing only in case is AMBIGUOUS, not first-wins
+          throw new IllegalArgumentException(
+            s"column $n is ambiguous — matches " +
+              many.map(_.name).mkString(", "))
+      }
     val orderAttr = attr(orderCol)
     val tieAttr = attr(tieCol)
     orderAttr.dataType match {

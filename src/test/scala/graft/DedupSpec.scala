@@ -196,6 +196,43 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(13L) })
   }
 
+  test("null embeddings cannot evict a genuine sign-LSH bucket") {
+    // dot(NULL, plane) is NULL -> every null vector's sign bits read 0,
+    // so the null population used to pile into bucket 0 alongside the
+    // real all-negative-sign vectors; enough dead embeddings pushed
+    // that bucket over maxBucketSize and silently dropped its genuine
+    // near-dup pair. Nulls are filtered before bucketing now.
+    val neg = (0 until 8).map(i => -1f - i.toFloat / 8f)
+    val rows =
+      Seq((1L, Some(neg)), (2L, Some(neg))) ++ // all-negative dup pair
+        (10L until 20L).map(i => (i, Option.empty[Seq[Float]]))
+    val vecs = rows.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<float>").as("v"))
+    val pairs = Dedup.embeddingNearDups(vecs, "vec_id", "v",
+      dim = 8, threshold = 0.99, numPlanes = 8, maxBucketSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)),
+      "the genuine bucket-0 pair was evicted by null-vector rows")
+    assert(pairs.forall { case (a, b) => a < 10L && b < 10L })
+  }
+
+  test("exactByFingerprint keeps exactly one null-text row — both arms") {
+    // null text -> null md5 -> the semi-join arm's null-rejecting
+    // equi-join used to drop EVERY null-text row, while the window
+    // fallback (float id here) kept one — the same call losing data
+    // depending on the id type
+    val longIds = Seq((3L, Some("the doc")), (2L, Option.empty[String]),
+      (1L, Option.empty[String])).toDF("doc_id", "text")
+    val a = Dedup.exactByFingerprint(longIds, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(a === Set(1L, 3L)) // null-text group keeps its lowest id
+    val floatIds = longIds
+      .select(col("doc_id").cast("float").as("doc_id"), col("text"))
+    val b = Dedup.exactByFingerprint(floatIds, "doc_id", "text")
+      .collect().map(_.getFloat(0)).toSet
+    assert(b === Set(1f, 3f)) // window arm agrees
+  }
+
   test("portable (md5-family) minhash finds the planted near-dup pair") {
     val pairs = Dedup.portableNearDups(docs, "doc_id", "text",
       numHashes = 64, bands = 32, shingleSize = 2, threshold = 0.5)
@@ -479,6 +516,37 @@ class DedupSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       graft.operators.Sampling.balanceClasses(bad, "doc_id", "source")
     }
+  }
+
+  test("balanceClasses: null-key drop is counted, like capPerGroup") {
+    // same no-silent-drops contract — the sibling sampler gained the
+    // observe metric a round earlier; this pins parity
+    @volatile var dropped: Option[Long] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft.sampling.balance_classes"))
+            dropped = Some(row.getLong(row.fieldIndex("null_key_rows_dropped")))
+        }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val d = Seq((Some(1L), "a"), (None, "a"), (Some(2L), "b"),
+        (None, "b"), (Some(3L), "b"))
+        .toDF("doc_id", "label")
+      val kept = graft.operators.Sampling
+        .balanceClasses(d, "doc_id", "label")
+      assert(kept.count() == 2) // min class size 1 -> one per label
+      val deadline = System.currentTimeMillis + 20000
+      while (dropped.isEmpty && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(dropped.contains(2L), s"observe metric reported $dropped")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("cluster argmax rides the heap exec, parity with the window form") {

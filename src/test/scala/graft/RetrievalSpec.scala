@@ -308,6 +308,33 @@ class RetrievalSpec extends SparkTestBase {
     assert(out.getLong(5) === 2L)
   }
 
+  test("bm25 on an empty / all-null-text corpus returns empty, no NPE") {
+    val empty = corpus.limit(0)
+    assert(Retrieval.bm25(empty, "doc_id", "text", terms)
+      .collect().isEmpty)
+    val nullText = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    assert(Retrieval.bm25(nullText, "doc_id", "text", terms)
+      .collect().isEmpty)
+  }
+
+  test("compareRankers: uniform nonzero delta -> NULL t, nonzero mean " +
+      "(read them together)") {
+    // both queries: A ranks the relevant doc 1st, B ranks it 2nd —
+    // every delta is exactly +0.5, sample variance 0, t undefined
+    // (mathematically +inf). The contract: NULL t alongside a NONZERO
+    // mean_delta means a uniform difference, not "no evidence".
+    val qrels = Seq((1L, 11L, 1), (2L, 21L, 1)).toDF("q", "d", "g")
+    val runsA = Seq((1L, 11L, 2.0), (1L, 91L, 1.0),
+      (2L, 21L, 2.0), (2L, 92L, 1.0)).toDF("q", "d", "s")
+    val runsB = Seq((1L, 91L, 2.0), (1L, 11L, 1.0),
+      (2L, 92L, 2.0), (2L, 21L, 1.0)).toDF("q", "d", "s")
+    val out = Retrieval.compareRankers(runsA, runsB, qrels,
+      "q", "d", "s", "g", k = 2, metric = "mrr_at_k").collect().head
+    assert(out.getDouble(3) === 0.5)
+    assert(out.isNullAt(4))
+    assert(out.getLong(5) === 1L)
+  }
+
   test("compareRankers: identical rankers -> zero delta, NULL t") {
     val qrels = Seq((1L, 11L, 1), (2L, 21L, 2)).toDF("q", "d", "g")
     val runs = Seq((1L, 11L, 2.0), (1L, 12L, 1.0), (2L, 21L, 3.0))

@@ -146,6 +146,14 @@ class TopKPerGroupSpec extends SparkTestBase {
     assert(got == Set("aa", "ab"))
   }
 
+  test("case-only column collisions are AMBIGUOUS, not first-wins") {
+    val df = Seq((1L, 2.0, 3.0, 10L)).toDF("k", "score", "Score", "t")
+    val e = intercept[IllegalArgumentException] {
+      TopKPerGroup.perKey(df, Seq("k"), "score", "t", 1)
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("exec propagates its child's partitioning — a same-key consumer " +
       "adds no second exchange") {
     // The exec filters rows within partitions, so the hash exchange
