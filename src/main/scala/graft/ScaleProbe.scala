@@ -150,6 +150,18 @@ object ScaleProbe {
     // paired ranker t-test (q160: two full eval passes + a 1-row
     // exact-decimal stats aggregate — must stay 2x q159's shape)
     "q160_ranker_ttest",
+    // round 13 post-close: clustering agreement (q161; the item-sized
+    // contingency shuffle is the only thing that should grow — the
+    // metric aggregates stay contingency-bounded) and hard-negative
+    // mining (q162; 10x orders grow the anti-join probe side and the
+    // heap cut's input, the positive build side stays judgment-bounded)
+    "q161_cluster_agreement", "q162_hard_negatives",
+    // info-theoretic twin of q161 (three entropy legs over the one
+    // contingency exchange), the per-class labeler report (same
+    // contingency + label-sized joins), and the kappa/MCC scalar gates
+    // (contingency + union re-aggregate)
+    "q163_info_agreement", "q164_classification_report",
+    "q165_agreement_stats",
     "q148_psi_series", "q149_quantile_norm", "q150_capped_jaccard",
     "q151_capped_editdist", "q152_gopher_rules", "q153_c4_clean",
     "q154_zipf_fit", "q155_tokenizer_fertility", "q156_dup_rate_by_source")

@@ -7,10 +7,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, UrlFunctions, VectorFunctions => VF}
-import graft.operators.{Boilerplate, Bpe, C4Clean, Collocations,
-  Decontaminate, Dedup, Drift, EventTime, Fuzzy, GopherRules, LangModel,
-  Metrics, Mixing, Normalize, PartialAgg, RepeatedSpans, Retrieval,
-  Sampling, Scoring, Similarity, Zipf}
+import graft.operators.{Boilerplate, Bpe, C4Clean, ClusterEval,
+  Collocations, Decontaminate, Dedup, Drift, EventTime, Fuzzy,
+  GopherRules, LangModel, Metrics, Mixing, Normalize, PartialAgg,
+  RepeatedSpans, Retrieval, Sampling, Scoring, Similarity, Zipf}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2) over the
   * test star schema, each query paired with DuckDB oracle SQL.
@@ -852,8 +852,10 @@ object SparkEntry {
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin))
 
   /** Oracle replica of [[TF.langId]], generated from the same marker table
-    * so the two can never drift. */
-  private def langIdOracleSql: String = {
+    * so the two can never drift: a subquery yielding (lang, predicted)
+    * per document. Shared by q32 (confusion counts) and q161
+    * (partition agreement). */
+  private def langIdPredSql: String = {
     def scoreSql(ms: Seq[String]): String =
       ms.map { m =>
         val esc = m.replace("'", "''")
@@ -866,11 +868,14 @@ object SparkEntry {
       val geAll = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
       s"WHEN s_$l > 0 AND $geAll THEN '$l'"
     }.mkString(" ")
-    s"""SELECT lang, predicted, COUNT(*) AS n FROM (
-       |  SELECT lang, CASE $branches ELSE 'und' END AS predicted
-       |  FROM (SELECT lang, text, $scoreCols FROM documents))
-       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+    s"""SELECT lang, CASE $branches ELSE 'und' END AS predicted
+       |  FROM (SELECT lang, text, $scoreCols FROM documents)""".stripMargin
   }
+
+  private def langIdOracleSql: String =
+    s"""SELECT lang, predicted, COUNT(*) AS n FROM (
+       |$langIdPredSql)
+       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
 
   private val q43 = Q("q43_approx_distinct",
     (s, dir) => {
@@ -5161,6 +5166,273 @@ object SparkEntry {
       |  CAST(n - 1 AS BIGINT) AS df
       |FROM st""".stripMargin))
 
+  private val q161 = Q("q161_cluster_agreement",
+    (s, dir) => {
+      // Pair-counting agreement (ClusterEval.agreement) between the
+      // langid-PREDICTED language partition and the gold `lang`
+      // partition of documents — the eval gate on a clustering/labeling
+      // strategy change (same role as q159 for rankers). Pair
+      // precision/recall/F1 read the prediction against the reference;
+      // ARI corrects raw pair agreement for chance (Hubert & Arabie
+      // 1985). Everything derives from the contingency table — one
+      // map-side-combined shuffle on (gold, predicted), pair counts in
+      // exact DECIMAL(38,0), never a materialized pair.
+      val d = t(s, dir, "documents")
+        .select(col("lang"), TF.langId(col("text")).as("predicted"))
+      ClusterEval.agreement(d, "lang", "predicted")
+    },
+    Some(s"""WITH items AS (
+      |  SELECT lang AS a, predicted AS b FROM (
+      |$langIdPredSql)
+      |  WHERE lang IS NOT NULL
+      |), ct AS (
+      |  SELECT a, b, COUNT(*) AS n FROM items GROUP BY a, b
+      |), j AS (
+      |  SELECT SUM(CAST(n AS HUGEINT) * (n - 1) // 2) AS pab,
+      |    SUM(n) AS n_items FROM ct
+      |), am AS (
+      |  SELECT SUM(CAST(na AS HUGEINT) * (na - 1) // 2) AS pa
+      |  FROM (SELECT SUM(n) AS na FROM ct GROUP BY a) t
+      |), bm AS (
+      |  SELECT SUM(CAST(nb AS HUGEINT) * (nb - 1) // 2) AS pb
+      |  FROM (SELECT SUM(n) AS nb FROM ct GROUP BY b) t
+      |), s AS (
+      |  SELECT CAST(n_items AS BIGINT) AS n_items,
+      |    CAST(pab AS DOUBLE) AS pabd, CAST(pa AS DOUBLE) AS pad,
+      |    CAST(pb AS DOUBLE) AS pbd,
+      |    CAST(CAST(n_items AS HUGEINT) * (n_items - 1) // 2 AS DOUBLE)
+      |      AS td
+      |  FROM j, am, bm
+      |)
+      |SELECT n_items,
+      |  ROUND(CASE WHEN pbd > 0 THEN pabd / pbd END, 6)
+      |    AS pair_precision,
+      |  ROUND(CASE WHEN pad > 0 THEN pabd / pad END, 6) AS pair_recall,
+      |  ROUND(CASE WHEN pbd > 0 AND pad > 0 THEN
+      |      CASE WHEN pabd / pbd + pabd / pad > 0
+      |        THEN 2.0 * (pabd / pbd) * (pabd / pad) /
+      |          (pabd / pbd + pabd / pad)
+      |        ELSE 0.0 END END, 6) AS pair_f1,
+      |  ROUND(CASE WHEN n_items = 0 THEN NULL
+      |    WHEN (pad + pbd) / 2.0 -
+      |      (CASE WHEN td > 0 THEN pad * pbd / td ELSE 0.0 END) = 0
+      |      THEN 1.0
+      |    ELSE (pabd -
+      |      (CASE WHEN td > 0 THEN pad * pbd / td ELSE 0.0 END)) /
+      |      ((pad + pbd) / 2.0 -
+      |        (CASE WHEN td > 0 THEN pad * pbd / td ELSE 0.0 END))
+      |    END, 6) AS ari
+      |FROM s""".stripMargin))
+
+  private val q162 = Q("q162_hard_negatives",
+    (s, dir) => {
+      // Hard-negative mining (Retrieval.hardNegatives): per query the
+      // top-k highest-scored candidates that are not known positives —
+      // the negative side of contrastive training pairs (top-ranked
+      // non-relevant docs are the confusions worth training against).
+      // Demo framing mirrors q159: customers are queries, orders are
+      // candidates scored by price, urgent/high are the known
+      // positives; the mined negatives are each customer's priciest
+      // NON-urgent orders. One corpus pass: broadcastable anti-join
+      // against the bounded positive set, then the heap top-k cut
+      // (no whole-group sort; rank reuses the heap's partitioning).
+      val o = t(s, dir, "orders")
+      val runs = o.select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").as("score"))
+      val qrels = o
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          when(col("o_orderpriority") === "1-URGENT", 2)
+            .otherwise(1).as("grade"))
+      Retrieval.hardNegatives(runs, qrels, "o_custkey", "o_orderkey",
+          "score", "grade", k = 3)
+        .orderBy(col("o_custkey"), col("rank"))
+    },
+    Some("""WITH pos AS (
+      |  SELECT DISTINCT o_custkey AS q, o_orderkey AS d
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |), neg AS (
+      |  SELECT o_custkey AS q, o_orderkey AS d,
+      |    CAST(o_totalprice AS DOUBLE) AS s
+      |  FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+      |    WHERE p.q = o.o_custkey AND p.d = o.o_orderkey)
+      |), ranked AS (
+      |  SELECT q, d, s, ROW_NUMBER() OVER (PARTITION BY q
+      |    ORDER BY s DESC, d) AS rank
+      |  FROM neg
+      |)
+      |SELECT q AS o_custkey, rank, d AS o_orderkey, s AS score
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY o_custkey, rank""".stripMargin))
+
+  private val q163 = Q("q163_info_agreement",
+    (s, dir) => {
+      // Information-theoretic complement of q161 on the same partitions
+      // (ClusterEval.informationAgreement): entropies, MI = H(A) +
+      // H(B) − H(A,B), arithmetic-mean NMI, and Rosenberg-Hirschberg
+      // homogeneity/completeness/V-measure with sklearn's limit
+      // conventions. ARI counts pair co-membership, MI counts label
+      // information — an eval gate should read both. Three entropy
+      // legs aggregate the ONE reused contingency exchange; each
+      // p·ln(p) term is DECIMAL(24,10)-quantized then decimal-summed
+      // so DuckDB replays the sums bit-for-bit.
+      val d = t(s, dir, "documents")
+        .select(col("lang"), TF.langId(col("text")).as("predicted"))
+      ClusterEval.informationAgreement(d, "lang", "predicted")
+    },
+    Some(s"""WITH items AS (
+      |  SELECT lang AS a, predicted AS b FROM (
+      |$langIdPredSql)
+      |  WHERE lang IS NOT NULL
+      |), ct AS (
+      |  SELECT a, b, COUNT(*) AS n FROM items GROUP BY a, b
+      |), tot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS n_items,
+      |    CAST(SUM(n) AS DOUBLE) AS nd FROM ct
+      |), ha AS (
+      |  SELECT CAST(-SUM(CAST(na / nd * ln(na / nd)
+      |    AS DECIMAL(24,10))) AS DOUBLE) AS v
+      |  FROM (SELECT CAST(SUM(n) AS DOUBLE) AS na FROM ct GROUP BY a) t,
+      |    tot
+      |), hb AS (
+      |  SELECT CAST(-SUM(CAST(nb / nd * ln(nb / nd)
+      |    AS DECIMAL(24,10))) AS DOUBLE) AS v
+      |  FROM (SELECT CAST(SUM(n) AS DOUBLE) AS nb FROM ct GROUP BY b) t,
+      |    tot
+      |), hj AS (
+      |  SELECT CAST(-SUM(CAST(CAST(n AS DOUBLE) / nd *
+      |    ln(CAST(n AS DOUBLE) / nd) AS DECIMAL(24,10))) AS DOUBLE) AS v
+      |  FROM ct, tot
+      |), s AS (
+      |  SELECT n_items, ha.v AS ha, hb.v AS hb,
+      |    GREATEST(ha.v + hb.v - hj.v, 0.0) AS mi
+      |  FROM tot, ha, hb, hj
+      |), m AS (
+      |  SELECT n_items, ha, hb, mi,
+      |    CASE WHEN ha = 0.0 THEN 1.0
+      |      ELSE LEAST(mi / ha, 1.0) END AS hom,
+      |    CASE WHEN hb = 0.0 THEN 1.0
+      |      ELSE LEAST(mi / hb, 1.0) END AS com
+      |  FROM s
+      |)
+      |SELECT n_items,
+      |  ROUND(ha, 6) AS h_a, ROUND(hb, 6) AS h_b,
+      |  ROUND(mi, 6) AS mutual_info,
+      |  ROUND(CASE WHEN ha = 0.0 AND hb = 0.0 THEN 1.0
+      |    WHEN mi = 0.0 THEN 0.0
+      |    ELSE LEAST(mi / ((ha + hb) / 2.0), 1.0) END, 6) AS nmi,
+      |  ROUND(hom, 6) AS homogeneity,
+      |  ROUND(com, 6) AS completeness,
+      |  ROUND(CASE WHEN hom + com = 0.0 THEN 0.0
+      |    ELSE 2.0 * hom * com / (hom + com) END, 6) AS v_measure
+      |FROM m""".stripMargin))
+
+  private val q164 = Q("q164_classification_report",
+    (s, dir) => {
+      // Per-class labeler acceptance gate (Metrics.classificationReport)
+      // on the langid prediction vs gold language: one row per label on
+      // EITHER side — support/predicted/tp exact longs, precision NULL
+      // where the label is never asserted, recall NULL where it has no
+      // gold rows (sklearn's report semantics). One contingency shuffle;
+      // totals and the tp diagonal aggregate contingency rows.
+      val d = t(s, dir, "documents")
+        .select(col("lang"), TF.langId(col("text")).as("predicted"))
+      Metrics.classificationReport(d, "lang", "predicted")
+        .orderBy("label")
+    },
+    Some(s"""WITH items AS (
+      |  SELECT lang AS g, predicted AS p FROM (
+      |$langIdPredSql)
+      |  WHERE lang IS NOT NULL AND predicted IS NOT NULL
+      |), gold AS (
+      |  SELECT g AS label, COUNT(*) AS support FROM items GROUP BY g
+      |), pred AS (
+      |  SELECT p AS label, COUNT(*) AS predicted FROM items GROUP BY p
+      |), tp AS (
+      |  SELECT g AS label, COUNT(*) AS tp FROM items WHERE g = p
+      |  GROUP BY g
+      |), j AS (
+      |  SELECT COALESCE(gold.label, pred.label) AS label,
+      |    COALESCE(support, 0) AS support,
+      |    COALESCE(predicted, 0) AS predicted
+      |  FROM gold FULL JOIN pred ON gold.label = pred.label
+      |), r AS (
+      |  SELECT j.label,
+      |    CAST(j.support AS BIGINT) AS support,
+      |    CAST(j.predicted AS BIGINT) AS predicted,
+      |    CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+      |    CASE WHEN j.predicted > 0 THEN
+      |      CAST(COALESCE(tp.tp, 0) AS DOUBLE) /
+      |        CAST(j.predicted AS DOUBLE) END AS p,
+      |    CASE WHEN j.support > 0 THEN
+      |      CAST(COALESCE(tp.tp, 0) AS DOUBLE) /
+      |        CAST(j.support AS DOUBLE) END AS rc
+      |  FROM j LEFT JOIN tp ON j.label = tp.label
+      |)
+      |SELECT label, support, predicted, tp,
+      |  ROUND(p, 6) AS "precision", ROUND(rc, 6) AS recall,
+      |  ROUND(CASE WHEN p IS NULL OR rc IS NULL THEN NULL
+      |    WHEN p + rc > 0 THEN 2.0 * p * rc / (p + rc)
+      |    ELSE 0.0 END, 6) AS f1
+      |FROM r ORDER BY label""".stripMargin))
+
+  private val q165 = Q("q165_agreement_stats",
+    (s, dir) => {
+      // Whole-labeler chance-corrected agreement
+      // (Metrics.agreementStats): Cohen's kappa + Gorodkin multiclass
+      // MCC over the langid-vs-gold partitions — the single-number
+      // gates next to q164's per-class report. Count products in exact
+      // DECIMAL(38,0) (N² overflows int64 at corpus scale); marginals
+      // align via a union re-aggregate, never a totals self-join.
+      val d = t(s, dir, "documents")
+        .select(col("lang"), TF.langId(col("text")).as("predicted"))
+      Metrics.agreementStats(d, "lang", "predicted")
+    },
+    Some(s"""WITH items AS (
+      |  SELECT lang AS g, predicted AS p FROM (
+      |$langIdPredSql)
+      |  WHERE lang IS NOT NULL AND predicted IS NOT NULL
+      |), ct AS (
+      |  SELECT g, p, COUNT(*) AS n FROM items GROUP BY g, p
+      |), marg AS (
+      |  SELECT l, SUM(t) AS t, SUM(q) AS q FROM (
+      |    SELECT g AS l, n AS t, 0 AS q FROM ct
+      |    UNION ALL
+      |    SELECT p AS l, 0 AS t, n AS q FROM ct
+      |  ) GROUP BY l
+      |), sums AS (
+      |  SELECT
+      |    SUM(CAST(t AS HUGEINT) * CAST(q AS HUGEINT)) AS ptq,
+      |    SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS ptt,
+      |    SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS pqq
+      |  FROM marg
+      |), diag AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS nr,
+      |    CAST(SUM(CASE WHEN g = p THEN n ELSE 0 END) AS BIGINT) AS c
+      |  FROM ct
+      |), s AS (
+      |  SELECT nr, c, CAST(nr AS HUGEINT) * CAST(nr AS HUGEINT) AS nn,
+      |    ptq, ptt, pqq,
+      |    CAST(c AS DOUBLE) / CAST(nr AS DOUBLE) AS po,
+      |    CAST(ptq AS DOUBLE) /
+      |      CAST(CAST(nr AS HUGEINT) * CAST(nr AS HUGEINT) AS DOUBLE)
+      |      AS pe
+      |  FROM diag, sums
+      |)
+      |SELECT nr AS n_rows,
+      |  ROUND(po, 6) AS accuracy,
+      |  ROUND(pe, 6) AS expected_accuracy,
+      |  ROUND(CASE WHEN pe = 1.0 THEN NULL
+      |    ELSE (po - pe) / (1.0 - pe) END, 6) AS cohen_kappa,
+      |  ROUND(CASE WHEN CAST(nn - ptt AS DOUBLE) = 0.0
+      |      OR CAST(nn - pqq AS DOUBLE) = 0.0 THEN NULL
+      |    ELSE CAST(CAST(c AS HUGEINT) * CAST(nr AS HUGEINT) - ptq
+      |        AS DOUBLE) /
+      |      sqrt(CAST(nn - ptt AS DOUBLE) * CAST(nn - pqq AS DOUBLE))
+      |    END, 6) AS mcc
+      |FROM s""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -5174,7 +5446,7 @@ object SparkEntry {
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
-    q155, q156, q157, q158, q159, q160)
+    q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -165,4 +165,166 @@ object Metrics {
         round(sum(col("__s").cast("decimal(18,6)")).cast("double") /
           count(lit(1)), 6).as("mean_score"))
   }
+
+  /** Per-invocation suffix for observe() metric names (Spark rejects two
+    * CollectMetrics nodes sharing a name in one plan). */
+  private val metricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Multiclass classification report: per-class
+    * (label, support, predicted, tp, precision, recall, f1) for a
+    * predicted-label column against gold labels — the acceptance gate
+    * on a LABELER change (language-ID model, quality classifier,
+    * topic router) before its output partitions a 100 TB corpus.
+    * One row per label present on EITHER side (a class the model never
+    * predicts still shows its recall 0; a hallucinated label shows
+    * precision with support 0).
+    *
+    * Conventions (sklearn's classification_report semantics, NULL where
+    * it prints 0-by-zero_division):
+    *  - precision = tp/predicted, NULL when the label is never
+    *    predicted (0/0 — nothing asserted);
+    *  - recall = tp/support, NULL when the label has no gold rows;
+    *  - f1 = harmonic mean, 0.0 when p + r = 0 with both defined,
+    *    NULL when either side is NULL.
+    * Every ratio is ONE division of two exact longs — bit-identical
+    * across engines and aggregation orders; outputs rounded 6 dp.
+    *
+    * Scale shape: one map-side-combined (gold, pred) contingency
+    * shuffle over the items; per-class totals and the tp diagonal
+    * aggregate CONTINGENCY rows (≤ distinct label pairs), joined on
+    * the label — never broadcast-assumed, never item-sized again.
+    *
+    * Null contract: rows with a null on either side are dropped and
+    * counted by a `graft.metrics.classification_report.*` observe
+    * metric (`null_label_rows_dropped`) — a null prediction is an
+    * abstention, which precision/recall over asserted labels must not
+    * see; gate abstention RATE separately.
+    */
+  def classificationReport(
+      df: DataFrame, goldCol: String, predCol: String): DataFrame = {
+    ObservedLog.ensure(df.sparkSession)
+    val labeled = df
+      .observe(
+        s"graft.metrics.classification_report.${metricSeq.incrementAndGet()}",
+        sum(when(col(goldCol).isNull || col(predCol).isNull, 1L)
+          .otherwise(0L)).as("null_label_rows_dropped"))
+      .filter(col(goldCol).isNotNull && col(predCol).isNotNull)
+    val ct = labeled
+      .groupBy(col(goldCol).as("__g"), col(predCol).as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    val goldTot = ct.groupBy(col("__g").as("label"))
+      .agg(sum(col("__n")).as("support"))
+    val predTot = ct.groupBy(col("__p").as("label"))
+      .agg(sum(col("__n")).as("predicted"))
+    val diag = ct.filter(col("__g") === col("__p"))
+      .select(col("__g").as("label"), col("__n").as("__tp"))
+    val joined = goldTot
+      .join(predTot, Seq("label"), "full_outer")
+      .join(diag, Seq("label"), "left_outer")
+      .select(col("label"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("predicted"), lit(0L)).as("predicted"),
+        coalesce(col("__tp"), lit(0L)).as("tp"))
+    val p = when(col("predicted") > 0,
+      col("tp").cast("double") / col("predicted").cast("double"))
+    val r = when(col("support") > 0,
+      col("tp").cast("double") / col("support").cast("double"))
+    joined
+      .withColumn("__prec", p)
+      .withColumn("__rec", r)
+      .select(col("label"), col("support"), col("predicted"), col("tp"),
+        round(col("__prec"), 6).as("precision"),
+        round(col("__rec"), 6).as("recall"),
+        round(
+          when(col("__prec").isNull || col("__rec").isNull, lit(null))
+            .when(col("__prec") + col("__rec") > 0,
+              lit(2.0) * col("__prec") * col("__rec") /
+                (col("__prec") + col("__rec")))
+            .otherwise(lit(0.0)).cast("double"), 6).as("f1"))
+  }
+
+  /** Chance-corrected whole-labeler agreement in ONE row:
+    * (n_rows, accuracy, expected_accuracy, cohen_kappa, mcc).
+    *  - Cohen's kappa (Cohen 1960): (po − pe)/(1 − pe) with
+    *    pe = Σ_label gold_l·pred_l / N² — raw accuracy corrected for the
+    *    agreement two independent labelers with these marginals would
+    *    reach by luck. NULL when pe = 1 (BOTH sides constant — chance
+    *    explains everything, the statistic asserts nothing).
+    *  - Multiclass MCC (Gorodkin 2004's R_K, = the familiar binary
+    *    Matthews coefficient at 2 labels):
+    *    (c·N − Σ t_l·q_l) / √((N² − Σ q_l²)(N² − Σ t_l²)); NULL when
+    *    either factor is 0 (a constant side — correlation undefined).
+    * Exactness: every count product accumulates as DECIMAL(38,0)
+    * (N ~ 10¹² makes N² overflow any int64); only the final ratios and
+    * the √ drop to double, and the two denominator factors multiply in
+    * double (their exact product can reach 10⁴⁸ — past decimal; the
+    * ~1e-16 relative error is immaterial for a [-1, 1] statistic).
+    *
+    * Scale shape: the one item-sized contingency shuffle, then a
+    * label-keyed shuffle of 2×cells SKINNY marginal rows (a union of
+    * the two projections — no gold-totals⋈pred-totals self-join), then
+    * 1-row aggregates. Null contract as [[classificationReport]]
+    * (dropped + observe-counted, `graft.metrics.agreement_stats.*`).
+    * Empty input → (0, NULL × 4).
+    */
+  def agreementStats(
+      df: DataFrame, goldCol: String, predCol: String): DataFrame = {
+    ObservedLog.ensure(df.sparkSession)
+    val labeled = df
+      .observe(
+        s"graft.metrics.agreement_stats.${metricSeq.incrementAndGet()}",
+        sum(when(col(goldCol).isNull || col(predCol).isNull, 1L)
+          .otherwise(0L)).as("null_label_rows_dropped"))
+      .filter(col(goldCol).isNotNull && col(predCol).isNotNull)
+    val ct = labeled
+      .groupBy(col(goldCol).as("__g"), col(predCol).as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    // align gold/pred totals per label WITHOUT a self-join: union two
+    // skinny projections of the cells, re-aggregate on the label
+    val marg = ct
+      .select(col("__g").as("__l"), col("__n").as("__t"),
+        lit(0L).as("__q"))
+      .unionAll(ct.select(col("__p").as("__l"), lit(0L).as("__t"),
+        col("__n").as("__q")))
+      .groupBy(col("__l"))
+      .agg(sum(col("__t")).as("__t"), sum(col("__q")).as("__q"))
+    def prod(x: Column, y: Column): Column =
+      (x.cast("decimal(19,0)") * y.cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+    val sums = marg.agg(
+      coalesce(sum(prod(col("__t"), col("__q"))),
+        lit(0).cast("decimal(38,0)")).as("__ptq"),
+      coalesce(sum(prod(col("__t"), col("__t"))),
+        lit(0).cast("decimal(38,0)")).as("__ptt"),
+      coalesce(sum(prod(col("__q"), col("__q"))),
+        lit(0).cast("decimal(38,0)")).as("__pqq"))
+    val diag = ct.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("__N"),
+      coalesce(sum(when(col("__g") === col("__p"), col("__n"))
+        .otherwise(0L)), lit(0L)).as("__c"))
+    val s = diag.crossJoin(sums)
+      .select(col("__N"), col("__c"),
+        prod(col("__N"), col("__N")).as("__nn"),
+        col("__ptq"), col("__ptt"), col("__pqq"))
+    val po = col("__c").cast("double") / col("__N").cast("double")
+    val pe = col("__ptq").cast("double") / col("__nn").cast("double")
+    val fT = (col("__nn") - col("__ptt")).cast("double")
+    val fQ = (col("__nn") - col("__pqq")).cast("double")
+    val empty = col("__N") === 0L
+    s.withColumn("__po", when(empty, lit(null)).otherwise(po))
+      .withColumn("__pe", when(empty, lit(null)).otherwise(pe))
+      .select(
+        col("__N").as("n_rows"),
+        round(col("__po"), 6).as("accuracy"),
+        round(col("__pe"), 6).as("expected_accuracy"),
+        round(
+          when(empty || col("__pe") === 1.0, lit(null))
+            .otherwise((col("__po") - col("__pe")) /
+              (lit(1.0) - col("__pe"))), 6).as("cohen_kappa"),
+        round(
+          when(empty || fT === 0.0 || fQ === 0.0, lit(null))
+            .otherwise(
+              (prod(col("__c"), col("__N")) - col("__ptq"))
+                .cast("double") / sqrt(fT * fQ)), 6).as("mcc"))
+  }
 }

@@ -371,4 +371,79 @@ object Retrieval {
           6).as("t_stat"),
         (col("n_queries") - lit(1)).cast("long").as("df"))
   }
+
+  /** Hard-negative mining: per query, the `k` HIGHEST-scored candidates
+    * that are NOT known positives — the standard way to build the
+    * negative side of contrastive training pairs for embedding models
+    * and rerankers (the top-ranked non-relevant docs are exactly the
+    * confusions worth training against; random negatives are too easy).
+    *
+    * Exclusion contract: only judgments with `gradeCol` > 0 (known
+    * POSITIVES) are excluded. A judged grade-0 doc stays eligible — it
+    * is a CONFIRMED negative, the best kind of hard negative. Rows
+    * with a null query or doc id are dropped (a null id can neither
+    * form a training pair nor be matched against judgments).
+    *
+    * Scale shape: the corpus-sized runs side is touched ONCE — a
+    * left-anti join against the judgment-bounded positive set (small
+    * side broadcastable; never a shuffle of runs against runs), then
+    * the heap top-k cut ([[graft.plans.TopKPerGroup]] — no whole-group
+    * sort), then a row_number over the ≤k survivors that reuses the
+    * heap's hash distribution (the exec propagates partitioning — no
+    * second exchange). Integral scores rank UNCAST at full 64-bit
+    * precision (the rankingEval precedent); other numerics rank
+    * through double.
+    *
+    * Output: (queryCol, rank 1-based by score DESC ties id ASC,
+    * docCol, scoreCol) — the per-query negative list, strongest first.
+    */
+  def hardNegatives(
+      runs: DataFrame,
+      qrels: DataFrame,
+      queryCol: String,
+      docCol: String,
+      scoreCol: String,
+      gradeCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val positives = qrels
+      .select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        coalesce(col(gradeCol).cast("int"), lit(0)).as("__g"))
+      .filter(col("__d").isNotNull && col("__g") > 0)
+      .select(col("__q"), col("__d")).distinct()
+
+    val scoreField =
+      runs.schema.filter(_.name.equalsIgnoreCase(scoreCol)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"score column $scoreCol not in " +
+            runs.schema.fieldNames.mkString(", "))
+        case many => throw new IllegalArgumentException(
+          s"score column $scoreCol is ambiguous — matches " +
+            many.map(_.name).mkString(", "))
+      }
+    val scoreExpr =
+      if (graft.plans.TopKPerGroup.ranksNatively(scoreField.dataType))
+        col(scoreCol)
+      else col(scoreCol).cast("double")
+
+    val r = runs.select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        scoreExpr.as("__s"))
+      .filter(col("__q").isNotNull && col("__d").isNotNull)
+      .join(positives, Seq("__q", "__d"), "left_anti")
+    val tie = graft.plans.TopKPerGroup.tieExpr(r, "__d").getOrElse(
+      throw new IllegalArgumentException(
+        s"doc column $docCol has no exact order-preserving tie mapping " +
+          s"(type ${r.schema("__d").dataType.sql}) — use an integral, " +
+          "string, decimal(p<=18), date/timestamp or boolean id"))
+    val cut = graft.plans.TopKPerGroup.perKey(
+      r.withColumn("__tie", tie), Seq("__q"), "__s", "__tie", k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__q"))
+      .orderBy(col("__s").desc, col("__d").asc)
+    cut.drop("__tie")
+      .withColumn("rank", row_number().over(w))
+      .select(col("__q").as(queryCol), col("rank"),
+        col("__d").as(docCol), col("__s").as(scoreCol))
+  }
 }

@@ -73,6 +73,157 @@ class MetricsSpec extends SparkTestBase {
     assert(!out.exists { case (_, s) => s < 5 }) // no partial windows
   }
 
+  test("classificationReport: hand-checked confusion, one row per " +
+      "label on EITHER side") {
+    // gold: a,a,a,b,b,c ; pred: a,a,b,b,b,d
+    //  a: support 3, predicted 2, tp 2 -> p 1.0,      r 0.666667
+    //  b: support 2, predicted 3, tp 2 -> p 0.666667, r 1.0
+    //  c: support 1, predicted 0, tp 0 -> p NULL (never asserted), r 0.0
+    //  d: support 0, predicted 1, tp 0 -> p 0.0, r NULL (no gold rows)
+    val d = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),
+      ("b", "b"), ("c", "d")).toDF("g", "p")
+    val rows = Metrics.classificationReport(d, "g", "p")
+      .orderBy("label").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("a", "b", "c", "d"))
+    def row(l: String) = rows.find(_.getString(0) == l).get
+    val a = row("a")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) === ((3L, 2L, 2L)))
+    assert(a.getDouble(4) === 1.0 && a.getDouble(5) === 0.666667)
+    assert(a.getDouble(6) === 0.8) // 2*1*(2/3)/(1+2/3)
+    val b = row("b")
+    assert((b.getLong(1), b.getLong(2), b.getLong(3)) === ((2L, 3L, 2L)))
+    assert(b.getDouble(4) === 0.666667 && b.getDouble(5) === 1.0)
+    assert(b.getDouble(6) === 0.8) // 2*(2/3)*1/(2/3+1)
+    val c = row("c")
+    assert(c.isNullAt(4), "precision 0/0 must be NULL")
+    assert(c.getDouble(5) === 0.0)
+    assert(c.isNullAt(6), "f1 NULL when precision is NULL")
+    val dd = row("d")
+    assert(dd.getDouble(4) === 0.0)
+    assert(dd.isNullAt(5), "recall 0/0 must be NULL")
+    assert(dd.isNullAt(6))
+  }
+
+  test("classificationReport: total miss (both sides present, tp 0) " +
+      "gives f1 0.0, not NULL; null rows dropped and counted") {
+    @volatile var dropped: Option[Long] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft.metrics.classification_report"))
+            dropped = Some(
+              row.getLong(row.fieldIndex("null_label_rows_dropped")))
+        }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // label x: gold twice, predicted twice, never correctly
+      val d = Seq((Some("x"), Some("y")), (Some("x"), Some("y")),
+        (Some("y"), Some("x")), (Some("y"), Some("x")),
+        (None, Some("x")), (Some("x"), None)).toDF("g", "p")
+      val rows = Metrics.classificationReport(d, "g", "p")
+        .orderBy("label").collect()
+      val x = rows.find(_.getString(0) == "x").get
+      assert(x.getLong(1) === 2L && x.getLong(2) === 2L &&
+        x.getLong(3) === 0L)
+      assert(x.getDouble(4) === 0.0 && x.getDouble(5) === 0.0 &&
+        x.getDouble(6) === 0.0, "p + r = 0 with both defined -> f1 0.0")
+      val deadline = System.currentTimeMillis + 20000
+      while (dropped.isEmpty && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(dropped.contains(2L), s"observe metric reported $dropped")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("classificationReport: empty input returns no rows; perfect " +
+      "prediction is all-1.0") {
+    assert(Metrics.classificationReport(
+      Seq.empty[(String, String)].toDF("g", "p"), "g", "p")
+      .collect().isEmpty)
+    val perfect = Seq(("a", "a"), ("b", "b"), ("b", "b")).toDF("g", "p")
+    val rows = Metrics.classificationReport(perfect, "g", "p").collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getDouble(4) === 1.0 && r.getDouble(5) === 1.0 &&
+        r.getDouble(6) === 1.0)
+    }
+  }
+
+  test("agreementStats: hand-checked binary confusion — kappa and MCC " +
+      "against the textbook closed forms") {
+    // tp=4 fn=1 fp=1 tn=2: accuracy 6/8, pe = (5*5+3*3)/64 = 0.53125,
+    // kappa = (0.75-0.53125)/0.46875 = 7/15; binary MCC
+    // (tp*tn - fp*fn)/sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn)) = 7/15 too
+    // (symmetric marginals make them coincide)
+    val rows = Seq.fill(4)(("pos", "pos")) ++ Seq(("pos", "neg")) ++
+      Seq(("neg", "pos")) ++ Seq.fill(2)(("neg", "neg"))
+    val r = Metrics.agreementStats(rows.toDF("g", "p"), "g", "p")
+      .collect().head
+    assert(r.getLong(0) === 8L)
+    assert(r.getDouble(1) === 0.75)
+    assert(r.getDouble(2) === 0.53125)
+    val want = BigDecimal(7.0 / 15.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) === want)
+    assert(r.getDouble(4) === want)
+  }
+
+  test("agreementStats: perfect 1.0 / inverted -1.0 / constant-side " +
+      "NULLs follow the documented conventions") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("b", "b")).toDF("g", "p")
+    val rp = Metrics.agreementStats(perfect, "g", "p").collect().head
+    assert(rp.getDouble(1) === 1.0 && rp.getDouble(3) === 1.0 &&
+      rp.getDouble(4) === 1.0)
+    // inverted binary, balanced: kappa = MCC = -1
+    val inv = (Seq.fill(4)(("x", "y")) ++ Seq.fill(4)(("y", "x")))
+      .toDF("g", "p")
+    val ri = Metrics.agreementStats(inv, "g", "p").collect().head
+    assert(ri.getDouble(1) === 0.0 && ri.getDouble(3) === -1.0 &&
+      ri.getDouble(4) === -1.0)
+    // constant PREDICTION, varied gold: chance explains all its
+    // agreement -> kappa exactly 0; correlation undefined -> MCC NULL
+    val const = Seq(("a", "a"), ("b", "a"), ("b", "a")).toDF("g", "p")
+    val rc = Metrics.agreementStats(const, "g", "p").collect().head
+    assert(rc.getDouble(3) === 0.0)
+    assert(rc.isNullAt(4), "constant side must yield NULL mcc")
+    // BOTH sides constant (same label): pe = 1 -> kappa NULL, MCC NULL,
+    // accuracy still 1.0
+    val both = Seq(("a", "a"), ("a", "a")).toDF("g", "p")
+    val rb = Metrics.agreementStats(both, "g", "p").collect().head
+    assert(rb.getDouble(1) === 1.0)
+    assert(rb.isNullAt(3) && rb.isNullAt(4))
+  }
+
+  test("agreementStats: empty input -> (0, NULL x4); multiclass MCC " +
+      "matches the Gorodkin R_K closed form") {
+    val re = Metrics.agreementStats(
+      Seq.empty[(String, String)].toDF("g", "p"), "g", "p")
+      .collect().head
+    assert(re.getLong(0) === 0L)
+    (1 to 4).foreach(i => assert(re.isNullAt(i), s"col $i"))
+    // 3-class: gold a,a,b,b,c,c; pred a,b,b,c,c,c
+    // correct=4, N=6, t=(2,2,2), q=(1,2,3)
+    // ptq=2+4+6=12, ptt=12, pqq=1+4+9=14
+    // mcc = (24-12)/sqrt((36-12)(36-14)) = 12/sqrt(528)
+    val d = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "c"),
+      ("c", "c"), ("c", "c")).toDF("g", "p")
+    val r = Metrics.agreementStats(d, "g", "p").collect().head
+    val want = BigDecimal(12.0 / math.sqrt(24.0 * 22.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) === want)
+    // kappa from the same double steps the operator takes:
+    // po = 4/6, pe = 12/36
+    val wantK = BigDecimal(
+      (4.0 / 6.0 - 12.0 / 36.0) / (1.0 - 12.0 / 36.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) === wantK)
+  }
+
   test("AUC is invariant to shard count (parallel prefix = serial prefix)") {
     val events = spark.read.parquet(s"$sf001/events.parquet")
     val lab = when(col("event_type").isin("click", "purchase"), 1L)

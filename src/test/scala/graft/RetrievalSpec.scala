@@ -351,6 +351,91 @@ class RetrievalSpec extends SparkTestBase {
       one.getLong(5) === 0L)
   }
 
+  // ---- hardNegatives ----------------------------------------------------
+
+  test("hardNegatives: known positives excluded, judged grade-0 and " +
+      "null-grade docs stay eligible, null ids dropped") {
+    val runs = Seq(
+      (Some(1L), Some(10L), Some(9.0)), (Some(1L), Some(11L), Some(8.0)),
+      (Some(1L), Some(12L), Some(7.0)), (Some(1L), Some(13L), Some(6.0)),
+      (Some(1L), Some(14L), Some(5.0)),
+      // null ids can't form a training pair nor match judgments
+      (Some(1L), None, Some(99.0)), (None, Some(15L), Some(99.0)))
+      .toDF("q", "d", "s")
+    val qrels = Seq(
+      (1L, Some(11L), Some(2)),   // positive -> excluded
+      (1L, Some(13L), Some(1)),   // positive -> excluded
+      (1L, Some(10L), Some(0)),   // judged NON-relevant -> eligible
+      (1L, Some(12L), None),      // null grade reads 0 -> eligible
+      (1L, None, Some(3)))        // null doc judgment ignored
+      .toDF("q", "d", "g")
+    val out = Retrieval.hardNegatives(runs, qrels, "q", "d", "s", "g", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2))
+    // eligible negatives: 10 (9.0), 12 (7.0), 14 (5.0); k=2 keeps the
+    // two strongest, rank by score desc
+    assert(out.toSeq === Seq((1L, 1, 10L, 9.0), (1L, 2, 12L, 7.0)))
+  }
+
+  test("hardNegatives: score ties break by doc id ascending; queries " +
+      "with no positives keep their full top-k") {
+    val runs = Seq((1L, 12L, 5.0), (1L, 10L, 5.0), (1L, 11L, 5.0),
+      (2L, 20L, 1.0)).toDF("q", "d", "s")
+    val qrels = Seq((1L, 99L, 1)).toDF("q", "d", "g")
+    val out = Retrieval.hardNegatives(runs, qrels, "q", "d", "s", "g", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq === Seq((1L, 1, 10L), (1L, 2, 11L),
+      (2L, 1, 20L)))
+  }
+
+  test("hardNegatives ranks long scores at full 64-bit precision") {
+    // adjacent longs past 2^53 collapse under a double cast — the
+    // rankingEval precedent: integral scores rank UNCAST
+    val big = (1L << 53) + 2L
+    val runs = Seq((1L, 10L, big), (1L, 11L, big + 1L)).toDF("q", "d", "s")
+    val qrels = Seq((2L, 99L, 1)).toDF("q", "d", "g")
+    val out = Retrieval.hardNegatives(runs, qrels, "q", "d", "s", "g", 1)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(2) === 11L,
+      "the larger 64-bit score must win the cut")
+    assert(out.head.getLong(3) === big + 1L)
+  }
+
+  test("hardNegatives: missing or ambiguous score column fails fast") {
+    val runs = Seq((1L, 10L, 1.0, 2.0)).toDF("q", "d", "s", "S")
+    val qrels = Seq((1L, 11L, 1)).toDF("q", "d", "g")
+    val amb = intercept[IllegalArgumentException] {
+      Retrieval.hardNegatives(runs, qrels, "q", "d", "s", "g", 1)
+    }
+    assert(amb.getMessage.contains("ambiguous"))
+    val missing = intercept[IllegalArgumentException] {
+      Retrieval.hardNegatives(
+        runs.select("q", "d"), qrels, "q", "d", "nope", "g", 1)
+    }
+    assert(missing.getMessage.contains("not in"))
+  }
+
+  test("hardNegatives plan: anti-join then heap cut — no whole-group " +
+      "sort, rank reuses the heap's partitioning") {
+    val runs = Seq((1L, 10L, 9.0), (1L, 11L, 8.0), (2L, 20L, 7.0))
+      .toDF("q", "d", "s")
+    val qrels = Seq((1L, 11L, 1)).toDF("q", "d", "g")
+    val df = Retrieval.hardNegatives(runs, qrels, "q", "d", "s", "g", 1)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TopKPerGroup"), plan.take(2000))
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    // ONE hash exchange: the heap cut's. The rank window clusters on
+    // the same key and must inherit the exec's propagated partitioning
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(plan).length
+    assert(exchanges == 1,
+      s"expected ONE hash exchange, found $exchanges:\n" + plan.take(3000))
+  }
+
   test("rankingEval plan: both cuts ride the heap exec") {
     val df = Retrieval.rankingEval(
       evalRuns, evalQrels, "q", "d", "s", "g", k = 5)
