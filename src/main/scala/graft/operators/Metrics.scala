@@ -212,15 +212,20 @@ object Metrics {
     val ct = labeled
       .groupBy(col(goldCol).as("__g"), col(predCol).as("__p"))
       .agg(count(lit(1)).as("__n"))
-    val goldTot = ct.groupBy(col("__g").as("label"))
-      .agg(sum(col("__n")).as("support"))
+    // tp folds into the gold-side aggregate as a conditional sum — a
+    // separate ct.filter(__g === __p) branch looks natural but the
+    // grouping-key predicate gets pushed BELOW the contingency
+    // aggregate, splitting the exchange and re-SCANNING the items for
+    // the diagonal (PlanAudit caught q164 at 2 scans); this shape keeps
+    // all consumers on the one reused exchange and drops a join.
+    val goldSide = ct.groupBy(col("__g").as("label"))
+      .agg(sum(col("__n")).as("support"),
+        sum(when(col("__g") === col("__p"), col("__n")).otherwise(0L))
+          .as("__tp"))
     val predTot = ct.groupBy(col("__p").as("label"))
       .agg(sum(col("__n")).as("predicted"))
-    val diag = ct.filter(col("__g") === col("__p"))
-      .select(col("__g").as("label"), col("__n").as("__tp"))
-    val joined = goldTot
+    val joined = goldSide
       .join(predTot, Seq("label"), "full_outer")
-      .join(diag, Seq("label"), "left_outer")
       .select(col("label"),
         coalesce(col("support"), lit(0L)).as("support"),
         coalesce(col("predicted"), lit(0L)).as("predicted"),

@@ -154,6 +154,23 @@ class MetricsSpec extends SparkTestBase {
     }
   }
 
+  test("classificationReport plan: every consumer rides ONE contingency " +
+      "exchange — items are scanned once") {
+    // the tp diagonal as a ct.filter(__g === __p) branch gets its
+    // grouping-key predicate pushed BELOW the aggregate, splitting the
+    // exchange and re-scanning the corpus; the conditional-sum shape
+    // keeps one scan (PlanAudit caught the 2-scan regression at q164)
+    val d = Seq(("a", "a"), ("a", "b"), ("b", "b")).toDF("g", "p")
+    val out = Metrics.classificationReport(d, "g", "p")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "LocalTableScan".r.findAllMatchIn(plan).length
+    assert(scans == 1,
+      s"expected ONE item scan, found $scans:\n" + plan.take(3000))
+    assert(plan.contains("ReusedExchange"), plan.take(3000))
+  }
+
   test("agreementStats: hand-checked binary confusion — kappa and MCC " +
       "against the textbook closed forms") {
     // tp=4 fn=1 fp=1 tn=2: accuracy 6/8, pe = (5*5+3*3)/64 = 0.53125,
