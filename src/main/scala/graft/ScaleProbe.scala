@@ -162,6 +162,10 @@ object ScaleProbe {
     // (contingency + union re-aggregate)
     "q163_info_agreement", "q164_classification_report",
     "q165_agreement_stats",
+    // ANN recall gate (q166: two bounded-heap corpus passes — exact +
+    // probed — over 10x vectors; everything after the cuts is
+    // k*|Q|-bounded)
+    "q166_ann_recall",
     "q148_psi_series", "q149_quantile_norm", "q150_capped_jaccard",
     "q151_capped_editdist", "q152_gopher_rules", "q153_c4_clean",
     "q154_zipf_fit", "q155_tokenizer_fertility", "q156_dup_rate_by_source")

@@ -5433,6 +5433,76 @@ object SparkEntry {
       |    END, 6) AS mcc
       |FROM s""".stripMargin))
 
+  private val q166 = Q("q166_ann_recall",
+    (s, dir) => {
+      // ANN quality gate (Similarity.annRecall): per-query recall@k of
+      // the IVF probe vs exact brute force, both arms on the bounded
+      // heap with the same tie contract. q39's operating point (init
+      // quantizer, 8 lists, nProbe 2) so every arithmetic step —
+      // assignment, probe ranking, both cosines — is SQL-replayable.
+      // Batched probes compute distributedly (|Q|xnCentroids heap cut);
+      // the corpus is passed ONCE per arm.
+      val e = t(s, dir, "embeddings")
+      val idx = Similarity.buildIvf(s, e, "vec_id", "embedding",
+        nCentroids = 8, iterations = 0)
+      Similarity.annRecall(idx, "vec_id", "embedding",
+          e.filter(col("vec_id") < 3), "vec_id", k = 10, nProbe = 2)
+        .orderBy(col("query_id"))
+    },
+    Some("""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), cent AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      |  FROM e ORDER BY vec_id LIMIT 8
+      |), q AS (
+      |  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3
+      |), assigned AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(range(1, 65),
+      |          i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), c.cid)
+      |        AS rn
+      |    FROM e, cent c) WHERE rn = 1
+      |), probes AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT q.qid, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+      |        list_sum(list_transform(range(1, 65),
+      |          i -> (c.cv[i] - q.qv[i]) * (c.cv[i] - q.qv[i]))), c.cid)
+      |        AS rn
+      |    FROM q, cent c) WHERE rn <= 2
+      |), approx AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT q.qid, a.vec_id,
+      |      list_dot_product(a.v, q.qv) /
+      |      (sqrt(list_dot_product(a.v, a.v)) *
+      |       sqrt(list_dot_product(q.qv, q.qv))) AS c
+      |    FROM assigned a
+      |    JOIN probes p ON a.cid = p.cid
+      |    JOIN q ON q.qid = p.qid
+      |    QUALIFY ROW_NUMBER() OVER (PARTITION BY q.qid
+      |      ORDER BY c DESC, a.vec_id) <= 10)
+      |), exact AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT q.qid, e.vec_id,
+      |      list_dot_product(e.v, q.qv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) *
+      |       sqrt(list_dot_product(q.qv, q.qv))) AS c
+      |    FROM e, q
+      |    QUALIFY ROW_NUMBER() OVER (PARTITION BY q.qid
+      |      ORDER BY c DESC, e.vec_id) <= 10)
+      |)
+      |SELECT ex.qid AS query_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |  CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hit,
+      |  ROUND(CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0
+      |    END) AS DOUBLE) / COUNT(*), 6) AS recall
+      |FROM exact ex LEFT JOIN approx ap
+      |  ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id
+      |GROUP BY ex.qid ORDER BY query_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -5446,7 +5516,8 @@ object SparkEntry {
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
-    q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165)
+    q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
+    q166)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -427,4 +427,76 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  /** Batched IVF search — [[searchIvf]] for a query TABLE. Per-query
+    * probe lists are computed distributedly (|Q| × nCentroids distances
+    * → bounded-heap cut to nProbe; same squared-L2 + lowest-id tie
+    * contract as [[nearestLists]], so single- and batched-query probes
+    * can never diverge), then ONE corpus pass: the |Q|·nProbe probe
+    * table broadcasts onto the inverted-list join, each probed row is
+    * scored once per probing query, and the bounded heap keeps k per
+    * query — no per-query corpus scan, no driver loop over queries.
+    * Output: (query_id, idCol, cosine). */
+  def searchIvfForQueries(
+      index: IvfIndex, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val cent = index.centroids.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("__cid", "__cv")
+    val q = queries.select(col(queryIdCol).as("__qid"),
+      col(vecCol).as("__qv"))
+    val probes = graft.plans.TopKPerGroup.perKey(
+      q.crossJoin(broadcast(cent))
+        .select(col("__qid"), col("__qv"), col("__cid"),
+          (-VectorFunctions.distSqFast(col("__qv"), col("__cv")))
+            .as("__negd")),
+      Seq("__qid"), "__negd", "__cid", nProbe)
+      .select(col("__qid"), col("__qv"), col("__cid"))
+    val scored = index.assigned
+      .join(broadcast(probes), col("__centroid") === col("__cid"))
+      .select(col("__qid"), col(idCol),
+        VectorFunctions.cosineFast(col(vecCol), col("__qv"))
+          .as("cosine"))
+    graft.plans.TopKPerGroup
+      .perKey(scored, Seq("__qid"), "cosine", idCol, k)
+      .select(col("__qid").as("query_id"), col(idCol), col("cosine"))
+  }
+
+  /** ANN quality gate: per-query recall@k of the IVF probe against the
+    * exact brute-force top-k over the SAME corpus and tie contract
+    * (score desc, id asc — both arms ride the bounded heap, so the
+    * comparison is deterministic, never "roughly the same set"). This
+    * is the acceptance test on an index-parameter change
+    * (nCentroids/nProbe/iterations): measure recall on a query sample
+    * BEFORE swapping parameters into a corpus-wide near-dup or
+    * retrieval job.
+    *
+    * recall = |approx ∩ exact| / |exact| per query (|exact| can be < k
+    * on a small corpus). Both arms are k·|Q|-bounded after their single
+    * corpus pass each; the intersection join and the two tiny
+    * aggregates never touch the corpus again. Output:
+    * (query_id, n_exact, n_hit, recall), recall 6 dp. */
+  def annRecall(
+      index: IvfIndex, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val exact = topKForQueries(
+        index.assigned, queries, idCol, vecCol, queryIdCol, k)
+      .select(col("query_id").as("__eq"), col(idCol).as("__ed"))
+    val approx = searchIvfForQueries(
+        index, idCol, vecCol, queries, queryIdCol, k, nProbe)
+      .select(col("query_id").as("__aq"), col(idCol).as("__ad"))
+    val hits = exact
+      .join(approx, col("__eq") === col("__aq") &&
+        col("__ed") === col("__ad"), "left_semi")
+      .groupBy(col("__eq")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("__eq")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("__eq"), "left_outer")
+      .select(col("__eq").as("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double"), 6).as("recall"))
+  }
 }

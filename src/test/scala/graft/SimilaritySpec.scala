@@ -83,6 +83,58 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf2.contains(7L))
   }
 
+  test("searchIvfForQueries: parity with single-query searchIvf for " +
+      "every query, one corpus join") {
+    val idx = Similarity.buildIvf(spark, emb, "vec_id", "embedding",
+      nCentroids = 4, iterations = 1)
+    val queries = emb.filter(col("vec_id") < 3)
+    val batched = Similarity.searchIvfForQueries(idx, "vec_id",
+        "embedding", queries, "vec_id", k = 5, nProbe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    (0L to 2L).foreach { qid =>
+      val qv = emb.filter(col("vec_id") === qid).head().getSeq[Float](1)
+      val single = Similarity.searchIvf(idx, "vec_id", "embedding",
+          qv, k = 5, nProbe = 2)
+        .collect()
+        .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP))).toSet
+      assert(batched(qid) === single, s"query $qid")
+    }
+  }
+
+  test("annRecall: full probe -> recall exactly 1.0; hits are monotone " +
+      "in nProbe; self-match guarantees recall > 0") {
+    val idx = Similarity.buildIvf(spark, emb, "vec_id", "embedding",
+      nCentroids = 4, iterations = 1)
+    val queries = emb.filter(col("vec_id") < 5)
+    val full = Similarity.annRecall(idx, "vec_id", "embedding",
+      queries, "vec_id", k = 5, nProbe = 4).collect()
+    assert(full.length === 5)
+    full.foreach { r =>
+      assert(r.getLong(1) === 5L && r.getLong(2) === 5L &&
+        r.getDouble(3) === 1.0, s"full probe must be exact: $r")
+    }
+    // nested probe lists mean a hit can only be displaced by a
+    // better-scoring item, which is itself in the exact top-k
+    val byProbe = (1 to 4).map { np =>
+      np -> Similarity.annRecall(idx, "vec_id", "embedding",
+          queries, "vec_id", k = 5, nProbe = np)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    }.toMap
+    (0L until 5L).foreach { qid =>
+      (1 to 3).foreach { np =>
+        assert(byProbe(np)(qid) <= byProbe(np + 1)(qid),
+          s"hits must not drop when widening probes: q=$qid np=$np")
+      }
+      // the query's own vector lives in its probed nearest list
+      assert(byProbe(1)(qid) >= 1L, s"self-match missing at q=$qid")
+    }
+  }
+
   test("PQ: codes in range, deterministic, Lloyd does not increase error") {
     val books0 = Similarity.trainPq(emb, "vec_id", "embedding",
       dim = 64, m = 8, k = 4, iterations = 0)
