@@ -382,7 +382,13 @@ object Retrieval {
     * POSITIVES) are excluded. A judged grade-0 doc stays eligible — it
     * is a CONFIRMED negative, the best kind of hard negative. Rows
     * with a null query or doc id are dropped (a null id can neither
-    * form a training pair nor be matched against judgments).
+    * form a training pair nor be matched against judgments), and
+    * duplicate (query, doc) retrievals collapse to their best-scored
+    * copy on the bounded cut (the rankingEval contract) — the same doc
+    * must not emit two training pairs. As in rankingEval, duplicates
+    * landing inside the cut may leave a query with fewer than k
+    * distinct negatives: duplicates are an input defect, the collapse
+    * bounds the damage without a second corpus-sized shuffle.
     *
     * Scale shape: the corpus-sized runs side is touched ONCE — a
     * left-anti join against the judgment-bounded positive set (small
@@ -441,7 +447,12 @@ object Retrieval {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__q"))
       .orderBy(col("__s").desc, col("__d").asc)
+    // duplicate (query, doc) retrievals collapse to their best-scored
+    // copy on the k·|Q|-bounded cut (the rankingEval contract) — a doc
+    // retrieved by two candidate sources must not occupy two negative
+    // slots or emit the same training pair twice
     cut.drop("__tie")
+      .groupBy(col("__q"), col("__d")).agg(max(col("__s")).as("__s"))
       .withColumn("rank", row_number().over(w))
       .select(col("__q").as(queryCol), col("rank"),
         col("__d").as(docCol), col("__s").as(scoreCol))

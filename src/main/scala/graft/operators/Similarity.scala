@@ -488,15 +488,19 @@ object Similarity {
     val approx = searchIvfForQueries(
         index, idCol, vecCol, queries, queryIdCol, k, nProbe)
       .select(col("query_id").as("__aq"), col(idCol).as("__ad"))
-    val hits = exact
+    // ONE left-outer join + ONE aggregate: a semi-join-for-hits plus a
+    // separate totals aggregate would consume `exact` twice, and each
+    // copy re-runs its corpus pass (exchange reuse doesn't survive the
+    // differently-pruned subtrees). (query, doc) is unique on both
+    // k-cut sides, so the outer join preserves exactly the exact rows.
+    exact
       .join(approx, col("__eq") === col("__aq") &&
-        col("__ed") === col("__ad"), "left_semi")
-      .groupBy(col("__eq")).agg(count(lit(1)).as("n_hit"))
-    exact.groupBy(col("__eq")).agg(count(lit(1)).as("n_exact"))
-      .join(hits, Seq("__eq"), "left_outer")
-      .select(col("__eq").as("query_id"), col("n_exact"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+        col("__ed") === col("__ad"), "left_outer")
+      .groupBy(col("__eq"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("__ad").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("__eq").as("query_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") /
           col("n_exact").cast("double"), 6).as("recall"))
   }
 }

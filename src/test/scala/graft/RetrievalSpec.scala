@@ -389,6 +389,27 @@ class RetrievalSpec extends SparkTestBase {
       (2L, 1, 20L)))
   }
 
+  test("hardNegatives: duplicate retrievals collapse to one negative " +
+      "slot (best-scored copy), the rankingEval bounded-damage contract") {
+    // doc 10 arrives from two candidate sources: ONE pair at the best
+    // score, never two. Both copies land inside the k=2 cut, so the
+    // boundary doc 11 is crowded out — the documented trade (collapse
+    // happens on the bounded cut; duplicates are an input defect)
+    val runs = Seq((1L, 10L, 5.0), (1L, 10L, 9.0), (1L, 11L, 4.0))
+      .toDF("q", "d", "s")
+    val qrels = Seq((1L, 99L, 1)).toDF("q", "d", "g")
+    val out = Retrieval.hardNegatives(runs, qrels, "q", "d", "s", "g", 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq((1, 10L, 9.0)))
+    // with k wide enough that the duplicate does not sit on the
+    // boundary, the distinct doc keeps its slot
+    val wide = Retrieval.hardNegatives(runs, qrels, "q", "d", "s", "g", 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(wide.toSeq === Seq((1, 10L, 9.0), (2, 11L, 4.0)))
+  }
+
   test("hardNegatives ranks long scores at full 64-bit precision") {
     // adjacent longs past 2^53 collapse under a double cast — the
     // rankingEval precedent: integral scores rank UNCAST
