@@ -166,6 +166,10 @@ object ScaleProbe {
     // probed — over 10x vectors; everything after the cuts is
     // k*|Q|-bounded)
     "q166_ann_recall",
+    // threshold sweep (q167: the q57 chain + a |T|-explode of the
+    // candidate-bounded pair frame — dup clusters at 10x grow true
+    // pairs quadratically per cluster like q35/q57)
+    "q167_threshold_sweep",
     "q148_psi_series", "q149_quantile_norm", "q150_capped_jaccard",
     "q151_capped_editdist", "q152_gopher_rules", "q153_c4_clean",
     "q154_zipf_fit", "q155_tokenizer_fertility", "q156_dup_rate_by_source")

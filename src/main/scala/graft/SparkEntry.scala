@@ -5503,6 +5503,39 @@ object SparkEntry {
       |  ON ex.qid = ap.qid AND ex.vec_id = ap.vec_id
       |GROUP BY ex.qid ORDER BY query_id""".stripMargin))
 
+  private val q167 = Q("q167_threshold_sweep",
+    (s, dir) => {
+      // Verify-threshold tuning curve (Dedup.thresholdSweep): dup-pair
+      // and affected-doc counts per candidate threshold, from ONE
+      // portable-chain execution at min(thresholds) — the evidence for
+      // picking an operating point before a corpus-wide dedup. Curve is
+      // over the LSH candidate set (the operationally relevant pairs);
+      // one aggregate over |T|-exploded endpoint rows, pair count
+      // recovered exactly as rowcount/2.
+      Dedup.thresholdSweep(t(s, dir, "documents"), "doc_id", "text",
+        thresholds = Seq(0.7, 0.8, 0.9, 0.95))
+    },
+    Some(s"""WITH ${portableChainCtes(64, 16, 3, 0.7)},
+      |t AS (
+      |  SELECT unnest(CAST([0.7, 0.8, 0.9, 0.95] AS DOUBLE[]))
+      |    AS threshold
+      |), s AS (
+      |  SELECT t.threshold, v.id_a AS id
+      |  FROM t JOIN verified v ON v.j >= t.threshold
+      |  UNION ALL
+      |  SELECT t.threshold, v.id_b
+      |  FROM t JOIN verified v ON v.j >= t.threshold
+      |), g AS (
+      |  SELECT threshold, CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+      |    CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs
+      |  FROM s GROUP BY threshold
+      |)
+      |SELECT t.threshold,
+      |  CAST(COALESCE(g.n_pairs, 0) AS BIGINT) AS n_pairs,
+      |  CAST(COALESCE(g.n_docs, 0) AS BIGINT) AS n_docs
+      |FROM t LEFT JOIN g USING (threshold)
+      |ORDER BY threshold""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -5517,7 +5550,7 @@ object SparkEntry {
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
-    q166)
+    q166, q167)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

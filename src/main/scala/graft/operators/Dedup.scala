@@ -493,6 +493,57 @@ object Dedup {
     jaccardVerify(pairs, docs, idCol, textCol, shingleSize, threshold)
   }
 
+  /** Near-dup threshold tuning curve: for each candidate threshold, the
+    * duplicate-pair count and affected-doc count — the evidence for
+    * CHOOSING a verify threshold before a corpus-wide dedup run, from
+    * ONE chain execution (sketch → buckets → candidates → exact
+    * Jaccard at min(thresholds)), not one run per threshold.
+    *
+    * Honest contract: the curve is computed over the CANDIDATE pair
+    * set the LSH index surfaces at the given (numHashes, bands)
+    * operating point. Pairs whose true similarity clears a threshold
+    * but which never collide in any band are not counted — that recall
+    * loss is a property of the operating point being tuned, and it is
+    * the operationally relevant curve (these are exactly the pairs a
+    * production run at that operating point would act on).
+    *
+    * Scale shape: the verified-pair frame is LSH-candidate-bounded;
+    * the |thresholds|-way explode multiplies only that frame, and the
+    * (n_pairs, n_docs) curve is ONE aggregate over the exploded
+    * (threshold, doc) rows — pair count recovered exactly as
+    * rowcount/2 (each pair contributes its two endpoints), doc count
+    * as an exact distinct; no self-join of derived aggregates (the
+    * USING-join resolver trap), thresholds with zero qualifying pairs
+    * restored by a left join from the literal threshold list.
+    * Output: (threshold, n_pairs, n_docs) ordered by threshold.
+    */
+  def thresholdSweep(
+      docs: DataFrame, idCol: String, textCol: String,
+      thresholds: Seq[Double],
+      numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val ts = thresholds.distinct.sorted
+    val pairs = portableNearDups(docs, idCol, textCol,
+      numHashes, bands, shingleSize, ts.head, seed)
+    import docs.sparkSession.implicits._
+    val tFrame = ts.toDF("threshold")
+    val counts = pairs
+      .select(explode(array(ts.map(lit(_)): _*)).as("threshold"),
+        col("id_a"), col("id_b"), col("jaccard"))
+      .filter(col("jaccard") >= col("threshold"))
+      .select(col("threshold"),
+        explode(array(col("id_a"), col("id_b"))).as("__id"))
+      .groupBy(col("threshold"))
+      .agg(shiftright(count(lit(1)), 1).as("n_pairs"),
+        countDistinct(col("__id")).as("n_docs"))
+    tFrame.join(counts, Seq("threshold"), "left_outer")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("threshold"))
+  }
+
   // ===== one-permutation MinHash (OPH) =====
   // Li, Owen & Zhang, "One Permutation Hashing" (NIPS 2012) with the
   // rotation densification of Shrivastava & Li, "Improved Densification

@@ -85,14 +85,17 @@ class ClusterEvalSpec extends SparkTestBase {
 
   test("agreement: null labels on EITHER side are excluded and counted " +
       "by the observe metric") {
-    @volatile var dropped: Option[Long] = None
+    // collect every delivery: suites share one session and q161 runs
+    // agreement concurrently from QueriesSpec with its own (0-dropped)
+    // metric — a single last-writer slot would flake
+    val dropped = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           d: Long): Unit =
         qe.observedMetrics.foreach { case (name, row) =>
           if (name.startsWith("graft.cluster_eval.agreement"))
-            dropped = Some(
+            dropped.add(
               row.getLong(row.fieldIndex("null_label_rows_dropped")))
         }
       override def onFailure(f: String,
@@ -109,7 +112,7 @@ class ClusterEvalSpec extends SparkTestBase {
       assert(r.getLong(0) === 2L)
       assert(r.getDouble(4) === 1.0)
       val deadline = System.currentTimeMillis + 20000
-      while (dropped.isEmpty && System.currentTimeMillis < deadline)
+      while (!dropped.contains(3L) && System.currentTimeMillis < deadline)
         Thread.sleep(50)
       assert(dropped.contains(3L), s"observe metric reported $dropped")
     } finally spark.listenerManager.unregister(listener)
@@ -236,14 +239,16 @@ class ClusterEvalSpec extends SparkTestBase {
     val re = one(ClusterEval.informationAgreement(empty, "a", "b"))
     assert(re.getLong(0) === 0L)
     (1 to 7).foreach(i => assert(re.isNullAt(i), s"col $i"))
-    @volatile var dropped: Option[Long] = None
+    // de-flaked like the agreement test: q163 delivers its own metric
+    // concurrently from QueriesSpec
+    val dropped = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           d: Long): Unit =
         qe.observedMetrics.foreach { case (name, row) =>
           if (name.startsWith("graft.cluster_eval.info"))
-            dropped = Some(
+            dropped.add(
               row.getLong(row.fieldIndex("null_label_rows_dropped")))
         }
       override def onFailure(f: String,
@@ -257,7 +262,7 @@ class ClusterEvalSpec extends SparkTestBase {
       val r = one(ClusterEval.informationAgreement(d, "a", "b"))
       assert(r.getLong(0) === 1L)
       val deadline = System.currentTimeMillis + 20000
-      while (dropped.isEmpty && System.currentTimeMillis < deadline)
+      while (!dropped.contains(2L) && System.currentTimeMillis < deadline)
         Thread.sleep(50)
       assert(dropped.contains(2L), s"observe metric reported $dropped")
     } finally spark.listenerManager.unregister(listener)

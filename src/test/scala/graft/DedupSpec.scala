@@ -476,14 +476,19 @@ class DedupSpec extends SparkTestBase {
     // carries the dropped count, and unmappable key types throw
     // immediately — data-independently — while the mapped set widened
     // to decimal/datetime/boolean.
-    @volatile var dropped: Option[Long] = None
+    // suites share one session, and q113 runs capPerGroup concurrently
+    // from QueriesSpec with ITS metric (0 dropped) — collect every
+    // delivery and look for this test's value instead of racing on a
+    // single slot (a last-writer-wins Option flaked under parallel
+    // suites)
+    val dropped = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           d: Long): Unit =
         qe.observedMetrics.foreach { case (name, row) =>
           if (name.startsWith("graft.sampling.cap_per_group"))
-            dropped = Some(row.getLong(row.fieldIndex("null_key_rows_dropped")))
+            dropped.add(row.getLong(row.fieldIndex("null_key_rows_dropped")))
         }
       override def onFailure(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
@@ -498,7 +503,7 @@ class DedupSpec extends SparkTestBase {
       assert(kept.count() == 2) // one per source, null keys dropped
       // QueryExecutionListener delivery is async — poll with a deadline
       val deadline = System.currentTimeMillis + 20000
-      while (dropped.isEmpty && System.currentTimeMillis < deadline)
+      while (!dropped.contains(2L) && System.currentTimeMillis < deadline)
         Thread.sleep(50)
       assert(dropped.contains(2L), s"observe metric reported $dropped")
     } finally spark.listenerManager.unregister(listener)
@@ -520,15 +525,18 @@ class DedupSpec extends SparkTestBase {
 
   test("balanceClasses: null-key drop is counted, like capPerGroup") {
     // same no-silent-drops contract — the sibling sampler gained the
-    // observe metric a round earlier; this pins parity
-    @volatile var dropped: Option[Long] = None
+    // observe metric a round earlier; this pins parity. Collect every
+    // delivery (shared session: q104 runs balanceClasses concurrently
+    // from QueriesSpec with 0 dropped) — same de-flake as the
+    // capPerGroup test above.
+    val dropped = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           d: Long): Unit =
         qe.observedMetrics.foreach { case (name, row) =>
           if (name.startsWith("graft.sampling.balance_classes"))
-            dropped = Some(row.getLong(row.fieldIndex("null_key_rows_dropped")))
+            dropped.add(row.getLong(row.fieldIndex("null_key_rows_dropped")))
         }
       override def onFailure(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
@@ -543,7 +551,7 @@ class DedupSpec extends SparkTestBase {
         .balanceClasses(d, "doc_id", "label")
       assert(kept.count() == 2) // min class size 1 -> one per label
       val deadline = System.currentTimeMillis + 20000
-      while (dropped.isEmpty && System.currentTimeMillis < deadline)
+      while (!dropped.contains(2L) && System.currentTimeMillis < deadline)
         Thread.sleep(50)
       assert(dropped.contains(2L), s"observe metric reported $dropped")
     } finally spark.listenerManager.unregister(listener)
@@ -913,5 +921,48 @@ class DedupSpec extends SparkTestBase {
     val r = Dedup.dupRateByGroup(d, "source", "text").collect().head
     assert((r.getLong(1), r.getLong(2), r.getLong(3),
       r.getAs[Double]("dup_rate")) === ((2L, 0L, 0L, 0.0)))
+  }
+
+  test("thresholdSweep: hand-checked curve, per-threshold parity with " +
+      "standalone runs, zero-pair thresholds kept") {
+    // shingleSize=1 word sets; bands = numHashes (r=1) so any shared
+    // minhash value collides — recall 1 for overlapping docs here.
+    // jaccard(1,2)=1.0 exact dup; jaccard(1,3)=jaccard(2,3)=7/9≈0.778
+    val d = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "a b c d e f g x"), (4L, "z y w"))
+      .toDF("doc_id", "text")
+    val sweep = Dedup.thresholdSweep(d, "doc_id", "text",
+        thresholds = Seq(0.9, 0.5, 1.0, 0.5), // dup + unsorted input
+        numHashes = 16, bands = 16, shingleSize = 1)
+      .collect().map(r =>
+        (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(sweep.toSeq === Seq(
+      (0.5, 3L, 3L),   // (1,2) (1,3) (2,3) over docs {1,2,3}
+      (0.9, 1L, 2L),   // only the exact dup
+      (1.0, 1L, 2L)))  // jaccard 1.0 >= 1.0
+    // per-threshold parity with a standalone chain run at that verify
+    // threshold — the sweep must be exactly "run it per threshold",
+    // minus the repeated executions
+    Seq(0.5, 0.9, 1.0).foreach { t =>
+      val standalone = Dedup.portableNearDups(d, "doc_id", "text",
+        numHashes = 16, bands = 16, shingleSize = 1, threshold = t)
+      val row = sweep.find(_._1 == t).get
+      assert(standalone.count() === row._2, s"pairs at $t")
+    }
+    // monotone: both counts non-increasing in threshold
+    sweep.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._2 >= hi._2 && lo._3 >= hi._3)
+    }
+    // a threshold no pair reaches still gets its (0, 0) row
+    val zero = Dedup.thresholdSweep(
+      d.filter(col("doc_id") =!= 2L), "doc_id", "text",
+      thresholds = Seq(0.5, 0.95),
+      numHashes = 16, bands = 16, shingleSize = 1)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(zero.toSeq === Seq((0.5, 1L, 2L), (0.95, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Dedup.thresholdSweep(d, "doc_id", "text", Seq.empty)
+    }
   }
 }

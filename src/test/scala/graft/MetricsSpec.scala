@@ -106,14 +106,17 @@ class MetricsSpec extends SparkTestBase {
 
   test("classificationReport: total miss (both sides present, tp 0) " +
       "gives f1 0.0, not NULL; null rows dropped and counted") {
-    @volatile var dropped: Option[Long] = None
+    // collect every delivery: q164 runs this operator concurrently
+    // from QueriesSpec on the shared session with its own (0-dropped)
+    // metric — a single last-writer slot would flake
+    val dropped = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           d: Long): Unit =
         qe.observedMetrics.foreach { case (name, row) =>
           if (name.startsWith("graft.metrics.classification_report"))
-            dropped = Some(
+            dropped.add(
               row.getLong(row.fieldIndex("null_label_rows_dropped")))
         }
       override def onFailure(f: String,
@@ -134,7 +137,7 @@ class MetricsSpec extends SparkTestBase {
       assert(x.getDouble(4) === 0.0 && x.getDouble(5) === 0.0 &&
         x.getDouble(6) === 0.0, "p + r = 0 with both defined -> f1 0.0")
       val deadline = System.currentTimeMillis + 20000
-      while (dropped.isEmpty && System.currentTimeMillis < deadline)
+      while (!dropped.contains(2L) && System.currentTimeMillis < deadline)
         Thread.sleep(50)
       assert(dropped.contains(2L), s"observe metric reported $dropped")
     } finally spark.listenerManager.unregister(listener)
