@@ -71,6 +71,32 @@ object CorpusDemo {
 
     println("[corpus] per-language report:")
     CorpusPipeline.report(curated).show(truncate = false)
+
+    // ---- evaluation gates (round-13 eval family) -------------------
+    // pick the near-dup verify threshold from evidence, not folklore:
+    // pair/doc counts per candidate threshold from ONE chain run
+    println("[corpus] near-dup threshold tuning curve:")
+    graft.operators.Dedup.thresholdSweep(docs, cfg.idCol, cfg.textCol,
+      thresholds = Seq(0.7, 0.8, 0.9, 0.95)).show()
+    // gate a labeler change: per-class report + the chance-corrected
+    // scalars + partition-level agreement for the langid model vs the
+    // gold language tags
+    val labeled = docs.select(
+      org.apache.spark.sql.functions.col("lang"),
+      graft.functions.TextFunctions.langId(
+        org.apache.spark.sql.functions.col(cfg.textCol)).as("predicted"))
+    println("[corpus] langid per-class report:")
+    graft.operators.Metrics.classificationReport(labeled, "lang",
+      "predicted").orderBy("label").show()
+    println("[corpus] langid chance-corrected agreement:")
+    graft.operators.Metrics.agreementStats(labeled, "lang", "predicted")
+      .show()
+    println("[corpus] langid partition agreement (pairs + information):")
+    graft.operators.ClusterEval.agreement(labeled, "lang", "predicted")
+      .show()
+    graft.operators.ClusterEval.informationAgreement(labeled, "lang",
+      "predicted").show()
+
     batches.unpersist(); clean.unpersist(); near.unpersist()
     spark.stop()
   }

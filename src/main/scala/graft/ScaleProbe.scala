@@ -303,7 +303,12 @@ object ScaleProbe {
       // from a crashed run (or a pre-marker layout) re-synthesizes
       if (!new java.io.File(s"$out100/_GRAFT_COMPLETE").exists())
         synthesize100(spark, out, out100)
-      Seq("q117_oph_neardup", "q122_pagerank")
+      // round 13 post-close: q162 (the eval family's only corpus-
+      // carrying chain — 100x orders through the anti-join + heap cut)
+      // and q167 (the q57 chain + sweep under 100-member dup clusters,
+      // ~4950 true pairs each — candidate growth must stay in-cluster)
+      Seq("q117_oph_neardup", "q122_pagerank", "q162_hard_negatives",
+          "q167_threshold_sweep")
         .filter(substrFilter("x100only="))
         .foreach { name =>
         // t0 BEFORE df construction: q122's iterations execute eagerly
