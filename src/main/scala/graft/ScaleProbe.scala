@@ -170,6 +170,9 @@ object ScaleProbe {
     // candidate-bounded pair frame — dup clusters at 10x grow true
     // pairs quadratically per cluster like q35/q57)
     "q167_threshold_sweep",
+    // B-cubed (q168: contingency + two cell-row windows — the q161
+    // shape with window marginals)
+    "q168_bcubed",
     "q148_psi_series", "q149_quantile_norm", "q150_capped_jaccard",
     "q151_capped_editdist", "q152_gopher_rules", "q153_c4_clean",
     "q154_zipf_fit", "q155_tokenizer_fertility", "q156_dup_rate_by_source")

@@ -5536,6 +5536,84 @@ object SparkEntry {
       |FROM t LEFT JOIN g USING (threshold)
       |ORDER BY threshold""".stripMargin))
 
+  private val q168 = Q("q168_bcubed",
+    (s, dir) => {
+      // B-cubed per-item precision/recall/F1 (Bagga-Baldwin; Amigó et
+      // al. 2009) of the langid-predicted partition vs gold — the
+      // third clustering-agreement view (q161 pairs, q163 information,
+      // q168 items), total at the limits the other two special-case.
+      // Cell terms n²/marginal attach by label-partitioned windows
+      // over contingency rows, DECIMAL(38,10)-quantized and
+      // decimal-summed; one item-sized shuffle total.
+      val d = t(s, dir, "documents")
+        .select(col("lang"), TF.langId(col("text")).as("predicted"))
+      ClusterEval.bCubed(d, "lang", "predicted")
+    },
+    Some(s"""WITH items AS (
+      |  SELECT lang AS a, predicted AS b FROM (
+      |$langIdPredSql)
+      |  WHERE lang IS NOT NULL
+      |), ct AS (
+      |  SELECT a, b, COUNT(*) AS n FROM items GROUP BY a, b
+      |), cells AS (
+      |  SELECT n,
+      |    SUM(n) OVER (PARTITION BY a) AS na,
+      |    SUM(n) OVER (PARTITION BY b) AS nb
+      |  FROM ct
+      |), s AS (
+      |  SELECT
+      |    SUM(CAST(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) /
+      |      CAST(nb AS DOUBLE) AS DECIMAL(38,10))) AS ps,
+      |    SUM(CAST(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) /
+      |      CAST(na AS DOUBLE) AS DECIMAL(38,10))) AS rs,
+      |    CAST(SUM(n) AS BIGINT) AS nn
+      |  FROM cells
+      |), m AS (
+      |  SELECT nn,
+      |    CAST(ps AS DOUBLE) / CAST(nn AS DOUBLE) AS p,
+      |    CAST(rs AS DOUBLE) / CAST(nn AS DOUBLE) AS r
+      |  FROM s
+      |)
+      |SELECT nn AS n_items,
+      |  ROUND(p, 6) AS b3_precision,
+      |  ROUND(r, 6) AS b3_recall,
+      |  ROUND(2.0 * p * r / (p + r), 6) AS b3_f1
+      |FROM m""".stripMargin))
+
+  private val q169 = Q("q169_calibration_error",
+    (s, dir) => {
+      // ECE + worst-bin gap (Metrics.expectedCalibrationError) over
+      // q124's exact reliability curve — the scalar gate a score
+      // column must pass before it weights or filters a corpus; built
+      // on the curve's 6-dp bin outputs so the scalar IS the published
+      // curve's summary.
+      Metrics.expectedCalibrationError(t(s, dir, "events"), col("value"),
+        when(col("event_type").isin("click", "purchase"), 1L)
+          .otherwise(0L), bins = 10)
+    },
+    Some("""WITH s AS (
+      |  SELECT value AS v,
+      |    CASE WHEN event_type IN ('click','purchase') THEN 1 ELSE 0 END
+      |      AS y FROM events
+      |), mm AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM s
+      |), b AS (
+      |  SELECT LEAST(CAST(FLOOR((v - mn) / (mx - mn) * 10) AS BIGINT),
+      |    9) AS bin, v, y FROM s, mm
+      |), binsq AS (
+      |  SELECT bin, COUNT(*) AS n,
+      |    ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate,
+      |    ROUND(CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS VARCHAR)
+      |      AS DOUBLE) / COUNT(*), 6) AS mean_score
+      |  FROM b GROUP BY bin
+      |)
+      |SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+      |  ROUND(CAST(SUM(CAST(CAST(n AS DOUBLE) *
+      |      ABS(pos_rate - mean_score) AS DECIMAL(38,10))) AS DOUBLE) /
+      |    CAST(SUM(n) AS DOUBLE), 6) AS ece,
+      |  ROUND(MAX(ABS(pos_rate - mean_score)), 6) AS max_gap
+      |FROM binsq""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -5550,7 +5628,7 @@ object SparkEntry {
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
-    q166, q167)
+    q166, q167, q168, q169)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

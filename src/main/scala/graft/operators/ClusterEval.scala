@@ -178,6 +178,72 @@ object ClusterEval {
     * by a `graft.cluster_eval.info.*` observe metric. Empty input →
     * (0, NULL × 7).
     */
+  /** B-cubed (B³) precision/recall/F1 (Bagga & Baldwin 1998; the
+    * Amigó et al. 2009 survey's recommended extrinsic clustering
+    * metric): per-ITEM averages, the third standard view next to
+    * [[agreement]]'s pair counting and [[informationAgreement]]'s
+    * label information. For item i in predicted cluster C(i) and
+    * reference class G(i): precision_i = |C(i)∩G(i)|/|C(i)|,
+    * recall_i = |C(i)∩G(i)|/|G(i)|; B³P/B³R are their means, B³F1 the
+    * harmonic mean of the two. Unlike ARI (trivial-limit conventions)
+    * and NMI (zero-entropy conventions), B³ is total for every
+    * non-empty input — an all-singleton prediction scores precision
+    * exactly 1.0 with low recall, an all-one-cluster prediction the
+    * reverse, which is why coreference/dedup evaluations prefer it.
+    *
+    * Identity used: Σ_i |C(i)∩G(i)|/|C(i)| = Σ_cells n_ab² / n_b (and
+    * symmetrically with n_a for recall) — so both sums are aggregates
+    * of CONTINGENCY cells with their marginals attached by two
+    * label-partitioned windows (cell rows only; a window partition is
+    * one label's cells, bounded by the other side's distinct labels —
+    * never items, never a marginals⋈cells self-join). Each cell's
+    * ratio term (≤ n_ab, so ≤ 10¹⁹ — inside DECIMAL(38,10)'s 28
+    * integer digits) is quantized to 1e-10 and decimal-summed: order-
+    * independent and DuckDB-replayable; the final /N is double.
+    *
+    * Null contract as [[agreement]] (dropped + counted,
+    * `graft.cluster_eval.bcubed.*`). Empty input → (0, NULL × 3).
+    */
+  def bCubed(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    ObservedLog.ensure(df.sparkSession)
+    val labeled = df
+      .observe(
+        s"graft.cluster_eval.bcubed.${metricSeq.incrementAndGet()}",
+        sum(when(col(aCol).isNull || col(bCol).isNull, 1L).otherwise(0L))
+          .as("null_label_rows_dropped"))
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val ct = labeled.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__a"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b"))
+    val cells = ct
+      .withColumn("__na", sum(col("__n")).over(wA))
+      .withColumn("__nb", sum(col("__n")).over(wB))
+    def term(marginal: String): Column =
+      ((col("__n").cast("double") * col("__n").cast("double")) /
+        col(marginal).cast("double")).cast("decimal(38,10)")
+    val sums = cells.agg(
+      sum(term("__nb")).as("__ps"),
+      sum(term("__na")).as("__rs"),
+      coalesce(sum(col("__n")), lit(0L)).as("__N"))
+    val nD = col("__N").cast("double")
+    val p = col("__ps").cast("double") / nD
+    val r = col("__rs").cast("double") / nD
+    val empty = col("__N") === 0L
+    sums
+      .withColumn("__p", when(empty, lit(null)).otherwise(p))
+      .withColumn("__r", when(empty, lit(null)).otherwise(r))
+      .select(
+        col("__N").as("n_items"),
+        round(col("__p"), 6).as("b3_precision"),
+        round(col("__r"), 6).as("b3_recall"),
+        round(when(empty, lit(null))
+          .otherwise(lit(2.0) * col("__p") * col("__r") /
+            (col("__p") + col("__r"))), 6).as("b3_f1"))
+  }
+
   def informationAgreement(
       df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val spark = df.sparkSession

@@ -166,6 +166,41 @@ object Metrics {
           count(lit(1)), 6).as("mean_score"))
   }
 
+  /** Expected Calibration Error (Naeini et al. AAAI'15; Guo et al.
+    * ICML'17): ECE = Σ_b (n_b/N)·|pos_rate_b − mean_score_b| over the
+    * SAME equal-width bins as [[calibrationBins]] — the one-number
+    * acceptance gate next to the full reliability curve, plus
+    * `max_gap`, the worst single bin's |confidence − accuracy| (a
+    * small ECE can hide one badly-miscalibrated score region; read
+    * both). Built ON the curve's 6-dp bin outputs, so the scalar is
+    * exactly the published curve's summary and bit-replayable in SQL;
+    * per-bin terms n·gap quantize to DECIMAL(38,10) (gap ≤ 1 keeps
+    * them ≤ n) and decimal-sum, the final /N is double. Output one
+    * row: (n_rows, n_bins_used, ece, max_gap); empty input →
+    * (0, 0, NULL, NULL). Same scale shape as calibrationBins — the
+    * extra aggregate runs over ≤ `bins` rows.
+    */
+  def expectedCalibrationError(
+      df: DataFrame, score: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    val b = calibrationBins(df, score, label, bins)
+    val gap = abs(col("pos_rate") - col("mean_score"))
+    val agged = b.agg(
+      coalesce(sum(col("n")), lit(0L)).as("n_rows"),
+      count(lit(1)).as("n_bins_used"),
+      sum((col("n").cast("double") * gap).cast("decimal(38,10)"))
+        .as("__w"),
+      max(gap).as("__mg"))
+    val empty = col("n_rows") === 0L
+    agged.select(
+      col("n_rows"), col("n_bins_used"),
+      round(when(empty, lit(null)).otherwise(
+        col("__w").cast("double") / col("n_rows").cast("double")), 6)
+        .as("ece"),
+      round(when(empty, lit(null)).otherwise(col("__mg")), 6)
+        .as("max_gap"))
+  }
+
   /** Per-invocation suffix for observe() metric names (Spark rejects two
     * CollectMetrics nodes sharing a name in one plan). */
   private val metricSeq = new java.util.concurrent.atomic.AtomicLong(0L)

@@ -282,6 +282,79 @@ class ClusterEvalSpec extends SparkTestBase {
       r.getDouble(7) === v)
   }
 
+  // ---- bCubed ------------------------------------------------------------
+
+  /** Mini-reference with the operator's exact quantization: per-cell
+    * n²/marginal rounded to 1e-10, decimal sums, double ratios. */
+  private def b3Reference(items: Seq[(Int, String)])
+      : (Double, Double, Double) = {
+    def q10(x: Double): BigDecimal =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    val n = items.size.toDouble
+    val ct = items.groupBy(identity).view.mapValues(_.size).toMap
+    val na = items.groupBy(_._1).view.mapValues(_.size).toMap
+    val nb = items.groupBy(_._2).view.mapValues(_.size).toMap
+    val ps = ct.map { case ((_, b), c) =>
+      q10(c.toDouble * c.toDouble / nb(b)) }.sum.toDouble / n
+    val rs = ct.map { case ((a, _), c) =>
+      q10(c.toDouble * c.toDouble / na(a)) }.sum.toDouble / n
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (r6(ps), r6(rs), r6(2.0 * ps * rs / (ps + rs)))
+  }
+
+  test("bCubed: hand-checked per-item averages on the shared fixture") {
+    // A = [1,1,1,2,2,2], B = [1,1,2,2,3,3]:
+    // B3P = (4/2 + 1/2 + 1/2 + 4/2)/6 = 5/6, B3R = (10/3)/6 = 5/9,
+    // F1 = 2/3 exactly
+    val items = Seq((1, "x"), (1, "x"), (1, "y"), (2, "y"), (2, "z"),
+      (2, "z"))
+    val r = one(ClusterEval.bCubed(items.toDF("a", "b"), "a", "b"))
+    val (p, rc, f1) = b3Reference(items)
+    assert(r.getLong(0) === 6L)
+    assert(r.getDouble(1) === p && p === 0.833333)
+    assert(r.getDouble(2) === rc && rc === 0.555556)
+    assert(r.getDouble(3) === f1 && f1 === 0.666667)
+  }
+
+  test("bCubed is total at the limits pair/info metrics special-case: " +
+      "singleton and one-cluster predictions get real numbers") {
+    // identical partitions: all 1.0
+    val same = Seq((1, "p"), (1, "p"), (2, "q")).toDF("a", "b")
+    val rs = one(ClusterEval.bCubed(same, "a", "b"))
+    assert(rs.getDouble(1) === 1.0 && rs.getDouble(2) === 1.0 &&
+      rs.getDouble(3) === 1.0)
+    // all-singleton prediction: PERFECT precision, recall 1/|class|
+    val single = Seq((1, "s1"), (1, "s2")).toDF("a", "b")
+    val r1 = one(ClusterEval.bCubed(single, "a", "b"))
+    assert(r1.getDouble(1) === 1.0)
+    assert(r1.getDouble(2) === 0.5)
+    assert(r1.getDouble(3) === 0.666667)
+    // one-cluster prediction over two classes: the mirror image
+    val lump = Seq((1, "k"), (2, "k")).toDF("a", "b")
+    val r2 = one(ClusterEval.bCubed(lump, "a", "b"))
+    assert(r2.getDouble(1) === 0.5 && r2.getDouble(2) === 1.0)
+  }
+
+  test("bCubed: empty -> (0, NULL x3); null labels dropped; seeded " +
+      "random partitions match the quantized mini-reference") {
+    val re = one(ClusterEval.bCubed(
+      Seq.empty[(Int, String)].toDF("a", "b"), "a", "b"))
+    assert(re.getLong(0) === 0L)
+    (1 to 3).foreach(i => assert(re.isNullAt(i), s"col $i"))
+    val withNulls = Seq((Some(1), Some("x")), (None, Some("x")),
+      (Some(1), None)).toDF("a", "b")
+    assert(one(ClusterEval.bCubed(withNulls, "a", "b"))
+      .getLong(0) === 1L)
+    val rnd = new scala.util.Random(20260815L)
+    val items = Seq.tabulate(400)(_ =>
+      (rnd.nextInt(6), s"c${rnd.nextInt(9)}"))
+    val r = one(ClusterEval.bCubed(items.toDF("a", "b"), "a", "b"))
+    val (p, rc, f1) = b3Reference(items)
+    assert(r.getDouble(1) === p && r.getDouble(2) === rc &&
+      r.getDouble(3) === f1)
+  }
+
   test("agreement plan: metrics derive from the contingency table — " +
       "no join or exchange carries item-sized rows twice") {
     // one wide shuffle (groupBy a,b over items); the three metric

@@ -174,6 +174,30 @@ class MetricsSpec extends SparkTestBase {
     assert(plan.contains("ReusedExchange"), plan.take(3000))
   }
 
+  test("expectedCalibrationError: hand-checked two-bin gaps, " +
+      "well-calibrated bins score 0, empty input all-NULL") {
+    // bins=2 over range [0,1]: bin0 = {0.1,0.2,0.3} pos 1/3, mean 0.2
+    // -> gap 0.133333; bin1 = {0.9,0.8,0.7} pos 2/3, mean 0.8 -> gap
+    // 0.133333; ece = max_gap = 0.133333
+    val d = Seq((0.1, 0L), (0.2, 0L), (0.3, 1L), (0.9, 1L), (0.8, 1L),
+      (0.7, 0L)).toDF("s", "y")
+    val r = Metrics.expectedCalibrationError(d, col("s"), col("y"),
+      bins = 2).collect().head
+    assert(r.getLong(0) === 6L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 0.133333 && r.getDouble(3) === 0.133333)
+    // per-bin mean score == positive rate -> zero everywhere
+    val cal = Seq((0.0, 0L), (0.5, 0L), (0.5, 1L), (1.0, 1L))
+      .toDF("s", "y")
+    val rc = Metrics.expectedCalibrationError(cal, col("s"), col("y"),
+      bins = 2).collect().head
+    assert(rc.getDouble(2) === 0.0 && rc.getDouble(3) === 0.0)
+    val re = Metrics.expectedCalibrationError(
+      Seq.empty[(Double, Long)].toDF("s", "y"), col("s"), col("y"))
+      .collect().head
+    assert(re.getLong(0) === 0L && re.getLong(1) === 0L)
+    assert(re.isNullAt(2) && re.isNullAt(3))
+  }
+
   test("agreementStats: hand-checked binary confusion — kappa and MCC " +
       "against the textbook closed forms") {
     // tp=4 fn=1 fp=1 tn=2: accuracy 6/8, pe = (5*5+3*3)/64 = 0.53125,
