@@ -173,6 +173,8 @@ object ScaleProbe {
     // B-cubed (q168: contingency + two cell-row windows — the q161
     // shape with window marginals)
     "q168_bcubed",
+    // PR-AUC (q170: q120's sharded-prefix shape, cumulative-from-top)
+    "q170_average_precision",
     "q148_psi_series", "q149_quantile_norm", "q150_capped_jaccard",
     "q151_capped_editdist", "q152_gopher_rules", "q153_c4_clean",
     "q154_zipf_fit", "q155_tokenizer_fertility", "q156_dup_rate_by_source")

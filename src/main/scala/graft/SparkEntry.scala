@@ -5614,6 +5614,39 @@ object SparkEntry {
       |  ROUND(MAX(ABS(pos_rate - mean_score)), 6) AS max_gap
       |FROM binsq""".stripMargin))
 
+  private val q170 = Q("q170_average_precision",
+    (s, dir) => {
+      // PR-AUC / average precision (Metrics.averagePrecision) — the
+      // imbalance-robust companion to q120's ROC-AUC over the same
+      // score/label framing: sharded cumulative-from-top over
+      // distinct-score groups, exact long rationals per threshold,
+      // DECIMAL(38,10)-quantized decimal sum.
+      Metrics.averagePrecision(t(s, dir, "events"), col("value"),
+        when(col("event_type").isin("click", "purchase"), 1L)
+          .otherwise(0L))
+    },
+    Some("""WITH s AS (
+      |  SELECT value AS v,
+      |    CASE WHEN event_type IN ('click','purchase') THEN 1 ELSE 0 END
+      |      AS y FROM events
+      |), g AS (
+      |  SELECT v, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+      |  FROM s GROUP BY v
+      |), c AS (
+      |  SELECT pos, neg,
+      |    SUM(pos) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+      |      AS ctp,
+      |    SUM(neg) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+      |      AS cfp
+      |  FROM g
+      |)
+      |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |  CAST(SUM(neg) AS BIGINT) AS n_neg,
+      |  ROUND(CAST(SUM(CAST(CAST(pos AS DOUBLE) * CAST(ctp AS DOUBLE) /
+      |      CAST(ctp + cfp AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) /
+      |    CAST(SUM(pos) AS DOUBLE), 6) AS average_precision
+      |FROM c""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -5628,7 +5661,7 @@ object SparkEntry {
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
-    q166, q167, q168, q169)
+    q166, q167, q168, q169, q170)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -166,6 +166,73 @@ object Metrics {
           count(lit(1)), 6).as("mean_score"))
   }
 
+  /** Average precision (area under the precision-recall curve by the
+    * step/threshold definition — sklearn's `average_precision_score`):
+    * AP = Σ_t (R_t − R_{t−1})·P_t over DISTINCT-score thresholds
+    * descending, which reduces to
+    * (1/P) Σ_groups pos_g · ctp_g / (ctp_g + cfp_g) with ctp/cfp the
+    * cumulative positive/negative counts from the top — tie-robust by
+    * construction (a tied block is one threshold). The PR-side
+    * companion to [[aucRoc]]: on heavily imbalanced corpora (every
+    * quality-filter gate) ROC-AUC saturates while AP keeps resolving.
+    *
+    * Scale design mirrors [[aucRoc]]: distinct-score groups are
+    * range-sharded by deterministic value boundaries, the
+    * cumulative-from-top runs per-shard in parallel, each shard adds
+    * the totals of all HIGHER shards (a numShards-row broadcast) — two
+    * passes over grouped scores, zero global sorts. Per-group terms
+    * are exact long rationals evaluated in double, DECIMAL(38,10)-
+    * quantized and decimal-summed (order- and shard-independent,
+    * SQL-replayable). Output one row: (n_pos, n_neg,
+    * average_precision 6 dp); AP is NULL when there are no positives.
+    */
+  def averagePrecision(
+      df: DataFrame, score: Column, label: Column,
+      numShards: Int = 32): DataFrame = {
+    val g = df.select(score.cast("double").as("__s"),
+        label.cast("long").as("__y"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).as("__pos"),
+        (count(lit(1)) - sum(col("__y"))).as("__neg"))
+    val bounds =
+      if (numShards <= 1) Array.empty[Double]
+      else g.stat.approxQuantile("__s",
+        (1 until numShards).map(_.toDouble / numShards).toArray, 0.001)
+        .distinct.sorted
+    val shard = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__s") > b, 1).otherwise(0)
+    }
+    val sharded = g.withColumn("__shard", shard)
+    val wLocal = Window.partitionBy(col("__shard"))
+      .orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = sharded
+      .withColumn("__ctp_l", sum(col("__pos")).over(wLocal))
+      .withColumn("__cfp_l", sum(col("__neg")).over(wLocal))
+    val wOff = Window.orderBy(col("__shard").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("__shard"))
+      .agg(sum(col("__pos")).as("__pt"), sum(col("__neg")).as("__nt"))
+      .withColumn("__po",
+        coalesce(sum(col("__pt")).over(wOff), lit(0L)))
+      .withColumn("__no",
+        coalesce(sum(col("__nt")).over(wOff), lit(0L)))
+      .select(col("__shard"), col("__po"), col("__no"))
+    local.join(broadcast(offsets), Seq("__shard"))
+      .withColumn("__ctp", col("__ctp_l") + col("__po"))
+      .withColumn("__cfp", col("__cfp_l") + col("__no"))
+      .agg(
+        sum((col("__pos").cast("double") * col("__ctp").cast("double") /
+          (col("__ctp") + col("__cfp")).cast("double"))
+          .cast("decimal(38,10)")).as("__ap"),
+        coalesce(sum(col("__pos")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("__neg")), lit(0L)).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") > 0,
+          col("__ap").cast("double") / col("n_pos").cast("double")), 6)
+          .as("average_precision"))
+  }
+
   /** Expected Calibration Error (Naeini et al. AAAI'15; Guo et al.
     * ICML'17): ECE = Σ_b (n_b/N)·|pos_rate_b − mean_score_b| over the
     * SAME equal-width bins as [[calibrationBins]] — the one-number

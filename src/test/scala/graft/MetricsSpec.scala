@@ -174,6 +174,37 @@ class MetricsSpec extends SparkTestBase {
     assert(plan.contains("ReusedExchange"), plan.take(3000))
   }
 
+  test("averagePrecision: sklearn step definition on hand-checked " +
+      "fixtures, tie-robust, shard-invariant") {
+    // y=[1,0,1] by score desc: AP = (1 + 2/3)/2 = 5/6
+    val d = Seq((3.0, 1L), (2.0, 0L), (1.0, 1L)).toDF("s", "y")
+    val r = Metrics.averagePrecision(d, col("s"), col("y")).head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 1L)
+    assert(r.getDouble(2) === BigDecimal(5.0 / 6.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // tied block is ONE threshold: scores [2,2] labels [1,0] -> 0.5
+    val tied = Seq((2.0, 1L), (2.0, 0L)).toDF("s", "y")
+    assert(Metrics.averagePrecision(tied, col("s"), col("y"))
+      .head().getDouble(2) === 0.5)
+    // perfect ranking 1.0; no positives -> NULL
+    val perfect = Seq((3.0, 1L), (2.0, 1L), (1.0, 0L)).toDF("s", "y")
+    assert(Metrics.averagePrecision(perfect, col("s"), col("y"))
+      .head().getDouble(2) === 1.0)
+    val nopos = Seq((1.0, 0L), (2.0, 0L)).toDF("s", "y")
+    assert(Metrics.averagePrecision(nopos, col("s"), col("y"))
+      .head().isNullAt(2))
+    // parallel prefix == serial prefix (the aucRoc invariance)
+    val events = spark.read.parquet(s"$sf001/events.parquet")
+    val lab = when(col("event_type").isin("click", "purchase"), 1L)
+      .otherwise(0L)
+    val one = Metrics.averagePrecision(events, col("value"), lab,
+      numShards = 1).head().getDouble(2)
+    val many = Metrics.averagePrecision(events, col("value"), lab,
+      numShards = 32).head().getDouble(2)
+    assert(one === many)
+    assert(one > 0.0 && one < 1.0)
+  }
+
   test("expectedCalibrationError: hand-checked two-bin gaps, " +
       "well-calibrated bins score 0, empty input all-NULL") {
     // bins=2 over range [0,1]: bin0 = {0.1,0.2,0.3} pos 1/3, mean 0.2
