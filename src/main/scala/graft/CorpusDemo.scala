@@ -80,11 +80,14 @@ object CorpusDemo {
       thresholds = Seq(0.7, 0.8, 0.9, 0.95)).show()
     // gate a labeler change: per-class report + the chance-corrected
     // scalars + partition-level agreement for the langid model vs the
-    // gold language tags
+    // gold language tags. Cached like the other expensive
+    // intermediates: four operators (one of them eagerly counting)
+    // would otherwise re-scan the corpus and re-run langId each
     val labeled = docs.select(
       org.apache.spark.sql.functions.col("lang"),
       graft.functions.TextFunctions.langId(
         org.apache.spark.sql.functions.col(cfg.textCol)).as("predicted"))
+      .cache()
     println("[corpus] langid per-class report:")
     graft.operators.Metrics.classificationReport(labeled, "lang",
       "predicted").orderBy("label").show()
@@ -97,6 +100,7 @@ object CorpusDemo {
     graft.operators.ClusterEval.informationAgreement(labeled, "lang",
       "predicted").show()
 
+    labeled.unpersist()
     batches.unpersist(); clean.unpersist(); near.unpersist()
     spark.stop()
   }

@@ -140,44 +140,6 @@ object ClusterEval {
             .cast("double"), 6).as("ari"))
   }
 
-  /** Information-theoretic agreement between the partitions induced by
-    * `aCol` (reference) and `bCol` (prediction): entropies, mutual
-    * information, NMI, and Rosenberg-Hirschberg homogeneity /
-    * completeness / V-measure (EMNLP 2007), with scikit-learn's
-    * conventions so numbers are comparable to the ecosystem standard:
-    *  - NMI normalizer is the ARITHMETIC mean (H(A)+H(B))/2
-    *    (sklearn's default `average_method`);
-    *  - both partitions trivial (H(A)=H(B)=0 — each a single cluster)
-    *    → NMI 1.0; MI = 0 with a nontrivial side → NMI 0.0;
-    *  - homogeneity = MI/H(A) (1.0 when H(A)=0), completeness =
-    *    MI/H(B) (1.0 when H(B)=0), V = harmonic mean (0.0 when both 0).
-    * Natural-log entropies (units cancel in every ratio).
-    *
-    * The pair-counting `agreement` and this measure disagree by design:
-    * ARI counts pair CO-MEMBERSHIP (sensitive to cluster sizes), MI
-    * counts label INFORMATION — report both before accepting a dedup
-    * strategy change.
-    *
-    * Scale shape: identical to [[agreement]] — one item-sized
-    * map-side-combined shuffle builds the contingency table; MI is
-    * computed as H(A) + H(B) − H(A,B), so the three entropy legs are
-    * independent aggregates OVER that one reused exchange (contingency
-    * rows only — two fine-grained clusterings can have ~|items| cells,
-    * which is why nothing ever joins marginals back onto cells). The
-    * only driver materialization is N, one long (the aucRoc-quantile
-    * class of bounded collect) — which makes this operator EAGER: it
-    * runs the contingency count when called. Determinism: each
-    * row's p·ln(p) term is DECIMAL(24,10)-rounded then decimal-summed
-    * (the LangModel/Zipf contract), so aggregation order cannot move a
-    * metric and DuckDB replays the sums bit-for-bit; the final ratios
-    * are double. MI is clamped at 0 and the ratios at 1 — the 1e-10
-    * term quantization can push exact-zero/exact-one limits a hair
-    * past, never a real signal.
-    *
-    * Null contract: as [[agreement]] — null-label rows dropped, counted
-    * by a `graft.cluster_eval.info.*` observe metric. Empty input →
-    * (0, NULL × 7).
-    */
   /** B-cubed (B³) precision/recall/F1 (Bagga & Baldwin 1998; the
     * Amigó et al. 2009 survey's recommended extrinsic clustering
     * metric): per-ITEM averages, the third standard view next to
@@ -244,6 +206,44 @@ object ClusterEval {
             (col("__p") + col("__r"))), 6).as("b3_f1"))
   }
 
+  /** Information-theoretic agreement between the partitions induced by
+    * `aCol` (reference) and `bCol` (prediction): entropies, mutual
+    * information, NMI, and Rosenberg-Hirschberg homogeneity /
+    * completeness / V-measure (EMNLP 2007), with scikit-learn's
+    * conventions so numbers are comparable to the ecosystem standard:
+    *  - NMI normalizer is the ARITHMETIC mean (H(A)+H(B))/2
+    *    (sklearn's default `average_method`);
+    *  - both partitions trivial (H(A)=H(B)=0 — each a single cluster)
+    *    → NMI 1.0; MI = 0 with a nontrivial side → NMI 0.0;
+    *  - homogeneity = MI/H(A) (1.0 when H(A)=0), completeness =
+    *    MI/H(B) (1.0 when H(B)=0), V = harmonic mean (0.0 when both 0).
+    * Natural-log entropies (units cancel in every ratio).
+    *
+    * The pair-counting `agreement` and this measure disagree by design:
+    * ARI counts pair CO-MEMBERSHIP (sensitive to cluster sizes), MI
+    * counts label INFORMATION — report both before accepting a dedup
+    * strategy change.
+    *
+    * Scale shape: identical to [[agreement]] — one item-sized
+    * map-side-combined shuffle builds the contingency table; MI is
+    * computed as H(A) + H(B) − H(A,B), so the three entropy legs are
+    * independent aggregates OVER that one reused exchange (contingency
+    * rows only — two fine-grained clusterings can have ~|items| cells,
+    * which is why nothing ever joins marginals back onto cells). The
+    * only driver materialization is N, one long (the aucRoc-quantile
+    * class of bounded collect) — which makes this operator EAGER: it
+    * runs the contingency count when called. Determinism: each
+    * row's p·ln(p) term is DECIMAL(24,10)-rounded then decimal-summed
+    * (the LangModel/Zipf contract), so aggregation order cannot move a
+    * metric and DuckDB replays the sums bit-for-bit; the final ratios
+    * are double. MI is clamped at 0 and the ratios at 1 — the 1e-10
+    * term quantization can push exact-zero/exact-one limits a hair
+    * past, never a real signal.
+    *
+    * Null contract: as [[agreement]] — null-label rows dropped, counted
+    * by a `graft.cluster_eval.info.*` observe metric. Empty input →
+    * (0, NULL × 7).
+    */
   def informationAgreement(
       df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val spark = df.sparkSession

@@ -29,6 +29,10 @@ object Metrics {
     * sorts.
     *
     * `label` must evaluate to 1 (positive) or 0 (negative) per row.
+    * Null and NaN scores are DROPPED — a rank metric cannot place an
+    * unordered value, and NaN would otherwise land in different
+    * positions under different shard counts (the shard predicate sends
+    * it low, a descending sort ranks it high).
     * Output: one row (n_pos, n_neg, auc). With an empty class the
     * denominator is 0 and auc is NaN/±∞ (Spark double division) —
     * check n_pos/n_neg before trusting it.
@@ -36,14 +40,47 @@ object Metrics {
   def aucRoc(
       df: DataFrame, score: Column, label: Column,
       numShards: Int = 32): DataFrame = {
-    val g = df.select(score.cast("double").as("__s"),
+    val g = distinctScoreGroups(df, score, label)
+    val cum = shardedCumulative(g, Seq("__neg"), numShards,
+      descending = false, includeCurrent = false)
+    cum
+      .agg(
+        sum(col("__pos") * (lit(2L) * col("__cum___neg") + col("__neg")))
+          .as("__u2"),
+        sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("__u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  /** Distinct-score (pos, neg) groups with null/NaN scores dropped —
+    * the shared front of [[aucRoc]] and [[averagePrecision]]. */
+  private def distinctScoreGroups(
+      df: DataFrame, score: Column, label: Column): DataFrame =
+    df.select(score.cast("double").as("__s"),
         label.cast("long").as("__y"))
+      .filter(col("__s").isNotNull && !isnan(col("__s")))
       .groupBy(col("__s"))
       .agg(sum(col("__y")).as("__pos"),
         (count(lit(1)) - sum(col("__y"))).as("__neg"))
-    // Deterministic monotone shard id from value boundaries. The
-    // boundaries collect is numShards-1 doubles — driver-tiny, same
-    // class of collect as an IVF centroid pull.
+
+  /** Sharded cumulative sums over the distinct-score group frame: the
+    * parallel replacement for a global-ordering window. Groups are
+    * range-sharded by DETERMINISTIC value boundaries (approxQuantile —
+    * the explicit form of what Spark's range partitioner samples; the
+    * boundaries collect is numShards−1 doubles, driver-tiny), each
+    * shard runs its prefix window in parallel, and a numShards-row
+    * offset table (broadcast back) adds the totals of all
+    * preceding shards. For each column c in `cols`, adds
+    * `__cum_<c>`: the cumulative sum in score order — ascending and
+    * EXCLUDING the current group (strictly-below, aucRoc's shape) or
+    * descending and INCLUDING it (from-the-top, averagePrecision's).
+    * Exact long arithmetic throughout — shard count cannot move any
+    * cumulative value (the invariance MetricsSpec pins for both
+    * callers). */
+  private def shardedCumulative(
+      g: DataFrame, cols: Seq[String], numShards: Int,
+      descending: Boolean, includeCurrent: Boolean): DataFrame = {
     val bounds =
       if (numShards <= 1) Array.empty[Double]
       else g.stat.approxQuantile("__s",
@@ -53,25 +90,31 @@ object Metrics {
       acc + when(col("__s") > b, 1).otherwise(0)
     }
     val sharded = g.withColumn("__shard", shard)
-    val wLocal = Window.partitionBy(col("__shard")).orderBy(col("__s"))
+    val ordS = if (descending) col("__s").desc else col("__s").asc
+    val ordShard =
+      if (descending) col("__shard").desc else col("__shard").asc
+    val hi = if (includeCurrent) 0L else -1L
+    val wLocal = Window.partitionBy(col("__shard")).orderBy(ordS)
+      .rowsBetween(Window.unboundedPreceding, hi)
+    val wOff = Window.orderBy(ordShard)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val local = sharded.withColumn("__below_local",
-      coalesce(sum(col("__neg")).over(wLocal), lit(0L)))
-    val wOff = Window.orderBy(col("__shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sharded.groupBy(col("__shard"))
-      .agg(sum(col("__neg")).as("__negtot"))
-      .withColumn("__offset", coalesce(sum(col("__negtot")).over(wOff), lit(0L)))
-      .select(col("__shard"), col("__offset"))
-    local.join(broadcast(offsets), Seq("__shard"))
-      .withColumn("__below", col("__below_local") + col("__offset"))
-      .agg(
-        sum(col("__pos") * (lit(2L) * col("__below") + col("__neg")))
-          .as("__u2"),
-        sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"))
-      .select(col("n_pos"), col("n_neg"),
-        round(col("__u2").cast("double") /
-          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+    val withLocal = cols.foldLeft(sharded) { (d, c) =>
+      d.withColumn(s"__cum_$c",
+        coalesce(sum(col(c)).over(wLocal), lit(0L)))
+    }
+    val totAggs = cols.map(c => sum(col(c)).as(s"__t_$c"))
+    val offsets0 = sharded.groupBy(col("__shard"))
+      .agg(totAggs.head, totAggs.tail: _*)
+    val offsets = cols.foldLeft(offsets0) { (d, c) =>
+        d.withColumn(s"__o_$c",
+          coalesce(sum(col(s"__t_$c")).over(wOff), lit(0L)))
+      }
+      .select(col("__shard") +: cols.map(c => col(s"__o_$c")): _*)
+    cols.foldLeft(
+        withLocal.join(broadcast(offsets), Seq("__shard"))) { (d, c) =>
+      d.withColumn(s"__cum_$c", col(s"__cum_$c") + col(s"__o_$c"))
+        .drop(s"__o_$c")
+    }
   }
 
   /** Per-group ROC AUC — [[aucRoc]]'s math with the prefix count as a
@@ -183,47 +226,22 @@ object Metrics {
     * passes over grouped scores, zero global sorts. Per-group terms
     * are exact long rationals evaluated in double, DECIMAL(38,10)-
     * quantized and decimal-summed (order- and shard-independent,
-    * SQL-replayable). Output one row: (n_pos, n_neg,
+    * SQL-replayable). Null/NaN scores are dropped as in [[aucRoc]]
+    * (an unordered value has no rank; NaN would also break shard
+    * invariance). Output one row: (n_pos, n_neg,
     * average_precision 6 dp); AP is NULL when there are no positives.
     */
   def averagePrecision(
       df: DataFrame, score: Column, label: Column,
       numShards: Int = 32): DataFrame = {
-    val g = df.select(score.cast("double").as("__s"),
-        label.cast("long").as("__y"))
-      .groupBy(col("__s"))
-      .agg(sum(col("__y")).as("__pos"),
-        (count(lit(1)) - sum(col("__y"))).as("__neg"))
-    val bounds =
-      if (numShards <= 1) Array.empty[Double]
-      else g.stat.approxQuantile("__s",
-        (1 until numShards).map(_.toDouble / numShards).toArray, 0.001)
-        .distinct.sorted
-    val shard = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("__s") > b, 1).otherwise(0)
-    }
-    val sharded = g.withColumn("__shard", shard)
-    val wLocal = Window.partitionBy(col("__shard"))
-      .orderBy(col("__s").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val local = sharded
-      .withColumn("__ctp_l", sum(col("__pos")).over(wLocal))
-      .withColumn("__cfp_l", sum(col("__neg")).over(wLocal))
-    val wOff = Window.orderBy(col("__shard").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sharded.groupBy(col("__shard"))
-      .agg(sum(col("__pos")).as("__pt"), sum(col("__neg")).as("__nt"))
-      .withColumn("__po",
-        coalesce(sum(col("__pt")).over(wOff), lit(0L)))
-      .withColumn("__no",
-        coalesce(sum(col("__nt")).over(wOff), lit(0L)))
-      .select(col("__shard"), col("__po"), col("__no"))
-    local.join(broadcast(offsets), Seq("__shard"))
-      .withColumn("__ctp", col("__ctp_l") + col("__po"))
-      .withColumn("__cfp", col("__cfp_l") + col("__no"))
+    val g = distinctScoreGroups(df, score, label)
+    val cum = shardedCumulative(g, Seq("__pos", "__neg"), numShards,
+      descending = true, includeCurrent = true)
+    cum
       .agg(
-        sum((col("__pos").cast("double") * col("__ctp").cast("double") /
-          (col("__ctp") + col("__cfp")).cast("double"))
+        sum((col("__pos").cast("double") *
+          col("__cum___pos").cast("double") /
+          (col("__cum___pos") + col("__cum___neg")).cast("double"))
           .cast("decimal(38,10)")).as("__ap"),
         coalesce(sum(col("__pos")), lit(0L)).as("n_pos"),
         coalesce(sum(col("__neg")), lit(0L)).as("n_neg"))

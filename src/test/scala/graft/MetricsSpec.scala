@@ -205,6 +205,31 @@ class MetricsSpec extends SparkTestBase {
     assert(one > 0.0 && one < 1.0)
   }
 
+  test("rank metrics drop NaN/null scores — shard-invariant even with " +
+      "unorderable values present") {
+    // NaN sorts above every double under desc but the shard predicate
+    // sends it low: without the drop, shard count would change the
+    // answer. Both rank metrics share the guarded group front.
+    val d = Seq((Double.NaN, 1L), (3.0, 1L), (2.0, 0L), (1.0, 1L))
+      .toDF("s", "y")
+      .union(Seq((Option.empty[Double], Option(0L))).toDF("s", "y"))
+    val clean = Seq((3.0, 1L), (2.0, 0L), (1.0, 1L)).toDF("s", "y")
+    Seq(1, 8).foreach { shards =>
+      val ap = Metrics.averagePrecision(d, col("s"), col("y"), shards)
+        .head()
+      val apClean = Metrics.averagePrecision(
+        clean, col("s"), col("y"), shards).head()
+      assert(ap.getLong(0) === 2L && ap.getLong(1) === 1L,
+        "NaN/null rows must not count toward either class")
+      assert(ap.getDouble(2) === apClean.getDouble(2), s"AP at $shards")
+      val auc = Metrics.aucRoc(d, col("s"), col("y"), shards).head()
+      val aucClean = Metrics.aucRoc(
+        clean, col("s"), col("y"), shards).head()
+      assert(auc.getDouble(2) === aucClean.getDouble(2),
+        s"AUC at $shards")
+    }
+  }
+
   test("expectedCalibrationError: hand-checked two-bin gaps, " +
       "well-calibrated bins score 0, empty input all-NULL") {
     // bins=2 over range [0,1]: bin0 = {0.1,0.2,0.3} pos 1/3, mean 0.2
