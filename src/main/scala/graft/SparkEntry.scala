@@ -5647,6 +5647,27 @@ object SparkEntry {
       |    CAST(SUM(pos) AS DOUBLE), 6) AS average_precision
       |FROM c""".stripMargin))
 
+  private val q171 = Q("q171_kfold",
+    (s, dir) => {
+      // Leakage-safe k-fold CV assignment (Sampling.kFold): every
+      // customer's orders land in ONE fold by construction (md5 bucket
+      // of the group key — deterministic, layout/engine-independent,
+      // map-only). Oracle surface: per-fold order/customer counts,
+      // replayed from the same md5 arithmetic in DuckDB.
+      graft.operators.Sampling.kFold(t(s, dir, "orders"),
+          "o_custkey", 5)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy(col("fold"))
+    },
+    Some("""SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      |FROM (SELECT o_custkey,
+      |  ((('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4))::INT
+      |    % 5) + 5) % 5 AS fold FROM orders)
+      |GROUP BY fold ORDER BY fold""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -5661,7 +5682,7 @@ object SparkEntry {
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
-    q166, q167, q168, q169, q170)
+    q166, q167, q168, q169, q170, q171)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

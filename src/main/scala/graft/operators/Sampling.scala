@@ -53,6 +53,23 @@ object Sampling {
       .drop("__cc_id", "component")
   }
 
+  /** Leakage-safe k-fold assignment for cross-validation: adds a
+    * `fold` column in [0, k) from the md5 bucket of `groupCol`, so
+    * EVERY row sharing the group key (a user id, a domain, a dedup
+    * cluster representative — for the cluster-aware form pass
+    * [[leakageSafeSplit]]'s split_key) lands in the SAME fold and no
+    * fold ever trains on another fold's near-duplicate or
+    * same-entity rows. Deterministic and layout/engine-independent
+    * like every sampler here (md5 of the key string), approximately
+    * equal-sized folds at high key cardinality, and MAP-ONLY — no
+    * shuffle; fold-filtered scans stay embarrassingly parallel at any
+    * corpus size. A null group key yields a null fold (kept visible,
+    * not silently dropped — the caller decides). */
+  def kFold(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.withColumn("fold", hashBucket(col(groupCol), k))
+  }
+
   /** Split a frame into (train, holdout) on a key column. */
   def trainTestSplit(
       df: DataFrame, keyCol: String,

@@ -923,6 +923,35 @@ class DedupSpec extends SparkTestBase {
       r.getAs[Double]("dup_rate")) === ((2L, 0L, 0L, 0.0)))
   }
 
+  test("kFold: group-coherent, deterministic across layouts, all folds " +
+      "populated, null keys visible") {
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+      .withColumn("grp", col("doc_id") % 97) // multi-member groups
+    val folded = graft.operators.Sampling.kFold(d, "grp", 5)
+    // every member of a group gets the SAME fold
+    assert(folded.select("grp", "fold").distinct().count() ===
+      folded.select("grp").distinct().count())
+    val folds = folded.select("fold").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(folds.toSeq === Seq(0, 1, 2, 3, 4), "all folds populated")
+    // layout-independent: a different partitioning assigns identically
+    val re = graft.operators.Sampling.kFold(d.repartition(7), "grp", 5)
+      .select("doc_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    folded.select("doc_id", "fold").collect()
+      .foreach(r => assert(re(r.getLong(0)) === r.getInt(1)))
+    // null key -> null fold, row kept
+    import spark.implicits._
+    val withNull = Seq((Some(1L), "a"), (None, "b")).toDF("grp", "x")
+    val nf = graft.operators.Sampling.kFold(withNull, "grp", 3).collect()
+    assert(nf.length === 2)
+    assert(nf.exists(r => !r.isNullAt(0) && !r.isNullAt(2)))
+    assert(nf.exists(r => r.isNullAt(0) && r.isNullAt(2)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.kFold(d, "grp", 1)
+    }
+  }
+
   test("thresholdSweep: hand-checked curve, per-threshold parity with " +
       "standalone runs, zero-pair thresholds kept") {
     // shingleSize=1 word sets; bands = numHashes (r=1) so any shared
