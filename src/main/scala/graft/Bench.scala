@@ -152,27 +152,41 @@ object Bench {
       "\"" + n + "\":[" + fmt(s.min) + "," + fmt(median(s)) + "," +
         fmt(s.max) + "]"
     }.mkString("{", ",", "}")
-    // Tail-regression flag: worst/median > 3 AND worst-median > 0.5 s
-    // (the absolute floor keeps 0.1 s queries from flagging on
-    // scheduler jitter). Flagged queries carry their GC share of the
-    // worst sample so the attribution is in the artifact, not a
-    // follow-up investigation: gc_frac_worst ≈ 1 → collector stall;
-    // ≈ 0 → the plan itself went long (recompute, skew, compile).
-    val flagged = names.filter { n =>
+    // Tail-regression flag: worst WARM run / median > 3 AND
+    // worst-median > 0.5 s (the absolute floor keeps 0.1 s queries from
+    // flagging on scheduler jitter). WARM = samples after the first
+    // sweep: sample 1 is each query's first execution in the JVM and
+    // carries its Janino + JIT cold-start (round-14 TailProbe receipts
+    // in SCALING.md — ALL 14 of the r13 final record's flagged worsts
+    // sat on sweep 1, drowning the signal the flag exists for: a spike
+    // on a run that should already be warm). The cold cost is still in
+    // the artifact — all_runs[0] per query, and sweep1_total_sec below —
+    // it is just no longer misreported as a tail regression. Flagged
+    // queries carry the GC share of the worst warm sample so the
+    // attribution is in the artifact, not a follow-up investigation:
+    // gc_frac_worst ≈ 1 → collector stall; ≈ 0 → the plan itself went
+    // long (recompute, skew, compile).
+    def warmWorst(n: String): (Double, Int) = {
       val s = samples(n)
-      val m = median(s)
-      m > 0 && s.max / m > 3.0 && s.max - m > 0.5
+      if (s.size < 2) (s.max, s.indexOf(s.max))
+      else s.zipWithIndex.drop(1).maxBy(_._1) match { case (v, i) => (v, i) }
+    }
+    val flagged = names.filter { n =>
+      val m = median(samples(n))
+      val w = warmWorst(n)._1
+      m > 0 && w / m > 3.0 && w - m > 0.5
     }
     // one formatter for both the detail artifact and the stdout line —
     // a format/attribution fix applied to one must not silently diverge
-    // the other
+    // the other. `cold` is the sweep-1 sample for reference (the spread
+    // arrays include it; the flag criterion does not).
     def flagEntry(n: String): String = {
-      val s = samples(n)
-      val worstIdx = s.indexOf(s.max)
+      val (w, worstIdx) = warmWorst(n)
       val gcWorst = gcSamples(n).lift(worstIdx).getOrElse(0.0)
-      "\"" + n + "\":{\"worst\":" + fmt(s.max) + ",\"median\":" +
-        fmt(median(s)) + ",\"gc_frac_worst\":" +
-        fmt(math.min(1.0, gcWorst / math.max(s.max, 1e-9))) + "}"
+      "\"" + n + "\":{\"worst\":" + fmt(w) + ",\"median\":" +
+        fmt(median(samples(n))) + ",\"cold\":" + fmt(samples(n).head) +
+        ",\"gc_frac_worst\":" +
+        fmt(math.min(1.0, gcWorst / math.max(w, 1e-9))) + "}"
     }
     val spreadFlag = flagged.map(flagEntry).mkString("{", ",", "}")
     val gcAll = names.map { n =>
@@ -181,9 +195,11 @@ object Bench {
     // "runs" is the BASE sweep count; the 10 provisionally-slowest
     // queries carry runs+top10_extra_runs samples (their all_runs arrays
     // are the ground truth for per-query sample counts).
+    val sweep1Total = names.map(n => samples(n).head).sum
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""runs":$runs,"top10_extra_runs":$extraRuns,""" +
       s""""calibration_sec":${fmt(calibrationSec)},""" +
+      s""""sweep1_total_sec":${fmt(sweep1Total)},""" +
       s""""queries":$detail,"spread":$spreadAll,""" +
       s""""spread_flag":$spreadFlag,"gc_all_runs":$gcAll,""" +
       s""""all_runs":$allRuns,""" +
@@ -207,24 +223,35 @@ object Bench {
         fmt(s.max) + "]"
     }.mkString("{", ",", "}")
     // stdout carries at most the 5 worst flagged queries (full set in
-    // bench_detail.json)
-    val flagTop = flagged.sortBy(n => -(samples(n).max / median(samples(n))))
-      .take(5).map(flagEntry).mkString("{", ",", "}")
+    // bench_detail.json) — and DROPS entries beyond what fits: with
+    // several long-named flags the fixed fields alone could exceed the
+    // ~1800-char captured tail and truncate the JSON mid-object (the
+    // query-list budget below would go negative but the line would
+    // still overflow — ADVICE r13), so flag entries are shed
+    // least-severe-first until the fixed fields leave headroom.
+    val flaggedBySeverity =
+      flagged.sortBy(n => -(warmWorst(n)._1 / median(samples(n))))
+    def flagTopStr(k: Int): String =
+      flaggedBySeverity.take(k).map(flagEntry).mkString("{", ",", "}")
     // The whole stdout line must fit the ~1800-char captured tail, so
     // the query-list budget is computed from what the VARIABLE fixed
     // fields (spread_top10, spread_flag) actually cost this run — a
     // constant budget overflowed the tail on rounds where several
     // queries tripped the flag.
-    def stdoutLine(qs: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"top10_extra_runs":$extraRuns,"calibration_sec":${fmt(calibrationSec)},"queries":$qs,"spread_top10":$spreadTop,"spread_flag":$flagTop,"n_queries":${results.size},"queries_are_slowest_first":true,"queries_are_medians":true,"detail":"bench_detail.json","history":"bench_history.jsonl","sf":"$sfDir"}"""
-    val budget = 1750 - stdoutLine("{}").length
+    def stdoutLine(qs: String, ft: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"top10_extra_runs":$extraRuns,"calibration_sec":${fmt(calibrationSec)},"sweep1_total_sec":${fmt(sweep1Total)},"queries":$qs,"spread_top10":$spreadTop,"spread_flag":$ft,"n_queries":${results.size},"queries_are_slowest_first":true,"queries_are_medians":true,"detail":"bench_detail.json","history":"bench_history.jsonl","sf":"$sfDir"}"""
+    var nFlags = math.min(5, flaggedBySeverity.size)
+    while (nFlags > 0 && stdoutLine("{}", flagTopStr(nFlags)).length > 1600)
+      nFlags -= 1
+    val flagTop = flagTopStr(nFlags)
+    val budget = 1750 - stdoutLine("{}", flagTop).length
     val kept = new scala.collection.mutable.ArrayBuffer[String]
     var used = 0
     byTime.foreach { case (k, v) =>
       val entry = "\"" + k + "\":" + fmt(v)
       if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
     }
-    println(stdoutLine(kept.mkString("{", ",", "}")))
+    println(stdoutLine(kept.mkString("{", ",", "}"), flagTop))
     spark.stop()
   }
 }

@@ -32,9 +32,13 @@ object Dedup {
   /** Exact text dedup keyed by normalized fingerprint: keeps the lowest-id
     * row of each duplicate group (deterministic winner).
     *
-    * Plan: argmin-via-aggregate — `min(tie) GROUP BY fingerprint` over
-    * SKINNY (fingerprint, tie) pairs, then a semi-join of the corpus
-    * against the winning keys. No per-group sort anywhere (the old
+    * Plan: argmin-via-aggregate — `(max(id IS NULL), min(id)) GROUP BY
+    * fingerprint` over SKINNY (fingerprint, id) pairs, then a semi-join
+    * of the corpus against the winning keys (the null-id row when the
+    * group has one — asc nulls-first — else the min-id row; min()
+    * ignores nulls, so the pair is collision-free for every id type,
+    * with no null sentinel to collide with a genuine sentinel-valued
+    * id). No per-group sort anywhere (the old
     * `row_number` window sorted every duplicate group in full — on a
     * dup-heavy crawl the hottest fingerprint group is exactly where
     * that hurt), and — unlike a k=1 heap exec over full rows — every
@@ -44,11 +48,10 @@ object Dedup {
     * rows), and the semi-join is an ordinary shuffled join. On a
     * mostly-unique corpus a full-row heap would hold ≈ the whole
     * partition's text in executor memory with no spill path; this
-    * shape holds two longs per group. Ids are mapped through
-    * [[graft.plans.TopKPerGroup.tieExpr]] (exact order-preserving;
-    * null id → ranks first, matching the window's asc nulls-first);
-    * id types outside the mapping (wide decimals, floats) keep the
-    * spillable window path.
+    * shape holds a flag and one id per group.
+    * [[graft.plans.TopKPerGroup.tieExpr]] gates which id types ride
+    * this arm (the types with exact ordering semantics); types outside
+    * it (wide decimals, floats) keep the spillable window path.
     *
     * Degenerate edge: rows sharing BOTH fingerprint and id (duplicate
     * ids — already outside the id contract) all survive here, where
@@ -63,12 +66,31 @@ object Dedup {
     // chars) — so both arms keep exactly one null-text row.
     val fp = coalesce(TextFunctions.fingerprint(col(textCol)), lit(""))
     graft.plans.TopKPerGroup.tieExpr(df, idCol) match {
-      case Some(tie) =>
-        val keyed = df.withColumn("__fp", fp).withColumn("__tie", tie)
-        val winners = keyed.groupBy(col("__fp"))
-          .agg(min(col("__tie")).as("__tie"))
-        keyed.join(winners, Seq("__fp", "__tie"), "left_semi")
-          .drop("__fp", "__tie")
+      case Some(_) =>
+        // Null-first argmin WITHOUT a sentinel-mapped tie (ADVICE r13:
+        // the old min(tie) arm sent null ids and genuine
+        // sentinel-valued ids — empty string / Long.MinValue — to the
+        // same tie value, keeping BOTH rows where the window arm kept
+        // one). Decomposed form over the RAW id column: a group's
+        // winner is its null-id row when one exists (asc nulls-first),
+        // else its min(id) row — min() ignores nulls, so the pair
+        // (has_null, min_id) is collision-free for every id type by
+        // construction. min(long) also keeps the aggregate a codegen
+        // HashAggregate (an encoded string tie would demote it to a
+        // per-group-sorting SortAggregate — DedupSpec pins the plan).
+        // tieExpr still gates WHICH types ride this arm, so the
+        // accepted-type surface is unchanged.
+        val keyed = df.withColumn("__fp", fp)
+        val winners = keyed.groupBy(col("__fp")).agg(
+          max(when(col(idCol).isNull, 1).otherwise(0)).as("__has_null"),
+          min(col(idCol)).as("__min_id"))
+        keyed.join(winners,
+          keyed("__fp") === winners("__fp") &&
+            ((winners("__has_null") === 1 && keyed(idCol).isNull) ||
+              (winners("__has_null") === 0 &&
+                keyed(idCol) === winners("__min_id"))),
+          "left_semi")
+          .drop("__fp")
       case None =>
         df.withColumn("__fp", fp)
           .withColumn("__rk",

@@ -54,15 +54,25 @@ object Metrics {
   }
 
   /** Distinct-score (pos, neg) groups with null/NaN scores dropped —
-    * the shared front of [[aucRoc]] and [[averagePrecision]]. */
+    * the shared front of [[aucRoc]] and [[averagePrecision]]. The drop
+    * is deliberate (see the callers' contracts) but NOT silent: a
+    * paired observe metric (`graft.metrics.rank.N` /
+    * `null_nan_score_rows_dropped`) reports the count per run — the
+    * same no-silent-drops contract classificationReport,
+    * agreementStats, and the samplers carry (ADVICE r13). */
   private def distinctScoreGroups(
-      df: DataFrame, score: Column, label: Column): DataFrame =
+      df: DataFrame, score: Column, label: Column): DataFrame = {
+    ObservedLog.ensure(df.sparkSession)
     df.select(score.cast("double").as("__s"),
         label.cast("long").as("__y"))
+      .observe(s"graft.metrics.rank.${metricSeq.incrementAndGet()}",
+        sum(when(col("__s").isNull || isnan(col("__s")), 1L)
+          .otherwise(0L)).as("null_nan_score_rows_dropped"))
       .filter(col("__s").isNotNull && !isnan(col("__s")))
       .groupBy(col("__s"))
       .agg(sum(col("__y")).as("__pos"),
         (count(lit(1)) - sum(col("__y"))).as("__neg"))
+  }
 
   /** Sharded cumulative sums over the distinct-score group frame: the
     * parallel replacement for a global-ordering window. Groups are

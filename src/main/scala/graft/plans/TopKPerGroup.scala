@@ -258,20 +258,34 @@ object TopKPerGroup {
       case _ => false
     }
 
-  /** Null-safe, ASC-order-preserving tie column for [[perKey]] over an
-    * arbitrary orderable id column — the internal mapping that lets the
-    * keep-one/argmax operators accept the same id types their old
-    * window formulations did, instead of rejecting everything outside
-    * the exec's native integral-or-string contract:
+  /** Null-safe, ASC-order-preserving, COLLISION-FREE tie column for
+    * [[perKey]] over an arbitrary orderable id column — the internal
+    * mapping that lets the keep-one/argmax operators accept the same id
+    * types their old window formulations did, instead of rejecting
+    * everything outside the exec's native integral-or-string contract:
     *
-    *  - integral → long, NULL → Long.MinValue (ranks first ASC — the
-    *    window's asc nulls-first; the exec would otherwise silently
-    *    DROP null-tie rows)
-    *  - string → itself, NULL → "" (byte-order-lowest; collides with a
-    *    genuine empty-string id — measure-zero, documented)
-    *  - decimal p ≤ 18 → exact unscaled long (same-scale columns order
-    *    identically; no double collapse past 2⁵³)
+    *  - byte/short/int → long, NULL → Long.MinValue (ranks first ASC —
+    *    the window's asc nulls-first; the exec would otherwise silently
+    *    DROP null-tie rows). The sentinel is UNREACHABLE from a sub-long
+    *    range, so it cannot collide with a genuine id.
+    *  - long, non-nullable → itself (no sentinel needed)
+    *  - long, nullable → 16-char fixed-width hex of the sign-flipped
+    *    value, NULL → "" (shorter than every encoded value, so ranks
+    *    first; the encoding is injective — a genuine Long.MinValue id
+    *    encodes to "0000000000000000", DISTINCT from the null "",
+    *    where the old ±Long.MinValue sentinel collided and made the
+    *    k=1 winner nondeterministic between a null-id and a
+    *    MinValue-id row)
+    *  - string, non-nullable → itself
+    *  - string, nullable → "v" ++ id, NULL → "" (same-length prefix
+    *    preserves byte order; a genuine empty-string id becomes "v",
+    *    distinct from the null "" — the old shared-"" collision gone)
+    *  - decimal p ≤ 18 → exact unscaled long (range ±(10¹⁸−1), so the
+    *    Long.MinValue null sentinel is unreachable; same-scale columns
+    *    order identically; no double collapse past 2⁵³)
     *  - date / timestamp / timestamp_ntz → exact epoch days/micros
+    *    (valid Spark timestamps span [0001-01-01, 9999-12-31] — micros
+    *    ≥ −6.3e16 ≫ Long.MinValue, sentinel unreachable)
     *  - boolean → 0/1
     *
     * Returns None for types with no exact order-preserving mapping
@@ -281,10 +295,20 @@ object TopKPerGroup {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val c = col(idCol)
-    df.schema(idCol).dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
+    val field = df.schema(idCol)
+    field.dataType match {
+      case ByteType | ShortType | IntegerType =>
         Some(coalesce(c.cast("long"), lit(Long.MinValue)))
-      case StringType => Some(coalesce(c, lit("")))
+      case LongType if !field.nullable => Some(c)
+      case LongType =>
+        // sign-bit flip maps signed order to unsigned order; 16-char
+        // zero-padded uppercase hex then compares lexicographically as
+        // the original signed long. hex digits 0-9A-F ascend in ASCII.
+        Some(when(c.isNull, lit("")).otherwise(
+          lpad(hex(c.bitwiseXOR(lit(Long.MinValue))), 16, "0")))
+      case StringType if !field.nullable => Some(c)
+      case StringType =>
+        Some(when(c.isNull, lit("")).otherwise(concat(lit("v"), c)))
       case d: DecimalType if d.precision <= 18 =>
         Some(coalesce(
           Shims.column(org.apache.spark.sql.catalyst.expressions

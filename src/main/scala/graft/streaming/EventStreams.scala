@@ -362,7 +362,20 @@ object EventStreams {
     *
     * Policy notes: batch-internal clusters keep their MIN id (the
     * [[graft.operators.Dedup.keepClusterRepresentatives]] contract);
-    * recall is the LSH operating point's (raise bands for more). */
+    * recall is the LSH operating point's (raise bands for more).
+    *
+    * SINGLE-ACCESSOR CONTRACT (ADVICE r13): `statePath` is owned
+    * exclusively by this sink. The compaction swap renames the live
+    * index dir away (`live → .bak`) before promoting the rewrite
+    * (`.compact → live`), so the live path is briefly ABSENT
+    * mid-swap, and recovery from a crash inside that window runs only
+    * at this sink's next `foreachBatch`. An ad-hoc query or second
+    * job reading `statePath` concurrently can therefore see a missing
+    * directory (or, after a crash, a stale `.bak` state) — query the
+    * OUTPUT (`outPath`) instead, or stop the stream first. Structured
+    * Streaming's own checkpoint contract already forbids two writers
+    * on one `checkpoint`; this extends the exclusivity to the state
+    * dirs the checkpoint describes. */
   /** Crash recovery for [[compactIndexDir]]'s swap: the compacted
     * rewrite (`<dir>.compact`) is only ever renamed into place AFTER its
     * write completed, so on restart the state machine is unambiguous —

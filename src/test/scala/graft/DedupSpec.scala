@@ -641,6 +641,33 @@ class DedupSpec extends SparkTestBase {
     assert(nOut.length == 1 && nOut.head.isNullAt(0))
   }
 
+  test("tie mapping is collision-free: null id vs sentinel-valued id") {
+    // ADVICE r13: the old tie mapping sent null ids and genuine
+    // sentinel-valued ids (empty string / Long.MinValue) to the SAME
+    // tie value, so a fingerprint group holding both kept BOTH rows in
+    // the semi-join arm (tie equality matched two source rows) and made
+    // the k=1 cluster winner nondeterministic. The mapping is now
+    // injective: exactly one row survives, the null id (asc
+    // nulls-first, the window's order).
+    val s = Seq((Option.empty[String], "same text here"),
+      (Some(""), "same  TEXT here"), (Some("z"), "same TEXT  here"))
+      .toDF("doc_id", "text")
+    val sOut = Dedup.exactByFingerprint(s, "doc_id", "text").collect()
+    assert(sOut.length == 1 && sOut.head.isNullAt(0))
+    val n = Seq((Option.empty[Long], "same text here"),
+      (Some(Long.MinValue), "same  TEXT here"), (Some(0L), "same TEXT  here"))
+      .toDF("doc_id", "text")
+    val nOut = Dedup.exactByFingerprint(n, "doc_id", "text").collect()
+    assert(nOut.length == 1 && nOut.head.isNullAt(0))
+    // winners outside the collision cases are unchanged: ordinary long
+    // ids still keep the lowest id per group through the new encoding
+    val p = Seq((Some(9L), "same text here"), (Some(-3L), "same  TEXT here"),
+      (Some(4L), "other text entirely")).toDF("doc_id", "text")
+    val pIds = Dedup.exactByFingerprint(p, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(pIds == Set(-3L, 4L))
+  }
+
   test("crossContamination best-match rides the heap exec (no window)") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val cross = Dedup.crossContamination(
