@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * shapes that scale horizontally: each iteration is one shuffle-on-key
   * join (edges × ranks) and one aggregation (per-destination mass), so a
   * 1000-executor cluster runs every iteration fully parallel. The
-  * driver's only role is loop control and one COUNT for the node total.
+  * driver's only role is loop control — even the node total rides the
+  * plan as a one-row broadcast scalar, never a driver collect.
   *
   * Related: [[Dedup.connectedComponents]] (min-label propagation) covers
   * the undirected-components case; this file holds the weighted/ranked
@@ -71,15 +72,25 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).distinct().cache()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
-    // one driver-side scalar — the node total that seeds both constants
-    val n = nodes.count()
-    val base = (1.0 - damping) / n
+    // Node total as a ONE-ROW broadcast frame, not a driver collect
+    // (round 14): `nodes.count()` here used to be its own full Spark
+    // action — AQE planning, job scheduling, and the e-distinct +
+    // nodes-distinct materialization — run BEFORE the iteration
+    // chain's action, purely to seed two plan literals. Spelling the
+    // two constants as arithmetic over a broadcast scalar instead
+    // folds the count into the chain's first truncation action: one
+    // action now covers cache-fill + outdeg + all fused iterations.
+    // The same IEEE double ops run either way ((1−d)/n and 1/n with n
+    // promoted long→double), so ranks are bit-identical — GraphSpec
+    // pins parity and the same one-row-broadcast plan shape.
+    val nTot = nodes.agg(count(lit(1)).as("__n"))
     // outdeg folded into the edge table ONCE — it is loop-invariant, so
     // joining it inside the loop would re-pay a join per iteration
     val eo = e.join(
         e.groupBy(col("src")).agg(count(lit(1)).as("__odeg")), Seq("src"))
       .cache()
-    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    var pr = nodes.crossJoin(broadcast(nTot))
+      .select(col("id"), (lit(1.0) / col("__n")).as("pr"))
     var iter = 0
     while (iter < iterations) {
       val mass = eo
@@ -89,8 +100,10 @@ object Graph {
         .groupBy(col("id"))
         .agg(sum(col("__c")).cast("double").as("__mass"))
       val next = nodes.join(mass, Seq("id"), "left")
+        .crossJoin(broadcast(nTot))
         .select(col("id"),
-          (lit(base) + lit(damping) * coalesce(col("__mass"), lit(0.0)))
+          ((lit(1.0 - damping) / col("__n")) +
+            lit(damping) * coalesce(col("__mass"), lit(0.0)))
             .as("pr"))
       iter += 1
       // The rank chain is LINEAR (pr_i feeds exactly one mass_{i+1}),
