@@ -5668,6 +5668,118 @@ object SparkEntry {
       |    % 5) + 5) % 5 AS fold FROM orders)
       |GROUP BY fold ORDER BY fold""".stripMargin))
 
+  private val q172 = Q("q172_curation_pipeline",
+    (s, dir) => {
+      // The END-TO-END curation loop as ONE oracle-checked value
+      // (Curation.curationReport): near-dup threshold sweep over the
+      // portable LSH chain → smallest threshold within a 46-doc
+      // removal budget (falls back to the most conservative) →
+      // pairwise keep-smaller-id dedup at that threshold →
+      // leakage-safe 4-fold assignment by source domain → per-fold
+      // residual exact-dup attribution + n_chars PSI/TVD vs the
+      // deduped corpus. Every stage is an individually-green operator
+      // (q167/q171/q156/q148 families); this verifies their
+      // COMPOSITION, where real pipelines break. One chain execution
+      // feeds both the curve and the dedup (localCheckpointed pair
+      // frame); the curve collect is |thresholds| rows.
+      graft.operators.Curation.curationReport(
+        t(s, dir, "documents"), "doc_id", "text", "source", "n_chars",
+        thresholds = Seq(0.7, 0.8, 0.9, 0.95), maxAffectedDocs = 46L,
+        folds = 4, edges = Seq(100, 200, 300, 400, 500))
+    },
+    Some(s"""WITH ${portableChainCtes(64, 16, 3, 0.7)},
+      |t AS (
+      |  SELECT unnest(CAST([0.7, 0.8, 0.9, 0.95] AS DOUBLE[]))
+      |    AS threshold
+      |), sgl AS (
+      |  SELECT t.threshold, v.id_a AS id
+      |  FROM t JOIN verified v ON v.j >= t.threshold
+      |  UNION ALL
+      |  SELECT t.threshold, v.id_b
+      |  FROM t JOIN verified v ON v.j >= t.threshold
+      |), curve AS (
+      |  SELECT t.threshold, COALESCE(g.n_docs, 0) AS n_docs
+      |  FROM t LEFT JOIN (
+      |    SELECT threshold, COUNT(DISTINCT id) AS n_docs
+      |    FROM sgl GROUP BY threshold) g USING (threshold)
+      |), chosen AS (
+      |  SELECT COALESCE(MIN(threshold) FILTER (WHERE n_docs <= 46),
+      |    MAX(threshold)) AS ct FROM curve
+      |), losers AS (
+      |  SELECT DISTINCT v.id_b AS doc_id
+      |  FROM verified v, chosen WHERE v.j >= chosen.ct
+      |), dd AS (
+      |  SELECT d.* FROM documents d
+      |  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+      |), folded AS (
+      |  SELECT *, ((('0x' || substr(md5(source), 1, 4))::INT % 4) + 4) % 4
+      |    AS fold FROM dd
+      |), h AS (
+      |  SELECT fold, md5(text) AS hh FROM folded
+      |), sizes AS (
+      |  SELECT hh, COUNT(*) AS copies FROM h GROUP BY hh
+      |), dup AS (
+      |  SELECT fold, COUNT(*) AS n_docs,
+      |    CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_dup_docs,
+      |    COUNT(DISTINCT CASE WHEN copies > 1 THEN h.hh END)
+      |      AS n_dup_groups,
+      |    ROUND(CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / COUNT(*), 6) AS dup_rate
+      |  FROM h JOIN sizes USING (hh) GROUP BY fold
+      |), refc AS (
+      |  SELECT (CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) AS bin,
+      |    COUNT(*) AS n_ref
+      |  FROM dd GROUP BY 1
+      |), b AS (
+      |  SELECT unnest(range(6)) AS bin
+      |), pref AS (
+      |  SELECT b.bin,
+      |    CAST(COALESCE(refc.n_ref, 0) + 1 AS DOUBLE) /
+      |      CAST((SUM(COALESCE(refc.n_ref, 0)) OVER ()) + 6 AS DOUBLE)
+      |      AS p_ref
+      |  FROM b LEFT JOIN refc ON b.bin = refc.bin
+      |), curc AS (
+      |  SELECT fold AS grp,
+      |    (CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) AS bin,
+      |    COUNT(*) AS n_cur
+      |  FROM folded GROUP BY 1, 2
+      |), cells AS (
+      |  SELECT f.grp, f.bin, COALESCE(c.n_cur, 0) AS n_cur
+      |  FROM (SELECT g.grp, b.bin
+      |        FROM (SELECT DISTINCT grp FROM curc) g CROSS JOIN b) f
+      |  LEFT JOIN curc c ON f.grp = c.grp AND f.bin = c.bin
+      |), p AS (
+      |  SELECT grp, bin, n_cur,
+      |    CAST(n_cur + 1 AS DOUBLE) /
+      |      CAST((SUM(n_cur) OVER (PARTITION BY grp)) + 6 AS DOUBLE)
+      |      AS p_cur
+      |  FROM cells
+      |), tm AS (
+      |  SELECT p.grp,
+      |    CAST((p.p_cur - pref.p_ref) *
+      |      CAST(CAST(ln(p.p_cur / pref.p_ref) AS DECIMAL(24,10))
+      |        AS DOUBLE) AS DECIMAL(28,12)) AS term,
+      |    CAST(abs(p.p_cur - pref.p_ref) AS DECIMAL(28,12)) AS ad
+      |  FROM p JOIN pref ON p.bin = pref.bin
+      |), drift AS (
+      |  SELECT grp AS fold, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi,
+      |    ROUND(CAST(SUM(ad) AS DOUBLE) / 2, 6) AS tvd
+      |  FROM tm GROUP BY grp
+      |)
+      |SELECT dup.fold, (SELECT ct FROM chosen) AS chosen_threshold,
+      |  dup.n_docs, dup.n_dup_docs, dup.n_dup_groups, dup.dup_rate,
+      |  drift.psi, drift.tvd
+      |FROM dup JOIN drift USING (fold) ORDER BY fold""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -5682,7 +5794,7 @@ object SparkEntry {
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
-    q166, q167, q168, q169, q170, q171)
+    q166, q167, q168, q169, q170, q171, q172)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The END-TO-END corpus-curation loop as one declared, oracle-checked
+  * operator — the composition real pipelines break on even when every
+  * piece is individually green: near-dup threshold sweep → deterministic
+  * operating-point choice → pairwise dedup at that threshold →
+  * leakage-safe k-fold assignment → per-fold health report (residual
+  * exact-dup attribution + PSI/TVD drift of each fold against the
+  * deduped corpus).
+  */
+object Curation {
+
+  /** Curation pipeline report, one row per fold:
+    * (fold, chosen_threshold, n_docs, n_dup_docs, n_dup_groups,
+    * dup_rate, psi, tvd).
+    *
+    * Stages (every one an existing oracle-green operator — this is
+    * their value-verified composition):
+    *
+    *  1. ONE portable MinHash-LSH chain execution at min(thresholds)
+    *     produces the verified pair frame; the tuning curve
+    *     ([[Dedup.sweepOverPairs]]) and the dedup both read it — the
+    *     pair frame is `localCheckpoint`ed (LSH-candidate-bounded, so
+    *     executor-storage-sized; lineage-truncated blocks are
+    *     reclaimed by the ContextCleaner once the frame is
+    *     unreferenced) so the chain never runs twice.
+    *  2. Operating point: the SMALLEST threshold whose affected-doc
+    *     count fits `maxAffectedDocs` (dedup as aggressively as the
+    *     removal budget allows), falling back to max(thresholds) when
+    *     none fits — a deterministic, engine-replayable rule. The
+    *     curve collect is |thresholds| rows, driver-bounded.
+    *  3. Pairwise survivor policy at the chosen threshold: the GREATER
+    *     id of every qualifying pair loses (pairs are emitted
+    *     id_a < id_b), survivors anti-join the loser set. Pairwise —
+    *     not connected-components — by design: it is exactly
+    *     replayable in plain SQL (the oracle contract), removes every
+    *     directly-verified duplicate, and never over-deletes a
+    *     transitive chain the verify never confirmed (a-b and b-c
+    *     qualifying says nothing about a-c).
+    *  4. Leakage-safe folds ([[Sampling.kFold]] on `groupCol`, e.g.
+    *     the source domain): every group's rows land in one fold,
+    *     map-only, layout-independent; a null group key surfaces as a
+    *     null fold row (visible, not dropped).
+    *  5. Per-fold health: [[Dedup.dupRateByGroup]] keyed by fold
+    *     (duplicate groups corpus-wide over the DEDUPED corpus,
+    *     attribution per fold — the q156 discipline) joined with
+    *     [[Drift.psiSeries]] of `valueCol` per fold against the whole
+    *     deduped corpus as reference (a fold whose length/score
+    *     distribution drifts from the corpus signals a skewed split).
+    *
+    * Scale shape: the deduped frame is consumed twice (dup attribution
+    * and both drift sides) — deliberately re-derived per consumer
+    * rather than checkpointed: it is corpus-sized, its re-derivation
+    * is scan + broadcast-anti-join (the loser set is
+    * LSH-candidate-bounded), and each consumer prunes to its own
+    * column set, which one materialization would forfeit. Nothing
+    * wider than (folds × nbins) + the pair frame ever sits in driver
+    * or single-executor memory. */
+  def curationReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      valueCol: String,
+      thresholds: Seq[Double],
+      maxAffectedDocs: Long,
+      folds: Int,
+      edges: Seq[Double],
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    require(maxAffectedDocs >= 0, "maxAffectedDocs must be >= 0")
+    val ts = thresholds.distinct.sorted
+    // stage 1: one chain execution feeds curve AND dedup
+    val pairs = Dedup.portableNearDups(docs, idCol, textCol,
+      numHashes, bands, shingleSize, ts.head, seed).localCheckpoint()
+    // stage 2: |thresholds|-row bounded collect; smallest threshold
+    // within the removal budget, else the most conservative one
+    val curve = Dedup.sweepOverPairs(pairs, ts)
+      .collect().map(r => (r.getDouble(0), r.getLong(2)))
+    val chosen = curve.filter(_._2 <= maxAffectedDocs).map(_._1)
+      .sorted.headOption.getOrElse(ts.last)
+    // stage 3: pairwise keep-smaller-id dedup at the chosen threshold
+    val losers = pairs.filter(col("jaccard") >= lit(chosen))
+      .select(col("id_b").as(idCol)).distinct()
+    val deduped = docs.join(losers, Seq(idCol), "left_anti")
+    // stage 4: group-coherent folds
+    val folded = Sampling.kFold(deduped, groupCol, folds)
+    // stage 5: per-fold residual-dup attribution + drift vs corpus
+    val dupStats = Dedup.dupRateByGroup(folded, "fold", textCol)
+    val drift = Drift.psiSeries(deduped, folded, valueCol, "fold", edges)
+      .withColumnRenamed("grp", "fold")
+    dupStats
+      .join(drift.select(col("fold"), col("psi"), col("tvd")), Seq("fold"))
+      .select(col("fold"), lit(chosen).as("chosen_threshold"),
+        col("n_docs"), col("n_dup_docs"), col("n_dup_groups"),
+        col("dup_rate"), col("psi"), col("tvd"))
+      .orderBy(col("fold"))
+  }
+}

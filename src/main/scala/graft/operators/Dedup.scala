@@ -546,9 +546,25 @@ object Dedup {
       shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
     require(thresholds.nonEmpty, "thresholds must be non-empty")
     val ts = thresholds.distinct.sorted
-    val pairs = portableNearDups(docs, idCol, textCol,
-      numHashes, bands, shingleSize, ts.head, seed)
-    import docs.sparkSession.implicits._
+    sweepOverPairs(portableNearDups(docs, idCol, textCol,
+      numHashes, bands, shingleSize, ts.head, seed), ts)
+  }
+
+  /** The tuning-curve aggregation of [[thresholdSweep]] over an
+    * ALREADY-verified pair frame ((id_a, id_b, jaccard) — the
+    * [[portableNearDups]]/[[ophNearDups]] output shape): callers that
+    * need BOTH the curve and the pairs (e.g.
+    * [[Curation.curationReport]], which picks a threshold from the
+    * curve and then dedups at it) run the LSH chain once and feed the
+    * same frame to both consumers, instead of paying a second
+    * sketch+verify pass. Contract: every requested threshold must be
+    * ≥ the verify threshold the pair frame was built at, or the curve
+    * under-counts (the pairs below that floor were already dropped) —
+    * require-guarded against a sorted, deduplicated threshold list. */
+  def sweepOverPairs(pairs: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val ts = thresholds.distinct.sorted
+    import pairs.sparkSession.implicits._
     val tFrame = ts.toDF("threshold")
     val counts = pairs
       .select(explode(array(ts.map(lit(_)): _*)).as("threshold"),

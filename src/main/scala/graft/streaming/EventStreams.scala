@@ -242,6 +242,93 @@ object EventStreams {
           6).as("tvd"))
   }
 
+  /** Per-invocation suffix for streaming observe() metric names (Spark
+    * rejects two CollectMetrics nodes sharing a name in one plan). */
+  private val streamMetricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Streaming per-window CLASSIFICATION REPORT: for each event-time
+    * window, the per-label (support, predicted, tp, precision, recall,
+    * f1) of a predicted-label column against gold labels — the live
+    * acceptance gate on a labeler change (language-ID model, quality
+    * classifier) watching the serving stream, companion to the one-shot
+    * batch [[graft.operators.Metrics.classificationReport]] (q164),
+    * whose per-window rows a closed window equals exactly (the spec
+    * asserts bit-parity: every ratio is the same ONE division of two
+    * exact longs, rounded 6 dp).
+    *
+    * Plan shape — ONE stateful aggregation, no join: each item explodes
+    * map-side into two skinny rows, its gold-side contribution
+    * (support 1, tp if gold = pred) and its pred-side contribution
+    * (predicted 1), so a single `groupBy(window, label)` sum produces
+    * all three counts per label. The batch twin's
+    * contingency → two aggregates → full-outer join cannot run as a
+    * streaming plan (chained stateful aggregations + a stream-stream
+    * join); this decomposition trades 2× skinny input rows — combined
+    * map-side before the shuffle — for a single watermark-bounded
+    * state store of (windows × labels) count triples. A label present
+    * on either side gets its row, matching the twin's full-outer
+    * semantics (never-predicted label: precision NULL; hallucinated
+    * label: support 0, recall NULL).
+    *
+    * Null contract (the twin's): rows with a null on either side are
+    * dropped — a null prediction is an abstention, which
+    * precision/recall over asserted labels must not see — and counted
+    * by a `graft.streaming.classification_report.N` observe metric
+    * (`null_label_rows_dropped`, surfaced per micro-batch in
+    * StreamingQueryProgress.observedMetrics). Gold and pred columns
+    * must share an equi-comparable type (cast first otherwise).
+    *
+    * Run with append output mode to emit each window's report exactly
+    * once, when the watermark closes it. */
+  def windowedClassificationReport(
+      events: DataFrame,
+      goldCol: String,
+      predCol: String,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val labeled = events
+      .observe(
+        s"graft.streaming.classification_report.${streamMetricSeq.incrementAndGet()}",
+        sum(when(col(goldCol).isNull || col(predCol).isNull, 1L)
+          .otherwise(0L)).as("null_label_rows_dropped"))
+      .filter(col(goldCol).isNotNull && col(predCol).isNotNull)
+    val sides = labeled.select(col("event_time"),
+      explode(array(
+        struct(col(goldCol).as("label"), lit(1L).as("s"), lit(0L).as("p"),
+          when(col(goldCol) === col(predCol), lit(1L)).otherwise(lit(0L))
+            .as("tp")),
+        struct(col(predCol).as("label"), lit(0L).as("s"), lit(1L).as("p"),
+          lit(0L).as("tp")))).as("__x"))
+      .select(col("event_time"), col("__x.label").as("label"),
+        col("__x.s").as("__s"), col("__x.p").as("__p"),
+        col("__x.tp").as("__tp"))
+    val agg = sides
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLength), col("label"))
+      .agg(sum(col("__s")).as("support"), sum(col("__p")).as("predicted"),
+        sum(col("__tp")).as("tp"))
+    // the batch twin's exact arithmetic: one double division of two
+    // exact longs per ratio, NULL on 0/0, f1 NULL when either side is
+    // NULL and 0.0 at p + r = 0
+    val p = when(col("predicted") > 0,
+      col("tp").cast("double") / col("predicted").cast("double"))
+    val r = when(col("support") > 0,
+      col("tp").cast("double") / col("support").cast("double"))
+    agg
+      .withColumn("__prec", p)
+      .withColumn("__rec", r)
+      .select(col("window.start").as("window_start"), col("label"),
+        col("support"), col("predicted"), col("tp"),
+        round(col("__prec"), 6).as("precision"),
+        round(col("__rec"), 6).as("recall"),
+        round(
+          when(col("__prec").isNull || col("__rec").isNull, lit(null))
+            .when(col("__prec") + col("__rec") > 0,
+              lit(2.0) * col("__prec") * col("__rec") /
+                (col("__prec") + col("__rec")))
+            .otherwise(lit(0.0)).cast("double"), 6).as("f1"))
+  }
+
   /** Streaming exact dedup on event_id: watermark-bounded state, the
     * streaming form of the batch `dropDuplicates`. */
   def dedupeStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =

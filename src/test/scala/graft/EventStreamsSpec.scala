@@ -871,4 +871,90 @@ class EventStreamsSpec extends SparkTestBase {
       assert(got == truth)
     } finally q.stop()
   }
+
+  test("windowedClassificationReport: closed windows equal batch " +
+      "classificationReport on the same rows, across crash-restarts") {
+    val s = 1000000000L
+    val hour = 3600L * s
+    val dir = Files.createTempDirectory("graft_wcr").toString
+    val src = s"$dir/in"
+    val out = s"$dir/out"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def writeBatch(n: String,
+        rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/$n")
+      val f = new java.io.File(s"$dir/$n").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, java.nio.file.Paths.get(src, s"$n.parquet"))
+    }
+    // hour-1 labels exercise every report edge: correct predictions,
+    // a label predicted but never gold ("misc" — hallucinated:
+    // support 0, recall NULL), a label gold but never predicted
+    // ("purchase": precision NULL), and a null-pred abstention row
+    // (value < 0) that BOTH twins must drop
+    writeBatch("b1", Seq(
+      (1L, hour + 60 * s, 1L, "click", 1.0, "{}"),
+      (2L, hour + 120 * s, 1L, "click", 9.0, "{}"), // -> pred misc
+      (3L, hour + 180 * s, 2L, "view", 1.0, "{}"),
+      (4L, hour + 240 * s, 2L, "view", 9.0, "{}"), // -> pred misc
+      (5L, hour + 300 * s, 3L, "purchase", 1.0, "{}"),
+      (6L, hour + 360 * s, 3L, "view", -1.0, "{}"))) // -> pred null
+    def withPred(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("pred",
+        when(col("value") < 0, lit(null).cast("string"))
+          .when(col("value") > 1.5, lit("misc"))
+          .otherwise(col("event_type")))
+    def start() = EventStreams.windowedClassificationReport(
+        withPred(EventStreams.readEventStream(spark, src)),
+        "event_type", "pred",
+        windowLength = "1 hour", watermark = "30 minutes")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    // batch 1 lands in state, nothing finalized; STOP (crash point 1:
+    // all of hour-1's counts live only in the checkpointed state store)
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from checkpoint; an hour-4 event closes hour 1
+    writeBatch("b2", Seq((7L, 4 * hour, 9L, "view", 1.0, "{}")))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      def readOut() = spark.read.parquet(out).collect().map { r =>
+        (r.getTimestamp(0).getTime * 1000000L / hour,
+          r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+          if (r.isNullAt(7)) None else Some(r.getDouble(7)))
+      }.toSet
+      val got = readOut()
+      assert(got.nonEmpty && got.forall(_._1 == 1L),
+        "only the hour-1 window is closed")
+      // batch truth: the batch twin on exactly hour-1's rows
+      val truth = graft.operators.Metrics.classificationReport(
+          withPred(spark.read.parquet(src).filter(col("ts") < 2 * hour)),
+          "event_type", "pred")
+        .collect().map { r =>
+          (1L, r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+            if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+            if (r.isNullAt(6)) None else Some(r.getDouble(6)))
+        }.toSet
+      assert(got == truth)
+      // spot the contract rows: hallucinated label and abstention drop
+      val misc = got.find(_._2 == "misc").get
+      assert(misc._3 == 0L && misc._7.isEmpty, "misc: support 0, recall NULL")
+      val view = got.find(_._2 == "view").get
+      assert(view._3 == 2L, "the null-pred view row was dropped")
+      q2.stop()
+      // crash point 2: restart AFTER emission and reprocess — the file
+      // sink's commit log must not re-emit the closed window
+      val q3 = start()
+      q3.processAllAvailable()
+      q3.stop()
+      assert(readOut() == got, "replay after emission duplicated rows")
+    } finally if (q2.isActive) q2.stop()
+  }
 }
