@@ -177,7 +177,12 @@ object ScaleProbe {
     "q170_average_precision",
     "q148_psi_series", "q149_quantile_norm", "q150_capped_jaccard",
     "q151_capped_editdist", "q152_gopher_rules", "q153_c4_clean",
-    "q154_zipf_fit", "q155_tokenizer_fertility", "q156_dup_rate_by_source")
+    "q154_zipf_fit", "q155_tokenizer_fertility", "q156_dup_rate_by_source",
+    // round 14: the end-to-end curation composite (q172: one q57-class
+    // chain + |T|-sweep + anti-join dedup + fold report — its pair
+    // frame grows quadratically per dup cluster like q167, everything
+    // downstream is corpus-linear)
+    "q172_curation_pipeline")
 
   /** Re-stage every sf table as an N-file parquet dir. The driver's sf
     * fixtures are single-file/single-row-group, so scan-rooted stages
@@ -312,8 +317,17 @@ object ScaleProbe {
       // carrying chain — 100x orders through the anti-join + heap cut)
       // and q167 (the q57 chain + sweep under 100-member dup clusters,
       // ~4950 true pairs each — candidate growth must stay in-cluster)
+      // round 14: the two biggest remaining shuffle chains (VERDICT r13
+      // ask #4) — q130/q135 (positional k-gram postings: the gram
+      // fan-out is the engine's largest per-row shuffle multiplier, and
+      // 100-member dup clusters make EVERY gram's posting list hot) and
+      // q121 (whole-corpus prefix join, unpinned arm: output is its
+      // contract — every qualifying pair, ~4950 per 100-member cluster;
+      // the claim under test is time ∝ input + output, with candidate
+      // growth confined to clusters by the prefix filter)
       Seq("q117_oph_neardup", "q122_pagerank", "q162_hard_negatives",
-          "q167_threshold_sweep")
+          "q167_threshold_sweep", "q121_prefix_join", "q130_repeated_spans",
+          "q135_incremental_spans")
         .filter(substrFilter("x100only="))
         .foreach { name =>
         // t0 BEFORE df construction: q122's iterations execute eagerly
