@@ -5780,6 +5780,228 @@ object SparkEntry {
       |  drift.psi, drift.tvd
       |FROM dup JOIN drift USING (fold) ORDER BY fold""".stripMargin))
 
+  private val q173 = Q("q173_packing_sweep",
+    (s, dir) => {
+      // Max-sequence-length capacity sweep (Packing.lengthSweep): the
+      // truncation-loss / padding-waste curve across candidate max_lens
+      // under the one-sequence-per-doc padding model — how max_len gets
+      // CHOSEN before q56's packing runs. One corpus pass: each doc's
+      // token count explodes into |candidates| rows (bounded grid) and
+      // map-side-combines to |candidates| output rows; all sums exact
+      // longs, fractions final-step doubles.
+      val docs = t(s, dir, "documents")
+        .select(TF.tokenCount(col("text")).as("n_tokens"))
+      graft.operators.Packing.lengthSweep(docs, "n_tokens",
+        Seq(64L, 128L, 256L, 512L))
+    },
+    Some("""WITH d AS (
+      |  SELECT CAST(len(list_filter(string_split_regex(lower(text),
+      |    '\s+'), t -> t <> '')) AS BIGINT) AS nt FROM documents
+      |), c AS (
+      |  SELECT unnest(CAST([64, 128, 256, 512] AS BIGINT[])) AS max_len
+      |)
+      |SELECT c.max_len,
+      |  COUNT(*) AS n_docs,
+      |  CAST(COUNT(CASE WHEN d.nt > c.max_len THEN 1 END) AS BIGINT)
+      |    AS n_truncated,
+      |  CAST(SUM(d.nt) AS BIGINT) AS tokens_total,
+      |  CAST(SUM(LEAST(d.nt, c.max_len)) AS BIGINT) AS tokens_kept,
+      |  CAST((CAST(SUM(d.nt) - SUM(LEAST(d.nt, c.max_len)) AS HUGEINT)
+      |      * 1000000) // CAST(SUM(d.nt) AS HUGEINT) AS DOUBLE)
+      |    / 1000000.0 AS trunc_loss_frac,
+      |  CAST((CAST(COUNT(*) * c.max_len - SUM(LEAST(d.nt, c.max_len))
+      |      AS HUGEINT) * 1000000) //
+      |    CAST(COUNT(*) * c.max_len AS HUGEINT) AS DOUBLE)
+      |    / 1000000.0 AS pad_frac
+      |FROM c CROSS JOIN d
+      |GROUP BY c.max_len ORDER BY c.max_len""".stripMargin))
+
+  private val q174 = Q("q174_source_divergence",
+    (s, dir) => {
+      // Lexical drift per source (Drift.unigramDivergence): KL and JS
+      // divergence of each source's unigram distribution vs the global
+      // one, over the top-1000 vocab + <oov> bucket — the data-mixing
+      // diagnostic ranking sources by vocabulary distance. Support is
+      // BOUNDED (K+1 symbols) so everything after the two token
+      // aggregates is broadcast joins and (sources x support)-row
+      // windows; ln ulp absorbed by DECIMAL(24,10), terms decimal-
+      // summed (the q163 discipline).
+      val tok = t(s, dir, "documents")
+        .select(col("source"), explode(TF.tokens(col("text"))).as("token"))
+      Drift.unigramDivergence(tok, "source", "token", vocabSize = 1000)
+        .orderBy(col("source"))
+    },
+    Some("""WITH tok AS (
+      |  SELECT source AS src,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      t -> t <> '')) AS token
+      |  FROM documents WHERE source IS NOT NULL
+      |), vc AS (
+      |  SELECT token FROM (
+      |    SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+      |    ORDER BY n DESC, token LIMIT 1000)
+      |), mp AS (
+      |  SELECT t.src,
+      |    CASE WHEN vc.token IS NOT NULL THEN t.token
+      |      ELSE '<oov>' END AS sym
+      |  FROM tok t LEFT JOIN vc ON t.token = vc.token
+      |), ss AS (
+      |  SELECT src, sym, CAST(COUNT(*) AS BIGINT) AS n_ss
+      |  FROM mp GROUP BY src, sym
+      |), g AS (
+      |  SELECT sym, CAST(SUM(n_ss) AS BIGINT) AS n_g FROM ss GROUP BY sym
+      |), gt AS (
+      |  SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot FROM g
+      |), fr AS (
+      |  SELECT s.src, g.sym, g.n_g, gt.n_tot,
+      |    COALESCE(ss.n_ss, 0) AS n_ss
+      |  FROM (SELECT DISTINCT src FROM ss) s
+      |  CROSS JOIN g CROSS JOIN gt
+      |  LEFT JOIN ss ON ss.src = s.src AND ss.sym = g.sym
+      |), cl AS (
+      |  SELECT src, sym, n_ss,
+      |    CAST(n_ss AS DOUBLE) /
+      |      CAST(SUM(n_ss) OVER (PARTITION BY src) AS DOUBLE) AS p,
+      |    CAST(n_g AS DOUBLE) / CAST(n_tot AS DOUBLE) AS q
+      |  FROM fr
+      |), tm AS (
+      |  SELECT src, sym, n_ss,
+      |    CASE WHEN n_ss > 0 THEN
+      |      CAST(p * CAST(CAST(ln(p / q) AS DECIMAL(24,10)) AS DOUBLE)
+      |        AS DECIMAL(28,12))
+      |      ELSE CAST(0 AS DECIMAL(28,12)) END AS kl,
+      |    CASE WHEN n_ss > 0 THEN
+      |      CAST(p * CAST(CAST(ln(p / ((p + q) / 2)) AS DECIMAL(24,10))
+      |        AS DOUBLE) AS DECIMAL(28,12))
+      |      ELSE CAST(0 AS DECIMAL(28,12)) END AS jsp,
+      |    CAST(q * CAST(CAST(ln(q / ((p + q) / 2)) AS DECIMAL(24,10))
+      |      AS DOUBLE) AS DECIMAL(28,12)) AS jsq
+      |  FROM cl
+      |)
+      |SELECT src AS source,
+      |  CAST(SUM(n_ss) AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(SUM(CASE WHEN sym = '<oov>' THEN n_ss ELSE 0 END)
+      |      AS DOUBLE) /
+      |    CAST(SUM(n_ss) AS DOUBLE), 6) AS oov_frac,
+      |  ROUND(CAST(SUM(kl) AS DOUBLE), 6) AS kl_vs_global,
+      |  ROUND(CAST(SUM(jsp) + SUM(jsq) AS DOUBLE) / 2.0, 6)
+      |    AS js_vs_global
+      |FROM tm GROUP BY src ORDER BY source""".stripMargin))
+
+  private val q175 = Q("q175_fleiss_kappa",
+    (s, dir) => {
+      // Multi-rater chance-corrected agreement, fixed panel size
+      // (RaterAgreement.fleissKappa): orders are items, their line
+      // numbers the raters, l_returnflag the category. Items off the
+      // modal panel size are dropped (Fleiss is undefined there) and
+      // REPORTED via n_items_dropped; P-bar folds to exact integer
+      // sums (the equal-m denominator factors out) so the result is
+      // partial-agg-order-proof. Contingency-bounded: one
+      // (item, category) shuffle, then per-item aggregates to one row.
+      graft.operators.RaterAgreement.fleissKappa(
+        t(s, dir, "lineitem"), "l_orderkey", "l_returnflag")
+    },
+    Some("""WITH r AS (
+      |  SELECT l_orderkey AS item, l_returnflag AS cat FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
+      |), ct AS (
+      |  SELECT item, cat, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM r GROUP BY item, cat
+      |), pi AS (
+      |  SELECT item, CAST(SUM(n) AS BIGINT) AS m,
+      |    CAST(SUM(n * n) AS BIGINT) AS sum_sq
+      |  FROM ct GROUP BY item
+      |), modal AS (
+      |  SELECT m AS modal_m FROM (
+      |    SELECT m, COUNT(*) AS k FROM pi GROUP BY m
+      |    ORDER BY k DESC, m DESC LIMIT 1)
+      |), kept AS (
+      |  SELECT pi.* FROM pi, modal WHERE pi.m = modal.modal_m
+      |), kct AS (
+      |  SELECT ct.* FROM ct JOIN kept ON ct.item = kept.item
+      |), cattot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+      |    SUM(CAST(nj AS HUGEINT) * CAST(nj AS HUGEINT)) AS sum_nj_sq
+      |  FROM (SELECT cat, CAST(SUM(n) AS BIGINT) AS nj
+      |    FROM kct GROUP BY cat)
+      |), itemtot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+      |    (SELECT modal_m FROM modal) AS n_raters,
+      |    CAST(SUM(sum_sq) AS BIGINT) AS tot_sq
+      |  FROM kept
+      |), alli AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items_all FROM pi
+      |), s AS (
+      |  SELECT n_items, n_items_all - n_items AS n_items_dropped,
+      |    n_raters, n_categories,
+      |    CAST(n_items AS HUGEINT) * CAST(n_raters AS HUGEINT) AS nm,
+      |    tot_sq, sum_nj_sq
+      |  FROM itemtot, cattot, alli
+      |), pb AS (
+      |  SELECT n_items, n_items_dropped, n_raters, n_categories,
+      |    CAST(tot_sq - nm AS DOUBLE) /
+      |      CAST(nm * CAST(n_raters - 1 AS HUGEINT) AS DOUBLE) AS p_bar,
+      |    CAST(sum_nj_sq AS DOUBLE) / CAST(nm * nm AS DOUBLE) AS p_e
+      |  FROM s
+      |)
+      |SELECT n_items, n_items_dropped, n_raters, n_categories,
+      |  ROUND(p_bar, 6) AS p_bar, ROUND(p_e, 6) AS p_e,
+      |  ROUND(CASE WHEN p_e = 1.0 THEN NULL
+      |    ELSE (p_bar - p_e) / (1.0 - p_e) END, 6) AS fleiss_kappa
+      |FROM pb""".stripMargin))
+
+  private val q176 = Q("q176_krippendorff_alpha",
+    (s, dir) => {
+      // Multi-rater agreement with VARIABLE panel sizes
+      // (RaterAgreement.krippendorffAlpha, nominal metric): the
+      // missing-ratings case q175 drops. Items with <2 ratings are
+      // excluded per the definition; the per-item rational terms
+      // (denominator m_i - 1 varies) ride DECIMAL(28,10) so the fold
+      // is order-insensitive. Same contingency-bounded shape as q175.
+      graft.operators.RaterAgreement.krippendorffAlpha(
+        t(s, dir, "lineitem"), "l_orderkey", "l_returnflag")
+    },
+    Some("""WITH r AS (
+      |  SELECT l_orderkey AS item, l_returnflag AS cat FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
+      |), ct AS (
+      |  SELECT item, cat, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM r GROUP BY item, cat
+      |), pi AS (
+      |  SELECT item, m, sum_sq FROM (
+      |    SELECT item, CAST(SUM(n) AS BIGINT) AS m,
+      |      CAST(SUM(n * n) AS BIGINT) AS sum_sq
+      |    FROM ct GROUP BY item)
+      |  WHERE m >= 2
+      |), obs AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+      |    CAST(SUM(m) AS BIGINT) AS n_ratings,
+      |    SUM(CAST(CAST(m * m - sum_sq AS DOUBLE) /
+      |      CAST(m - 1 AS DOUBLE) AS DECIMAL(28,10))) AS do_n
+      |  FROM pi
+      |), marg AS (
+      |  SELECT SUM(CAST(nc AS HUGEINT) * CAST(nc AS HUGEINT))
+      |    AS sum_nc_sq
+      |  FROM (SELECT cat, CAST(SUM(n) AS BIGINT) AS nc
+      |    FROM ct JOIN pi USING (item) GROUP BY cat)
+      |), s AS (
+      |  SELECT n_items, n_ratings, do_n,
+      |    CAST(n_ratings AS HUGEINT) * CAST(n_ratings AS HUGEINT)
+      |      - sum_nc_sq AS de_n
+      |  FROM obs, marg
+      |)
+      |SELECT n_items, n_ratings,
+      |  ROUND(CAST(do_n AS DOUBLE) / CAST(n_ratings AS DOUBLE), 6)
+      |    AS d_o,
+      |  ROUND(CAST(de_n AS DOUBLE) /
+      |    CAST(CAST(n_ratings AS HUGEINT) *
+      |      CAST(n_ratings - 1 AS HUGEINT) AS DOUBLE), 6) AS d_e,
+      |  ROUND(CASE WHEN CAST(de_n AS DOUBLE) = 0.0 THEN NULL
+      |    ELSE 1.0 - CAST(n_ratings - 1 AS DOUBLE) *
+      |      CAST(do_n AS DOUBLE) / CAST(de_n AS DOUBLE) END, 6)
+      |    AS krippendorff_alpha
+      |FROM s""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -5794,7 +6016,7 @@ object SparkEntry {
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
-    q166, q167, q168, q169, q170, q171, q172)
+    q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

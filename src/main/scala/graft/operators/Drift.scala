@@ -160,4 +160,94 @@ object Drift {
         round(sum(col("__term")).cast("double"), 6).as("psi"),
         round(sum(col("__ad")).cast("double") / lit(2), 6).as("tvd"))
   }
+
+  /** Lexical drift per source: KL and Jensen-Shannon divergence of each
+    * source's unigram distribution against the GLOBAL (all-source)
+    * distribution — the data-mixing diagnostic that ranks sources by
+    * how far their vocabulary sits from the corpus average (a
+    * near-duplicate source scores ~0; a code source against a prose
+    * corpus scores high).
+    *
+    * The distribution support is the top-`vocabSize` global tokens plus
+    * one `<oov>` bucket holding the remaining mass — the standard
+    * bounded-support trick: divergences over an UNBOUNDED vocabulary
+    * would make the comparison frame corpus-sized, while the top-K +
+    * OOV support is exactly what tokenizer-level monitoring uses.
+    * KL(p_s‖q) stays finite by construction: every support symbol has
+    * global mass (q > 0), and p_s = 0 terms contribute 0.
+    *
+    * Input: `tokens` = one row per (source, token) occurrence (explode
+    * upstream). Output: one row per source — n_tokens, oov_frac,
+    * kl_vs_global, js_vs_global (JS in nats, ≤ ln 2).
+    *
+    * Scale shape: one corpus-sized token aggregate for the global
+    * counts (map-combines to vocab), a TakeOrdered top-K cut
+    * (k-bounded), then the per-(source, symbol) aggregate — map-combined
+    * to sources × (K+1) rows — against which everything else is
+    * broadcast joins and (sources × (K+1))-row windows. Nothing wider
+    * than sources × (K+1) shuffles after the two token aggregates.
+    * Float discipline is [[psi]]'s: exact-integer ratios, ln through
+    * DECIMAL(24,10), per-cell terms decimal-summed. */
+  def unigramDivergence(
+      tokens: DataFrame, sourceCol: String, tokenCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val tok = tokens.select(col(sourceCol).as("src"),
+        col(tokenCol).as("token"))
+      .filter(col("src").isNotNull && col("token").isNotNull)
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(true).as("__in_vocab"))
+    val mapped = tok.join(broadcast(vocab), Seq("token"), "left")
+      .select(col("src"),
+        when(col("__in_vocab"), col("token")).otherwise(lit("<oov>"))
+          .as("sym"))
+    val bySrcSym = mapped.groupBy(col("src"), col("sym"))
+      .agg(count(lit(1)).as("n_ss"))
+    val all = Window.partitionBy(lit(1))
+    // global per-symbol counts + the grand total, attached on the
+    // (K+1)-row symbol frame (a window over support-sized rows)
+    val bySym = bySrcSym.groupBy(col("sym")).agg(sum(col("n_ss")).as("n_g"))
+      .withColumn("n_tot", sum(col("n_g")).over(all))
+    // sources x support frame so zero-mass cells surface (JS needs the
+    // q-side term even where the source lacks the symbol)
+    val frame = bySrcSym.select(col("src")).distinct()
+      .crossJoin(broadcast(bySym))
+      .join(bySrcSym, Seq("src", "sym"), "left")
+      .na.fill(0L, Seq("n_ss"))
+    val bySrc = Window.partitionBy(col("src"))
+    // exact-integer ratios -> correctly-rounded double divisions
+    val cells = frame
+      .withColumn("n_src", sum(col("n_ss")).over(bySrc))
+      .withColumn("p", col("n_ss").cast("double") /
+        col("n_src").cast("double"))
+      .withColumn("q", col("n_g").cast("double") /
+        col("n_tot").cast("double"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+      .withColumn("__kl", when(col("n_ss") > 0,
+          (col("p") * log(col("p") / col("q"))
+            .cast("decimal(24,10)").cast("double"))
+            .cast("decimal(28,12)"))
+        .otherwise(lit(0).cast("decimal(28,12)")))
+      .withColumn("__jsp", when(col("n_ss") > 0,
+          (col("p") * log(col("p") / col("m"))
+            .cast("decimal(24,10)").cast("double"))
+            .cast("decimal(28,12)"))
+        .otherwise(lit(0).cast("decimal(28,12)")))
+      .withColumn("__jsq", when(col("n_g") > 0,
+          (col("q") * log(col("q") / col("m"))
+            .cast("decimal(24,10)").cast("double"))
+            .cast("decimal(28,12)"))
+        .otherwise(lit(0).cast("decimal(28,12)")))
+    cells.groupBy(col("src"))
+      .agg(
+        sum(col("n_ss")).as("n_tokens"),
+        round(sum(when(col("sym") === "<oov>", col("n_ss"))
+            .otherwise(lit(0L))).cast("double") /
+          sum(col("n_ss")).cast("double"), 6).as("oov_frac"),
+        round(sum(col("__kl")).cast("double"), 6).as("kl_vs_global"),
+        round((sum(col("__jsp")) + sum(col("__jsq"))).cast("double") /
+          lit(2.0), 6).as("js_vs_global"))
+      .withColumnRenamed("src", sourceCol)
+  }
 }

@@ -53,4 +53,52 @@ object Packing {
       .withColumn("utilization",
         round(col("n_tokens").cast("double") / capacity, 4))
       .orderBy(col(shardCol), col("pack_id"))
+
+  /** Max-sequence-length sweep: the capacity-planning curve behind
+    * choosing `max_len` for a training run. For each candidate length L
+    * (one-sequence-per-doc padding model — the pre-packing baseline
+    * every capacity memo starts from), reports how many documents
+    * truncate, the token mass lost to truncation, and the padding waste
+    * of topping every kept sequence up to L:
+    *
+    *   n_truncated    = |{docs : n_tokens > L}|
+    *   tokens_kept    = Σ min(n_tokens, L)
+    *   trunc_loss_frac = 1 − tokens_kept / tokens_total
+    *   pad_frac       = (n_docs·L − tokens_kept) / (n_docs·L)
+    *
+    * Scale contract: ONE corpus pass — each doc's (n_tokens) row
+    * explodes into |candidates| rows (a bounded constant, the sweep
+    * grid), and the aggregate map-side-combines to |candidates| rows
+    * per partition before the one skinny shuffle. All sums are exact
+    * longs (token counts); the fraction columns are floor'd parts-per-
+    * million computed in exact integer arithmetic (DECIMAL(38,0)
+    * product, integral DIV) and only then divided by 1e6 as doubles —
+    * float ROUND on a ratio can land exactly on a .5 tie whose
+    * half-up/half-even resolution differs between engines (measured:
+    * 8078/32000 at 6 decimals), while the integer floor is
+    * engine-independent. */
+  def lengthSweep(
+      df: DataFrame, nTokensCol: String,
+      candidates: Seq[Long]): DataFrame = {
+    require(candidates.nonEmpty && candidates.forall(_ > 0),
+      "candidates must be positive lengths")
+    df.select(col(nTokensCol).cast("bigint").as("__nt"))
+      .withColumn("max_len",
+        explode(array(candidates.distinct.sorted.map(lit): _*)))
+      .groupBy(col("max_len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("__nt") > col("max_len"), 1)).as("n_truncated"),
+        sum(col("__nt")).as("tokens_total"),
+        sum(least(col("__nt"), col("max_len"))).as("tokens_kept"))
+      .select(col("max_len"), col("n_docs"), col("n_truncated"),
+        col("tokens_total"), col("tokens_kept"),
+        (expr("CAST(tokens_total - tokens_kept AS DECIMAL(38,0)) " +
+          "* 1000000 DIV CAST(tokens_total AS DECIMAL(38,0))")
+          .cast("double") / lit(1e6)).as("trunc_loss_frac"),
+        (expr("CAST(n_docs * max_len - tokens_kept AS DECIMAL(38,0)) " +
+          "* 1000000 DIV CAST(n_docs * max_len AS DECIMAL(38,0))")
+          .cast("double") / lit(1e6)).as("pad_frac"))
+      .orderBy(col("max_len"))
+  }
 }

@@ -94,4 +94,72 @@ class DriftSpec extends SparkTestBase {
     val psi = rows.head.getDouble(rows.head.fieldIndex("psi_total"))
     assert(psi >= 0.0 && psi < 1.0) // same synthetic generator: low drift
   }
+
+  private def tok(rows: (String, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("src", "token")
+  }
+
+  test("unigramDivergence: a lone source IS the global -> zero drift") {
+    val out = Drift.unigramDivergence(
+      tok("s1" -> "a", "s1" -> "a", "s1" -> "b"), "src", "token", 1)
+      .collect().head
+    assert(out.getAs[Long]("n_tokens") === 3L)
+    // vocabSize=1 keeps only 'a'; 'b' lands in <oov> (1 of 3 tokens)
+    assert(out.getAs[Double]("oov_frac") === 0.333333)
+    assert(out.getAs[Double]("kl_vs_global") === 0.0)
+    assert(out.getAs[Double]("js_vs_global") === 0.0)
+  }
+
+  test("unigramDivergence: identical distributions both read zero") {
+    val out = Drift.unigramDivergence(
+      tok("s1" -> "a", "s1" -> "b", "s2" -> "a", "s2" -> "b"),
+      "src", "token", 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("s1", "s2").foreach { s =>
+      assert(out(s).getAs[Double]("kl_vs_global") === 0.0)
+      assert(out(s).getAs[Double]("js_vs_global") === 0.0)
+    }
+  }
+
+  test("unigramDivergence matches the formula on a skewed fixture") {
+    // s1 = [a,a], s2 = [a,b]; global: a 3/4, b 1/4
+    val out = Drift.unigramDivergence(
+      tok("s1" -> "a", "s1" -> "a", "s2" -> "a", "s2" -> "b"),
+      "src", "token", 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def kl(p: Seq[Double], q: Seq[Double]): Double =
+      p.zip(q).collect { case (pi, qi) if pi > 0 =>
+        pi * math.log(pi / qi) }.sum
+    def js(p: Seq[Double], q: Seq[Double]): Double = {
+      val m = p.zip(q).map { case (a, b) => (a + b) / 2 }
+      (kl(p, m) + kl(q, m)) / 2
+    }
+    val q = Seq(0.75, 0.25)
+    assert(math.abs(out("s1").getAs[Double]("kl_vs_global") -
+      kl(Seq(1.0, 0.0), q)) < 1e-5)
+    assert(math.abs(out("s1").getAs[Double]("js_vs_global") -
+      js(Seq(1.0, 0.0), q)) < 1e-5)
+    assert(math.abs(out("s2").getAs[Double]("kl_vs_global") -
+      kl(Seq(0.5, 0.5), q)) < 1e-5)
+    assert(math.abs(out("s2").getAs[Double]("js_vs_global") -
+      js(Seq(0.5, 0.5), q)) < 1e-5)
+    // both sources carry drift against the blended global
+    assert(out("s1").getAs[Double]("js_vs_global") > 0.0)
+    assert(out("s2").getAs[Double]("js_vs_global") > 0.0)
+  }
+
+  test("unigramDivergence: js is bounded by ln 2 on disjoint vocab") {
+    val out = Drift.unigramDivergence(
+      tok("s1" -> "a", "s1" -> "a", "s2" -> "b", "s2" -> "b"),
+      "src", "token", 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("s1", "s2").foreach { s =>
+      val v = out(s).getAs[Double]("js_vs_global")
+      assert(v > 0.0 && v <= math.log(2.0) + 1e-9)
+    }
+    // symmetric fixture -> symmetric divergences
+    assert(out("s1").getAs[Double]("js_vs_global") ===
+      out("s2").getAs[Double]("js_vs_global"))
+  }
 }

@@ -45,4 +45,28 @@ class PackingSpec extends SparkTestBase {
     assert(total == 600L * 4 + 1500L + 100L)
     assert(rep.filter(col("utilization") > 0).count() == rep.count())
   }
+
+  test("lengthSweep: hand-computed truncation and padding fractions") {
+    // token counts 100, 300, 900 against candidates 256 and 1024
+    val d = Seq(100L, 300L, 900L).toDF("nt")
+    val out = Packing.lengthSweep(d, "nt", Seq(1024L, 256L))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val at256 = out(256L)
+    assert(at256.getAs[Long]("n_docs") === 3L)
+    assert(at256.getAs[Long]("n_truncated") === 2L) // 300 and 900
+    assert(at256.getAs[Long]("tokens_total") === 1300L)
+    assert(at256.getAs[Long]("tokens_kept") === 100L + 256L + 256L)
+    // trunc loss = floor-ppm of 688/1300; pad = (768-612)/768 exact
+    assert(at256.getAs[Double]("trunc_loss_frac") === 0.52923)
+    assert(at256.getAs[Double]("pad_frac") === 0.203125)
+    val at1024 = out(1024L)
+    assert(at1024.getAs[Long]("n_truncated") === 0L)
+    assert(at1024.getAs[Double]("trunc_loss_frac") === 0.0)
+    // pad = floor-ppm of (3*1024 - 1300)/3072
+    assert(at1024.getAs[Double]("pad_frac") === 0.576822)
+    // rows come back sorted by max_len
+    val order = Packing.lengthSweep(d, "nt", Seq(1024L, 256L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(order === Seq(256L, 1024L))
+  }
 }
