@@ -119,6 +119,10 @@ object ScaleProbe {
     // quantile rollup (10x pushes priority groups past sketch capacity,
     // so compaction is IN the measured path)
     "q130_repeated_spans", "q131_classifier_score", "q133_quantile_rollup",
+    // round 14: the incremental-spans twin (same k-gram posting family
+    // as q130 — the engine's largest per-row shuffle multiplier — kept
+    // in the main table so its x100 row has same-run 10x legs)
+    "q135_incremental_spans",
     // round 8 late additions: BM25 (hit-filtered explode + broadcast
     // idf), BPE learn (vocab-sized iterations), BPE encode (map-only
     // codegen chain), line-level boilerplate removal (3 line-shuffles)
@@ -182,7 +186,14 @@ object ScaleProbe {
     // chain + |T|-sweep + anti-join dedup + fold report — its pair
     // frame grows quadratically per dup cluster like q167, everything
     // downstream is corpus-linear)
-    "q172_curation_pipeline")
+    "q172_curation_pipeline",
+    // round 14: the multi-rater agreement pair (contingency over 10x
+    // orders — the per-item aggregate is the only data-sized step),
+    // the max_len sweep (map-only explode over a bounded grid), and
+    // per-source lexical divergence (two corpus token aggregates, then
+    // support-bounded)
+    "q173_packing_sweep", "q174_source_divergence",
+    "q175_fleiss_kappa", "q176_krippendorff_alpha")
 
   /** Re-stage every sf table as an N-file parquet dir. The driver's sf
     * fixtures are single-file/single-row-group, so scan-rooted stages
@@ -259,7 +270,17 @@ object ScaleProbe {
       }
     val onlyFilter = substrFilter("only=")
     if (!args.contains("caponly")) {
-      val rows = probes.filter(onlyFilter).map { name =>
+      // "warmmain": run the whole main table TWICE in this JVM and
+      // print the SECOND sweep — the head-of-table probes otherwise
+      // absorb the fresh JVM's Janino + JIT cold-start (round 14's
+      // TailProbe receipts: first executions run 4-10x their warm
+      // time), which reads as fake super-linear ratios on whichever
+      // queries happen to run first. Same warm-only discipline the
+      // bench spread_flag adopted.
+      val selected = probes.filter(onlyFilter)
+      if (args.contains("warmmain"))
+        selected.foreach { name => time(src, name); time(out, name) }
+      val rows = selected.map { name =>
         val small = time(src, name)
         val big = time(out, name)
         (name, small, big, big / small)
