@@ -183,9 +183,11 @@ object Drift {
     * Scale shape: one corpus-sized token aggregate for the global
     * counts (map-combines to vocab), a TakeOrdered top-K cut
     * (k-bounded), then the per-(source, symbol) aggregate — map-combined
-    * to sources × (K+1) rows — against which everything else is
-    * broadcast joins and (sources × (K+1))-row windows. Nothing wider
-    * than sources × (K+1) shuffles after the two token aggregates.
+    * to sources × (K+1) rows and localCheckpointed (bounded, three
+    * consumers — see the inline note) — against which everything else
+    * is broadcast joins and (sources × (K+1))-row windows. Exactly TWO
+    * corpus token passes; nothing wider than sources × (K+1) shuffles
+    * after them.
     * Float discipline is [[psi]]'s: exact-integer ratios, ln through
     * DECIMAL(24,10), per-cell terms decimal-summed. */
   def unigramDivergence(
@@ -202,15 +204,25 @@ object Drift {
       .select(col("src"),
         when(col("__in_vocab"), col("token")).otherwise(lit("<oov>"))
           .as("sym"))
+    // The contingency frame is BOUNDED (sources × (K+1) rows) but has
+    // THREE consumers (global marginals, the source list, the join
+    // back); exchange reuse does not dedupe them — their pruned
+    // subtrees differ pre-AQE, and PlanAudit measured the corpus
+    // explode running twice. localCheckpoint materializes the tiny
+    // frame once (the q172 pattern for bounded multi-consumer
+    // intermediates), so the whole query is exactly TWO corpus token
+    // passes: the vocab count and this aggregate.
     val bySrcSym = mapped.groupBy(col("src"), col("sym"))
       .agg(count(lit(1)).as("n_ss"))
+      .localCheckpoint()
     val all = Window.partitionBy(lit(1))
     // global per-symbol counts + the grand total, attached on the
     // (K+1)-row symbol frame (a window over support-sized rows)
     val bySym = bySrcSym.groupBy(col("sym")).agg(sum(col("n_ss")).as("n_g"))
       .withColumn("n_tot", sum(col("n_g")).over(all))
     // sources x support frame so zero-mass cells surface (JS needs the
-    // q-side term even where the source lacks the symbol)
+    // q-side term even where the source lacks the symbol); all three
+    // reads below hit the checkpointed frame, not the corpus
     val frame = bySrcSym.select(col("src")).distinct()
       .crossJoin(broadcast(bySym))
       .join(bySrcSym, Seq("src", "sym"), "left")

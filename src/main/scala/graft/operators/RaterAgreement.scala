@@ -71,8 +71,14 @@ object RaterAgreement {
         sum(col("n") * col("n")).as("sum_sq"))
     // modal m: aggregate the (m → item count) frame (rater-count-
     // bounded — one row per distinct panel size) and keep the mode,
-    // ties to the larger m for determinism
-    val modal = perItem.groupBy(col("m")).agg(count(lit(1)).as("k"))
+    // ties to the larger m for determinism. The item count references
+    // sum_sq unfoldably (always ≥ 1 — every item has ≥ 1 rating) so
+    // this consumer's perItem subtree stays IDENTICAL to kept's and
+    // rides its ReusedExchange instead of re-scanning the corpus (the
+    // q95 pruning trap; PlanAudit measured 2 scans under count(1)).
+    val modal = perItem.groupBy(col("m"))
+      .agg(sum(when(col("sum_sq") >= 1, lit(1L)).otherwise(lit(0L)))
+        .as("k"))
       .orderBy(col("k").desc, col("m").desc).limit(1)
       .select(col("m").as("modal_m"))
     val kept = perItem.join(broadcast(modal), col("m") === col("modal_m"))
@@ -88,7 +94,11 @@ object RaterAgreement {
       count(lit(1)).as("n_items"),
       first(col("modal_m")).as("n_raters"),
       sum(col("sum_sq")).as("tot_sq"))
-    val allItems = perItem.agg(count(lit(1)).as("n_items_all"))
+    // same unfoldable-reference discipline as modal: the all-items count
+    // touches both perItem columns so the subtree reuses the exchange
+    val allItems = perItem.agg(
+      sum(when(col("m") >= 1 && col("sum_sq") >= 1, lit(1L))
+        .otherwise(lit(0L))).as("n_items_all"))
     itemTot.crossJoin(catTot).crossJoin(allItems)
       .withColumn("n_items_dropped", col("n_items_all") - col("n_items"))
       .select(col("n_items"), col("n_items_dropped"),
