@@ -193,7 +193,11 @@ object ScaleProbe {
     // per-source lexical divergence (two corpus token aggregates, then
     // support-bounded)
     "q173_packing_sweep", "q174_source_divergence",
-    "q175_fleiss_kappa", "q176_krippendorff_alpha")
+    "q175_fleiss_kappa", "q176_krippendorff_alpha",
+    // frozen-reference divergence: one fixed-width-state aggregate pass
+    // — the shuffled partial is (K+1) longs per (mapper, source)
+    // whatever the token rate
+    "q177_reference_divergence")
 
   /** Re-stage every sf table as an N-file parquet dir. The driver's sf
     * fixtures are single-file/single-row-group, so scan-rooted stages

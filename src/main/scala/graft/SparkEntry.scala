@@ -6002,6 +6002,99 @@ object SparkEntry {
       |    AS krippendorff_alpha
       |FROM s""".stripMargin))
 
+  private val q177 = Q("q177_reference_divergence",
+    (s, dir) => {
+      // Lexical drift against a FROZEN reference profile
+      // (Drift.divergenceVsReference over the DivergenceCounters
+      // aggregate): each source's unigram distribution vs the English
+      // slice's top-500 + <oov> smoothed profile — the train-vs-serve
+      // skew form (q174 compares against the moving all-source global;
+      // this pins the reference). ONE map-side-combined pass: the
+      // shuffled partial is a 501-slot long vector per (mapper, source);
+      // the profile is two bounded definition-time collects. Same
+      // aggregate runs the streaming window twin
+      // (EventStreams.windowedLexicalDrift, spec-pinned parity).
+      val refToks = t(s, dir, "documents").filter(col("lang") === "en")
+        .select(explode(TF.tokens(col("text"))).as("token"))
+      val (vocab, refQ) = Drift.referenceProfile(refToks, "token", 500)
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(TF.tokens(col("text"))).as("token"))
+      Drift.divergenceVsReference(toks, "source", "token", vocab, refQ)
+        .orderBy(col("source"))
+    },
+    Some("""WITH rtok AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> t <> '')) AS token
+      |  FROM documents WHERE lang = 'en'
+      |), rcnt AS (
+      |  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM rtok
+      |  GROUP BY token
+      |), rtot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS total FROM rcnt
+      |), vc AS (
+      |  SELECT token, n FROM (
+      |    SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token)
+      |      AS rk FROM rcnt)
+      |  WHERE rk <= 500
+      |), vk AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |    CAST(SUM(n) AS BIGINT) AS vtot FROM vc
+      |), support AS (
+      |  SELECT vc.token AS sym,
+      |    CAST(vc.n + 1 AS DOUBLE) /
+      |      CAST(rtot.total + vk.k + 1 AS DOUBLE) AS q
+      |  FROM vc, rtot, vk
+      |  UNION ALL
+      |  SELECT '<oov>',
+      |    CAST(rtot.total - vk.vtot + 1 AS DOUBLE) /
+      |      CAST(rtot.total + vk.k + 1 AS DOUBLE)
+      |  FROM rtot, vk
+      |), tok AS (
+      |  SELECT source AS src,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      t -> t <> '')) AS token
+      |  FROM documents WHERE source IS NOT NULL
+      |), mp AS (
+      |  SELECT t.src,
+      |    CASE WHEN vc.token IS NOT NULL THEN t.token
+      |      ELSE '<oov>' END AS sym
+      |  FROM tok t LEFT JOIN vc ON t.token = vc.token
+      |), ss AS (
+      |  SELECT src, sym, CAST(COUNT(*) AS BIGINT) AS n_ss
+      |  FROM mp GROUP BY src, sym
+      |), fr AS (
+      |  SELECT s.src, su.sym, su.q, COALESCE(ss.n_ss, 0) AS n_ss
+      |  FROM (SELECT DISTINCT src FROM ss) s CROSS JOIN support su
+      |  LEFT JOIN ss ON ss.src = s.src AND ss.sym = su.sym
+      |), cl AS (
+      |  SELECT src, sym, n_ss, q,
+      |    CASE WHEN n_ss > 0 THEN CAST(n_ss AS DOUBLE) /
+      |      CAST(SUM(n_ss) OVER (PARTITION BY src) AS DOUBLE)
+      |      ELSE 0.0 END AS p
+      |  FROM fr
+      |), tm AS (
+      |  SELECT src, sym, n_ss,
+      |    CASE WHEN n_ss > 0 THEN
+      |      CAST(p * CAST(CAST(ln(p / q) AS DECIMAL(24,10)) AS DOUBLE)
+      |        AS DECIMAL(28,12))
+      |      ELSE CAST(0 AS DECIMAL(28,12)) END AS kl,
+      |    CASE WHEN n_ss > 0 THEN
+      |      CAST(p * CAST(CAST(ln(p / ((p + q) / 2)) AS DECIMAL(24,10))
+      |        AS DOUBLE) AS DECIMAL(28,12))
+      |      ELSE CAST(0 AS DECIMAL(28,12)) END AS jsp,
+      |    CAST(q * CAST(CAST(ln(q / ((p + q) / 2)) AS DECIMAL(24,10))
+      |      AS DOUBLE) AS DECIMAL(28,12)) AS jsq
+      |  FROM cl
+      |)
+      |SELECT src AS source,
+      |  CAST(SUM(n_ss) AS BIGINT) AS n_tokens,
+      |  CAST((CAST(SUM(CASE WHEN sym = '<oov>' THEN n_ss ELSE 0 END)
+      |      AS HUGEINT) * 1000000) //
+      |    CAST(SUM(n_ss) AS HUGEINT) AS DOUBLE) / 1000000.0 AS oov_frac,
+      |  ROUND(CAST(SUM(kl) AS DOUBLE), 6) AS kl_vs_ref,
+      |  ROUND(CAST(SUM(jsp) + SUM(jsq) AS DOUBLE) / 2.0, 6) AS js_vs_ref
+      |FROM tm GROUP BY src ORDER BY source""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -6016,7 +6109,7 @@ object SparkEntry {
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
-    q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176)
+    q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

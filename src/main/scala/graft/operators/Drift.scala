@@ -262,4 +262,67 @@ object Drift {
           lit(2.0), 6).as("js_vs_global"))
       .withColumnRenamed("src", sourceCol)
   }
+
+  /** Frozen reference profile for [[divergenceVsReference]] and the
+    * streaming twin: (vocab, refQ) where vocab is the reference slice's
+    * top-`vocabSize` tokens ((count desc, token) order — deterministic
+    * at the cutoff) and refQ carries the Laplace-smoothed probabilities
+    * q_i = (n_i + 1) / (total + K + 1) with the `<oov>` mass last —
+    * smoothing guarantees q > 0 on every support symbol, so current-side
+    * tokens the reference never saw stay finite in KL (the [[psi]]
+    * recipe, exact integer ratios).
+    *
+    * Bounded collects at DEFINITION time (the windowedDrift precedent):
+    * the K-row top cut plus a one-row total — the profile is computed
+    * once and embedded, never joined at stream rate. */
+  def referenceProfile(
+      refTokens: DataFrame, tokenCol: String,
+      vocabSize: Int): (Seq[String], Seq[Double]) = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val counts = refTokens.select(col(tokenCol).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("token")).limit(vocabSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(top.nonEmpty, "reference slice has no tokens")
+    val total = counts.agg(sum(col("n"))).head().getLong(0)
+    val k = top.length
+    val denom = (total + k + 1).toDouble
+    val vocab = top.map(_._1).toSeq
+    val oovRaw = total - top.map(_._2).sum
+    val refQ = top.map { case (_, n) => (n + 1).toDouble / denom }.toSeq :+
+      (oovRaw + 1).toDouble / denom
+    (vocab, refQ)
+  }
+
+  /** Per-group lexical drift against a FROZEN reference profile — the
+    * train-vs-serve form of [[unigramDivergence]] (which compares
+    * against the all-source global): one row per group with
+    * (n_tokens, oov_frac, kl_vs_ref, js_vs_ref), computed by the
+    * [[graft.functions.DivergenceCounters]] aggregate.
+    *
+    * Scale shape: ONE map-side-combined pass over the token rows — the
+    * shuffled partial is a (K+1)-long counter vector per (mapper,
+    * group), fixed-width whatever the token rate; no contingency frame,
+    * no support join. The same aggregate is the streaming window state
+    * ([[graft.streaming.EventStreams.windowedLexicalDrift]]), which is
+    * why this form exists: chained aggregations can't run as one
+    * streaming stateful operator, a single custom aggregate can. */
+  def divergenceVsReference(
+      tokens: DataFrame, groupCol: String, tokenCol: String,
+      vocab: Seq[String], refQ: Seq[Double]): DataFrame = {
+    val shims = org.apache.spark.sql.graftshim.Shims
+    val agg = shims.column(
+      graft.functions.DivergenceCounters(
+        shims.expression(col(tokenCol)), vocab, refQ)
+        .toAggregateExpression())
+    tokens
+      .filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(agg.as("__d"))
+      .select(col(groupCol), col("__d.n_tokens").as("n_tokens"),
+        col("__d.oov_frac").as("oov_frac"),
+        col("__d.kl_vs_ref").as("kl_vs_ref"),
+        col("__d.js_vs_ref").as("js_vs_ref"))
+  }
 }

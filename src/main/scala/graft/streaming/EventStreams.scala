@@ -242,6 +242,56 @@ object EventStreams {
           6).as("tvd"))
   }
 
+  /** Streaming per-window LEXICAL drift: for each event-time window, the
+    * KL and Jensen-Shannon divergence of the window's unigram
+    * distribution against a FROZEN reference profile — the
+    * train-vs-serve vocabulary skew monitor (a topic shift, a language
+    * flip, or a spam flood moves js_vs_ref long before volume alarms),
+    * companion to the one-shot batch
+    * [[graft.operators.Drift.divergenceVsReference]], whose rows a
+    * closed window equals exactly (the spec asserts bit-parity — both
+    * forms ARE the same [[graft.functions.DivergenceCounters]]
+    * aggregate).
+    *
+    * The reference profile is collected ONCE at stream definition
+    * (top-`vocabSize` tokens + smoothed probabilities — the
+    * [[windowedDrift]] bounded-collect precedent); state per window is
+    * the aggregate's (K+1)-slot long vector, fixed-width whatever the
+    * event rate, so memory is watermark-bounded. This is also WHY the
+    * op rides a custom aggregate: the batch frame shape (contingency +
+    * support join) is two chained aggregations, which cannot run as one
+    * streaming stateful operator.
+    *
+    * Run with append output mode to emit each window exactly once when
+    * the watermark closes it. */
+  def windowedLexicalDrift(
+      docs: DataFrame,
+      refTokens: DataFrame,
+      textCol: String = "props",
+      vocabSize: Int = 100,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val (vocab, refQ) = graft.operators.Drift.referenceProfile(
+      refTokens, "token", vocabSize)
+    val shims = org.apache.spark.sql.graftshim.Shims
+    val agg = shims.column(
+      graft.functions.DivergenceCounters(
+        shims.expression(col("__tok")), vocab, refQ)
+        .toAggregateExpression())
+    docs
+      .select(col("event_time"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("__tok"))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLength))
+      .agg(agg.as("__d"))
+      .select(col("window.start").as("window_start"),
+        col("__d.n_tokens").as("n_tokens"),
+        col("__d.oov_frac").as("oov_frac"),
+        col("__d.kl_vs_ref").as("kl_vs_ref"),
+        col("__d.js_vs_ref").as("js_vs_ref"))
+  }
+
   /** Per-invocation suffix for streaming observe() metric names (Spark
     * rejects two CollectMetrics nodes sharing a name in one plan). */
   private val streamMetricSeq = new java.util.concurrent.atomic.AtomicLong(0L)

@@ -149,6 +149,69 @@ class DriftSpec extends SparkTestBase {
     assert(out("s2").getAs[Double]("js_vs_global") > 0.0)
   }
 
+  test("referenceProfile: vocab cut, smoothing, and mass sum to 1") {
+    import spark.implicits._
+    val ref = Seq("a", "a", "a", "b", "b", "c").toDF("token")
+    val (vocab, refQ) = Drift.referenceProfile(ref, "token", 2)
+    assert(vocab === Seq("a", "b")) // top-2 by (count desc, token)
+    // q = (n+1)/(total+k+1): a=(3+1)/9, b=(2+1)/9, oov=(1+1)/9
+    assert(refQ === Seq(4.0 / 9, 3.0 / 9, 2.0 / 9))
+    assert(math.abs(refQ.sum - 1.0) < 1e-12)
+  }
+
+  test("divergenceVsReference: hand-replayed divergences, oov floor-ppm") {
+    import spark.implicits._
+    val ref = Seq("a", "a", "a", "b", "b", "c").toDF("token")
+    val (vocab, refQ) = Drift.referenceProfile(ref, "token", 2)
+    // group g1 = [a,a,b] (all in vocab), g2 = [z,z,a] (2/3 oov)
+    val cur = Seq("g1" -> "a", "g1" -> "a", "g1" -> "b",
+      "g2" -> "z", "g2" -> "z", "g2" -> "a").toDF("grp", "token")
+    val out = Drift.divergenceVsReference(cur, "grp", "token", vocab, refQ)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def q10(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def expected(p: Seq[Double]): (Double, Double) = {
+      val kl = p.zip(refQ).collect { case (pi, qi) if pi > 0 =>
+        q12(pi * q10(math.log(pi / qi))) }.sum
+      val jsp = p.zip(refQ).collect { case (pi, qi) if pi > 0 =>
+        q12(pi * q10(math.log(pi / ((pi + qi) / 2)))) }.sum
+      val jsq = p.zip(refQ).map { case (pi, qi) =>
+        q12(qi * q10(math.log(qi / ((pi + qi) / 2)))) }.sum
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r6(kl.toDouble), r6((jsp + jsq).toDouble / 2.0))
+    }
+    val (kl1, js1) = expected(Seq(2.0 / 3, 1.0 / 3, 0.0))
+    assert(out("g1").getAs[Long]("n_tokens") === 3L)
+    assert(out("g1").getAs[Double]("oov_frac") === 0.0)
+    assert(out("g1").getAs[Double]("kl_vs_ref") === kl1)
+    assert(out("g1").getAs[Double]("js_vs_ref") === js1)
+    val (kl2, js2) = expected(Seq(1.0 / 3, 0.0, 2.0 / 3))
+    // floor-ppm of 2/3
+    assert(out("g2").getAs[Double]("oov_frac") === 0.666666)
+    assert(out("g2").getAs[Double]("kl_vs_ref") === kl2)
+    assert(out("g2").getAs[Double]("js_vs_ref") === js2)
+  }
+
+  test("divergenceVsReference is partitioning-invariant (merge path)") {
+    import spark.implicits._
+    val tok = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("token"))
+    val ref = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter(col("lang") === "en")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("token"))
+    val (vocab, refQ) = Drift.referenceProfile(ref, "token", 50)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Drift.divergenceVsReference(df, "source", "token", vocab, refQ)
+        .orderBy("source").collect().toSeq
+    assert(run(tok.repartition(1)) === run(tok.repartition(7)))
+  }
+
   test("unigramDivergence: js is bounded by ln 2 on disjoint vocab") {
     val out = Drift.unigramDivergence(
       tok("s1" -> "a", "s1" -> "a", "s2" -> "b", "s2" -> "b"),

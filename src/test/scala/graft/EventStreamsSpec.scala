@@ -957,4 +957,81 @@ class EventStreamsSpec extends SparkTestBase {
       assert(readOut() == got, "replay after emission duplicated rows")
     } finally if (q2.isActive) q2.stop()
   }
+
+  test("windowedLexicalDrift: closed windows equal batch " +
+      "divergenceVsReference on the same rows, across crash-restarts") {
+    val s = 1000000000L
+    val hour = 3600L * s
+    val dir = Files.createTempDirectory("graft_wld").toString
+    val src = s"$dir/in"
+    val out = s"$dir/out"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def writeBatch(n: String,
+        rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/$n")
+      val f = new java.io.File(s"$dir/$n").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, java.nio.file.Paths.get(src, s"$n.parquet"))
+    }
+    // reference profile: an on-distribution text slice; hour-1 events
+    // carry text in `props` — one on-distribution doc, one with heavy
+    // OOV mass (the drift the monitor exists to catch)
+    val ref = Seq("the quick brown fox", "the lazy dog",
+      "the quick dog").toDF("t")
+      .select(explode(graft.functions.TextFunctions.tokens(col("t")))
+        .as("token"))
+    writeBatch("b1", Seq(
+      (1L, hour + 60 * s, 1L, "view", 1.0, "the quick dog"),
+      (2L, hour + 120 * s, 1L, "view", 1.0, "zorp blarg zorp the"),
+      (3L, hour + 180 * s, 2L, "view", 1.0, "lazy fox")))
+    def start() = EventStreams.windowedLexicalDrift(
+        EventStreams.readEventStream(spark, src), ref,
+        textCol = "props", vocabSize = 5,
+        windowLength = "1 hour", watermark = "30 minutes")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    // crash point 1: hour-1 counters live only in the state store
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    // an hour-4 event closes hour 1 on restart
+    writeBatch("b2", Seq((4L, 4 * hour, 9L, "view", 1.0, "the end")))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      def readOut() = spark.read.parquet(out).collect().map { r =>
+        (r.getTimestamp(0).getTime * 1000000L / hour, r.getLong(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      }.toSet
+      val got = readOut()
+      assert(got.nonEmpty && got.forall(_._1 == 1L),
+        "only the hour-1 window is closed")
+      // batch truth: the batch twin on exactly hour-1's rows, same
+      // profile (both forms are the same aggregate — parity pins the
+      // windowing/watermark/recovery machinery, not the arithmetic)
+      val (vocab, refQ) =
+        graft.operators.Drift.referenceProfile(ref, "token", 5)
+      val hourOne = spark.read.parquet(src).filter(col("ts") < 2 * hour)
+        .select(lit(1L).as("h"),
+          explode(graft.functions.TextFunctions.tokens(col("props")))
+            .as("token"))
+      val truth = graft.operators.Drift
+        .divergenceVsReference(hourOne, "h", "token", vocab, refQ)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+      assert(got == truth)
+      // the OOV doc moved the needle: drift is visibly nonzero
+      val row = got.head
+      assert(row._3 > 0.1, s"oov_frac should see zorp/blarg: $row")
+      assert(row._5 > 0.0, s"js_vs_ref should be nonzero: $row")
+      q2.stop()
+      // crash point 2: restart after emission — no re-emission
+      val q3 = start()
+      q3.processAllAvailable()
+      q3.stop()
+      assert(readOut() == got, "replay after emission duplicated rows")
+    } finally if (q2.isActive) q2.stop()
+  }
 }
