@@ -352,7 +352,12 @@ object ScaleProbe {
       // growth confined to clusters by the prefix filter)
       Seq("q117_oph_neardup", "q122_pagerank", "q162_hard_negatives",
           "q167_threshold_sweep", "q121_prefix_join", "q130_repeated_spans",
-          "q135_incremental_spans")
+          "q135_incremental_spans",
+          // round 14 close: the multi-rater contingency family's only
+          // data-sized step is the (item, category) count over 100x
+          // lineitem — the claim under test is that everything after it
+          // stays contingency-bounded
+          "q175_fleiss_kappa", "q176_krippendorff_alpha")
         .filter(substrFilter("x100only="))
         .foreach { name =>
         // t0 BEFORE df construction: q122's iterations execute eagerly
