@@ -197,7 +197,10 @@ object ScaleProbe {
     // frozen-reference divergence: one fixed-width-state aggregate pass
     // — the shuffled partial is (K+1) longs per (mapper, source)
     // whatever the token rate
-    "q177_reference_divergence")
+    "q177_reference_divergence",
+    // the datasheet composite: ~5 corpus passes, everything downstream
+    // source-sized — the 10x ratio should read like its pieces' sum
+    "q178_corpus_datasheet")
 
   /** Re-stage every sf table as an N-file parquet dir. The driver's sf
     * fixtures are single-file/single-row-group, so scan-rooted stages

@@ -6095,6 +6095,124 @@ object SparkEntry {
       |  ROUND(CAST(SUM(jsp) + SUM(jsq) AS DOUBLE) / 2.0, 6) AS js_vs_ref
       |FROM tm GROUP BY src ORDER BY source""".stripMargin))
 
+  private val q178 = Q("q178_corpus_datasheet",
+    (s, dir) => {
+      // Per-source corpus DATASHEET (Datasheet.corpusDatasheet): the
+      // one-relation data-card a team publishes with a corpus — volume
+      // + mean length, exact-dup health (q156's corpus-wide groups,
+      // per-source attribution), deterministic language mode, and
+      // lexical distance from the corpus average (q174's divergences)
+      // COMPOSED into |sources| rows. Like q172, the point is
+      // value-verifying the composition, not the already-green pieces;
+      // ~5 documented corpus passes, everything downstream
+      // source-sized and broadcast-joined.
+      graft.operators.Datasheet.corpusDatasheet(
+        t(s, dir, "documents"), "text", "source", "lang", "n_chars",
+        vocabSize = 1000)
+        .orderBy(col("source"))
+    },
+    Some("""WITH cells AS (
+      |  SELECT source AS src, COALESCE(lang, '<null>') AS lang,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(len(list_filter(string_split_regex(lower(text),
+      |      '\s+'), t -> t <> ''))) AS BIGINT) AS nt,
+      |    CAST(SUM(n_chars) AS BIGINT) AS nc
+      |  FROM documents WHERE source IS NOT NULL
+      |  GROUP BY src, lang
+      |), persrc AS (
+      |  SELECT src, CAST(SUM(n) AS BIGINT) AS n_docs,
+      |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      |    CAST((CAST(SUM(nc) AS HUGEINT) * 1000000) //
+      |      CAST(SUM(n) AS HUGEINT) AS DOUBLE) / 1000000.0 AS mean_chars
+      |  FROM cells GROUP BY src
+      |), toplang AS (
+      |  SELECT c.src, c.lang AS top_lang,
+      |    CAST((CAST(c.n AS HUGEINT) * 1000000) //
+      |      CAST(p.n_docs AS HUGEINT) AS DOUBLE) / 1000000.0
+      |      AS top_lang_frac
+      |  FROM (SELECT src, lang, n,
+      |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY n DESC, lang)
+      |        AS rk FROM cells) c
+      |  JOIN persrc p ON c.src = p.src
+      |  WHERE c.rk = 1
+      |), h AS (
+      |  SELECT source AS src, md5(text) AS hh FROM documents
+      |  WHERE source IS NOT NULL
+      |), sizes AS (
+      |  SELECT hh, COUNT(*) AS copies FROM h GROUP BY hh
+      |), dup AS (
+      |  SELECT src,
+      |    CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_dup_docs,
+      |    ROUND(CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / COUNT(*), 6) AS dup_rate
+      |  FROM h JOIN sizes ON h.hh = sizes.hh
+      |  GROUP BY src
+      |), tok AS (
+      |  SELECT source AS src,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      t -> t <> '')) AS token
+      |  FROM documents WHERE source IS NOT NULL
+      |), vc AS (
+      |  SELECT token FROM (
+      |    SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+      |    ORDER BY n DESC, token LIMIT 1000)
+      |), mp AS (
+      |  SELECT t.src,
+      |    CASE WHEN vc.token IS NOT NULL THEN t.token
+      |      ELSE '<oov>' END AS sym
+      |  FROM tok t LEFT JOIN vc ON t.token = vc.token
+      |), ss AS (
+      |  SELECT src, sym, CAST(COUNT(*) AS BIGINT) AS n_ss
+      |  FROM mp GROUP BY src, sym
+      |), g AS (
+      |  SELECT sym, CAST(SUM(n_ss) AS BIGINT) AS n_g FROM ss GROUP BY sym
+      |), gt AS (
+      |  SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot FROM g
+      |), fr AS (
+      |  SELECT s.src, g.sym, g.n_g, gt.n_tot,
+      |    COALESCE(ss.n_ss, 0) AS n_ss
+      |  FROM (SELECT DISTINCT src FROM ss) s
+      |  CROSS JOIN g CROSS JOIN gt
+      |  LEFT JOIN ss ON ss.src = s.src AND ss.sym = g.sym
+      |), cl AS (
+      |  SELECT src, sym, n_ss,
+      |    CAST(n_ss AS DOUBLE) /
+      |      CAST(SUM(n_ss) OVER (PARTITION BY src) AS DOUBLE) AS p,
+      |    CAST(n_g AS DOUBLE) / CAST(n_tot AS DOUBLE) AS q
+      |  FROM fr
+      |), tm AS (
+      |  SELECT src, sym, n_ss,
+      |    CASE WHEN n_ss > 0 THEN
+      |      CAST(p * CAST(CAST(ln(p / q) AS DECIMAL(24,10)) AS DOUBLE)
+      |        AS DECIMAL(28,12))
+      |      ELSE CAST(0 AS DECIMAL(28,12)) END AS kl,
+      |    CASE WHEN n_ss > 0 THEN
+      |      CAST(p * CAST(CAST(ln(p / ((p + q) / 2)) AS DECIMAL(24,10))
+      |        AS DOUBLE) AS DECIMAL(28,12))
+      |      ELSE CAST(0 AS DECIMAL(28,12)) END AS jsp,
+      |    CAST(q * CAST(CAST(ln(q / ((p + q) / 2)) AS DECIMAL(24,10))
+      |      AS DOUBLE) AS DECIMAL(28,12)) AS jsq
+      |  FROM cl
+      |), drift AS (
+      |  SELECT src,
+      |    ROUND(CAST(SUM(CASE WHEN sym = '<oov>' THEN n_ss ELSE 0 END)
+      |        AS DOUBLE) /
+      |      CAST(SUM(n_ss) AS DOUBLE), 6) AS oov_frac,
+      |    ROUND(CAST(SUM(kl) AS DOUBLE), 6) AS kl_vs_global,
+      |    ROUND(CAST(SUM(jsp) + SUM(jsq) AS DOUBLE) / 2.0, 6)
+      |      AS js_vs_global
+      |  FROM tm GROUP BY src
+      |)
+      |SELECT persrc.src AS source, n_docs, n_tokens, mean_chars,
+      |  top_lang, top_lang_frac, n_dup_docs, dup_rate,
+      |  oov_frac, kl_vs_global, js_vs_global
+      |FROM persrc
+      |JOIN toplang ON persrc.src = toplang.src
+      |JOIN dup ON persrc.src = dup.src
+      |JOIN drift ON persrc.src = drift.src
+      |ORDER BY source""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -6109,7 +6227,7 @@ object SparkEntry {
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
-    q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177)
+    q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

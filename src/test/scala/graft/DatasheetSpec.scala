@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Datasheet, Dedup, Drift}
+
+/** The datasheet is a COMPOSITION of already-tested operators — these
+  * tests pin the composition: each column reconciles against the
+  * standalone operator on the same rows, and the hand fixture pins the
+  * deterministic language-mode tie-break and the floor-ppm means. */
+class DatasheetSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hand fixture: volumes, mode tie-break, dup and mix fractions") {
+    val docs = Seq(
+      // s1: two langs tied 1-1 -> mode breaks to 'de' (lang asc);
+      // two docs share text -> both are dup docs
+      (1L, "same text here", "s1", "fr", 14L),
+      (2L, "same text here", "s1", "de", 14L),
+      // s2: lang mode 'en' 2 of 3; no dups; null lang buckets visibly
+      (3L, "alpha beta", "s2", "en", 10L),
+      (4L, "gamma delta epsilon", "s2", "en", 19L),
+      (5L, "zeta", "s2", null, 4L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val out = Datasheet.corpusDatasheet(
+        docs, "text", "source", "lang", "n_chars", vocabSize = 100)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("n_docs") === 2L)
+    assert(s1.getAs[Long]("n_tokens") === 6L)
+    assert(s1.getAs[Double]("mean_chars") === 14.0)
+    assert(s1.getAs[String]("top_lang") === "de") // tie -> lang asc
+    assert(s1.getAs[Double]("top_lang_frac") === 0.5)
+    assert(s1.getAs[Long]("n_dup_docs") === 2L)
+    assert(s1.getAs[Double]("dup_rate") === 1.0)
+    val s2 = out("s2")
+    assert(s2.getAs[Long]("n_docs") === 3L)
+    assert(s2.getAs[String]("top_lang") === "en")
+    // floor-ppm of 2/3 and of (10+19+4)/3 = 11
+    assert(s2.getAs[Double]("top_lang_frac") === 0.666666)
+    assert(s2.getAs[Double]("mean_chars") === 11.0)
+    assert(s2.getAs[Long]("n_dup_docs") === 0L)
+    assert(s2.getAs[Double]("dup_rate") === 0.0)
+  }
+
+  test("composite columns reconcile against the standalone operators") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val sheet = Datasheet.corpusDatasheet(
+        docs, "text", "source", "lang", "n_chars", vocabSize = 200)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // dup columns == Dedup.dupRateByGroup
+    Dedup.dupRateByGroup(docs, "source", "text").collect().foreach { r =>
+      val s = sheet(r.getString(0))
+      assert(s.getAs[Long]("n_dup_docs") === r.getAs[Long]("n_dup_docs"))
+      assert(s.getAs[Double]("dup_rate") === r.getAs[Double]("dup_rate"))
+    }
+    // divergence columns == Drift.unigramDivergence at the same K
+    Drift.unigramDivergence(
+        docs.select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("tk")),
+        "source", "tk", 200).collect().foreach { r =>
+      val s = sheet(r.getString(0))
+      assert(s.getAs[Double]("oov_frac") === r.getAs[Double]("oov_frac"))
+      assert(s.getAs[Double]("kl_vs_global") ===
+        r.getAs[Double]("kl_vs_global"))
+      assert(s.getAs[Double]("js_vs_global") ===
+        r.getAs[Double]("js_vs_global"))
+    }
+    // volumes == direct aggregates
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("nd"),
+        sum(graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("bigint")).as("nt"))
+      .collect().foreach { r =>
+        val s = sheet(r.getString(0))
+        assert(s.getAs[Long]("n_docs") === r.getAs[Long]("nd"))
+        assert(s.getAs[Long]("n_tokens") === r.getAs[Long]("nt"))
+      }
+    assert(sheet.size === 20)
+  }
+}
