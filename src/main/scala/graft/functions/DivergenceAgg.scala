@@ -61,10 +61,15 @@ case class DivergenceCounters(
 
   private val k = vocab.length
 
-  @transient private lazy val index: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](k * 2)
+  // UTF8String-keyed so the per-token hot path does a hash lookup on
+  // the raw eval() value with NO String materialization (a String per
+  // token is corpus-sized garbage at 100 TB rates); UTF8String has
+  // value equals/hashCode, and get() retains nothing, so a buffer-backed
+  // input UTF8String is safe to probe with
+  @transient private lazy val index: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](k * 2)
     var i = 0
-    while (i < k) { m.put(vocab(i), i); i += 1 }
+    while (i < k) { m.put(UTF8String.fromString(vocab(i)), i); i += 1 }
     m
   }
 
@@ -97,7 +102,7 @@ case class DivergenceCounters(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val raw = child.eval(input)
     if (raw != null) {
-      val i = index.get(raw.asInstanceOf[UTF8String].toString)
+      val i = index.get(raw.asInstanceOf[UTF8String])
       buf(if (i == null) k else i.intValue()) += 1L
     }
     buf
