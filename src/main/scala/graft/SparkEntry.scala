@@ -5712,7 +5712,8 @@ object SparkEntry {
       |  SELECT d.* FROM documents d
       |  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
       |), folded AS (
-      |  SELECT *, ((('0x' || substr(md5(source), 1, 4))::INT % 4) + 4) % 4
+      |  SELECT *, COALESCE(
+      |    ((('0x' || substr(md5(source), 1, 4))::INT % 4) + 4) % 4, -1)
       |    AS fold FROM dd
       |), h AS (
       |  SELECT fold, md5(text) AS hh FROM folded
@@ -5778,7 +5779,8 @@ object SparkEntry {
       |SELECT dup.fold, (SELECT ct FROM chosen) AS chosen_threshold,
       |  dup.n_docs, dup.n_dup_docs, dup.n_dup_groups, dup.dup_rate,
       |  drift.psi, drift.tvd
-      |FROM dup JOIN drift USING (fold) ORDER BY fold""".stripMargin))
+      |FROM dup JOIN drift ON dup.fold IS NOT DISTINCT FROM drift.fold
+      |ORDER BY dup.fold""".stripMargin))
 
   private val q173 = Q("q173_packing_sweep",
     (s, dir) => {
@@ -6210,7 +6212,7 @@ object SparkEntry {
       |FROM persrc
       |JOIN toplang ON persrc.src = toplang.src
       |JOIN dup ON persrc.src = dup.src
-      |JOIN drift ON persrc.src = drift.src
+      |LEFT JOIN drift ON persrc.src = drift.src
       |ORDER BY source""".stripMargin))
 
   private val all: Seq[Q] = Seq(

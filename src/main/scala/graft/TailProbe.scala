@@ -39,19 +39,28 @@ object TailProbe {
   }
 
   // Janino compile totals from Spark's codegen metrics source. The
-  // histogram reservoir holds up to 1028 raw values — far above the
-  // compile count of a single probed query — so summing snapshot
-  // values and diffing across runs is exact here.
+  // histogram reservoir holds up to 1028 raw values: summing snapshot
+  // values and diffing across runs is exact ONLY while the JVM's total
+  // compile count stays under that — true for a standalone probed
+  // query (tens of compiles), FALSE in `context` mode, where the ~178
+  // preceding queries blow past the reservoir and each insert evicts a
+  // random prior value (a sum delta can even go negative). The count
+  // is a plain Counter and stays exact always; callers get ms = -1
+  // once the sum is reservoir-corrupted rather than a wrong number.
   private def janino(): (Long, Long) = {
     val h = org.apache.spark.metrics.source.CodegenMetrics
       .METRIC_COMPILATION_TIME
     (h.getCount, h.getSnapshot.getValues.sum)
   }
+  private val reservoirSize = 1028L
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val name = args(1)
-    val runs = if (args.length > 2) args(2).toInt else 3
+    // runs is the first NUMERIC trailing arg — `<sfDir> <query> context`
+    // must not feed "context" to toInt (positional parsing crashed it)
+    val runs = args.drop(2).find(_.forall(_.isDigit)).map(_.toInt)
+      .getOrElse(3)
     val context = args.contains("context")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -82,9 +91,12 @@ object TailProbe {
       val n = SparkEntry.queries(name)(spark, dir).count()
       val wall = (System.nanoTime() - t0) / 1e9
       val (jn1, jm1) = janino()
+      // -1 = reservoir-corrupted (see janino()): past 1028 total
+      // compiles the snapshot sum is no longer a faithful total
+      val janinoMs = if (jn1 <= reservoirSize) jm1 - jm0 else -1L
       println(f"""{"query":"$name","run":$i,"context":$context,""" +
         f""""wall_s":$wall%.3f,"rows":$n,""" +
-        f""""janino_n":${jn1 - jn0},"janino_ms":${jm1 - jm0},""" +
+        f""""janino_n":${jn1 - jn0},"janino_ms":$janinoMs,""" +
         f""""jit_ms":${jitMillis() - jit0},""" +
         f""""gc_s":${(gcMillis() - gc0) / 1e3}%.3f}""")
     }

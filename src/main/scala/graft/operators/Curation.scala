@@ -43,7 +43,10 @@ object Curation {
     *  4. Leakage-safe folds ([[Sampling.kFold]] on `groupCol`, e.g.
     *     the source domain): every group's rows land in one fold,
     *     map-only, layout-independent; a null group key surfaces as a
-    *     null fold row (visible, not dropped).
+    *     VISIBLE fold -1 row in the report (kFold emits fold = null
+    *     for it; the report relabels, because a null key would be
+    *     dropped by stage 5's equi-join and zeroed by psiSeries's
+    *     group-frame join — see the stage-4 inline note).
     *  5. Per-fold health: [[Dedup.dupRateByGroup]] keyed by fold
     *     (duplicate groups corpus-wide over the DEDUPED corpus,
     *     attribution per fold — the q156 discipline) joined with
@@ -81,7 +84,7 @@ object Curation {
       numHashes, bands, shingleSize, ts.head, seed).localCheckpoint()
     // stage 2: |thresholds|-row bounded collect; smallest threshold
     // within the removal budget, else the most conservative one
-    val curve = Dedup.sweepOverPairs(pairs, ts)
+    val curve = Dedup.sweepOverPairs(pairs, ts, pairsBuiltAt = Some(ts.head))
       .collect().map(r => (r.getDouble(0), r.getLong(2)))
     val chosen = curve.filter(_._2 <= maxAffectedDocs).map(_._1)
       .sorted.headOption.getOrElse(ts.last)
@@ -89,8 +92,16 @@ object Curation {
     val losers = pairs.filter(col("jaccard") >= lit(chosen))
       .select(col("id_b").as(idCol)).distinct()
     val deduped = docs.join(losers, Seq(idCol), "left_anti")
-    // stage 4: group-coherent folds
+    // stage 4: group-coherent folds. Docs with a NULL group key get
+    // fold = null from kFold (its visible-null contract) — the report
+    // RELABELS that fold to -1 before stage 5, because null keys are
+    // poison downstream: the equi-join between dup stats and drift
+    // would drop the row (null != null), and psiSeries's internal
+    // (group × bin) frame join would zero the null group's counts.
+    // -1 cannot collide (real folds are 0..k-1), stays one visible row
+    // in the report, and keeps every stage-5 key null-free.
     val folded = Sampling.kFold(deduped, groupCol, folds)
+      .withColumn("fold", coalesce(col("fold"), lit(-1)))
     // stage 5: per-fold residual-dup attribution + drift vs corpus
     val dupStats = Dedup.dupRateByGroup(folded, "fold", textCol)
     val drift = Drift.psiSeries(deduped, folded, valueCol, "fold", edges)

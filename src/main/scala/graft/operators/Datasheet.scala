@@ -80,10 +80,15 @@ object Datasheet {
       .select(col(sourceCol).as("src"),
         col("oov_frac"), col("kl_vs_global"), col("js_vs_global"))
 
+    // drift joins LEFT: a source whose documents yield zero tokens
+    // (all-empty/null text) never enters the divergence frame — its
+    // datasheet row must still exist (the one-row-per-source contract),
+    // with NULL divergences saying "no lexical signal", not vanish.
+    // topLang and dup can't lose sources: both derive from `base`.
     perSrc
       .join(topLang, Seq("src"))
       .join(dup, Seq("src"))
-      .join(drift, Seq("src"))
+      .join(drift, Seq("src"), "left")
       .withColumnRenamed("src", sourceCol)
   }
 }

@@ -547,7 +547,8 @@ object Dedup {
     require(thresholds.nonEmpty, "thresholds must be non-empty")
     val ts = thresholds.distinct.sorted
     sweepOverPairs(portableNearDups(docs, idCol, textCol,
-      numHashes, bands, shingleSize, ts.head, seed), ts)
+      numHashes, bands, shingleSize, ts.head, seed), ts,
+      pairsBuiltAt = Some(ts.head))
   }
 
   /** The tuning-curve aggregation of [[thresholdSweep]] over an
@@ -559,11 +560,22 @@ object Dedup {
     * same frame to both consumers, instead of paying a second
     * sketch+verify pass. Contract: every requested threshold must be
     * ≥ the verify threshold the pair frame was built at, or the curve
-    * under-counts (the pairs below that floor were already dropped) —
-    * require-guarded against a sorted, deduplicated threshold list. */
-  def sweepOverPairs(pairs: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    * under-counts (the pairs below that floor were already dropped).
+    * The frame itself carries no build threshold, so the guard needs
+    * the caller's word: pass `pairsBuiltAt` and the floor is
+    * require-checked; omit it and the contract is UNCHECKED (both
+    * in-repo callers pass it). */
+  def sweepOverPairs(
+      pairs: DataFrame, thresholds: Seq[Double],
+      pairsBuiltAt: Option[Double] = None): DataFrame = {
     require(thresholds.nonEmpty, "thresholds must be non-empty")
     val ts = thresholds.distinct.sorted
+    pairsBuiltAt.foreach { b =>
+      require(ts.head >= b,
+        s"sweep threshold ${ts.head} is below the pair frame's build " +
+          s"threshold $b: pairs in [${ts.head}, $b) were never emitted " +
+          "and the curve would under-count")
+    }
     import pairs.sparkSession.implicits._
     val tFrame = ts.toDF("threshold")
     val counts = pairs
@@ -1051,11 +1063,11 @@ object Dedup {
   /** Tie column for the cluster-survivor argmax: any id type with an
     * exact order-preserving mapping ([[graft.plans.TopKPerGroup
     * .tieExpr]] — integral, string, decimal p ≤ 18, date/timestamp,
-    * boolean) is accepted; null ids rank first (asc nulls-first, the
-    * old window's order) instead of being silently dropped by the
-    * exec's null-tie skip. Unmappable types (wide decimals, floats)
-    * fail fast with a clear error — the round-12 behavior, now with a
-    * much smaller excluded set. */
+    * boolean) is accepted; null ids rank first because the EXEC orders
+    * null ties first natively (asc nulls-first, the old window's
+    * order) — no sentinel mapping, no per-row encoding. Unmappable
+    * types (wide decimals, floats) fail fast with a clear error — the
+    * round-12 behavior, now with a much smaller excluded set. */
   private def clusterTie(df: DataFrame, idCol: String): Column =
     graft.plans.TopKPerGroup.tieExpr(df, idCol).getOrElse(
       throw new IllegalArgumentException(

@@ -21,6 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Per-invocation observe-name suffix (two sweeps in one plan must
+    * not collide on a CollectMetrics name). */
+  private val sweepMetricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Adds `pack_id` (long, per shard) + `tokens_before` within the shard.
     * Layout order inside a shard = `orderCol` ascending, with `tieCols`
     * appended to the window order: a ROWS frame over duplicate `orderCol`
@@ -82,7 +86,14 @@ object Packing {
       candidates: Seq[Long]): DataFrame = {
     require(candidates.nonEmpty && candidates.forall(_ > 0),
       "candidates must be positive lengths")
+    // null token counts can't be sequenced: counting them in n_docs
+    // while the sums skip them would inflate the padding denominator
+    // as if they were zero-length docs — drop them VISIBLY instead
+    // (the repo's no-silent-drops observe discipline)
     df.select(col(nTokensCol).cast("bigint").as("__nt"))
+      .observe(s"graft.packing.sweep.${sweepMetricSeq.incrementAndGet()}",
+        count(when(col("__nt").isNull, 1)).as("null_token_rows_dropped"))
+      .filter(col("__nt").isNotNull)
       .withColumn("max_len",
         explode(array(candidates.distinct.sorted.map(lit): _*)))
       .groupBy(col("max_len"))

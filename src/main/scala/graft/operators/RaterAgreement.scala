@@ -29,6 +29,12 @@ import org.apache.spark.sql.functions._
   */
 object RaterAgreement {
 
+  /** Per-invocation suffix for observe() metric names: Spark rejects a
+    * plan holding two CollectMetrics nodes with the same name, so a
+    * composite that unions/joins two agreement frames needs unique
+    * names — the Metrics.metricSeq convention. */
+  private val metricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Fleiss' kappa over items rated by a FIXED number of raters.
     *
     * One output row: n_items, n_raters, n_categories, p_bar (mean
@@ -45,7 +51,8 @@ object RaterAgreement {
     * [[krippendorffAlpha]] when rater counts vary); the drop is NOT
     * silent: the output row carries `n_items_dropped`. Null item ids
     * or categories are dropped with the count reported through the
-    * `graft.rater.fleiss` observe metric (`null_rows_dropped`). m is
+    * `graft.rater.fleiss.N` observe metric (`null_rows_dropped`;
+    * N is a per-invocation suffix so composed frames coexist). m is
     * the MODAL rating count (most items win; ties break to the larger
     * m so a 50/50 fixture prefers the richer panel), computed
     * distributedly — no driver collect. The contingency subtree feeds
@@ -57,7 +64,7 @@ object RaterAgreement {
       df: DataFrame, itemCol: String, categoryCol: String): DataFrame = {
     val raw = df.select(
         col(itemCol).as("item"), col(categoryCol).as("cat"))
-      .observe("graft.rater.fleiss",
+      .observe(s"graft.rater.fleiss.${metricSeq.incrementAndGet()}",
         count(when(col("item").isNull || col("cat").isNull, 1))
           .as("null_rows_dropped"))
     val nullDropped =
@@ -144,8 +151,13 @@ object RaterAgreement {
     */
   def krippendorffAlpha(
       df: DataFrame, itemCol: String, categoryCol: String): DataFrame = {
+    // same no-silent-drops contract as fleissKappa: nulls can't form
+    // ratings, but their count must be visible to the caller
     val rows = df.select(
         col(itemCol).as("item"), col(categoryCol).as("cat"))
+      .observe(s"graft.rater.krippendorff.${metricSeq.incrementAndGet()}",
+        count(when(col("item").isNull || col("cat").isNull, 1))
+          .as("null_rows_dropped"))
       .filter(col("item").isNotNull && col("cat").isNotNull)
     val ct = rows.groupBy(col("item"), col("cat"))
       .agg(count(lit(1)).as("n"))

@@ -19,10 +19,13 @@ import org.apache.spark.sql.graftshim.Shims
   * key per partition instead: O(n log k) time, O(#keys × k) memory, and the
   * only exchange is the hash partition by group key (no sort at all).
   *
-  * Semantics: rows ranked by `order` DESC, ties broken by `tie` ASC
-  * (callers pass a unique tie column for determinism — same contract as a
-  * deterministic window). Rows with a null/NaN `order` or a null `tie`
-  * value are dropped. Integral orders rank at full 64-bit precision
+  * Semantics: rows ranked by `order` DESC, ties broken by `tie` ASC with
+  * NULL ties FIRST (callers pass a unique tie column for determinism —
+  * same contract as a deterministic window's `asc_nulls_first`, and the
+  * reason no caller needs a null SENTINEL: a sentinel either collides
+  * with a genuine id — the ADVICE-r13 bug — or costs a per-row encoding;
+  * the exec ordering nulls natively does neither). Rows with a null/NaN
+  * `order` are dropped. Integral orders rank at full 64-bit precision
   * (values past 2^53 are NOT coerced through Double); fractional orders
   * use an order-preserving bit mapping. Ties are integral (exact 64-bit
   * compare) or string (raw UTF-8 byte order — Spark's binary collation).
@@ -116,14 +119,25 @@ case class TopKPerGroupExec(
       // tie values are stored pre-converted: boxed Long for integral ties
       // (exact 64-bit compare), cloned UTF8String for string ties (eval
       // returns a view into the reused row buffer — it must be copied
-      // before outliving the iterator step)
+      // before outliving the iterator step). A null tie orders FIRST
+      // (asc nulls-first, the window parity) — handled HERE so nullable
+      // id columns ride the native long/string path instead of paying a
+      // per-row sentinel encoding at the mapping layer
+      def nullsFirst(cmp: (Any, Any) => Int): (Any, Any) => Int =
+        (a, b) =>
+          if (a == null && b == null) 0
+          else if (a == null) -1
+          else if (b == null) 1
+          else cmp(a, b)
       val tieCmp: (Any, Any) => Int =
         if (stringTie)
-          (a, b) => a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-            .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+          nullsFirst((a, b) =>
+            a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+              .compareTo(
+                b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
         else
-          (a, b) => java.lang.Long.compare(
-            a.asInstanceOf[java.lang.Long], b.asInstanceOf[java.lang.Long])
+          nullsFirst((a, b) => java.lang.Long.compare(
+            a.asInstanceOf[java.lang.Long], b.asInstanceOf[java.lang.Long]))
       // min-heap ordered by "badness": head is the weakest kept row
       // (lowest order value; among equals, the HIGHEST tie value)
       implicit val badness: Ordering[(Long, Any, UnsafeRow)] =
@@ -135,20 +149,20 @@ case class TopKPerGroupExec(
       iter.foreach { row =>
         val ov = boundOrder.eval(row)
         val tv = boundTie.eval(row)
-        // NaN order values are dropped along with nulls: NaN comparisons
-        // are false both ways, which would make heap contents depend on
-        // row arrival order (nondeterministic across shuffles). Null tie
-        // values are skipped under the same policy (perKey() rejects
-        // non-orderable tie types, but nullable columns can still hold
-        // nulls).
-        if (ov != null && tv != null &&
+        // NaN order values are dropped along with null orders: NaN
+        // comparisons are false both ways, which would make heap
+        // contents depend on row arrival order (nondeterministic across
+        // shuffles). Null TIE values are kept and rank first — see
+        // tieCmp above.
+        if (ov != null &&
           (integralOrder ||
             !java.lang.Double.isNaN(ov.asInstanceOf[Number].doubleValue()))) {
           val v =
             if (integralOrder) ov.asInstanceOf[Number].longValue()
             else sortableBits(ov.asInstanceOf[Number].doubleValue())
           val t: Any =
-            if (stringTie)
+            if (tv == null) null
+            else if (stringTie)
               tv.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].clone()
             else java.lang.Long.valueOf(tv.asInstanceOf[Number].longValue())
           val key = keyProj(row)
@@ -258,35 +272,24 @@ object TopKPerGroup {
       case _ => false
     }
 
-  /** Null-safe, ASC-order-preserving, COLLISION-FREE tie column for
-    * [[perKey]] over an arbitrary orderable id column — the internal
-    * mapping that lets the keep-one/argmax operators accept the same id
-    * types their old window formulations did, instead of rejecting
-    * everything outside the exec's native integral-or-string contract:
+  /** ASC-order-preserving tie column for [[perKey]] over an arbitrary
+    * orderable id column — the internal mapping that lets the
+    * keep-one/argmax operators accept the same id types their old
+    * window formulations did, instead of rejecting everything outside
+    * the exec's native integral-or-string contract. Every arm is a PURE
+    * exact conversion: nulls propagate and the EXEC orders them first
+    * (tieCmp's nulls-first — the window's asc_nulls_first), so there is
+    * no sentinel to collide with a genuine id (the ADVICE-r13 bug), and
+    * no per-row encoding on the hot path (the round-14 review finding:
+    * the interim fix hex-encoded every nullable long id — an allocation
+    * + string compare per corpus row to handle a measure-zero case the
+    * comparator handles for free):
     *
-    *  - byte/short/int → long, NULL → Long.MinValue (ranks first ASC —
-    *    the window's asc nulls-first; the exec would otherwise silently
-    *    DROP null-tie rows). The sentinel is UNREACHABLE from a sub-long
-    *    range, so it cannot collide with a genuine id.
-    *  - long, non-nullable → itself (no sentinel needed)
-    *  - long, nullable → 16-char fixed-width hex of the sign-flipped
-    *    value, NULL → "" (shorter than every encoded value, so ranks
-    *    first; the encoding is injective — a genuine Long.MinValue id
-    *    encodes to "0000000000000000", DISTINCT from the null "",
-    *    where the old ±Long.MinValue sentinel collided and made the
-    *    k=1 winner nondeterministic between a null-id and a
-    *    MinValue-id row)
-    *  - string, non-nullable → itself
-    *  - string, nullable → "v" ++ id, NULL → "" (same-length prefix
-    *    preserves byte order; a genuine empty-string id becomes "v",
-    *    distinct from the null "" — the old shared-"" collision gone)
-    *  - decimal p ≤ 18 → exact unscaled long (range ±(10¹⁸−1), so the
-    *    Long.MinValue null sentinel is unreachable; same-scale columns
-    *    order identically; no double collapse past 2⁵³)
+    *  - byte/short/int/boolean → long (exact widening)
+    *  - long / string → itself (nullable or not)
+    *  - decimal p ≤ 18 → exact unscaled long (same-scale columns order
+    *    identically; no double collapse past 2⁵³)
     *  - date / timestamp / timestamp_ntz → exact epoch days/micros
-    *    (valid Spark timestamps span [0001-01-01, 9999-12-31] — micros
-    *    ≥ −6.3e16 ≫ Long.MinValue, sentinel unreachable)
-    *  - boolean → 0/1
     *
     * Returns None for types with no exact order-preserving mapping
     * (wide decimals, floats, complex types) — callers fall back or
@@ -297,26 +300,17 @@ object TopKPerGroup {
     val c = col(idCol)
     val field = df.schema(idCol)
     field.dataType match {
-      case ByteType | ShortType | IntegerType =>
-        Some(coalesce(c.cast("long"), lit(Long.MinValue)))
-      case LongType if !field.nullable => Some(c)
-      case LongType =>
-        // sign-bit flip maps signed order to unsigned order; 16-char
-        // zero-padded uppercase hex then compares lexicographically as
-        // the original signed long. hex digits 0-9A-F ascend in ASCII.
-        Some(when(c.isNull, lit("")).otherwise(
-          lpad(hex(c.bitwiseXOR(lit(Long.MinValue))), 16, "0")))
-      case StringType if !field.nullable => Some(c)
-      case StringType =>
-        Some(when(c.isNull, lit("")).otherwise(concat(lit("v"), c)))
+      case ByteType | ShortType | IntegerType | BooleanType =>
+        Some(c.cast("long"))
+      case LongType => Some(c)
+      case StringType => Some(c)
       case d: DecimalType if d.precision <= 18 =>
-        Some(coalesce(
-          Shims.column(org.apache.spark.sql.catalyst.expressions
-            .UnscaledValue(Shims.expression(c))), lit(Long.MinValue)))
+        Some(Shims.column(org.apache.spark.sql.catalyst.expressions
+          .UnscaledValue(Shims.expression(c))))
       case DateType =>
-        Some(coalesce(unix_date(c).cast("long"), lit(Long.MinValue)))
+        Some(unix_date(c).cast("long"))
       case TimestampType =>
-        Some(coalesce(unix_micros(c), lit(Long.MinValue)))
+        Some(unix_micros(c))
       case TimestampNTZType =>
         // The NTZ→timestamp cast must carry an EXPLICIT fixed-offset
         // zone: under the session zone, a DST spring-forward gap maps
@@ -325,13 +319,10 @@ object TopKPerGroup {
         // and the same call would keep different winners under different
         // session zones. UTC has no transitions, so the mapping is an
         // exact bijection onto epoch micros.
-        Some(coalesce(
-          Shims.column(org.apache.spark.sql.catalyst.expressions.UnixMicros(
-            org.apache.spark.sql.catalyst.expressions.Cast(
-              Shims.expression(c), org.apache.spark.sql.types.TimestampType,
-              Some("UTC")))), lit(Long.MinValue)))
-      case BooleanType =>
-        Some(coalesce(c.cast("long"), lit(Long.MinValue)))
+        Some(Shims.column(org.apache.spark.sql.catalyst.expressions.UnixMicros(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            Shims.expression(c), org.apache.spark.sql.types.TimestampType,
+            Some("UTC")))))
       case _ => None
     }
   }

@@ -38,6 +38,35 @@ class CurationSpec extends SparkTestBase {
     assert(straddlers.count() == 0)
   }
 
+  test("curationReport: null-source docs surface as fold -1 and the " +
+      "report still reconciles with the deduped corpus") {
+    // review finding: kFold's null fold key fell out of the stage-5
+    // equi-join (null != null), so null-source docs vanished from the
+    // report and sum(n_docs) under-counted the deduped corpus
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .limit(60)
+      .unionByName(Seq(
+        (900001L, "an orphan row with no source at all", null, 36L),
+        (900002L, "another orphan row with no source", null, 33L))
+        .toDF("doc_id", "text", "source", "n_chars")
+        .select(col("doc_id"), col("text"),
+          col("source").cast("string").as("source"),
+          lit("en").as("lang"), col("n_chars")))
+    val rep = Curation.curationReport(docs, "doc_id", "text", "source",
+      "n_chars", ts, maxAffectedDocs = 0L, folds = 4, edges = edges)
+      .collect()
+    val byFold = rep.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(byFold.contains(-1), s"null-source fold missing: $byFold")
+    assert(byFold(-1) == 2L)
+    // total reconciliation INCLUDING the null fold
+    val losers = Dedup.portableNearDups(docs, "doc_id", "text",
+        threshold = ts.max)
+      .select(col("id_b").as("doc_id")).distinct()
+    val deduped = docs.join(losers, Seq("doc_id"), "left_anti")
+    assert(byFold.values.sum == deduped.count())
+  }
+
   test("curationReport: an unmeetable budget falls back to the most " +
       "conservative threshold") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")

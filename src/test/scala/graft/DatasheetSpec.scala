@@ -43,6 +43,26 @@ class DatasheetSpec extends SparkTestBase {
     assert(s2.getAs[Double]("dup_rate") === 0.0)
   }
 
+  test("a token-less source keeps its row with NULL divergences") {
+    // review finding: the drift side is derived from exploded tokens,
+    // so a source of empty-text docs never enters it — the inner join
+    // silently deleted the source from the datasheet
+    val docs = Seq(
+      (1L, "real words here", "s1", "en", 15L),
+      (2L, "", "s_empty", "en", 0L),
+      (3L, "   ", "s_empty", "en", 3L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val out = Datasheet.corpusDatasheet(
+        docs, "text", "source", "lang", "n_chars", vocabSize = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("s1", "s_empty"))
+    val e = out("s_empty")
+    assert(e.getAs[Long]("n_docs") === 2L)
+    assert(e.getAs[Long]("n_tokens") === 0L)
+    assert(e.isNullAt(e.fieldIndex("js_vs_global")))
+    assert(e.isNullAt(e.fieldIndex("kl_vs_global")))
+  }
+
   test("composite columns reconcile against the standalone operators") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val sheet = Datasheet.corpusDatasheet(

@@ -47,13 +47,23 @@ class TopKPerGroupSpec extends SparkTestBase {
     assert(got == Set(1L, 3L))
   }
 
-  test("null tie values are dropped under the same policy") {
+  test("null tie values are KEPT and rank first (asc nulls-first)") {
+    // null ties used to be dropped; the exec now orders them first, so
+    // nullable id columns ride the native long path with no sentinel
     val df = Seq(
       ("a", 3.0, Some(1L)), ("a", 2.0, None), ("a", 1.0, Some(3L))
     ).toDF("k", "v", "id")
     val got = TopKPerGroup.perKey(df, Seq("k"), "v", "id", 2)
       .select("v").collect().map(_.getDouble(0)).toSet
-    assert(got == Set(3.0, 1.0))
+    assert(got == Set(3.0, 2.0))
+    // among EQUAL order values, the null-tie row wins the cut
+    val tied = Seq(
+      ("a", 1.0, Some(5L)), ("a", 1.0, None), ("a", 1.0, Some(1L))
+    ).toDF("k", "v", "id")
+    val kept = TopKPerGroup.perKey(tied, Seq("k"), "v", "id", 2)
+      .select("id").collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    assert(kept == Set(None, Some(1L)))
   }
 
   test("long orders past 2^53 rank at full precision") {
@@ -136,14 +146,15 @@ class TopKPerGroupSpec extends SparkTestBase {
     assert(got == want)
   }
 
-  test("string ties break on byte order, nulls dropped") {
+  test("string ties break on byte order, null first") {
     val df = Seq(
       ("a", 1.0, Some("bb")), ("a", 1.0, Some("aa")),
       ("a", 1.0, None), ("a", 1.0, Some("ab"))
     ).toDF("k", "v", "t")
     val got = TopKPerGroup.perKey(df, Seq("k"), "v", "t", 2)
-      .select("t").collect().map(_.getString(0)).toSet
-    assert(got == Set("aa", "ab"))
+      .select("t").collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getString(0))).toSet
+    assert(got == Set(None, Some("aa")))
   }
 
   test("case-only column collisions are AMBIGUOUS, not first-wins") {
