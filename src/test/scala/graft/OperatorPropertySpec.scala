@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.AsofJoin
+import graft.operators.{AsofJoin, RaterAgreement}
 import graft.plans.TopKPerGroup
 
 /** Randomized cross-checks of the custom operators against brute-force
@@ -136,5 +136,72 @@ class OperatorPropertySpec extends SparkTestBase {
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
     assert(id(1L) === (("entirely fresh words never repeated", 0L)))
     assert(id(2L)._2 === 0L)
+  }
+
+  test("fleissKappa matches a brute-force reference on random panels") {
+    val rng = new scala.util.Random(21L)
+    val cats = Seq("x", "y", "z")
+    // items with 1..5 ratings each — the modal panel emerges from data
+    val ratings = (1 to 60).flatMap { i =>
+      (0 until (1 + rng.nextInt(5))).map(_ => (s"i$i", cats(rng.nextInt(3))))
+    }
+    val got = RaterAgreement.fleissKappa(
+      ratings.toDF("item", "cat"), "item", "cat").collect().head
+
+    val byItem = ratings.groupBy(_._1).toSeq.map { case (_, rs) =>
+      val cnts = rs.groupBy(_._2).map(_._2.size.toLong)
+      (cnts.sum, cnts.map(c => c * c).sum,
+        rs.groupBy(_._2).map { case (c, xs) => c -> xs.size.toLong })
+    }
+    val modalM = byItem.groupBy(_._1).toSeq
+      .maxBy { case (m, xs) => (xs.size, m) }._1
+    val kept = byItem.filter(_._1 == modalM)
+    val n = kept.size.toLong
+    val totSq = kept.map(_._2).sum
+    val nj = kept.flatMap(_._3.toSeq).groupBy(_._1)
+      .map { case (_, xs) => xs.map(_._2).sum }
+    val nm = n * modalM
+    val pBar = (totSq - nm).toDouble / (nm * (modalM - 1)).toDouble
+    val pE = nj.map(x => x.toDouble * x.toDouble).sum / (nm.toDouble * nm)
+    val kappa = (pBar - pE) / (1.0 - pE)
+    assert(got.getAs[Long]("n_items") === n)
+    assert(got.getAs[Long]("n_raters") === modalM)
+    assert(got.getAs[Long]("n_items_dropped") === byItem.size - n)
+    assert(math.abs(got.getAs[Double]("p_bar") - pBar) < 1e-6)
+    assert(math.abs(got.getAs[Double]("p_e") - pE) < 1e-6)
+    assert(math.abs(got.getAs[Double]("fleiss_kappa") - kappa) < 1e-6)
+  }
+
+  test("krippendorffAlpha matches a brute-force reference on random " +
+      "variable panels") {
+    val rng = new scala.util.Random(31L)
+    val cats = Seq("x", "y", "z", "w")
+    val ratings = (1 to 80).flatMap { i =>
+      (0 until (1 + rng.nextInt(4))).map(_ => (s"i$i", cats(rng.nextInt(4))))
+    }
+    val got = RaterAgreement.krippendorffAlpha(
+      ratings.toDF("item", "cat"), "item", "cat").collect().head
+
+    val byItem = ratings.groupBy(_._1).toSeq.map { case (_, rs) =>
+      val cnts = rs.groupBy(_._2).map { case (c, xs) => c -> xs.size.toLong }
+      (cnts.values.sum, cnts)
+    }.filter(_._1 >= 2)
+    val n = byItem.map(_._1).sum
+    // mirror the engine's per-item DECIMAL(28,10) quantization before
+    // the order-free sum
+    val doN = byItem.map { case (m, cnts) =>
+      val ssq = cnts.values.map(c => c * c).sum
+      BigDecimal((m * m - ssq).toDouble / (m - 1).toDouble)
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val nc = byItem.flatMap(_._2.toSeq).groupBy(_._1)
+      .map { case (_, xs) => xs.map(_._2).sum }
+    val deN = BigDecimal(n) * BigDecimal(n) -
+      nc.map(c => BigDecimal(c) * BigDecimal(c)).sum
+    val alpha = 1.0 - (n - 1).toDouble * doN.toDouble / deN.toDouble
+    assert(got.getAs[Long]("n_items") === byItem.size.toLong)
+    assert(got.getAs[Long]("n_ratings") === n)
+    assert(math.abs(got.getAs[Double]("d_o") - doN.toDouble / n) < 1e-6)
+    assert(math.abs(got.getAs[Double]("krippendorff_alpha") - alpha) < 1e-6)
   }
 }
