@@ -4913,7 +4913,7 @@ object SparkEntry {
         .orderBy(col("source"))
     },
     Some("""WITH h AS (
-      |  SELECT source, md5(text) AS hh FROM documents
+      |  SELECT source, COALESCE(md5(text), '') AS hh FROM documents
       |), sizes AS (
       |  SELECT hh, COUNT(*) AS copies FROM h GROUP BY hh
       |)
@@ -4922,8 +4922,9 @@ object SparkEntry {
       |    AS n_dup_docs,
       |  COUNT(DISTINCT CASE WHEN copies > 1 THEN h.hh END)
       |    AS n_dup_groups,
-      |  ROUND(CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END)
-      |    AS DOUBLE) / COUNT(*), 6) AS dup_rate
+      |  CAST((CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END)
+      |      AS HUGEINT) * 1000000) // CAST(COUNT(*) AS HUGEINT)
+      |    AS DOUBLE) / 1000000.0 AS dup_rate
       |FROM h JOIN sizes ON h.hh = sizes.hh
       |GROUP BY source ORDER BY source""".stripMargin))
 
@@ -5716,7 +5717,7 @@ object SparkEntry {
       |    ((('0x' || substr(md5(source), 1, 4))::INT % 4) + 4) % 4, -1)
       |    AS fold FROM dd
       |), h AS (
-      |  SELECT fold, md5(text) AS hh FROM folded
+      |  SELECT fold, COALESCE(md5(text), '') AS hh FROM folded
       |), sizes AS (
       |  SELECT hh, COUNT(*) AS copies FROM h GROUP BY hh
       |), dup AS (
@@ -5725,8 +5726,9 @@ object SparkEntry {
       |      AS n_dup_docs,
       |    COUNT(DISTINCT CASE WHEN copies > 1 THEN h.hh END)
       |      AS n_dup_groups,
-      |    ROUND(CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END)
-      |      AS DOUBLE) / COUNT(*), 6) AS dup_rate
+      |    CAST((CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END)
+      |        AS HUGEINT) * 1000000) // CAST(COUNT(*) AS HUGEINT)
+      |      AS DOUBLE) / 1000000.0 AS dup_rate
       |  FROM h JOIN sizes USING (hh) GROUP BY fold
       |), refc AS (
       |  SELECT (CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) +
@@ -5811,10 +5813,11 @@ object SparkEntry {
       |  CAST((CAST(SUM(d.nt) - SUM(LEAST(d.nt, c.max_len)) AS HUGEINT)
       |      * 1000000) // CAST(SUM(d.nt) AS HUGEINT) AS DOUBLE)
       |    / 1000000.0 AS trunc_loss_frac,
-      |  CAST((CAST(COUNT(*) * c.max_len - SUM(LEAST(d.nt, c.max_len))
-      |      AS HUGEINT) * 1000000) //
-      |    CAST(COUNT(*) * c.max_len AS HUGEINT) AS DOUBLE)
-      |    / 1000000.0 AS pad_frac
+      |  CAST(((CAST(COUNT(*) AS HUGEINT) * CAST(c.max_len AS HUGEINT)
+      |      - CAST(SUM(LEAST(d.nt, c.max_len)) AS HUGEINT))
+      |      * 1000000) //
+      |    (CAST(COUNT(*) AS HUGEINT) * CAST(c.max_len AS HUGEINT))
+      |    AS DOUBLE) / 1000000.0 AS pad_frac
       |FROM c CROSS JOIN d
       |GROUP BY c.max_len ORDER BY c.max_len""".stripMargin))
 
@@ -5882,9 +5885,9 @@ object SparkEntry {
       |)
       |SELECT src AS source,
       |  CAST(SUM(n_ss) AS BIGINT) AS n_tokens,
-      |  ROUND(CAST(SUM(CASE WHEN sym = '<oov>' THEN n_ss ELSE 0 END)
-      |      AS DOUBLE) /
-      |    CAST(SUM(n_ss) AS DOUBLE), 6) AS oov_frac,
+      |  CAST((CAST(SUM(CASE WHEN sym = '<oov>' THEN n_ss ELSE 0 END)
+      |      AS HUGEINT) * 1000000) // CAST(SUM(n_ss) AS HUGEINT)
+      |    AS DOUBLE) / 1000000.0 AS oov_frac,
       |  ROUND(CAST(SUM(kl) AS DOUBLE), 6) AS kl_vs_global,
       |  ROUND(CAST(SUM(jsp) + SUM(jsq) AS DOUBLE) / 2.0, 6)
       |    AS js_vs_global
@@ -6138,16 +6141,17 @@ object SparkEntry {
       |  JOIN persrc p ON c.src = p.src
       |  WHERE c.rk = 1
       |), h AS (
-      |  SELECT source AS src, md5(text) AS hh FROM documents
-      |  WHERE source IS NOT NULL
+      |  SELECT source AS src, COALESCE(md5(text), '') AS hh
+      |  FROM documents WHERE source IS NOT NULL
       |), sizes AS (
       |  SELECT hh, COUNT(*) AS copies FROM h GROUP BY hh
       |), dup AS (
       |  SELECT src,
       |    CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
       |      AS n_dup_docs,
-      |    ROUND(CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END)
-      |      AS DOUBLE) / COUNT(*), 6) AS dup_rate
+      |    CAST((CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END)
+      |        AS HUGEINT) * 1000000) // CAST(COUNT(*) AS HUGEINT)
+      |      AS DOUBLE) / 1000000.0 AS dup_rate
       |  FROM h JOIN sizes ON h.hh = sizes.hh
       |  GROUP BY src
       |), tok AS (
@@ -6198,9 +6202,9 @@ object SparkEntry {
       |  FROM cl
       |), drift AS (
       |  SELECT src,
-      |    ROUND(CAST(SUM(CASE WHEN sym = '<oov>' THEN n_ss ELSE 0 END)
-      |        AS DOUBLE) /
-      |      CAST(SUM(n_ss) AS DOUBLE), 6) AS oov_frac,
+      |    CAST((CAST(SUM(CASE WHEN sym = '<oov>' THEN n_ss ELSE 0 END)
+      |        AS HUGEINT) * 1000000) // CAST(SUM(n_ss) AS HUGEINT)
+      |      AS DOUBLE) / 1000000.0 AS oov_frac,
       |    ROUND(CAST(SUM(kl) AS DOUBLE), 6) AS kl_vs_global,
       |    ROUND(CAST(SUM(jsp) + SUM(jsq) AS DOUBLE) / 2.0, 6)
       |      AS js_vs_global

@@ -84,7 +84,11 @@ object Datasheet {
     // (all-empty/null text) never enters the divergence frame — its
     // datasheet row must still exist (the one-row-per-source contract),
     // with NULL divergences saying "no lexical signal", not vanish.
-    // topLang and dup can't lose sources: both derive from `base`.
+    // topLang can't lose sources (derives from `base`); dup can't
+    // either SINCE dupRateByGroup buckets null text under the ""
+    // fingerprint (ADVICE r14: md5(null) used to null-join away a
+    // source whose docs all had null text, and shrink a mixed-null
+    // source's dup_rate denominator below its n_docs column).
     perSrc
       .join(topLang, Seq("src"))
       .join(dup, Seq("src"))

@@ -81,11 +81,22 @@ object Dedup {
         // tieExpr still gates WHICH types ride this arm, so the
         // accepted-type surface is unchanged.
         val keyed = df.withColumn("__fp", fp)
+        // The winners side renames its grouping key to __wfp BEFORE the
+        // join: groupBy carries the grouping attribute through with the
+        // SAME expression id, so `keyed("__fp") === winners("__fp")`
+        // built a trivially-true predicate at Column level (Spark's
+        // analyzer WARNed on every run) and correctness rested on the
+        // dataset-id self-join disambiguation rewriting it — one Spark
+        // version nuance from a silently-true join condition (VERDICT
+        // r14 #2). The rename mints a fresh attribute id, so the key
+        // equality references two distinct attributes by construction
+        // (DedupSpec pins the ids as distinct).
         val winners = keyed.groupBy(col("__fp")).agg(
-          max(when(col(idCol).isNull, 1).otherwise(0)).as("__has_null"),
-          min(col(idCol)).as("__min_id"))
+            max(when(col(idCol).isNull, 1).otherwise(0)).as("__has_null"),
+            min(col(idCol)).as("__min_id"))
+          .withColumnRenamed("__fp", "__wfp")
         keyed.join(winners,
-          keyed("__fp") === winners("__fp") &&
+          keyed("__fp") === winners("__wfp") &&
             ((winners("__has_null") === 1 && keyed(idCol).isNull) ||
               (winners("__has_null") === 0 &&
                 keyed(idCol) === winners("__min_id"))),
@@ -108,10 +119,20 @@ object Dedup {
     * global, attribution is per-source, so a mirror site's copies count
     * against both sources), and the duplicate share. Two shuffles
     * (hash-keyed count + group agg), both map-side combined; the rate is
-    * a final integer-over-integer division, rounded for reporting. */
+    * floor'd parts-per-million integer arithmetic (the q173 tie
+    * discipline — float ROUND can land on an engine-splitting .5 tie).
+    *
+    * Null text hashes to the "" fingerprint (unreachable as a real md5 —
+    * 32 hex chars), the [[exactByFingerprint]] contract: null-text docs
+    * count in `n_docs` and form one corpus-wide duplicate group instead
+    * of being silently dropped by the null-rejecting equi-join (a source
+    * whose docs all had null text used to VANISH from the report, and a
+    * mixed-null source got a dup_rate denominator smaller than its
+    * n_docs — ADVICE r14). */
   def dupRateByGroup(
       df: DataFrame, groupCol: String, textCol: String): DataFrame = {
-    val hashed = df.select(col(groupCol), md5(col(textCol)).as("__h"))
+    val hashed = df.select(col(groupCol),
+      coalesce(md5(col(textCol)), lit("")).as("__h"))
     val groupSizes = hashed.groupBy(col("__h"))
       .agg(count(lit(1)).as("__copies"))
     hashed.join(groupSizes, Seq("__h"))
@@ -120,8 +141,9 @@ object Dedup {
         sum(when(col("__copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
         countDistinct(when(col("__copies") > 1, col("__h")))
           .as("n_dup_groups"))
-      .withColumn("dup_rate", round(
-        col("n_dup_docs").cast("double") / col("n_docs"), 6))
+      .withColumn("dup_rate",
+        expr("CAST(n_dup_docs AS DECIMAL(38,0)) * 1000000 " +
+          "DIV CAST(n_docs AS DECIMAL(38,0))").cast("double") / lit(1e6))
   }
 
   /** MinHash signature: base hash H = low 31 bits of xxhash64(shingle),

@@ -254,12 +254,22 @@ object Drift {
     cells.groupBy(col("src"))
       .agg(
         sum(col("n_ss")).as("n_tokens"),
-        round(sum(when(col("sym") === "<oov>", col("n_ss"))
-            .otherwise(lit(0L))).cast("double") /
-          sum(col("n_ss")).cast("double"), 6).as("oov_frac"),
+        sum(when(col("sym") === "<oov>", col("n_ss"))
+          .otherwise(lit(0L))).as("__oov"),
         round(sum(col("__kl")).cast("double"), 6).as("kl_vs_global"),
         round((sum(col("__jsp")) + sum(col("__jsq"))).cast("double") /
           lit(2.0), 6).as("js_vs_global"))
+      // oov_frac is an EXACT integer ratio, so it rides floor-ppm
+      // integer arithmetic (the q173 tie lesson — HALF_UP on an exact
+      // ratio can land on an engine-splitting .5 tie; the divergences
+      // stay ROUND: they are ln-derived doubles that can't tie exactly).
+      // n_tokens ≥ 1 by construction — every src row exists because the
+      // source contributed ≥ 1 token to the contingency.
+      .select(col("src"), col("n_tokens"),
+        (expr("CAST(__oov AS DECIMAL(38,0)) * 1000000 " +
+          "DIV CAST(n_tokens AS DECIMAL(38,0))").cast("double") / lit(1e6))
+          .as("oov_frac"),
+        col("kl_vs_global"), col("js_vs_global"))
       .withColumnRenamed("src", sourceCol)
   }
 

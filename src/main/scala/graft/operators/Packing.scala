@@ -102,13 +102,25 @@ object Packing {
         count(when(col("__nt") > col("max_len"), 1)).as("n_truncated"),
         sum(col("__nt")).as("tokens_total"),
         sum(least(col("__nt"), col("max_len"))).as("tokens_kept"))
+      // n_docs·max_len multiplies in DECIMAL(38,0), never in int64 —
+      // BIGINT n_docs × a large candidate length overflows int64 at
+      // corpus scale (ANSI: runtime error) before any cast can save it
+      // (ADVICE r14). tokens_total = 0 (an all-empty-token corpus) makes
+      // trunc_loss undefined — emit NULL instead of an ANSI
+      // DIVIDE_BY_ZERO; pad_frac's denominator n_docs·max_len is > 0 by
+      // construction (groups are non-empty, candidates are positive).
       .select(col("max_len"), col("n_docs"), col("n_truncated"),
         col("tokens_total"), col("tokens_kept"),
-        (expr("CAST(tokens_total - tokens_kept AS DECIMAL(38,0)) " +
-          "* 1000000 DIV CAST(tokens_total AS DECIMAL(38,0))")
-          .cast("double") / lit(1e6)).as("trunc_loss_frac"),
-        (expr("CAST(n_docs * max_len - tokens_kept AS DECIMAL(38,0)) " +
-          "* 1000000 DIV CAST(n_docs * max_len AS DECIMAL(38,0))")
+        when(col("tokens_total") === 0, lit(null).cast("double"))
+          .otherwise(
+            expr("CAST(tokens_total - tokens_kept AS DECIMAL(38,0)) " +
+              "* 1000000 DIV CAST(tokens_total AS DECIMAL(38,0))")
+              .cast("double") / lit(1e6)).as("trunc_loss_frac"),
+        (expr("(CAST(n_docs AS DECIMAL(38,0)) " +
+          "* CAST(max_len AS DECIMAL(38,0)) " +
+          "- CAST(tokens_kept AS DECIMAL(38,0))) * 1000000 " +
+          "DIV (CAST(n_docs AS DECIMAL(38,0)) " +
+          "* CAST(max_len AS DECIMAL(38,0)))")
           .cast("double") / lit(1e6)).as("pad_frac"))
       .orderBy(col("max_len"))
   }

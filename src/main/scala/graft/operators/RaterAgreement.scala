@@ -117,16 +117,25 @@ object RaterAgreement {
         col("tot_sq"), col("sum_nj_sq"))
       .select(col("n_items"), col("n_items_dropped"),
         col("n_raters"), col("n_categories"),
-        ((col("tot_sq").cast("decimal(38,0)") - col("nm")).cast("double") /
-          (col("nm") * (col("n_raters") - 1).cast("decimal(38,0)"))
-            .cast("double")).as("p_bar"),
+        // modal m = 1 (every item rated once) makes P-bar's
+        // denominator N·m·(m−1) zero — a DIVIDE_BY_ZERO under ANSI,
+        // not a meaningful statistic (per-item agreement needs ≥ 2
+        // ratings). Guard it like the p_e = 1 case: NULL p_bar and a
+        // NULL kappa row instead of a runtime error (ADVICE r14).
+        when(col("n_raters") === 1, lit(null).cast("double"))
+          .otherwise(
+            (col("tot_sq").cast("decimal(38,0)") - col("nm"))
+              .cast("double") /
+            (col("nm") * (col("n_raters") - 1).cast("decimal(38,0)"))
+              .cast("double")).as("p_bar"),
         (col("sum_nj_sq").cast("double") /
           (col("nm") * col("nm")).cast("double")).as("p_e"))
       .select(col("n_items"), col("n_items_dropped"),
         col("n_raters"), col("n_categories"),
         round(col("p_bar"), 6).as("p_bar"),
         round(col("p_e"), 6).as("p_e"),
-        round(when(col("p_e") === 1.0, lit(null).cast("double"))
+        round(when(col("p_e") === 1.0 || col("p_bar").isNull,
+            lit(null).cast("double"))
           .otherwise((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e"))),
           6).as("fleiss_kappa"))
   }

@@ -614,6 +614,34 @@ class DedupSpec extends SparkTestBase {
     assert(windowKept.exceptAll(out.select("doc_id")).count() == 0)
   }
 
+  test("exactByFingerprint: semi-join key references two distinct " +
+      "attribute ids") {
+    // VERDICT r14 #2: the winners side used to carry its grouping
+    // attribute through with the SAME expression id as the probe side,
+    // so the key equality was a trivially-true predicate at Column
+    // level ('__fp == __fp' analyzer WARN on every bench run) rescued
+    // only by Spark's dataset-id self-join disambiguation. The rename
+    // to __wfp mints a fresh attribute id; pin the ids as distinct so
+    // a refactor can't silently regress to a TRUE join condition.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactByFingerprint(d, "doc_id", "text")
+    val joins = out.queryExecution.analyzed.collect { case j: Join => j }
+    assert(joins.nonEmpty, "no join in the keep-one plan")
+    val fpEqs = joins.flatMap(_.condition).flatMap(_.collect {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if Set(a.name, b.name).subsetOf(Set("__fp", "__wfp")) => (a, b)
+    })
+    assert(fpEqs.nonEmpty, "fingerprint key equality not found in plan")
+    fpEqs.foreach { case (a, b) =>
+      assert(a.exprId != b.exprId, "join key equality is trivially " +
+        s"true: ${a.name}#${a.exprId.id} == ${b.name}#${b.exprId.id}")
+    }
+    assert(out.count() === 2)
+  }
+
   test("exactByFingerprint: string, decimal, and null ids") {
     // string ids: kept winner is the byte-order-lowest id per group
     val s = Seq(("b", "same text here"), ("a", "same  TEXT here"),
@@ -936,11 +964,37 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3),
           r.getAs[Double]("dup_rate")))).toMap
-    // source a: 3 docs, 2 in the mirror group → rate 2/3
-    assert(out("a") === ((3L, 2L, 1L, 0.666667)))
+    // source a: 3 docs, 2 in the mirror group → rate 2/3 floor-ppm
+    assert(out("a") === ((3L, 2L, 1L, 0.666666)))
     // source b: its single mirror copy is a dup because the GROUP has
     // 3 members corpus-wide, even though b holds only one of them
     assert(out("b") === ((3L, 1L, 1L, 0.333333)))
+  }
+
+  test("dupRateByGroup: null text buckets, never drops rows or sources") {
+    // ADVICE r14: md5(null) is null, and the null-rejecting equi-join
+    // on __h dropped those rows — a source whose docs ALL had null text
+    // vanished from the report, and a mixed-null source's dup_rate
+    // denominator shrank below its doc count. Null text now buckets
+    // under the "" fingerprint (unreachable as a real 32-hex md5): the
+    // rows count in n_docs and form one corpus-wide duplicate group.
+    val d = Seq(
+      (1L, "allnull", Option.empty[String]),
+      (2L, "allnull", Option.empty[String]),
+      (3L, "mixed", Some("real text")),
+      (4L, "mixed", Option.empty[String]),
+      (5L, "clean", Some("other text"))
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.dupRateByGroup(d, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getAs[Double]("dup_rate")))).toMap
+    // the all-null source EXISTS, with both docs in one dup group
+    assert(out("allnull") === ((2L, 2L, 1L, 1.0)))
+    // mixed: denominator is the full doc count (2), and its null-text
+    // doc is a dup of the corpus-wide null bucket (3 members)
+    assert(out("mixed") === ((2L, 1L, 1L, 0.5)))
+    assert(out("clean") === ((1L, 0L, 0L, 0.0)))
   }
 
   test("dupRateByGroup on a dup-free source reports zero everywhere") {

@@ -69,4 +69,26 @@ class PackingSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq
     assert(order === Seq(256L, 1024L))
   }
+
+  test("lengthSweep: zero-token corpus and int64-overflow-scale " +
+      "products stay defined") {
+    // ADVICE r14: (a) an all-empty-token corpus made tokens_total 0 and
+    // the integral DIV threw DIVIDE_BY_ZERO under ANSI — trunc_loss is
+    // undefined there and now comes back NULL; pad_frac stays exact
+    // (everything is padding).
+    val empty = Seq(0L, 0L).toDF("nt")
+    val z = Packing.lengthSweep(empty, "nt", Seq(128L)).collect().head
+    assert(z.getAs[Long]("tokens_total") === 0L)
+    assert(z.isNullAt(z.fieldIndex("trunc_loss_frac")))
+    assert(z.getAs[Double]("pad_frac") === 1.0)
+    // (b) n_docs·max_len used to multiply in BIGINT before the decimal
+    // cast: with a candidate length near int64's edge the product
+    // overflowed (ANSI: runtime error). The decimal product survives.
+    val one = Seq(10L).toDF("nt")
+    val big = Packing.lengthSweep(one, "nt", Seq(Long.MaxValue / 2))
+      .collect().head
+    // pad = floor-ppm of (L - 10)/L with L ~ 4.6e18 -> 0.999999
+    assert(big.getAs[Double]("pad_frac") === 0.999999)
+    assert(big.getAs[Double]("trunc_loss_frac") === 0.0)
+  }
 }

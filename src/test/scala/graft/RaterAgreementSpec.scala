@@ -70,6 +70,23 @@ class RaterAgreementSpec extends SparkTestBase {
     assert(row.isNullAt(row.fieldIndex("fleiss_kappa")))
   }
 
+  test("fleiss single-rating panel (m=1) -> null p_bar and kappa, " +
+      "no divide-by-zero") {
+    // ADVICE r14: every item rated exactly once makes P-bar's
+    // denominator N·m·(m−1) zero — under ANSI mode that threw
+    // DIVIDE_BY_ZERO at runtime. The degenerate panel now yields a
+    // NULL p_bar/kappa row (per-item agreement needs ≥ 2 ratings),
+    // mirroring the guarded p_e = 1 case; p_e itself stays defined.
+    val df = ratings("A" -> "x", "B" -> "y", "C" -> "x")
+    val row = RaterAgreement.fleissKappa(df, "item", "cat").collect().head
+    assert(row.getAs[Long]("n_items") === 3L)
+    assert(row.getAs[Long]("n_raters") === 1L)
+    assert(row.isNullAt(row.fieldIndex("p_bar")))
+    assert(row.isNullAt(row.fieldIndex("fleiss_kappa")))
+    // P_e = (2² + 1²) / 3² = 5/9
+    assert(row.getAs[Double]("p_e") === 0.555556)
+  }
+
   test("fleiss null rows are dropped, not grouped") {
     val df = ratings(
       "A" -> "x", "A" -> "x",
