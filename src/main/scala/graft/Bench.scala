@@ -117,7 +117,20 @@ object Bench {
       samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
       gcSamples(name) = gcSamples(name) :+ (gcMillis() - g0) / 1e3
     }
-    for (_ <- 0 until runs) names.foreach(runOnce)
+    // One calibration rep INTERLEAVED after every sweep (VERDICT r14
+    // #5): the machine's speed swung 0.41–0.64 within hours of one r14
+    // day, making cross-round normalized deltas ±50 % ambiguous exactly
+    // when a regression question mattered. The pre-run calibration
+    // can't see an in-run swing, and a naive pre/post pair conflates
+    // machine contention with JVM warm-up (measured: pre 0.44 on the
+    // half-warm JVM vs 0.23 fully warm — a fake 0.52 "drift" on a quiet
+    // box). Per-sweep reps are all in comparably warm states from sweep
+    // 2 on, so max/min over the WARM reps isolates genuine environment
+    // instability; the cold first rep rides along in the artifact only.
+    val calSweeps = scala.collection.mutable.ArrayBuffer[Double]()
+    def calSweepRep(): Unit =
+      calSweeps += (try calibrationRep() catch { case _: Throwable => -1.0 })
+    for (_ <- 0 until runs) { names.foreach(runOnce); calSweepRep() }
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
@@ -130,7 +143,7 @@ object Bench {
     // 5-sample, everything else stays at `runs`.
     val extraRuns = 2
     val top10 = names.sortBy(n => -median(samples(n))).take(10)
-    for (_ <- 0 until extraRuns) top10.foreach(runOnce)
+    for (_ <- 0 until extraRuns) { top10.foreach(runOnce); calSweepRep() }
     val results = names.map(n => n -> median(samples(n)))
     val total = results.map(_._2).sum
     def fmt(v: Double) = f"$v%.3f"
@@ -196,9 +209,23 @@ object Bench {
     // queries carry runs+top10_extra_runs samples (their all_runs arrays
     // are the ground truth for per-query sample counts).
     val sweep1Total = names.map(n => samples(n).head).sum
+    // calibration_sweeps: one rep after every sweep (cold sweep 1
+    // included for the record); calibration_stability = max/min over
+    // the WARM reps (sweep 2+) — 1.0 = rock-steady machine, and a value
+    // far above ~1.3 marks THIS record's per-query medians as
+    // contention-ambiguous by roughly that factor. calibration_sec
+    // (pre-run, half-warm JVM) keeps its r12 definition untouched so
+    // cross-round normalization stays apples-to-apples with every
+    // earlier record; bench_compare reads the stability field and warns.
+    val calWarm = calSweeps.drop(1).filter(_ > 0)
+    val calibrationStability =
+      if (calWarm.size >= 2) calWarm.max / calWarm.min else -1.0
+    val calSweepsJson = calSweeps.map(fmt).mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""runs":$runs,"top10_extra_runs":$extraRuns,""" +
       s""""calibration_sec":${fmt(calibrationSec)},""" +
+      s""""calibration_sweeps":$calSweepsJson,""" +
+      s""""calibration_stability":${fmt(calibrationStability)},""" +
       s""""sweep1_total_sec":${fmt(sweep1Total)},""" +
       s""""queries":$detail,"spread":$spreadAll,""" +
       s""""spread_flag":$spreadFlag,"gc_all_runs":$gcAll,""" +
@@ -239,7 +266,7 @@ object Bench {
     // constant budget overflowed the tail on rounds where several
     // queries tripped the flag.
     def stdoutLine(qs: String, ft: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"top10_extra_runs":$extraRuns,"calibration_sec":${fmt(calibrationSec)},"sweep1_total_sec":${fmt(sweep1Total)},"queries":$qs,"spread_top10":$spreadTop,"spread_flag":$ft,"n_queries":${results.size},"queries_are_slowest_first":true,"queries_are_medians":true,"detail":"bench_detail.json","history":"bench_history.jsonl","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"top10_extra_runs":$extraRuns,"calibration_sec":${fmt(calibrationSec)},"calibration_stability":${fmt(calibrationStability)},"sweep1_total_sec":${fmt(sweep1Total)},"queries":$qs,"spread_top10":$spreadTop,"spread_flag":$ft,"n_queries":${results.size},"queries_are_slowest_first":true,"queries_are_medians":true,"detail":"bench_detail.json","history":"bench_history.jsonl","sf":"$sfDir"}"""
     var nFlags = math.min(5, flaggedBySeverity.size)
     while (nFlags > 0 && stdoutLine("{}", flagTopStr(nFlags)).length > 1600)
       nFlags -= 1

@@ -28,8 +28,14 @@ def load(path):
     # history files hold one JSON object per line; take the last
     line = text.splitlines()[-1]
     d = json.loads(line)
+    # calibration_stability (round 15+): max/min over the warm
+    # per-sweep calibration reps — in-run environment stability. -1 or
+    # absent = not measured (older records / too few warm reps).
+    stab = d.get("calibration_stability")
+    if stab is not None and stab <= 0:
+        stab = None
     return d.get("queries", {}), d.get("value"), d.get("runs"), \
-        d.get("calibration_sec")
+        d.get("calibration_sec"), stab
 
 
 def main():
@@ -46,8 +52,18 @@ def main():
                          "artifacts carry calibration_sec")
     args = ap.parse_args()
 
-    old_q, old_total, old_runs, old_cal = load(args.old)
-    new_q, new_total, new_runs, new_cal = load(args.new)
+    old_q, old_total, old_runs, old_cal, old_stab = load(args.old)
+    new_q, new_total, new_runs, new_cal, new_stab = load(args.new)
+    # in-run environment stability (round 15+): max/min over the warm
+    # interleaved calibration reps. Far from 1 means the machine changed
+    # speed DURING that record's sweeps — its per-query medians are
+    # ambiguous by roughly that factor, whatever we normalize by.
+    for side, stab in (("old", old_stab), ("new", new_stab)):
+        if stab is not None and stab > 1.3:
+            print(f"WARNING: {side} run's in-sweep calibration swung "
+                  f"{stab:.2f}x warm-max/warm-min (unstable machine "
+                  "during that record's sweeps); treat normalized "
+                  f"deltas below +/-{stab - 1:.0%} as noise")
     # environment factor: >1 means the NEW machine ran the fixed
     # calibration workload slower, so raw new/old ratios overstate
     # regressions by this factor — divide it out
