@@ -109,13 +109,25 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
     }
+    // Per-sample Janino compile COUNT (the exact Counter, not the
+    // reservoir-corruptible time histogram — see TailProbe.janino):
+    // a WARM sample with compiles > 0 is direct evidence the codegen
+    // cache evicted that query's classes mid-sweep (178 queries ×
+    // multi-stage codegen vs the 2000-entry bound), which is the one
+    // warm-tail mechanism wall+gc numbers cannot see (VERDICT r14 #1).
+    val janinoSamples = scala.collection.mutable
+      .Map[String, Vector[Long]]().withDefaultValue(Vector.empty)
+    def janinoCount(): Long = org.apache.spark.metrics.source
+      .CodegenMetrics.METRIC_COMPILATION_TIME.getCount
     def runOnce(name: String): Unit = {
       val g0 = gcMillis()
+      val j0 = janinoCount()
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
       samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
       gcSamples(name) = gcSamples(name) :+ (gcMillis() - g0) / 1e3
+      janinoSamples(name) = janinoSamples(name) :+ (janinoCount() - j0)
     }
     // One calibration rep INTERLEAVED after every sweep (VERDICT r14
     // #5): the machine's speed swung 0.41–0.64 within hours of one r14
@@ -196,14 +208,19 @@ object Bench {
     def flagEntry(n: String): String = {
       val (w, worstIdx) = warmWorst(n)
       val gcWorst = gcSamples(n).lift(worstIdx).getOrElse(0.0)
+      val jnWorst = janinoSamples(n).lift(worstIdx).getOrElse(0L)
       "\"" + n + "\":{\"worst\":" + fmt(w) + ",\"median\":" +
         fmt(median(samples(n))) + ",\"cold\":" + fmt(samples(n).head) +
         ",\"gc_frac_worst\":" +
-        fmt(math.min(1.0, gcWorst / math.max(w, 1e-9))) + "}"
+        fmt(math.min(1.0, gcWorst / math.max(w, 1e-9))) +
+        ",\"janino_worst\":" + jnWorst + "}"
     }
     val spreadFlag = flagged.map(flagEntry).mkString("{", ",", "}")
     val gcAll = names.map { n =>
       "\"" + n + "\":[" + gcSamples(n).map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val janinoAll = names.map { n =>
+      "\"" + n + "\":[" + janinoSamples(n).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // "runs" is the BASE sweep count; the 10 provisionally-slowest
     // queries carry runs+top10_extra_runs samples (their all_runs arrays
@@ -229,6 +246,7 @@ object Bench {
       s""""sweep1_total_sec":${fmt(sweep1Total)},""" +
       s""""queries":$detail,"spread":$spreadAll,""" +
       s""""spread_flag":$spreadFlag,"gc_all_runs":$gcAll,""" +
+      s""""janino_all_runs":$janinoAll,""" +
       s""""all_runs":$allRuns,""" +
       s""""sf":"$sfDir","ts":${System.currentTimeMillis()}}""" + "\n"
     java.nio.file.Files.write(

@@ -360,7 +360,21 @@ object ScaleProbe {
           // data-sized step is the (item, category) count over 100x
           // lineitem — the claim under test is that everything after it
           // stays contingency-bounded
-          "q175_fleiss_kappa", "q176_krippendorff_alpha")
+          "q175_fleiss_kappa", "q176_krippendorff_alpha",
+          // round 15 (VERDICT r14 #3): the two new composites and the
+          // fixed-width divergence aggregate. q172 — the LSH chain +
+          // TWO corpus re-derivations through a broadcast anti-join
+          // whose loser set grows with true-dup volume (100-member
+          // clusters ⇒ ~99 losers each); the claim under test is that
+          // the anti-join side stays broadcastable-or-demotes-gracefully
+          // and the pair frame's quadratic stays in-cluster. q178 —
+          // ~5 documented corpus passes; the claim is the PASS COUNT
+          // stays the cost (each pass linear, nothing new data-sized).
+          // q177 — the (K+1)-slot fixed-width aggregate state is the
+          // scale claim: shuffled bytes must stay (mappers × sources ×
+          // K)-bounded whatever the token rate.
+          "q172_curation_pipeline", "q177_reference_divergence",
+          "q178_corpus_datasheet")
         .filter(substrFilter("x100only="))
         .foreach { name =>
         // t0 BEFORE df construction: q122's iterations execute eagerly

@@ -10,7 +10,7 @@ import graft.functions.{TextFunctions => TF, UrlFunctions, VectorFunctions => VF
 import graft.operators.{Boilerplate, Bpe, C4Clean, ClusterEval,
   Collocations, Decontaminate, Dedup, Drift, EventTime, Fuzzy,
   GopherRules, LangModel, Metrics, Mixing, Normalize, PartialAgg,
-  RepeatedSpans, Retrieval, Sampling, Scoring, Similarity, Zipf}
+  RepeatedSpans, Retrieval, Sampling, Scoring, Selection, Similarity, Zipf}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2) over the
   * test star schema, each query paired with DuckDB oracle SQL.
@@ -6219,6 +6219,132 @@ object SparkEntry {
       |LEFT JOIN drift ON persrc.src = drift.src
       |ORDER BY source""".stripMargin))
 
+  private val q179 = Q("q179_dsir_weights",
+    (s, dir) => {
+      // DSIR importance log-weights (Selection.importanceWeights; Xie
+      // et al. 2023): score every document by how target-like its
+      // hashed uni+bigram distribution is, target = the src13 slice —
+      // the data-SELECTION pass that runs before q68/q180 mixing when
+      // the recipe wants "more like this curated set". Two gram
+      // aggregates onto the 1024-bucket frame, the log-ratio frame
+      // broadcasts, one map-combined per-doc sum; ln through
+      // DECIMAL(24,10), terms decimal-summed (the psi recipe).
+      val docs = t(s, dir, "documents")
+      Selection.importanceWeights(docs,
+        docs.filter(col("source") === "src13").select(col("text")),
+        "doc_id", "text", numBuckets = 1024)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tk AS (
+      |  SELECT doc_id, source, list_filter(
+      |    string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+      |  FROM documents
+      |), uni AS (
+      |  SELECT doc_id, source, unnest(tk) AS gram FROM tk
+      |), bi AS (
+      |  SELECT doc_id, source, tk[i] || ' ' || tk[i+1] AS gram FROM (
+      |    SELECT doc_id, source, tk,
+      |      unnest(generate_series(1, len(tk) - 1)) AS i
+      |    FROM tk WHERE len(tk) >= 2)
+      |), g AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5(gram), 1, 8))::BIGINT % 1024 AS b
+      |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+      |), cr AS (
+      |  SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM g GROUP BY b
+      |), ct AS (
+      |  SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM g
+      |  WHERE source = 'src13' GROUP BY b
+      |), nr AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr FROM cr),
+      |nt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS nt FROM ct),
+      |lr AS (
+      |  SELECT cr.b, CAST(
+      |    CAST(ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) /
+      |      CAST(nt.nt + 1024 AS DOUBLE)) AS DECIMAL(24,10)) -
+      |    CAST(ln(CAST(cr.cr + 1 AS DOUBLE) /
+      |      CAST(nr.nr + 1024 AS DOUBLE)) AS DECIMAL(24,10))
+      |    AS DECIMAL(28,12)) AS lr
+      |  FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN nr CROSS JOIN nt
+      |)
+      |SELECT d.doc_id, CAST(COUNT(g.b) AS BIGINT) AS n_grams,
+      |  ROUND(CAST(SUM(lr.lr) AS DOUBLE), 6) AS log_w
+      |FROM documents d
+      |LEFT JOIN g ON d.doc_id = g.doc_id
+      |LEFT JOIN lr ON g.b = lr.b
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
+
+  private val q180 = Q("q180_budget_waterfill",
+    (s, dir) => {
+      // Token-budget waterfill (Mixing.budgetWaterfill): allocate a
+      // 25k-token budget across sources ∝ sqrt-temperature weights
+      // under a 1-epoch repetition ceiling — the mixture-solving step
+      // between q178's datasheet and q68's mixing. The |sources| frame
+      // is the output of one corpus token aggregate; the waterfill
+      // itself is bounded-frame window math (caps and cumulative sums
+      // exact DECIMAL, λ one correctly-rounded double division).
+      val tok = t(s, dir, "documents")
+        .filter(col("source").isNotNull)
+        .groupBy(col("source"))
+        .agg(sum(TF.tokenCount(col("text")).cast("bigint")).as("n_tokens"))
+      val src = tok
+        .withColumn("__sq",
+          sqrt(col("n_tokens").cast("double")).cast("decimal(28,12)"))
+        .withColumn("weight",
+          col("__sq").cast("double") /
+            sum(col("__sq")).over(Window.partitionBy(lit(1))).cast("double"))
+      Mixing.budgetWaterfill(src, "source", "n_tokens", "weight",
+        budget = 25000L, maxEpochs = 1.0)
+    },
+    Some("""WITH s AS (
+      |  SELECT source, CAST(SUM(len(list_filter(
+      |    string_split_regex(lower(text), '\s+'), t -> t <> '')))
+      |    AS BIGINT) AS n_tokens
+      |  FROM documents WHERE source IS NOT NULL GROUP BY source
+      |), sw AS (
+      |  SELECT source, n_tokens,
+      |    CAST(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,12))
+      |        AS DOUBLE) /
+      |      CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE))
+      |        AS DECIMAL(28,12))) OVER () AS DOUBLE) AS weight
+      |  FROM s
+      |), wf AS (
+      |  SELECT source, n_tokens, weight,
+      |    CAST(n_tokens AS DECIMAL(38,6)) * CAST(1.0 AS DECIMAL(12,6))
+      |      AS cap,
+      |    CAST(weight AS DECIMAL(28,12)) AS wdec,
+      |    CAST(CAST(n_tokens AS DECIMAL(38,6)) *
+      |      CAST(1.0 AS DECIMAL(12,6)) AS DOUBLE) / weight AS r
+      |  FROM sw
+      |), ann AS (
+      |  SELECT *,
+      |    COALESCE(SUM(cap) OVER (ORDER BY r, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      CAST(0 AS DECIMAL(38,6))) AS cum_cap,
+      |    SUM(wdec) OVER (ORDER BY r, source
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS w_rem
+      |  FROM wf
+      |), ann2 AS (
+      |  SELECT *, CAST(CAST(25000 AS DECIMAL(38,6)) - cum_cap AS DOUBLE)
+      |    / CAST(w_rem AS DOUBLE) AS lam_prev
+      |  FROM ann
+      |), lam AS (
+      |  SELECT lam_prev AS lambda FROM ann2 WHERE lam_prev <= r
+      |  ORDER BY r, source LIMIT 1
+      |)
+      |SELECT a.source, a.n_tokens, a.weight,
+      |  ROUND(CAST(a.cap AS DOUBLE), 6) AS cap_tokens,
+      |  ROUND(CASE WHEN l.lambda IS NULL THEN CAST(a.cap AS DOUBLE)
+      |    ELSE LEAST(l.lambda * a.weight, CAST(a.cap AS DOUBLE)) END, 6)
+      |    AS alloc_tokens,
+      |  ROUND(CASE WHEN a.n_tokens = 0 THEN NULL
+      |    ELSE (CASE WHEN l.lambda IS NULL THEN CAST(a.cap AS DOUBLE)
+      |      ELSE LEAST(l.lambda * a.weight, CAST(a.cap AS DOUBLE)) END)
+      |      / CAST(a.n_tokens AS DOUBLE) END, 6) AS epochs,
+      |  (l.lambda IS NULL OR a.r <= l.lambda) AS capped,
+      |  ROUND(l.lambda, 6) AS lambda
+      |FROM ann2 a LEFT JOIN lam l ON TRUE
+      |ORDER BY a.source""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -6233,7 +6359,8 @@ object SparkEntry {
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
-    q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177, q178)
+    q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
+    q178, q179, q180)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

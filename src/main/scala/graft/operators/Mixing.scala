@@ -78,6 +78,92 @@ object Mixing {
       .filter(col("__cum") <= budget)
   }
 
+  /** Token-budget WATERFILL across sources: given each source's token
+    * count, a target mixture weight, and a per-source repetition ceiling
+    * (`maxEpochs` — the "don't repeat data more than k times" rule of
+    * published pretraining recipes), allocate a global token budget T so
+    * every source receives tokens ∝ its weight until its ceiling binds:
+    *
+    *   alloc_s = min(λ · w_s, cap_s),   cap_s = n_s · maxEpochs,
+    *   λ chosen so Σ_s alloc_s = T.
+    *
+    * The classic waterfilling solution: sort sources by r_s = cap_s/w_s
+    * ascending; the first k sources (smallest ratios) are capped, the
+    * rest share the remaining budget in proportion to weight, and
+    * k is the smallest count with λ(k) = (T − Σ_{j≤k} cap_j)/Σ_{j>k} w_j
+    * ≤ r_{k+1}. When even capping everything cannot reach T (Σ cap < T),
+    * λ is NULL, every source is capped, and Σ alloc < T — the caller
+    * sees the infeasibility in the output rather than an error.
+    *
+    * Scale shape: the input is the |sources|-row mixture frame (bounded
+    * — it is the OUTPUT of a corpus aggregate, never the corpus), so the
+    * single-partition windows are bounded by construction; nothing here
+    * touches data-sized rows. Exactness: caps and cumulative sums fold
+    * in DECIMAL(38,6); λ and the allocations are single correctly-
+    * rounded double divisions of exact decimals, so Spark and a replay
+    * engine agree bit-for-bit; ROUND(6) once at the end.
+    *
+    * Output per source: (source, n_tokens, weight, cap_tokens,
+    * alloc_tokens, epochs, capped, lambda) — epochs NULL for an empty
+    * source (0/0), lambda replicated for report reading. */
+  def budgetWaterfill(
+      sources: DataFrame, sourceCol: String, tokensCol: String,
+      weightCol: String, budget: Long, maxEpochs: Double): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+    val cap = col(tokensCol).cast("decimal(38,6)") *
+      lit(maxEpochs).cast("decimal(12,6)")
+    val base = sources.select(
+        col(sourceCol).as("source"),
+        col(tokensCol).cast("bigint").as("n_tokens"),
+        col(weightCol).cast("double").as("weight"))
+      .withColumn("__cap", cap)
+      .withColumn("__w", col("weight").cast("decimal(28,12)"))
+      .withColumn("__r",
+        col("__cap").cast("double") / col("weight"))
+    // sorted ascending by ratio (ties broken by source for a total
+    // order): prefix caps C_{i-1} and remaining weight W_{i-1}
+    val order = w.partitionBy(lit(1))
+      .orderBy(col("__r"), col("source"))
+    val annotated = base
+      .withColumn("__cum_cap",
+        coalesce(sum(col("__cap")).over(
+          order.rowsBetween(w.unboundedPreceding, -1)),
+          lit(0).cast("decimal(38,6)")))
+      .withColumn("__w_rem",
+        sum(col("__w")).over(
+          order.rowsBetween(w.currentRow, w.unboundedFollowing)))
+      .withColumn("__lam_prev",
+        (lit(budget).cast("decimal(38,6)") - col("__cum_cap"))
+          .cast("double") / col("__w_rem").cast("double"))
+    // λ* = λ(k*) where k* is the smallest prefix with λ(k) ≤ r_{k+1}:
+    // the first row (in ratio order) whose λ_prev stops exceeding its
+    // own ratio. A one-row frame; empty ⇒ infeasible ⇒ NULL λ via the
+    // condition-less left join (a cross join would DROP every row).
+    val lamRow = annotated
+      .filter(col("__lam_prev") <= col("__r"))
+      .orderBy(col("__r"), col("source")).limit(1)
+      .select(col("__lam_prev").as("__lambda"))
+    annotated.join(broadcast(lamRow), lit(true), "left")
+      .select(col("source"), col("n_tokens"), col("weight"),
+        round(col("__cap").cast("double"), 6).as("cap_tokens"),
+        round(when(col("__lambda").isNull,
+            col("__cap").cast("double"))
+          .otherwise(least(col("__lambda") * col("weight"),
+            col("__cap").cast("double"))), 6).as("alloc_tokens"),
+        round(when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(
+            when(col("__lambda").isNull, col("__cap").cast("double"))
+              .otherwise(least(col("__lambda") * col("weight"),
+                col("__cap").cast("double"))) /
+            col("n_tokens").cast("double")), 6).as("epochs"),
+        (col("__lambda").isNull ||
+          col("__r") <= col("__lambda")).as("capped"),
+        round(col("__lambda"), 6).as("lambda"))
+      .orderBy(col("source"))
+  }
+
   /** The mixed corpus: rows from sources named in `weights`, hash-
     * downsampled to the target proportions. */
   def mixSources(

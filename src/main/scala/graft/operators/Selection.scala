@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{PortableHash, TextFunctions}
+
+/** Data SELECTION for language-model training: score every raw document
+  * by how target-like its hashed n-gram distribution is — the importance
+  * log-weight of DSIR (Xie et al. 2023, "Data Selection for Language
+  * Models via Importance Resampling", arXiv:2302.03169). The published
+  * recipe: featurize text as hashed uni+bigram counts over B buckets,
+  * fit bag-of-words bucket distributions p_target and p_raw, and weight
+  * each raw doc x by
+  *
+  *   log w(x) = Σ_{g ∈ grams(x)} [ ln p_target(b(g)) − ln p_raw(b(g)) ]
+  *
+  * (the per-doc log likelihood ratio); selection keeps the top slice by
+  * log w. Both distributions are Laplace-smoothed — (c_b + 1)/(N + B) —
+  * so every bucket has positive mass under both and the ratio is finite
+  * even for buckets the target never hits.
+  *
+  * Scale contract (the 100 TB shape): TWO corpus gram passes, each a
+  * map-side-combined aggregate onto the B-bounded bucket frame (the
+  * target pass is usually tiny — the target corpus is the small curated
+  * set); the B-row log-ratio frame then BROADCASTS into one scoring pass
+  * whose only data-sized shuffle is the per-doc sum, map-combined to one
+  * row per (mapper, doc). Nothing wider than B rows is ever collected or
+  * joined non-broadcast. Gram hashing is the portable md5-prefix family
+  * (PortableHash.md5Prefix — replayable in any engine), so the whole
+  * chain is oracle-checkable.
+  *
+  * Float discipline: each bucket's two ln() values are quantized to
+  * DECIMAL(24,10) (the psi recipe — libm ulp differences absorbed) and
+  * SUBTRACTED as exact decimals; per-gram terms are summed as
+  * DECIMAL(28,12), so partial-aggregation order cannot change the
+  * result; the double cast + ROUND(6) happen once at the end.
+  */
+object Selection {
+
+  /** (id, __gram) rows: lowercase whitespace unigrams plus adjacent
+    * bigrams ("a b") — DSIR's published featurization. With
+    * `outer = false` docs with null/empty text yield no rows; with
+    * `outer = true` they yield one null-gram row, so a single scoring
+    * pass can keep them visible without a distinct + join-back (the
+    * no-silent-drop contract at zero extra shuffles). */
+  def gramRows(docs: DataFrame, idCol: String, textCol: String,
+      outer: Boolean = false): DataFrame = {
+    val tk = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
+    // bigram array built positionally inside codegen (the Collocations
+    // idiom); sequence(1, size-1) is only evaluated when size >= 2 —
+    // sequence(1, 0) would yield a DESCENDING [1, 0], not empty
+    val bigrams = when(size(col("__tk")) >= 2,
+      transform(sequence(lit(1), size(col("__tk")) - 1),
+        i => concat_ws(" ", element_at(col("__tk"), i),
+          element_at(col("__tk"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val grams = concat(coalesce(col("__tk"), array().cast("array<string>")),
+      bigrams)
+    if (outer) tk.select(col(idCol), explode_outer(grams).as("__gram"))
+    else tk.select(col(idCol), explode(grams).as("__gram"))
+  }
+
+  private def bucket(gram: Column, numBuckets: Int): Column =
+    PortableHash.md5Prefix(gram, 8) % numBuckets
+
+  /** B-row (bucket, log-ratio) frame from the two corpora: one
+    * map-combined gram aggregate per side, scalars attached as one-row
+    * broadcasts (never collected). lr is DECIMAL(28,12):
+    * quantized-ln(p_t) − quantized-ln(p_r), exact decimal subtraction. */
+  def bucketLogRatios(
+      raw: DataFrame, target: DataFrame, textCol: String,
+      numBuckets: Int): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val rawG = gramRows(raw.withColumn("__rid", lit(1)), "__rid", textCol)
+      .select(bucket(col("__gram"), numBuckets).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    val tgtG = gramRows(target.withColumn("__rid", lit(1)), "__rid", textCol)
+      .select(bucket(col("__gram"), numBuckets).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val nr = rawG.agg(sum(col("__cr")).as("__nr"))     // one row
+    val nt = tgtG.agg(coalesce(sum(col("__ct")), lit(0L)).as("__nt"))
+    val b = lit(numBuckets.toLong)
+    // raw buckets are the support that matters: every scored gram maps
+    // to a bucket the raw corpus populated (the scored docs ARE drawn
+    // from the raw corpus); target-only buckets carry no scoring work
+    rawG.join(tgtG, Seq("__b"), "left")
+      .na.fill(0L, Seq("__ct"))
+      // one-row aggregates ride the plan as broadcast scalars (the q122
+      // pattern) — a global aggregate emits exactly one row even on
+      // empty input, so the cross join is row-count-safe
+      .crossJoin(broadcast(nr))
+      .crossJoin(broadcast(nt))
+      .select(col("__b"),
+        (log((col("__ct") + 1).cast("double") /
+            (col("__nt") + b).cast("double")).cast("decimal(24,10)") -
+          log((col("__cr") + 1).cast("double") /
+            (col("__nr") + b).cast("double")).cast("decimal(24,10)"))
+          .cast("decimal(28,12)").as("__lr"))
+  }
+
+  /** Per-document DSIR importance log-weights: one row per `raw` doc —
+    * (id, n_grams, log_w), log_w NULL (and n_grams 0) for docs with no
+    * tokens (no lexical signal — kept visible, never dropped). Positive
+    * log_w = more target-like than the raw average; selection is a
+    * descending-order cut the caller applies. */
+  def importanceWeights(
+      raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 1024): DataFrame = {
+    val ratios = bucketLogRatios(raw, target, textCol, numBuckets)
+    // outer grams + LEFT broadcast join: a zero-gram doc rides the same
+    // single pass as everything else (null gram → null bucket → null
+    // lr), so no distinct-ids shuffle and no join-back — at corpus
+    // scale those were a second full pass just to resurrect edge rows
+    gramRows(raw, idCol, textCol, outer = true)
+      .withColumn("__b", bucket(col("__gram"), numBuckets))
+      .join(broadcast(ratios), Seq("__b"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__gram")).as("n_grams"),
+        sum(col("__lr")).as("__sum_lr"))
+      .select(col(idCol), col("n_grams"),
+        round(col("__sum_lr").cast("double"), 6).as("log_w"))
+  }
+}

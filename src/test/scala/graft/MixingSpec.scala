@@ -100,4 +100,72 @@ class MixingSpec extends SparkTestBase {
       Mixing.mixFractions(Map("a" -> 1L), Map("a" -> 1.5, "b" -> -0.5))
     }
   }
+
+  private def waterfillRows(rows: (String, Long, Double)*) =
+    rows.toSeq.toDF("source", "n_tokens", "weight")
+
+  test("budgetWaterfill: no cap binds -> pure proportional split") {
+    // caps 1000/1000 dwarf the budget: lambda = 300/1.0, allocs 225/75
+    val out = Mixing.budgetWaterfill(
+      waterfillRows(("a", 100L, 0.75), ("b", 100L, 0.25)),
+      "source", "n_tokens", "weight", budget = 300L, maxEpochs = 10.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("alloc_tokens") === 225.0)
+    assert(out("b").getAs[Double]("alloc_tokens") === 75.0)
+    assert(out("a").getAs[Boolean]("capped") === false)
+    assert(out("b").getAs[Boolean]("capped") === false)
+    assert(out("a").getAs[Double]("lambda") === 300.0)
+    assert(out("a").getAs[Double]("epochs") === 2.25)
+  }
+
+  test("budgetWaterfill: a binding cap redistributes to the rest") {
+    // caps 20/200 (maxEpochs 2), T=100: unconstrained lambda 100 > r_a=40
+    // -> a capped at 20, remaining 80 to b (lambda 160); sum == T
+    val out = Mixing.budgetWaterfill(
+      waterfillRows(("a", 10L, 0.5), ("b", 100L, 0.5)),
+      "source", "n_tokens", "weight", budget = 100L, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("alloc_tokens") === 20.0)
+    assert(out("a").getAs[Boolean]("capped") === true)
+    assert(out("a").getAs[Double]("epochs") === 2.0)
+    assert(out("b").getAs[Double]("alloc_tokens") === 80.0)
+    assert(out("b").getAs[Boolean]("capped") === false)
+    assert(out("b").getAs[Double]("lambda") === 160.0)
+    assert(out("a").getAs[Double]("alloc_tokens") +
+      out("b").getAs[Double]("alloc_tokens") === 100.0)
+  }
+
+  test("budgetWaterfill: infeasible budget -> NULL lambda, all capped, " +
+      "visible shortfall") {
+    val out = Mixing.budgetWaterfill(
+      waterfillRows(("a", 10L, 0.5), ("b", 100L, 0.5)),
+      "source", "n_tokens", "weight", budget = 1000L, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").isNullAt(out("a").fieldIndex("lambda")))
+    assert(out("a").getAs[Double]("alloc_tokens") === 20.0)
+    assert(out("b").getAs[Double]("alloc_tokens") === 200.0)
+    assert(out.values.forall(_.getAs[Boolean]("capped")))
+  }
+
+  test("budgetWaterfill: empty source allocates zero with NULL epochs") {
+    val out = Mixing.budgetWaterfill(
+      waterfillRows(("a", 0L, 0.5), ("b", 100L, 0.5)),
+      "source", "n_tokens", "weight", budget = 50L, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("alloc_tokens") === 0.0)
+    assert(out("a").isNullAt(out("a").fieldIndex("epochs")))
+    assert(out("a").getAs[Boolean]("capped") === true) // r=0 <= lambda
+    assert(out("b").getAs[Double]("alloc_tokens") === 50.0)
+  }
+
+  test("budgetWaterfill rejects a non-positive budget or ceiling") {
+    intercept[IllegalArgumentException] {
+      Mixing.budgetWaterfill(waterfillRows(("a", 1L, 1.0)),
+        "source", "n_tokens", "weight", budget = 0L, maxEpochs = 2.0)
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.budgetWaterfill(waterfillRows(("a", 1L, 1.0)),
+        "source", "n_tokens", "weight", budget = 10L, maxEpochs = 0.0)
+    }
+  }
 }
