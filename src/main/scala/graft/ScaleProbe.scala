@@ -200,7 +200,12 @@ object ScaleProbe {
     "q177_reference_divergence",
     // the datasheet composite: ~5 corpus passes, everything downstream
     // source-sized — the 10x ratio should read like its pieces' sum
-    "q178_corpus_datasheet")
+    "q178_corpus_datasheet",
+    // round 15: DSIR selection (two gram aggregates onto the B-bounded
+    // bucket frame + one broadcast-scored per-doc sum — the 10x ratio
+    // should track the gram explode) and the waterfill (a bounded-frame
+    // solve after one token aggregate — should be scan-bound, ~flat)
+    "q179_dsir_weights", "q180_budget_waterfill")
 
   /** Re-stage every sf table as an N-file parquet dir. The driver's sf
     * fixtures are single-file/single-row-group, so scan-rooted stages

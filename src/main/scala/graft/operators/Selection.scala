@@ -77,19 +77,25 @@ object Selection {
     val tgtG = gramRows(target.withColumn("__rid", lit(1)), "__rid", textCol)
       .select(bucket(col("__gram"), numBuckets).as("__b"))
       .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
-    val nr = rawG.agg(sum(col("__cr")).as("__nr"))     // one row
-    val nt = tgtG.agg(coalesce(sum(col("__ct")), lit(0L)).as("__nt"))
     val b = lit(numBuckets.toLong)
-    // raw buckets are the support that matters: every scored gram maps
-    // to a bucket the raw corpus populated (the scored docs ARE drawn
-    // from the raw corpus); target-only buckets carry no scoring work
-    rawG.join(tgtG, Seq("__b"), "left")
-      .na.fill(0L, Seq("__ct"))
-      // one-row aggregates ride the plan as broadcast scalars (the q122
-      // pattern) — a global aggregate emits exactly one row even on
-      // empty input, so the cross join is row-count-safe
-      .crossJoin(broadcast(nr))
-      .crossJoin(broadcast(nt))
+    // The corpus totals N_r/N_t are WINDOW sums over the ≤B-row joined
+    // bucket frame, not second aggregate consumers of rawG/tgtG: a
+    // one-row `rawG.agg(sum)` consumer re-ran the whole corpus explode
+    // (measured: 5 scans instead of 3 at audit) because the scoring
+    // join pushes an isnotnull(__b) constraint into ITS copy of the
+    // aggregate subtree and the totals copy has none — structurally
+    // different subtrees, no ReusedExchange (the q95 pruning-trap
+    // class, constraint-propagation flavor). The single-partition
+    // window is bounded by construction: the frame holds at most
+    // numBuckets rows whatever the corpus size. FULL outer so a
+    // hypothetical target-only bucket still counts in N_t (with
+    // target ⊆ raw — the importance-weighting setup — none exist, but
+    // the totals must not depend on that).
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    rawG.join(tgtG, Seq("__b"), "full")
+      .na.fill(0L, Seq("__cr", "__ct"))
+      .withColumn("__nr", sum(col("__cr")).over(all))
+      .withColumn("__nt", sum(col("__ct")).over(all))
       .select(col("__b"),
         (log((col("__ct") + 1).cast("double") /
             (col("__nt") + b).cast("double")).cast("decimal(24,10)") -
