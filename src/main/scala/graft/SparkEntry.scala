@@ -6266,12 +6266,16 @@ object SparkEntry {
       |    AS DECIMAL(28,12)) AS lr
       |  FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN nr CROSS JOIN nt
       |)
-      |SELECT d.doc_id, CAST(COUNT(g.b) AS BIGINT) AS n_grams,
-      |  ROUND(CAST(SUM(lr.lr) AS DOUBLE), 6) AS log_w
-      |FROM documents d
-      |LEFT JOIN g ON d.doc_id = g.doc_id
-      |LEFT JOIN lr ON g.b = lr.b
-      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
+      |, gd AS (
+      |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |    CAST(CAST(ROUND(SUM(lr.lr), 6) AS VARCHAR) AS DOUBLE) AS log_w
+      |  FROM g LEFT JOIN lr ON g.b = lr.b
+      |  GROUP BY g.doc_id
+      |)
+      |SELECT d.doc_id, COALESCE(gd.n_grams, 0) AS n_grams, gd.log_w
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN gd ON d.doc_id IS NOT DISTINCT FROM gd.doc_id
+      |ORDER BY d.doc_id""".stripMargin))
 
   private val q180 = Q("q180_budget_waterfill",
     (s, dir) => {
@@ -6309,11 +6313,12 @@ object SparkEntry {
       |  FROM s
       |), wf AS (
       |  SELECT source, n_tokens, weight,
-      |    CAST(n_tokens AS DECIMAL(38,6)) * CAST(1.0 AS DECIMAL(12,6))
-      |      AS cap,
+      |    CAST(CAST(n_tokens AS DECIMAL(30,6)) * CAST(1.0 AS DECIMAL(8,6))
+      |      AS DECIMAL(38,6)) AS cap,
       |    CAST(weight AS DECIMAL(28,12)) AS wdec,
-      |    CAST(CAST(n_tokens AS DECIMAL(38,6)) *
-      |      CAST(1.0 AS DECIMAL(12,6)) AS DOUBLE) / weight AS r
+      |    CAST(CAST(CAST(n_tokens AS DECIMAL(30,6)) *
+      |      CAST(1.0 AS DECIMAL(8,6)) AS DECIMAL(38,6)) AS DOUBLE)
+      |      / weight AS r
       |  FROM sw
       |), ann AS (
       |  SELECT *,

@@ -105,7 +105,11 @@ object Mixing {
     *
     * Output per source: (source, n_tokens, weight, cap_tokens,
     * alloc_tokens, epochs, capped, lambda) — epochs NULL for an empty
-    * source (0/0), lambda replicated for report reading. */
+    * source (0/0), lambda replicated for report reading.
+    *
+    * Weights must be positive numbers: a null/NaN/non-positive weight
+    * raises at evaluation (it would otherwise sort into the ratio order
+    * and silently corrupt λ for every other source). */
   def budgetWaterfill(
       sources: DataFrame, sourceCol: String, tokensCol: String,
       weightCol: String, budget: Long, maxEpochs: Double): DataFrame = {
@@ -114,10 +118,25 @@ object Mixing {
     val w = org.apache.spark.sql.expressions.Window
     val cap = col(tokensCol).cast("decimal(38,6)") *
       lit(maxEpochs).cast("decimal(12,6)")
+    // a non-positive / NaN / null weight doesn't error anywhere
+    // downstream — it sorts into the ratio order and silently corrupts
+    // λ for every OTHER source — so fail fast at evaluation like the
+    // driver-side requires above (the frame is |sources|-sized, the
+    // check is free)
+    val wGuard = {
+      val dw = col(weightCol).cast("double")
+      when(dw.isNull || isnan(dw) || dw <= 0d,
+        raise_error(concat(
+          lit("budgetWaterfill: weight must be a positive number, got "),
+          coalesce(dw.cast("string"), lit("null")),
+          lit(" for source "),
+          coalesce(col(sourceCol).cast("string"), lit("null")))))
+        .otherwise(dw)
+    }
     val base = sources.select(
         col(sourceCol).as("source"),
         col(tokensCol).cast("bigint").as("n_tokens"),
-        col(weightCol).cast("double").as("weight"))
+        wGuard.as("weight"))
       .withColumn("__cap", cap)
       .withColumn("__w", col("weight").cast("decimal(28,12)"))
       .withColumn("__r",

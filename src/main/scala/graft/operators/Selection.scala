@@ -124,6 +124,12 @@ object Selection {
       .agg(count(col("__gram")).as("n_grams"),
         sum(col("__lr")).as("__sum_lr"))
       .select(col(idCol), col("n_grams"),
-        round(col("__sum_lr").cast("double"), 6).as("log_w"))
+        // round the DECIMAL sum, then cast: the sum is an exact multiple
+        // of 10^-12, so a double-side round can land on a .5 tie at 6dp
+        // (~1e-4 per doc — and this emits one row per document) that
+        // Spark HALF_UPs while a replay engine rounds the binary double
+        // a ulp off the tie. Decimal-round-then-cast is tie-free on
+        // both sides (the q173 floor-ppm lesson, round flavor).
+        round(col("__sum_lr"), 6).cast("double").as("log_w"))
   }
 }

@@ -168,4 +168,22 @@ class MixingSpec extends SparkTestBase {
         "source", "n_tokens", "weight", budget = 10L, maxEpochs = 0.0)
     }
   }
+
+  test("budgetWaterfill fails fast on a non-positive or NaN weight " +
+      "instead of silently corrupting lambda") {
+    // a negative weight sorts first in ratio order and inflates lambda
+    // for every other source — the guard turns that into an error
+    for (badW <- Seq(-0.2, 0.0, Double.NaN)) {
+      val e = intercept[Exception] {
+        Mixing.budgetWaterfill(
+          waterfillRows(("a", 10L, badW), ("b", 100L, 0.5)),
+          "source", "n_tokens", "weight", budget = 100L, maxEpochs = 2.0)
+          .collect()
+      }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains("weight must be a positive number"),
+        s"weight=$badW raised: $e")
+    }
+  }
 }

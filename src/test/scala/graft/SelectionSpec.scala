@@ -55,12 +55,12 @@ class SelectionSpec extends SparkTestBase {
         .setScale(12, RoundingMode.HALF_UP)
     }
     rawDocs.map { case (id, grams) =>
+      // round the exact DECIMAL sum to 6dp, THEN convert to double —
+      // the operator's tie-free order (decimal-round-then-cast)
       id -> (if (grams.isEmpty) None
       else Some(grams.map(g => lr(bucketOf(g)))
-        .reduce(_.add(_)).doubleValue()))
-    }.map { case (id, w) =>
-      id -> w.map(v => new JBD(v, MathContext.DECIMAL128)
-        .setScale(6, RoundingMode.HALF_UP).doubleValue())
+        .reduce(_.add(_))
+        .setScale(6, RoundingMode.HALF_UP).doubleValue()))
     }
   }
 
