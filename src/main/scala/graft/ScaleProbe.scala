@@ -205,7 +205,12 @@ object ScaleProbe {
     // bucket frame + one broadcast-scored per-doc sum — the 10x ratio
     // should track the gram explode) and the waterfill (a bounded-frame
     // solve after one token aggregate — should be scan-bound, ~flat)
-    "q179_dsir_weights", "q180_budget_waterfill")
+    "q179_dsir_weights", "q180_budget_waterfill",
+    // round 15b: the mixture LEARN step (one corpus aggregate → bounded
+    // update math — should be scan-bound, ~flat) and the plan EXECUTION
+    // composite (3 corpus passes + one source-partitioned sort — the
+    // 10x ratio should track the cut's sort)
+    "q181_doremi_reweight", "q182_mixture_materialize")
 
   /** Re-stage every sf table as an N-file parquet dir. The driver's sf
     * fixtures are single-file/single-row-group, so scan-rooted stages

@@ -6350,6 +6350,191 @@ object SparkEntry {
       |FROM ann2 a LEFT JOIN lam l ON TRUE
       |ORDER BY a.source""".stripMargin))
 
+  private val q181 = Q("q181_doremi_reweight",
+    (s, dir) => {
+      // One DoReMi multiplicative-weights step (Mixing.doremiReweight;
+      // Xie et al. 2023): per-domain mean clipped excess loss →
+      // α·exp(η·excess), renormalized and uniform-smoothed — the
+      // mixture-weight LEARNER whose output q182 materializes. The
+      // proxy/reference losses are deterministic functions of the doc
+      // (ln(1+chars) vs ln(1+tokens) — a verbosity signal), each
+      // ln-quantized DECIMAL(24,10) so the oracle replays every bit:
+      // floor-ppm mean, exp through DECIMAL(20,10), exact-decimal
+      // update products, correctly-rounded final divisions — no
+      // rounding needed anywhere.
+      val docs = t(s, dir, "documents")
+      val lnq = (c: Column) => log(c).cast("decimal(24,10)")
+      Mixing.doremiReweight(docs, "source",
+        lnq(col("n_chars") + 1),
+        lnq(TF.tokenCount(col("text")).cast("bigint") + 1),
+        prior = None, eta = 1.0, smoothing = 0.01)
+        .orderBy(col("source"))
+    },
+    Some("""WITH ex AS (
+      |  SELECT source, CASE WHEN d IS NULL THEN NULL
+      |    ELSE CAST(GREATEST(d, 0) AS DECIMAL(24,10)) END AS excess
+      |  FROM (
+      |    SELECT source,
+      |      CAST(ln(1 + n_chars) AS DECIMAL(24,10)) -
+      |      CAST(ln(1 + len(list_filter(
+      |        string_split_regex(lower(text), '\s+'), t -> t <> '')))
+      |        AS DECIMAL(24,10)) AS d
+      |    FROM documents)
+      |), agg AS (
+      |  SELECT source, CAST(COUNT(excess) AS BIGINT) AS n_examples,
+      |    SUM(excess) AS sum_ex
+      |  FROM ex GROUP BY source
+      |), m AS (
+      |  SELECT source, n_examples,
+      |    CASE WHEN n_examples = 0 THEN NULL
+      |      ELSE CAST(CAST(sum_ex * 10000000000 AS HUGEINT) * 1000000 //
+      |        (CAST(n_examples AS HUGEINT) * 10000000000)
+      |        AS DOUBLE) / 1000000.0
+      |    END AS mean_excess
+      |  FROM agg
+      |), u AS (
+      |  SELECT source, n_examples, mean_excess,
+      |    CAST(1.0 AS DOUBLE) / CAST(COUNT(*) OVER () AS DOUBLE)
+      |      AS alpha_prior,
+      |    CAST(COUNT(*) OVER () AS DOUBLE) AS kd,
+      |    CAST(CAST(1.0 AS DOUBLE) / CAST(COUNT(*) OVER () AS DOUBLE)
+      |        AS DECIMAL(14,12)) *
+      |      (CASE WHEN mean_excess IS NULL THEN CAST(1 AS DECIMAL(20,10))
+      |        ELSE CAST(exp(mean_excess) AS DECIMAL(20,10)) END) AS uu
+      |  FROM m
+      |)
+      |SELECT source, n_examples, mean_excess, alpha_prior,
+      |  (CAST(1.0 AS DOUBLE) - CAST(0.01 AS DOUBLE)) *
+      |    (CAST(CAST(uu AS VARCHAR) AS DOUBLE) /
+      |     CAST(CAST(SUM(uu) OVER () AS VARCHAR) AS DOUBLE)) +
+      |  CAST(0.01 AS DOUBLE) / kd AS alpha
+      |FROM u ORDER BY source""".stripMargin))
+
+  private val q182 = Q("q182_mixture_materialize",
+    (s, dir) => {
+      // The mixture-plan EXECUTION composite (Mixing.materializeMixture):
+      // q181's learned alphas feed a 13k-token waterfill under a
+      // 0.5-epoch repetition ceiling (both caps and shares bind at this
+      // operating point), then each source keeps docs in the replayable
+      // 60-bit md5 epoch order until its allocation is spent. Output =
+      // the per-source reconciliation report. Like q172, the
+      // COMPOSITION is the verified unit: the oracle replays reweight →
+      // waterfill → ordered greedy cut in one chained CTE.
+      val docs = t(s, dir, "documents")
+      val lnq = (c: Column) => log(c).cast("decimal(24,10)")
+      val alphas = Mixing.doremiReweight(docs, "source",
+          lnq(col("n_chars") + 1),
+          lnq(TF.tokenCount(col("text")).cast("bigint") + 1),
+          prior = None, eta = 1.0, smoothing = 0.01)
+        .select(col("source"), col("alpha").as("weight"))
+      Mixing.materializeMixture(docs, "source", "doc_id",
+        TF.tokenCount(col("text")),
+        alphas, budget = 13000L, maxEpochs = 0.5)
+    },
+    Some("""WITH tk AS (
+      |  SELECT doc_id, source, n_chars,
+      |    COALESCE(len(list_filter(
+      |      string_split_regex(lower(text), '\s+'), t -> t <> '')), 0)
+      |      AS ntok,
+      |    len(list_filter(
+      |      string_split_regex(lower(text), '\s+'), t -> t <> ''))
+      |      AS ntok_raw
+      |  FROM documents
+      |), ex AS (
+      |  SELECT source, CASE WHEN d IS NULL THEN NULL
+      |    ELSE CAST(GREATEST(d, 0) AS DECIMAL(24,10)) END AS excess
+      |  FROM (
+      |    SELECT source,
+      |      CAST(ln(1 + n_chars) AS DECIMAL(24,10)) -
+      |      CAST(ln(1 + ntok_raw) AS DECIMAL(24,10)) AS d
+      |    FROM tk)
+      |), agg AS (
+      |  SELECT source, CAST(COUNT(excess) AS BIGINT) AS n_ex,
+      |    SUM(excess) AS sum_ex
+      |  FROM ex GROUP BY source
+      |), m AS (
+      |  SELECT source,
+      |    CASE WHEN n_ex = 0 THEN NULL
+      |      ELSE CAST(CAST(sum_ex * 10000000000 AS HUGEINT) * 1000000 //
+      |        (CAST(n_ex AS HUGEINT) * 10000000000)
+      |        AS DOUBLE) / 1000000.0
+      |    END AS mean_excess
+      |  FROM agg
+      |), uu AS (
+      |  SELECT source,
+      |    CAST(COUNT(*) OVER () AS DOUBLE) AS kd,
+      |    CAST(CAST(1.0 AS DOUBLE) / CAST(COUNT(*) OVER () AS DOUBLE)
+      |        AS DECIMAL(14,12)) *
+      |      (CASE WHEN mean_excess IS NULL THEN CAST(1 AS DECIMAL(20,10))
+      |        ELSE CAST(exp(mean_excess) AS DECIMAL(20,10)) END) AS uv
+      |  FROM m
+      |), alphas AS (
+      |  SELECT source,
+      |    (CAST(1.0 AS DOUBLE) - CAST(0.01 AS DOUBLE)) *
+      |      (CAST(CAST(uv AS VARCHAR) AS DOUBLE) /
+      |       CAST(CAST(SUM(uv) OVER () AS VARCHAR) AS DOUBLE)) +
+      |    CAST(0.01 AS DOUBLE) / kd AS weight
+      |  FROM uu
+      |), s AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(ntok) AS BIGINT) AS n_tokens
+      |  FROM tk WHERE doc_id IS NOT NULL GROUP BY source
+      |), sw AS (
+      |  SELECT s.source, s.n_docs, s.n_tokens, a.weight
+      |  FROM s JOIN alphas a ON s.source IS NOT DISTINCT FROM a.source
+      |), wf AS (
+      |  SELECT source, n_docs, n_tokens, weight,
+      |    CAST(CAST(n_tokens AS DECIMAL(30,6)) * CAST(0.5 AS DECIMAL(8,6))
+      |      AS DECIMAL(38,6)) AS cap,
+      |    CAST(weight AS DECIMAL(28,12)) AS wdec,
+      |    CAST(CAST(CAST(n_tokens AS DECIMAL(30,6)) *
+      |      CAST(0.5 AS DECIMAL(8,6)) AS DECIMAL(38,6)) AS DOUBLE)
+      |      / weight AS r
+      |  FROM sw
+      |), ann AS (
+      |  SELECT *,
+      |    COALESCE(SUM(cap) OVER (ORDER BY r, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      CAST(0 AS DECIMAL(38,6))) AS cum_cap,
+      |    SUM(wdec) OVER (ORDER BY r, source
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS w_rem
+      |  FROM wf
+      |), ann2 AS (
+      |  SELECT *, CAST(CAST(13000 AS DECIMAL(38,6)) - cum_cap AS DOUBLE)
+      |    / CAST(w_rem AS DOUBLE) AS lam_prev
+      |  FROM ann
+      |), lam AS (
+      |  SELECT lam_prev AS lambda FROM ann2 WHERE lam_prev <= r
+      |  ORDER BY r, source LIMIT 1
+      |), plan AS (
+      |  SELECT a.source, a.n_docs, a.n_tokens, a.weight,
+      |    ROUND(CASE WHEN l.lambda IS NULL THEN CAST(a.cap AS DOUBLE)
+      |      ELSE LEAST(l.lambda * a.weight, CAST(a.cap AS DOUBLE)) END, 6)
+      |      AS alloc_tokens,
+      |    (l.lambda IS NULL OR a.r <= l.lambda) AS capped
+      |  FROM ann2 a LEFT JOIN lam l ON TRUE
+      |), cut AS (
+      |  SELECT t.source, t.ntok,
+      |    SUM(t.ntok) OVER (PARTITION BY t.source
+      |      ORDER BY ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15))
+      |        ::BIGINT, t.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    p.alloc_tokens
+      |  FROM tk t JOIN plan p ON t.source IS NOT DISTINCT FROM p.source
+      |  WHERE t.doc_id IS NOT NULL
+      |), kept AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+      |    CAST(SUM(ntok) AS BIGINT) AS tokens_kept
+      |  FROM cut WHERE cum <= alloc_tokens GROUP BY source
+      |)
+      |SELECT p.source, p.n_docs, p.n_tokens, p.weight, p.alloc_tokens,
+      |  p.capped,
+      |  CAST(COALESCE(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+      |  CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
+      |FROM plan p LEFT JOIN kept k
+      |  ON p.source IS NOT DISTINCT FROM k.source
+      |ORDER BY p.source""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -6365,7 +6550,7 @@ object SparkEntry {
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
-    q178, q179, q180)
+    q178, q179, q180, q181, q182)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

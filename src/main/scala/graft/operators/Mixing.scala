@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Curriculum source mixing: downsample each source so the output matches
@@ -181,6 +181,219 @@ object Mixing {
           col("__r") <= col("__lambda")).as("capped"),
         round(col("__lambda"), 6).as("lambda"))
       .orderBy(col("source"))
+  }
+
+  /** Per-invocation suffix for observe() metric names (Spark rejects
+    * two CollectMetrics nodes sharing a name in one plan). */
+  private val mixingMetricSeq =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** [[selectWithinTokenBudget]] with a PER-SOURCE budget frame — the
+    * execution step of a solved mixture plan: each source keeps its
+    * docs in `orderCols` order while the source's running token total
+    * stays ≤ its own budget row. `budgets` is (sourceCol, budgetCol),
+    * joined null-safe and BROADCAST (it is |sources|-sized by
+    * construction — the output of a plan solve, never the corpus).
+    *
+    * CONTRACT: the join is inner — a source with no budget row is
+    * excluded, because the budget frame IS the keep-list (an un-planned
+    * source has no allocation, not an implicit infinite one). Pass an
+    * explicit zero/infinite row to keep a source visible. Same
+    * determinism contract as the single-budget form: `orderCols` must
+    * be a total order or the boundary row is layout-dependent. */
+  def selectWithinTokenBudgets(
+      df: DataFrame, sourceCol: String, tokenCol: String,
+      budgets: DataFrame, budgetCol: String,
+      orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val bud = broadcast(budgets.select(col(sourceCol).as("__bsrc"),
+      col(budgetCol).as("__budget")))
+    val cum = w.partitionBy(col(sourceCol)).orderBy(orderCols: _*)
+      .rowsBetween(w.unboundedPreceding, w.currentRow)
+    df.join(bud, col(sourceCol) <=> col("__bsrc"), "inner")
+      .drop("__bsrc")
+      .withColumn("__cum", sum(col(tokenCol)).over(cum))
+      .filter(col("__cum") <= col("__budget"))
+      .drop("__budget")
+  }
+
+  /** The mixture-plan EXECUTION composite: solve a token-budget
+    * waterfill over the corpus's per-source token counts (with caller-
+    * supplied mixture weights — e.g. a [[doremiReweight]] output) and
+    * materialize it — each source keeps documents in deterministic
+    * 60-bit md5-prefix hash order (the replayable epoch order every
+    * sampler here uses, ties by id) until its allocation is spent.
+    * Returns the per-source RECONCILIATION report, one row per planned
+    * source: (source, n_docs, n_tokens, weight, alloc_tokens, capped,
+    * n_docs_kept, tokens_kept) — kept counts zero-filled, never
+    * dropped, when an allocation is too small for even one document.
+    *
+    * A source missing from `weights` fails fast inside
+    * [[budgetWaterfill]]'s weight guard (a silent zero would
+    * permanently evict the source); docs with a NULL id are dropped
+    * from both counts and keeps under the samplers' uniqueness
+    * contract, counted by a `graft.mixing.materialize.N` observe
+    * metric, never silently.
+    *
+    * Scale shape: two corpus passes (the per-source token aggregate;
+    * the ordered cut — each re-evaluating `tokens`, the documented
+    * q178-style composition trade) plus ONE source-partitioned sort
+    * for the greedy prefix — inherent to an exact per-source cut; a
+    * single hot source concentrates its sort in one task chain, the
+    * spillable-sort skew note of the sampler family. Everything else
+    * is |sources|-sized. */
+  def materializeMixture(
+      docs: DataFrame, sourceCol: String, idCol: String,
+      tokens: org.apache.spark.sql.Column, weights: DataFrame,
+      budget: Long, maxEpochs: Double): DataFrame = {
+    ObservedLog.ensure(docs.sparkSession)
+    val n = mixingMetricSeq.incrementAndGet()
+    // a doc with a NULL token count costs zero (kept for free) — the
+    // alternative leaks layout-dependence: a null-costed doc sitting
+    // FIRST in a source's order makes the running sum NULL and the
+    // filter silently drop it, while the same doc later rides along
+    val base = docs.select(col(sourceCol).as("source"),
+        col(idCol).as("__id"),
+        coalesce(tokens.cast("bigint"), lit(0L)).as("__tok"))
+      .observe(s"graft.mixing.materialize.$n",
+        sum(when(col("__id").isNull, 1L).otherwise(0L))
+          .as("null_id_rows_dropped"))
+      .filter(col("__id").isNotNull)
+    // localCheckpoint: the |sources|-row aggregate has two consumers
+    // that prune OPPOSITE columns (the waterfill reads n_tokens, the
+    // report join reads n_docs) — structurally different aggregate
+    // subtrees, no ReusedExchange, and the corpus token pass ran twice
+    // (PlanAudit receipt: 4 scans instead of 3). The frame is bounded
+    // by construction, the q172/q174 pattern for exactly this shape.
+    val perSrc = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+      .localCheckpoint()
+    val wf = budgetWaterfill(
+      perSrc.join(broadcast(weights.select(col("source").as("__wsrc"),
+          col("weight").as("weight"))),
+        col("source") <=> col("__wsrc"), "left")
+        .drop("__wsrc"),
+      "source", "n_tokens", "weight", budget, maxEpochs)
+    val kept = selectWithinTokenBudgets(base, "source", "__tok",
+        wf.select(col("source"), col("alloc_tokens")), "alloc_tokens",
+        Seq(graft.functions.PortableHash
+          .md5Prefix(col("__id").cast("string"), 15), col("__id")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("__tok")).as("tokens_kept"))
+      .select(col("source").as("__ksrc"),
+        col("n_docs_kept"), col("tokens_kept"))
+    wf.join(broadcast(perSrc.select(col("source").as("__dsrc"),
+        col("n_docs"))), col("source") <=> col("__dsrc"), "left")
+      .drop("__dsrc")
+      .join(broadcast(kept), col("source") <=> col("__ksrc"), "left")
+      .drop("__ksrc")
+      .na.fill(0L, Seq("n_docs_kept", "tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("weight"), col("alloc_tokens"), col("capped"),
+        col("n_docs_kept"), col("tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** One DoReMi domain-reweighting step (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * given per-example proxy- and reference-model losses, compute each
+    * domain's mean clipped excess loss and apply the multiplicative-
+    * weights update
+    *
+    *   α'_k ∝ α_k · exp(η · excess_k),  α''_k = (1−c)·α'_k + c/K,
+    *
+    * the step a data recipe iterates to find the mixture that trains
+    * fastest. `prior` is the incoming (domainCol, alpha) frame — None
+    * means uniform 1/K; a domain MISSING from a supplied prior raises
+    * at evaluation (silently coalescing it to 0 would zero the domain's
+    * weight forever — the multiplicative update can never recover a
+    * zero). Prior alphas are the caller's contract to have summed to 1;
+    * the update renormalizes its own output, not the input.
+    *
+    * Scale shape: ONE map-combined corpus aggregate (domain → clipped-
+    * excess decimal sum + counts); everything downstream is |domains|-
+    * sized window math, and the single-partition windows are bounded by
+    * construction. Null domains survive as their own visible row (the
+    * null-key-visible sampler contract); examples with a NULL loss on
+    * either side contribute to neither the mean's numerator nor its
+    * denominator (n_examples counts scored examples only), and a domain
+    * with NO scored examples keeps its prior weight (e = 1, mean_excess
+    * NULL) rather than erroring or vanishing.
+    *
+    * Exactness (the oracle-parity recipe): per-example clipped excess
+    * quantizes to DECIMAL before the order-free decimal sum; the mean
+    * is floor-ppm integer arithmetic (tie-free); exp() rides the ln
+    * discipline (quantize to DECIMAL(20,10) immediately); the update
+    * products/sums stay exact decimals sized to avoid precision-loss
+    * rounding (14,12 × 20,10 → 35,22 < 38); and the final α is built
+    * from correctly-rounded divisions of exact decimals plus identical
+    * IEEE double ops, so a replay engine reproduces every output BIT —
+    * which is why no column is rounded for presentation.
+    *
+    * Output per domain: (domainCol, n_examples, mean_excess,
+    * alpha_prior, alpha). */
+  def doremiReweight(
+      examples: DataFrame, domainCol: String,
+      proxyLoss: Column, refLoss: Column,
+      prior: Option[DataFrame] = None,
+      eta: Double = 1.0, smoothing: Double = 0.01): DataFrame = {
+    require(eta > 0, "eta must be positive")
+    require(smoothing >= 0 && smoothing < 1, "smoothing must be in [0, 1)")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    // NULL-loss examples must stay NULL (don't count, don't contribute)
+    // — spelled explicitly because greatest() IGNORES nulls (a null
+    // diff would otherwise clip to 0 and count as a scored example).
+    // The cast makes the clipped excess a (24,10) decimal whether the
+    // caller passed quantized decimals (exact, cast is value-identity)
+    // or raw doubles (quantized here, so the sum is still order-free).
+    val diff = proxyLoss - refLoss
+    val excess = when(diff.isNull, lit(null))
+      .otherwise(greatest(diff, lit(0)))
+      .cast("decimal(24,10)")
+    val agg = examples
+      .groupBy(col(domainCol))
+      .agg(count(excess).as("n_examples"),
+        sum(excess).as("__sum_ex"))
+    val withPrior = prior match {
+      case Some(p) =>
+        val pa = broadcast(p.select(col(domainCol).as("__pd"),
+          col("alpha").cast("double").as("__a0")))
+        agg.join(pa, col(domainCol) <=> col("__pd"), "left")
+          .withColumn("alpha_prior",
+            when(col("__a0").isNull, raise_error(concat(
+              lit("doremiReweight: domain "),
+              coalesce(col(domainCol).cast("string"), lit("null")),
+              lit(" has no prior alpha"))))
+              .otherwise(col("__a0")))
+          .drop("__pd", "__a0")
+      case None =>
+        agg.withColumn("alpha_prior",
+          lit(1.0) / count(lit(1)).over(w).cast("double"))
+    }
+    withPrior
+      // floor-ppm mean over scored examples; a domain with none keeps
+      // mean NULL (guarded — ANSI integral divide errors on 0)
+      .withColumn("mean_excess",
+        when(col("n_examples") === 0, lit(null).cast("double"))
+          .otherwise(
+            expr("CAST(__sum_ex * 1000000 AS DECIMAL(38,10)) " +
+              "DIV CAST(n_examples AS DECIMAL(38,0))").cast("double") /
+              lit(1e6)))
+      // exp through the decimal quantization the ln recipe uses; a
+      // signal-less domain multiplies by exactly 1
+      .withColumn("__e",
+        coalesce(exp(lit(eta) * col("mean_excess")).cast("decimal(20,10)"),
+          lit(1).cast("decimal(20,10)")))
+      .withColumn("__u",
+        col("alpha_prior").cast("decimal(14,12)") * col("__e"))
+      .withColumn("__z", sum(col("__u")).over(w))
+      .withColumn("__k", count(lit(1)).over(w))
+      .select(col(domainCol), col("n_examples"), col("mean_excess"),
+        col("alpha_prior"),
+        ((lit(1.0) - lit(smoothing)) *
+          (col("__u").cast("double") / col("__z").cast("double")) +
+          lit(smoothing) / col("__k").cast("double")).as("alpha"))
   }
 
   /** The mixed corpus: rows from sources named in `weights`, hash-

@@ -186,4 +186,121 @@ class MixingSpec extends SparkTestBase {
         s"weight=$badW raised: $e")
     }
   }
+
+  test("doremiReweight matches the exact reference model incl. " +
+      "null-loss, all-null-domain, clipping, and null-domain edges") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val ex = Seq[(String, Option[Double], Option[Double])](
+      ("a", Some(2.5), Some(1.0)), ("a", Some(3.0), Some(1.5)), // 1.5, 1.5
+      ("b", Some(1.0), Some(2.0)),                              // clips to 0
+      ("b", Some(1.2), Some(1.2)),                              // 0
+      ("c", None, Some(1.0)),               // unscored: no loss, no count
+      (null, Some(4.0), Some(1.0)))                             // excess 3
+      .toDF("dom", "p", "r")
+    val out = Mixing.doremiReweight(ex, "dom", col("p"), col("r"))
+      .collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>") -> r).toMap
+    // reference replay with the operator's exact arithmetic
+    // JBD.valueOf mirrors Spark's double->decimal cast (shortest-repr
+    // BigDecimal.valueOf, then HALF_UP at the target scale)
+    def eq10(x: Double): JBD =
+      JBD.valueOf(x).setScale(10, RoundingMode.HALF_UP)
+    val means = Map("a" -> Some(1.5), "b" -> Some(0.0),
+      "c" -> None, "<null>" -> Some(3.0))
+    val prior = JBD.valueOf(1.0 / 4).setScale(12, RoundingMode.HALF_UP)
+    val u = means.map { case (d, m) =>
+      d -> prior.multiply(m.map(v => eq10(math.exp(v)))
+        .getOrElse(JBD.ONE.setScale(10)))
+    }
+    val z = u.values.reduce(_.add(_))
+    means.foreach { case (d, m) =>
+      val row = out(d)
+      assert(row.getLong(1) === (if (d == "c") 0L
+        else if (d == "a") 2L else if (d == "b") 2L else 1L),
+        s"n_examples of $d")
+      m match {
+        case Some(v) => assert(row.getDouble(2) === v, s"mean of $d")
+        case None => assert(row.isNullAt(2), s"mean of $d should be NULL")
+      }
+      assert(row.getDouble(3) === 0.25, s"alpha_prior of $d")
+      val expected = 0.99 * (u(d).doubleValue() / z.doubleValue()) +
+        0.01 / 4.0
+      assert(row.getDouble(4) === expected, s"alpha of $d")
+    }
+    // renormalized: alphas sum to 1 (up to double addition error)
+    assert(math.abs(out.values.map(_.getDouble(4)).sum - 1.0) < 1e-12)
+    // the high-excess domains gained weight, the clipped one lost it
+    assert(out("<null>").getDouble(4) > out("a").getDouble(4))
+    assert(out("a").getDouble(4) > out("b").getDouble(4))
+    // the signal-less domain kept its prior modulo renorm + smoothing
+    assert(out("c").getDouble(4) < 0.25)
+  }
+
+  test("doremiReweight uses a supplied prior and fails fast on a " +
+      "domain the prior is missing") {
+    val ex = Seq(("a", 2.0, 1.0), ("b", 1.0, 1.0)).toDF("dom", "p", "r")
+    val prior = Seq(("a", 0.8), ("b", 0.2)).toDF("dom", "alpha")
+    val out = Mixing.doremiReweight(ex, "dom", col("p"), col("r"),
+        Some(prior)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("a").getDouble(3) === 0.8 && out("b").getDouble(3) === 0.2)
+    // a has excess 1, b has 0: a's share grows past its prior's 0.8
+    // relative share under the multiplicative update
+    assert(out("a").getDouble(4) > out("b").getDouble(4))
+    assert(out("a").getDouble(4) / out("b").getDouble(4) > 0.8 / 0.2)
+    val e = intercept[Exception] {
+      Mixing.doremiReweight(ex, "dom", col("p"), col("r"),
+        Some(prior.filter(col("dom") =!= "b"))).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("has no prior alpha"), s"raised: $e")
+  }
+
+  test("selectWithinTokenBudgets cuts each source at its own budget " +
+      "and excludes unplanned sources by contract") {
+    val docs = Seq(("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L),
+      ("b", 4L, 10L), ("b", 5L, 10L), ("c", 6L, 10L))
+      .toDF("source", "id", "tok")
+    val budgets = Seq(("a", 25.0), ("b", 100.0)).toDF("source", "budget")
+    val kept = Mixing.selectWithinTokenBudgets(docs, "source", "tok",
+        budgets, "budget", Seq(col("id")))
+      .select("id").as[Long].collect().sorted
+    // a: ids 1,2 (cum 10,20; id 3 would hit 30 > 25); b: both; c: none
+    assert(kept.toSeq === Seq(1L, 2L, 4L, 5L))
+  }
+
+  test("materializeMixture reconciles the plan: per-source keeps within " +
+      "alloc, zero-keep sources visible, null ids dropped") {
+    val docs = ((1 to 10).map(i => ("a", Some(i.toLong), 10L)) ++ Seq(
+      ("a", None, 10L), // null id: dropped from counts and keeps
+      ("tiny", Some(11L), 100L))) // alloc below its one doc -> 0, visible
+      .toDF("source", "doc_id", "tok")
+    val weights = Seq(("a", 0.989), ("tiny", 0.011))
+      .toDF("source", "weight")
+    val out = Mixing.materializeMixture(docs, "source", "doc_id",
+        col("tok"), weights, budget = 60L, maxEpochs = 1.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("a", "tiny"))
+    // null-id doc is in neither n_docs nor the keeps
+    assert(out("a").getAs[Long]("n_docs") === 10L)
+    assert(out("a").getAs[Long]("n_tokens") === 100L)
+    // lambda = 60: a gets 59.34 -> 5 docs / 50 tokens kept
+    assert(out("a").getAs[Long]("n_docs_kept") === 5L)
+    assert(out("a").getAs[Long]("tokens_kept") === 50L)
+    assert(out("a").getAs[Long]("tokens_kept") <=
+      out("a").getAs[Double]("alloc_tokens").toLong)
+    // tiny's alloc (0.66) is below its single 100-token doc
+    assert(out("tiny").getAs[Long]("n_docs_kept") === 0L)
+    assert(out("tiny").getAs[Long]("tokens_kept") === 0L)
+    // a source the weights frame is missing fails fast in the guard
+    val e = intercept[Exception] {
+      Mixing.materializeMixture(docs, "source", "doc_id", col("tok"),
+        weights.filter(col("source") =!= "tiny"),
+        budget = 60L, maxEpochs = 1.0).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("weight must be a positive number"), s"raised: $e")
+  }
 }
