@@ -210,7 +210,10 @@ object ScaleProbe {
     // update math — should be scan-bound, ~flat) and the plan EXECUTION
     // composite (3 corpus passes + one source-partitioned sort — the
     // 10x ratio should track the cut's sort)
-    "q181_doremi_reweight", "q182_mixture_materialize")
+    "q181_doremi_reweight", "q182_mixture_materialize",
+    // the resample step: q179's scorer + map-only gumbel keys + one
+    // k-bounded TakeOrdered — should track q179's ratio exactly
+    "q183_gumbel_topk")
 
   /** Re-stage every sf table as an N-file parquet dir. The driver's sf
     * fixtures are single-file/single-row-group, so scan-rooted stages

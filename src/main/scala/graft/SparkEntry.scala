@@ -6535,6 +6535,70 @@ object SparkEntry {
       |  ON p.source IS NOT DISTINCT FROM k.source
       |ORDER BY p.source""".stripMargin))
 
+  private val q183 = Q("q183_gumbel_topk",
+    (s, dir) => {
+      // DSIR's importance-RESAMPLING step (Selection.gumbelTopK):
+      // sampling k docs with prob ∝ exp(log_w) == top-k by
+      // (log_w + Gumbel noise), noise derandomized from md5(seed, id)
+      // so the sampled SET is layout-independent and engine-replayable.
+      // Composes q179's scorer; map-only keys + one k-bounded
+      // TakeOrdered — the corpus never shuffles.
+      val docs = t(s, dir, "documents")
+      val scored = Selection.importanceWeights(docs,
+        docs.filter(col("source") === "src13").select(col("text")),
+        "doc_id", "text", numBuckets = 1024)
+      Selection.gumbelTopK(scored, "doc_id", "log_w", 50, "q183")
+        .select(col("doc_id"), col("n_grams"), col("log_w"),
+          col("__gumbel_key").cast("double").as("gumbel_key"))
+    },
+    Some("""WITH tk AS (
+      |  SELECT doc_id, source, list_filter(
+      |    string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+      |  FROM documents
+      |), uni AS (
+      |  SELECT doc_id, source, unnest(tk) AS gram FROM tk
+      |), bi AS (
+      |  SELECT doc_id, source, tk[i] || ' ' || tk[i+1] AS gram FROM (
+      |    SELECT doc_id, source, tk,
+      |      unnest(generate_series(1, len(tk) - 1)) AS i
+      |    FROM tk WHERE len(tk) >= 2)
+      |), g AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5(gram), 1, 8))::BIGINT % 1024 AS b
+      |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+      |), cr AS (
+      |  SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM g GROUP BY b
+      |), ct AS (
+      |  SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM g
+      |  WHERE source = 'src13' GROUP BY b
+      |), nr AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr FROM cr),
+      |nt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS nt FROM ct),
+      |lr AS (
+      |  SELECT cr.b, CAST(
+      |    CAST(ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) /
+      |      CAST(nt.nt + 1024 AS DOUBLE)) AS DECIMAL(24,10)) -
+      |    CAST(ln(CAST(cr.cr + 1 AS DOUBLE) /
+      |      CAST(nr.nr + 1024 AS DOUBLE)) AS DECIMAL(24,10))
+      |    AS DECIMAL(28,12)) AS lr
+      |  FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN nr CROSS JOIN nt
+      |), gd AS (
+      |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |    CAST(CAST(ROUND(SUM(lr.lr), 6) AS VARCHAR) AS DOUBLE) AS log_w
+      |  FROM g LEFT JOIN lr ON g.b = lr.b
+      |  GROUP BY g.doc_id
+      |), keyed AS (
+      |  SELECT doc_id, n_grams, log_w,
+      |    CAST(log_w AS DECIMAL(24,10)) +
+      |    CAST(-ln(-ln(
+      |      (CAST(('0x' || substr(md5('q183' || CAST(doc_id AS VARCHAR)),
+      |        1, 15))::BIGINT AS DOUBLE) + 0.5) / 1152921504606846976.0))
+      |      AS DECIMAL(24,10)) AS gkey
+      |  FROM gd WHERE log_w IS NOT NULL
+      |)
+      |SELECT doc_id, n_grams, log_w,
+      |  CAST(CAST(gkey AS VARCHAR) AS DOUBLE) AS gumbel_key
+      |FROM keyed ORDER BY gkey DESC, doc_id LIMIT 50""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -6550,7 +6614,7 @@ object SparkEntry {
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
-    q178, q179, q180, q181, q182)
+    q178, q179, q180, q181, q182, q183)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -132,4 +132,42 @@ object Selection {
         // both sides (the q173 floor-ppm lesson, round flavor).
         round(col("__sum_lr"), 6).cast("double").as("log_w"))
   }
+
+  /** DSIR's SAMPLING step, deterministic: Gumbel top-k over a score
+    * column. Sampling k items with probability ∝ exp(score) is exactly
+    * taking the top k by (score + g_i) with iid standard Gumbel noise
+    * g_i = −ln(−ln(u_i)) (the Gumbel-top-k trick) — the importance
+    * RESAMPLING of Xie et al. 2023 applied to [[importanceWeights]]'
+    * log w. The noise is derandomized the way every sampler here is:
+    * u_i = (md5(seed ++ id)₆₀ + 0.5) / 2⁶⁰ ∈ (0,1) strictly — a row's
+    * selection never depends on layout, and a different seed draws an
+    * independent sample. Rows with a NULL score are excluded (an
+    * unscored doc has no sampling weight — and NULL-key ordering
+    * differs across engines); `idCol` must be unique (the
+    * [[Sampling.deterministicShuffle]] contract) or the tie-broken
+    * order is layout-dependent.
+    *
+    * Scale shape: map-only key computation + ONE k-bounded reduction
+    * (TakeOrdered — per-partition heaps, k rows to the driver side of
+    * the sort), no shuffle of the corpus at any k. Exactness: u is an
+    * exact 61-bit rational both engines compute identically; the
+    * double-chained ln rides the single DECIMAL(24,10) quantization
+    * (the ln ulp recipe — quantizing the INNER ln instead would floor
+    * −ln(u) to 0 for u within 5e-11 of 1 and blow up the outer ln);
+    * score quantizes to the same scale, so the sort key is an exact
+    * decimal sum and the returned SET is engine-identical. */
+  def gumbelTopK(
+      scored: DataFrame, idCol: String, scoreCol: String,
+      k: Int, seed: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val h = PortableHash.md5Prefix(
+      concat(lit(seed), col(idCol).cast("string")), 15)
+    val u = (h.cast("double") + lit(0.5)) / lit(math.pow(2, 60))
+    val g = (-log(-log(u))).cast("decimal(24,10)")
+    scored.filter(col(scoreCol).isNotNull)
+      .withColumn("__gumbel_key",
+        col(scoreCol).cast("decimal(24,10)") + g)
+      .orderBy(col("__gumbel_key").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -98,6 +98,63 @@ class SelectionSpec extends SparkTestBase {
     assert(out(3L)._2.get > out(2L)._2.get)
   }
 
+  test("gumbelTopK matches the exact reference keys, excludes null " +
+      "scores, and is layout-independent") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val scored = Seq[(Long, Option[Double])](
+      (1L, Some(0.5)), (2L, Some(-1.25)), (3L, Some(2.0)),
+      (4L, Some(0.5)), (5L, None), (6L, Some(0.0)), (7L, Some(-0.3)))
+      .toDF("doc_id", "score")
+    val out = Selection.gumbelTopK(scored, "doc_id", "score", 4, "s1")
+      .collect().map(r => r.getLong(0) ->
+        r.getDecimal(2).asInstanceOf[java.math.BigDecimal]).toMap
+    assert(out.size === 4 && !out.contains(5L), "null score excluded")
+    // reference: key = q10(score) + q10(-ln(-ln((h+0.5)/2^60)))
+    def md5h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def key(id: Long, score: Double): JBD = {
+      val u = (md5h("s1" + id).toDouble + 0.5) / math.pow(2, 60)
+      JBD.valueOf(score).setScale(10, RoundingMode.HALF_UP).add(
+        JBD.valueOf(-math.log(-math.log(u)))
+          .setScale(10, RoundingMode.HALF_UP))
+    }
+    val expected = Seq(1L, 2L, 3L, 4L, 6L, 7L)
+      .map(id => id -> key(id, Map(1L -> 0.5, 2L -> -1.25, 3L -> 2.0,
+        4L -> 0.5, 6L -> 0.0, 7L -> -0.3)(id)))
+      .sortBy { case (id, k) => (BigDecimal(k.negate), id) }
+      .take(4)
+    assert(out.keySet === expected.map(_._1).toSet, "the sampled SET")
+    expected.foreach { case (id, k) =>
+      assert(out(id).compareTo(k) === 0, s"key of doc $id")
+    }
+    // layout-independent: a different partitioning samples the same set
+    val repart = Selection.gumbelTopK(scored.repartition(7, col("score")),
+        "doc_id", "score", 4, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(repart === out.keySet)
+    // a different seed draws a different sample (6 choose 4 = 15 sets;
+    // collision possible but these two measured distinct)
+    val other = Selection.gumbelTopK(scored, "doc_id", "score", 4, "s2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(other !== out.keySet)
+  }
+
+  test("gumbelTopK samples proportionally to exp(score): a dominant " +
+      "score wins k=1 under every seed") {
+    // gap 15: P(miss) ~ n*e^-15 per seed — deterministic in practice
+    val scored = ((1 to 20).map(i => (i.toLong, 0.0)) :+ (21L, 15.0))
+      .toDF("doc_id", "score")
+    (1 to 10).foreach { s =>
+      val got = Selection.gumbelTopK(scored, "doc_id", "score", 1, s"p$s")
+        .select("doc_id").as[Long].collect()
+      assert(got.toSeq === Seq(21L), s"seed p$s picked ${got.toSeq}")
+    }
+  }
+
   test("importanceWeights on real documents: target source scores highest " +
       "on average and every doc has a row") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
