@@ -111,13 +111,26 @@ object Selection {
     * descending-order cut the caller applies. */
   def importanceWeights(
       raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 1024): DataFrame =
+    scoreAgainst(bucketLogRatios(raw, target, textCol, numBuckets),
+      raw, idCol, textCol, numBuckets)
+
+  /** The scoring pass alone, against a FROZEN (__b, __lr) ratio frame
+    * from [[bucketLogRatios]] — score a NEW corpus (or a micro-batch;
+    * see `EventStreams.dsirFilterSink`) with weights trained elsewhere.
+    * Same arithmetic and output contract as [[importanceWeights]],
+    * whose scoring pass this IS. `numBuckets` must equal the value the
+    * ratio frame was built with — a mismatch silently maps grams to
+    * buckets the frame never populated (null lr), so it is the
+    * caller's manifest-level contract (the LSH-params precedent). */
+  def scoreAgainst(
+      ratios: DataFrame, docs: DataFrame, idCol: String, textCol: String,
       numBuckets: Int = 1024): DataFrame = {
-    val ratios = bucketLogRatios(raw, target, textCol, numBuckets)
     // outer grams + LEFT broadcast join: a zero-gram doc rides the same
     // single pass as everything else (null gram → null bucket → null
     // lr), so no distinct-ids shuffle and no join-back — at corpus
     // scale those were a second full pass just to resurrect edge rows
-    gramRows(raw, idCol, textCol, outer = true)
+    gramRows(docs, idCol, textCol, outer = true)
       .withColumn("__b", bucket(col("__gram"), numBuckets))
       .join(broadcast(ratios), Seq("__b"), "left")
       .groupBy(col(idCol))

@@ -576,6 +576,61 @@ object EventStreams {
     ()
   }
 
+  /** Streaming DSIR quality gate: score each micro-batch's documents
+    * against a FROZEN bucket-log-ratio frame
+    * ([[graft.operators.Selection.bucketLogRatios]], trained offline on
+    * a raw/target corpus pair and written to `ratiosPath`) and keep only
+    * docs with `log_w >= minLogW` — the serve-time twin of the
+    * q179/q183 batch selection: train the weights once on the curated
+    * pair, then gate the live ingest with them. Scoring is
+    * [[graft.operators.Selection.scoreAgainst]] — the IDENTICAL
+    * arithmetic — so a doc passes the stream gate iff the batch scorer
+    * keeps it (EventStreamsSpec pins the parity row-for-row).
+    *
+    * State: NONE beyond the checkpoint. The ratio frame is re-read per
+    * micro-batch (a retrained frame is picked up at the next trigger —
+    * the [[enrichWithDim]] refresh contract) and BROADCASTS (it is
+    * B-bounded by construction); the per-batch job is the batch
+    * scorer's plan at batch size. `numBuckets` must equal the value the
+    * frame was trained with — the caller's manifest-level contract
+    * ([[graft.operators.Selection.scoreAgainst]]'s scaladoc).
+    *
+    * Exactly-once without an index: each batch OVERWRITES its own
+    * `batch_id=N` partition directory, so a replayed batch (restart,
+    * at-least-once upstream) rewrites the same files instead of
+    * appending duplicates; readers take `outPath` as one partitioned
+    * table. Unscored docs (no grams → NULL log_w) fail every threshold
+    * and drop unless `keepUnscored` — set it when "no lexical signal"
+    * should pass the gate rather than die at it. `idCol` must be unique
+    * and non-null within a batch (the sampler uniqueness contract):
+    * the payload rejoin is an equi-join on it. */
+  def dsirFilterSink(
+      docs: DataFrame,
+      ratiosPath: String,
+      outPath: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numBuckets: Int = 1024,
+      minLogW: Double = 0.0,
+      keepUnscored: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val ratios = spark.read.parquet(ratiosPath)
+        val scored = graft.operators.Selection.scoreAgainst(
+          ratios, batch.toDF(), idCol, textCol, numBuckets)
+        val pass =
+          if (keepUnscored) col("log_w").isNull || col("log_w") >= minLogW
+          else col("log_w") >= minLogW
+        val kept = batch.toDF().join(
+          scored.filter(pass).select(col(idCol), col("log_w")), Seq(idCol))
+        kept.write.mode("overwrite")
+          .parquet(s"$outPath/batch_id=$batchId")
+        ()
+      }.start()
+
   def nearDupFilterSink(
       docs: DataFrame,
       outPath: String,

@@ -65,6 +65,82 @@ class EventStreamsSpec extends SparkTestBase {
     assert(stream2.schema.fieldNames.contains("event_time"))
   }
 
+  test("dsirFilterSink: the stream gate equals the batch scorer, " +
+      "unscored docs drop (or pass with keepUnscored), restarts add " +
+      "no duplicates") {
+    import graft.operators.Selection
+    val root = Files.createTempDirectory("graft_dsirsink").toString
+    val srcDir = s"$root/in"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    // frozen ratios trained OFFLINE on a raw/target pair
+    val trainRaw = Seq("alpha beta", "alpha beta", "gamma delta epsilon",
+      "x y z w", "x y z").toDF("text")
+    val trainTgt = Seq("alpha beta", "alpha beta gamma").toDF("text")
+    val ratiosPath = s"$root/ratios"
+    Selection.bucketLogRatios(trainRaw, trainTgt, "text", 64)
+      .write.parquet(ratiosPath)
+    def addFile(n: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = s"$root/$n"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, java.nio.file.Paths.get(srcDir, s"$n.parquet"))
+    }
+    def stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(srcDir)
+    val out = s"$root/out"; val cp = s"$root/cp"
+    addFile("b1", Seq((1L, "alpha beta"), (2L, "x y z w"), (3L, "")))
+    val q = EventStreams.dsirFilterSink(stream, ratiosPath, out, cp,
+      numBuckets = 64, minLogW = 0.0)
+    try {
+      q.processAllAvailable()
+      addFile("b2", Seq((4L, "alpha beta gamma"), (5L, "w w w w")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+    // exactly the docs the BATCH scorer keeps at the same threshold,
+    // with the same log_w values
+    val expect = Selection.scoreAgainst(
+        spark.read.parquet(ratiosPath),
+        spark.read.parquet(srcDir).toDF("doc_id", "text"),
+        "doc_id", "text", 64)
+      .filter(col("log_w") >= 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val gotMap = got.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_w")).toMap
+    assert(gotMap === expect)
+    assert(!gotMap.contains(3L), "unscored (empty-text) doc dropped")
+    assert(got.columns.toSet ===
+      Set("doc_id", "text", "log_w", "batch_id"))
+    // restart from the same checkpoint: committed batches do not
+    // reprocess; a new file lands exactly once
+    addFile("b3", Seq((6L, "alpha beta"), (7L, "z z z")))
+    val q2 = EventStreams.dsirFilterSink(stream, ratiosPath, out, cp,
+      numBuckets = 64, minLogW = 0.0)
+    try q2.processAllAvailable() finally q2.stop()
+    val after = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().toSeq
+    assert(after.size === after.distinct.size, "no replay duplicates")
+    // still exactly the batch scorer's keep-set over ALL landed files
+    val expectAfter = Selection.scoreAgainst(
+        spark.read.parquet(ratiosPath),
+        spark.read.parquet(srcDir).toDF("doc_id", "text"),
+        "doc_id", "text", 64)
+      .filter(col("log_w") >= 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(after.toSet === expectAfter)
+    assert(expectAfter.nonEmpty, "fixture must keep at least one doc")
+    // keepUnscored: the no-signal doc passes the gate with NULL log_w
+    val q3 = EventStreams.dsirFilterSink(stream, ratiosPath,
+      s"$root/out2", s"$root/cp2", numBuckets = 64, minLogW = 0.0,
+      keepUnscored = true)
+    try q3.processAllAvailable() finally q3.stop()
+    val kept2 = spark.read.parquet(s"$root/out2")
+    val row3 = kept2.filter(col("doc_id") === 3L).collect()
+    assert(row3.length === 1 && row3.head.isNullAt(
+      kept2.columns.indexOf("log_w")))
+  }
+
   test("nearDupFilterSink: continuous-ingest near-dedup across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
