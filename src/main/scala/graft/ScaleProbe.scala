@@ -247,7 +247,10 @@ object ScaleProbe {
     // caponly/x100/multifile) must not be mistaken for it, or the 10×
     // synthesis lands in a directory literally named "only=q150"
     val out = args.find(a => !a.contains("=") &&
-      a != "caponly" && a != "x100" && a != "multifile")
+      a != "caponly" && a != "x100" && a != "multifile" &&
+      a != "warmmain") // round 15: warmmain was missing here, so a
+      // `warmmain` run synthesized 10x data into a RELATIVE dir
+      // literally named "warmmain" (inside the repo checkout)
       .getOrElse("/tmp/graft_sf1synth")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
