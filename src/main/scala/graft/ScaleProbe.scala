@@ -390,7 +390,17 @@ object ScaleProbe {
           // scale claim: shuffled bytes must stay (mappers × sources ×
           // K)-bounded whatever the token rate.
           "q172_curation_pipeline", "q177_reference_divergence",
-          "q178_corpus_datasheet")
+          "q178_corpus_datasheet",
+          // round 15b: the mixture tier one decade further. q179 — the
+          // gram explode is the scorer's only data-sized stage; the
+          // claim is two map-combined aggregates onto the B-bounded
+          // bucket frame + one broadcast-scored doc pass, nothing
+          // quadratic in the 100-member dup clusters. q182 — the
+          // composite's source-partitioned sort under the greedy cut
+          // is its only corpus-wide shuffle; the claim is the sort's
+          // input is the DOC frame (never pairs) and the waterfill/
+          // report stay |sources|-bounded.
+          "q179_dsir_weights", "q182_mixture_materialize")
         .filter(substrFilter("x100only="))
         .foreach { name =>
         // t0 BEFORE df construction: q122's iterations execute eagerly
