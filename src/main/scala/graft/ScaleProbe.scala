@@ -243,14 +243,12 @@ object ScaleProbe {
     // like a cluster's split files (see stageMultiFile)
     val multiFile = args.contains("multifile")
     val src0 = "/root/testdata/sf0.1"
-    // outDir is the first POSITIONAL arg — option args (only=/x100only=/
-    // caponly/x100/multifile) must not be mistaken for it, or the 10×
-    // synthesis lands in a directory literally named "only=q150"
-    val out = args.find(a => !a.contains("=") &&
-      a != "caponly" && a != "x100" && a != "multifile" &&
-      a != "warmmain") // round 15: warmmain was missing here, so a
-      // `warmmain` run synthesized 10x data into a RELATIVE dir
-      // literally named "warmmain" (inside the repo checkout)
+    // outDir must be an ABSOLUTE path — the structural rule, replacing
+    // a growing denylist of flag names that twice let a new option arg
+    // be mistaken for the positional outDir (a run synthesized ~150 MB
+    // of 10x data into a RELATIVE dir literally named "warmmain"
+    // inside the repo checkout; "only=q150" was the first recurrence)
+    val out = args.find(_.startsWith("/"))
       .getOrElse("/tmp/graft_sf1synth")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -268,11 +268,21 @@ object Mixing {
     val perSrc = base.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
       .localCheckpoint()
+    // FULL outer against the plan's weights: a doc-source the weights
+    // frame is missing still raises in the waterfill guard (left
+    // semantics preserved), and a PLANNED source with no docs at all —
+    // an upstream filter emptied it — stays a visible zero-token row
+    // instead of silently vanishing from the very reconciliation report
+    // that exists to surface it (its cap is 0, so it allocates 0 and
+    // reports n_docs/kept 0). Both sides are bounded (|sources| rows),
+    // so the non-broadcastable full join is frame-sized.
     val wf = budgetWaterfill(
-      perSrc.join(broadcast(weights.select(col("source").as("__wsrc"),
-          col("weight").as("weight"))),
-        col("source") <=> col("__wsrc"), "left")
-        .drop("__wsrc"),
+      perSrc.join(weights.select(col("source").as("__wsrc"),
+          col("weight").as("weight")),
+        col("source") <=> col("__wsrc"), "full")
+        .withColumn("source", coalesce(col("source"), col("__wsrc")))
+        .drop("__wsrc")
+        .na.fill(0L, Seq("n_tokens")),
       "source", "n_tokens", "weight", budget, maxEpochs)
     val kept = selectWithinTokenBudgets(base, "source", "__tok",
         wf.select(col("source"), col("alloc_tokens")), "alloc_tokens",
@@ -288,7 +298,9 @@ object Mixing {
       .drop("__dsrc")
       .join(broadcast(kept), col("source") <=> col("__ksrc"), "left")
       .drop("__ksrc")
-      .na.fill(0L, Seq("n_docs_kept", "tokens_kept"))
+      // n_docs included: a planned source absent from the corpus has no
+      // perSrc row — its report row reads all-zero, never missing
+      .na.fill(0L, Seq("n_docs", "n_docs_kept", "tokens_kept"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("weight"), col("alloc_tokens"), col("capped"),
         col("n_docs_kept"), col("tokens_kept"))
@@ -380,11 +392,19 @@ object Mixing {
             expr("CAST(__sum_ex * 1000000 AS DECIMAL(38,10)) " +
               "DIV CAST(n_examples AS DECIMAL(38,0))").cast("double") /
               lit(1e6)))
-      // exp through the decimal quantization the ln recipe uses; a
-      // signal-less domain multiplies by exactly 1
+      // exp through the decimal quantization the ln recipe uses; the
+      // signal-less (NULL-mean) case is spelled as an explicit branch,
+      // NOT a coalesce over the cast — a coalesce would also absorb a
+      // cast overflow (eta·excess ≥ ln(1e10) ≈ 23 at DECIMAL(20,10))
+      // and silently hand the HIGHEST-excess domain an update factor of
+      // exactly 1, the opposite of its semantics. This way overflow
+      // surfaces as the ANSI cast error it is; the boundary is the
+      // documented envelope (eta·mean_excess < ~23 — far above any
+      // published DoReMi operating point, eta ≈ 1, excess a few nats)
       .withColumn("__e",
-        coalesce(exp(lit(eta) * col("mean_excess")).cast("decimal(20,10)"),
-          lit(1).cast("decimal(20,10)")))
+        when(col("mean_excess").isNull, lit(1).cast("decimal(20,10)"))
+          .otherwise(
+            exp(lit(eta) * col("mean_excess")).cast("decimal(20,10)")))
       .withColumn("__u",
         col("alpha_prior").cast("decimal(14,12)") * col("__e"))
       .withColumn("__z", sum(col("__u")).over(w))

@@ -78,7 +78,7 @@ object Selection {
       .select(bucket(col("__gram"), numBuckets).as("__b"))
       .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
     val b = lit(numBuckets.toLong)
-    // The corpus totals N_r/N_t are WINDOW sums over the ≤B-row joined
+    // The corpus totals N_r/N_t are WINDOW sums over the B-row joined
     // bucket frame, not second aggregate consumers of rawG/tgtG: a
     // one-row `rawG.agg(sum)` consumer re-ran the whole corpus explode
     // (measured: 5 scans instead of 3 at audit) because the scoring
@@ -86,13 +86,26 @@ object Selection {
     // aggregate subtree and the totals copy has none — structurally
     // different subtrees, no ReusedExchange (the q95 pruning-trap
     // class, constraint-propagation flavor). The single-partition
-    // window is bounded by construction: the frame holds at most
-    // numBuckets rows whatever the corpus size. FULL outer so a
-    // hypothetical target-only bucket still counts in N_t (with
-    // target ⊆ raw — the importance-weighting setup — none exist, but
-    // the totals must not depend on that).
+    // window is bounded by construction: the frame holds exactly
+    // numBuckets rows whatever the corpus size.
+    //
+    // The frame is DENSE — every bucket 0..B-1 gets a row, zero-filled
+    // counts where neither corpus hit it — because the module contract
+    // says Laplace smoothing makes EVERY bucket's ratio finite: a
+    // bucket absent from the training pair must still score
+    // ln(1/(N_t+B)) − ln(1/(N_r+B)) when a FROZEN frame meets novel
+    // vocabulary (scoreAgainst / the streaming gate). The sparse form
+    // left-joined those grams to nothing: null lr terms biased
+    // partially-novel docs and an all-novel doc read as "unscored"
+    // (NULL log_w with n_grams > 0) and silently failed every gate
+    // threshold. importanceWeights itself never met the edge (it
+    // scores the corpus the frame was trained on), which is why 183
+    // oracle queries couldn't catch it.
     val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    rawG.join(tgtG, Seq("__b"), "full")
+    raw.sparkSession.range(numBuckets.toLong)
+      .select(col("id").as("__b"))
+      .join(rawG, Seq("__b"), "left")
+      .join(tgtG, Seq("__b"), "left")
       .na.fill(0L, Seq("__cr", "__ct"))
       .withColumn("__nr", sum(col("__cr")).over(all))
       .withColumn("__nt", sum(col("__ct")).over(all))
@@ -126,6 +139,12 @@ object Selection {
   def scoreAgainst(
       ratios: DataFrame, docs: DataFrame, idCol: String, textCol: String,
       numBuckets: Int = 1024): DataFrame = {
+    // validated here too (importanceWeights gets it via bucketLogRatios,
+    // but this is its own entry point now): 0 would divide-by-zero deep
+    // in the stream, and a NEGATIVE B maps grams to (-B, 0] — buckets
+    // the frame's [0, B) keys can never match, i.e. every doc silently
+    // "unscored"
+    require(numBuckets > 0, "numBuckets must be positive")
     // outer grams + LEFT broadcast join: a zero-gram doc rides the same
     // single pass as everything else (null gram → null bucket → null
     // lr), so no distinct-ids shuffle and no join-back — at corpus
@@ -154,11 +173,11 @@ object Selection {
     * log w. The noise is derandomized the way every sampler here is:
     * u_i = (md5(seed ++ id)₆₀ + 0.5) / 2⁶⁰ ∈ (0,1) strictly — a row's
     * selection never depends on layout, and a different seed draws an
-    * independent sample. Rows with a NULL score are excluded (an
-    * unscored doc has no sampling weight — and NULL-key ordering
-    * differs across engines); `idCol` must be unique (the
-    * [[Sampling.deterministicShuffle]] contract) or the tie-broken
-    * order is layout-dependent.
+    * independent sample. Rows with a NULL score or a NULL id are
+    * excluded (an unscored doc has no sampling weight, a null id has
+    * no hash — and NULL-key ordering differs across engines); `idCol`
+    * must be unique (the [[Sampling.deterministicShuffle]] contract)
+    * or the tie-broken order is layout-dependent.
     *
     * Scale shape: map-only key computation + ONE k-bounded reduction
     * (TakeOrdered — per-partition heaps, k rows to the driver side of
@@ -177,7 +196,11 @@ object Selection {
       concat(lit(seed), col(idCol).cast("string")), 15)
     val u = (h.cast("double") + lit(0.5)) / lit(math.pow(2, 60))
     val g = (-log(-log(u))).cast("decimal(24,10)")
-    scored.filter(col(scoreCol).isNotNull)
+    // null ids are excluded like null scores (and for the same two
+    // reasons): concat-with-null nulls the hash, so the row's key would
+    // be NULL — a scored doc silently sorting to zero sampling
+    // probability — and NULL-key ordering differs across engines
+    scored.filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
       .withColumn("__gumbel_key",
         col(scoreCol).cast("decimal(24,10)") + g)
       .orderBy(col("__gumbel_key").desc, col(idCol))

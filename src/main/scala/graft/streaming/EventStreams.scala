@@ -619,16 +619,23 @@ object EventStreams {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         val ratios = spark.read.parquet(ratiosPath)
-        val scored = graft.operators.Selection.scoreAgainst(
-          ratios, batch.toDF(), idCol, textCol, numBuckets)
-        val pass =
-          if (keepUnscored) col("log_w").isNull || col("log_w") >= minLogW
-          else col("log_w") >= minLogW
-        val kept = batch.toDF().join(
-          scored.filter(pass).select(col(idCol), col("log_w")), Seq(idCol))
-        kept.write.mode("overwrite")
-          .parquet(s"$outPath/batch_id=$batchId")
-        ()
+        // persist: the payload rejoin is a self-join (both legs derive
+        // from the batch), so without it every trigger reads the
+        // batch's input twice — once through the gram explode, once
+        // for the payload side
+        val b = batch.toDF().persist()
+        try {
+          val scored = graft.operators.Selection.scoreAgainst(
+            ratios, b, idCol, textCol, numBuckets)
+          val pass =
+            if (keepUnscored) col("log_w").isNull || col("log_w") >= minLogW
+            else col("log_w") >= minLogW
+          val kept = b.join(
+            scored.filter(pass).select(col(idCol), col("log_w")),
+            Seq(idCol))
+          kept.write.mode("overwrite")
+            .parquet(s"$outPath/batch_id=$batchId")
+        } finally { b.unpersist(); () }
       }.start()
 
   def nearDupFilterSink(

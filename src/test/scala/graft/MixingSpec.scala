@@ -303,4 +303,27 @@ class MixingSpec extends SparkTestBase {
       Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
     assert(msg.contains("weight must be a positive number"), s"raised: $e")
   }
+
+  test("materializeMixture keeps a PLANNED source with zero corpus " +
+      "docs visible as an all-zero reconciliation row") {
+    val docs = Seq(("a", Some(1L), 10L), ("a", Some(2L), 10L))
+      .toDF("source", "doc_id", "tok")
+    // the plan names a source an upstream filter emptied: the report
+    // must surface the discrepancy, not silently redistribute it
+    val weights = Seq(("a", 0.6), ("ghost", 0.4)).toDF("source", "weight")
+    val out = Mixing.materializeMixture(docs, "source", "doc_id",
+        col("tok"), weights, budget = 10L, maxEpochs = 1.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("a", "ghost"))
+    val g = out("ghost")
+    assert(g.getAs[Long]("n_docs") === 0L)
+    assert(g.getAs[Long]("n_tokens") === 0L)
+    assert(g.getAs[Double]("alloc_tokens") === 0.0)
+    assert(g.getAs[Boolean]("capped") === true) // cap 0 binds at r = 0
+    assert(g.getAs[Long]("n_docs_kept") === 0L)
+    assert(g.getAs[Long]("tokens_kept") === 0L)
+    // a keeps lambda * 0.6 = 10 tokens -> exactly one 10-token doc
+    assert(out("a").getAs[Double]("alloc_tokens") === 10.0)
+    assert(out("a").getAs[Long]("tokens_kept") === 10L)
+  }
 }

@@ -98,6 +98,39 @@ class SelectionSpec extends SparkTestBase {
     assert(out(3L)._2.get > out(2L)._2.get)
   }
 
+  test("scoreAgainst a frozen frame Laplace-scores never-trained " +
+      "buckets instead of skipping them") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val raw = Seq("aa bb").toDF("text") // grams: aa, bb, "aa bb" (nr=3)
+    val tgt = Seq("aa").toDF("text") // grams: aa (nt=1)
+    val b = 64
+    val ratios = Selection.bucketLogRatios(raw, tgt, "text", b)
+    // DENSE: every bucket has a finite smoothed ratio
+    assert(ratios.count() === b.toLong)
+    assert(ratios.filter(col("__lr").isNull).count() === 0L)
+    // a doc of entirely novel vocabulary: its buckets were never
+    // trained, but each gram must score the Laplace floor
+    // ln(1/(nt+B)) − ln(1/(nr+B)), not vanish into a NULL sum
+    def bucketOf(g: String): Long =
+      PortableHash.hash32(g.getBytes("UTF-8")) % b
+    assert(Seq("zz", "zz zz").map(bucketOf)
+      .intersect(Seq("aa", "bb", "aa bb").map(bucketOf)).isEmpty,
+      "fixture requires the novel grams to miss every trained bucket")
+    val out = Selection.scoreAgainst(ratios,
+        Seq((1L, "zz zz")).toDF("doc_id", "text"), "doc_id", "text", b)
+      .collect().head
+    def q10(x: Double): JBD =
+      new JBD(x, java.math.MathContext.DECIMAL128)
+        .setScale(10, RoundingMode.HALF_UP)
+    val lr0 = q10(math.log(1.0 / (1 + b)))
+      .subtract(q10(math.log(1.0 / (3 + b)))).setScale(12)
+    val expected = lr0.add(lr0).add(lr0) // grams: zz, zz, "zz zz"
+      .setScale(6, RoundingMode.HALF_UP).doubleValue()
+    assert(out.getLong(1) === 3L, "n_grams")
+    assert(!out.isNullAt(2), "novel-vocab doc must not read as unscored")
+    assert(out.getDouble(2) === expected, "the Laplace-floor score")
+  }
+
   test("gumbelTopK matches the exact reference keys, excludes null " +
       "scores, and is layout-independent") {
     import java.math.{BigDecimal => JBD, RoundingMode}
