@@ -10,7 +10,8 @@ import graft.functions.{TextFunctions => TF, UrlFunctions, VectorFunctions => VF
 import graft.operators.{Boilerplate, Bpe, C4Clean, ClusterEval,
   Collocations, Decontaminate, Dedup, Drift, EventTime, Fuzzy,
   GopherRules, LangModel, Metrics, Mixing, Normalize, PartialAgg,
-  RepeatedSpans, Retrieval, Sampling, Scoring, Selection, Similarity, Zipf}
+  Privacy, RepeatedSpans, Retrieval, Sampling, Scoring, Selection,
+  Similarity, Zipf}
 
 /** Driver contract: the declared operator surface (SURVEY.md §2) over the
   * test star schema, each query paired with DuckDB oracle SQL.
@@ -6599,6 +6600,170 @@ object SparkEntry {
       |  CAST(CAST(gkey AS VARCHAR) AS DOUBLE) AS gumbel_key
       |FROM keyed ORDER BY gkey DESC, doc_id LIMIT 50""".stripMargin))
 
+  private val q184 = Q("q184_k_anonymity",
+    (s, dir) => {
+      // k-anonymity / l-diversity audit (Privacy.anonymityAudit) over
+      // the customer QI projection (mktsegment, nationkey) with the
+      // generalized account-balance bucket as the sensitive attribute —
+      // the release gate that runs before structured metadata ships
+      // with a corpus. One map-combined groupBy; the exact distinct
+      // rides the same key's two-phase expand.
+      Privacy.anonymityAudit(t(s, dir, "customer"),
+          Seq("c_mktsegment", "c_nationkey"),
+          floor(col("c_acctbal") / 100), k = 15, l = 15)
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))
+    },
+    Some("""SELECT c_mktsegment, c_nationkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 100) AS BIGINT))
+      |    AS BIGINT) AS n_sensitive,
+      |  COUNT(*) >= 15 AS k_anonymous,
+      |  COUNT(DISTINCT CAST(FLOOR(c_acctbal / 100) AS BIGINT)) >= 15
+      |    AS l_diverse
+      |FROM customer GROUP BY c_mktsegment, c_nationkey
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin))
+
+  private val q185 = Q("q185_neyman_allocation",
+    (s, dir) => {
+      // Neyman optimal allocation (Sampling.neymanAllocation): split a
+      // 10k-doc audit budget across sources ∝ N_h·σ_h of doc length —
+      // the survey-sampling step that decides how much of each source a
+      // fixed quality-probe budget inspects. One map-combined corpus
+      // aggregate; sqrt of an exact DECIMAL(38,0) integer, back to ppm
+      // integers before the floor division, so allocation is
+      // bit-deterministic.
+      Sampling.neymanAllocation(t(s, dir, "documents"),
+          "source", "n_chars", budget = 10000L)
+        .orderBy(col("source"))
+    },
+    Some("""WITH s AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    SUM(CAST(n_chars AS HUGEINT)) AS s1,
+      |    SUM(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+      |  FROM documents GROUP BY source
+      |), w AS (
+      |  SELECT source, n_rows,
+      |    CAST(ROUND(sqrt(CAST(CAST(
+      |      CAST(n_rows AS HUGEINT) * s2 - s1 * s1
+      |    AS VARCHAR) AS DOUBLE)) * 1000000, 0) AS HUGEINT) AS w_ppm
+      |  FROM s
+      |), tot AS (SELECT SUM(w_ppm) AS tw FROM w)
+      |SELECT source, n_rows,
+      |  CAST(CAST(w_ppm // n_rows AS BIGINT) AS DOUBLE) / 1000000
+      |    AS sigma,
+      |  CASE WHEN tot.tw = 0 THEN CAST(0 AS BIGINT)
+      |    ELSE CAST(CAST(10000 AS HUGEINT) * w_ppm // tot.tw AS BIGINT)
+      |  END AS alloc
+      |FROM w CROSS JOIN tot ORDER BY source""".stripMargin))
+
+  private val q186 = Q("q186_containment_join",
+    (s, dir) => {
+      // Directed CONTAINMENT similarity join
+      // (Fuzzy.containmentSelfJoin): corpus docs holding ≥ 80 % of a
+      // query doc's unigram vocabulary — the excerpt/subset-duplication
+      // detector symmetric Jaccard (q36/q121) is blind to. Candidates
+      // from the query side's rarity prefix against FLAT corpus
+      // postings (no corpus carve), exact array_intersect verify;
+      // output provably equals the all-pairs oracle below.
+      val docs = t(s, dir, "documents")
+      val sets = docs.select(col("doc_id"),
+        TF.shinglesFast(col("text"), 1).as("st"))
+      Fuzzy.containmentSelfJoin(sets, "doc_id", "st", 0.8,
+          col("doc_id") % 100 === 0)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""SELECT id_a, id_b, ROUND(c, 6) AS containment FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) /
+      |      CAST(len(a.st) AS DOUBLE) AS c
+      |  FROM (SELECT doc_id, list_distinct(list_filter(
+      |      string_split_regex(lower(text), '\s+'), t -> t <> '')) AS st
+      |    FROM documents WHERE doc_id % 100 = 0) a
+      |  JOIN (SELECT doc_id, list_distinct(list_filter(
+      |      string_split_regex(lower(text), '\s+'), t -> t <> '')) AS st
+      |    FROM documents) b
+      |  ON a.doc_id <> b.doc_id
+      |  WHERE len(a.st) > 0)
+      |WHERE c >= 0.8 ORDER BY id_a, id_b""".stripMargin))
+
+  private val q187 = Q("q187_curriculum_order",
+    (s, dir) => {
+      // Curriculum schedule (Selection.curriculumSchedule): 10
+      // equal-frequency-up-to-ties difficulty tiers over n_chars
+      // (ascending = easy first), deterministic hash shuffle within
+      // tier, tiers interleaved so every schedule window mixes
+      // difficulties. Tier assignment from the value-level CDF frame —
+      // no global row-number pass. First 200 positions.
+      Selection.curriculumSchedule(t(s, dir, "documents"),
+          "doc_id", "n_chars", nBuckets = 10, seed = "q187")
+        .orderBy(col("position"))
+        .limit(200)
+    },
+    Some("""WITH rows_ AS (
+      |  SELECT doc_id, n_chars FROM documents
+      |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+      |), cdf AS (
+      |  SELECT n_chars, COUNT(*) AS c FROM rows_ GROUP BY n_chars
+      |), cdf2 AS (
+      |  SELECT n_chars, SUM(c) OVER (ORDER BY n_chars) AS cum,
+      |    SUM(c) OVER () AS n
+      |  FROM cdf
+      |), tiers AS (
+      |  SELECT n_chars,
+      |    CAST((CAST(cum AS HUGEINT) * 10 + n - 1) // n AS INT) AS tier
+      |  FROM cdf2
+      |), keyed AS (
+      |  SELECT r.doc_id, r.n_chars, t.tier,
+      |    ('0x' || substr(md5('q187' || CAST(r.doc_id AS VARCHAR)),
+      |      1, 15))::BIGINT AS shuf
+      |  FROM rows_ r JOIN tiers t USING (n_chars)
+      |)
+      |SELECT doc_id, n_chars, tier,
+      |  CAST((ROW_NUMBER() OVER (PARTITION BY tier ORDER BY shuf, doc_id)
+      |    - 1) * 10 + (tier - 1) AS BIGINT) AS position
+      |FROM keyed ORDER BY position LIMIT 200""".stripMargin))
+
+  private val q188 = Q("q188_concentration",
+    (s, dir) => {
+      // Corpus concentration report (Datasheet.concentration): exact
+      // Gini of the doc-length distribution + top-1 % share from the
+      // VALUE-LEVEL frame (no corpus sort — the rank-sum folds per
+      // value, tie-order invariant), HHI of source shares; all
+      // fractions floor-ppm integers.
+      graft.operators.Datasheet.concentration(
+        t(s, dir, "documents"), "n_chars", "source")
+    },
+    Some("""WITH vals AS (
+      |  SELECT CAST(n_chars AS BIGINT) AS v, COUNT(*) AS c
+      |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+      |), ann AS (
+      |  SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
+      |  FROM vals
+      |), sz AS (
+      |  SELECT MAX(n) AS n_docs,
+      |    SUM(CAST(v AS HUGEINT) * c) AS s,
+      |    SUM(CAST(v AS HUGEINT) * (CAST(c AS HUGEINT) * (cum - c)
+      |      + CAST(c AS HUGEINT) * (c + 1) // 2)) AS s1,
+      |    SUM(CAST(v AS HUGEINT) * GREATEST(0, LEAST(c,
+      |      (n + 99) // 100 - (n - cum)))) AS top
+      |  FROM ann
+      |), src AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+      |    SUM(ns) AS nt, SUM(CAST(ns AS HUGEINT) * ns) AS sq
+      |  FROM (SELECT COUNT(*) AS ns FROM documents GROUP BY source)
+      |)
+      |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(s AS BIGINT) AS total_size,
+      |  CAST((2 * s1 - (CAST(n_docs AS HUGEINT) + 1) * s) * 1000000
+      |    // (CAST(n_docs AS HUGEINT) * s) AS BIGINT) AS gini_ppm,
+      |  CAST(top * 1000000 // s AS BIGINT) AS top1pct_share_ppm,
+      |  CAST(sq * 1000000 // (CAST(nt AS HUGEINT) * nt) AS BIGINT)
+      |    AS hhi_source_ppm,
+      |  n_sources
+      |FROM sz CROSS JOIN src""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -6614,7 +6779,7 @@ object SparkEntry {
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
-    q178, q179, q180, q181, q182, q183)
+    q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

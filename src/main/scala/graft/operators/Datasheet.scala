@@ -95,4 +95,91 @@ object Datasheet {
       .join(drift, Seq("src"), "left")
       .withColumnRenamed("src", sourceCol)
   }
+
+  /** Corpus CONCENTRATION report — ONE row answering "how unequal is
+    * this corpus?", the datasheet's inequality sidebar:
+    *
+    *   (n_docs, total_size, gini_ppm, top1pct_share_ppm,
+    *    hhi_source_ppm, n_sources)
+    *
+    * gini_ppm: the Gini coefficient of the per-doc `sizeCol`
+    * distribution (0 = all docs equal, →1 = all mass in one doc), the
+    * standard inequality summary for length/token skew. Computed
+    * EXACTLY from the VALUE-LEVEL frame — groupBy(size) → (value,
+    * count), then ascending-cumulative window math over |distinct
+    * sizes| rows: the rank-sum Σ_i i·x_(i) folds per value v to
+    * v·(c·C_prev + c(c+1)/2), which is tie-order invariant, so no
+    * global row sort ever runs (the naive formula sorts the corpus;
+    * this sorts the bounded value frame). All terms DECIMAL(38,0),
+    * share as floor-ppm: G = (2·S₁ − (n+1)·S) ppm-div (n·S).
+    *
+    * top1pct_share_ppm: share of total size held by the largest
+    * ⌈n/100⌉ docs — computed from the same value frame by a
+    * descending-cumulative cut (the boundary value contributes only its
+    * partial count), so "top 1 %" is exact under ties without ranking
+    * individual docs.
+    *
+    * hhi_source_ppm: Herfindahl–Hirschman index of source shares,
+    * Σ(n_s/n)² in floor-ppm — 10⁶ = single-source corpus, 10⁶/k = k
+    * equal sources. One map-combined groupBy(source).
+    *
+    * Scale: two map-combined aggregates (value frame + source frame),
+    * window math over bounded frames, one cross-joined 1×1 result.
+    * Rows with null `sizeCol` are excluded from the size metrics
+    * (null has no magnitude); null sources form a visible group in the
+    * HHI. Sizes must be non-negative integers (counts/lengths) — the
+    * cumulative formulas assume x_(i) ≥ 0. */
+  def concentration(
+      docs: DataFrame, sizeCol: String, sourceCol: String): DataFrame = {
+    val vals = docs.filter(col(sizeCol).isNotNull)
+      .groupBy(col(sizeCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val ascW = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val annotated = vals
+      .withColumn("__cum", sum(col("__c")).over(ascW))
+      .withColumn("__n", sum(col("__c")).over(totW))
+      .withColumn("__cprev", col("__cum") - col("__c"))
+    // rank-sum term per value: v·(c·C_prev + c(c+1)/2), exact decimal
+    val sizeAgg = annotated
+      .withColumn("__k", expr("(__n + 99) DIV 100")) // ⌈n/100⌉
+      // docs of this value inside the top-k by size: k minus the count
+      // of strictly larger docs (__n − __cum), clamped into [0, c]
+      .withColumn("__take",
+        greatest(lit(0L), least(col("__c"),
+          col("__k") - (col("__n") - col("__cum")))))
+      .agg(
+        max(col("__n")).as("n_docs"),
+        sum(expr("CAST(__v AS DECIMAL(38,0)) * __c")).as("__s"),
+        sum(expr("CAST(__v AS DECIMAL(38,0)) * " +
+          "(CAST(__c AS DECIMAL(38,0)) * __cprev + " +
+          "CAST(__c AS DECIMAL(38,0)) * (__c + 1) DIV 2)")).as("__s1"),
+        sum(expr("CAST(__v AS DECIMAL(38,0)) * __take")).as("__top"))
+      .withColumn("total_size", col("__s").cast("long"))
+      .withColumn("gini_ppm",
+        when(col("__s") === 0, lit(null).cast("long")).otherwise(
+          expr("(2 * __s1 - (CAST(n_docs AS DECIMAL(38,0)) + 1) * __s) " +
+            "* 1000000 DIV (CAST(n_docs AS DECIMAL(38,0)) * __s)")
+            .cast("long")))
+      .withColumn("top1pct_share_ppm",
+        when(col("__s") === 0, lit(null).cast("long")).otherwise(
+          expr("__top * 1000000 DIV __s").cast("long")))
+      .select(col("n_docs"), col("total_size"), col("gini_ppm"),
+        col("top1pct_share_ppm"))
+    val srcAgg = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__ns"))
+      .agg(
+        count(lit(1)).as("n_sources"),
+        sum(col("__ns")).as("__nt"),
+        sum(expr("CAST(__ns AS DECIMAL(38,0)) * __ns")).as("__sq"))
+      .withColumn("hhi_source_ppm",
+        expr("__sq * 1000000 DIV " +
+          "(CAST(__nt AS DECIMAL(38,0)) * __nt)").cast("long"))
+      .select(col("n_sources"), col("hhi_source_ppm"))
+    sizeAgg.crossJoin(srcAgg)
+      .select(col("n_docs"), col("total_size"), col("gini_ppm"),
+        col("top1pct_share_ppm"), col("hhi_source_ppm"), col("n_sources"))
+  }
 }

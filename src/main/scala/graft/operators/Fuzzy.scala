@@ -237,6 +237,86 @@ object Fuzzy {
         "graft.fuzzy.jaccard_truncation"))
   }
 
+  /** Asymmetric CONTAINMENT self-join: pairs (a, b) with
+    * C(a→b) = |set_a ∩ set_b| / |set_a| ≥ `threshold` — "at least t of
+    * a's tokens appear in b". The asymmetric cousin of
+    * [[jaccardSelfJoin]]: Jaccard misses subset duplication (a 50-token
+    * excerpt inside a 5000-token document has J ≈ 0.01 but containment
+    * 1.0), and excerpt/quote detection is exactly the dedup case where
+    * symmetric measures go blind (Broder's containment, SEQUENCES 1997).
+    *
+    * Blocking is one-sided prefix filtering: C ≥ t means overlap ≥
+    * ⌈t·n_a⌉, so at most n_a − ⌈t·n_a⌉ of a's tokens are OUTSIDE b —
+    * a's first n_a − ⌈t·n_a⌉ + 1 tokens under global rarity order must
+    * hit b. Candidates are therefore an equi-join of a's rarity prefix
+    * against b's FLAT token postings — the b side needs no carve, no
+    * positions, no sort: (id_b, n_b, token) straight off the explode.
+    * Two prunes are sound per matched row: n_b ≥ ⌈t·n_a⌉ (overlap can't
+    * exceed |b|), and at a's prefix position i_a the remaining-overlap
+    * bound 1 + (n_a − i_a − 1) ≥ ⌈t·n_a⌉ (valid at the FIRST shared
+    * token, which always survives — later rows of the same pair may be
+    * pruned, thinning duplicates before the distinct). COMPLETE: exact
+    * intersection verify on candidates equals the all-pairs answer.
+    *
+    * `leftPred` selects the query side (the natural 100 TB shape:
+    * "which corpus docs contain ≥ t of THIS release's docs"); pass
+    * `lit(true)` for the whole-corpus form. Self-pairs are excluded;
+    * (a, b) and (b, a) are distinct answers (containment is directed).
+    * Scale: the corpus-side explode is flat postings — one shuffle on
+    * token; hot (frequent) tokens never enter the join unless they sit
+    * in someone's RARITY prefix, which by construction they rarely do.
+    * `maxPairsPerDoc` caps each id_a's partners best-first via the
+    * heap exec, same contract as [[jaccardSelfJoin]]'s cap. */
+  def containmentSelfJoin(
+      sets: DataFrame, idCol: String, setCol: String,
+      threshold: Double, leftPred: Column,
+      maxPairsPerDoc: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val selectiveSlice = !isStaticallyTrue(sets, leftPred)
+    val r = sets.select(col(idCol).as("id_b"),
+      array_distinct(col(setCol)).as("__set_b"))
+    val tokenDf = r.select(explode(col("__set_b")).as("__t"))
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("__df"))
+    // query-side rarity prefix (same pinned carve as the jaccard form)
+    val lp = {
+      val base = if (selectiveSlice) sets.filter(leftPred) else sets
+      prefixes(
+        base.select(col(idCol).as("id_a"),
+          array_distinct(col(setCol)).as("__set_a")),
+        "id_a", "__set_a", tokenDf, threshold,
+        pinFanout = selectiveSlice)
+    }
+    // corpus-side FLAT postings: no carve — (id_b, n_b, token)
+    val rPost = r.select(col("id_b"),
+      size(col("__set_b")).as("__n_id_b"), explode(col("__set_b")).as("__t"))
+    val minOverlap = ceil(lit(threshold) * col("__n_id_a") - 1e-9)
+    val numPart = sets.sparkSession.sessionState.conf.numShufflePartitions
+    val candBase = lp.join(rPost, Seq("__t"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("__n_id_b") >= minOverlap)
+      .filter(lit(1) + (col("__n_id_a") - col("__i_id_a") - 1) >= minOverlap)
+      .select(col("id_a"), col("id_b"))
+    val candidates =
+      if (selectiveSlice) candBase.repartition(numPart, col("id_b")).distinct()
+      else candBase.distinct()
+    // exact directed verify: |a ∩ b| / |a|
+    val l = sets.select(col(idCol).as("id_a"),
+      array_distinct(col(setCol)).as("__set_a"))
+    candidates
+      .join(r, Seq("id_b"))
+      .join(l, Seq("id_a"))
+      .withColumn("containment",
+        size(array_intersect(col("__set_a"), col("__set_b"))).cast("double") /
+          size(col("__set_a")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+      .transform(capPerDoc("id_a",
+        col("containment"), "id_b", maxPairsPerDoc,
+        "graft.fuzzy.containment_truncation"))
+  }
+
   /** True iff `pred`, resolved against `df` and cast to boolean, is a
     * compile-time constant `true` — the [[jaccardSelfJoin]] pin gate's
     * whole-corpus test. Resolution goes through the analyzer (so

@@ -287,4 +287,67 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** Neyman optimal allocation (Neyman 1934): split a sample `budget`
+    * across strata ∝ N_h·σ_h — the allocation that minimizes the
+    * variance of the stratified mean for a fixed total n. The survey-
+    * sampling answer to "this quality-probe budget is fixed; how many
+    * docs do I audit per source?" — high-variance strata earn more than
+    * their population share.
+    *
+    * `valueCol` must be INTEGRAL (token/char counts — the pipeline
+    * case); everything up to the square root is then exact DECIMAL(38,0)
+    * integer arithmetic, immune to partial-aggregation order. The Neyman
+    * weight is w_h = N_h·σ_h = sqrt(N_h·Σx² − (Σx)²) — one correctly-
+    * rounded sqrt per stratum on an exactly-computed integer, scaled to
+    * ppm and floored back to integers, so the final floor-divided
+    * allocation is bit-deterministic across engines.
+    *
+    * Scale shape: ONE map-combined groupBy over the corpus (count, Σx,
+    * Σx² per stratum — three longs of state); the allocation itself is
+    * window math over the |strata|-row frame (single-partition window on
+    * a bounded frame — documented, like budgetWaterfill's solve).
+    * Zero-variance strata get alloc 0 (the Neyman optimum — their mean
+    * is known from any single row); an all-constant corpus (total weight
+    * 0) allocates 0 everywhere rather than dividing by zero.
+    *
+    * Output per stratum: (stratumCol, n_rows, sigma, alloc) — sigma is
+    * the population σ_h floored to 6 decimals from the ppm integer the
+    * allocation actually used (w_ppm DIV N), so the reported σ and the
+    * allocation can never disagree. */
+  def neymanAllocation(
+      df: DataFrame, stratumCol: String, valueCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val perStratum = df
+      .groupBy(col(stratumCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast("decimal(38,0)")).as("__s1"),
+        sum((col(valueCol).cast("decimal(19,0)") *
+          col(valueCol).cast("decimal(19,0)")).cast("decimal(38,0)"))
+          .as("__s2"))
+      // N·Σx² − (Σx)² = N²·Var (population) — exact in DECIMAL(38,0)
+      .withColumn("__varnum",
+        expr("CAST(n_rows AS DECIMAL(38,0)) * __s2 - __s1 * __s1"))
+      // w_ppm = round(10⁶·sqrt(varnum)) = round(10⁶·N·σ): ONE double
+      // sqrt of an exactly-represented integer (exact for varnum <
+      // 2⁵³; beyond that both engines see the same correctly-rounded
+      // double), then back to integer ppm for the division below.
+      .withColumn("__w_ppm",
+        round(sqrt(col("__varnum").cast("double")) * 1e6, 0)
+          .cast("decimal(38,0)"))
+    val totalW = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    perStratum
+      .withColumn("__tot", sum(col("__w_ppm")).over(totalW))
+      .withColumn("alloc",
+        when(col("__tot") === 0, lit(0L)).otherwise(
+          expr(s"CAST($budget AS DECIMAL(38,0)) * __w_ppm DIV __tot")
+            .cast("long")))
+      .withColumn("sigma",
+        (expr("__w_ppm DIV n_rows").cast("long").cast("double") / 1e6))
+      .select(col(stratumCol), col("n_rows"), col("sigma"), col("alloc"))
+  }
 }

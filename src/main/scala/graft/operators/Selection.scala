@@ -206,4 +206,65 @@ object Selection {
       .orderBy(col("__gumbel_key").desc, col(idCol))
       .limit(k)
   }
+
+  /** Curriculum training schedule (Bengio et al., ICML 2009, as
+    * practiced in data-ordering pipelines): stratify the corpus into
+    * `nBuckets` difficulty tiers by `scoreCol` (ascending = easy first)
+    * and emit an interleaved order — position r·nBuckets + b takes the
+    * r-th element of tier b — so every consecutive window of the
+    * schedule mixes all difficulty tiers while the WITHIN-tier order is
+    * a deterministic hash shuffle (each epoch window is a diverse
+    * mini-batch, not a sorted run; sorted-by-difficulty batches are the
+    * known curriculum failure mode).
+    *
+    * Tier assignment is equal-frequency UP TO TIES and computed at the
+    * VALUE level: one map-combined groupBy(score) builds the
+    * |distinct scores|-row CDF frame, tier(v) = ⌈cdf(v)·nBuckets / n⌉,
+    * which broadcasts back — equal scores land in one tier by
+    * construction (no layout-dependent ntile tie split), and no global
+    * row-number pass ever runs. The only data-sized exchange is the
+    * within-tier rank window, hash-partitioned on (tier) — nBuckets
+    * partitions; at extreme scale materializing a TOTAL training order
+    * is inherently a sort, and callers who only need the order can sort
+    * by the emitted (rank, tier) pair instead of collecting positions.
+    *
+    * Output: (idCol, scoreCol, tier 1-based, position 0-based). Position
+    * is unique (position ≡ tier−1 mod nBuckets) and sorting by it yields
+    * the schedule; it is NOT dense when tiers are unequal (ties). Rows
+    * with null score or null id are excluded (null has no difficulty;
+    * null ids would hash to null shuffle keys — same contract as
+    * [[gumbelTopK]]). */
+  def curriculumSchedule(
+      df: DataFrame, idCol: String, scoreCol: String,
+      nBuckets: Int, seed: String): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol), col(scoreCol))
+    // value-level CDF: |distinct scores| rows, map-combined
+    val cdfW = Window.orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val tiers = rows.groupBy(col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cdf", sum(col("__c")).over(cdfW))
+      .withColumn("__n", sum(col("__c")).over(totW))
+      // ⌈cdf·B/n⌉ in exact integer arithmetic: (cdf·B + n − 1) DIV n
+      .withColumn("tier",
+        expr(s"(CAST(__cdf AS DECIMAL(38,0)) * $nBuckets " +
+          s"+ __n - 1) DIV __n").cast("int"))
+      .select(col(scoreCol), col("tier"))
+    val keyed = rows
+      .join(broadcast(tiers), Seq(scoreCol))
+      .withColumn("__shuf", PortableHash.md5Prefix(
+        concat(lit(seed), col(idCol).cast("string")), 15))
+    val rankW = Window.partitionBy(col("tier"))
+      .orderBy(col("__shuf"), col(idCol))
+    keyed
+      .withColumn("__r", row_number().over(rankW))
+      .withColumn("position",
+        (col("__r").cast("long") - 1) * nBuckets + (col("tier") - 1))
+      .select(col(idCol), col(scoreCol), col("tier"), col("position"))
+  }
 }

@@ -99,4 +99,48 @@ class DatasheetSpec extends SparkTestBase {
       }
     assert(sheet.size === 20)
   }
+
+  test("concentration: hand-computed Gini / top-share / HHI") {
+    // sizes 0,0,0,10: n=4, S=10, S₁ = 4·10 = 40 →
+    //   G = (2·40 − 5·10)/(4·10) = 0.75; top ⌈4/100⌉=1 doc holds all
+    val docs = Seq(
+      (1L, 0L, "a"), (2L, 0L, "a"), (3L, 0L, "a"), (4L, 10L, "b")
+    ).toDF("doc_id", "n_chars", "source")
+    val r = Datasheet.concentration(docs, "n_chars", "source")
+      .collect().head
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Long]("total_size") === 10L)
+    assert(r.getAs[Long]("gini_ppm") === 750000L)
+    assert(r.getAs[Long]("top1pct_share_ppm") === 1000000L)
+    // shares 3/4 and 1/4 → HHI = 9/16 + 1/16 = 0.625
+    assert(r.getAs[Long]("hhi_source_ppm") === 625000L)
+    assert(r.getAs[Long]("n_sources") === 2L)
+  }
+
+  test("concentration: equal corpus has Gini 0; ties don't break the " +
+      "value-level rank-sum; layout-invariant") {
+    val eq = (1L to 40L).map(i => (i, 7L, s"s${i % 8}"))
+      .toDF("doc_id", "n_chars", "source")
+    val r = Datasheet.concentration(eq, "n_chars", "source").collect().head
+    assert(r.getAs[Long]("gini_ppm") === 0L)
+    assert(r.getAs[Long]("hhi_source_ppm") === 125000L) // 8 equal sources
+    // top 1% = ⌈40/100⌉ = 1 doc of 40 equal docs → 1/40 = 25000 ppm
+    assert(r.getAs[Long]("top1pct_share_ppm") === 25000L)
+    val rng = new scala.util.Random(31)
+    val mix = (1L to 120L).map(i =>
+      (i, rng.nextInt(20).toLong, s"s${rng.nextInt(5)}"))
+      .toDF("doc_id", "n_chars", "source")
+    val a = Datasheet.concentration(mix, "n_chars", "source").collect().head
+    val b = Datasheet.concentration(mix.repartition(11), "n_chars", "source")
+      .collect().head
+    assert(a.toSeq === b.toSeq)
+    // Gini against the naive per-row rank formula (floor-ppm)
+    val sizes = mix.collect().map(_.getLong(1)).sorted
+    val n = sizes.length.toLong
+    val s = sizes.sum
+    val s1 = sizes.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val expect = (BigInt(2) * s1 - BigInt(n + 1) * s) * 1000000 /
+      (BigInt(n) * s)
+    assert(a.getAs[Long]("gini_ppm") === expect.toLong)
+  }
 }

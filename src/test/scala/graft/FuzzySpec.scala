@@ -110,6 +110,65 @@ class FuzzySpec extends SparkTestBase {
     assert(self == bruteJac(sets, t).filter(_._1 % 5 == 0))
   }
 
+  private def bruteContain(
+      sets: Seq[(Long, Seq[String])], t: Double): Set[(Long, Long, Double)] = {
+    val d = sets.map { case (i, s) => (i, s.distinct.toSet) }
+    (for {
+      (ia, sa) <- d if sa.nonEmpty
+      (ib, sb) <- d if ia != ib
+      c = sa.intersect(sb).size.toDouble / sa.size if c >= t
+    } yield (ia, ib, c)).toSet
+  }
+
+  test("containmentSelfJoin matches brute force, both slice forms") {
+    val rng = new scala.util.Random(17)
+    val vocab = (0 until 25).map(i => s"w$i")
+    val sets = (0L until 60L).map(i =>
+      (i, Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))))
+    val df = sets.toDF("id", "st")
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val whole = Fuzzy.containmentSelfJoin(df, "id", "st", t, lit(true))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(whole == bruteContain(sets, t), s"whole corpus, t=$t")
+      val slice = Fuzzy.containmentSelfJoin(df, "id", "st", t,
+          col("id") % 4 === 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(slice == bruteContain(sets, t).filter(_._1 % 4 == 0),
+        s"slice, t=$t")
+    }
+  }
+
+  test("containment is directed: excerpt-in-document found one way only") {
+    // the subset-duplication case Jaccard misses: a 3-token excerpt
+    // inside a 12-token document
+    val doc = (1 to 12).map(i => s"t$i")
+    val df = Seq((1L, doc.take(3)), (2L, doc)).toDF("id", "st")
+    val got = Fuzzy.containmentSelfJoin(df, "id", "st", 0.9, lit(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 1.0))) // excerpt ⊂ doc; doc ⊄ excerpt
+    // and Jaccard at the same bar sees nothing (self-pairs excluded —
+    // jaccardSelfJoin leaves orientation to callers)
+    assert(Fuzzy.jaccardSelfJoin(df, "id", "st", 0.9, lit(true))
+      .filter(col("id_a") =!= col("id_b")).collect().isEmpty)
+  }
+
+  test("containment cap keeps best partners; empty sets emit nothing") {
+    val base = (1 to 10).map(i => s"t$i")
+    val df = Seq(
+      (1L, base.take(4)),             // query: 4 tokens
+      (2L, base),                     // superset: containment 1.0
+      (3L, base.take(3) ++ Seq("x")), // 3/4 = 0.75
+      (4L, base.take(4) ++ Seq("y")), // 1.0
+      (5L, Seq.empty[String])         // empty: no rows either side
+    ).toDF("id", "st")
+    val capped = Fuzzy.containmentSelfJoin(df, "id", "st", 0.7,
+        col("id") === 1, maxPairsPerDoc = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == Set((2L, 1.0), (4L, 1.0))) // 0.75 partner dropped
+    assert(Fuzzy.containmentSelfJoin(df, "id", "st", 0.5, col("id") === 5)
+      .collect().isEmpty)
+  }
+
   test("maxPairsPerDoc keeps the strongest partners, default is uncapped") {
     val rng = new scala.util.Random(17)
     val vocab = (0 until 20).map(i => s"w$i")

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Neyman allocation: the exact-integer path is pinned against
+  * hand-computed σ and floor divisions, plus the optimality property
+  * (allocation ∝ N_h·σ_h) and the degenerate contracts. */
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hand fixture: allocation follows N·σ exactly") {
+    // stratum x: values 0,10 ×2 each → N=4, Σx=20, Σx²=200,
+    //   varnum = 4·200 − 400 = 400, w = √400·10⁶ = 20·10⁶
+    // stratum y: values 0,30 → N=2, Σx=30, Σx²=900,
+    //   varnum = 2·900 − 900 = 900, w = 30·10⁶
+    // stratum z: constant → w = 0
+    val df = Seq(
+      ("x", 0L), ("x", 10L), ("x", 0L), ("x", 10L),
+      ("y", 0L), ("y", 30L),
+      ("z", 7L), ("z", 7L), ("z", 7L)
+    ).toDF("src", "v")
+    val out = Sampling.neymanAllocation(df, "src", "v", budget = 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // total w = 50·10⁶ → x gets 100·20/50 = 40, y gets 60, z gets 0
+    assert(out("x") === ((4L, 5.0, 40L)))  // σ_x = 20e6/4e6 = 5
+    assert(out("y") === ((2L, 15.0, 60L))) // σ_y = 30e6/2e6 = 15
+    assert(out("z") === ((3L, 0.0, 0L)))
+  }
+
+  test("all-constant corpus allocates zero instead of dividing by zero") {
+    val df = Seq(("a", 5L), ("a", 5L), ("b", 9L)).toDF("src", "v")
+    val out = Sampling.neymanAllocation(df, "src", "v", 50L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out === Map("a" -> 0L, "b" -> 0L))
+  }
+
+  test("allocations never exceed budget and are layout-invariant") {
+    val rng = new scala.util.Random(5)
+    val df = (0 until 300).map(i =>
+      (s"s${i % 7}", rng.nextInt(1000).toLong)).toDF("src", "v")
+    val a = Sampling.neymanAllocation(df, "src", "v", 1000L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val b = Sampling.neymanAllocation(df.repartition(13), "src", "v", 1000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(a === b) // exact decimal path: partial-agg order can't move it
+    assert(a.toSeq.map(_._4).sum <= 1000L) // floor division never overshoots
+    assert(a.forall(_._4 >= 0L))
+  }
+}

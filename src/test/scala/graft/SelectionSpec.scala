@@ -203,4 +203,46 @@ class SelectionSpec extends SparkTestBase {
     assert(best === "src13",
       s"target source should score highest, got $best: $bySrc")
   }
+
+  test("curriculumSchedule: tiers are equal-frequency up to ties, " +
+      "positions unique, schedule interleaves") {
+    val rng = new scala.util.Random(23)
+    val df = (0L until 200L).map(i => (i, rng.nextInt(50).toLong))
+      .toDF("id", "score")
+    val out = Selection.curriculumSchedule(df, "id", "score",
+      nBuckets = 4, seed = "s1")
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(rows.length === 200)
+    // positions unique; position ≡ tier−1 (mod nBuckets)
+    assert(rows.map(_._4).distinct.length === 200)
+    assert(rows.forall { case (_, _, tier, pos) => pos % 4 == tier - 1 })
+    // tiers are monotone in score: a higher score never lands in a
+    // lower tier, and equal scores share one tier
+    val byScore = rows.groupBy(_._2).map { case (s, rs) =>
+      assert(rs.map(_._3).distinct.length === 1, s"score $s split tiers")
+      s -> rs.head._3
+    }
+    assert(byScore.toSeq.sortBy(_._1).map(_._2).sliding(2)
+      .forall(p => p.length < 2 || p(0) <= p(1)))
+    // the first window of the schedule touches every nonempty tier
+    val firstWindow = rows.sortBy(_._4).take(4).map(_._3).toSet
+    assert(firstWindow === rows.map(_._3).toSet)
+  }
+
+  test("curriculumSchedule is layout-invariant and excludes null scores") {
+    val df = Seq((1L, Some(3L)), (2L, Some(1L)), (3L, None), (4L, Some(3L)),
+      (5L, Some(2L)), (6L, Some(9L))).toDF("id", "score")
+    val a = Selection.curriculumSchedule(df, "id", "score", 3, "z")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    val b = Selection.curriculumSchedule(df.repartition(5), "id", "score",
+        3, "z")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    assert(a === b)
+    assert(!a.exists(_._1 == 3L)) // null score: no difficulty, no row
+    // 5 scored rows into 3 tiers: cdf ⌈·⌉ puts score 1 in tier 1,
+    // score 2 in tier 2, the 3s in tier 3 (cdf 4/5·3 → ⌈2.4⌉), 9 in 3
+    val tiers = a.map(r => r._1 -> r._2).toMap
+    assert(tiers === Map(2L -> 1, 5L -> 2, 1L -> 3, 4L -> 3, 6L -> 3))
+  }
 }
