@@ -213,7 +213,26 @@ object ScaleProbe {
     "q181_doremi_reweight", "q182_mixture_materialize",
     // the resample step: q179's scorer + map-only gumbel keys + one
     // k-bounded TakeOrdered — should track q179's ratio exactly
-    "q183_gumbel_topk")
+    "q183_gumbel_topk",
+    // round 15c: the privacy audit (one map-combined QI groupBy +
+    // distinct expand — should be scan-bound) and Neyman (one 3-long
+    // aggregate + |strata| math — ~flat)
+    "q184_k_anonymity", "q185_neyman_allocation",
+    // the directed containment join: slice prefix × FLAT corpus
+    // postings — candidates track the slice's true-partner volume
+    // (the dup-cluster synthesis multiplies it ~100×, like q36)
+    "q186_containment_join",
+    // curriculum: value-level CDF broadcast + ONE within-tier rank
+    // window (the schedule's inherent sort) — should track the sort
+    "q187_curriculum_order",
+    // concentration: two map-combined aggregates + value-frame windows
+    "q188_concentration",
+    // round 15c batch 2: the cross-source dup matrix (two map-combined
+    // shuffles, pair fan-out |sources|²-bounded per distinct text),
+    // the suppress-to-k release (group sizes semi-joined back), and the
+    // capped-distinct gate (≤ l longs of state per group, no expand)
+    "q189_cross_source_dups", "q190_suppress_to_k",
+    "q191_anonymity_gate")
 
   /** Re-stage every sf table as an N-file parquet dir. The driver's sf
     * fixtures are single-file/single-row-group, so scan-rooted stages

@@ -6764,6 +6764,77 @@ object SparkEntry {
       |  n_sources
       |FROM sz CROSS JOIN src""".stripMargin))
 
+  private val q189 = Q("q189_cross_source_dups",
+    (s, dir) => {
+      // Cross-source duplication matrix (Dedup.crossSourceDupMatrix):
+      // distinct texts shared between each source pair (diagonal =
+      // within-source dup texts) — the contamination VIEW behind
+      // q156's per-source dup rate. Identity here is the VOCABULARY
+      // fingerprint (sorted distinct tokens — the J=1.0 point of the
+      // q36/q121 set family); pair fan-out bounded by |sources|² per
+      // distinct text, never copies².
+      Dedup.crossSourceDupMatrix(t(s, dir, "documents"), "source",
+          md5(array_join(array_sort(array_distinct(
+            TF.tokens(col("text")))), " ")))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some("""WITH cells AS (
+      |  -- null text -> '' (matches the Spark side's coalesce AFTER
+      |  -- md5); empty token list -> md5('') (DuckDB's string_agg of an
+      |  -- empty list is NULL where Spark's array_join gives '')
+      |  SELECT CASE WHEN text IS NULL THEN ''
+      |    ELSE md5(COALESCE(list_aggregate(list_sort(list_distinct(
+      |      list_filter(string_split_regex(lower(text), '\s+'),
+      |        t -> t <> ''))), 'string_agg', ' '), '')) END AS h,
+      |    COALESCE(source, '<null>') AS src, COUNT(*) AS c
+      |  FROM documents GROUP BY 1, 2
+      |)
+      |SELECT a.src AS source_a, b.src AS source_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_texts
+      |FROM cells a JOIN cells b ON a.h = b.h
+      |WHERE a.src < b.src OR (a.src = b.src AND a.c >= 2)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  private val q190 = Q("q190_suppress_to_k",
+    (s, dir) => {
+      // Suppress-to-k release (Privacy.suppressToK): the rows that
+      // actually ship under the q184 audit's k — QI groups below 15
+      // members dropped, null QI grouped null-safely like the audit.
+      Privacy.suppressToK(t(s, dir, "customer"),
+          Seq("c_mktsegment", "c_nationkey"), k = 15)
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM (
+      |  SELECT *, COUNT(*) OVER (
+      |    PARTITION BY c_mktsegment, c_nationkey) AS n
+      |  FROM customer)
+      |WHERE n >= 15 ORDER BY c_custkey""".stripMargin))
+
+  private val q191 = Q("q191_anonymity_gate",
+    (s, dir) => {
+      // The 100 TB form of q184: l-diversity via the CAPPED distinct
+      // aggregate (functions.DistinctUpTo — ≤ l longs of state per
+      // group, no two-phase distinct expand; also the only form a
+      // streaming window can run, see EventStreams
+      // .windowedAnonymityAudit). Flags identical to the exact audit;
+      // n_sensitive saturates at l = 10 by contract — the oracle's
+      // LEAST replays the saturation.
+      Privacy.anonymityAuditCapped(t(s, dir, "customer"),
+          Seq("c_mktsegment", "c_nationkey"),
+          floor(col("c_acctbal") / 100), k = 15, l = 10)
+        .orderBy(col("c_mktsegment"), col("c_nationkey"))
+    },
+    Some("""SELECT c_mktsegment, c_nationkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(LEAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 100) AS BIGINT)),
+      |    10) AS BIGINT) AS n_sensitive,
+      |  COUNT(*) >= 15 AS k_anonymous,
+      |  COUNT(DISTINCT CAST(FLOOR(c_acctbal / 100) AS BIGINT)) >= 10
+      |    AS l_diverse
+      |FROM customer GROUP BY c_mktsegment, c_nationkey
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -6779,7 +6850,8 @@ object SparkEntry {
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
-    q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188)
+    q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
+    q189, q190, q191)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

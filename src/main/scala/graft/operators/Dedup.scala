@@ -146,6 +146,47 @@ object Dedup {
           "DIV CAST(n_docs AS DECIMAL(38,0))").cast("double") / lit(1e6))
   }
 
+  /** Cross-source duplication MATRIX: which sources share exact texts
+    * with which — the inter-source contamination view
+    * [[dupRateByGroup]]'s per-source rollup can't show (a source with a
+    * 30 % dup rate reads very differently when the copies live in ONE
+    * sibling source vs spread across all of them). One row per
+    * unordered source pair (source_a ≤ source_b):
+    *
+    *   - off-diagonal: n_texts = distinct texts present in BOTH sources
+    *   - diagonal (a = b): n_texts = distinct texts duplicated (≥ 2
+    *     copies) WITHIN the source
+    *
+    * Pairs with zero shared texts are absent (the matrix is sparse).
+    * `fingerprint` defines "the same text" — [[bagFingerprint]] for
+    * word-order-insensitive identity, `md5(text)` for byte identity, a
+    * MinHash band key for near-identity. Null fingerprints bucket as
+    * the "" hash and null sources as the visible `<null>` group — both
+    * [[dupRateByGroup]] contracts carried over.
+    *
+    * Scale shape: groupBy(hash, source) map-combines to one row per
+    * (text, source); the per-text source list is |sources|-bounded, so
+    * the pair fan-out is ≤ |sources|²/2 per distinct text — never
+    * copies² (a text with a million copies in two sources contributes
+    * ONE pair row). Two shuffles total, both map-combined. */
+  def crossSourceDupMatrix(
+      df: DataFrame, sourceCol: String, fingerprint: Column): DataFrame = {
+    val cells = df.select(
+        coalesce(col(sourceCol), lit("<null>")).as("__src"),
+        coalesce(fingerprint.cast("string"), lit("")).as("__h"))
+      .groupBy(col("__h"), col("__src"))
+      .agg(count(lit(1)).as("__c"))
+    cells.groupBy(col("__h"))
+      .agg(collect_list(struct(col("__src"), col("__c"))).as("__sl"))
+      .select(explode(col("__sl")).as("__a"), col("__sl"))
+      .select(col("__a"), explode(col("__sl")).as("__b"))
+      .filter(col("__a.__src") < col("__b.__src") ||
+        (col("__a.__src") === col("__b.__src") && col("__a.__c") >= 2))
+      .groupBy(col("__a.__src").as("source_a"),
+        col("__b.__src").as("source_b"))
+      .agg(count(lit(1)).as("n_texts"))
+  }
+
   /** MinHash signature: base hash H = low 31 bits of xxhash64(shingle),
     * then k affine derivations h_i = (a_i·H + b_i) mod (2³¹−1) — the
     * standard universal family (Carter–Wegman) over one strong hash, so

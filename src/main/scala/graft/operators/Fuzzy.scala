@@ -279,15 +279,15 @@ object Fuzzy {
     val tokenDf = r.select(explode(col("__set_b")).as("__t"))
       .groupBy(col("__t"))
       .agg(count(lit(1)).as("__df"))
-    // query-side rarity prefix (same pinned carve as the jaccard form)
-    val lp = {
-      val base = if (selectiveSlice) sets.filter(leftPred) else sets
-      prefixes(
-        base.select(col(idCol).as("id_a"),
-          array_distinct(col(setCol)).as("__set_a")),
-        "id_a", "__set_a", tokenDf, threshold,
-        pinFanout = selectiveSlice)
-    }
+    // query-side rarity prefix (same pinned carve as the jaccard form);
+    // the slice filter lands BEFORE the carve — unlike the jaccard
+    // self-join there is no shared corpus prefix table to carve out of,
+    // so filtering first pushes the predicate into the scan
+    val lBase = if (selectiveSlice) sets.filter(leftPred) else sets
+    val lSets = lBase.select(col(idCol).as("id_a"),
+      array_distinct(col(setCol)).as("__set_a"))
+    val lp = prefixes(lSets, "id_a", "__set_a", tokenDf, threshold,
+      pinFanout = selectiveSlice)
     // corpus-side FLAT postings: no carve — (id_b, n_b, token)
     val rPost = r.select(col("id_b"),
       size(col("__set_b")).as("__n_id_b"), explode(col("__set_b")).as("__t"))
@@ -301,12 +301,11 @@ object Fuzzy {
     val candidates =
       if (selectiveSlice) candBase.repartition(numPart, col("id_b")).distinct()
       else candBase.distinct()
-    // exact directed verify: |a ∩ b| / |a|
-    val l = sets.select(col(idCol).as("id_a"),
-      array_distinct(col(setCol)).as("__set_a"))
+    // exact directed verify: |a ∩ b| / |a| — the id_a side re-reads only
+    // the SLICE (its filter pushes to the scan), never the whole corpus
     candidates
       .join(r, Seq("id_b"))
-      .join(l, Seq("id_a"))
+      .join(lSets, Seq("id_a"))
       .withColumn("containment",
         size(array_intersect(col("__set_a"), col("__set_b"))).cast("double") /
           size(col("__set_a")).cast("double"))

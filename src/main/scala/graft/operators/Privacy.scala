@@ -43,6 +43,47 @@ object Privacy {
       .withColumn("l_diverse", col("n_sensitive") >= l)
   }
 
+  /** [[anonymityAudit]] with the distinct count CAPPED at l — the
+    * 100 TB (and streaming) form: the l-diversity test only asks "≥ l
+    * distinct?", so [[graft.functions.DistinctUpTo]] keeps ≤ l longs of
+    * state per group instead of the exact distinct's
+    * cardinality-proportional state + two-phase expand. Flags are
+    * IDENTICAL to the exact audit's (min(d, l) ≥ l ⟺ d ≥ l);
+    * n_sensitive saturates at l by contract. Sensitive must be an
+    * integral generalization bucket (the aggregate's contract). */
+  def anonymityAuditCapped(
+      df: DataFrame, qiCols: Seq[String], sensitive: Column,
+      k: Int, l: Int): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1 && l >= 1, s"k and l must be >= 1, got k=$k l=$l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.DistinctUpTo.column(sensitive, l)
+          .as("n_sensitive"))
+      .withColumn("k_anonymous", col("n") >= k)
+      .withColumn("l_diverse", col("n_sensitive") >= l)
+  }
+
+  /** The suppress-to-k RELEASE: rows whose QI group has ≥ k members —
+    * the enforcement step behind [[anonymityAudit]]'s flags. Null QI
+    * values group together (null-safe key equality), matching the
+    * audit's "null QI is still a group" contract — a plain equi-join
+    * would silently suppress every null-QI row regardless of group
+    * size. Scale: one map-combined group-size aggregate semi-joined
+    * back on the QI key — group-sized build side, co-partitioned with
+    * the probe's shuffle. */
+  def suppressToK(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val kept = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= k)
+      .select(qiCols.map(c => col(c).as(s"__k_$c")): _*)
+    val cond = qiCols.map(c => df(c) <=> kept(s"__k_$c")).reduce(_ && _)
+    df.join(kept, cond, "left_semi")
+  }
+
   /** Release summary — ONE row: total rows, QI groups, rows living in
     * groups below k (the suppression set under suppress-to-k), and that
     * set's share as floor-ppm (exact integer arithmetic: Spark's partial

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -377,6 +377,47 @@ object EventStreams {
               lit(2.0) * col("__prec") * col("__rec") /
                 (col("__prec") + col("__rec")))
             .otherwise(lit(0.0)).cast("double"), 6).as("f1"))
+  }
+
+  /** Streaming per-window k-anonymity / l-diversity audit — the live
+    * twin of [[graft.operators.Privacy.anonymityAudit]]: every event-time
+    * window gets the per-QI-group (n, n_sensitive, k_anonymous,
+    * l_diverse) relation, the release gate evaluated AS data arrives
+    * rather than at publication time.
+    *
+    * ONE stateful aggregation: exact `countDistinct` is unsupported in
+    * streaming aggregations (and its state grows with true cardinality),
+    * so the distinct test rides [[graft.functions.DistinctUpTo]] — ≤ l
+    * longs of state per (window × QI group), watermark-bounded, and the
+    * l_diverse flag is IDENTICAL to the batch audit's (min(d, l) ≥ l ⟺
+    * d ≥ l). n_sensitive therefore saturates at l; `sensitive` must be
+    * an integral generalization bucket (the aggregate's contract). Null
+    * QI values form their own visible group; null sensitive values
+    * don't count toward diversity — both batch contracts carried over. */
+  def windowedAnonymityAudit(
+      events: DataFrame,
+      qiCols: Seq[String],
+      sensitive: Column,
+      k: Int,
+      l: Int,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1 && l >= 1, s"k and l must be >= 1, got k=$k l=$l")
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(
+        window(col("event_time"), windowLength) +: qiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.DistinctUpTo.column(sensitive, l)
+          .as("n_sensitive"))
+      .select(
+        Seq(col("window.start").as("window_start")) ++
+          qiCols.map(col) ++ Seq(
+          col("n"), col("n_sensitive"),
+          (col("n") >= k).as("k_anonymous"),
+          (col("n_sensitive") >= l).as("l_diverse")): _*)
   }
 
   /** Streaming exact dedup on event_id: watermark-bounded state, the

@@ -1075,4 +1075,55 @@ class DedupSpec extends SparkTestBase {
       Dedup.thresholdSweep(d, "doc_id", "text", Seq.empty)
     }
   }
+
+  test("crossSourceDupMatrix: shared texts per pair, within-source " +
+      "diagonal, null buckets visible") {
+    val docs = Seq(
+      // T1: twice in s1 (diagonal), once in s2 (pair s1-s2)
+      (1L, "T1", "s1"), (2L, "T1", "s1"), (3L, "T1", "s2"),
+      // T2: shared by s2 and s3, single copy each — no diagonal
+      (4L, "T2", "s2"), (5L, "T2", "s3"),
+      // unique text: contributes nothing
+      (6L, "solo", "s3"),
+      // null text buckets as "" and pairs the null source with s1
+      (7L, null.asInstanceOf[String], "s1"),
+      (8L, null.asInstanceOf[String], null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupMatrix(docs, "source", md5(col("text")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got === Set(
+      ("s1", "s1", 1L),       // T1 duplicated within s1
+      ("s1", "s2", 1L),       // T1 shared
+      ("s2", "s3", 1L),       // T2 shared
+      ("<null>", "s1", 1L)))  // the null-text "" hash, across sources
+    // layout-invariant
+    val got2 = Dedup.crossSourceDupMatrix(docs.repartition(5),
+        "source", md5(col("text")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got2 === got)
+  }
+
+  test("crossSourceDupMatrix invariants on real data under the " +
+      "vocabulary fingerprint") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fp = md5(array_join(array_sort(array_distinct(
+      graft.functions.TextFunctions.tokens(col("text")))), " "))
+    val rows = Dedup.crossSourceDupMatrix(docs, "source", fp)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty, "sf0.001 has vocabulary-level dup groups")
+    // upper-triangular: every pair ordered, no duplicates
+    assert(rows.forall { case (a, b, n) => a <= b && n >= 1 })
+    assert(rows.map(p => (p._1, p._2)).distinct.length === rows.length)
+    // the diagonal total equals the independently-counted number of
+    // (fingerprint, source) cells with >= 2 copies
+    val expectedDiag = docs
+      .groupBy(fp.as("h"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .count()
+    val gotDiag = rows.filter(r => r._1 == r._2).map(_._3).sum
+    assert(gotDiag === expectedDiag)
+  }
 }

@@ -1034,6 +1034,81 @@ class EventStreamsSpec extends SparkTestBase {
     } finally if (q2.isActive) q2.stop()
   }
 
+  test("windowedAnonymityAudit: closed windows equal the batch audit " +
+      "on the same rows, across a crash-restart, no re-emission") {
+    val s = 1000000000L
+    val hour = 3600L * s
+    val dir = Files.createTempDirectory("graft_waa").toString
+    val src = s"$dir/in"
+    val out = s"$dir/out"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    def writeBatch(n: String,
+        rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/$n")
+      val f = new java.io.File(s"$dir/$n").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, java.nio.file.Paths.get(src, s"$n.parquet"))
+    }
+    // hour-1 QI groups (event_type): click 3 rows / 3 sensitive buckets
+    // (k- and l-good), view 2 rows / 1 bucket (k-good, not diverse),
+    // purchase 1 row (neither)
+    writeBatch("b1", Seq(
+      (1L, hour + 60 * s, 1L, "click", 1.0, "{}"),
+      (2L, hour + 120 * s, 1L, "click", 2.0, "{}"),
+      (3L, hour + 180 * s, 2L, "click", 3.0, "{}"),
+      (4L, hour + 240 * s, 2L, "view", 5.0, "{}"),
+      (5L, hour + 300 * s, 3L, "view", 5.0, "{}"),
+      (6L, hour + 360 * s, 3L, "purchase", 7.0, "{}")))
+    def start() = EventStreams.windowedAnonymityAudit(
+        EventStreams.readEventStream(spark, src),
+        Seq("event_type"), floor(col("value")), k = 2, l = 2,
+        windowLength = "1 hour", watermark = "30 minutes")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    // crash point: hour-1 lives only in checkpointed state
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    // restart; an hour-4 event closes hour 1
+    writeBatch("b2", Seq((7L, 4 * hour, 9L, "view", 1.0, "{}")))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      def readOut() = spark.read.parquet(out).collect().map { r =>
+        (r.getTimestamp(0).getTime * 1000000L / hour, r.getString(1),
+          r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))
+      }.toSet
+      val got = readOut()
+      assert(got.nonEmpty && got.forall(_._1 == 1L),
+        "only the hour-1 window is closed")
+      // batch truth: the CAPPED audit (the twin's exact contract) on
+      // hour-1's rows — and its flags equal the exact audit's
+      val hour1 = spark.read.parquet(src).filter(col("ts") < 2 * hour)
+      val truth = graft.operators.Privacy.anonymityAuditCapped(
+          hour1, Seq("event_type"), floor(col("value")), 2, 2)
+        .collect().map(r => (1L, r.getString(0), r.getLong(1),
+          r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
+        .toSet
+      assert(got == truth)
+      val exactFlags = graft.operators.Privacy.anonymityAudit(
+          hour1, Seq("event_type"), floor(col("value")), 2, 2)
+        .collect().map(r => (r.getString(0), r.getBoolean(3),
+          r.getBoolean(4))).toSet
+      assert(got.map(g => (g._2, g._5, g._6)) == exactFlags)
+      assert(got.map(g => g._2 -> g._6).toMap ===
+        Map("click" -> true, "view" -> false, "purchase" -> false))
+      q2.stop()
+      // replay after emission: the file sink's commit log must not
+      // duplicate the closed window
+      val q3 = start()
+      q3.processAllAvailable()
+      q3.stop()
+      assert(readOut() == got, "replay after emission duplicated rows")
+    } finally if (q2.isActive) q2.stop()
+  }
+
   test("windowedLexicalDrift: closed windows equal batch " +
       "divergenceVsReference on the same rows, across crash-restarts") {
     val s = 1000000000L

@@ -56,6 +56,59 @@ class PrivacySpec extends SparkTestBase {
     assert(out.getAs[Long]("suppressed_ppm") === 285714L) // floor(2e6/7)
   }
 
+  test("suppressToK releases only rows of groups >= k, null QI grouped") {
+    val df = Seq(
+      ("a", 1, 10L), ("a", 1, 11L),                  // size 2: released
+      ("a", 2, 12L),                                 // size 1: suppressed
+      (null.asInstanceOf[String], 3, 13L),           // null QI size 2:
+      (null.asInstanceOf[String], 3, 14L)            //   released
+    ).toDF("seg", "region", "salary")
+    val out = Privacy.suppressToK(df, Seq("seg", "region"), k = 2)
+      .collect().map(_.getLong(2)).toSet
+    // a plain equi-join would have dropped the null-QI group despite
+    // its size — the null-safe key keeps it
+    assert(out === Set(10L, 11L, 13L, 14L))
+    // released rows keep the full schema untouched
+    assert(Privacy.suppressToK(df, Seq("seg", "region"), 2).columns.toSeq
+      === df.columns.toSeq)
+  }
+
+  test("anonymityAuditCapped: flags identical to the exact audit, " +
+      "n_sensitive saturates at l, state-bounded under any layout") {
+    val rng = new scala.util.Random(41)
+    val df = (0 until 400).map { _ =>
+      (s"g${rng.nextInt(12)}", rng.nextInt(3), rng.nextInt(9).toLong)
+    }.toDF("seg", "region", "salary")
+    for (l <- Seq(1, 3, 8)) {
+      val exact = Privacy.anonymityAudit(df, Seq("seg", "region"),
+          col("salary"), k = 10, l = l)
+        .collect().map(r => (r.getString(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
+        .toMap
+      val capped = Privacy.anonymityAuditCapped(df.repartition(17),
+          Seq("seg", "region"), col("salary"), k = 10, l = l)
+        .collect().map(r => (r.getString(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
+        .toMap
+      assert(capped.keySet === exact.keySet)
+      exact.foreach { case (g, (n, d, ka, ld)) =>
+        val (cn, cd, cka, cld) = capped(g)
+        assert(cn === n, s"$g n")
+        assert(cd === math.min(d, l.toLong), s"$g saturation at l=$l")
+        assert(cka === ka && cld === ld, s"$g flags at l=$l")
+      }
+    }
+  }
+
+  test("capped distinct ignores nulls like countDistinct") {
+    val df = Seq(("g", Some(1L)), ("g", None), ("g", Some(2L)), ("g", None))
+      .toDF("qi", "sens")
+    val r = Privacy.anonymityAuditCapped(df, Seq("qi"), col("sens"), 1, 5)
+      .collect().head
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("n_sensitive") === 2L)
+  }
+
   test("k=1 never suppresses; audit is repartition-invariant") {
     val s = Privacy.suppressionSummary(rows, Seq("seg"), k = 1)
       .collect().head
