@@ -232,7 +232,11 @@ object ScaleProbe {
     // the suppress-to-k release (group sizes semi-joined back), and the
     // capped-distinct gate (≤ l longs of state per group, no expand)
     "q189_cross_source_dups", "q190_suppress_to_k",
-    "q191_anonymity_gate")
+    "q191_anonymity_gate",
+    // the ER composite: prefix-filtered match + min-label CC (eager
+    // iterations) + survivorship joins — the 10x ratio should track
+    // the match's true-pair volume like q121/q36
+    "q192_entity_resolution")
 
   /** Re-stage every sf table as an N-file parquet dir. The driver's sf
     * fixtures are single-file/single-row-group, so scan-rooted stages

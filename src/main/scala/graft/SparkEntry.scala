@@ -6835,6 +6835,77 @@ object SparkEntry {
       |FROM customer GROUP BY c_mktsegment, c_nationkey
       |ORDER BY c_mktsegment, c_nationkey""".stripMargin))
 
+  private val q192 = Q("q192_entity_resolution",
+    (s, dir) => {
+      // END-TO-END entity resolution over the part catalog: exact
+      // name-set similarity join (Fuzzy.jaccardSelfJoin — complete,
+      // never all-pairs in the PLAN) → transitive clusters
+      // (Dedup.connectedComponents, min-label) → singletons folded in
+      // (a part with no partner is its own entity) → one canonical
+      // record per entity with deterministic survivorship: the
+      // canonical member IS the min-id label (its name joins back by
+      // key — no min(string) aggregate, which would demote the
+      // HashAggregate to a sort), price range as exact decimals. The
+      // oracle replays match→closure→survivorship independently, so
+      // the composite — not just its pieces — is value-verified.
+      val parts = t(s, dir, "part")
+      val sets = parts.select(col("p_partkey").as("id"),
+        TF.shinglesFast(col("p_name"), 1).as("st"))
+      val pairs = Fuzzy.jaccardSelfJoin(sets, "id", "st",
+          threshold = 0.8, leftPred = lit(true))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val cc = Dedup.connectedComponents(pairs)
+      val labeled = parts
+        .join(cc, parts("p_partkey") === cc("id"), "left")
+        .withColumn("entity_id",
+          coalesce(col("component"), col("p_partkey")))
+      labeled.groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("p_retailprice").cast("decimal(12,2)")).as("__min_p"),
+          max(col("p_retailprice").cast("decimal(12,2)")).as("__max_p"))
+        .join(parts.select(col("p_partkey").as("entity_id"),
+          col("p_name").as("canonical_name")), Seq("entity_id"))
+        .select(col("entity_id"), col("n_members"), col("canonical_name"),
+          col("__min_p").cast("double").as("min_price"),
+          col("__max_p").cast("double").as("max_price"))
+        .orderBy(col("entity_id"))
+    },
+    Some("""WITH RECURSIVE sets AS (
+      |  SELECT p_partkey AS id, list_distinct(list_filter(
+      |    string_split_regex(lower(p_name), '\s+'), t -> t <> '')) AS st
+      |  FROM part
+      |), pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM sets a JOIN sets b ON a.id < b.id
+      |  WHERE CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(a.st, b.st))) AS DOUBLE)
+      |    >= 0.8
+      |), sym AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs
+      |  UNION SELECT id_a, id_a FROM pairs
+      |  UNION SELECT id_b, id_b FROM pairs
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+      |), labels AS (
+      |  SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a
+      |), ent AS (
+      |  SELECT COALESCE(l.component, p.p_partkey) AS entity_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_members,
+      |    MIN(CAST(p.p_retailprice AS DECIMAL(12,2))) AS min_p,
+      |    MAX(CAST(p.p_retailprice AS DECIMAL(12,2))) AS max_p
+      |  FROM part p LEFT JOIN labels l ON p.p_partkey = l.id
+      |  GROUP BY 1
+      |)
+      |SELECT e.entity_id, e.n_members, p.p_name AS canonical_name,
+      |  CAST(e.min_p AS DOUBLE) AS min_price,
+      |  CAST(e.max_p AS DOUBLE) AS max_price
+      |FROM ent e JOIN part p ON e.entity_id = p.p_partkey
+      |ORDER BY e.entity_id""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -6851,7 +6922,7 @@ object SparkEntry {
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
-    q189, q190, q191)
+    q189, q190, q191, q192)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1105,6 +1105,25 @@ class DedupSpec extends SparkTestBase {
     assert(got2 === got)
   }
 
+  test("entity-resolution composite: partition of the catalog, canonical " +
+      "is a member, singletons survive") {
+    val out = SparkEntry.queries("q192_entity_resolution")(spark,
+      "/root/testdata/sf0.001")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parts = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val nParts = parts.count()
+    // entities PARTITION the catalog: membership sums to |parts|,
+    // entity ids are distinct part keys (the canonical member exists)
+    assert(rows.map(_._2).sum === nParts)
+    assert(rows.map(_._1).distinct.length === rows.length)
+    val keys = parts.collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => keys.contains(r._1)))
+    // singletons are their own entity (n_members 1 rows exist iff some
+    // part matched nothing — with 200 parts over a small name vocab,
+    // both cluster sizes should appear)
+    assert(rows.exists(_._2 > 1), "no clusters found — fixture changed?")
+  }
+
   test("crossSourceDupMatrix invariants on real data under the " +
       "vocabulary fingerprint") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
