@@ -236,7 +236,10 @@ object ScaleProbe {
     // the ER composite: prefix-filtered match + min-label CC (eager
     // iterations) + survivorship joins — the 10x ratio should track
     // the match's true-pair volume like q121/q36
-    "q192_entity_resolution")
+    "q192_entity_resolution",
+    // temperature mixture: one token aggregate + |sources| math (~flat)
+    // and the dup spectrum: two map-combined shuffles (~flat)
+    "q193_temperature_mixture", "q194_dup_spectrum")
 
   /** Re-stage every sf table as an N-file parquet dir. The driver's sf
     * fixtures are single-file/single-row-group, so scan-rooted stages
@@ -422,6 +425,17 @@ object ScaleProbe {
           // input is the DOC frame (never pairs) and the waterfill/
           // report stay |sources|-bounded.
           "q179_dsir_weights", "q182_mixture_materialize")
+          // q186_containment_join is deliberately NOT probed at 100×:
+          // the dup-cluster synthesis grows its exact answer ~100× per
+          // decade (measured at 10×: 140k → 14.0M pairs for 7.1× wall
+          // — linear per emitted pair), so the 100× answer is ~1.4B
+          // pairs whose verify/distinct shuffle alone exceeds this
+          // box's ~79 GiB spill ceiling (the q121 class, which already
+          // documents this decade with 663M rows under zstd). The
+          // uncapped exact contract makes the ANSWER the cost; the
+          // 100 TB form is the capped arm (maxPairsPerDoc — the
+          // q150/q151 family) plus leftPred slicing. SCALING.md carries
+          // the analysis.
         .filter(substrFilter("x100only="))
         .foreach { name =>
         // t0 BEFORE df construction: q122's iterations execute eagerly

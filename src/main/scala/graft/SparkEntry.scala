@@ -6906,6 +6906,73 @@ object SparkEntry {
       |FROM ent e JOIN part p ON e.entity_id = p.p_partkey
       |ORDER BY e.entity_id""".stripMargin))
 
+  private val q193 = Q("q193_temperature_mixture",
+    (s, dir) => {
+      // Temperature-scaled mixture (Mixing.temperatureMixture): w_s ∝
+      // n_s^0.3 over per-source token volumes + effective epochs under
+      // a 50k-token budget — the published multilingual upweighting
+      // recipe as ONE corpus aggregate + |sources|-frame math. n^α =
+      // exp(α·ln n) rides the q179 ln-quantization recipe so DuckDB
+      // replays the VALUES; zero-token sources stay visible as NULLs.
+      Mixing.temperatureMixture(t(s, dir, "documents"),
+          "source", "text", alpha = BigDecimal("0.3"),
+          budgetTokens = 50000L)
+        .orderBy(col("source"))
+    },
+    Some("""WITH c AS (
+      |  SELECT source, CAST(SUM(CAST(len(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> x <> ''))
+      |    AS BIGINT)) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), r AS (
+      |  SELECT source, n_tokens,
+      |    CASE WHEN n_tokens > 0 THEN
+      |      CAST(exp(CAST(CAST(
+      |        CAST(ln(CAST(n_tokens AS DOUBLE)) AS DECIMAL(24,10))
+      |        * CAST(0.3 AS DECIMAL(6,5)) AS VARCHAR) AS DOUBLE))
+      |      AS DECIMAL(24,10))
+      |    END AS raised
+      |  FROM c
+      |), t AS (SELECT SUM(raised) AS tot FROM r)
+      |, w0 AS (
+      |  SELECT source, n_tokens,
+      |    ROUND(CAST(CAST(raised AS VARCHAR) AS DOUBLE) /
+      |      CAST(CAST(tot AS VARCHAR) AS DOUBLE), 6) AS w
+      |  FROM r CROSS JOIN t
+      |)
+      |SELECT source, n_tokens,
+      |  CAST(CAST(w AS VARCHAR) AS DOUBLE) AS weight,
+      |  CAST(CAST(ROUND(
+      |    CAST(CAST(CAST(w AS DECIMAL(8,6)) * 50000 AS VARCHAR) AS DOUBLE)
+      |    / CAST(n_tokens AS DOUBLE), 6) AS VARCHAR) AS DOUBLE) AS epochs
+      |FROM w0 ORDER BY source""".stripMargin))
+
+  private val q194 = Q("q194_dup_spectrum",
+    (s, dir) => {
+      // Duplication spectrum (Dedup.duplicationSpectrum): the
+      // cluster-size histogram under the vocabulary fingerprint —
+      // long-tail-of-pairs vs mega-cluster shape, and exact dedup's
+      // predicted savings (removable docs) per copy-count. Two
+      // map-combined shuffles, the second |copy-counts| wide.
+      Dedup.duplicationSpectrum(t(s, dir, "documents"),
+          md5(array_join(array_sort(array_distinct(
+            TF.tokens(col("text")))), " ")))
+        .orderBy(col("copies"))
+    },
+    Some("""WITH f AS (
+      |  SELECT CASE WHEN text IS NULL THEN ''
+      |    ELSE md5(COALESCE(list_aggregate(list_sort(list_distinct(
+      |      list_filter(string_split_regex(lower(text), '\s+'),
+      |        t -> t <> ''))), 'string_agg', ' '), '')) END AS h
+      |  FROM documents
+      |), g AS (
+      |  SELECT h, CAST(COUNT(*) AS BIGINT) AS copies FROM f GROUP BY h
+      |)
+      |SELECT copies, CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(copies * COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST((copies - 1) * COUNT(*) AS BIGINT) AS removable
+      |FROM g GROUP BY copies ORDER BY copies""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -6922,7 +6989,7 @@ object SparkEntry {
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
-    q189, q190, q191, q192)
+    q189, q190, q191, q192, q193, q194)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -187,6 +187,24 @@ object Dedup {
       .agg(count(lit(1)).as("n_texts"))
   }
 
+  /** Duplication SPECTRUM: the cluster-size histogram of exact
+    * duplication — one row per copy-count c with the number of distinct
+    * texts having exactly c copies and the docs they hold. The first
+    * number a dedup plan needs ("is duplication a long tail of pairs or
+    * a few mega-clusters?") and the datasheet row that predicts exact
+    * dedup's savings: removable docs = Σ (c−1)·n_groups. Identity is a
+    * caller-supplied fingerprint like [[crossSourceDupMatrix]]'s. Two
+    * map-combined shuffles; the second is |distinct copy-counts| wide. */
+  def duplicationSpectrum(
+      df: DataFrame, fingerprint: Column): DataFrame =
+    df.select(coalesce(fingerprint.cast("string"), lit("")).as("__h"))
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("copies"))
+      .groupBy(col("copies"))
+      .agg(count(lit(1)).as("n_groups"))
+      .withColumn("n_docs", col("copies") * col("n_groups"))
+      .withColumn("removable", (col("copies") - 1) * col("n_groups"))
+
   /** MinHash signature: base hash H = low 31 bits of xxhash64(shingle),
     * then k affine derivations h_i = (a_i·H + b_i) mod (2³¹−1) — the
     * standard universal family (Carter–Wegman) over one strong hash, so

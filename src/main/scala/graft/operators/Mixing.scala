@@ -110,6 +110,54 @@ object Mixing {
     * Weights must be positive numbers: a null/NaN/non-positive weight
     * raises at evaluation (it would otherwise sort into the ratio order
     * and silently corrupt λ for every other source). */
+  /** The data-frame form of [[temperatureWeights]] with oracle-exact
+    * float discipline: per-source token volumes → w_s ∝ n_s^α →
+    * normalized weight + effective epochs under a token budget
+    * (epochs_s = w_s·T / n_s — how many times source s's data repeats
+    * if the mixture is drawn for T tokens; the >1 rows are exactly the
+    * low-resource sources temperature upweighting repeats). α in the
+    * 0.2–0.5 range is the published multilingual-pretraining practice.
+    *
+    * Scale shape: ONE map-combined corpus token aggregate; everything
+    * after is |sources|-frame window math (the [[budgetWaterfill]]
+    * solve contract). Exactness: n^α = exp(α·ln n) with ln quantized
+    * DECIMAL(24,10) (the q179 ulp recipe), α an exact decimal so the
+    * exp argument is an exact decimal both engines cast identically,
+    * and exp's result re-quantized DECIMAL(24,10) (libm exp is not
+    * correctly rounded; at n^α magnitudes the 1e-10 absolute grid
+    * absorbs the ulp); the weight division runs on those exact
+    * decimals' identical double casts and rounds once at 6. Zero-token
+    * (and null-token) sources stay VISIBLE with NULL weight/epochs —
+    * ln(0) is an error in ANSI engines, not a mixture answer. */
+  def temperatureMixture(
+      docs: DataFrame, sourceCol: String, textCol: String,
+      alpha: BigDecimal, budgetTokens: Long): DataFrame = {
+    require(alpha >= 0 && alpha <= 1,
+      s"alpha must be in [0, 1], got $alpha")
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(sum(graft.functions.TextFunctions.tokenCount(col(textCol))
+        .cast("bigint")).as("n_tokens"))
+    val raised = counts.withColumn("__raised",
+      when(col("n_tokens") > 0,
+        exp((ln(col("n_tokens").cast("double")).cast("decimal(24,10)") *
+          lit(alpha).cast("decimal(6,5)")).cast("double"))
+          .cast("decimal(24,10)")))
+    val totW = w.rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    raised
+      .withColumn("__tot", sum(col("__raised")).over(totW))
+      .withColumn("weight",
+        round(col("__raised").cast("double") / col("__tot").cast("double"),
+          6))
+      .withColumn("epochs",
+        round((col("weight").cast("decimal(8,6)") *
+          lit(budgetTokens).cast("decimal(20,0)")).cast("double") /
+          col("n_tokens").cast("double"), 6))
+      .select(col("source"), col("n_tokens"), col("weight"), col("epochs"))
+  }
+
   def budgetWaterfill(
       sources: DataFrame, sourceCol: String, tokensCol: String,
       weightCol: String, budget: Long, maxEpochs: Double): DataFrame = {

@@ -1124,6 +1124,32 @@ class DedupSpec extends SparkTestBase {
     assert(rows.exists(_._2 > 1), "no clusters found — fixture changed?")
   }
 
+  test("duplicationSpectrum: hand histogram, partition of the corpus, " +
+      "layout-invariant") {
+    val docs = Seq(
+      (1L, "x"), (2L, "x"), (3L, "x"),          // one text, 3 copies
+      (4L, "y"), (5L, "y"),                      // 2 copies
+      (6L, "z"), (7L, "w"),                      // two singletons
+      (8L, null.asInstanceOf[String])            // null: its own "" group
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicationSpectrum(docs, md5(col("text")))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === Map(
+      1L -> ((3L, 3L, 0L)),   // z, w, and the null group
+      2L -> ((1L, 2L, 1L)),
+      3L -> ((1L, 3L, 2L))))
+    // Σ n_docs over the spectrum is the corpus size — always
+    assert(got.values.map(_._2).sum === 8L)
+    val again = Dedup.duplicationSpectrum(docs.repartition(5),
+        md5(col("text")))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(again === got)
+  }
+
   test("crossSourceDupMatrix invariants on real data under the " +
       "vocabulary fingerprint") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -326,4 +326,45 @@ class MixingSpec extends SparkTestBase {
     assert(out("a").getAs[Double]("alloc_tokens") === 10.0)
     assert(out("a").getAs[Long]("tokens_kept") === 10L)
   }
+
+  test("temperatureMixture matches an exact in-test replay and the " +
+      "alpha limits; zero-token sources stay visible as NULLs") {
+    // big: 16 one-token docs; small: 1 four-token doc; empty: no tokens
+    val docs = (
+      (1 to 16).map(i => (i.toLong, "big", "tok")) ++
+      Seq((100L, "small", "a b c d"), (101L, "empty", "   "))
+    ).toDF("id", "source", "text")
+    def run(alpha: BigDecimal) = Mixing.temperatureMixture(
+        docs, "source", "text", alpha, budgetTokens = 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // exact replay of the operator's quantization recipe
+    def dec10(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(10, java.math.RoundingMode.HALF_UP)
+    def raised(n: Long, a: BigDecimal) = dec10(math.exp(
+      dec10(math.log(n.toDouble)).multiply(a.bigDecimal).doubleValue()))
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val a = BigDecimal("0.3")
+    val rb = raised(16L, a); val rs = raised(4L, a)
+    val tot = rb.add(rs)
+    val out = run(a)
+    assert(out("big")._1 === 16L && out("small")._1 === 4L)
+    assert(out("big")._2 === Some(r6(rb.doubleValue() / tot.doubleValue())))
+    assert(out("small")._2 === Some(r6(rs.doubleValue() / tot.doubleValue())))
+    assert(out("empty") === ((0L, None, None)))
+    // alpha = 1 reproduces the natural share; alpha = 0 is uniform over
+    // token-bearing sources
+    val nat = run(BigDecimal(1))
+    assert(nat("big")._2 === Some(0.8)) // 16 / 20
+    val uni = run(BigDecimal(0))
+    assert(uni("big")._2 === Some(0.5) && uni("small")._2 === Some(0.5))
+    // epochs: small source repeats — weight*budget/n > 1
+    assert(out("small")._3.get > 1.0)
+    assert(out("big")._3.get ===
+      r6(BigDecimal(out("big")._2.get).setScale(6).bigDecimal
+        .multiply(java.math.BigDecimal.valueOf(100L)).doubleValue() / 16.0))
+  }
 }
