@@ -233,10 +233,10 @@ object ScaleProbe {
     // capped-distinct gate (≤ l longs of state per group, no expand)
     "q189_cross_source_dups", "q190_suppress_to_k",
     "q191_anonymity_gate",
-    // the ER composite: prefix-filtered match + min-label CC (eager
-    // iterations) + survivorship joins — the 10x ratio should track
-    // the match's true-pair volume like q121/q36
-    "q192_entity_resolution",
+    // q192_entity_resolution is EXCLUDED like q77/q84: it reads `part`,
+    // which the synthesis copies as-is (a dimension), so its "10×" leg
+    // measures constant input. Its match chain's scaling is q121/q36's
+    // (measured); its CC tail is the q122 class (measured).
     // temperature mixture: one token aggregate + |sources| math (~flat)
     // and the dup spectrum: two map-combined shuffles (~flat)
     "q193_temperature_mixture", "q194_dup_spectrum")

@@ -134,6 +134,12 @@ object Mixing {
       alpha: BigDecimal, budgetTokens: Long): DataFrame = {
     require(alpha >= 0 && alpha <= 1,
       s"alpha must be in [0, 1], got $alpha")
+    // the exponent rides an EXACT decimal(6,5) so both engines see the
+    // same exp argument — an alpha with more than 5 decimals would be
+    // silently rounded into a different mixture than the caller asked for
+    require(alpha.scale <= 5,
+      s"alpha must have at most 5 decimal digits (exact-decimal " +
+        s"contract), got $alpha")
     require(budgetTokens > 0, "budgetTokens must be positive")
     val w = org.apache.spark.sql.expressions.Window
     val counts = docs
