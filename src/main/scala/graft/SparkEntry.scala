@@ -6774,8 +6774,7 @@ object SparkEntry {
       // q36/q121 set family); pair fan-out bounded by |sources|² per
       // distinct text, never copies².
       Dedup.crossSourceDupMatrix(t(s, dir, "documents"), "source",
-          md5(array_join(array_sort(array_distinct(
-            TF.tokens(col("text")))), " ")))
+          Dedup.vocabFingerprint(col("text")))
         .orderBy(col("source_a"), col("source_b"))
     },
     Some("""WITH cells AS (
@@ -6977,8 +6976,7 @@ object SparkEntry {
       // predicted savings (removable docs) per copy-count. Two
       // map-combined shuffles, the second |copy-counts| wide.
       Dedup.duplicationSpectrum(t(s, dir, "documents"),
-          md5(array_join(array_sort(array_distinct(
-            TF.tokens(col("text")))), " ")))
+          Dedup.vocabFingerprint(col("text")))
         .orderBy(col("copies"))
     },
     Some("""WITH f AS (

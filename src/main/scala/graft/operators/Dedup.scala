@@ -779,6 +779,15 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
   }
 
+  /** Vocabulary fingerprint: md5 over the sorted DISTINCT token list —
+    * [[bagFingerprint]] minus multiplicity, i.e. the J = 1.0 point of
+    * the q36/q121 set family: docs collide iff they use exactly the
+    * same vocabulary. The identity column of the cross-source dup
+    * matrix (q189) and the duplication spectrum (q194). */
+  def vocabFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(
+      TextFunctions.tokens(text))), " "))
+
   /** Bag-of-tokens fingerprint: md5 over the SORTED token list — equal
     * for any permutation of the same token MULTISET, so shuffled/
     * re-ordered copies of a document collide while any token change

@@ -1153,8 +1153,7 @@ class DedupSpec extends SparkTestBase {
   test("crossSourceDupMatrix invariants on real data under the " +
       "vocabulary fingerprint") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val fp = md5(array_join(array_sort(array_distinct(
-      graft.functions.TextFunctions.tokens(col("text")))), " "))
+    val fp = Dedup.vocabFingerprint(col("text"))
     val rows = Dedup.crossSourceDupMatrix(docs, "source", fp)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(rows.nonEmpty, "sf0.001 has vocabulary-level dup groups")
