@@ -424,7 +424,15 @@ object ScaleProbe {
           // is its only corpus-wide shuffle; the claim is the sort's
           // input is the DOC frame (never pairs) and the waterfill/
           // report stay |sources|-bounded.
-          "q179_dsir_weights", "q182_mixture_materialize")
+          "q179_dsir_weights", "q182_mixture_materialize",
+          // round 15c: the privacy audit at 100× customers (one
+          // map-combined QI groupBy + same-key distinct expand — the
+          // claim is shuffled volume stays |QI groups| × mappers
+          // whatever the row count) and the cross-source dup matrix at
+          // 100× documents with 100-member exact-dup clusters (the
+          // claim: pair fan-out stays |sources|²-bounded per DISTINCT
+          // text — clusters make texts hot, never wider)
+          "q184_k_anonymity", "q189_cross_source_dups")
           // q186_containment_join is deliberately NOT probed at 100×:
           // the dup-cluster synthesis grows its exact answer ~100× per
           // decade (measured at 10×: 140k → 14.0M pairs for 7.1× wall

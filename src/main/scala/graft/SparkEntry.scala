@@ -6640,7 +6640,7 @@ object SparkEntry {
       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
       |    SUM(CAST(n_chars AS HUGEINT)) AS s1,
       |    SUM(CAST(n_chars AS HUGEINT) * n_chars) AS s2
-      |  FROM documents GROUP BY source
+      |  FROM documents WHERE n_chars IS NOT NULL GROUP BY source
       |), w AS (
       |  SELECT source, n_rows,
       |    CAST(ROUND(sqrt(CAST(CAST(

@@ -25,6 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object Privacy {
 
+  /** The one audit relation all three twins share — batch-exact,
+    * batch-capped, and the streaming window (which prepends the
+    * event-time window to `keys`): (keys..., n, n_sensitive,
+    * k_anonymous, l_diverse), parameterized by the distinct aggregate
+    * (exact `countDistinct` vs the capped
+    * [[graft.functions.DistinctUpTo]]). Keeping the shape in ONE place
+    * is what the twins' flag-parity tests actually pin — a semantics
+    * change lands everywhere or nowhere. */
+  private[graft] def auditRelation(
+      df: DataFrame, keys: Seq[Column], sensitiveAgg: Column,
+      k: Int, l: Int): DataFrame = {
+    require(keys.nonEmpty, "need at least one grouping column")
+    require(k >= 1 && l >= 1, s"k and l must be >= 1, got k=$k l=$l")
+    df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), sensitiveAgg.as("n_sensitive"))
+      .withColumn("k_anonymous", col("n") >= k)
+      .withColumn("l_diverse", col("n_sensitive") >= l)
+  }
+
   /** Per-QI-group audit: the QI columns plus
     * (n, n_sensitive, k_anonymous, l_diverse). `sensitive` is any
     * expression (typically a generalization bucket, e.g.
@@ -34,13 +53,7 @@ object Privacy {
       df: DataFrame, qiCols: Seq[String], sensitive: Column,
       k: Int, l: Int): DataFrame = {
     require(qiCols.nonEmpty, "need at least one quasi-identifier column")
-    require(k >= 1 && l >= 1, s"k and l must be >= 1, got k=$k l=$l")
-    df.groupBy(qiCols.map(col): _*)
-      .agg(
-        count(lit(1)).as("n"),
-        countDistinct(sensitive).as("n_sensitive"))
-      .withColumn("k_anonymous", col("n") >= k)
-      .withColumn("l_diverse", col("n_sensitive") >= l)
+    auditRelation(df, qiCols.map(col), countDistinct(sensitive), k, l)
   }
 
   /** [[anonymityAudit]] with the distinct count CAPPED at l — the
@@ -55,14 +68,9 @@ object Privacy {
       df: DataFrame, qiCols: Seq[String], sensitive: Column,
       k: Int, l: Int): DataFrame = {
     require(qiCols.nonEmpty, "need at least one quasi-identifier column")
-    require(k >= 1 && l >= 1, s"k and l must be >= 1, got k=$k l=$l")
-    df.groupBy(qiCols.map(col): _*)
-      .agg(
-        count(lit(1)).as("n"),
-        graft.functions.DistinctUpTo.column(sensitive, l)
-          .as("n_sensitive"))
-      .withColumn("k_anonymous", col("n") >= k)
-      .withColumn("l_diverse", col("n_sensitive") >= l)
+    require(l >= 1, s"l must be >= 1, got $l")
+    auditRelation(df, qiCols.map(col),
+      graft.functions.DistinctUpTo.column(sensitive, l), k, l)
   }
 
   /** The suppress-to-k RELEASE: rows whose QI group has ≥ k members —

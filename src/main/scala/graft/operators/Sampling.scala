@@ -311,6 +311,13 @@ object Sampling {
     * is known from any single row); an all-constant corpus (total weight
     * 0) allocates 0 everywhere rather than dividing by zero.
     *
+    * Rows with a NULL value are EXCLUDED before the aggregate (a row
+    * with no measurement carries no variance information): counting
+    * them in N while the sums skip them would inflate N·Σx² − (Σx)²
+    * and grant unmeasured strata budget they haven't earned. n_rows is
+    * therefore the MEASURED row count; a stratum with only null values
+    * vanishes from the allocation (nothing to audit-sample by length).
+    *
     * Output per stratum: (stratumCol, n_rows, sigma, alloc) — sigma is
     * the population σ_h floored to 6 decimals from the ppm integer the
     * allocation actually used (w_ppm DIV N), so the reported σ and the
@@ -321,6 +328,7 @@ object Sampling {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     import org.apache.spark.sql.expressions.Window
     val perStratum = df
+      .filter(col(valueCol).isNotNull)
       .groupBy(col(stratumCol))
       .agg(
         count(lit(1)).as("n_rows"),

@@ -220,13 +220,22 @@ object Selection {
     * Tier assignment is equal-frequency UP TO TIES and computed at the
     * VALUE level: one map-combined groupBy(score) builds the
     * |distinct scores|-row CDF frame, tier(v) = ⌈cdf(v)·nBuckets / n⌉,
-    * which broadcasts back — equal scores land in one tier by
-    * construction (no layout-dependent ntile tie split), and no global
-    * row-number pass ever runs. The only data-sized exchange is the
-    * within-tier rank window, hash-partitioned on (tier) — nBuckets
-    * partitions; at extreme scale materializing a TOTAL training order
-    * is inherently a sort, and callers who only need the order can sort
-    * by the emitted (rank, tier) pair instead of collecting positions.
+    * joined back — equal scores land in one tier by construction (no
+    * layout-dependent ntile tie split), and no global row-number pass
+    * ever runs. The only data-sized exchange is the within-tier rank
+    * window, hash-partitioned on (tier) — nBuckets partitions; at
+    * extreme scale materializing a TOTAL training order is inherently
+    * a sort, and callers who only need the order can sort by the
+    * emitted (rank, tier) pair instead of collecting positions.
+    *
+    * PRECONDITION: `scoreCol` must be LOW-CARDINALITY (integral counts,
+    * quantized losses, pre-bucketed difficulty) — the CDF frame is
+    * |distinct scores| rows, window-sorted in one partition and joined
+    * back (Catalyst/AQE broadcasts it when small; no forced hint, so a
+    * continuous score degrades to a shuffle join instead of blowing the
+    * broadcast limit). For continuous difficulty scores, bucket first
+    * (e.g. round the loss to 3 decimals): curriculum semantics only
+    * need ordinal tiers, never raw-float resolution.
     *
     * Output: (idCol, scoreCol, tier 1-based, position 0-based). Position
     * is unique (position ≡ tier−1 mod nBuckets) and sorting by it yields
@@ -256,7 +265,7 @@ object Selection {
           s"+ __n - 1) DIV __n").cast("int"))
       .select(col(scoreCol), col("tier"))
     val keyed = rows
-      .join(broadcast(tiers), Seq(scoreCol))
+      .join(tiers, Seq(scoreCol))
       .withColumn("__shuf", PortableHash.md5Prefix(
         concat(lit(seed), col(idCol).cast("string")), 15))
     val rankW = Window.partitionBy(col("tier"))

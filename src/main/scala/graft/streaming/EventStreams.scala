@@ -403,21 +403,18 @@ object EventStreams {
       windowLength: String = "1 hour",
       watermark: String = "2 hours"): DataFrame = {
     require(qiCols.nonEmpty, "need at least one quasi-identifier column")
-    require(k >= 1 && l >= 1, s"k and l must be >= 1, got k=$k l=$l")
-    events
-      .withWatermark("event_time", watermark)
-      .groupBy(
-        window(col("event_time"), windowLength) +: qiCols.map(col): _*)
-      .agg(
-        count(lit(1)).as("n"),
-        graft.functions.DistinctUpTo.column(sensitive, l)
-          .as("n_sensitive"))
+    require(l >= 1, s"l must be >= 1, got $l")
+    // ONE shared relation with the batch twins (Privacy.auditRelation):
+    // the window is just another grouping key; the capped aggregate is
+    // the streaming-legal distinct
+    graft.operators.Privacy.auditRelation(
+        events.withWatermark("event_time", watermark),
+        window(col("event_time"), windowLength) +: qiCols.map(col),
+        graft.functions.DistinctUpTo.column(sensitive, l), k, l)
       .select(
         Seq(col("window.start").as("window_start")) ++
-          qiCols.map(col) ++ Seq(
-          col("n"), col("n_sensitive"),
-          (col("n") >= k).as("k_anonymous"),
-          (col("n_sensitive") >= l).as("l_diverse")): _*)
+          qiCols.map(col) ++ Seq(col("n"), col("n_sensitive"),
+          col("k_anonymous"), col("l_diverse")): _*)
   }
 
   /** Streaming exact dedup on event_id: watermark-bounded state, the

@@ -29,6 +29,24 @@ class SamplingSpec extends SparkTestBase {
     assert(out("z") === ((3L, 0.0, 0L)))
   }
 
+  test("null-valued rows carry no variance: excluded from N, not just " +
+      "the sums (review finding)") {
+    // counting nulls in N while the sums skip them reads N·Σx² − (Σx)²
+    // as fake variance: [10, null] would get σ 5.0 and budget it
+    // hasn't earned
+    val df = Seq(
+      ("a", Some(10L)), ("a", None),          // one measured value: σ 0
+      ("b", Some(0L)), ("b", Some(30L)),      // the only real variance
+      ("c", None), ("c", None)                // nothing measured: no row
+    ).toDF("src", "v")
+    val out = Sampling.neymanAllocation(df, "src", "v", 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out("a") === ((1L, 0.0, 0L))) // measured count, zero variance
+    assert(out("b") === ((2L, 15.0, 100L)))
+    assert(!out.contains("c")) // all-null stratum: nothing to sample
+  }
+
   test("all-constant corpus allocates zero instead of dividing by zero") {
     val df = Seq(("a", 5L), ("a", 5L), ("b", 9L)).toDF("src", "v")
     val out = Sampling.neymanAllocation(df, "src", "v", 50L)
