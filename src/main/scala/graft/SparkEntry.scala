@@ -6993,6 +6993,28 @@ object SparkEntry {
       |  CAST((copies - 1) * COUNT(*) AS BIGINT) AS removable
       |FROM g GROUP BY copies ORDER BY copies""".stripMargin))
 
+  private val q195 = Q("q195_suppression_summary",
+    (s, dir) => {
+      // The release decision in ONE row (Privacy.suppressionSummary):
+      // how much data suppress-to-k(15) costs — rows in below-k QI
+      // groups and their floor-ppm share. Two map-combined aggregates
+      // (QI cells, then one row).
+      Privacy.suppressionSummary(t(s, dir, "customer"),
+        Seq("c_mktsegment", "c_nationkey"), k = 15)
+    },
+    Some("""WITH g AS (
+      |  SELECT COUNT(*) AS n FROM customer
+      |  GROUP BY c_mktsegment, c_nationkey
+      |)
+      |SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(COALESCE(SUM(CASE WHEN n < 15 THEN n END), 0) AS BIGINT)
+      |    AS rows_below_k,
+      |  CAST(CAST(COALESCE(SUM(CASE WHEN n < 15 THEN n END), 0)
+      |      AS HUGEINT) * 1000000 // CAST(SUM(n) AS HUGEINT) AS BIGINT)
+      |    AS suppressed_ppm
+      |FROM g""".stripMargin))
+
   private val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
@@ -7009,7 +7031,7 @@ object SparkEntry {
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176, q177,
     q178, q179, q180, q181, q182, q183, q184, q185, q186, q187, q188,
-    q189, q190, q191, q192, q193, q194)
+    q189, q190, q191, q192, q193, q194, q195)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
