@@ -115,6 +115,10 @@ object Bench {
     // cache evicted that query's classes mid-sweep (178 queries ×
     // multi-stage codegen vs the 2000-entry bound), which is the one
     // warm-tail mechanism wall+gc numbers cannot see (VERDICT r14 #1).
+    // BOUND (r15 census): 195 queries compile ~1390 classes on sweep 1
+    // against the 2000-entry codegen cache — if the board grows past
+    // ~270 queries, re-run the janino_all_runs census FIRST: eviction
+    // stops being a falsified hypothesis and becomes arithmetic there.
     val janinoSamples = scala.collection.mutable
       .Map[String, Vector[Long]]().withDefaultValue(Vector.empty)
     def janinoCount(): Long = org.apache.spark.metrics.source

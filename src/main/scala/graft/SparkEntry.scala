@@ -6756,9 +6756,14 @@ object SparkEntry {
       |)
       |SELECT CAST(n_docs AS BIGINT) AS n_docs,
       |  CAST(s AS BIGINT) AS total_size,
-      |  CAST((2 * s1 - (CAST(n_docs AS HUGEINT) + 1) * s) * 1000000
-      |    // (CAST(n_docs AS HUGEINT) * s) AS BIGINT) AS gini_ppm,
-      |  CAST(top * 1000000 // s AS BIGINT) AS top1pct_share_ppm,
+      |  -- s = 0 guard mirrors the Spark side (Datasheet.concentration
+      |  -- nulls gini/top-share on an all-zero-size corpus) so parity
+      |  -- doesn't depend on fixture shape
+      |  CASE WHEN s = 0 THEN NULL ELSE
+      |    CAST((2 * s1 - (CAST(n_docs AS HUGEINT) + 1) * s) * 1000000
+      |      // (CAST(n_docs AS HUGEINT) * s) AS BIGINT) END AS gini_ppm,
+      |  CASE WHEN s = 0 THEN NULL ELSE
+      |    CAST(top * 1000000 // s AS BIGINT) END AS top1pct_share_ppm,
       |  CAST(sq * 1000000 // (CAST(nt AS HUGEINT) * nt) AS BIGINT)
       |    AS hhi_source_ppm,
       |  n_sources

@@ -128,7 +128,17 @@ object Datasheet {
     * Rows with null `sizeCol` are excluded from the size metrics
     * (null has no magnitude); null sources form a visible group in the
     * HHI. Sizes must be non-negative integers (counts/lengths) — the
-    * cumulative formulas assume x_(i) ≥ 0. */
+    * cumulative formulas assume x_(i) ≥ 0.
+    *
+    * PRECONDITION (same contract as [[Selection.curriculumSchedule]]):
+    * `sizeCol` must be LOW-CARDINALITY relative to the corpus — the
+    * cumulative windows run `Window.orderBy` with no partitionBy, so
+    * the |distinct sizes| value frame lands on ONE task. Token/char
+    * counts naturally saturate (≤ a few hundred thousand distinct
+    * values at any corpus size); for a continuous or high-cardinality
+    * size (bytes, float scores), bucket first —
+    * `floor(col/width)*width` — or the single-partition window becomes
+    * the bottleneck at scale. */
   def concentration(
       docs: DataFrame, sizeCol: String, sourceCol: String): DataFrame = {
     val vals = docs.filter(col(sizeCol).isNotNull)

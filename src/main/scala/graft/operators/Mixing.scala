@@ -78,38 +78,6 @@ object Mixing {
       .filter(col("__cum") <= budget)
   }
 
-  /** Token-budget WATERFILL across sources: given each source's token
-    * count, a target mixture weight, and a per-source repetition ceiling
-    * (`maxEpochs` — the "don't repeat data more than k times" rule of
-    * published pretraining recipes), allocate a global token budget T so
-    * every source receives tokens ∝ its weight until its ceiling binds:
-    *
-    *   alloc_s = min(λ · w_s, cap_s),   cap_s = n_s · maxEpochs,
-    *   λ chosen so Σ_s alloc_s = T.
-    *
-    * The classic waterfilling solution: sort sources by r_s = cap_s/w_s
-    * ascending; the first k sources (smallest ratios) are capped, the
-    * rest share the remaining budget in proportion to weight, and
-    * k is the smallest count with λ(k) = (T − Σ_{j≤k} cap_j)/Σ_{j>k} w_j
-    * ≤ r_{k+1}. When even capping everything cannot reach T (Σ cap < T),
-    * λ is NULL, every source is capped, and Σ alloc < T — the caller
-    * sees the infeasibility in the output rather than an error.
-    *
-    * Scale shape: the input is the |sources|-row mixture frame (bounded
-    * — it is the OUTPUT of a corpus aggregate, never the corpus), so the
-    * single-partition windows are bounded by construction; nothing here
-    * touches data-sized rows. Exactness: caps and cumulative sums fold
-    * in DECIMAL(38,6); λ and the allocations are single correctly-
-    * rounded double divisions of exact decimals, so Spark and a replay
-    * engine agree bit-for-bit; ROUND(6) once at the end.
-    *
-    * Output per source: (source, n_tokens, weight, cap_tokens,
-    * alloc_tokens, epochs, capped, lambda) — epochs NULL for an empty
-    * source (0/0), lambda replicated for report reading.
-    *
-    * Weights must be positive numbers: a null/NaN/non-positive weight
-    * raises at evaluation (it would otherwise sort into the ratio order
-    * and silently corrupt λ for every other source). */
   /** The data-frame form of [[temperatureWeights]] with oracle-exact
     * float discipline: per-source token volumes → w_s ∝ n_s^α →
     * normalized weight + effective epochs under a token budget
@@ -164,6 +132,38 @@ object Mixing {
       .select(col("source"), col("n_tokens"), col("weight"), col("epochs"))
   }
 
+  /** Token-budget WATERFILL across sources: given each source's token
+    * count, a target mixture weight, and a per-source repetition ceiling
+    * (`maxEpochs` — the "don't repeat data more than k times" rule of
+    * published pretraining recipes), allocate a global token budget T so
+    * every source receives tokens ∝ its weight until its ceiling binds:
+    *
+    *   alloc_s = min(λ · w_s, cap_s),   cap_s = n_s · maxEpochs,
+    *   λ chosen so Σ_s alloc_s = T.
+    *
+    * The classic waterfilling solution: sort sources by r_s = cap_s/w_s
+    * ascending; the first k sources (smallest ratios) are capped, the
+    * rest share the remaining budget in proportion to weight, and
+    * k is the smallest count with λ(k) = (T − Σ_{j≤k} cap_j)/Σ_{j>k} w_j
+    * ≤ r_{k+1}. When even capping everything cannot reach T (Σ cap < T),
+    * λ is NULL, every source is capped, and Σ alloc < T — the caller
+    * sees the infeasibility in the output rather than an error.
+    *
+    * Scale shape: the input is the |sources|-row mixture frame (bounded
+    * — it is the OUTPUT of a corpus aggregate, never the corpus), so the
+    * single-partition windows are bounded by construction; nothing here
+    * touches data-sized rows. Exactness: caps and cumulative sums fold
+    * in DECIMAL(38,6); λ and the allocations are single correctly-
+    * rounded double divisions of exact decimals, so Spark and a replay
+    * engine agree bit-for-bit; ROUND(6) once at the end.
+    *
+    * Output per source: (source, n_tokens, weight, cap_tokens,
+    * alloc_tokens, epochs, capped, lambda) — epochs NULL for an empty
+    * source (0/0), lambda replicated for report reading.
+    *
+    * Weights must be positive numbers: a null/NaN/non-positive weight
+    * raises at evaluation (it would otherwise sort into the ratio order
+    * and silently corrupt λ for every other source). */
   def budgetWaterfill(
       sources: DataFrame, sourceCol: String, tokensCol: String,
       weightCol: String, budget: Long, maxEpochs: Double): DataFrame = {

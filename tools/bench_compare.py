@@ -22,20 +22,69 @@ import json
 import sys
 
 
-def load(path):
-    with open(path) as f:
-        text = f.read().strip()
-    # history files hold one JSON object per line; take the last
-    line = text.splitlines()[-1]
-    d = json.loads(line)
+STAB_BOUND = 1.3  # Bench.scala's contention-warn bound
+
+
+def _stab(d):
     # calibration_stability (round 15+): max/min over the warm
     # per-sweep calibration reps — in-run environment stability. -1 or
     # absent = not measured (older records / too few warm reps).
-    stab = d.get("calibration_stability")
-    if stab is not None and stab <= 0:
-        stab = None
+    s = d.get("calibration_stability")
+    return None if s is None or s <= 0 else s
+
+
+def load(path):
+    """Load one bench record. `path` may carry an explicit line pick
+    (`bench_history.jsonl@49`, 0-based). For a multi-line history file
+    with no explicit pick, records are grouped into "rounds" by query
+    surface (the set of query names — each round's board is fixed while
+    rounds only grow it), and within the LAST surface the best-stability
+    record wins: a record whose in-sweep calibration swung past
+    STAB_BOUND measured a machine changing speed under it, so diffing it
+    round-over-round inherits that ambiguity (three of round 15's five
+    records were flagged; the quiet 1.098 one is the comparable record).
+    Preference: measured-stable (lowest stability) > unmeasured (latest)
+    > flagged (lowest stability). Prints which line it chose and why."""
+    pick = None
+    if "@" in path and not path.endswith(".json"):
+        path, _, idx = path.rpartition("@")
+        pick = int(idx)
+    with open(path) as f:
+        lines = [ln for ln in f.read().strip().splitlines() if ln.strip()]
+    recs = [json.loads(ln) for ln in lines]
+    if pick is not None:
+        d = recs[pick]
+        print(f"{path}: explicit pick line {pick} "
+              f"(stability {_stab(d) or 'n/a'})")
+    elif len(recs) == 1:
+        d = recs[0]
+    else:
+        surface = frozenset(recs[-1].get("queries", {}))
+        cand = [(i, r) for i, r in enumerate(recs)
+                if frozenset(r.get("queries", {})) == surface]
+        stable = [(i, r) for i, r in cand
+                  if _stab(r) is not None and _stab(r) <= STAB_BOUND]
+        unmeasured = [(i, r) for i, r in cand if _stab(r) is None]
+        if stable:
+            i, d = min(stable, key=lambda t: _stab(t[1]))
+        elif unmeasured:
+            i, d = unmeasured[-1]
+        else:
+            i, d = min(cand, key=lambda t: _stab(t[1]))
+        excluded = [(j, _stab(r)) for j, r in cand
+                    if j != i and _stab(r) is not None
+                    and _stab(r) > STAB_BOUND]
+        note = (f"; excluded flagged line(s) " +
+                ", ".join(f"{j} ({s:.2f}x)" for j, s in excluded)
+                ) if excluded else ""
+        print(f"{path}: picked line {i} of {len(recs)} — best stability "
+              f"({_stab(d):.2f}x) " if _stab(d) else
+              f"{path}: picked line {i} of {len(recs)} — unmeasured "
+              "stability ", end="")
+        print(f"among {len(cand)} record(s) at the {len(surface)}-query "
+              f"surface{note}")
     return d.get("queries", {}), d.get("value"), d.get("runs"), \
-        d.get("calibration_sec"), stab
+        d.get("calibration_sec"), _stab(d)
 
 
 def main():
