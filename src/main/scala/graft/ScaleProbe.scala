@@ -239,7 +239,9 @@ object ScaleProbe {
     // (measured); its CC tail is the q122 class (measured).
     // temperature mixture: one token aggregate + |sources| math (~flat)
     // and the dup spectrum: two map-combined shuffles (~flat)
-    "q193_temperature_mixture", "q194_dup_spectrum")
+    "q193_temperature_mixture", "q194_dup_spectrum",
+    // release summary: two nested map-combined aggregates, one row out
+    "q195_suppression_summary")
 
   /** Re-stage every sf table as an N-file parquet dir. The driver's sf
     * fixtures are single-file/single-row-group, so scan-rooted stages
@@ -456,6 +458,75 @@ object ScaleProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"x100,$name,$sec%.2f s,${m.shuffleRecords} shuffled rows," +
           f"${m.shuffleBytes / 1024 / 1024} shuffled MiB")
+      }
+      // Round 16 (VERDICT r15 ask #2): third-decade receipts for the two
+      // round-15 operators whose data-sized exchange hadn't been probed
+      // past 10× — parameterized shapes, so they run here rather than
+      // through SparkEntry.queries.
+      //
+      // q187-shape: curriculumSchedule's ONE corpus-wide exchange is the
+      // within-tier rank window (nBuckets partitions). Stress it at 100×
+      // lineitem (~60M rows) with a DELIBERATELY skewed tier:
+      // score = least(l_quantity, 10) ties ~82 % of all rows at value 10
+      // (quantity is uniform 1..50), so the value-level CDF puts that
+      // whole mass in ONE tier → ONE window partition sorts ~50M rows.
+      // The claim under test: the window's sort spills and completes at
+      // a single-partition row count no equal-frequency fixture reaches,
+      // and shuffled volume stays input-linear (rows + the tiny CDF
+      // frame), never quadratic.
+      val x100Sel = substrFilter("x100only=")
+      if (x100Sel("q187_skewtier")) {
+        // two arms: BALANCED (raw l_quantity, 50 uniform values → 10
+        // equal tiers of ~6M rows) vs SKEWED (least(quantity, 10) ties
+        // ~82 % of rows at one value → ONE tier ≈ 50M rows in ONE
+        // window partition). The delta isolates what tie skew costs.
+        Seq(("balanced", col("l_quantity").cast("int")),
+            ("skewtier", least(col("l_quantity"), lit(10)).cast("int")))
+          .foreach { case (label, difficulty) =>
+          val li = spark.read.parquet(s"$out100/lineitem.parquet")
+            .select(col("l_orderkey"), col("l_linenumber"),
+              difficulty.as("__difficulty"))
+            .withColumn("__row_id",
+              col("l_orderkey") * 10 + col("l_linenumber"))
+          val t0 = System.nanoTime()
+          val df = graft.operators.Selection.curriculumSchedule(
+            li, "__row_id", "__difficulty", nBuckets = 10, seed = "r16")
+          val m = PlanMetrics.shuffleSummary(df)
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"x100,q187_${label}_curriculum,$sec%.2f s," +
+            f"${m.shuffleRecords} shuffled rows," +
+            f"${m.shuffleBytes / 1024 / 1024} shuffled MiB")
+        }
+      }
+      // q190-shape: suppressToK's semi-join back on the QI key, at a QI
+      // cardinality where the kept-groups side CANNOT broadcast. The
+      // id-shifted synthesis COPIES attribute values (a customer-QI
+      // probe measured broadcast anyway: distinct cells stay sf0.1-
+      // sized however many copies exist), so the high-cardinality QI
+      // must ride a shifted ID column: QI = (l_orderkey, l_returnflag)
+      // over 100× lineitem is ~10⁷ distinct cells whose ≥k survivors
+      // are far past any broadcast threshold. The claim under test:
+      // graceful demotion to a shuffled join (no broadcast OOM, no
+      // plan-size blowup), shuffle volume ∝ rows + kept groups. The
+      // executed join strategy is printed as the receipt.
+      if (x100Sel("q190_semijoin")) {
+        val li = spark.read.parquet(s"$out100/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_quantity"))
+        val t0 = System.nanoTime()
+        val df = graft.operators.Privacy.suppressToK(
+          li, Seq("l_orderkey", "l_returnflag"), k = 3)
+        val m = PlanMetrics.shuffleSummary(df)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val plan = df.queryExecution.executedPlan.toString
+        val joinKind =
+          if (plan.contains("SortMergeJoin")) "SortMergeJoin"
+          else if (plan.contains("ShuffledHashJoin")) "ShuffledHashJoin"
+          else if (plan.contains("BroadcastHashJoin")) "BroadcastHashJoin"
+          else "unknown"
+        println(f"x100,q190_semijoin_highcard,$sec%.2f s," +
+          f"${m.shuffleRecords} shuffled rows," +
+          f"${m.shuffleBytes / 1024 / 1024} shuffled MiB,join=$joinKind")
       }
     }
     spark.stop()
