@@ -17,6 +17,30 @@ object ScaleProbe {
 
   private val copies = 10
 
+  /** Join node class names in the EXECUTED (AQE-final) plan. String-
+    * matching `executedPlan.toString` is wrong here: whenever AQE
+    * changed the plan the string contains BOTH "Final Plan" and
+    * "Initial Plan" sections, so a contains() check can report the
+    * initial strategy exactly when the two differ. Walk the final tree
+    * instead (the PlanMetrics traversal). */
+  private def executedJoinKinds(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    var kinds = List.empty[String]
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => walk(s.plan)
+      case r: ReusedExchangeExec => walk(r.child)
+      case other =>
+        val n = other.getClass.getSimpleName.stripSuffix("Exec")
+        if (n.contains("Join")) kinds ::= n
+        other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    if (kinds.isEmpty) "none" else kinds.distinct.sorted.mkString("+")
+  }
+
   private def shiftCopies(df: DataFrame, shifts: Map[String, Long]): DataFrame =
     (0 until copies).map { i =>
       shifts.foldLeft(df) { case (d, (c, base)) =>
@@ -474,8 +498,14 @@ object ScaleProbe {
       // a single-partition row count no equal-frequency fixture reaches,
       // and shuffled volume stays input-linear (rows + the tiny CDF
       // frame), never quadratic.
+      // the parameterized round-16 arms are OPT-IN (explicit x100only=
+      // naming): they cost ~3.5 min (the skewed arm is a deliberate
+      // single-partition 50M-row sort) and would otherwise silently
+      // change the duration/load profile of the historical plain-`x100`
+      // sweep every prior round's numbers came from
       val x100Sel = substrFilter("x100only=")
-      if (x100Sel("q187_skewtier")) {
+      val explicitX100 = args.exists(_.startsWith("x100only="))
+      if (explicitX100 && x100Sel("q187_skewtier")) {
         // two arms: BALANCED (raw l_quantity, 50 uniform values → 10
         // equal tiers of ~6M rows) vs SKEWED (least(quantity, 10) ties
         // ~82 % of rows at one value → ONE tier ≈ 50M rows in ONE
@@ -509,7 +539,7 @@ object ScaleProbe {
       // graceful demotion to a shuffled join (no broadcast OOM, no
       // plan-size blowup), shuffle volume ∝ rows + kept groups. The
       // executed join strategy is printed as the receipt.
-      if (x100Sel("q190_semijoin")) {
+      if (explicitX100 && x100Sel("q190_semijoin")) {
         val li = spark.read.parquet(s"$out100/lineitem.parquet")
           .select(col("l_orderkey"), col("l_returnflag"),
             col("l_quantity"))
@@ -518,15 +548,10 @@ object ScaleProbe {
           li, Seq("l_orderkey", "l_returnflag"), k = 3)
         val m = PlanMetrics.shuffleSummary(df)
         val sec = (System.nanoTime() - t0) / 1e9
-        val plan = df.queryExecution.executedPlan.toString
-        val joinKind =
-          if (plan.contains("SortMergeJoin")) "SortMergeJoin"
-          else if (plan.contains("ShuffledHashJoin")) "ShuffledHashJoin"
-          else if (plan.contains("BroadcastHashJoin")) "BroadcastHashJoin"
-          else "unknown"
         println(f"x100,q190_semijoin_highcard,$sec%.2f s," +
           f"${m.shuffleRecords} shuffled rows," +
-          f"${m.shuffleBytes / 1024 / 1024} shuffled MiB,join=$joinKind")
+          f"${m.shuffleBytes / 1024 / 1024} shuffled MiB," +
+          s"join=${executedJoinKinds(df)}")
       }
     }
     spark.stop()

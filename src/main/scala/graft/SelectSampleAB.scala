@@ -66,8 +66,14 @@ object SelectSampleAB {
           rerunTimes :+= t; answers += a
           println(f"[ab] rep=$rep rerun=$t%6.3f s (kept=${a._1}, sampled=${a._2})")
         case "ckpt" =>
+          // measure the SHIPPED helper, not an inline re-implementation
+          // — if importanceWeightsShared's materialization strategy
+          // ever changes, this receipt must track it
           val (t, a) = time {
-            val ck = scored().localCheckpoint(true)
+            val ck = graft.operators.Selection.importanceWeightsShared(
+              docs, docs.filter(col("source") === "src13")
+                .select(col("text")),
+              "doc_id", "text", numBuckets = 1024)
             val r = consume(ck)
             ck.unpersist(true)
             r
@@ -83,6 +89,10 @@ object SelectSampleAB {
       f"ckpt=${med(ckptTimes)}%6.3f s  " +
       f"ratio=${med(ckptTimes) / med(rerunTimes)}%5.3f  " +
       s"answer_sets=${answers.size} (must be 1)")
+    // self-checking receipt: a divergence must FAIL the run, not scroll
+    // by above a plausible-looking MEDIAN line
+    require(answers.size == 1,
+      s"rerun and ckpt variants disagreed: $answers")
     spark.stop()
   }
 }

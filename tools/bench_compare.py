@@ -43,45 +43,65 @@ def load(path):
     STAB_BOUND measured a machine changing speed under it, so diffing it
     round-over-round inherits that ambiguity (three of round 15's five
     records were flagged; the quiet 1.098 one is the comparable record).
-    Preference: measured-stable (lowest stability) > unmeasured (latest)
-    > flagged (lowest stability). Prints which line it chose and why."""
+    Preference: LATEST stable record (a later record measures later
+    code — a quieter-but-older record must not mask a fresh one) >
+    latest unmeasured > least-bad flagged (labeled FLAGGED). Prints
+    which line it chose and why."""
     pick = None
     if "@" in path and not path.endswith(".json"):
         path, _, idx = path.rpartition("@")
         pick = int(idx)
     with open(path) as f:
         lines = [ln for ln in f.read().strip().splitlines() if ln.strip()]
-    recs = [json.loads(ln) for ln in lines]
+    # index by ORIGINAL line number, tolerating corrupt/truncated lines
+    # (a killed mid-append run must not poison every future comparison)
+    recs = []
+    for i, ln in enumerate(lines):
+        try:
+            recs.append((i, json.loads(ln)))
+        except json.JSONDecodeError:
+            print(f"{path}: skipping unparseable line {i}")
+    if not recs:
+        raise SystemExit(f"{path}: no parseable records")
+    by_line = dict(recs)
     if pick is not None:
-        d = recs[pick]
+        if pick not in by_line:
+            raise SystemExit(f"{path}: line {pick} missing or unparseable")
+        d = by_line[pick]
         print(f"{path}: explicit pick line {pick} "
               f"(stability {_stab(d) or 'n/a'})")
     elif len(recs) == 1:
-        d = recs[0]
+        d = recs[0][1]
     else:
-        surface = frozenset(recs[-1].get("queries", {}))
-        cand = [(i, r) for i, r in enumerate(recs)
+        surface = frozenset(recs[-1][1].get("queries", {}))
+        cand = [(i, r) for i, r in recs
                 if frozenset(r.get("queries", {})) == surface]
         stable = [(i, r) for i, r in cand
                   if _stab(r) is not None and _stab(r) <= STAB_BOUND]
         unmeasured = [(i, r) for i, r in cand if _stab(r) is None]
+        flagged_pick = False
         if stable:
-            i, d = min(stable, key=lambda t: _stab(t[1]))
+            i, d = stable[-1]
         elif unmeasured:
             i, d = unmeasured[-1]
         else:
             i, d = min(cand, key=lambda t: _stab(t[1]))
+            flagged_pick = True
         excluded = [(j, _stab(r)) for j, r in cand
                     if j != i and _stab(r) is not None
                     and _stab(r) > STAB_BOUND]
         note = (f"; excluded flagged line(s) " +
                 ", ".join(f"{j} ({s:.2f}x)" for j, s in excluded)
                 ) if excluded else ""
-        print(f"{path}: picked line {i} of {len(recs)} — best stability "
-              f"({_stab(d):.2f}x) " if _stab(d) else
-              f"{path}: picked line {i} of {len(recs)} — unmeasured "
-              "stability ", end="")
-        print(f"among {len(cand)} record(s) at the {len(surface)}-query "
+        if flagged_pick:
+            head = (f"least-bad stability ({_stab(d):.2f}x — FLAGGED, "
+                    f"every candidate exceeds {STAB_BOUND}x) ")
+        elif _stab(d):
+            head = f"latest stable record ({_stab(d):.2f}x) "
+        else:
+            head = "latest record (unmeasured stability) "
+        print(f"{path}: picked line {i} of {len(lines)} — {head}"
+              f"among {len(cand)} record(s) at the {len(surface)}-query "
               f"surface{note}")
     return d.get("queries", {}), d.get("value"), d.get("runs"), \
         d.get("calibration_sec"), _stab(d)
@@ -108,7 +128,7 @@ def main():
     # speed DURING that record's sweeps — its per-query medians are
     # ambiguous by roughly that factor, whatever we normalize by.
     for side, stab in (("old", old_stab), ("new", new_stab)):
-        if stab is not None and stab > 1.3:
+        if stab is not None and stab > STAB_BOUND:
             print(f"WARNING: {side} run's in-sweep calibration swung "
                   f"{stab:.2f}x warm-max/warm-min (unstable machine "
                   "during that record's sweeps); treat normalized "
