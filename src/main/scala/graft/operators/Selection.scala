@@ -247,11 +247,16 @@ object Selection {
     * |distinct scores|-row CDF frame, tier(v) = ⌈cdf(v)·nBuckets / n⌉,
     * joined back — equal scores land in one tier by construction (no
     * layout-dependent ntile tie split), and no global row-number pass
-    * ever runs. The only data-sized exchange is the within-tier rank
-    * window, hash-partitioned on (tier) — nBuckets partitions; at
-    * extreme scale materializing a TOTAL training order is inherently
-    * a sort, and callers who only need the order can sort by the
-    * emitted (rank, tier) pair instead of collecting positions.
+    * ever runs. The only data-sized exchanges are the within-tier rank
+    * window — hash-partitioned on (tier, salt), nBuckets × 64
+    * partitions via a two-phase rank whose salt is the top bits of the
+    * deterministic order key, so a mega-tie tier parallelizes instead
+    * of serializing on one task (see the body comment; output
+    * bit-identical to the unsalted form) — plus the salt histogram's
+    * map-combined pass; at extreme scale materializing a TOTAL
+    * training order is inherently a sort, and callers who only need
+    * the order can sort by the emitted (rank, tier) pair instead of
+    * collecting positions.
     *
     * PRECONDITION: `scoreCol` must be LOW-CARDINALITY (integral counts,
     * quantized losses, pre-bucketed difficulty) — the CDF frame is
@@ -293,10 +298,51 @@ object Selection {
       .join(tiers, Seq(scoreCol))
       .withColumn("__shuf", PortableHash.md5Prefix(
         concat(lit(seed), col(idCol).cast("string")), 15))
-    val rankW = Window.partitionBy(col("tier"))
+    // Two-phase distributed within-tier rank (round 16). The plain
+    // Window.partitionBy(tier) form puts an ENTIRE tier on one task,
+    // and a mega-tie tier (one score value holding ≫ 1/nBuckets of the
+    // corpus — ties can't split across tiers by contract) serializes
+    // there: measured 141.6 s for a ~50M-row tied tier at the 100×
+    // probe, pure single-task sort. Fix without changing one output
+    // bit: salt by the TOP 6 BITS of the 60-bit order key itself —
+    // salt is monotone in __shuf, every row of salt s sorts before
+    // every row of salt s+1, and equal keys share a salt — so
+    //   rank = Σ|salts below| + rank within (tier, salt),
+    // the exact single-partition rank, computed on nBuckets×64-way
+    // parallelism (measured 5.6× on the 100× skewed-tier probe,
+    // 141.6 → 25.3 s, shuffled volume unchanged; the salt histogram
+    // costs one extra map-combined value-level pass).
+    val salted = keyed.withColumn("__salt",
+      shiftright(col("__shuf"), 54).cast("int"))
+    // salt histogram at the VALUE level — groupBy(score, salt) is
+    // map-combined onto a |distinct scores| × 64 frame (bounded by the
+    // documented low-cardinality precondition), then mapped to tiers
+    // through the tiny tier frame. Deriving it from `salted` instead
+    // would re-execute the corpus-sized tier join just to count — a
+    // third data-sized exchange, measured +60M shuffled rows at the
+    // 100× probe.
+    val offW = Window.partitionBy(col("tier")).orderBy(col("__salt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = rows
+      .withColumn("__salt", shiftright(PortableHash.md5Prefix(
+        concat(lit(seed), col(idCol).cast("string")), 15), 54)
+        .cast("int"))
+      .groupBy(col(scoreCol), col("__salt"))
+      .agg(count(lit(1)).as("__vc"))
+      .join(tiers, Seq(scoreCol))
+      .groupBy(col("tier"), col("__salt"))
+      .agg(sum(col("__vc")).as("__sc"))
+      .withColumn("__off", coalesce(sum(col("__sc")).over(offW), lit(0L)))
+      .select(col("tier"), col("__salt"), col("__off"))
+    val rankW = Window.partitionBy(col("tier"), col("__salt"))
       .orderBy(col("__shuf"), col(idCol))
-    keyed
-      .withColumn("__r", row_number().over(rankW))
+    salted
+      // the offsets frame is PARAMETER-bounded (≤ nBuckets × 64 rows),
+      // so a broadcast hint is safe by construction — unlike the tier
+      // frame above, whose |distinct scores| size is data-dependent
+      // and deliberately unhinted (r15 review)
+      .join(broadcast(offsets), Seq("tier", "__salt"))
+      .withColumn("__r", row_number().over(rankW) + col("__off"))
       .withColumn("position",
         (col("__r").cast("long") - 1) * nBuckets + (col("tier") - 1))
       .select(col(idCol), col(scoreCol), col("tier"), col("position"))

@@ -254,6 +254,32 @@ class SelectionSpec extends SparkTestBase {
     assert(firstWindow === rows.map(_._3).toSet)
   }
 
+  test("curriculumSchedule's salted two-phase rank equals the " +
+      "single-partition reference rank under a mega-tie") {
+    // 400 rows, ~75 % tied at score 7 (one tier swallows the tie mass —
+    // the shape whose serial sort the salting exists to parallelize);
+    // reference = the pre-salt formula: rank over ONE partition per tier
+    // by (md5 order key, id)
+    val rng = new scala.util.Random(41)
+    val df = (0L until 400L)
+      .map(i => (i, if (rng.nextInt(4) == 0) rng.nextInt(6).toLong else 7L))
+      .toDF("id", "score")
+    val out = Selection.curriculumSchedule(df, "id", "score", 4, "mt")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    val shuf = df.withColumn("__h", PortableHash.md5Prefix(
+        concat(lit("mt"), col("id").cast("string")), 15))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val tiers = out.map(r => r._1 -> r._2).toMap
+    val refPos = out.map(_._2).distinct.flatMap { t =>
+      out.filter(_._2 == t).map(_._1)
+        .sortBy(id => (shuf(id), id)).zipWithIndex
+        .map { case (id, r) => id -> (r.toLong * 4 + (t - 1)) }
+    }.toMap
+    out.foreach { case (id, _, pos) =>
+      assert(pos === refPos(id), s"id=$id tier=${tiers(id)}")
+    }
+  }
+
   test("curriculumSchedule is layout-invariant and excludes null scores") {
     val df = Seq((1L, Some(3L)), (2L, Some(1L)), (3L, None), (4L, Some(3L)),
       (5L, Some(2L)), (6L, Some(9L))).toDF("id", "score")
