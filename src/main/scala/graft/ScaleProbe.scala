@@ -539,6 +539,36 @@ object ScaleProbe {
       // graceful demotion to a shuffled join (no broadcast OOM, no
       // plan-size blowup), shuffle volume ∝ rows + kept groups. The
       // executed join strategy is printed as the receipt.
+      // q182-shape: the greedy token-budget cut on a HOT-SOURCE corpus
+      // (100× lineitem, source = l_returnflag: 3 sources, one ~50 % of
+      // 60M rows — the shape the documents fixture's 20 balanced
+      // sources can't show). This receipt SETTLED the round-16
+      // salted-cut question: two two-phase variants measured slower
+      // than this general single-window form (79.4 s double-hash /
+      // 76.8 s reuse-defeated vs 68–70 s), so the general form stays.
+      if (explicitX100 && x100Sel("q182_hotcut")) {
+        val li = spark.read.parquet(s"$out100/lineitem.parquet")
+          .select(col("l_returnflag").as("source"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+            col("l_quantity").cast("long").as("tok"))
+        import spark.implicits._
+        val budgets = Seq(("A", 1.0e8), ("N", 1.0e8), ("R", 1.0e8))
+          .toDF("source", "budget")
+        def run(label: String, f: () => org.apache.spark.sql.DataFrame)
+            : Unit = {
+          val t0 = System.nanoTime()
+          val df = f()
+          val m = PlanMetrics.shuffleSummary(df)
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"x100,q182_hotcut_$label,$sec%.2f s," +
+            f"${m.shuffleRecords} shuffled rows," +
+            f"${m.shuffleBytes / 1024 / 1024} shuffled MiB")
+        }
+        run("general", () => graft.operators.Mixing
+          .selectWithinTokenBudgets(li, "source", "tok", budgets,
+            "budget", Seq(graft.functions.PortableHash.md5Prefix(
+              col("id").cast("string"), 15), col("id"))))
+      }
       if (explicitX100 && x100Sel("q190_semijoin")) {
         val li = spark.read.parquet(s"$out100/lineitem.parquet")
           .select(col("l_orderkey"), col("l_returnflag"),

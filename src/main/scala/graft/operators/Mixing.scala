@@ -294,8 +294,11 @@ object Mixing {
     * q178-style composition trade) plus ONE source-partitioned sort
     * for the greedy prefix — inherent to an exact per-source cut; a
     * single hot source concentrates its sort in one task chain, the
-    * spillable-sort skew note of the sampler family. Everything else
-    * is |sources|-sized. */
+    * spillable-sort skew note of the sampler family. Round 16 measured
+    * two salted two-phase alternatives SLOWER on a 50 %-hot source at
+    * 100× (the rejection receipt in SCALING.md round 16 and at the
+    * call site below) — the serial running sum is not the bottleneck.
+    * Everything else is |sources|-sized. */
   def materializeMixture(
       docs: DataFrame, sourceCol: String, idCol: String,
       tokens: org.apache.spark.sql.Column, weights: DataFrame,
@@ -338,6 +341,15 @@ object Mixing {
         .drop("__wsrc")
         .na.fill(0L, Seq("n_tokens")),
       "source", "n_tokens", "weight", budget, maxEpochs)
+    // The greedy cut stays on the general single-window-per-source form
+    // DELIBERATELY (round 16, settled by receipt): two salted two-phase
+    // variants were measured SLOWER at 100× lineitem with a ~50 %-hot
+    // source — 79.4 s (separate salt-histogram pass: the second per-row
+    // md5 costs more than the serial cumsum it removes) and 76.8 s
+    // (ReusedExchange form: the reuse is defeated in the joined plan,
+    // doubling the corpus shuffle) vs 68–70 s for this form. The serial
+    // per-source running sum is a single sorted pass, spill-safe, and
+    // NOT the bottleneck at any measured scale; see SCALING.md round 16.
     val kept = selectWithinTokenBudgets(base, "source", "__tok",
         wf.select(col("source"), col("alloc_tokens")), "alloc_tokens",
         Seq(graft.functions.PortableHash
