@@ -69,6 +69,12 @@ object Normalize {
       .filter(expr(s"__g = 1 + ((${m}L - 1) * __i) DIV $k"))
       .select(col("__i"), col("__ref_score").as("normalized"))
 
+    // Per-source serial rank (the q187 window class): a hot source
+    // ranks on one task. Fixable with the round-16 salted two-phase
+    // rank ONLY if the order key is salt-bucketable — here the order is
+    // (score, id), so the salt would be a score range, i.e. value-level
+    // pre-bucketing, which is this operator's documented degrade path
+    // already. Measure before reworking (the q182_hotcut rejection).
     val bySrc = Window.partitionBy(col(sourceCol))
     cur
       .withColumn("__r", row_number().over(

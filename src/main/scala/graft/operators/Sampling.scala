@@ -260,6 +260,15 @@ object Sampling {
     val hashAsc =
       graft.functions.PortableHash.md5Prefix(col(keyCol).cast("string"), 15)
     if (perPartitionKept > balanceHeapMaxK.toLong) {
+      // This arm ranks each label on ONE task (the q187-class serial
+      // window). If a profile ever shows it as the floor — it needs
+      // BOTH a huge minN (past the heap bound) and a label holding a
+      // task-breaking row count — the proven fix is curriculumSchedule's
+      // salted two-phase RANK (round 16: 5.6× on a 50M-row tie), which
+      // applies verbatim since the order key is the same 60-bit hash.
+      // Not applied preemptively: the sibling cumsum experiment lost to
+      // its own second hash pass (SCALING.md round 16, q182_hotcut),
+      // so this stays measure-first.
       val rk = org.apache.spark.sql.expressions.Window
         .partitionBy(col(labelCol))
         .orderBy(hashAsc.asc, col(keyCol))
