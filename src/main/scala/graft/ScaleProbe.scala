@@ -488,28 +488,25 @@ object ScaleProbe {
       // past 10× — parameterized shapes, so they run here rather than
       // through SparkEntry.queries.
       //
-      // q187-shape: curriculumSchedule's ONE corpus-wide exchange is the
-      // within-tier rank window (nBuckets partitions). Stress it at 100×
-      // lineitem (~60M rows) with a DELIBERATELY skewed tier:
-      // score = least(l_quantity, 10) ties ~82 % of all rows at value 10
-      // (quantity is uniform 1..50), so the value-level CDF puts that
-      // whole mass in ONE tier → ONE window partition sorts ~50M rows.
-      // The claim under test: the window's sort spills and completes at
-      // a single-partition row count no equal-frequency fixture reaches,
-      // and shuffled volume stays input-linear (rows + the tiny CDF
-      // frame), never quadratic.
+      // q187-shape: curriculumSchedule's data-sized exchange is the
+      // within-tier rank window. This probe FOUND the round-16 serial
+      // tail (pre-rework: the mega-tie tier ranked ~50M rows on ONE
+      // task, 141.6 s) and now guards the salted two-phase rank that
+      // fixed it — the claim under test today: a ~82 %-tie tier ranks
+      // on (tier, salt) partitions with wall close to the balanced arm
+      // and input-linear shuffled volume, never a single-task sort.
       // the parameterized round-16 arms are OPT-IN (explicit x100only=
-      // naming): they cost ~3.5 min (the skewed arm is a deliberate
-      // single-partition 50M-row sort) and would otherwise silently
-      // change the duration/load profile of the historical plain-`x100`
-      // sweep every prior round's numbers came from
+      // naming): they add several minutes of 60M-row window work and
+      // would otherwise silently change the duration/load profile of
+      // the historical plain-`x100` sweep every prior round's numbers
+      // came from
       val x100Sel = substrFilter("x100only=")
       val explicitX100 = args.exists(_.startsWith("x100only="))
       if (explicitX100 && x100Sel("q187_skewtier")) {
         // two arms: BALANCED (raw l_quantity, 50 uniform values → 10
         // equal tiers of ~6M rows) vs SKEWED (least(quantity, 10) ties
-        // ~82 % of rows at one value → ONE tier ≈ 50M rows in ONE
-        // window partition). The delta isolates what tie skew costs.
+        // ~82 % of rows at one value → one tier ≈ 50M rows). The delta
+        // isolates what tie skew still costs post-rework.
         Seq(("balanced", col("l_quantity").cast("int")),
             ("skewtier", least(col("l_quantity"), lit(10)).cast("int")))
           .foreach { case (label, difficulty) =>
@@ -554,20 +551,16 @@ object ScaleProbe {
         import spark.implicits._
         val budgets = Seq(("A", 1.0e8), ("N", 1.0e8), ("R", 1.0e8))
           .toDF("source", "budget")
-        def run(label: String, f: () => org.apache.spark.sql.DataFrame)
-            : Unit = {
-          val t0 = System.nanoTime()
-          val df = f()
-          val m = PlanMetrics.shuffleSummary(df)
-          val sec = (System.nanoTime() - t0) / 1e9
-          println(f"x100,q182_hotcut_$label,$sec%.2f s," +
-            f"${m.shuffleRecords} shuffled rows," +
-            f"${m.shuffleBytes / 1024 / 1024} shuffled MiB")
-        }
-        run("general", () => graft.operators.Mixing
+        val t0 = System.nanoTime()
+        val df = graft.operators.Mixing
           .selectWithinTokenBudgets(li, "source", "tok", budgets,
             "budget", Seq(graft.functions.PortableHash.md5Prefix(
-              col("id").cast("string"), 15), col("id"))))
+              col("id").cast("string"), 15), col("id")))
+        val m = PlanMetrics.shuffleSummary(df)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"x100,q182_hotcut_general,$sec%.2f s," +
+          f"${m.shuffleRecords} shuffled rows," +
+          f"${m.shuffleBytes / 1024 / 1024} shuffled MiB")
       }
       if (explicitX100 && x100Sel("q190_semijoin")) {
         val li = spark.read.parquet(s"$out100/lineitem.parquet")

@@ -280,13 +280,32 @@ object Selection {
     import org.apache.spark.sql.expressions.Window
     val rows = df.filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
       .select(col(idCol), col(scoreCol))
-    // value-level CDF: |distinct scores| rows, map-combined
+    // the 60-bit deterministic order key — ONE definition shared by the
+    // per-row shuffle column and the histogram below (drift between two
+    // copies would silently desync the offsets from the rank
+    // partitioning — review catch)
+    def shufExpr = PortableHash.md5Prefix(
+      concat(lit(seed), col(idCol).cast("string")), 15)
+    def saltExpr = shiftright(shufExpr, 54).cast("int")
+    // ONE value-level corpus aggregate serves BOTH frames (round-16
+    // review: the first draft ran a groupBy(score) CDF pass AND a
+    // groupBy(score, salt) histogram pass — two corpus scans where one
+    // suffices). hist is |distinct scores| × 64 rows (bounded by the
+    // documented low-cardinality precondition); localCheckpoint pins
+    // the single computation for its two consumers (the bounded-frame
+    // eager-materialization precedent of materializeMixture's perSrc —
+    // exchange reuse across differently-shaped consumers is not
+    // guaranteed, the q182_hotcut lesson).
+    val hist = rows.withColumn("__salt", saltExpr)
+      .groupBy(col(scoreCol), col("__salt"))
+      .agg(count(lit(1)).as("__vc"))
+      .localCheckpoint()
     val cdfW = Window.orderBy(col(scoreCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totW = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    val tiers = rows.groupBy(col(scoreCol))
-      .agg(count(lit(1)).as("__c"))
+    val tiers = hist.groupBy(col(scoreCol))
+      .agg(sum(col("__vc")).as("__c"))
       .withColumn("__cdf", sum(col("__c")).over(cdfW))
       .withColumn("__n", sum(col("__c")).over(totW))
       // ⌈cdf·B/n⌉ in exact integer arithmetic: (cdf·B + n − 1) DIV n
@@ -294,10 +313,6 @@ object Selection {
         expr(s"(CAST(__cdf AS DECIMAL(38,0)) * $nBuckets " +
           s"+ __n - 1) DIV __n").cast("int"))
       .select(col(scoreCol), col("tier"))
-    val keyed = rows
-      .join(tiers, Seq(scoreCol))
-      .withColumn("__shuf", PortableHash.md5Prefix(
-        concat(lit(seed), col(idCol).cast("string")), 15))
     // Two-phase distributed within-tier rank (round 16). The plain
     // Window.partitionBy(tier) form puts an ENTIRE tier on one task,
     // and a mega-tie tier (one score value holding ≫ 1/nBuckets of the
@@ -310,25 +325,14 @@ object Selection {
     //   rank = Σ|salts below| + rank within (tier, salt),
     // the exact single-partition rank, computed on nBuckets×64-way
     // parallelism (measured 5.6× on the 100× skewed-tier probe,
-    // 141.6 → 25.3 s, shuffled volume unchanged; the salt histogram
-    // costs one extra map-combined value-level pass).
-    val salted = keyed.withColumn("__salt",
-      shiftright(col("__shuf"), 54).cast("int"))
-    // salt histogram at the VALUE level — groupBy(score, salt) is
-    // map-combined onto a |distinct scores| × 64 frame (bounded by the
-    // documented low-cardinality precondition), then mapped to tiers
-    // through the tiny tier frame. Deriving it from `salted` instead
-    // would re-execute the corpus-sized tier join just to count — a
-    // third data-sized exchange, measured +60M shuffled rows at the
-    // 100× probe.
+    // 141.6 → 25.3 s pre-fusion, shuffled volume unchanged).
+    val salted = rows
+      .join(tiers, Seq(scoreCol))
+      .withColumn("__shuf", shufExpr)
+      .withColumn("__salt", shiftright(col("__shuf"), 54).cast("int"))
     val offW = Window.partitionBy(col("tier")).orderBy(col("__salt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = rows
-      .withColumn("__salt", shiftright(PortableHash.md5Prefix(
-        concat(lit(seed), col(idCol).cast("string")), 15), 54)
-        .cast("int"))
-      .groupBy(col(scoreCol), col("__salt"))
-      .agg(count(lit(1)).as("__vc"))
+    val offsets = hist
       .join(tiers, Seq(scoreCol))
       .groupBy(col("tier"), col("__salt"))
       .agg(sum(col("__vc")).as("__sc"))
