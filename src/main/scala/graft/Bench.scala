@@ -94,6 +94,34 @@ object Bench {
         calibrationRep() // cold: JIT + classloading, discarded
         Vector.fill(3)(calibrationRep()).sorted.apply(1)
       } catch { case _: Throwable => -1.0 }
+    // I/O-SENSITIVE calibration rep (round 17, VERDICT r16 #1): the
+    // CPU-bound rep above is blind to page-cache / memory-bandwidth
+    // pressure — the r16 driver record ran uniformly 1.24× slow
+    // per-query (cold sweep 184 s vs the sibling records' 113–139 s)
+    // yet posted the round's FASTEST CPU calibration (0.447 s) and a
+    // stability of 1.24, under the 1.3 gate. This rep scans EVERY
+    // column of the trimmed lineitem fixture — keys, numerics, the
+    // flag/status strings, the date, i.e. the whole file's bytes
+    // (a count(1) would read no columns at all, parquet metadata
+    // answers it) — so it moves when the machine's I/O or
+    // memory path is contended even while cores are free. Same
+    // throw-means--1 discipline as the CPU rep.
+    def ioCalibrationRep(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("sum(l_extendedprice)", "sum(l_quantity)",
+          "sum(l_discount)", "sum(l_tax)", "sum(l_orderkey)",
+          "sum(l_partkey)", "sum(l_suppkey)", "sum(l_linenumber)",
+          "count(l_returnflag)", "count(l_linestatus)",
+          "max(l_shipdate)")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ioCalibrationSec =
+      try {
+        ioCalibrationRep() // cold: first real scan of the file, discarded
+        Vector.fill(3)(ioCalibrationRep()).sorted.apply(1)
+      } catch { case _: Throwable => -1.0 }
     val names = SparkEntry.queries.keys.toSeq
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
@@ -123,15 +151,33 @@ object Bench {
       .Map[String, Vector[Long]]().withDefaultValue(Vector.empty)
     def janinoCount(): Long = org.apache.spark.metrics.source
       .CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    // Per-sample background-JIT ms (CompilationMXBean, PROCESS-wide
+    // like gc): the round-17 q101 census showed warm samples swing
+    // 0.55–1.17 s while the C1/C2 threads are still chewing (jit_ms
+    // 700–2800/run) and settle to 0.26–0.37 once they go quiet — the
+    // one second-order counter that moved with the spikes after gc and
+    // janino both read zero (VERDICT r16 #2). A flagged worst with
+    // high jit_ms says "compiler contention", not plan.
+    val jitSamples = scala.collection.mutable
+      .Map[String, Vector[Long]]().withDefaultValue(Vector.empty)
+    def jitMillis(): Long = {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime
+      else -1L
+    }
     def runOnce(name: String): Unit = {
       val g0 = gcMillis()
       val j0 = janinoCount()
+      val jit0 = jitMillis()
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
       samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
       gcSamples(name) = gcSamples(name) :+ (gcMillis() - g0) / 1e3
       janinoSamples(name) = janinoSamples(name) :+ (janinoCount() - j0)
+      jitSamples(name) = jitSamples(name) :+
+        (if (jit0 < 0) -1L else jitMillis() - jit0)
     }
     // One calibration rep INTERLEAVED after every sweep (VERDICT r14
     // #5): the machine's speed swung 0.41–0.64 within hours of one r14
@@ -144,8 +190,14 @@ object Bench {
     // 2 on, so max/min over the WARM reps isolates genuine environment
     // instability; the cold first rep rides along in the artifact only.
     val calSweeps = scala.collection.mutable.ArrayBuffer[Double]()
-    def calSweepRep(): Unit =
+    val ioCalSweeps = scala.collection.mutable.ArrayBuffer[Double]()
+    def calSweepRep(): Unit = {
       calSweeps += (try calibrationRep() catch { case _: Throwable => -1.0 })
+      // the I/O rep rides the same interleave: its warm max/min folds
+      // into the stability gate below, closing the r16 blind spot
+      ioCalSweeps +=
+        (try ioCalibrationRep() catch { case _: Throwable => -1.0 })
+    }
     for (_ <- 0 until runs) { names.foreach(runOnce); calSweepRep() }
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
@@ -213,11 +265,13 @@ object Bench {
       val (w, worstIdx) = warmWorst(n)
       val gcWorst = gcSamples(n).lift(worstIdx).getOrElse(0.0)
       val jnWorst = janinoSamples(n).lift(worstIdx).getOrElse(0L)
+      val jitWorst = jitSamples(n).lift(worstIdx).getOrElse(-1L)
       "\"" + n + "\":{\"worst\":" + fmt(w) + ",\"median\":" +
         fmt(median(samples(n))) + ",\"cold\":" + fmt(samples(n).head) +
         ",\"gc_frac_worst\":" +
         fmt(math.min(1.0, gcWorst / math.max(w, 1e-9))) +
-        ",\"janino_worst\":" + jnWorst + "}"
+        ",\"janino_worst\":" + jnWorst +
+        ",\"jit_ms_worst\":" + jitWorst + "}"
     }
     val spreadFlag = flagged.map(flagEntry).mkString("{", ",", "}")
     val gcAll = names.map { n =>
@@ -225,6 +279,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val janinoAll = names.map { n =>
       "\"" + n + "\":[" + janinoSamples(n).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val jitAll = names.map { n =>
+      "\"" + n + "\":[" + jitSamples(n).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // "runs" is the BASE sweep count; the 10 provisionally-slowest
     // queries carry runs+top10_extra_runs samples (their all_runs arrays
@@ -239,18 +296,35 @@ object Bench {
     // cross-round normalization stays apples-to-apples with every
     // earlier record; bench_compare reads the stability field and warns.
     val calWarm = calSweeps.drop(1).filter(_ > 0)
-    val calibrationStability =
+    val cpuStability =
       if (calWarm.size >= 2) calWarm.max / calWarm.min else -1.0
+    // calibration_stability is the FOLD of the CPU and I/O components
+    // (round 17): max of the two warm max/min ratios, so an in-run
+    // swing on EITHER axis trips the same 1.3 gate bench_compare
+    // already reads. Folding only widens the flag — a record quiet on
+    // both axes scores exactly what the old scalar said; components
+    // are emitted separately so a flagged record arrives
+    // pre-attributed (cpu vs io) like gc_frac/janino do for queries.
+    val ioCalWarm = ioCalSweeps.drop(1).filter(_ > 0)
+    val ioStability =
+      if (ioCalWarm.size >= 2) ioCalWarm.max / ioCalWarm.min else -1.0
+    val calibrationStability = math.max(cpuStability, ioStability)
     val calSweepsJson = calSweeps.map(fmt).mkString("[", ",", "]")
+    val ioCalSweepsJson = ioCalSweeps.map(fmt).mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""runs":$runs,"top10_extra_runs":$extraRuns,""" +
       s""""calibration_sec":${fmt(calibrationSec)},""" +
       s""""calibration_sweeps":$calSweepsJson,""" +
       s""""calibration_stability":${fmt(calibrationStability)},""" +
+      s""""cpu_stability":${fmt(cpuStability)},""" +
+      s""""io_stability":${fmt(ioStability)},""" +
+      s""""io_calibration_sec":${fmt(ioCalibrationSec)},""" +
+      s""""io_calibration_sweeps":$ioCalSweepsJson,""" +
       s""""sweep1_total_sec":${fmt(sweep1Total)},""" +
       s""""queries":$detail,"spread":$spreadAll,""" +
       s""""spread_flag":$spreadFlag,"gc_all_runs":$gcAll,""" +
       s""""janino_all_runs":$janinoAll,""" +
+      s""""jit_ms_all_runs":$jitAll,""" +
       s""""all_runs":$allRuns,""" +
       s""""sf":"$sfDir","ts":${System.currentTimeMillis()}}""" + "\n"
     java.nio.file.Files.write(
@@ -288,7 +362,7 @@ object Bench {
     // constant budget overflowed the tail on rounds where several
     // queries tripped the flag.
     def stdoutLine(qs: String, ft: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"top10_extra_runs":$extraRuns,"calibration_sec":${fmt(calibrationSec)},"calibration_stability":${fmt(calibrationStability)},"sweep1_total_sec":${fmt(sweep1Total)},"queries":$qs,"spread_top10":$spreadTop,"spread_flag":$ft,"n_queries":${results.size},"queries_are_slowest_first":true,"queries_are_medians":true,"detail":"bench_detail.json","history":"bench_history.jsonl","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"top10_extra_runs":$extraRuns,"calibration_sec":${fmt(calibrationSec)},"calibration_stability":${fmt(calibrationStability)},"cpu_stability":${fmt(cpuStability)},"io_stability":${fmt(ioStability)},"io_calibration_sec":${fmt(ioCalibrationSec)},"sweep1_total_sec":${fmt(sweep1Total)},"queries":$qs,"spread_top10":$spreadTop,"spread_flag":$ft,"n_queries":${results.size},"queries_are_slowest_first":true,"queries_are_medians":true,"detail":"bench_detail.json","history":"bench_history.jsonl","sf":"$sfDir"}"""
     var nFlags = math.min(5, flaggedBySeverity.size)
     while (nFlags > 0 && stdoutLine("{}", flagTopStr(nFlags)).length > 1600)
       nFlags -= 1

@@ -19,10 +19,24 @@ calibration divides that out. Raw ratios are always shown alongside.
 """
 import argparse
 import json
+import re
 import sys
 
 
 STAB_BOUND = 1.3  # Bench.scala's contention-warn bound
+
+# Cross-record I/O-pressure bound (round 17, VERDICT r16 #1): the
+# in-run stability scalar cannot flag a record that was UNIFORMLY slow
+# for its whole duration — r16's driver record passed the 1.3 gate
+# with the round's fastest CPU calibration while running every query
+# 1.02–3.8× (median 1.24×) slower than its quiet sibling, and its
+# cold-sweep total (sweep1_total_sec 184.0) vs the sibling minimum
+# (113.4) was the one signal that moved. Quiet records of the same
+# surface cluster within ~1.14× of the sibling minimum (r15–r16:
+# 120.6–129.2 vs 113.4); past 1.2× the record measured a machine under
+# I/O/page-cache pressure and is demoted to flagged before the
+# latest-stable pick.
+SWEEP1_BOUND = 1.2
 
 
 def _stab(d):
@@ -47,10 +61,14 @@ def load(path):
     code — a quieter-but-older record must not mask a fresh one) >
     latest unmeasured > least-bad flagged (labeled FLAGGED). Prints
     which line it chose and why."""
+    # explicit pick = a TRAILING '@<digits>' suffix only (ADVICE r16:
+    # '"@" in path' split a legitimate path like /home/user@host/x.jsonl
+    # at the '@' and crashed on int())
     pick = None
-    if "@" in path and not path.endswith(".json"):
-        path, _, idx = path.rpartition("@")
-        pick = int(idx)
+    m = re.search(r"@(\d+)$", path)
+    if m:
+        pick = int(m.group(1))
+        path = path[: m.start()]
     with open(path) as f:
         lines = [ln for ln in f.read().strip().splitlines() if ln.strip()]
     # index by ORIGINAL line number, tolerating corrupt/truncated lines
@@ -76,28 +94,74 @@ def load(path):
         surface = frozenset(recs[-1][1].get("queries", {}))
         cand = [(i, r) for i, r in recs
                 if frozenset(r.get("queries", {})) == surface]
-        stable = [(i, r) for i, r in cand
-                  if _stab(r) is not None and _stab(r) <= STAB_BOUND]
-        unmeasured = [(i, r) for i, r in cand if _stab(r) is None]
+        # Cross-record I/O check (round 17): a record whose cold-sweep
+        # total sits > SWEEP1_BOUND above the sibling minimum at the
+        # same surface measured a machine under I/O/page-cache pressure
+        # for its WHOLE run — in-run stability can't see uniform
+        # slowness (the r16 110.7 s record: stability 1.24, sweep1
+        # 1.62x the sibling min, every query 1.02–3.8x its quiet
+        # sibling). Needs >= 2 sibling sweep1 values to mean anything;
+        # records predating the field are never demoted by it.
+        def _sweep1(r):
+            s = r.get("sweep1_total_sec")
+            return s if isinstance(s, (int, float)) and s > 0 else None
+        s1 = {j: _sweep1(r) for j, r in cand}
+        with_s1 = [v for v in s1.values() if v is not None]
+        s1_min = min(with_s1) if len(with_s1) >= 2 else None
+
+        def s1_ratio(j):
+            if s1_min is None or s1[j] is None:
+                return None
+            return s1[j] / s1_min
+
+        def io_slow(j):
+            r = s1_ratio(j)
+            return r is not None and r > SWEEP1_BOUND
+
+        stable = [(j, r) for j, r in cand
+                  if _stab(r) is not None and _stab(r) <= STAB_BOUND
+                  and not io_slow(j)]
+        unmeasured = [(j, r) for j, r in cand
+                      if _stab(r) is None and not io_slow(j)]
         flagged_pick = False
         if stable:
             i, d = stable[-1]
         elif unmeasured:
             i, d = unmeasured[-1]
         else:
-            i, d = min(cand, key=lambda t: _stab(t[1]))
+            # least-bad among the flagged: smallest in-run swing first
+            # (records with no stability sort last), then the smallest
+            # sweep1 ratio
+            def badness(t):
+                j, r = t
+                st = _stab(r)
+                return (st if st is not None else float("inf"),
+                        s1_ratio(j) or 1.0)
+            i, d = min(cand, key=badness)
             flagged_pick = True
-        excluded = [(j, _stab(r)) for j, r in cand
-                    if j != i and _stab(r) is not None
-                    and _stab(r) > STAB_BOUND]
+
+        def why_excluded(j, r):
+            parts = []
+            st = _stab(r)
+            if st is not None and st > STAB_BOUND:
+                parts.append(f"stability {st:.2f}x")
+            if io_slow(j):
+                parts.append(f"sweep1 {s1_ratio(j):.2f}x sibling min")
+            return ", ".join(parts)
+
+        excluded = [(j, why_excluded(j, r)) for j, r in cand
+                    if j != i and why_excluded(j, r)]
         note = (f"; excluded flagged line(s) " +
-                ", ".join(f"{j} ({s:.2f}x)" for j, s in excluded)
+                ", ".join(f"{j} ({w})" for j, w in excluded)
                 ) if excluded else ""
         if flagged_pick:
-            head = (f"least-bad stability ({_stab(d):.2f}x — FLAGGED, "
-                    f"every candidate exceeds {STAB_BOUND}x) ")
+            head = (f"least-bad flagged record ({why_excluded(i, d) or 'n/a'}"
+                    f" — FLAGGED, every candidate trips stability "
+                    f">{STAB_BOUND}x or sweep1 >{SWEEP1_BOUND}x) ")
         elif _stab(d):
-            head = f"latest stable record ({_stab(d):.2f}x) "
+            io_note = (f", sweep1 {s1_ratio(i):.2f}x sibling min"
+                       if s1_ratio(i) is not None else "")
+            head = f"latest stable record ({_stab(d):.2f}x{io_note}) "
         else:
             head = "latest record (unmeasured stability) "
         print(f"{path}: picked line {i} of {len(lines)} — {head}"
