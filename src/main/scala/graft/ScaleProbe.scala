@@ -562,6 +562,28 @@ object ScaleProbe {
           f"${m.shuffleRecords} shuffled rows," +
           f"${m.shuffleBytes / 1024 / 1024} shuffled MiB")
       }
+      // Round 17 (VERDICT r16 ask #5): balanceClasses' big-minN WINDOW
+      // arm — the last q187-class serial-rank site holding only a
+      // measure-first comment, no receipt of its own. Trigger shape:
+      // minN past the heap bound (2²⁰) AND one label holding a
+      // task-breaking row count. 100× lineitem with
+      // label = l_returnflag is exactly it: minN ≈ 15M ≫ 2²⁰ selects
+      // the window arm, and the hot label ('N', ~50 % of 60M rows)
+      // ranks ~30M rows on ONE window task in the unsalted form. The
+      // key (l_orderkey·10 + l_linenumber) is unique per row — the
+      // operator's keyCol contract.
+      if (explicitX100 && x100Sel("qbalance_skewlabel")) {
+        val li = spark.read.parquet(s"$out100/lineitem.parquet")
+          .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+            col("l_returnflag").as("label"), col("l_quantity"))
+        val t0 = System.nanoTime()
+        val df = graft.operators.Sampling.balanceClasses(li, "id", "label")
+        val m = PlanMetrics.shuffleSummary(df)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"x100,qbalance_skewlabel,$sec%.2f s," +
+          f"${m.shuffleRecords} shuffled rows," +
+          f"${m.shuffleBytes / 1024 / 1024} shuffled MiB")
+      }
       if (explicitX100 && x100Sel("q190_semijoin")) {
         val li = spark.read.parquet(s"$out100/lineitem.parquet")
           .select(col("l_orderkey"), col("l_returnflag"),

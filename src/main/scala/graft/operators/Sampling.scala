@@ -259,28 +259,76 @@ object Sampling {
     // the heap (which keeps the LARGEST order values) gets its negation
     val hashAsc =
       graft.functions.PortableHash.md5Prefix(col(keyCol).cast("string"), 15)
-    if (perPartitionKept > balanceHeapMaxK.toLong) {
-      // This arm ranks each label on ONE task (the q187-class serial
-      // window). If a profile ever shows it as the floor — it needs
-      // BOTH a huge minN (past the heap bound) and a label holding a
-      // task-breaking row count — the proven fix is curriculumSchedule's
-      // salted two-phase RANK (round 16: 5.6× on a 50M-row tie), which
-      // applies verbatim since the order key is the same 60-bit hash.
-      // Not applied preemptively: the sibling cumsum experiment lost to
-      // its own second hash pass (SCALING.md round 16, q182_hotcut),
-      // so this stays measure-first.
-      val rk = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(labelCol))
-        .orderBy(hashAsc.asc, col(keyCol))
-      nonNull.withColumn("__rk", row_number().over(rk))
-        .filter(col("__rk") <= minN)
-        .drop("__rk")
-    } else
+    if (perPartitionKept > balanceHeapMaxK.toLong)
+      // Salted two-phase rank (round 17 — measured, not presumed: the
+      // r16 verdict asked for this site's own receipt either way).
+      // The plain partitionBy(label) window ranks each label on ONE
+      // task, and the arm only triggers when minN is huge — exactly
+      // when a hot label is task-breaking. 100× lineitem probe
+      // (x100only=qbalance_skewlabel, ~60M rows, hot label = 50 %):
+      // unsalted vs salted receipts in SCALING.md round 17. The q182
+      // counter-receipt (a second corpus md5 pass can beat its
+      // parallelism win) doesn't transfer here: what the salt removes
+      // is a corpus-sized single-task SORT (the q187 shape), not a
+      // bounded-frame cumsum.
+      balanceKeepWindow(nonNull, keyCol, labelCol, hashAsc, minN,
+        hintBroadcastOffsets = numLabels <= 4096L)
+    else
       graft.plans.TopKPerGroup
         .perKey(nonNull.withColumn("__ord", -hashAsc)
             .withColumn("__tie", tie),
           Seq(labelCol), "__ord", "__tie", minN.toInt)
         .drop("__ord", "__tie")
+  }
+
+  /** Big-minN arm of [[balanceClasses]]: keep the `minN` first rows of
+    * every label in (`hashAsc` asc, key asc) order, ranked by the
+    * salted two-phase form ([[Selection.curriculumSchedule]]'s round-16
+    * rework, applied here round 17 with its own 100× receipt —
+    * SCALING.md): salt = the top 6 bits of the 60-bit order key, which
+    * is MONOTONE in the key (every row of salt s sorts before every row
+    * of salt s+1, and equal keys share a salt), so
+    *
+    *   rank = Σ counts(label, salts below) + rank within (label, salt)
+    *
+    * is bit-identical to the single-partition `row_number` while
+    * ranking on |labels| × 64 tasks instead of one task per label. The
+    * per-(label, salt) counts cost one extra map-combined corpus pass
+    * (bounded |labels| × 64 output); what they buy is removing the
+    * corpus-sized single-task sort of the hottest label. The offsets
+    * frame is broadcast-hinted only when the CALLER knows |labels| is
+    * small (`hintBroadcastOffsets`) — it is data-dependent, so an
+    * unconditional hint could melt the driver on a high-cardinality
+    * label column (the q190 no-hint lesson).
+    *
+    * Package-visible so the parity spec can pin salted == plain
+    * single-window rank without manufacturing 2²⁰-row classes. */
+  private[graft] def balanceKeepWindow(
+      nonNull: DataFrame, keyCol: String, labelCol: String,
+      hashAsc: Column, minN: Long,
+      hintBroadcastOffsets: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val salted = nonNull
+      .withColumn("__bsalt", shiftright(hashAsc, 54).cast("int"))
+    val offW = Window.partitionBy(col(labelCol)).orderBy(col("__bsalt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // bounded frame: ≤ |labels| × 64 rows; the cumulative window over
+    // it partitions by label (≤ 64 rows per partition by construction)
+    val offsetsRaw = salted.groupBy(col(labelCol), col("__bsalt"))
+      .agg(count(lit(1)).as("__bc"))
+      .withColumn("__boff", coalesce(sum(col("__bc")).over(offW), lit(0L)))
+      .select(col(labelCol), col("__bsalt"), col("__boff"))
+    val offsets =
+      if (hintBroadcastOffsets) broadcast(offsetsRaw) else offsetsRaw
+    val rankW = Window.partitionBy(col(labelCol), col("__bsalt"))
+      .orderBy(hashAsc.asc, col(keyCol))
+    salted.join(offsets, Seq(labelCol, "__bsalt"))
+      .withColumn("__rk",
+        row_number().over(rankW).cast("long") + col("__boff"))
+      .filter(col("__rk") <= minN)
+      // the key-first join reorders columns; restore the input order
+      // (the heap arm and the old single-window arm both preserve it)
+      .select(nonNull.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Deterministic per-stratum downsampling: keep ≈`fraction(stratum)` of

@@ -69,4 +69,46 @@ class SamplingSpec extends SparkTestBase {
     assert(a.toSeq.map(_._4).sum <= 1000L) // floor division never overshoots
     assert(a.forall(_._4 >= 0L))
   }
+
+  test("balanceKeepWindow: salted two-phase rank == plain single-window " +
+      "rank, with and without the offsets broadcast hint, incl. a " +
+      "mega-tie order key; the shipped arms keep the same set") {
+    // hot 600 / mid 200 / cold 100 → minN = 100, one label 6× the
+    // smallest — the skew shape the big-minN arm exists for, at spec
+    // scale. Keys unique (the operator's keyCol contract).
+    val df = (1L to 900L).map { i =>
+      (i, if (i <= 600) "hot" else if (i <= 800) "mid" else "cold")
+    }.toDF("id", "label")
+    val hash = graft.functions.PortableHash
+      .md5Prefix(col("id").cast("string"), 15)
+    val minN = 100L
+    def sortedIds(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val refW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(hash.asc, col("id"))
+    val ref = df.withColumn("__rk", row_number().over(refW))
+      .filter(col("__rk") <= minN).drop("__rk")
+    for (hint <- Seq(true, false)) {
+      val salted = Sampling
+        .balanceKeepWindow(df, "id", "label", hash, minN, hint)
+      assert(sortedIds(salted) === sortedIds(ref))
+      assert(salted.columns.toSeq === df.columns.toSeq) // helpers dropped
+    }
+    // mega-tie order key: 4 tie classes of ~25 % each (the q187-spec
+    // 75 %-tie discipline) — equal keys MUST share a salt (top 6 bits
+    // are monotone in the key), or the two-phase rank would split a
+    // tie class across salts and scramble the keyCol tie-break
+    val coarse = shiftleft(pmod(hash, lit(4)), 57)
+    val refTies = df.withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("label")).orderBy(coarse.asc, col("id"))))
+      .filter(col("__rk") <= minN).drop("__rk")
+    val saltedTies = Sampling.balanceKeepWindow(
+      df, "id", "label", coarse, minN, hintBroadcastOffsets = true)
+    assert(sortedIds(saltedTies) === sortedIds(refTies))
+    // the shipped operator (heap arm at this size) keeps the identical
+    // set — the arm choice is invisible in the answer
+    assert(sortedIds(Sampling.balanceClasses(df, "id", "label"))
+      === sortedIds(ref))
+  }
 }
