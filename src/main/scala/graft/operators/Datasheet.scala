@@ -130,17 +130,38 @@ object Datasheet {
     * HHI. Sizes must be non-negative integers (counts/lengths) — the
     * cumulative formulas assume x_(i) ≥ 0.
     *
-    * PRECONDITION (same contract as [[Selection.curriculumSchedule]]):
-    * `sizeCol` must be LOW-CARDINALITY relative to the corpus — the
-    * cumulative windows run `Window.orderBy` with no partitionBy, so
-    * the |distinct sizes| value frame lands on ONE task. Token/char
-    * counts naturally saturate (≤ a few hundred thousand distinct
-    * values at any corpus size); for a continuous or high-cardinality
-    * size (bytes, float scores), bucket first —
+    * PRECONDITION (same contract as [[Selection.curriculumSchedule]]),
+    * ENFORCED fail-fast (round 17, the [[Normalize.quantileNormalize]]
+    * `maxRefRows` pattern): `sizeCol` must be LOW-CARDINALITY relative
+    * to the corpus — the cumulative windows run `Window.orderBy` with
+    * no partitionBy, so the |distinct sizes| value frame lands on ONE
+    * task. Token/char counts naturally saturate (≤ a few hundred
+    * thousand distinct values at any corpus size); for a continuous or
+    * high-cardinality size (bytes, float scores), bucket first —
     * `floor(col/width)*width` — or the single-partition window becomes
-    * the bottleneck at scale. */
+    * the bottleneck at scale. The guard is an EAGER
+    * `approx_count_distinct` pass at call time (map-combined, one
+    * scalar — the cheapest corpus-sized question there is): a caller
+    * passing byte-granular sizes fails data-independently with the
+    * bucketing recipe in the message instead of silently serializing
+    * at crawl scale. HLL estimates carry ~±5 % error at the default
+    * rsd, so `maxDistinctSizes` is an order-of-magnitude envelope
+    * (default 10M — the same single-partition bound quantileNormalize
+    * uses), not a precise cliff; raise it knowingly if a bigger value
+    * frame is genuinely wanted. */
   def concentration(
-      docs: DataFrame, sizeCol: String, sourceCol: String): DataFrame = {
+      docs: DataFrame, sizeCol: String, sourceCol: String,
+      maxDistinctSizes: Long = 10000000L): DataFrame = {
+    val estDistinct = docs.filter(col(sizeCol).isNotNull)
+      .select(approx_count_distinct(col(sizeCol)).as("__d"))
+      .collect()(0).getLong(0)
+    require(estDistinct <= maxDistinctSizes,
+      s"concentration: sizeCol '$sizeCol' has ~$estDistinct distinct " +
+        s"values, over the single-partition window bound " +
+        s"maxDistinctSizes=$maxDistinctSizes — the exact-Gini value " +
+        "frame is window-sorted on ONE task. Bucket the size first " +
+        "(e.g. floor(col/width)*width preserves concentration shape " +
+        "at any width) or raise maxDistinctSizes knowingly")
     val vals = docs.filter(col(sizeCol).isNotNull)
       .groupBy(col(sizeCol).cast("long").as("__v"))
       .agg(count(lit(1)).as("__c"))

@@ -117,6 +117,30 @@ class DatasheetSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_sources") === 2L)
   }
 
+  test("concentration: high-cardinality sizeCol fails fast with the " +
+      "bucketing recipe; the bound is a parameter") {
+    // 5000 distinct byte-granular sizes against a bound of 100: the
+    // guard must throw BEFORE any window work, data-independently,
+    // and name the fix. approx_count_distinct carries ~±5 % HLL error,
+    // so the fixture overshoots the bound 50×, far past the noise.
+    val wide = (1L to 5000L).map(i => (i, i, s"s${i % 3}"))
+      .toDF("doc_id", "n_bytes", "source")
+    val e = intercept[IllegalArgumentException] {
+      Datasheet.concentration(wide, "n_bytes", "source",
+        maxDistinctSizes = 100L)
+    }
+    assert(e.getMessage.contains("maxDistinctSizes"))
+    assert(e.getMessage.contains("floor(col/width)*width"))
+    // same frame, bucketed per the message's recipe → passes the same
+    // bound and produces the one-row report
+    val bucketed = wide.withColumn("n_bytes",
+      expr("CAST(floor(n_bytes / 100) * 100 AS BIGINT)"))
+    val r = Datasheet.concentration(bucketed, "n_bytes", "source",
+      maxDistinctSizes = 100L).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_docs") === 5000L)
+  }
+
   test("concentration: equal corpus has Gini 0; ties don't break the " +
       "value-level rank-sum; layout-invariant") {
     val eq = (1L to 40L).map(i => (i, 7L, s"s${i % 8}"))
