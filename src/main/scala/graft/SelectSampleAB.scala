@@ -42,11 +42,23 @@ object SelectSampleAB {
       docs, docs.filter(col("source") === "src13").select(col("text")),
       "doc_id", "text", numBuckets = 1024)
 
-    def consume(frame: DataFrame): (Long, Long) = {
-      val kept = frame.filter(col("log_w") > 0).count()
-      val sampled = graft.operators.Selection
-        .gumbelTopK(frame, "doc_id", "log_w", 50, "q183").count()
-      (kept, sampled)
+    // Content-bearing answers, not counts (ADVICE r16: the sample
+    // count is min(k, n) for both variants regardless of WHICH ids were
+    // drawn, so a count-only identity check validated nothing about
+    // the sampled set). kept rides a crc32-of-id checksum folded with
+    // sum (order-free, one aggregate over the kept slice); the 50
+    // sampled ids are small enough to compare verbatim, sorted.
+    def consume(frame: DataFrame): (Long, Long, String) = {
+      val keptRow = frame.filter(col("log_w") > 0)
+        .agg(count(lit(1)), sum(crc32(col("doc_id").cast("string"))))
+        .collect()(0)
+      val kept = keptRow.getLong(0)
+      val keptCksum = if (keptRow.isNullAt(1)) 0L else keptRow.getLong(1)
+      val sampledIds = graft.operators.Selection
+        .gumbelTopK(frame, "doc_id", "log_w", 50, "q183")
+        .select(col("doc_id").cast("string"))
+        .collect().map(_.getString(0)).sorted.mkString(",")
+      (kept, keptCksum, sampledIds)
     }
 
     def time[T](body: => T): (Double, T) = {
@@ -57,14 +69,15 @@ object SelectSampleAB {
 
     var rerunTimes = Vector.empty[Double]
     var ckptTimes = Vector.empty[Double]
-    var answers = Set.empty[(Long, Long)]
+    var answers = Set.empty[(Long, Long, String)]
     (1 to reps).foreach { rep =>
       val order = if (rep % 2 == 1) Seq("rerun", "ckpt") else Seq("ckpt", "rerun")
       order.foreach {
         case "rerun" =>
           val (t, a) = time(consume(scored()))
           rerunTimes :+= t; answers += a
-          println(f"[ab] rep=$rep rerun=$t%6.3f s (kept=${a._1}, sampled=${a._2})")
+          println(f"[ab] rep=$rep rerun=$t%6.3f s (kept=${a._1}, " +
+            f"kept_cksum=${a._2}, sampled_ids=${a._3.hashCode})")
         case "ckpt" =>
           // measure the SHIPPED helper, not an inline re-implementation
           // — if importanceWeightsShared's materialization strategy
@@ -79,7 +92,8 @@ object SelectSampleAB {
             r
           }
           ckptTimes :+= t; answers += a
-          println(f"[ab] rep=$rep ckpt =$t%6.3f s (kept=${a._1}, sampled=${a._2})")
+          println(f"[ab] rep=$rep ckpt =$t%6.3f s (kept=${a._1}, " +
+            f"kept_cksum=${a._2}, sampled_ids=${a._3.hashCode})")
       }
     }
     def med(v: Vector[Double]): Double = {

@@ -267,6 +267,18 @@ object Selection {
     * (e.g. round the loss to 3 decimals): curriculum semantics only
     * need ordinal tiers, never raw-float resolution.
     *
+    * EAGER + single-JVM materialization caveat (same contract as
+    * [[importanceWeightsShared]]): the bounded value-level histogram is
+    * pinned with `localCheckpoint()`, which is EAGER — constructing the
+    * plan runs one full corpus aggregate even if the caller never
+    * executes the result — and whose blocks live only on the executors
+    * that computed them: an executor loss (dynamic allocation,
+    * preemption) on a real cluster fails the query instead of
+    * recomputing. This is the single-JVM/bench form; a long-running
+    * cluster caller should swap it for reliable `.checkpoint()` or
+    * `.persist(DISK_ONLY)` — the frame is ≤ |distinct scores| × 64
+    * rows, so either costs next to nothing there.
+    *
     * Output: (idCol, scoreCol, tier 1-based, position 0-based). Position
     * is unique (position ≡ tier−1 mod nBuckets) and sorting by it yields
     * the schedule; it is NOT dense when tiers are unequal (ties). Rows
