@@ -226,6 +226,18 @@ object Sampling {
     // data-dependent failure). Both arms then rank the identical
     // mapped order.
     val tie = samplerTie(df, keyCol)
+    // Reserved internal names, validated UP FRONT and for BOTH arms
+    // (review catch, round 17): each arm adds its own helper columns,
+    // so a collision would corrupt silently or throw ambiguity only
+    // when the data volume selects that arm — the data-dependent
+    // failure mode the tie validation above already refuses.
+    val reserved = Seq("__ord", "__tie", "__rk",
+      "__bsalt", "__bslt2", "__blbl", "__boff", "__bc")
+    reserved.filter(df.columns.contains).foreach { c =>
+      throw new IllegalArgumentException(
+        s"balanceClasses: input column name $c collides with an " +
+          "internal helper column — rename it first")
+    }
     // same no-silent-drops contract as capPerGroup: the null-key drop
     // is deliberate but observable — a paired observe metric reports
     // the dropped count per run
@@ -313,20 +325,29 @@ object Sampling {
     val offW = Window.partitionBy(col(labelCol)).orderBy(col("__bsalt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // bounded frame: ≤ |labels| × 64 rows; the cumulative window over
-    // it partitions by label (≤ 64 rows per partition by construction)
+    // it partitions by label (≤ 64 rows per partition by construction).
+    // The label side is RENAMED and joined NULL-SAFELY below: a null
+    // label is a legal class (both sibling arms rank it — the heap
+    // exec hash-clusters nulls, the old window partitioned on them),
+    // and a plain using-join's null-rejecting equality silently
+    // dropped the whole null-label class in exactly one arm (review
+    // catch, round 17 — an arm-dependent answer divergence, the class
+    // this file's own up-front validation exists to prevent).
     val offsetsRaw = salted.groupBy(col(labelCol), col("__bsalt"))
       .agg(count(lit(1)).as("__bc"))
       .withColumn("__boff", coalesce(sum(col("__bc")).over(offW), lit(0L)))
-      .select(col(labelCol), col("__bsalt"), col("__boff"))
+      .select(col(labelCol).as("__blbl"), col("__bsalt").as("__bslt2"),
+        col("__boff"))
     val offsets =
       if (hintBroadcastOffsets) broadcast(offsetsRaw) else offsetsRaw
     val rankW = Window.partitionBy(col(labelCol), col("__bsalt"))
       .orderBy(hashAsc.asc, col(keyCol))
-    salted.join(offsets, Seq(labelCol, "__bsalt"))
+    salted.join(offsets,
+        col(labelCol) <=> col("__blbl") && col("__bsalt") === col("__bslt2"))
       .withColumn("__rk",
         row_number().over(rankW).cast("long") + col("__boff"))
       .filter(col("__rk") <= minN)
-      // the key-first join reorders columns; restore the input order
+      // the join widens the frame; restore the input columns and order
       // (the heap arm and the old single-window arm both preserve it)
       .select(nonNull.columns.map(col).toIndexedSeq: _*)
   }

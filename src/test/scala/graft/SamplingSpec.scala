@@ -111,4 +111,36 @@ class SamplingSpec extends SparkTestBase {
     assert(sortedIds(Sampling.balanceClasses(df, "id", "label"))
       === sortedIds(ref))
   }
+
+  test("balanceKeepWindow: a NULL label is a class, not a silent drop " +
+      "(null-safe join parity with the heap arm); reserved helper " +
+      "names fail fast in both arms") {
+    // 40 null-label rows beside two named labels: null is the smallest
+    // class (minN = 40), and both arms must rank and keep it — an
+    // inner using-join would null-reject the whole class in exactly
+    // one arm (round-17 review catch)
+    val df = (1L to 200L).map { i =>
+      (i, if (i <= 100) Some("a") else if (i <= 160) Some("b") else None)
+    }.toDF("id", "label")
+    val hash = graft.functions.PortableHash
+      .md5Prefix(col("id").cast("string"), 15)
+    val refW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(hash.asc, col("id"))
+    val ref = df.withColumn("__r", row_number().over(refW))
+      .filter(col("__r") <= 40L).drop("__r")
+    def ids(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val win = Sampling.balanceKeepWindow(df, "id", "label", hash, 40L,
+      hintBroadcastOffsets = true)
+    assert(ids(win) === ids(ref))
+    assert(win.filter(col("label").isNull).count() === 40L)
+    assert(ids(Sampling.balanceClasses(df, "id", "label")) === ids(ref))
+    // reserved names are refused up front, data-independently — on a
+    // frame small enough that the heap arm would otherwise run
+    val clash = Seq((1L, "a", 0)).toDF("id", "label", "__bsalt")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.balanceClasses(clash, "id", "label")
+    }
+    assert(e.getMessage.contains("__bsalt"))
+  }
 }
