@@ -30,19 +30,30 @@ import org.apache.spark.sql.functions._
 object Boilerplate {
 
   /** Per-(group, line) distinct-document frequencies, with the group's
-    * document total carried alongside — the audit view. */
+    * document total carried alongside — the audit view. A NULL group
+    * is a group like any other (docs with no site/domain can still
+    * share boilerplate among themselves): the groupBys already form
+    * it, and the totals join back NULL-SAFELY so its rows don't
+    * silently vanish from the audit (round-17 null-join sweep). Rows
+    * with a NULL id are excluded up front: countDistinct already
+    * ignores them (their lines would count toward nothing), and the
+    * per-doc rebuild in [[removeBoilerplate]] cannot re-associate
+    * them — the same null-id contract as the samplers. */
   def lineFrequencies(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       groupCol: String): DataFrame = {
-    val lines = docs.select(col(idCol), col(groupCol),
+    val withId = docs.filter(col(idCol).isNotNull)
+    val lines = withId.select(col(idCol), col(groupCol),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val grpTotals = docs.groupBy(col(groupCol))
+    val grpTotals = withId.groupBy(col(groupCol))
       .agg(countDistinct(col(idCol)).as("n_docs_in_group"))
+      .select(col(groupCol).as("__bgrp"), col("n_docs_in_group"))
     lines.groupBy(col(groupCol), col("line"))
       .agg(countDistinct(col(idCol)).as("n_docs_with_line"))
-      .join(grpTotals, groupCol)
+      .join(grpTotals, col(groupCol) <=> col("__bgrp"))
+      .drop("__bgrp")
   }
 
   /** Remove boilerplate lines: a line is boilerplate within its group
@@ -50,7 +61,11 @@ object Boilerplate {
     * group's documents. Returns one row per input document:
     * (idCol, groupCol, text_clean, n_lines, n_kept) — text_clean is the
     * original line order with boilerplate lines deleted (empty string
-    * when every line was boilerplate). */
+    * when every line was boilerplate). Null-group docs are a real
+    * group (scrubbed among themselves, null-safe joins throughout);
+    * null-ID rows are excluded like in [[lineFrequencies]] — the
+    * per-doc rebuild cannot re-associate them, and the old left join
+    * silently emitted them as empty text_clean. */
   def removeBoilerplate(
       docs: DataFrame,
       idCol: String,
@@ -58,16 +73,22 @@ object Boilerplate {
       groupCol: String,
       minDocs: Int = 2,
       minFrac: Double = 0.5): DataFrame = {
-    val lines = docs.select(col(idCol), col(groupCol),
+    val withId = docs.filter(col(idCol).isNotNull)
+    val lines = withId.select(col(idCol), col(groupCol),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
 
     val boilerplate = lineFrequencies(docs, idCol, textCol, groupCol)
       .filter(col("n_docs_with_line") >= minDocs &&
         col("n_docs_with_line") >= lit(minFrac) * col("n_docs_in_group"))
-      .select(col(groupCol), col("line"))
+      .select(col(groupCol).as("__bgrp"), col("line").as("__bline"))
 
+    // null-safe on the group (a null group's boilerplate must still be
+    // stripped — the plain anti-join never matched null and passed
+    // those docs through unscrubbed); `line` itself is never null
+    // (split() yields non-null elements)
     val kept = lines.join(boilerplate,
-      Seq(groupCol, "line"), "left_anti")
+      col(groupCol) <=> col("__bgrp") && col("line") === col("__bline"),
+      "left_anti")
 
     val rebuilt = kept.groupBy(col(idCol))
       .agg(
@@ -79,7 +100,7 @@ object Boilerplate {
           .as("text_clean"),
         col("n_kept"))
 
-    docs.select(col(idCol), col(groupCol),
+    withId.select(col(idCol), col(groupCol),
         size(split(col(textCol), "\n")).cast("long").as("n_lines"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), col(groupCol),

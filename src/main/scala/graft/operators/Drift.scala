@@ -137,10 +137,20 @@ object Drift {
         binIndex(col(valueCol), edges).cast("long").as("bin"))
       .groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("n_cur"))
     // (groups x nbins) frame so per-group empty bins surface with 0.
+    // The count side joins back NULL-SAFELY on grp (renamed to avoid
+    // ambiguity): a null group is a value of groupCol like any other —
+    // groupBy above already forms it — and a plain using-join would
+    // null-reject its counts, emitting a WRONG all-zero-bin row
+    // (uniform p_cur) for exactly that group (round-17 null-join
+    // sweep; the balanceKeepWindow review catch generalized).
     val frame = curCounts.select(col("grp")).distinct().crossJoin(bins)
     val byGrp = Window.partitionBy(col("grp"))
     val cells = frame
-      .join(curCounts, Seq("grp", "bin"), "left")
+      .join(curCounts.select(col("grp").as("__cgrp"),
+          col("bin").as("__cbin"), col("n_cur")),
+        col("grp") <=> col("__cgrp") && col("bin") === col("__cbin"),
+        "left")
+      .drop("__cgrp", "__cbin")
       .na.fill(0L, Seq("n_cur"))
       .join(pRef, Seq("bin"))
       .withColumn("p_cur",

@@ -394,7 +394,12 @@ object Similarity {
     * classes sit close enough to need hard negatives, q101's input
     * question). k groups → k·(k−1)/2 rows; the join is over the tiny
     * centroid frame, never the corpus. Sequential-fold dot products so
-    * the doubles replay exactly in SQL (SparkEntry q127). */
+    * the doubles replay exactly in SQL (SparkEntry q127). A NULL group
+    * (unlabeled rows) gets a centroid from [[groupCentroids]] but NO
+    * matrix rows — the triangular `<` cut has no ordering for null
+    * (round-17 null-join sweep: deliberate, "similarity of the
+    * unlabeled class" is not a class-separation question; coalesce
+    * labels first if you want it in the matrix). */
   def centroidSimilarityMatrix(
       df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
     val cent = groupCentroids(df, groupCol, vecCol)

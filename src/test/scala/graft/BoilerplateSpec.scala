@@ -77,4 +77,36 @@ class BoilerplateSpec extends SparkTestBase {
     assert(lf(("b", "HEAD")) === ((1L, 2L)))
     assert(lf(("a", "body one")) === ((1L, 4L)))
   }
+
+  test("a NULL group is scrubbed among itself; null-id rows are " +
+      "excluded, not emitted empty (round-17 null-join sweep)") {
+    val d = Seq(
+      (Some(10L), None, "NHEAD\nnull body one\nNFOOT"),
+      (Some(11L), None, "NHEAD\nnull body two\nNFOOT"),
+      (Some(12L), Some("a"), "NHEAD\nnamed body\nNFOOT"),
+      (None, Some("a"), "ghost\nlines")
+    ).toDF("doc_id", "source", "text")
+    val out = Boilerplate.removeBoilerplate(
+        d, "doc_id", "text", "source", minDocs = 2, minFrac = 0.5)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)))
+        -> r.getString(2)).toMap
+    // the two null-group docs share NHEAD/NFOOT -> stripped WITHIN the
+    // null group (the plain anti-join passed them through unscrubbed)
+    assert(out(Some(10L)) === "null body one")
+    assert(out(Some(11L)) === "null body two")
+    // group "a" has one doc: its NHEAD/NFOOT are under minDocs there
+    // (the null group's counts must not bleed into named groups)
+    assert(out(Some(12L)) === "NHEAD\nnamed body\nNFOOT")
+    // null-id row is excluded entirely, not returned as empty text
+    assert(!out.contains(None))
+    assert(out.size === 3)
+    // the audit view carries the null group's rows
+    val lfNull = Boilerplate
+      .lineFrequencies(d, "doc_id", "text", "source")
+      .filter(col("source").isNull && col("line") === "NHEAD")
+      .collect()
+    assert(lfNull.length === 1)
+    assert(lfNull.head.getLong(2) === 2L) // n_docs_with_line
+    assert(lfNull.head.getLong(3) === 2L) // n_docs_in_group
+  }
 }

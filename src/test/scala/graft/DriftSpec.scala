@@ -225,4 +225,27 @@ class DriftSpec extends SparkTestBase {
     assert(out("s1").getAs[Double]("js_vs_global") ===
       out("s2").getAs[Double]("js_vs_global"))
   }
+
+  test("psiSeries: a NULL group is measured, not zeroed (null-safe " +
+      "count join-back)") {
+    // the null group's rows are a copy of group 2's; before the
+    // round-17 null-safe join its counts null-rejected out of the
+    // (groups x bins) frame and the row came back as a WRONG uniform
+    // profile (n_cur 0 in every bin)
+    val ref = Seq(1.0, 12.0, 25.0, 50.0).toDF("v")
+    val cur = Seq((Some(2L), 45.0), (Some(2L), 45.0), (Some(2L), 45.0),
+      (None, 45.0), (None, 45.0), (None, 45.0)).toDF("g", "v")
+    val rows = Drift.psiSeries(ref, cur, "v", "g", edges).collect()
+    assert(rows.length == 2)
+    val byGrp = rows.map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r).toMap
+    val nullRow = byGrp(None)
+    val twoRow = byGrp(Some(2L))
+    assert(nullRow.getLong(nullRow.fieldIndex("n_cur")) == 3L)
+    // identical underlying rows -> identical drift as the named group
+    assert(nullRow.getDouble(nullRow.fieldIndex("psi")) ==
+      twoRow.getDouble(twoRow.fieldIndex("psi")))
+    assert(nullRow.getDouble(nullRow.fieldIndex("tvd")) ==
+      twoRow.getDouble(twoRow.fieldIndex("tvd")))
+  }
 }
