@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** CCNet/C4-style line-level boilerplate removal: a line that repeats
@@ -39,6 +39,17 @@ object Boilerplate {
     * ignores them (their lines would count toward nothing), and the
     * per-doc rebuild in [[removeBoilerplate]] cannot re-associate
     * them — the same null-id contract as the samplers. */
+  /** Non-null surrogate of the group value (the tieExpr "v"-prefix
+    * recipe: null → "", v → "v" + string form — collision-free for
+    * the string/integral group keys this operator sees). Joining on
+    * it IS null-safe group equality while keeping the plain
+    * broadcastable hash-equi-join: a raw `<=>` condition here demoted
+    * the anti join below to SortMergeJoin and shuffled the whole
+    * corpus-lines explode (PlanAudit receipt: +2 exchanges, +40 %
+    * shuffled rows on q139). */
+  private def gkey(groupCol: String): Column =
+    coalesce(concat(lit("v"), col(groupCol).cast("string")), lit(""))
+
   def lineFrequencies(
       docs: DataFrame,
       idCol: String,
@@ -47,13 +58,15 @@ object Boilerplate {
     val withId = docs.filter(col(idCol).isNotNull)
     val lines = withId.select(col(idCol), col(groupCol),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val grpTotals = withId.groupBy(col(groupCol))
+    val grpTotals = withId.groupBy(gkey(groupCol).as("__gkey"))
       .agg(countDistinct(col(idCol)).as("n_docs_in_group"))
-      .select(col(groupCol).as("__bgrp"), col("n_docs_in_group"))
     lines.groupBy(col(groupCol), col("line"))
       .agg(countDistinct(col(idCol)).as("n_docs_with_line"))
-      .join(grpTotals, col(groupCol) <=> col("__bgrp"))
-      .drop("__bgrp")
+      .withColumn("__gkey", gkey(groupCol))
+      .join(grpTotals, Seq("__gkey"))
+      .drop("__gkey")
+      .select(col(groupCol), col("line"), col("n_docs_with_line"),
+        col("n_docs_in_group"))
   }
 
   /** Remove boilerplate lines: a line is boilerplate within its group
@@ -80,15 +93,17 @@ object Boilerplate {
     val boilerplate = lineFrequencies(docs, idCol, textCol, groupCol)
       .filter(col("n_docs_with_line") >= minDocs &&
         col("n_docs_with_line") >= lit(minFrac) * col("n_docs_in_group"))
-      .select(col(groupCol).as("__bgrp"), col("line").as("__bline"))
+      .select(gkey(groupCol).as("__gkey"), col("line"))
 
-    // null-safe on the group (a null group's boilerplate must still be
-    // stripped — the plain anti-join never matched null and passed
-    // those docs through unscrubbed); `line` itself is never null
-    // (split() yields non-null elements)
-    val kept = lines.join(boilerplate,
-      col(groupCol) <=> col("__bgrp") && col("line") === col("__bline"),
-      "left_anti")
+    // anti join on the NON-NULL group surrogate (a null group's
+    // boilerplate must still be stripped — the plain group-column
+    // anti-join never matched null and passed those docs through
+    // unscrubbed); `line` itself is never null (split() yields
+    // non-null elements), and the template side stays tiny so the
+    // planner keeps the broadcast anti join
+    val kept = lines.withColumn("__gkey", gkey(groupCol))
+      .join(boilerplate, Seq("__gkey", "line"), "left_anti")
+      .drop("__gkey")
 
     val rebuilt = kept.groupBy(col(idCol))
       .agg(
