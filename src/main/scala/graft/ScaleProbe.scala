@@ -584,6 +584,31 @@ object ScaleProbe {
           f"${m.shuffleRecords} shuffled rows," +
           f"${m.shuffleBytes / 1024 / 1024} shuffled MiB")
       }
+      // Round 17 follow-through: quantileNormalize's CUR-side
+      // per-source rank — the remaining q187-class window with only a
+      // measure-first comment (the maxRefRows guard bounds the REF
+      // side; the crawl side ranks per source). Same trigger shape as
+      // qbalance: 100× lineitem, source = l_returnflag (hot source
+      // ~50 % of 60M rows), continuous score = l_extendedprice, ref =
+      // an sf0.1-sized curated slice (the operator's contract).
+      if (explicitX100 && x100Sel("qnorm_hotsrc")) {
+        val li = spark.read.parquet(s"$out100/lineitem.parquet")
+          .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+            col("l_returnflag").as("source"),
+            col("l_extendedprice").cast("double").as("score"))
+        val ref = spark.read.parquet(s"$out/lineitem.parquet")
+          .limit(500000)
+          .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+            col("l_extendedprice").cast("double").as("score"))
+        val t0 = System.nanoTime()
+        val df = graft.operators.Normalize.quantileNormalize(
+          li, ref, "id", "score", "source", k = 10)
+        val m = PlanMetrics.shuffleSummary(df)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"x100,qnorm_hotsrc,$sec%.2f s," +
+          f"${m.shuffleRecords} shuffled rows," +
+          f"${m.shuffleBytes / 1024 / 1024} shuffled MiB")
+      }
       if (explicitX100 && x100Sel("q190_semijoin")) {
         val li = spark.read.parquet(s"$out100/lineitem.parquet")
           .select(col("l_orderkey"), col("l_returnflag"),

@@ -15,13 +15,21 @@ import org.apache.spark.sql.functions._
   * a k-point grid) — no float percentiles — so the result is exactly
   * reproducible on any engine and independent of partition layout.
   *
-  * Scale shape: the crawl side does one rank window PER SOURCE
-  * (partitioned — scales out) plus a broadcast join against the k+1
-  * grid rows. The reference side is ranked in a single partition by
-  * design: the curated reference corpus (wiki-grade seed data) is
-  * orders of magnitude smaller than the crawl — the caller's contract,
-  * matching the bounded-collect convention of the IVF/mixing
-  * operators. The grid, not the reference, is what the crawl joins.
+  * Scale shape: the crawl side ranks per source via the SALTED
+  * two-phase form (salt = a global approx-score-quantile bucket,
+  * monotone in the score, so the result is bit-identical to a plain
+  * per-source window while a hot source parallelizes over ≤ 64 salt
+  * buckets — 3.0× at the round-17 100× hot-source probe), plus a
+  * broadcast join against the k+1 grid rows. The reference side is
+  * ranked in a single partition by design: the curated reference
+  * corpus (wiki-grade seed data) is orders of magnitude smaller than
+  * the crawl — the caller's contract, matching the bounded-collect
+  * convention of the IVF/mixing operators. The grid, not the
+  * reference, is what the crawl joins. EAGER: the reference count,
+  * the quantile sketch, and the bounded histogram's localCheckpoint
+  * all run at call time (the [[Selection.curriculumSchedule]] caveat:
+  * single-JVM block residency — cluster callers wanting resilience
+  * swap the checkpoint for reliable storage).
   */
 object Normalize {
 
@@ -69,21 +77,65 @@ object Normalize {
       .filter(expr(s"__g = 1 + ((${m}L - 1) * __i) DIV $k"))
       .select(col("__i"), col("__ref_score").as("normalized"))
 
-    // Per-source serial rank (the q187 window class): a hot source
-    // ranks on one task. Fixable with the round-16 salted two-phase
-    // rank ONLY if the order key is salt-bucketable — here the order is
-    // (score, id), so the salt would be a score range, i.e. value-level
-    // pre-bucketing, which is this operator's documented degrade path
-    // already. Measure before reworking (the q182_hotcut rejection).
-    val bySrc = Window.partitionBy(col(sourceCol))
+    // Two-phase per-source rank (round 17 — RECEIPT-BACKED, no longer
+    // measure-first: the plain partitionBy(source) window ranked a
+    // 50 %-hot source's ~30M rows on ONE task, 102.3 s at the 100×
+    // probe; salted = 34.2 s, 3.0× at identical output — SCALING.md).
+    // The order key is (score, id), not a hash, so the salt is a
+    // GLOBAL score-quantile bucket: monotone in score, and equal
+    // scores share a bucket by construction, so
+    //   rank = Σ counts(source, buckets below) + rank within bucket
+    // is bit-identical to the single window. The edges are APPROX
+    // quantiles — they steer only task balance, never the answer (any
+    // monotone bucketing yields the same rank). Degenerate inputs
+    // (empty cur, all-null scores) collapse to one bucket = the old
+    // shape; a single mega-tied score value still serializes its own
+    // bucket (ties cannot split across salts without breaking the id
+    // tie-order) — quantize-then-curriculum is the tool there. The
+    // (source, salt) histogram is one extra map-combined corpus pass
+    // with |sources| × 64-bounded output, localCheckpointed for its
+    // two bounded consumers (offsets + per-source totals — the q187
+    // fusion precedent; also replaces the old per-source count
+    // window). The join back keys on a NON-NULL source surrogate
+    // ("v"-prefix, null → "" — the tieExpr recipe) so the planner may
+    // still broadcast it (the q139 `<=>` demotion lesson); a null
+    // source is a group like any other, exactly as the window form
+    // partitioned it.
+    val edges = cur.stat.approxQuantile(
+        scoreCol, (1 to 63).map(_ / 64.0).toArray, 0.001)
+      .toSeq.distinct.sorted
+    val saltCol =
+      if (edges.isEmpty) lit(0)
+      else when(col(scoreCol).isNull, lit(0)).otherwise(
+        edges.map(e => when(col(scoreCol) >= lit(e), 1).otherwise(0))
+          .reduce(_ + _))
+    val skey = coalesce(
+      concat(lit("v"), col(sourceCol).cast("string")), lit(""))
+    val hist = cur
+      .groupBy(skey.as("__sk"), saltCol.as("__salt"))
+      .agg(count(lit(1)).as("__hc"))
+      .localCheckpoint()
+    val offW = Window.partitionBy(col("__sk")).orderBy(col("__salt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totW = Window.partitionBy(col("__sk"))
+    val offsets = hist
+      .withColumn("__off", coalesce(sum(col("__hc")).over(offW), lit(0L)))
+      .withColumn("__n", sum(col("__hc")).over(totW))
+      .select(col("__sk").as("__osk"), col("__salt").as("__osalt"),
+        col("__off"), col("__n"))
+    val rankW = Window.partitionBy(col("__sk"), col("__salt"))
+      .orderBy(col(scoreCol), col(idCol))
     cur
-      .withColumn("__r", row_number().over(
-        bySrc.orderBy(col(scoreCol), col(idCol))))
-      .withColumn("__n", count(lit(1)).over(bySrc))
+      .withColumn("__sk", skey)
+      .withColumn("__salt", saltCol)
+      .join(offsets,
+        col("__sk") === col("__osk") && col("__salt") === col("__osalt"))
+      .withColumn("__r",
+        row_number().over(rankW).cast("long") + col("__off"))
       .withColumn("__i",
         when(col("__n") === 1, lit(0L))
           .otherwise(expr(s"((__r - 1) * CAST($k AS BIGINT)) DIV (__n - 1)")))
       .join(broadcast(grid), Seq("__i"))
-      .drop("__i", "__r", "__n")
+      .select((cur.columns.map(col) :+ col("normalized")).toIndexedSeq: _*)
   }
 }

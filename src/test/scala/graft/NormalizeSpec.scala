@@ -47,6 +47,44 @@ class NormalizeSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getDouble(r.fieldIndex("normalized")) == 42.0))
   }
 
+  test("salted two-phase rank == plain per-source window: hot source, " +
+      "heavy ties, null scores, a null source, a singleton source") {
+    val ref = (1L to 9L).map(i => (i, i * 10.0)).toDF("id", "score")
+    val rng = new scala.util.Random(23)
+    val rows = (1L to 3000L).map { i =>
+      val src: Option[String] =
+        if (i == 3000L) Some("solo")
+        else if (i <= 2000) Some("hot")
+        else if (i <= 2600) Some("mid")
+        else None
+      val sc: Option[Double] =
+        if (i % 97 == 0) None               // null scores rank first
+        else if (i % 2 == 0) Some(7.0)      // ~50 % mega-tie
+        else Some(rng.nextDouble() * 100)
+      (i, sc, src)
+    }
+    val cur = rows.toDF("id", "score", "src")
+    val out = Normalize.quantileNormalize(cur, ref, "id", "score", "src")
+      .select(col("id"), col("normalized")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size === 3000) // nothing dropped: null score/src included
+    // expected: the PLAIN single-window form, grid replayed in Scala
+    // (m = 9 ref rows, k = 10: grid(i) = ref value at rank
+    // 1 + (8·i) DIV 10)
+    val refSorted = (1 to 9).map(_ * 10.0)
+    def gridVal(i: Long): Double = refSorted((1 + (8 * i) / 10).toInt - 1)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val expected = cur
+      .withColumn("__r", row_number().over(
+        w.orderBy(col("score"), col("id"))))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__i", when(col("__n") === 1, lit(0L))
+        .otherwise(expr("((__r - 1) * CAST(10 AS BIGINT)) DIV (__n - 1)")))
+      .select(col("id"), col("__i")).collect()
+      .map(r => r.getLong(0) -> gridVal(r.getLong(1))).toMap
+    assert(out === expected)
+  }
+
   test("layout independence on real documents") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val ref = docs.filter(col("source") === "src0")
