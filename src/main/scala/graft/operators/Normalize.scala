@@ -15,21 +15,23 @@ import org.apache.spark.sql.functions._
   * a k-point grid) — no float percentiles — so the result is exactly
   * reproducible on any engine and independent of partition layout.
   *
-  * Scale shape: the crawl side ranks per source via the SALTED
-  * two-phase form (salt = a global approx-score-quantile bucket,
-  * monotone in the score, so the result is bit-identical to a plain
-  * per-source window while a hot source parallelizes over ≤ 64 salt
-  * buckets — 3.0× at the round-17 100× hot-source probe), plus a
-  * broadcast join against the k+1 grid rows. The reference side is
-  * ranked in a single partition by design: the curated reference
-  * corpus (wiki-grade seed data) is orders of magnitude smaller than
-  * the crawl — the caller's contract, matching the bounded-collect
-  * convention of the IVF/mixing operators. The grid, not the
-  * reference, is what the crawl joins. EAGER: the reference count,
-  * the quantile sketch, and the bounded histogram's localCheckpoint
-  * all run at call time (the [[Selection.curriculumSchedule]] caveat:
-  * single-JVM block residency — cluster callers wanting resilience
-  * swap the checkpoint for reliable storage).
+  * Scale shape: the crawl side ranks per source — as a plain window
+  * while every source fits one task (`maxSerialRankRows`), and past
+  * that via the SALTED two-phase form (salt = a global
+  * approx-score-quantile bucket, monotone in the score, so the result
+  * is bit-identical while a hot source parallelizes over ≤ 64 salt
+  * buckets — 3.0× at the round-17 100× hot-source probe); either way
+  * plus a broadcast join against the k+1 grid rows. The reference
+  * side is ranked in a single partition by design: the curated
+  * reference corpus (wiki-grade seed data) is orders of magnitude
+  * smaller than the crawl — the caller's contract, matching the
+  * bounded-collect convention of the IVF/mixing operators. The grid,
+  * not the reference, is what the crawl joins. EAGER: the reference
+  * count and the per-source count (the arm cutover) always run at
+  * call time; the salted arm adds the quantile sketch and the bounded
+  * histogram's localCheckpoint (the [[Selection.curriculumSchedule]]
+  * caveat: single-JVM block residency — cluster callers wanting
+  * resilience swap the checkpoint for reliable storage).
   */
 object Normalize {
 
@@ -50,7 +52,8 @@ object Normalize {
       scoreCol: String,
       sourceCol: String,
       k: Int = 10,
-      maxRefRows: Long = 10000000L): DataFrame = {
+      maxRefRows: Long = 10000000L,
+      maxSerialRankRows: Long = 4194304L): DataFrame = {
     require(k >= 1, "k must be >= 1")
     // Fail-fast contract enforcement, not just prose: the reference is
     // ranked in ONE partition, so a caller passing a crawl-sized frame
@@ -77,61 +80,79 @@ object Normalize {
       .filter(expr(s"__g = 1 + ((${m}L - 1) * __i) DIV $k"))
       .select(col("__i"), col("__ref_score").as("normalized"))
 
-    // Two-phase per-source rank (round 17 — RECEIPT-BACKED, no longer
-    // measure-first: the plain partitionBy(source) window ranked a
-    // 50 %-hot source's ~30M rows on ONE task, 102.3 s at the 100×
-    // probe; salted = 34.2 s, 3.0× at identical output — SCALING.md).
-    // The order key is (score, id), not a hash, so the salt is a
-    // GLOBAL score-quantile bucket: monotone in score, and equal
-    // scores share a bucket by construction, so
+    // Arm cutover (round 17, the balanceClasses pattern): ONE cheap
+    // map-combined count pass decides whether any source is big enough
+    // to make its single-task rank sort the floor. Under
+    // `maxSerialRankRows` (default 2^22 — a skinny 4M-row one-task
+    // sort is seconds, and the salted arm's extra passes cost more
+    // than they save) the plain per-source window runs, exactly the
+    // pre-rework shape. Past it, the salted two-phase rank runs —
+    // RECEIPT-BACKED, not presumed: the plain window ranked a 50%-hot
+    // source's ~30M rows on ONE task, 102.3 s at the 100× probe;
+    // salted = 34.2 s (3.0×) at bit-identical output (SCALING.md
+    // round 17). Both arms are pinned equal by the NormalizeSpec
+    // parity test (mega-ties, null scores, null source, singleton).
+    //
+    // Salted arm mechanics: the order key is (score, id), not a hash,
+    // so the salt is a GLOBAL score-quantile bucket — monotone in
+    // score, equal scores share a bucket — so
     //   rank = Σ counts(source, buckets below) + rank within bucket
     // is bit-identical to the single window. The edges are APPROX
-    // quantiles — they steer only task balance, never the answer (any
-    // monotone bucketing yields the same rank). Degenerate inputs
-    // (empty cur, all-null scores) collapse to one bucket = the old
-    // shape; a single mega-tied score value still serializes its own
-    // bucket (ties cannot split across salts without breaking the id
+    // quantiles: they steer only task balance, never the answer. A
+    // single mega-tied score value still serializes its own bucket
+    // (ties cannot split across salts without breaking the id
     // tie-order) — quantize-then-curriculum is the tool there. The
-    // (source, salt) histogram is one extra map-combined corpus pass
-    // with |sources| × 64-bounded output, localCheckpointed for its
-    // two bounded consumers (offsets + per-source totals — the q187
-    // fusion precedent; also replaces the old per-source count
-    // window). The join back keys on a NON-NULL source surrogate
-    // ("v"-prefix, null → "" — the tieExpr recipe) so the planner may
-    // still broadcast it (the q139 `<=>` demotion lesson); a null
-    // source is a group like any other, exactly as the window form
-    // partitioned it.
-    val edges = cur.stat.approxQuantile(
-        scoreCol, (1 to 63).map(_ / 64.0).toArray, 0.001)
-      .toSeq.distinct.sorted
-    val saltCol =
-      if (edges.isEmpty) lit(0)
-      else when(col(scoreCol).isNull, lit(0)).otherwise(
-        edges.map(e => when(col(scoreCol) >= lit(e), 1).otherwise(0))
-          .reduce(_ + _))
+    // (source, salt) histogram is map-combined with |sources| × 64-
+    // bounded output, localCheckpointed for its two bounded consumers
+    // (offsets + per-source totals — the q187 fusion precedent). The
+    // join back keys on a NON-NULL source surrogate ("v"-prefix,
+    // null → "" — the tieExpr recipe) so the planner may still
+    // broadcast it (the q139 `<=>` demotion lesson); a null source is
+    // a group like any other, exactly as the window form partitions.
     val skey = coalesce(
       concat(lit("v"), col(sourceCol).cast("string")), lit(""))
-    val hist = cur
-      .groupBy(skey.as("__sk"), saltCol.as("__salt"))
-      .agg(count(lit(1)).as("__hc"))
-      .localCheckpoint()
-    val offW = Window.partitionBy(col("__sk")).orderBy(col("__salt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val totW = Window.partitionBy(col("__sk"))
-    val offsets = hist
-      .withColumn("__off", coalesce(sum(col("__hc")).over(offW), lit(0L)))
-      .withColumn("__n", sum(col("__hc")).over(totW))
-      .select(col("__sk").as("__osk"), col("__salt").as("__osalt"),
-        col("__off"), col("__n"))
-    val rankW = Window.partitionBy(col("__sk"), col("__salt"))
-      .orderBy(col(scoreCol), col(idCol))
-    cur
-      .withColumn("__sk", skey)
-      .withColumn("__salt", saltCol)
-      .join(offsets,
-        col("__sk") === col("__osk") && col("__salt") === col("__osalt"))
-      .withColumn("__r",
-        row_number().over(rankW).cast("long") + col("__off"))
+    val biggestRow = cur.groupBy(skey.as("__sk"))
+      .agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c"))).collect()(0)
+    val biggest = if (biggestRow.isNullAt(0)) 0L else biggestRow.getLong(0)
+    val indexed = if (biggest <= maxSerialRankRows) {
+      val bySrc = Window.partitionBy(col(sourceCol))
+      cur
+        .withColumn("__r", row_number().over(
+          bySrc.orderBy(col(scoreCol), col(idCol))))
+        .withColumn("__n", count(lit(1)).over(bySrc))
+    } else {
+      val edges = cur.stat.approxQuantile(
+          scoreCol, (1 to 63).map(_ / 64.0).toArray, 0.001)
+        .toSeq.distinct.sorted
+      val saltCol =
+        if (edges.isEmpty) lit(0)
+        else when(col(scoreCol).isNull, lit(0)).otherwise(
+          edges.map(e => when(col(scoreCol) >= lit(e), 1).otherwise(0))
+            .reduce(_ + _))
+      val hist = cur
+        .groupBy(skey.as("__sk"), saltCol.as("__salt"))
+        .agg(count(lit(1)).as("__hc"))
+        .localCheckpoint()
+      val offW = Window.partitionBy(col("__sk")).orderBy(col("__salt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val totW = Window.partitionBy(col("__sk"))
+      val offsets = hist
+        .withColumn("__off", coalesce(sum(col("__hc")).over(offW), lit(0L)))
+        .withColumn("__n", sum(col("__hc")).over(totW))
+        .select(col("__sk").as("__osk"), col("__salt").as("__osalt"),
+          col("__off"), col("__n"))
+      val rankW = Window.partitionBy(col("__sk"), col("__salt"))
+        .orderBy(col(scoreCol), col(idCol))
+      cur
+        .withColumn("__sk", skey)
+        .withColumn("__salt", saltCol)
+        .join(offsets,
+          col("__sk") === col("__osk") && col("__salt") === col("__osalt"))
+        .withColumn("__r",
+          row_number().over(rankW).cast("long") + col("__off"))
+    }
+    indexed
       .withColumn("__i",
         when(col("__n") === 1, lit(0L))
           .otherwise(expr(s"((__r - 1) * CAST($k AS BIGINT)) DIV (__n - 1)")))

@@ -64,10 +64,19 @@ class NormalizeSpec extends SparkTestBase {
       (i, sc, src)
     }
     val cur = rows.toDF("id", "score", "src")
-    val out = Normalize.quantileNormalize(cur, ref, "id", "score", "src")
+    // maxSerialRankRows = 1 FORCES the salted arm at spec scale (the
+    // default would take the plain window here — same cutover-
+    // injection idiom as balanceKeepWindow's spec)
+    val out = Normalize.quantileNormalize(cur, ref, "id", "score", "src",
+        k = 10, maxRefRows = 10000000L, maxSerialRankRows = 1L)
       .select(col("id"), col("normalized")).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(out.size === 3000) // nothing dropped: null score/src included
+    // the default (plain-window) arm answers identically
+    val plain = Normalize.quantileNormalize(cur, ref, "id", "score", "src")
+      .select(col("id"), col("normalized")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(plain === out)
     // expected: the PLAIN single-window form, grid replayed in Scala
     // (m = 9 ref rows, k = 10: grid(i) = ref value at rank
     // 1 + (8·i) DIV 10)
