@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 
 /** Quantile normalization of a per-document signal onto a curated
   * REFERENCE distribution — the CCNet move: per-source score scales
@@ -27,11 +28,26 @@ import org.apache.spark.sql.functions._
   * smaller than the crawl — the caller's contract, matching the
   * bounded-collect convention of the IVF/mixing operators. The grid,
   * not the reference, is what the crawl joins. EAGER: the reference
-  * count and the per-source count (the arm cutover) always run at
-  * call time; the salted arm adds the quantile sketch and the bounded
+  * count always runs at call time, as does the per-source count (the
+  * arm cutover) for numeric scores; the salted arm adds the quantile
+  * sketch and the bounded
   * histogram's localCheckpoint (the [[Selection.curriculumSchedule]]
   * caveat: single-JVM block residency — cluster callers wanting
   * resilience swap the checkpoint for reliable storage).
+  *
+  * Non-numeric scores (string, date, timestamp — any orderable type):
+  * the rank and the reference grid order them exactly like the plain
+  * window does, but the salted arm's bucket edges come from
+  * `approxQuantile`, which is numeric-only — so a non-numeric score
+  * ALWAYS rides the plain per-source window, decided from the SCHEMA
+  * (never from the data, so the same call cannot start crashing when
+  * a source grows past `maxSerialRankRows`). The per-source count
+  * pass is skipped there too — the arm is already decided. A corpus
+  * with a hot non-numeric source should pre-map the score to a
+  * numeric proxy (unix_timestamp, a dictionary rank) to regain the
+  * salted path. Input columns may not use the reserved helper names
+  * (__r, __n, __i, __sk, __salt, __osk, __osalt, __off, __hc,
+  * normalized) — rejected up front, for both arms alike.
   */
 object Normalize {
 
@@ -55,6 +71,21 @@ object Normalize {
       maxRefRows: Long = 10000000L,
       maxSerialRankRows: Long = 4194304L): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // Reserved internal names, validated UP FRONT and for BOTH arms
+    // (ADVICE r17, the balanceClasses precedent): each arm adds its
+    // own helper columns — __r/__n/__i in the plain arm,
+    // __sk/__salt/__osk/__osalt/__off/__hc in the salted one, and the
+    // grid join appends `normalized` — so a collision would corrupt
+    // silently or throw ambiguity only when the data volume selects
+    // that arm, the data-dependent failure mode this operator's arm
+    // parity otherwise refuses.
+    val reserved = Seq("__r", "__n", "__i", "__sk", "__salt",
+      "__osk", "__osalt", "__off", "__hc", "normalized")
+    reserved.filter(cur.columns.contains).foreach { c =>
+      throw new IllegalArgumentException(
+        s"quantileNormalize: input column name $c collides with an " +
+          "internal helper column — rename it first")
+    }
     // Fail-fast contract enforcement, not just prose: the reference is
     // ranked in ONE partition, so a caller passing a crawl-sized frame
     // as `ref` would melt a single executor. The count() is the one
@@ -111,11 +142,31 @@ object Normalize {
     // a group like any other, exactly as the window form partitions.
     val skey = coalesce(
       concat(lit("v"), col(sourceCol).cast("string")), lit(""))
-    val biggestRow = cur.groupBy(skey.as("__sk"))
-      .agg(count(lit(1)).as("__c"))
-      .agg(max(col("__c"))).collect()(0)
-    val biggest = if (biggestRow.isNullAt(0)) 0L else biggestRow.getLong(0)
-    val indexed = if (biggest <= maxSerialRankRows) {
+    // SCHEMA-FIRST arm eligibility (ADVICE r18): the salted arm's
+    // bucket edges come from approxQuantile, which supports only
+    // NUMERIC score columns, while the rank itself (and the reference
+    // side) orders any orderable type — string, date, timestamp. A
+    // non-numeric score therefore ALWAYS takes the plain per-source
+    // window, decided from the schema alone (data-independent: the
+    // same call can never start crashing when one source outgrows
+    // maxSerialRankRows). The cost is the serial-rank bound applying
+    // to the largest source again — a caller with a hot non-numeric
+    // source should pre-map the score to a numeric proxy
+    // (unix_timestamp, a dictionary rank) and normalize on that.
+    val scoreIsNumeric =
+      cur.schema(scoreCol).dataType.isInstanceOf[NumericType]
+    val useSalted = scoreIsNumeric && {
+      // the round-17 count pass of the block comment above — skipped
+      // entirely for non-numeric scores (the arm is already decided,
+      // so the eager scan would buy nothing)
+      val biggestRow = cur.groupBy(skey.as("__sk"))
+        .agg(count(lit(1)).as("__c"))
+        .agg(max(col("__c"))).collect()(0)
+      val biggest =
+        if (biggestRow.isNullAt(0)) 0L else biggestRow.getLong(0)
+      biggest > maxSerialRankRows
+    }
+    val indexed = if (!useSalted) {
       val bySrc = Window.partitionBy(col(sourceCol))
       cur
         .withColumn("__r", row_number().over(

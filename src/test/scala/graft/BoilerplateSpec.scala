@@ -78,6 +78,31 @@ class BoilerplateSpec extends SparkTestBase {
     assert(lf(("a", "body one")) === ((1L, 4L)))
   }
 
+  test("the anti join is a BROADCAST hash join, never sort-merge " +
+      "(VERDICT r17 #2 pin — the q139 `<=>` demotion)") {
+    // the q139 shape on real documents: the template side is tiny by
+    // definition, and the join keys on a constructed NON-NULL group
+    // surrogate so the planner keeps the broadcast — a raw `<=>`
+    // condition here demoted the anti join to SortMergeJoin and
+    // shuffled the whole corpus-lines explode (+2 exchanges, +40 %
+    // shuffled rows on q139, PlanAudit round 17)
+    val d2 = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        concat(lit("NAV "), col("source"), lit("\n"), col("text"),
+          lit("\nCOPYRIGHT "), col("source")).as("text2"))
+    val out = Boilerplate.removeBoilerplate(d2, "doc_id", "text2", "source")
+    out.collect()
+    val finalPlan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val anti = finalPlan.linesIterator
+      .filter(_.contains("LeftAnti")).mkString("\n")
+    assert(anti.nonEmpty, s"no anti join in plan:\n$finalPlan")
+    assert(anti.contains("BroadcastHashJoin"),
+      s"anti join not broadcast:\n$anti\n--- full plan:\n$finalPlan")
+    assert(!anti.contains("SortMergeJoin"),
+      s"anti join demoted to SortMergeJoin:\n$anti")
+  }
+
   test("a NULL group is scrubbed among itself; null-id rows are " +
       "excluded, not emitted empty (round-17 null-join sweep)") {
     val d = Seq(

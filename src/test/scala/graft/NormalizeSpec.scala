@@ -104,4 +104,68 @@ class NormalizeSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(run(cur) == run(cur.repartition(13)))
   }
+
+  test("non-numeric score rides the plain window arm at ANY volume " +
+      "(schema-first eligibility — ADVICE r18)") {
+    // string scores are orderable (the plain window and the reference
+    // rank handle them), but approxQuantile — the salted arm's edge
+    // source — is numeric-only. maxSerialRankRows = 1 would force the
+    // salted arm for a numeric score; with a string score the call
+    // must FALL BACK to the plain window from the schema alone, not
+    // crash when the cutover fires.
+    val ref = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"), (4L, "dd"),
+      (5L, "ee")).toDF("id", "score")
+    val cur = Seq((10L, "k", "a"), (11L, "m", "a"), (12L, "z", "a"),
+      (20L, "b", "b"), (21L, "q", "b"), (30L, null, "a"))
+      .toDF("id", "score", "src")
+    val forced = Normalize.quantileNormalize(cur, ref, "id", "score",
+        "src", k = 10, maxRefRows = 10000000L, maxSerialRankRows = 1L)
+      .select(col("id"), col("normalized")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // identical to the default call (which also takes the plain arm)
+    val dflt = Normalize.quantileNormalize(cur, ref, "id", "score", "src")
+      .select(col("id"), col("normalized")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(forced === dflt)
+    // window replay: src a ranks (null, "k", "m", "z") = 1..4 of 4 ->
+    // grid indices 0, 3, 6, 10 over m=5 refs: rank 1+(4*i) DIV 10
+    // -> i=0: rank 1 "aa"; i=3: rank 2 "bb"; i=6: rank 3 "cc";
+    // i=10: rank 5 "ee". src b: 2 docs -> grid 0 and 10.
+    assert(forced(30L) === "aa" && forced(10L) === "bb" &&
+      forced(11L) === "cc" && forced(12L) === "ee")
+    assert(forced(20L) === "aa" && forced(21L) === "ee")
+  }
+
+  test("salted arm: the offsets join-back and the grid join stay " +
+      "broadcast — no sort-merge join anywhere (VERDICT r17 #2 pin)") {
+    // the offsets frame is |sources| x 64-bounded and joins back on a
+    // constructed NON-NULL surrogate key precisely so the planner may
+    // broadcast it (a raw `<=>` condition demoted q139's anti join to
+    // SortMergeJoin and shuffled the whole corpus side — this pin
+    // keeps the same demotion from silently recurring here)
+    val ref = (1L to 9L).map(i => (i, i * 10.0)).toDF("id", "score")
+    val cur = (1L to 300L).map(i =>
+      (i, (i % 37).toDouble, s"s${i % 3}")).toDF("id", "score", "src")
+    val out = Normalize.quantileNormalize(cur, ref, "id", "score", "src",
+      k = 10, maxRefRows = 10000000L, maxSerialRankRows = 1L)
+    out.collect()
+    val finalPlan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins in salted-arm plan:\n$finalPlan")
+    assert(!finalPlan.contains("SortMergeJoin"),
+      s"salted-arm join demoted to SortMergeJoin:\n$finalPlan")
+  }
+
+  test("reserved helper column names are rejected up front, for both " +
+      "arms alike (ADVICE r18, the balanceClasses precedent)") {
+    val ref = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "score")
+    for (bad <- Seq("normalized", "__sk", "__r")) {
+      val cur = Seq((10L, 1.0, "a", "x")).toDF("id", "score", "src", bad)
+      val e = intercept[IllegalArgumentException] {
+        Normalize.quantileNormalize(cur, ref, "id", "score", "src")
+      }
+      assert(e.getMessage.contains(bad))
+    }
+  }
 }
