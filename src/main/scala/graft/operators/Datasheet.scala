@@ -147,21 +147,46 @@ object Datasheet {
     * at crawl scale. HLL estimates carry ~±5 % error at the default
     * rsd, so `maxDistinctSizes` is an order-of-magnitude envelope
     * (default 10M — the same single-partition bound quantileNormalize
-    * uses), not a precise cliff; raise it knowingly if a bigger value
-    * frame is genuinely wanted. */
+    * uses), not a precise cliff: estimates inside the error band
+    * (bound < est ≤ 1.1× bound) WARN and proceed rather than flip
+    * pass/fail on estimator noise, and only a clear overshoot
+    * (> 1.1× bound) throws. Raise the bound knowingly if a bigger
+    * value frame is genuinely wanted, or pass
+    * `maxDistinctSizes = Long.MaxValue` to skip the eager guard scan
+    * entirely — call-time laziness is then exactly the pre-guard
+    * shape (ADVICE r17). */
   def concentration(
       docs: DataFrame, sizeCol: String, sourceCol: String,
       maxDistinctSizes: Long = 10000000L): DataFrame = {
-    val estDistinct = docs.filter(col(sizeCol).isNotNull)
-      .select(approx_count_distinct(col(sizeCol)).as("__d"))
-      .collect()(0).getLong(0)
-    require(estDistinct <= maxDistinctSizes,
-      s"concentration: sizeCol '$sizeCol' has ~$estDistinct distinct " +
-        s"values, over the single-partition window bound " +
-        s"maxDistinctSizes=$maxDistinctSizes — the exact-Gini value " +
-        "frame is window-sorted on ONE task. Bucket the size first " +
+    // Guard refinements (ADVICE r17): the estimate is an HLL with
+    // ~±5 % error, so the bound is an envelope, not a cliff — a true
+    // count just past it gets a WARNING band (up to 1.1× the bound)
+    // instead of an estimate-dependent pass/fail flip, and only a
+    // clear overshoot throws. maxDistinctSizes = Long.MaxValue
+    // skips the eager corpus action entirely (restores laziness for
+    // callers that KNOW their size column is bounded) — the plan is
+    // then exactly the pre-guard shape.
+    if (maxDistinctSizes != Long.MaxValue) {
+      val estDistinct = docs.filter(col(sizeCol).isNotNull)
+        .select(approx_count_distinct(col(sizeCol)).as("__d"))
+        .collect()(0).getLong(0)
+      lazy val recipe = "Bucket the size first " +
         "(e.g. floor(col/width)*width preserves concentration shape " +
-        "at any width) or raise maxDistinctSizes knowingly")
+        "at any width), raise maxDistinctSizes knowingly, or pass " +
+        "maxDistinctSizes=Long.MaxValue to skip this eager guard"
+      require(estDistinct <= maxDistinctSizes * 1.1,
+        s"concentration: sizeCol '$sizeCol' has ~$estDistinct distinct " +
+          s"values, over the single-partition window bound " +
+          s"maxDistinctSizes=$maxDistinctSizes — the exact-Gini value " +
+          s"frame is window-sorted on ONE task. $recipe")
+      if (estDistinct > maxDistinctSizes)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"concentration: sizeCol '$sizeCol' has ~$estDistinct " +
+            s"distinct values — within the HLL error band of " +
+            s"maxDistinctSizes=$maxDistinctSizes (<= 1.1x), so " +
+            s"proceeding, but the single-task value-frame window is " +
+            s"near its declared bound. $recipe")
+    }
     val vals = docs.filter(col(sizeCol).isNotNull)
       .groupBy(col(sizeCol).cast("long").as("__v"))
       .agg(count(lit(1)).as("__c"))

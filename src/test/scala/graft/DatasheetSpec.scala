@@ -141,6 +141,36 @@ class DatasheetSpec extends SparkTestBase {
     assert(r.head.getAs[Long]("n_docs") === 5000L)
   }
 
+  test("concentration: the HLL error band WARNS and proceeds; only a " +
+      "clear overshoot throws; Long.MaxValue skips the guard (ADVICE r17)") {
+    val wide = (1L to 5000L).map(i => (i, i, s"s${i % 3}"))
+      .toDF("doc_id", "n_bytes", "source")
+    // self-calibrating band probe: place the bound so the operator's
+    // own estimate lands inside (bound, 1.1x bound] — an
+    // estimate-near-the-bound caller must NOT flip pass/fail on HLL
+    // noise (the estimate is deterministic for a fixed fixture, so
+    // this pins the band semantics exactly at the seam)
+    val est = wide.select(
+        approx_count_distinct(col("n_bytes")).as("d"))
+      .collect().head.getLong(0)
+    val inBand = math.ceil(est / 1.05).toLong
+    val r = Datasheet.concentration(wide, "n_bytes", "source",
+      maxDistinctSizes = inBand).collect()
+    assert(r.length === 1 && r.head.getAs[Long]("n_docs") === 5000L)
+    // past the band (> 1.1x) still fails fast with the recipe
+    val farOver = (est / 1.2).toLong
+    val e = intercept[IllegalArgumentException] {
+      Datasheet.concentration(wide, "n_bytes", "source",
+        maxDistinctSizes = farOver)
+    }
+    assert(e.getMessage.contains("maxDistinctSizes"))
+    assert(e.getMessage.contains("Long.MaxValue"))
+    // explicit opt-out: no eager scan, no gate — the call just runs
+    val r2 = Datasheet.concentration(wide, "n_bytes", "source",
+      maxDistinctSizes = Long.MaxValue).collect()
+    assert(r2.length === 1 && r2.head.getAs[Long]("n_docs") === 5000L)
+  }
+
   test("concentration: equal corpus has Gini 0; ties don't break the " +
       "value-level rank-sum; layout-invariant") {
     val eq = (1L to 40L).map(i => (i, 7L, s"s${i % 8}"))
