@@ -311,7 +311,22 @@ object Bench {
     val calibrationStability = math.max(cpuStability, ioStability)
     val calSweepsJson = calSweeps.map(fmt).mkString("[", ",", "]")
     val ioCalSweepsJson = ioCalSweeps.map(fmt).mkString("[", ",", "]")
+    // Code revision stamp (round 18, ADVICE r17): bench_compare's
+    // sweep1 gate can't distinguish "machine under pressure" from
+    // "code got slower" on its own — the rev lets its warn path say
+    // whether the record and its era-sibling minimum measured the
+    // same code. Best-effort: absent (not emitted) when git isn't
+    // resolvable, never a failure.
+    val rev = scala.util.Try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+      if (p.waitFor() == 0 && out.matches("[0-9a-f]{4,40}")) Some(out)
+      else None
+    }.toOption.flatten
+    val revField = rev.map(r => s""""rev":"$r",""").getOrElse("")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      revField +
       s""""runs":$runs,"top10_extra_runs":$extraRuns,""" +
       s""""calibration_sec":${fmt(calibrationSec)},""" +
       s""""calibration_sweeps":$calSweepsJson,""" +

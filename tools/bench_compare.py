@@ -36,7 +36,35 @@ STAB_BOUND = 1.3  # Bench.scala's contention-warn bound
 # 120.6–129.2 vs 113.4); past 1.2× the record measured a machine under
 # I/O/page-cache pressure and is demoted to flagged before the
 # latest-stable pick.
+#
+# Round-18 refinements (VERDICT r17 #1 + ADVICE r17 #2):
+#  - the sibling min is computed WITHIN a record's own ERA (records
+#    grouped by which calibration fields their Bench version emits),
+#    so a faster box in a later round no longer retroactively demotes
+#    an older round's quiet record (r17's 103.1 s sweep1 was demoting
+#    r16's quiet 129.2 s anchor across eras);
+#  - within an io-calibrated era the compared value is
+#    sweep1_total_sec / io_calibration_sec (machine I/O speed divided
+#    out); records whose io calibration failed (-1) are unmeasurable
+#    and neither contribute a sibling value nor get demoted;
+#  - sweep1 reflects CODE speed as much as machine pressure, so in an
+#    io-calibrated era a trip only DEMOTES when the environment
+#    corroborates it (in-run io/cpu stability > STAB_BOUND, or the
+#    record's own io_calibration_sec > SWEEP1_BOUND x the era's
+#    minimum); an uncorroborated trip is reported as a possible CODE
+#    regression and the record stays eligible — demoting it would make
+#    the picker fall back to an older fast record and silently mask
+#    the very regression the gate exists to catch. Pre-io eras keep
+#    the unconditional demotion (no corroboration fields exist there;
+#    verified the r16 110.7 s phantom stays demoted).
 SWEEP1_BOUND = 1.2
+
+# Field-generation markers, in emission order: each Bench version only
+# ADDS fields, so the frozenset of present markers identifies the era
+# a record was measured in (io_calibration_sec arrived in round 17,
+# splitting the 195-query surface into the r16 and r17+ eras).
+GEN_FIELDS = ("calibration_sec", "calibration_stability",
+              "sweep1_total_sec", "io_calibration_sec", "rev")
 
 
 def _stab(d):
@@ -47,20 +75,182 @@ def _stab(d):
     return None if s is None or s <= 0 else s
 
 
-def load(path):
+def _era_sig(r):
+    """Field-generation signature: which GEN_FIELDS this record's Bench
+    version emitted. Bench only ever ADDS fields, so the signature
+    identifies the measurement era (box + harness version window)."""
+    return frozenset(k for k in GEN_FIELDS if k in r)
+
+
+def _iocal(r):
+    v = r.get("io_calibration_sec")
+    return v if isinstance(v, (int, float)) and v > 0 else None
+
+
+def _pick_record(path, n_lines, cand, era_back=0):
+    """Pick the comparable record among `cand` (line, record) pairs at
+    one query surface. Preference: LATEST stable record (a later record
+    measures later code — a quieter-but-older record must not mask a
+    fresh one) > latest unmeasured > least-bad flagged (labeled
+    FLAGGED). `era_back` > 0 steps back that many field-generation eras
+    before picking (the old side of a same-file comparison). Prints
+    which line it chose and why; returns (line, record)."""
+    era_order = []
+    for _, r in cand:
+        sig = _era_sig(r)
+        if sig not in era_order:
+            era_order.append(sig)
+    idx = len(era_order) - 1 - era_back
+    if idx < 0:
+        print(f"{path}: only {len(era_order)} field-generation era(s) "
+              f"at this surface — era_back={era_back} falls back to "
+              "the earliest")
+        idx = 0
+    want = era_order[idx]
+    era_note = ""
+    if len(era_order) > 1:
+        kind = ("io-calibrated" if "io_calibration_sec" in want
+                else "pre-io")
+        era_note = f", era {idx + 1}/{len(era_order)} ({kind})"
+    cand = [(j, r) for j, r in cand if _era_sig(r) == want]
+
+    # Cross-record I/O check (rounds 17–18): a record whose cold-sweep
+    # total sits > SWEEP1_BOUND above the ERA sibling minimum measured
+    # a machine under I/O/page-cache pressure for its WHOLE run —
+    # in-run stability can't see uniform slowness. In an io-calibrated
+    # era the compared value divides the record's own io_calibration_sec
+    # out first, and a trip only demotes when the environment
+    # corroborates (see SWEEP1_BOUND comment); pre-io eras keep the
+    # unconditional round-17 demotion.
+    io_era = "io_calibration_sec" in want
+
+    def _sweep1(r):
+        s = r.get("sweep1_total_sec")
+        if not (isinstance(s, (int, float)) and s > 0):
+            return None
+        if io_era:
+            ic = _iocal(r)
+            # failed io calibration (-1): unmeasurable — contributes
+            # no sibling value and is never demoted by this check
+            return s / ic if ic else None
+        return s
+
+    s1 = {j: _sweep1(r) for j, r in cand}
+    with_s1 = {j: v for j, v in s1.items() if v is not None}
+    s1_min = min(with_s1.values()) if len(with_s1) >= 2 else None
+    min_j = (min(with_s1, key=with_s1.get)
+             if s1_min is not None else None)
+    io_vals = [v for v in (_iocal(r) for _, r in cand) if v is not None]
+    io_min = min(io_vals) if len(io_vals) >= 2 else None
+    by_line = dict(cand)
+
+    def s1_ratio(j):
+        if s1_min is None or s1.get(j) is None:
+            return None
+        return s1[j] / s1_min
+
+    def _corroborated(r):
+        for f in ("io_stability", "cpu_stability"):
+            v = r.get(f)
+            if isinstance(v, (int, float)) and v > STAB_BOUND:
+                return f"{f} {v:.2f}x"
+        ic = _iocal(r)
+        if io_min and ic and ic / io_min > SWEEP1_BOUND:
+            return f"io_calibration {ic / io_min:.2f}x era min"
+        return None
+
+    demoted = {}
+    for j, r in cand:
+        rt = s1_ratio(j)
+        if rt is None or rt <= SWEEP1_BOUND:
+            continue
+        if not io_era:
+            demoted[j] = f"sweep1 {rt:.2f}x era sibling min"
+            continue
+        c = _corroborated(r)
+        if c:
+            demoted[j] = (f"sweep1 {rt:.2f}x era sibling min "
+                          f"(corroborated: {c})")
+        else:
+            # sweep1 moved but io/cpu calibrations stayed quiet: the
+            # slowness is in the CODE, not the machine — demoting would
+            # hand the pick to an older record and mask the regression
+            rev, mrev = r.get("rev"), (by_line[min_j].get("rev")
+                                       if min_j is not None else None)
+            rev_note = (f"; rev {rev} vs sibling-min rev {mrev}"
+                        if rev and mrev and rev != mrev else "")
+            print(f"{path}: WARNING line {j} sweep1 {rt:.2f}x era "
+                  f"sibling min with quiet io/cpu calibrations — "
+                  f"possible CODE regression, record kept "
+                  f"eligible{rev_note}")
+
+    stable = [(j, r) for j, r in cand
+              if _stab(r) is not None and _stab(r) <= STAB_BOUND
+              and j not in demoted]
+    unmeasured = [(j, r) for j, r in cand
+                  if _stab(r) is None and j not in demoted]
+    flagged_pick = False
+    if stable:
+        i, d = stable[-1]
+    elif unmeasured:
+        i, d = unmeasured[-1]
+    else:
+        # least-bad among the flagged: smallest in-run swing first
+        # (records with no stability sort last), then the smallest
+        # sweep1 ratio
+        def badness(t):
+            j, r = t
+            st = _stab(r)
+            return (st if st is not None else float("inf"),
+                    s1_ratio(j) or 1.0)
+        i, d = min(cand, key=badness)
+        flagged_pick = True
+
+    def why_excluded(j, r):
+        parts = []
+        st = _stab(r)
+        if st is not None and st > STAB_BOUND:
+            parts.append(f"stability {st:.2f}x")
+        if j in demoted:
+            parts.append(demoted[j])
+        return ", ".join(parts)
+
+    excluded = [(j, why_excluded(j, r)) for j, r in cand
+                if j != i and why_excluded(j, r)]
+    note = (f"; excluded flagged line(s) " +
+            ", ".join(f"{j} ({w})" for j, w in excluded)
+            ) if excluded else ""
+    if flagged_pick:
+        head = (f"least-bad flagged record ({why_excluded(i, d) or 'n/a'}"
+                f" — FLAGGED, every candidate trips stability "
+                f">{STAB_BOUND}x or sweep1 >{SWEEP1_BOUND}x) ")
+    elif _stab(d):
+        io_note = (f", sweep1 {s1_ratio(i):.2f}x era sibling min"
+                   if s1_ratio(i) is not None else "")
+        head = f"latest stable record ({_stab(d):.2f}x{io_note}) "
+    else:
+        head = "latest record (unmeasured stability) "
+    rev = d.get("rev")
+    rev_note = f", rev {rev}" if rev else ""
+    print(f"{path}: picked line {i} of {n_lines} — {head}"
+          f"among {len(cand)} record(s) at the "
+          f"{len(frozenset(d.get('queries', {})))}-query "
+          f"surface{era_note}{rev_note}{note}")
+    return i, d
+
+
+def load(path, era_back=0):
     """Load one bench record. `path` may carry an explicit line pick
     (`bench_history.jsonl@49`, 0-based). For a multi-line history file
     with no explicit pick, records are grouped into "rounds" by query
     surface (the set of query names — each round's board is fixed while
-    rounds only grow it), and within the LAST surface the best-stability
-    record wins: a record whose in-sweep calibration swung past
-    STAB_BOUND measured a machine changing speed under it, so diffing it
-    round-over-round inherits that ambiguity (three of round 15's five
-    records were flagged; the quiet 1.098 one is the comparable record).
-    Preference: LATEST stable record (a later record measures later
-    code — a quieter-but-older record must not mask a fresh one) >
-    latest unmeasured > least-bad flagged (labeled FLAGGED). Prints
-    which line it chose and why."""
+    rounds only grow it), then by field-generation ERA within the LAST
+    surface, and _pick_record chooses the comparable record of the era
+    `era_back` steps behind the latest (0 = latest): a record whose
+    in-sweep calibration swung past STAB_BOUND measured a machine
+    changing speed under it, so diffing it round-over-round inherits
+    that ambiguity (three of round 15's five records were flagged; the
+    quiet 1.098 one is the comparable record)."""
     # explicit pick = a TRAILING '@<digits>' suffix only (ADVICE r16:
     # '"@" in path' split a legitimate path like /home/user@host/x.jsonl
     # at the '@' and crashed on int())
@@ -94,79 +284,7 @@ def load(path):
         surface = frozenset(recs[-1][1].get("queries", {}))
         cand = [(i, r) for i, r in recs
                 if frozenset(r.get("queries", {})) == surface]
-        # Cross-record I/O check (round 17): a record whose cold-sweep
-        # total sits > SWEEP1_BOUND above the sibling minimum at the
-        # same surface measured a machine under I/O/page-cache pressure
-        # for its WHOLE run — in-run stability can't see uniform
-        # slowness (the r16 110.7 s record: stability 1.24, sweep1
-        # 1.62x the sibling min, every query 1.02–3.8x its quiet
-        # sibling). Needs >= 2 sibling sweep1 values to mean anything;
-        # records predating the field are never demoted by it.
-        def _sweep1(r):
-            s = r.get("sweep1_total_sec")
-            return s if isinstance(s, (int, float)) and s > 0 else None
-        s1 = {j: _sweep1(r) for j, r in cand}
-        with_s1 = [v for v in s1.values() if v is not None]
-        s1_min = min(with_s1) if len(with_s1) >= 2 else None
-
-        def s1_ratio(j):
-            if s1_min is None or s1[j] is None:
-                return None
-            return s1[j] / s1_min
-
-        def io_slow(j):
-            r = s1_ratio(j)
-            return r is not None and r > SWEEP1_BOUND
-
-        stable = [(j, r) for j, r in cand
-                  if _stab(r) is not None and _stab(r) <= STAB_BOUND
-                  and not io_slow(j)]
-        unmeasured = [(j, r) for j, r in cand
-                      if _stab(r) is None and not io_slow(j)]
-        flagged_pick = False
-        if stable:
-            i, d = stable[-1]
-        elif unmeasured:
-            i, d = unmeasured[-1]
-        else:
-            # least-bad among the flagged: smallest in-run swing first
-            # (records with no stability sort last), then the smallest
-            # sweep1 ratio
-            def badness(t):
-                j, r = t
-                st = _stab(r)
-                return (st if st is not None else float("inf"),
-                        s1_ratio(j) or 1.0)
-            i, d = min(cand, key=badness)
-            flagged_pick = True
-
-        def why_excluded(j, r):
-            parts = []
-            st = _stab(r)
-            if st is not None and st > STAB_BOUND:
-                parts.append(f"stability {st:.2f}x")
-            if io_slow(j):
-                parts.append(f"sweep1 {s1_ratio(j):.2f}x sibling min")
-            return ", ".join(parts)
-
-        excluded = [(j, why_excluded(j, r)) for j, r in cand
-                    if j != i and why_excluded(j, r)]
-        note = (f"; excluded flagged line(s) " +
-                ", ".join(f"{j} ({w})" for j, w in excluded)
-                ) if excluded else ""
-        if flagged_pick:
-            head = (f"least-bad flagged record ({why_excluded(i, d) or 'n/a'}"
-                    f" — FLAGGED, every candidate trips stability "
-                    f">{STAB_BOUND}x or sweep1 >{SWEEP1_BOUND}x) ")
-        elif _stab(d):
-            io_note = (f", sweep1 {s1_ratio(i):.2f}x sibling min"
-                       if s1_ratio(i) is not None else "")
-            head = f"latest stable record ({_stab(d):.2f}x{io_note}) "
-        else:
-            head = "latest record (unmeasured stability) "
-        print(f"{path}: picked line {i} of {len(lines)} — {head}"
-              f"among {len(cand)} record(s) at the {len(surface)}-query "
-              f"surface{note}")
+        _, d = _pick_record(path, len(lines), cand, era_back=era_back)
     return d.get("queries", {}), d.get("value"), d.get("runs"), \
         d.get("calibration_sec"), _stab(d)
 
@@ -185,7 +303,17 @@ def main():
                          "artifacts carry calibration_sec")
     args = ap.parse_args()
 
-    old_q, old_total, old_runs, old_cal, old_stab = load(args.old)
+    # same history file on both sides (no explicit picks): a
+    # round-over-round self-compare — old = the comparable record of
+    # the PREVIOUS field-generation era, new = of the latest (VERDICT
+    # r17 #1: round anchors auto-pick without @line overrides)
+    same_file = (args.old == args.new
+                 and not re.search(r"@(\d+)$", args.old))
+    if same_file:
+        print(f"{args.old} on both sides: old = previous era's pick, "
+              "new = latest era's pick")
+    old_q, old_total, old_runs, old_cal, old_stab = load(
+        args.old, era_back=1 if same_file else 0)
     new_q, new_total, new_runs, new_cal, new_stab = load(args.new)
     # in-run environment stability (round 15+): max/min over the warm
     # interleaved calibration reps. Far from 1 means the machine changed
