@@ -103,6 +103,25 @@ class BoilerplateSpec extends SparkTestBase {
       s"anti join demoted to SortMergeJoin:\n$anti")
   }
 
+  test("null-twin parity (NullGroupParity helper): a null group is " +
+      "scrubbed exactly like its named twin") {
+    // the durable convention behind the round-17 manual sweep: clone
+    // group "a" as a null group (doc ids shifted — the rebuild keys on
+    // the id alone) and demand identical per-doc output payloads.
+    // Pre-fix, the null twin's docs came back UNSCRUBBED.
+    val base = Seq(
+      (1L, "a", "HEAD\nbody one\nFOOT"),
+      (2L, "a", "HEAD\nbody two\nFOOT"),
+      (3L, "a", "HEAD\nbody three\nFOOT")
+    ).toDF("doc_id", "source", "text")
+    NullGroupParity.assertParity(
+      base, "source", "a",
+      df => Boilerplate.removeBoilerplate(df, "doc_id", "text", "source"),
+      sig = half => half.select("text_clean", "n_lines", "n_kept")
+        .collect().map(_.toString).toSeq,
+      idCol = Some("doc_id"))
+  }
+
   test("a NULL group is scrubbed among itself; null-id rows are " +
       "excluded, not emitted empty (round-17 null-join sweep)") {
     val d = Seq(

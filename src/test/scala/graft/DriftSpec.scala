@@ -226,6 +226,24 @@ class DriftSpec extends SparkTestBase {
       out("s2").getAs[Double]("js_vs_global"))
   }
 
+  test("null-twin parity (NullGroupParity helper): psiSeries measures " +
+      "a null group exactly like its named twin") {
+    // the durable convention behind the round-17 manual sweep: clone
+    // group 2 as a null group beside an UNRELATED group 3 and demand
+    // identical drift numbers. Pre-fix, the null group's counts
+    // null-rejected out of the (groups x bins) frame and the row came
+    // back as a WRONG uniform profile.
+    val ref = Seq(1.0, 12.0, 25.0, 50.0).toDF("v")
+    val base = Seq((2L, 45.0), (2L, 45.0), (2L, 8.0),
+      (3L, 15.0), (3L, 22.0)).toDF("g", "v")
+    NullGroupParity.assertParity(
+      base, "g", 2L,
+      df => Drift.psiSeries(ref, df, "v", "g", edges),
+      sig = half => half.select("psi", "tvd", "n_cur")
+        .collect().map(_.toString).toSeq,
+      resultGroupCol = Some("grp")) // psiSeries renames the group col
+  }
+
   test("psiSeries: a NULL group is measured, not zeroed (null-safe " +
       "count join-back)") {
     // the null group's rows are a copy of group 2's; before the

@@ -112,6 +112,35 @@ class SamplingSpec extends SparkTestBase {
       === sortedIds(ref))
   }
 
+  test("null-twin parity (NullGroupParity helper): balanceClasses " +
+      "samples a null label exactly like its named twin, in BOTH arms") {
+    // the durable convention behind the round-17 manual sweep: clone
+    // label "a" as a null class (idCol = None keeps the SAME ids, so
+    // the md5-of-key order agrees between the twins and the KEPT ID
+    // SET must match row-for-row, not just by count). A third smaller
+    // class "c" forces real downsampling (minN = 10). Pre-fix, the
+    // window arm's offsets using-join null-rejected the whole
+    // null-label class.
+    val base = ((1L to 40L).map(i => (i, "a")) ++
+      (101L to 110L).map(i => (i, "c"))).toDF("id", "label")
+    def keptIds(half: org.apache.spark.sql.DataFrame): Seq[String] =
+      half.select("id").collect().map(_.getLong(0).toString).toSeq
+    // heap arm (default at this volume)
+    NullGroupParity.assertParity(
+      base, "label", "a",
+      df => Sampling.balanceClasses(df, "id", "label"),
+      sig = keptIds)
+    // window arm, forced via the package-visible entry point (the arm
+    // that carried the round-17 bug)
+    val hash = graft.functions.PortableHash
+      .md5Prefix(col("id").cast("string"), 15)
+    NullGroupParity.assertParity(
+      base, "label", "a",
+      df => Sampling.balanceKeepWindow(df, "id", "label", hash, 10L,
+        hintBroadcastOffsets = true),
+      sig = keptIds)
+  }
+
   test("balanceKeepWindow: a NULL label is a class, not a silent drop " +
       "(null-safe join parity with the heap arm); reserved helper " +
       "names fail fast in both arms") {
