@@ -311,6 +311,29 @@ object Bench {
     val calibrationStability = math.max(cpuStability, ioStability)
     val calSweepsJson = calSweeps.map(fmt).mkString("[", ",", "]")
     val ioCalSweepsJson = ioCalSweeps.map(fmt).mkString("[", ",", "]")
+    // DECOUPLING check (round 18): the pre-run calibration block is
+    // one-shot, so a transient (a just-exited JVM's residue, a host
+    // blip) can make it measure a DIFFERENT machine than the run —
+    // observed: pre-run 2.253 s vs in-run warm sweeps 0.229 s (9.8x)
+    // on a record whose queries and stability were quiet. Quiet
+    // records sit at ~1.6-2.7x (pre-run carries leftover JIT);
+    // uniform contention tracks BOTH down to ~1.1x. Past 4x the
+    // scalar would mis-normalize every cross-round ratio — emit the
+    // existing FAILED sentinel (-1, consumers treat as absent) and
+    // keep the raw value in a *_raw forensics field.
+    def decoupled(pre: Double, warm: Seq[Double]): Boolean = {
+      val w = warm.sorted
+      pre > 0 && w.nonEmpty && pre / w(w.size / 2) > 4.0
+    }
+    val calDecoupled = decoupled(calibrationSec, calWarm.toSeq)
+    val ioCalDecoupled = decoupled(ioCalibrationSec, ioCalWarm.toSeq)
+    val calibrationSecOut = if (calDecoupled) -1.0 else calibrationSec
+    val ioCalibrationSecOut = if (ioCalDecoupled) -1.0 else ioCalibrationSec
+    val decoupleFields =
+      (if (calDecoupled)
+        s""""calibration_sec_raw":${fmt(calibrationSec)},""" else "") +
+      (if (ioCalDecoupled)
+        s""""io_calibration_sec_raw":${fmt(ioCalibrationSec)},""" else "")
     // Code revision stamp (round 18, ADVICE r17): bench_compare's
     // sweep1 gate can't distinguish "machine under pressure" from
     // "code got slower" on its own — the rev lets its warn path say
@@ -326,14 +349,14 @@ object Bench {
     }.toOption.flatten
     val revField = rev.map(r => s""""rev":"$r",""").getOrElse("")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      revField +
+      revField + decoupleFields +
       s""""runs":$runs,"top10_extra_runs":$extraRuns,""" +
-      s""""calibration_sec":${fmt(calibrationSec)},""" +
+      s""""calibration_sec":${fmt(calibrationSecOut)},""" +
       s""""calibration_sweeps":$calSweepsJson,""" +
       s""""calibration_stability":${fmt(calibrationStability)},""" +
       s""""cpu_stability":${fmt(cpuStability)},""" +
       s""""io_stability":${fmt(ioStability)},""" +
-      s""""io_calibration_sec":${fmt(ioCalibrationSec)},""" +
+      s""""io_calibration_sec":${fmt(ioCalibrationSecOut)},""" +
       s""""io_calibration_sweeps":$ioCalSweepsJson,""" +
       s""""sweep1_total_sec":${fmt(sweep1Total)},""" +
       s""""queries":$detail,"spread":$spreadAll,""" +
@@ -377,7 +400,7 @@ object Bench {
     // constant budget overflowed the tail on rounds where several
     // queries tripped the flag.
     def stdoutLine(qs: String, ft: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"top10_extra_runs":$extraRuns,"calibration_sec":${fmt(calibrationSec)},"calibration_stability":${fmt(calibrationStability)},"cpu_stability":${fmt(cpuStability)},"io_stability":${fmt(ioStability)},"io_calibration_sec":${fmt(ioCalibrationSec)},"sweep1_total_sec":${fmt(sweep1Total)},"queries":$qs,"spread_top10":$spreadTop,"spread_flag":$ft,"n_queries":${results.size},"queries_are_slowest_first":true,"queries_are_medians":true,"detail":"bench_detail.json","history":"bench_history.jsonl","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"top10_extra_runs":$extraRuns,"calibration_sec":${fmt(calibrationSecOut)},"calibration_stability":${fmt(calibrationStability)},"cpu_stability":${fmt(cpuStability)},"io_stability":${fmt(ioStability)},"io_calibration_sec":${fmt(ioCalibrationSecOut)},"sweep1_total_sec":${fmt(sweep1Total)},"queries":$qs,"spread_top10":$spreadTop,"spread_flag":$ft,"n_queries":${results.size},"queries_are_slowest_first":true,"queries_are_medians":true,"detail":"bench_detail.json","history":"bench_history.jsonl","sf":"$sfDir"}"""
     var nFlags = math.min(5, flaggedBySeverity.size)
     while (nFlags > 0 && stdoutLine("{}", flagTopStr(nFlags)).length > 1600)
       nFlags -= 1

@@ -82,9 +82,50 @@ def _era_sig(r):
     return frozenset(k for k in GEN_FIELDS if k in r)
 
 
+# Pre-run/in-run decoupling bound (round 18): calibration_sec and
+# io_calibration_sec come from a ONE-SHOT pre-run block, so a transient
+# (a just-exited JVM's residue, a host blip) can make them measure a
+# different machine than the run — observed: pre-run 2.253 s vs in-run
+# warm sweeps 0.229 s (9.8x) on a record whose queries and stability
+# were quiet. Quiet records sit at ~1.6-2.7x (the pre-run block carries
+# leftover JIT); uniform contention tracks BOTH down to ~1.1x. Past 4x
+# the scalar is treated exactly like Bench's -1 FAILED sentinel: absent
+# for normalization, absent for the sweep1 check. Bench emits -1 itself
+# from round 18 on; this check covers records written before that.
+DECOUPLE_BOUND = 4.0
+
+
+def _decoupled(r, sec_key, sweeps_key):
+    sec = r.get(sec_key)
+    sweeps = r.get(sweeps_key)
+    if not (isinstance(sec, (int, float)) and sec > 0):
+        return False
+    if not isinstance(sweeps, list):
+        return False
+    warm = sorted(v for v in sweeps[1:] if isinstance(v, (int, float))
+                  and v > 0)
+    if not warm:
+        return False
+    return sec / warm[len(warm) // 2] > DECOUPLE_BOUND
+
+
+def _cal(r):
+    """Usable CPU calibration scalar, or None (failed or decoupled)."""
+    v = r.get("calibration_sec")
+    if not (isinstance(v, (int, float)) and v > 0):
+        return None
+    if _decoupled(r, "calibration_sec", "calibration_sweeps"):
+        return None
+    return v
+
+
 def _iocal(r):
     v = r.get("io_calibration_sec")
-    return v if isinstance(v, (int, float)) and v > 0 else None
+    if not (isinstance(v, (int, float)) and v > 0):
+        return None
+    if _decoupled(r, "io_calibration_sec", "io_calibration_sweeps"):
+        return None
+    return v
 
 
 def _pick_record(path, n_lines, cand, era_back=0):
@@ -285,8 +326,16 @@ def load(path, era_back=0):
         cand = [(i, r) for i, r in recs
                 if frozenset(r.get("queries", {})) == surface]
         _, d = _pick_record(path, len(lines), cand, era_back=era_back)
+    raw_cal = d.get("calibration_sec")
+    cal = _cal(d)
+    if cal is None and isinstance(raw_cal, (int, float)) and raw_cal > 0:
+        print(f"{path}: calibration_sec {raw_cal} is DECOUPLED from its "
+              f"own in-run warm sweeps (> {DECOUPLE_BOUND}x their "
+              "median) — the one-shot pre-run block measured a "
+              "transient, not the run; treated as absent")
+        raw_cal = None
     return d.get("queries", {}), d.get("value"), d.get("runs"), \
-        d.get("calibration_sec"), _stab(d)
+        (cal if cal is not None else raw_cal), _stab(d)
 
 
 def main():
