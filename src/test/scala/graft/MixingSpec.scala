@@ -327,6 +327,24 @@ class MixingSpec extends SparkTestBase {
     assert(out("a").getAs[Long]("tokens_kept") === 10L)
   }
 
+  test("null-twin parity (NullGroupParity helper): temperatureMixture " +
+      "weights a null source exactly like its named twin") {
+    // insurance retrofit of the round-18 convention: the null source
+    // must surface as a mixture row with the same n_tokens/weight/
+    // epochs as its named twin (identical token mass), not vanish or
+    // zero out. resultGroupCol: the operator renames the source col.
+    val docs = ((1 to 16).map(i => (i.toLong, "big", "tok")) ++
+      Seq((100L, "small", "a b c d"))).toDF("id", "source", "text")
+    NullGroupParity.assertParity(
+      docs, "source", "big",
+      df => Mixing.temperatureMixture(df, "source", "text",
+        BigDecimal("0.3"), budgetTokens = 100L),
+      sig = half => half.select("n_tokens", "weight", "epochs")
+        .collect().map(_.toString).toSeq,
+      resultGroupCol = Some("source"),
+      idCol = Some("id"))
+  }
+
   test("temperatureMixture matches an exact in-test replay and the " +
       "alpha limits; zero-token sources stay visible as NULLs") {
     // big: 16 one-token docs; small: 1 four-token doc; empty: no tokens

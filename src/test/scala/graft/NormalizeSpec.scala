@@ -157,6 +157,24 @@ class NormalizeSpec extends SparkTestBase {
       s"salted-arm join demoted to SortMergeJoin:\n$finalPlan")
   }
 
+  test("null-twin parity (NullGroupParity helper): a null source " +
+      "normalizes exactly like its named twin, in BOTH arms") {
+    // insurance retrofit of the round-18 convention: with idCol = None
+    // the twin keeps identical (id, score) pairs, so within-group ranks
+    // agree and the normalized values must match row-for-row
+    val ref = (1L to 9L).map(i => (i, i * 10.0)).toDF("id", "score")
+    val base = (1L to 30L).map(i =>
+      (i, (i % 7).toDouble, if (i <= 20) "a" else "b"))
+      .toDF("id", "score", "src")
+    def run(maxSerial: Long)(df: org.apache.spark.sql.DataFrame) =
+      Normalize.quantileNormalize(df, ref, "id", "score", "src",
+        k = 10, maxRefRows = 10000000L, maxSerialRankRows = maxSerial)
+    def sig(half: org.apache.spark.sql.DataFrame): Seq[String] =
+      half.select("id", "normalized").collect().map(_.toString).toSeq
+    NullGroupParity.assertParity(base, "src", "a", run(4194304L), sig)
+    NullGroupParity.assertParity(base, "src", "a", run(1L), sig)
+  }
+
   test("reserved helper column names are rejected up front, for both " +
       "arms alike (ADVICE r18, the balanceClasses precedent)") {
     val ref = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "score")
