@@ -1,0 +1,227 @@
+#!/usr/bin/env python3
+"""Regression tests for bench_compare's record-selection logic.
+
+Run: python3 tools/test_bench_compare.py   (exit 0 = all pass)
+
+The picker grew real semantics in rounds 17-18 (era-local sweep1
+sibling min, environment-corroborated demotion, one-shot-calibration
+decoupling quarantine, same-file round anchors) that were verified by
+hand against the live history each round; these tests pin them on
+SYNTHETIC histories so a future edit can't silently regress one while
+fixing another. Each case builds a small jsonl in a temp dir and
+asserts on the picker's stdout + the chosen record.
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+TOOL = os.path.join(HERE, "bench_compare.py")
+
+
+def rec(value, queries=None, cal=0.5, cal_sweeps=None, stab=None,
+        io_cal=0.4, io_sweeps=None, io_stab=None, cpu_stab=None,
+        sweep1=None, rev=None, omit=()):
+    """One synthetic history record. Field omission models eras:
+    pass omit=('io_calibration_sec', ...) to write a pre-io record."""
+    q = queries or {"q1": value * 0.6, "q2": value * 0.4}
+    d = {"metric": "total", "value": value, "unit": "sec", "runs": 3,
+         "queries": q, "sf": "synth", "ts": 0}
+    d["calibration_sec"] = cal
+    d["calibration_sweeps"] = cal_sweeps or [cal / 2, cal / 2.5,
+                                             cal / 2.4, cal / 2.6]
+    d["calibration_stability"] = stab if stab is not None else 1.1
+    d["io_calibration_sec"] = io_cal
+    d["io_calibration_sweeps"] = io_sweeps or [io_cal / 2, io_cal / 2.2,
+                                               io_cal / 2.1, io_cal / 2.3]
+    if io_stab is not None:
+        d["io_stability"] = io_stab
+    if cpu_stab is not None:
+        d["cpu_stability"] = cpu_stab
+    if sweep1 is not None:
+        d["sweep1_total_sec"] = sweep1
+    if rev is not None:
+        d["rev"] = rev
+    for k in omit:
+        d.pop(k, None)
+    return d
+
+
+def run(lines, args=None):
+    """Write records to a temp history, run the tool on it (same file
+    both sides unless args given), return (stdout, returncode)."""
+    with tempfile.NamedTemporaryFile("w", suffix=".jsonl", dir="/tmp",
+                                     delete=False) as f:
+        for d in lines:
+            f.write(json.dumps(d) + "\n")
+        path = f.name
+    argv = [sys.executable, TOOL] + (
+        [a.replace("HIST", path) for a in args] if args
+        else [path, path])
+    p = subprocess.run(argv, capture_output=True, text=True)
+    os.unlink(path)
+    return p.stdout, p.returncode
+
+
+def picked_lines(out):
+    return [int(m.group(1))
+            for m in re.finditer(r"picked line (\d+)", out)]
+
+
+FAILS = []
+
+
+def check(name, cond, ctx=""):
+    status = "ok" if cond else "FAIL"
+    print(f"  {status}  {name}")
+    if not cond:
+        FAILS.append(name)
+        if ctx:
+            print("      --- output ---")
+            print("      " + ctx.replace("\n", "\n      "))
+
+
+def test_era_local_sibling_min():
+    # pre-io era: quiet record (sweep1 1.14x its OWN era min) must NOT
+    # be demoted by a later, faster era's sweep1 values
+    pre = dict(omit=("io_calibration_sec", "io_calibration_sweeps",
+                     "cpu_stability", "io_stability"))
+    lines = [
+        rec(80.0, stab=1.19, sweep1=129.0, **pre),   # 0: r16-ish quiet
+        rec(110.0, stab=1.24, sweep1=184.0, **pre),  # 1: the phantom
+        rec(71.0, stab=1.26, sweep1=103.0, io_stab=1.26, cpu_stab=1.24,
+            rev="aaa"),                              # 2: faster-era quiet
+        rec(72.0, stab=1.2, sweep1=105.0, io_stab=1.2, cpu_stab=1.1,
+            rev="aaa"),                              # 3: sibling for min
+    ]
+    out, _ = run(lines)
+    picks = picked_lines(out)
+    check("same-file compare picks old from the PREVIOUS era, new from "
+          "the latest", picks == [0, 3], out)
+    # era-LOCAL min: the phantom's ratio must be computed against its
+    # OWN era's 129 (-> 1.43x), not the faster era's 103 (-> 1.79x)
+    check("the uniformly-slow pre-io phantom stays demoted, era-locally",
+          "sweep1 1.43x era sibling min" in out
+          and "1.79x" not in out, out)
+
+
+def test_uncorroborated_trip_warns_but_keeps():
+    # io era: latest record's sweep1 trips 1.3x with QUIET io/cpu and
+    # era-min io_cal -> possible code regression: warn, still pick it
+    lines = [
+        rec(70.0, stab=1.1, io_stab=1.1, cpu_stab=1.1, sweep1=100.0,
+            io_cal=0.4, rev="old"),
+        rec(88.0, stab=1.1, io_stab=1.1, cpu_stab=1.1, sweep1=130.0,
+            io_cal=0.4, rev="new"),
+    ]
+    out, _ = run(lines, args=["HIST@0", "HIST"])
+    check("uncorroborated sweep1 trip warns 'possible CODE regression'",
+          "possible CODE regression" in out, out)
+    check("the tripping latest record is still picked",
+          picked_lines(out) == [1], out)
+    check("the rev pair is named in the warning",
+          "rev new vs sibling-min rev old" in out, out)
+
+
+def test_corroborated_trip_demotes():
+    # same shape but the slow record's own io calibration is 1.5x the
+    # era min -> environment corroborated -> demoted, older quiet wins
+    lines = [
+        rec(70.0, stab=1.1, io_stab=1.1, cpu_stab=1.1, sweep1=100.0,
+            io_cal=0.4),
+        rec(88.0, stab=1.1, io_stab=1.1, cpu_stab=1.1, sweep1=400.0,
+            io_cal=0.6),
+    ]
+    out, _ = run(lines, args=["HIST@0", "HIST"])
+    check("io_calibration-corroborated sweep1 trip demotes",
+          "corroborated: io_calibration" in out
+          and picked_lines(out) == [0], out)
+
+
+def test_stability_corroboration():
+    lines = [
+        rec(70.0, stab=1.1, io_stab=1.1, cpu_stab=1.1, sweep1=100.0),
+        rec(88.0, stab=1.5, io_stab=1.5, cpu_stab=1.1, sweep1=130.0),
+    ]
+    out, _ = run(lines, args=["HIST@0", "HIST"])
+    check("io_stability past the gate corroborates the demotion",
+          picked_lines(out) == [0]
+          and "io_stability 1.50x" in out, out)
+
+
+def test_decoupled_calibration_quarantined():
+    # one-shot calibration 10x its own warm sweeps: treated as absent
+    # for normalization AND the record contributes no sweep1 value
+    lines = [
+        rec(70.0, stab=1.1, io_stab=1.1, cpu_stab=1.1, sweep1=100.0,
+            cal=0.5, io_cal=0.4),
+        rec(84.0, stab=1.1, io_stab=1.1, cpu_stab=1.1, sweep1=120.0,
+            cal=2.2, cal_sweeps=[0.3, 0.22, 0.23, 0.22, 0.24],
+            io_cal=1.7, io_sweeps=[0.3, 0.26, 0.23, 0.25, 0.26]),
+    ]
+    out, _ = run(lines, args=["HIST@0", "HIST"])
+    check("decoupled calibration is called out and treated as absent",
+          "DECOUPLED" in out, out)
+    check("no env normalization against a decoupled calibration",
+          "env factor" not in out, out)
+    check("the quiet-stability record is still pickable",
+          picked_lines(out) == [1], out)
+    # and its deflated sweep1/io_cal (120/1.7=71) must NOT become the
+    # era min: with the decoupled record FIRST, the honest later
+    # sibling (100/0.4=250, a fake 3.5x against the poisoned min) must
+    # neither be excluded nor even warned about
+    out2, _ = run(list(reversed(lines)), args=["HIST@0", "HIST"])
+    check("a decoupled record's sweep1 does not poison the era min",
+          "possible CODE regression" not in out2
+          and "excluded" not in out2
+          and picked_lines(out2) == [1], out2)
+
+
+def test_explicit_pick_and_single_record():
+    lines = [rec(70.0, sweep1=100.0), rec(80.0, sweep1=105.0)]
+    out, _ = run(lines, args=["HIST@0", "HIST@1"])
+    check("explicit @line picks bypass the picker",
+          "explicit pick line 0" in out and "explicit pick line 1" in out,
+          out)
+    one, _ = run([rec(70.0)], args=["HIST", "HIST"])
+    check("single-record file loads without picker output",
+          "picked line" not in one, one)
+
+
+def test_failed_io_cal_unmeasurable():
+    # io_cal = -1 (Bench's FAILED sentinel): no sweep1 check either way
+    lines = [
+        rec(70.0, stab=1.1, io_stab=1.1, cpu_stab=1.1, sweep1=100.0,
+            io_cal=0.4),
+        rec(72.0, stab=1.1, io_stab=1.1, cpu_stab=1.1, sweep1=100.0,
+            io_cal=0.41),
+        rec(90.0, stab=1.1, io_stab=1.1, cpu_stab=1.1, sweep1=500.0,
+            io_cal=-1.0),
+    ]
+    out, _ = run(lines, args=["HIST@0", "HIST"])
+    check("a failed-io-cal record is never sweep1-demoted (unmeasurable)",
+          picked_lines(out) == [2], out)
+
+
+def main():
+    for t in (test_era_local_sibling_min,
+              test_uncorroborated_trip_warns_but_keeps,
+              test_corroborated_trip_demotes,
+              test_stability_corroboration,
+              test_decoupled_calibration_quarantined,
+              test_explicit_pick_and_single_record,
+              test_failed_io_cal_unmeasurable):
+        print(t.__name__)
+        t()
+    if FAILS:
+        print(f"\n{len(FAILS)} FAILED: {FAILS}")
+        return 1
+    print("\nall bench_compare picker tests pass")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
