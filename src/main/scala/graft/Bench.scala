@@ -338,16 +338,33 @@ object Bench {
     // sweep1 gate can't distinguish "machine under pressure" from
     // "code got slower" on its own — the rev lets its warn path say
     // whether the record and its era-sibling minimum measured the
-    // same code. Best-effort: absent (not emitted) when git isn't
-    // resolvable, never a failure.
-    val rev = scala.util.Try {
-      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+    // same code. The FIELD is always emitted ("unknown" when git
+    // isn't resolvable): bench_compare identifies measurement eras by
+    // field PRESENCE, so a best-effort field would misclassify a
+    // rev-less record into the previous era and invert same-file
+    // round anchors (round-18 review catch). Guards: a 2 s waitFor
+    // timeout (a wedged git must not block record emission), and the
+    // resolved toplevel must actually contain this engine's sources —
+    // a wrapper cwd inside some OTHER git repo (a dotfiles home dir)
+    // would otherwise stamp an unrelated repo's HEAD and make the
+    // rev-pair warning assert a false code identity.
+    def git(args: String*): Option[String] = scala.util.Try {
+      val p = new ProcessBuilder(("git" +: args): _*)
         .redirectErrorStream(true).start()
-      val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
-      if (p.waitFor() == 0 && out.matches("[0-9a-f]{4,40}")) Some(out)
-      else None
+      val done = p.waitFor(2, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) { p.destroyForcibly(); None }
+      else {
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+        if (p.exitValue() == 0) Some(out) else None
+      }
     }.toOption.flatten
-    val revField = rev.map(r => s""""rev":"$r",""").getOrElse("")
+    val rev = (for {
+      top <- git("rev-parse", "--show-toplevel")
+      if new java.io.File(top, "src/main/scala/graft").isDirectory
+      r <- git("rev-parse", "--short", "HEAD")
+      if r.matches("[0-9a-f]{4,40}")
+    } yield r).getOrElse("unknown")
+    val revField = s""""rev":"$rev","""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       revField + decoupleFields +
       s""""runs":$runs,"top10_extra_runs":$extraRuns,""" +

@@ -79,13 +79,22 @@ object Normalize {
     // silently or throw ambiguity only when the data volume selects
     // that arm, the data-dependent failure mode this operator's arm
     // parity otherwise refuses.
+    // CASE-INSENSITIVE match (round-18 review catch): Spark's default
+    // analyzer resolves case-insensitively, so a column named "__R" or
+    // "Normalized" would be silently REPLACED by withColumn — the
+    // exact corruption this guard precludes. Under
+    // spark.sql.caseSensitive=true the rejection is conservative
+    // (such a column would survive), but a rename is cheap and the
+    // guard must not depend on a session conf.
     val reserved = Seq("__r", "__n", "__i", "__sk", "__salt",
       "__osk", "__osalt", "__off", "__hc", "normalized")
-    reserved.filter(cur.columns.contains).foreach { c =>
-      throw new IllegalArgumentException(
-        s"quantileNormalize: input column name $c collides with an " +
-          "internal helper column — rename it first")
-    }
+    cur.columns.filter(c => reserved.exists(_.equalsIgnoreCase(c)))
+      .foreach { c =>
+        throw new IllegalArgumentException(
+          s"quantileNormalize: input column name $c collides " +
+            "(case-insensitively, the analyzer's default resolution) " +
+            "with an internal helper column — rename it first")
+      }
     // Fail-fast contract enforcement, not just prose: the reference is
     // ranked in ONE partition, so a caller passing a crawl-sized frame
     // as `ref` would melt a single executor. The count() is the one

@@ -231,13 +231,19 @@ object Sampling {
     // so a collision would corrupt silently or throw ambiguity only
     // when the data volume selects that arm — the data-dependent
     // failure mode the tie validation above already refuses.
+    // CASE-INSENSITIVE match (round-18 review catch, same fix as
+    // quantileNormalize's guard): the default analyzer resolves
+    // case-insensitively, so "__Ord"/"__TIE" would be silently
+    // replaced by the helper withColumns if matched by exact string.
     val reserved = Seq("__ord", "__tie", "__rk",
       "__bsalt", "__bslt2", "__blbl", "__boff", "__bc")
-    reserved.filter(df.columns.contains).foreach { c =>
-      throw new IllegalArgumentException(
-        s"balanceClasses: input column name $c collides with an " +
-          "internal helper column — rename it first")
-    }
+    df.columns.filter(c => reserved.exists(_.equalsIgnoreCase(c)))
+      .foreach { c =>
+        throw new IllegalArgumentException(
+          s"balanceClasses: input column name $c collides " +
+            "(case-insensitively, the analyzer's default resolution) " +
+            "with an internal helper column — rename it first")
+      }
     // same no-silent-drops contract as capPerGroup: the null-key drop
     // is deliberate but observable — a paired observe metric reports
     // the dropped count per run

@@ -178,7 +178,10 @@ class NormalizeSpec extends SparkTestBase {
   test("reserved helper column names are rejected up front, for both " +
       "arms alike (ADVICE r18, the balanceClasses precedent)") {
     val ref = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "score")
-    for (bad <- Seq("normalized", "__sk", "__r")) {
+    // case-variants included: the analyzer resolves case-insensitively
+    // by default, so "__R"/"Normalized" would be silently replaced by
+    // the helper withColumns if the guard matched exact strings only
+    for (bad <- Seq("normalized", "__sk", "__r", "__R", "Normalized")) {
       val cur = Seq((10L, 1.0, "a", "x")).toDF("id", "score", "src", bad)
       val e = intercept[IllegalArgumentException] {
         Normalize.quantileNormalize(cur, ref, "id", "score", "src")

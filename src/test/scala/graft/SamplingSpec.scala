@@ -171,5 +171,12 @@ class SamplingSpec extends SparkTestBase {
       Sampling.balanceClasses(clash, "id", "label")
     }
     assert(e.getMessage.contains("__bsalt"))
+    // case-variant collision (round-18 review catch): the analyzer
+    // resolves case-insensitively, so the guard must too
+    val clash2 = Seq((1L, "a", 0)).toDF("id", "label", "__BSALT")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.balanceClasses(clash2, "id", "label")
+    }
+    assert(e2.getMessage.contains("__BSALT"))
   }
 }

@@ -128,14 +128,18 @@ def _iocal(r):
     return v
 
 
-def _pick_record(path, n_lines, cand, era_back=0):
+def _pick_record(path, n_lines, cand, era_back=0, exclude_line=None):
     """Pick the comparable record among `cand` (line, record) pairs at
     one query surface. Preference: LATEST stable record (a later record
     measures later code — a quieter-but-older record must not mask a
     fresh one) > latest unmeasured > least-bad flagged (labeled
     FLAGGED). `era_back` > 0 steps back that many field-generation eras
-    before picking (the old side of a same-file comparison). Prints
-    which line it chose and why; returns (line, record)."""
+    before picking (the old side of a same-file comparison);
+    `exclude_line` removes the NEW side's pick from the old side's
+    candidates so a single-era history degrades to a previous-vs-latest
+    comparison instead of silently comparing a record against itself
+    (round-18 review catch). Prints which line it chose and why;
+    returns (line, record)."""
     era_order = []
     for _, r in cand:
         sig = _era_sig(r)
@@ -143,10 +147,11 @@ def _pick_record(path, n_lines, cand, era_back=0):
             era_order.append(sig)
     idx = len(era_order) - 1 - era_back
     if idx < 0:
-        print(f"{path}: only {len(era_order)} field-generation era(s) "
-              f"at this surface — era_back={era_back} falls back to "
-              "the earliest")
-        idx = 0
+        print(f"{path}: WARNING only {len(era_order)} field-generation "
+              f"era(s) at this surface — the old side falls back to "
+              "the latest era minus the new side's pick "
+              "(previous-vs-latest record, NOT cross-round anchors)")
+        idx = len(era_order) - 1
     want = era_order[idx]
     era_note = ""
     if len(era_order) > 1:
@@ -154,6 +159,12 @@ def _pick_record(path, n_lines, cand, era_back=0):
                 else "pre-io")
         era_note = f", era {idx + 1}/{len(era_order)} ({kind})"
     cand = [(j, r) for j, r in cand if _era_sig(r) == want]
+    if exclude_line is not None and len(cand) > 1:
+        cand = [(j, r) for j, r in cand if j != exclude_line]
+    elif exclude_line is not None and \
+            any(j == exclude_line for j, _ in cand):
+        print(f"{path}: WARNING the only candidate IS the new side's "
+              "pick — the comparison below is a record against itself")
 
     # Cross-record I/O check (rounds 17–18): a record whose cold-sweep
     # total sits > SWEEP1_BOUND above the ERA sibling minimum measured
@@ -216,8 +227,11 @@ def _pick_record(path, n_lines, cand, era_back=0):
             # sweep1 moved but io/cpu calibrations stayed quiet: the
             # slowness is in the CODE, not the machine — demoting would
             # hand the pick to an older record and mask the regression
-            rev, mrev = r.get("rev"), (by_line[min_j].get("rev")
-                                       if min_j is not None else None)
+            def _rev(rec_):
+                v = rec_.get("rev")
+                return v if v and v != "unknown" else None
+            rev, mrev = _rev(r), (_rev(by_line[min_j])
+                                  if min_j is not None else None)
             rev_note = (f"; rev {rev} vs sibling-min rev {mrev}"
                         if rev and mrev and rev != mrev else "")
             print(f"{path}: WARNING line {j} sweep1 {rt:.2f}x era "
@@ -272,7 +286,7 @@ def _pick_record(path, n_lines, cand, era_back=0):
     else:
         head = "latest record (unmeasured stability) "
     rev = d.get("rev")
-    rev_note = f", rev {rev}" if rev else ""
+    rev_note = f", rev {rev}" if rev and rev != "unknown" else ""
     print(f"{path}: picked line {i} of {n_lines} — {head}"
           f"among {len(cand)} record(s) at the "
           f"{len(frozenset(d.get('queries', {})))}-query "
@@ -280,7 +294,7 @@ def _pick_record(path, n_lines, cand, era_back=0):
     return i, d
 
 
-def load(path, era_back=0):
+def load(path, era_back=0, exclude_line=None):
     """Load one bench record. `path` may carry an explicit line pick
     (`bench_history.jsonl@49`, 0-based). For a multi-line history file
     with no explicit pick, records are grouped into "rounds" by query
@@ -313,19 +327,24 @@ def load(path, era_back=0):
     if not recs:
         raise SystemExit(f"{path}: no parseable records")
     by_line = dict(recs)
+    line_no = None
     if pick is not None:
         if pick not in by_line:
             raise SystemExit(f"{path}: line {pick} missing or unparseable")
         d = by_line[pick]
+        line_no = pick
         print(f"{path}: explicit pick line {pick} "
               f"(stability {_stab(d) or 'n/a'})")
     elif len(recs) == 1:
         d = recs[0][1]
+        line_no = recs[0][0]
     else:
         surface = frozenset(recs[-1][1].get("queries", {}))
         cand = [(i, r) for i, r in recs
                 if frozenset(r.get("queries", {})) == surface]
-        _, d = _pick_record(path, len(lines), cand, era_back=era_back)
+        line_no, d = _pick_record(path, len(lines), cand,
+                                  era_back=era_back,
+                                  exclude_line=exclude_line)
     raw_cal = d.get("calibration_sec")
     cal = _cal(d)
     if cal is None and isinstance(raw_cal, (int, float)) and raw_cal > 0:
@@ -335,7 +354,7 @@ def load(path, era_back=0):
               "transient, not the run; treated as absent")
         raw_cal = None
     return d.get("queries", {}), d.get("value"), d.get("runs"), \
-        (cal if cal is not None else raw_cal), _stab(d)
+        (cal if cal is not None else raw_cal), _stab(d), line_no
 
 
 def main():
@@ -355,15 +374,24 @@ def main():
     # same history file on both sides (no explicit picks): a
     # round-over-round self-compare — old = the comparable record of
     # the PREVIOUS field-generation era, new = of the latest (VERDICT
-    # r17 #1: round anchors auto-pick without @line overrides)
-    same_file = (args.old == args.new
-                 and not re.search(r"@(\d+)$", args.old))
+    # r17 #1: round anchors auto-pick without @line overrides).
+    # Compare REAL paths, not argv spellings ('./hist' vs 'hist' must
+    # still engage the mode — round-18 review catch); the new side
+    # picks first so the old side can exclude its line when a
+    # single-era history would otherwise self-compare.
+    import os.path
+    same_file = (not re.search(r"@(\d+)$", args.old)
+                 and not re.search(r"@(\d+)$", args.new)
+                 and os.path.realpath(args.old)
+                 == os.path.realpath(args.new))
     if same_file:
         print(f"{args.old} on both sides: old = previous era's pick, "
               "new = latest era's pick")
-    old_q, old_total, old_runs, old_cal, old_stab = load(
-        args.old, era_back=1 if same_file else 0)
-    new_q, new_total, new_runs, new_cal, new_stab = load(args.new)
+    new_q, new_total, new_runs, new_cal, new_stab, new_line = load(
+        args.new)
+    old_q, old_total, old_runs, old_cal, old_stab, _ = load(
+        args.old, era_back=1 if same_file else 0,
+        exclude_line=new_line if same_file else None)
     # in-run environment stability (round 15+): max/min over the warm
     # interleaved calibration reps. Far from 1 means the machine changed
     # speed DURING that record's sweeps — its per-query medians are

@@ -58,9 +58,12 @@ def run(lines, args=None):
         for d in lines:
             f.write(json.dumps(d) + "\n")
         path = f.name
+    alt = os.path.join(os.path.dirname(path), "..",
+                       os.path.basename(os.path.dirname(path)),
+                       ".", os.path.basename(path))
     argv = [sys.executable, TOOL] + (
-        [a.replace("HIST", path) for a in args] if args
-        else [path, path])
+        [a.replace("ALTHIST", alt).replace("HIST", path) for a in args]
+        if args else [path, path])
     p = subprocess.run(argv, capture_output=True, text=True)
     os.unlink(path)
     return p.stdout, p.returncode
@@ -99,8 +102,10 @@ def test_era_local_sibling_min():
     ]
     out, _ = run(lines)
     picks = picked_lines(out)
+    # the NEW side now loads first (so the old side can exclude its
+    # pick in single-era histories) -> print order is [new, old]
     check("same-file compare picks old from the PREVIOUS era, new from "
-          "the latest", picks == [0, 3], out)
+          "the latest", picks == [3, 0], out)
     # era-LOCAL min: the phantom's ratio must be computed against its
     # OWN era's 129 (-> 1.43x), not the faster era's 103 (-> 1.79x)
     check("the uniformly-slow pre-io phantom stays demoted, era-locally",
@@ -206,6 +211,58 @@ def test_failed_io_cal_unmeasurable():
           picked_lines(out) == [2], out)
 
 
+def test_single_era_same_file_does_not_self_compare():
+    # one era only: the old side must fall back to previous-vs-latest
+    # with a WARNING, never silently compare the pick against itself
+    lines = [
+        rec(70.0, stab=1.1, io_stab=1.1, cpu_stab=1.1, sweep1=100.0,
+            rev="r1"),
+        rec(75.0, stab=1.1, io_stab=1.1, cpu_stab=1.1, sweep1=104.0,
+            rev="r2"),
+    ]
+    out, _ = run(lines)
+    check("single-era same-file compare warns about the fallback",
+          "WARNING only 1 field-generation era" in out, out)
+    check("old = previous stable record, new = latest (not self)",
+          picked_lines(out) == [1, 0], out)
+    one = [rec(70.0, stab=1.1, io_stab=1.1, cpu_stab=1.1, sweep1=100.0)]
+    out1, _ = run(one + one[:0])  # single record
+    check("a truly single-record self-compare loads without a picker",
+          "picked line" not in out1, out1)
+
+
+def test_realpath_same_file_detection():
+    # './hist' and 'hist' (or any spelling of the same real path) must
+    # still engage round-anchor mode
+    pre = dict(omit=("io_calibration_sec", "io_calibration_sweeps",
+                     "cpu_stability", "io_stability"))
+    lines = [
+        rec(80.0, stab=1.19, sweep1=129.0, **pre),
+        rec(71.0, stab=1.2, sweep1=103.0, io_stab=1.2, cpu_stab=1.1,
+            rev="aaa"),
+        rec(72.0, stab=1.2, sweep1=105.0, io_stab=1.2, cpu_stab=1.1,
+            rev="aaa"),
+    ]
+    out, _ = run(lines, args=["ALTHIST", "HIST"])
+    check("differently-spelled identical paths engage anchor mode",
+          "on both sides" in out and picked_lines(out) == [2, 0], out)
+
+
+def test_unknown_rev_suppressed():
+    # Bench stamps rev="unknown" when git is unresolvable; the warn
+    # path and pick notes must not assert identity against it
+    lines = [
+        rec(70.0, stab=1.1, io_stab=1.1, cpu_stab=1.1, sweep1=100.0,
+            io_cal=0.4, rev="unknown"),
+        rec(88.0, stab=1.1, io_stab=1.1, cpu_stab=1.1, sweep1=130.0,
+            io_cal=0.4, rev="unknown"),
+    ]
+    out, _ = run(lines, args=["HIST@0", "HIST"])
+    check("rev 'unknown' never appears in warnings or pick notes",
+          "possible CODE regression" in out and "unknown" not in out,
+          out)
+
+
 def main():
     for t in (test_era_local_sibling_min,
               test_uncorroborated_trip_warns_but_keeps,
@@ -213,7 +270,10 @@ def main():
               test_stability_corroboration,
               test_decoupled_calibration_quarantined,
               test_explicit_pick_and_single_record,
-              test_failed_io_cal_unmeasurable):
+              test_failed_io_cal_unmeasurable,
+              test_single_era_same_file_does_not_self_compare,
+              test_realpath_same_file_detection,
+              test_unknown_rev_suppressed):
         print(t.__name__)
         t()
     if FAILS:
