@@ -365,8 +365,29 @@ object Bench {
       if r.matches("[0-9a-f]{4,40}")
     } yield r).getOrElse("unknown")
     val revField = s""""rev":"$rev","""
+    // Explicit ROUND marker (round 19, ADVICE r18 #1): bench_compare's
+    // same-file anchor mode equated "previous round" with "previous
+    // field-generation era", which breaks the first time a round adds
+    // no new Bench fields — the old anchor would reach back a whole
+    // era. The round number is derived, not hand-bumped: the driver
+    // writes BENCH_r{N}.json at the END of round N's bench run, so at
+    // any round-N run (driver or mid-round) the highest N on disk is
+    // N-1. Rev can't serve here (it changes per COMMIT — a round spans
+    // many). If no BENCH_r files are visible (run outside the repo
+    // root), the field is omitted and bench_compare falls back to era
+    // grouping — degraded, never wrong-era.
+    val roundNo = scala.util.Try {
+      new java.io.File(".").listFiles.toSeq
+        .map(_.getName)
+        .flatMap { n =>
+          val m = "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(n)
+          m.map(_.group(1).toInt)
+        }
+        .maxOption.map(_ + 1)
+    }.toOption.flatten
+    val roundField = roundNo.map(n => s""""round":$n,""").getOrElse("")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      revField + decoupleFields +
+      revField + roundField + decoupleFields +
       s""""runs":$runs,"top10_extra_runs":$extraRuns,""" +
       s""""calibration_sec":${fmt(calibrationSecOut)},""" +
       s""""calibration_sweeps":$calSweepsJson,""" +

@@ -16,6 +16,17 @@ of a fixed range-sum + lineitem-groupBy workload, i.e. machine speed),
 ratios are NORMALIZED by the calibration ratio before thresholding —
 cross-round totals have drifted ~30% on environment alone, and the
 calibration divides that out. Raw ratios are always shown alongside.
+
+Round 19 (VERDICT r18 #2): when BOTH records carry the interleaved
+`calibration_sweeps` (round 15+), the env factor divides the IN-RUN
+WARM MEDIANS instead of the one-shot pre-run scalars — the pre-run
+block carries 40-60% JIT noise by design (healthy coupling band is
+1.6-2.7x its own warm sweeps), so +/-20% one-shot wobble was inverting
+the sign of small cross-round movements while passing the >4x
+decoupling quarantine. The sources are never mixed: if either side
+predates the sweeps field, BOTH sides use the pre-run scalar (warm
+medians run ~2x faster than the scalar — a mixed ratio would be
+off by that factor, worse than the wobble).
 """
 import argparse
 import json
@@ -63,6 +74,11 @@ SWEEP1_BOUND = 1.2
 # ADDS fields, so the frozenset of present markers identifies the era
 # a record was measured in (io_calibration_sec arrived in round 17,
 # splitting the 195-query surface into the r16 and r17+ eras).
+# Round 19+: records carry an explicit `round` marker (derived from the
+# driver's BENCH_r{N}.json artifacts), which supersedes era signatures
+# for grouping — two field-identical rounds no longer collapse into one
+# era (ADVICE r18 #1). Era signatures remain the fallback for every
+# record written before the marker existed.
 GEN_FIELDS = ("calibration_sec", "calibration_stability",
               "sweep1_total_sec", "io_calibration_sec", "rev")
 
@@ -80,6 +96,38 @@ def _era_sig(r):
     version emitted. Bench only ever ADDS fields, so the signature
     identifies the measurement era (box + harness version window)."""
     return frozenset(k for k in GEN_FIELDS if k in r)
+
+
+def _group_key(r):
+    """Anchor-grouping key: the explicit `round` marker when present
+    (monotone per round — two field-identical rounds stay distinct),
+    else the era signature (pre-round-19 records). Groups are ordered
+    by first appearance in the history, which is chronological for an
+    append-only file."""
+    rd = r.get("round")
+    if isinstance(rd, int):
+        return ("round", rd)
+    return ("era", _era_sig(r))
+
+
+def _warm_median(r, sweeps_key):
+    """Median of the IN-RUN warm calibration reps (sweep 2+), or None
+    when the record predates the sweeps field or has < 2 warm reps.
+    This is the normalization scalar of choice (VERDICT r18 #2): the
+    one-shot pre-run block carries 40-60% JIT noise by design, while
+    the warm reps ran interleaved with the measured sweeps on the
+    machine the queries actually saw."""
+    sweeps = r.get(sweeps_key)
+    if not isinstance(sweeps, list):
+        return None
+    warm = sorted(v for v in sweeps[1:]
+                  if isinstance(v, (int, float)) and v > 0)
+    if len(warm) < 2:
+        return None
+    n = len(warm)
+    if n % 2 == 1:
+        return warm[n // 2]
+    return (warm[n // 2 - 1] + warm[n // 2]) / 2
 
 
 # Pre-run/in-run decoupling bound (round 18): calibration_sec and
@@ -136,29 +184,44 @@ def _pick_record(path, n_lines, cand, era_back=0, exclude_line=None):
     FLAGGED). `era_back` > 0 steps back that many field-generation eras
     before picking (the old side of a same-file comparison);
     `exclude_line` removes the NEW side's pick from the old side's
-    candidates so a single-era history degrades to a previous-vs-latest
-    comparison instead of silently comparing a record against itself
-    (round-18 review catch). Prints which line it chose and why;
-    returns (line, record)."""
-    era_order = []
+    candidates so a single-group history degrades to a previous-vs-
+    latest comparison instead of silently comparing a record against
+    itself (round-18 review catch). Records are grouped by the
+    explicit `round` marker when present, era signature otherwise
+    (see _group_key). Prints which line it chose and why; returns
+    (line, record, sibling_records)."""
+    group_order = []
     for _, r in cand:
-        sig = _era_sig(r)
-        if sig not in era_order:
-            era_order.append(sig)
-    idx = len(era_order) - 1 - era_back
+        key = _group_key(r)
+        if key not in group_order:
+            group_order.append(key)
+    # era groups keep first-appearance order (chronological in an
+    # append-only file; pre-r19 harnesses can't reappear), round
+    # groups order NUMERICALLY after them — the round marker is the
+    # monotone sequence ADVICE r18 asked for, so a record appended
+    # late (a re-run of an older round's binary) can no longer
+    # reorder recency
+    group_order = ([k for k in group_order if k[0] == "era"] +
+                   sorted((k for k in group_order if k[0] == "round"),
+                          key=lambda k: k[1]))
+    idx = len(group_order) - 1 - era_back
     if idx < 0:
-        print(f"{path}: WARNING only {len(era_order)} field-generation "
-              f"era(s) at this surface — the old side falls back to "
-              "the latest era minus the new side's pick "
+        print(f"{path}: WARNING only {len(group_order)} round/era "
+              f"group(s) at this surface — the old side falls back to "
+              "the latest group minus the new side's pick "
               "(previous-vs-latest record, NOT cross-round anchors)")
-        idx = len(era_order) - 1
-    want = era_order[idx]
+        idx = len(group_order) - 1
+    want = group_order[idx]
     era_note = ""
-    if len(era_order) > 1:
-        kind = ("io-calibrated" if "io_calibration_sec" in want
-                else "pre-io")
-        era_note = f", era {idx + 1}/{len(era_order)} ({kind})"
-    cand = [(j, r) for j, r in cand if _era_sig(r) == want]
+    if len(group_order) > 1:
+        if want[0] == "round":
+            era_note = f", round {want[1]} (group {idx + 1}/{len(group_order)})"
+        else:
+            kind = ("io-calibrated" if "io_calibration_sec" in want[1]
+                    else "pre-io")
+            era_note = f", era {idx + 1}/{len(group_order)} ({kind})"
+    cand = [(j, r) for j, r in cand if _group_key(r) == want]
+    siblings = [r for _, r in cand]
     if exclude_line is not None and len(cand) > 1:
         cand = [(j, r) for j, r in cand if j != exclude_line]
     elif exclude_line is not None and \
@@ -173,8 +236,12 @@ def _pick_record(path, n_lines, cand, era_back=0, exclude_line=None):
     # era the compared value divides the record's own io_calibration_sec
     # out first, and a trip only demotes when the environment
     # corroborates (see SWEEP1_BOUND comment); pre-io eras keep the
-    # unconditional round-17 demotion.
-    io_era = "io_calibration_sec" in want
+    # unconditional round-17 demotion. Round-marked groups are uniform
+    # Bench versions by construction, so all() == any() there; the
+    # conservative all() keeps a hypothetical mixed group on the
+    # unconditional path rather than dividing by a field half the
+    # group lacks.
+    io_era = all("io_calibration_sec" in r for _, r in cand)
 
     def _sweep1(r):
         s = r.get("sweep1_total_sec")
@@ -291,7 +358,7 @@ def _pick_record(path, n_lines, cand, era_back=0, exclude_line=None):
           f"among {len(cand)} record(s) at the "
           f"{len(frozenset(d.get('queries', {})))}-query "
           f"surface{era_note}{rev_note}{note}")
-    return i, d
+    return i, d, siblings
 
 
 def load(path, era_back=0, exclude_line=None):
@@ -328,6 +395,7 @@ def load(path, era_back=0, exclude_line=None):
         raise SystemExit(f"{path}: no parseable records")
     by_line = dict(recs)
     line_no = None
+    siblings = []
     if pick is not None:
         if pick not in by_line:
             raise SystemExit(f"{path}: line {pick} missing or unparseable")
@@ -339,12 +407,35 @@ def load(path, era_back=0, exclude_line=None):
         d = recs[0][1]
         line_no = recs[0][0]
     else:
+        # candidates must match the latest record's surface AND the
+        # benchline sf: the live history carries sf0.001/sf0.01 smoke
+        # records, and a small-sf record sharing a surface would post a
+        # ~10x-faster sweep1 that poisons the sibling min and could
+        # even be picked as the anchor (round-19 catch). The benchline
+        # sf is the MAJORITY sf among same-surface records (ties ->
+        # the later-appearing one), NOT the latest record's: a one-off
+        # smoke run appended after the driver record must not hijack
+        # the whole comparison onto its sf. An intentional sf
+        # migration outvotes the old sf after enough records (or use
+        # explicit @line picks meanwhile).
         surface = frozenset(recs[-1][1].get("queries", {}))
-        cand = [(i, r) for i, r in recs
-                if frozenset(r.get("queries", {})) == surface]
-        line_no, d = _pick_record(path, len(lines), cand,
-                                  era_back=era_back,
-                                  exclude_line=exclude_line)
+        at_surface = [(i, r) for i, r in recs
+                      if frozenset(r.get("queries", {})) == surface]
+        counts = {}
+        for pos, (_, r) in enumerate(at_surface):
+            s = r.get("sf")
+            c, _ = counts.get(s, (0, -1))
+            counts[s] = (c + 1, pos)
+        sf = max(counts, key=counts.get)
+        dropped = [i for i, r in at_surface if r.get("sf") != sf]
+        if dropped:
+            print(f"{path}: ignoring {len(dropped)} same-surface "
+                  f"record(s) at a foreign sf (benchline sf is {sf}): "
+                  f"line(s) {', '.join(map(str, dropped))}")
+        cand = [(i, r) for i, r in at_surface if r.get("sf") == sf]
+        line_no, d, siblings = _pick_record(path, len(lines), cand,
+                                            era_back=era_back,
+                                            exclude_line=exclude_line)
     raw_cal = d.get("calibration_sec")
     cal = _cal(d)
     if cal is None and isinstance(raw_cal, (int, float)) and raw_cal > 0:
@@ -353,8 +444,20 @@ def load(path, era_back=0, exclude_line=None):
               "median) — the one-shot pre-run block measured a "
               "transient, not the run; treated as absent")
         raw_cal = None
-    return d.get("queries", {}), d.get("value"), d.get("runs"), \
-        (cal if cal is not None else raw_cal), _stab(d), line_no
+    return {
+        "queries": d.get("queries", {}),
+        "total": d.get("value"),
+        "runs": d.get("runs"),
+        "cal": cal if cal is not None else raw_cal,
+        "warm_median": _warm_median(d, "calibration_sweeps"),
+        "stab": _stab(d),
+        "line": line_no,
+        # per-query sibling values across the picked record's whole
+        # round/era group — the census a floor-noise check needs (a
+        # "regression" whose new value the OLD group's siblings already
+        # produced, and vice versa, is oscillation, not code)
+        "siblings": [r.get("queries", {}) for r in siblings],
+    }
 
 
 def main():
@@ -385,18 +488,18 @@ def main():
                  and os.path.realpath(args.old)
                  == os.path.realpath(args.new))
     if same_file:
-        print(f"{args.old} on both sides: old = previous era's pick, "
-              "new = latest era's pick")
-    new_q, new_total, new_runs, new_cal, new_stab, new_line = load(
-        args.new)
-    old_q, old_total, old_runs, old_cal, old_stab, _ = load(
-        args.old, era_back=1 if same_file else 0,
-        exclude_line=new_line if same_file else None)
+        print(f"{args.old} on both sides: old = previous round/era "
+              "group's pick, new = latest group's pick")
+    new = load(args.new)
+    old = load(args.old, era_back=1 if same_file else 0,
+               exclude_line=new["line"] if same_file else None)
+    old_q, new_q = old["queries"], new["queries"]
+    old_cal, new_cal = old["cal"], new["cal"]
     # in-run environment stability (round 15+): max/min over the warm
     # interleaved calibration reps. Far from 1 means the machine changed
     # speed DURING that record's sweeps — its per-query medians are
     # ambiguous by roughly that factor, whatever we normalize by.
-    for side, stab in (("old", old_stab), ("new", new_stab)):
+    for side, stab in (("old", old["stab"]), ("new", new["stab"])):
         if stab is not None and stab > STAB_BOUND:
             print(f"WARNING: {side} run's in-sweep calibration swung "
                   f"{stab:.2f}x warm-max/warm-min (unstable machine "
@@ -404,13 +507,30 @@ def main():
                   f"deltas below +/-{stab - 1:.0%} as noise")
     # environment factor: >1 means the NEW machine ran the fixed
     # calibration workload slower, so raw new/old ratios overstate
-    # regressions by this factor — divide it out
-    # non-positive calibration marks a run whose calibration workload
-    # failed (Bench emits -1 there) — treat as absent
+    # regressions by this factor — divide it out.
+    # Source preference (VERDICT r18 #2): the IN-RUN WARM MEDIANS of
+    # the interleaved calibration sweeps when BOTH sides carry them —
+    # the one-shot pre-run scalar carries 40-60% JIT noise by design
+    # and its sub-4x wobble was inverting the sign of flat rounds. The
+    # scalar remains the fallback for pre-sweeps records, and the two
+    # sources are NEVER mixed across sides (warm medians run ~2x
+    # faster than the half-warm pre-run block — a mixed ratio would be
+    # off by the coupling factor itself). Non-positive calibration
+    # marks a run whose calibration workload failed (Bench emits -1
+    # there) — treat as absent.
     env = None
-    if old_cal and new_cal and old_cal > 0 and new_cal > 0 \
-            and not args.no_normalize:
-        env = new_cal / old_cal
+    env_note = None
+    if not args.no_normalize:
+        if old["warm_median"] and new["warm_median"]:
+            env = new["warm_median"] / old["warm_median"]
+            env_note = (f"in-run warm calibration medians "
+                        f"{old['warm_median']:.3f} -> "
+                        f"{new['warm_median']:.3f} s")
+        elif old_cal and new_cal and old_cal > 0 and new_cal > 0:
+            env = new_cal / old_cal
+            env_note = (f"pre-run scalars {old_cal} -> {new_cal} s — "
+                        "a side predates calibration_sweeps; "
+                        "sources never mixed across sides")
     shared = sorted(set(old_q) & set(new_q))
     rows = []
     for name in shared:
@@ -421,13 +541,12 @@ def main():
         rows.append((raw / env if env else raw, raw, name, o, n))
     rows.sort(reverse=True)
 
-    print(f"total: {old_total} s ({old_runs} runs) -> "
-          f"{new_total} s ({new_runs} runs) on "
+    print(f"total: {old['total']} s ({old['runs']} runs) -> "
+          f"{new['total']} s ({new['runs']} runs) on "
           f"{len(shared)} shared queries")
     if env:
-        print(f"calibration: {old_cal} -> {new_cal} s (env factor "
-              f"{env:.2f}x — ratios below are normalized by it; "
-              f"raw in parens)")
+        print(f"calibration: env factor {env:.2f}x from {env_note} — "
+              "ratios below are normalized by it; raw in parens")
     elif args.no_normalize and old_cal and new_cal \
             and old_cal > 0 and new_cal > 0:
         print(f"calibration: {old_cal} -> {new_cal} s (normalization "
@@ -446,7 +565,35 @@ def main():
         tag = f"({raw:.2f}x raw)" if env else ""
         return f"  {name:34s} {o:7.3f} -> {n:7.3f}  ({ratio:.2f}x) {tag}"
 
-    flagged = [r for r in rows if r[0] >= args.threshold]
+    # Sibling-census band (VERDICT r18 #2): a flagged query is
+    # oscillating inside its own noise band — not regressing — when
+    # EITHER census explains the movement: the OLD group's sibling
+    # records (same code as the old pick) already produced medians at
+    # least as slow as the new value, OR the NEW group's siblings
+    # (same code as the new pick) produced medians at least as fast as
+    # the old value. Each clause is independently sufficient: a real
+    # code regression produces values the old code never did and the
+    # new code can't get back under. (The judge's q160 census: 0.49-
+    # 1.35 s across 13 same-code records — floor noise amplified by
+    # the env factor.) Such movers are reported in their own section
+    # with both bands and don't drive the exit code. Requires >= 2
+    # sibling records on the explaining side (explicit @line picks
+    # carry none).
+    def band(side, name):
+        vals = [q[name] for q in side["siblings"]
+                if isinstance(q.get(name), (int, float))]
+        return (min(vals), max(vals)) if len(vals) >= 2 else None
+
+    flagged, noise = [], []
+    for r in rows:
+        if r[0] < args.threshold:
+            continue
+        _, _, name, o, n = r
+        ob, nb = band(old, name), band(new, name)
+        if (ob and n <= ob[1]) or (nb and o >= nb[0]):
+            noise.append((r, ob, nb))
+        else:
+            flagged.append(r)
     improved = [r for r in rows if r[0] <= 1 / args.threshold]
     if flagged:
         print(f"\nREGRESSIONS (>= {args.threshold}x"
@@ -458,6 +605,15 @@ def main():
         print(f"\nno regressions >= {args.threshold}x"
               f"{' normalized' if env else ''} "
               f"(on queries >= {args.min_sec}s)")
+    if noise:
+        print("\nwithin sibling-census band (floor noise, not counted "
+              "as regressions):")
+        for r, ob, nb in noise:
+            obs = f"old siblings {ob[0]:.3f}-{ob[1]:.3f}" if ob else \
+                "old siblings n/a"
+            nbs = f"new siblings {nb[0]:.3f}-{nb[1]:.3f}" if nb else \
+                "new siblings n/a"
+            print(fmt(*r) + f"  [{obs}, {nbs}]")
     if improved:
         print("\nimprovements:")
         for r in improved:

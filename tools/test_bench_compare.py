@@ -24,7 +24,7 @@ TOOL = os.path.join(HERE, "bench_compare.py")
 
 def rec(value, queries=None, cal=0.5, cal_sweeps=None, stab=None,
         io_cal=0.4, io_sweeps=None, io_stab=None, cpu_stab=None,
-        sweep1=None, rev=None, omit=()):
+        sweep1=None, rev=None, round_no=None, omit=()):
     """One synthetic history record. Field omission models eras:
     pass omit=('io_calibration_sec', ...) to write a pre-io record."""
     q = queries or {"q1": value * 0.6, "q2": value * 0.4}
@@ -45,6 +45,8 @@ def rec(value, queries=None, cal=0.5, cal_sweeps=None, stab=None,
         d["sweep1_total_sec"] = sweep1
     if rev is not None:
         d["rev"] = rev
+    if round_no is not None:
+        d["round"] = round_no
     for k in omit:
         d.pop(k, None)
     return d
@@ -170,8 +172,13 @@ def test_decoupled_calibration_quarantined():
     out, _ = run(lines, args=["HIST@0", "HIST"])
     check("decoupled calibration is called out and treated as absent",
           "DECOUPLED" in out, out)
-    check("no env normalization against a decoupled calibration",
-          "env factor" not in out, out)
+    # round 19: both records carry calibration_sweeps, so the env
+    # factor now comes from the in-run warm medians — the decoupled
+    # pre-run scalar stays quarantined, but normalization no longer
+    # dies with it
+    check("normalization survives a decoupled scalar via warm medians",
+          "in-run warm calibration medians" in out
+          and "pre-run scalars" not in out, out)
     check("the quiet-stability record is still pickable",
           picked_lines(out) == [1], out)
     # and its deflated sweep1/io_cal (120/1.7=71) must NOT become the
@@ -222,7 +229,7 @@ def test_single_era_same_file_does_not_self_compare():
     ]
     out, _ = run(lines)
     check("single-era same-file compare warns about the fallback",
-          "WARNING only 1 field-generation era" in out, out)
+          "WARNING only 1 round/era group" in out, out)
     check("old = previous stable record, new = latest (not self)",
           picked_lines(out) == [1, 0], out)
     one = [rec(70.0, stab=1.1, io_stab=1.1, cpu_stab=1.1, sweep1=100.0)]
@@ -263,6 +270,158 @@ def test_unknown_rev_suppressed():
           out)
 
 
+def test_foreign_sf_records_excluded():
+    # a sf0.001 smoke record at the SAME query surface must not join
+    # the candidate set — its ~10x-faster sweep1 would poison the
+    # sibling min and its total could even win the anchor pick
+    common = dict(stab=1.1, io_stab=1.1, cpu_stab=1.1)
+    lines = [
+        rec(70.0, sweep1=100.0, rev="a", round_no=18, **common),
+        rec(7.0, sweep1=10.0, rev="b", round_no=19, **common),
+        rec(72.0, sweep1=104.0, rev="b", round_no=19, **common),
+    ]
+    lines[1]["sf"] = "/root/testdata/sf0.001"
+    out, _ = run(lines)
+    check("a foreign-sf record is not a candidate (no poisoned sibling "
+          "min, anchor picks skip it)",
+          picked_lines(out) == [2, 0]
+          and "possible CODE regression" not in out
+          and "excluded" not in out, out)
+    # the benchline sf is the MAJORITY sf, not the latest record's: a
+    # smoke run appended AFTER the driver record must not hijack the
+    # comparison onto its own sf
+    lines2 = [
+        rec(70.0, sweep1=100.0, rev="a", round_no=18, **common),
+        rec(72.0, sweep1=104.0, rev="b", round_no=19, **common),
+        rec(7.0, sweep1=10.0, rev="b", round_no=19, **common),
+    ]
+    lines2[2]["sf"] = "/root/testdata/sf0.001"
+    out2, _ = run(lines2)
+    check("a trailing foreign-sf smoke record does not hijack the "
+          "benchline sf", picked_lines(out2) == [1, 0]
+          and "ignoring 1 same-surface record(s) at a foreign sf" in out2,
+          out2)
+
+
+def test_round_markers_anchor_field_identical_rounds():
+    # ADVICE r18 #1: two rounds whose Bench versions emit the SAME
+    # field set must still anchor round-over-round, via the explicit
+    # `round` marker — era signatures would collapse them into one
+    # group and reach back a whole era (or hit the single-group
+    # previous-vs-latest fallback)
+    common = dict(stab=1.1, io_stab=1.1, cpu_stab=1.1, sweep1=100.0)
+    lines = [
+        rec(70.0, rev="a1", round_no=18, **common),
+        rec(71.0, rev="a2", round_no=18, **common),
+        rec(73.0, rev="b1", round_no=19, **common),
+        rec(74.0, rev="b2", round_no=19, **common),
+    ]
+    out, _ = run(lines)
+    check("field-identical rounds anchor by round marker (old=r18's "
+          "latest stable, new=r19's)", picked_lines(out) == [3, 1], out)
+    check("the pick note names the round",
+          "round 19 (group 2/2)" in out and "round 18 (group 1/2)" in out,
+          out)
+    check("no single-group fallback warning fires",
+          "WARNING only" not in out, out)
+    # round groups order NUMERICALLY, not by file appearance: a record
+    # from an older round's binary appended late must not become "the
+    # latest round"
+    lines2 = [
+        rec(73.0, rev="b1", round_no=20, **common),
+        rec(70.0, rev="a1", round_no=19, **common),
+    ]
+    out2, _ = run(lines2)
+    check("a late-appended older-round record does not reorder round "
+          "recency", picked_lines(out2) == [0, 1], out2)
+
+
+def test_warm_median_normalization():
+    # VERDICT r18 #2: a +/-20% one-shot pre-run wobble must not flip a
+    # flat round into a normalized regression when both records carry
+    # in-run warm sweeps. Identical queries + identical warm medians,
+    # but the old one-shot scalar reads 0.6 vs the new 0.5 — scalar
+    # normalization would inflate every ratio 1.2x.
+    sweeps = [0.4, 0.2, 0.21, 0.2]
+    q = {"q1": 2.0, "q2": 1.5}
+    lines = [
+        rec(3.5, queries=q, cal=0.6, cal_sweeps=sweeps, sweep1=5.0),
+        rec(3.5, queries=q, cal=0.5, cal_sweeps=sweeps, sweep1=5.0),
+    ]
+    out, code = run(lines, args=["--threshold", "1.15", "HIST@0", "HIST@1"])
+    check("warm medians drive the env factor when both sides have them",
+          "in-run warm calibration medians" in out, out)
+    check("a one-shot wobble no longer flips a flat round into a "
+          "regression", code == 0 and "no regressions" in out, out)
+    # control: with the scalar the same wobble DOES manufacture one
+    no_sweeps = dict(omit=("calibration_sweeps",))
+    lines2 = [
+        rec(3.5, queries=q, cal=0.6, sweep1=5.0, **no_sweeps),
+        rec(3.5, queries=q, cal=0.5, sweep1=5.0, **no_sweeps),
+    ]
+    out2, code2 = run(lines2,
+                      args=["--threshold", "1.15", "HIST@0", "HIST@1"])
+    check("control: scalar normalization still manufactures the 1.2x",
+          code2 == 1 and "pre-run scalars" in out2, out2)
+
+
+def test_normalization_sources_never_mixed():
+    # one side predates calibration_sweeps: warm medians run ~2x
+    # faster than the half-warm pre-run scalar, so mixing a warm
+    # median against a scalar would fake a ~2x env shift — BOTH sides
+    # must fall back to the scalar
+    q = {"q1": 2.0, "q2": 1.5}
+    lines = [
+        rec(3.5, queries=q, cal=0.5, sweep1=5.0,
+            omit=("calibration_sweeps",)),
+        rec(3.5, queries=q, cal=0.5, sweep1=5.0),
+    ]
+    out, code = run(lines, args=["HIST@0", "HIST@1"])
+    check("a sweeps-less side forces the scalar on BOTH sides",
+          "pre-run scalars" in out
+          and "in-run warm calibration medians" not in out, out)
+    check("matched scalars on a flat round stay quiet",
+          code == 0, out)
+
+
+def test_sibling_band_demotes_floor_noise():
+    # the q160 class: a >=1.5x mover whose new value the OLD round's
+    # own siblings already produced (same code!) is oscillation, not
+    # regression — reported in its own section, exit 0
+    common = dict(stab=1.1, io_stab=1.1, cpu_stab=1.1, sweep1=100.0)
+    lines = [
+        rec(10.0, queries={"q1": 0.95, "q2": 5.0}, rev="a",
+            round_no=18, **common),
+        rec(10.0, queries={"q1": 0.50, "q2": 5.0}, rev="a",
+            round_no=18, **common),
+        rec(10.0, queries={"q1": 0.52, "q2": 5.0}, rev="b",
+            round_no=19, **common),
+        rec(10.0, queries={"q1": 0.85, "q2": 5.0}, rev="b",
+            round_no=19, **common),
+    ]
+    out, code = run(lines)
+    check("a mover inside the old group's sibling band is demoted to "
+          "floor noise", code == 0
+          and "within sibling-census band" in out
+          and "q1" in out.split("within sibling-census band")[-1], out)
+    # control: a true regression — the new value exceeds everything the
+    # old code ever produced AND the new code never reaches the old
+    # floor — stays a counted regression
+    lines2 = [
+        rec(10.0, queries={"q1": 0.55, "q2": 5.0}, rev="a",
+            round_no=18, **common),
+        rec(10.0, queries={"q1": 0.50, "q2": 5.0}, rev="a",
+            round_no=18, **common),
+        rec(10.0, queries={"q1": 1.90, "q2": 5.0}, rev="b",
+            round_no=19, **common),
+        rec(10.0, queries={"q1": 2.00, "q2": 5.0}, rev="b",
+            round_no=19, **common),
+    ]
+    out2, code2 = run(lines2)
+    check("a genuine regression outside both sibling bands still exits 1",
+          code2 == 1 and "REGRESSIONS" in out2, out2)
+
+
 def main():
     for t in (test_era_local_sibling_min,
               test_uncorroborated_trip_warns_but_keeps,
@@ -273,7 +432,12 @@ def main():
               test_failed_io_cal_unmeasurable,
               test_single_era_same_file_does_not_self_compare,
               test_realpath_same_file_detection,
-              test_unknown_rev_suppressed):
+              test_unknown_rev_suppressed,
+              test_foreign_sf_records_excluded,
+              test_round_markers_anchor_field_identical_rounds,
+              test_warm_median_normalization,
+              test_normalization_sources_never_mixed,
+              test_sibling_band_demotes_floor_noise):
         print(t.__name__)
         t()
     if FAILS:
