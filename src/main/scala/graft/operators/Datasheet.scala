@@ -150,7 +150,11 @@ object Datasheet {
     * uses), not a precise cliff: estimates inside the error band
     * (bound < est ≤ 1.1× bound) WARN and proceed rather than flip
     * pass/fail on estimator noise, and only a clear overshoot
-    * (> 1.1× bound) throws. Raise the bound knowingly if a bigger
+    * (> 1.1× bound) throws. The band means the EFFECTIVE admit
+    * ceiling is 1.1× the declared bound (computed as an exact
+    * BigDecimal edge — no double rounding at huge bounds); a caller
+    * using the bound as a hard resource cap should declare cap/1.1.
+    * Raise the bound knowingly if a bigger
     * value frame is genuinely wanted, or pass
     * `maxDistinctSizes = Long.MaxValue` to skip the eager guard scan
     * entirely — call-time laziness is then exactly the pre-guard
@@ -174,7 +178,13 @@ object Datasheet {
         "(e.g. floor(col/width)*width preserves concentration shape " +
         "at any width), raise maxDistinctSizes knowingly, or pass " +
         "maxDistinctSizes=Long.MaxValue to skip this eager guard"
-      require(estDistinct <= maxDistinctSizes * 1.1,
+      // exact band arithmetic (ADVICE r18): Long * 1.1 promotes to
+      // Double, which loses integer precision past 2^53 — a caller
+      // raising the bound near Long range would get a band edge off
+      // by ulps. BigDecimal keeps the 1.1x edge exact at any bound.
+      val bandEdge = (BigDecimal(maxDistinctSizes) * BigDecimal("1.1"))
+        .setScale(0, BigDecimal.RoundingMode.CEILING)
+      require(BigDecimal(estDistinct) <= bandEdge,
         s"concentration: sizeCol '$sizeCol' has ~$estDistinct distinct " +
           s"values, over the single-partition window bound " +
           s"maxDistinctSizes=$maxDistinctSizes — the exact-Gini value " +

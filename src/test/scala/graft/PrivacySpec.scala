@@ -109,6 +109,25 @@ class PrivacySpec extends SparkTestBase {
     assert(r.getAs[Long]("n_sensitive") === 2L)
   }
 
+  test("null-twin parity (NullGroupParity helper): suppressToK releases " +
+      "a null-QI group exactly like its named twin") {
+    // the round-19 convention rollout (VERDICT r18 #3): the ad-hoc
+    // null-QI case above stays, and the durable twin pins the whole
+    // contract — group "a" cloned with seg nulled (idCol = None: the
+    // release keeps all rows of a qualifying group, so the full id
+    // set must match row-for-row). A plain equi-join in suppressToK
+    // would release the named twin and silently suppress the null one.
+    val base = Seq(
+      ("a", 10L), ("a", 11L), ("a", 12L), // size 3 >= k: released
+      ("b", 20L)                          // size 1 < k: suppressed
+    ).toDF("seg", "salary")
+    NullGroupParity.assertParity(
+      base, "seg", "a",
+      df => Privacy.suppressToK(df, Seq("seg"), k = 2),
+      sig = half => half.select("salary").collect()
+        .map(_.getLong(0).toString).toSeq)
+  }
+
   test("k=1 never suppresses; audit is repartition-invariant") {
     val s = Privacy.suppressionSummary(rows, Seq("seg"), k = 1)
       .collect().head

@@ -102,6 +102,21 @@ class RetrievalSpec extends SparkTestBase {
       plan.contains("BroadcastExchange"), plan)
   }
 
+  test("the idf broadcast-back survives EXECUTION as a " +
+      "BroadcastHashJoin, never sort-merge (VERDICT r18 #4 pin)") {
+    // the |Q|-row df table joins back against the per-(doc, term) tf
+    // frame — corpus-cardinal on a real corpus. The hinted broadcast
+    // is the whole reason this pass is map-side at 100 TB (PLANS.md);
+    // pin the FINAL adaptive plan so a condition change that demotes
+    // it (the q139 `<=>` lesson) fails a spec, not a scale run.
+    val out = Retrieval.bm25(corpus, "doc_id", "text", terms)
+    val plan = finalPlan(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"idf join not broadcast in the final plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"idf join demoted to SortMergeJoin:\n$plan")
+  }
+
   // ---- rankingEval ----------------------------------------------------
 
   private def evalRuns = Seq(

@@ -141,6 +141,26 @@ class SamplingSpec extends SparkTestBase {
       sig = keptIds)
   }
 
+  test("null-twin parity (NullGroupParity helper): capPerGroup caps a " +
+      "null group exactly like its named twin") {
+    // round-19 convention rollout (VERDICT r18 #3). NOTE the two null
+    // contracts here are different columns: a null KEY is documented
+    // as dropped (uniqueness contract, counted by the observe metric —
+    // the ad-hoc tests below pin that), while a null GROUP is a group
+    // like any other and must be capped identically. Twin ids are
+    // SHIFTED (key uniqueness), so the md5-hash survivor SETS differ
+    // by design — the operator's guarantee between twins is the
+    // per-group kept COUNT (the helper's documented order-by-hash
+    // signature choice).
+    val base = ((1L to 10L).map(i => (i, "a")) ++
+      (101L to 103L).map(i => (i, "b"))).toDF("id", "grp")
+    NullGroupParity.assertParity(
+      base, "grp", "a",
+      df => Sampling.capPerGroup(df, "id", "grp", k = 4),
+      sig = half => Seq(half.count().toString),
+      idCol = Some("id"))
+  }
+
   test("balanceKeepWindow: a NULL label is a class, not a silent drop " +
       "(null-safe join parity with the heap arm); reserved helper " +
       "names fail fast in both arms") {

@@ -204,6 +204,29 @@ class SelectionSpec extends SparkTestBase {
       s"target source should score highest, got $best: $bySrc")
   }
 
+  test("the DSIR scoring join is BROADCAST, never sort-merge " +
+      "(VERDICT r18 #4 pin — the B-row ratio frame must reach every " +
+      "executor, not shuffle the gram explode)") {
+    // the q139-class hazard: the corpus side of scoreAgainst is the
+    // full gram explode (corpus-cardinal × ~2 grams/token); if the
+    // B-row ratio frame's broadcast ever demotes (a null-safe
+    // condition, a lost hint), that explode shuffles — the exact
+    // scale-killer PLANS.md documents this operator avoiding. All
+    // joins in the chain carry bounded sides (the B-row grid frames,
+    // the hinted ratio frame), so the pin is global: zero
+    // SortMergeJoin in the FINAL adaptive plan, and the scoring join
+    // visible as a BroadcastHashJoin.
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val target = docs.filter(col("source") === "src13").select("text")
+    val out = Selection.importanceWeights(docs, target, "doc_id", "text",
+      numBuckets = 64)
+    val plan = finalPlan(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"no broadcast join in the scoring chain:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a bounded-side join demoted to SortMergeJoin:\n$plan")
+  }
+
   test("importanceWeightsShared is row-identical to the lazy frame " +
       "and feeds both select and sample consumers") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")

@@ -7,6 +7,17 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.session
   def sf001 = "/root/testdata/sf0.001"
+
+  /** The FINAL adaptive plan string of an executed frame (the
+    * BoilerplateSpec plan-pin recipe, VERDICT r18 #4): collect() first
+    * so AQE finishes re-planning, then drop the "== Initial Plan =="
+    * section — asserts against the initial plan would pass/fail on
+    * what AQE later replaced. */
+  def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+  }
 }
 
 object SparkTestBase {
