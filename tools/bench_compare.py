@@ -364,11 +364,13 @@ def _pick_record(path, n_lines, cand, era_back=0, exclude_line=None):
 def load(path, era_back=0, exclude_line=None):
     """Load one bench record. `path` may carry an explicit line pick
     (`bench_history.jsonl@49`, 0-based). For a multi-line history file
-    with no explicit pick, records are grouped into "rounds" by query
-    surface (the set of query names — each round's board is fixed while
-    rounds only grow it), then by field-generation ERA within the LAST
-    surface, and _pick_record chooses the comparable record of the era
-    `era_back` steps behind the latest (0 = latest): a record whose
+    with no explicit pick, candidates are the records at the LAST
+    record's query surface (the set of query names — each round's
+    board is fixed while rounds only grow it) and the majority sf
+    there, grouped by the explicit `round` marker (era signature for
+    pre-marker records), and _pick_record chooses the comparable
+    record of the group `era_back` steps behind the latest
+    (0 = latest): a record whose
     in-sweep calibration swung past STAB_BOUND measured a machine
     changing speed under it, so diffing it round-over-round inherits
     that ambiguity (three of round 15's five records were flagged; the
@@ -452,11 +454,14 @@ def load(path, era_back=0, exclude_line=None):
         "warm_median": _warm_median(d, "calibration_sweeps"),
         "stab": _stab(d),
         "line": line_no,
-        # per-query sibling values across the picked record's whole
-        # round/era group — the census a floor-noise check needs (a
-        # "regression" whose new value the OLD group's siblings already
-        # produced, and vice versa, is oscillation, not code)
+        # per-query (and total) sibling values across the picked
+        # record's whole round/era group — the census a floor-noise
+        # check needs (a "regression" whose new value the OLD group's
+        # siblings already produced, and vice versa, is oscillation,
+        # not code)
         "siblings": [r.get("queries", {}) for r in siblings],
+        "sibling_totals": [r["value"] for r in siblings
+                           if isinstance(r.get("value"), (int, float))],
     }
 
 
@@ -541,8 +546,24 @@ def main():
         rows.append((raw / env if env else raw, raw, name, o, n))
     rows.sort(reverse=True)
 
+    tot_note = ""
+    if isinstance(old["total"], (int, float)) and \
+            isinstance(new["total"], (int, float)) and old["total"] > 0:
+        t = new["total"] / old["total"]
+        tot_note = (f" ({t:.2f}x raw" +
+                    (f", {t / env:.2f}x normalized)" if env else ")"))
+        # the total is the sum of the same oscillating floors the
+        # per-query census covers — apply the same one-sided checks
+        ot, nt = old["sibling_totals"], new["sibling_totals"]
+        if (len(ot) >= 2 and new["total"] <= max(ot)) or \
+                (len(nt) >= 2 and old["total"] >= min(nt)):
+            tot_note += (" [within sibling-census band: old totals " +
+                         (f"{min(ot):.1f}-{max(ot):.1f}" if len(ot) >= 2
+                          else "n/a") + ", new " +
+                         (f"{min(nt):.1f}-{max(nt):.1f}" if len(nt) >= 2
+                          else "n/a") + "]")
     print(f"total: {old['total']} s ({old['runs']} runs) -> "
-          f"{new['total']} s ({new['runs']} runs) on "
+          f"{new['total']} s ({new['runs']} runs){tot_note} on "
           f"{len(shared)} shared queries")
     if env:
         print(f"calibration: env factor {env:.2f}x from {env_note} — "
