@@ -1105,6 +1105,26 @@ class DedupSpec extends SparkTestBase {
     assert(got2 === got)
   }
 
+  test("null-twin parity (NullGroupParity helper): dupRateByGroup " +
+      "reports a null group exactly like its named twin") {
+    // round-19 rollout: the per-source dup report's group column is
+    // nullable by contract (a doc with no source still counts). The
+    // twin's texts are byte-identical to the named group's, so copy
+    // counts combine across the twin pair symmetrically — both rows
+    // must agree on every reported number.
+    val base = Seq(
+      (1L, "a", "dup text"), (2L, "a", "dup text"),   // in-group dup
+      (3L, "a", "unique one"),
+      (4L, "b", "other text")
+    ).toDF("doc_id", "source", "text")
+    NullGroupParity.assertParity(
+      base, "source", "a",
+      df => Dedup.dupRateByGroup(df, "source", "text"),
+      sig = half => half.select("n_docs", "n_dup_docs", "n_dup_groups",
+          "dup_rate")
+        .collect().map(_.toSeq.mkString(",")).toSeq)
+  }
+
   test("null-twin parity: crossSourceDupMatrix's <null> source row " +
       "carries the same cells as its named twin") {
     // round-19 convention rollout (VERDICT r18 #3). The helper's

@@ -331,6 +331,33 @@ class MixingSpec extends SparkTestBase {
       idCol = Some("doc_id"))
   }
 
+  test("materializeMixture's frame joins stay BROADCAST under the " +
+      "null-safe conditions, never sort-merge (VERDICT r18 #4 pin)") {
+    // every join in the chain carries a |sources|-bounded side (the
+    // budget keep-list, the perSrc/kept report frames) under explicit
+    // broadcast hints WITH `<=>` conditions — the hinted form keeps
+    // BroadcastHashJoin (EqualNullSafe extracts as an equi-key);
+    // losing a hint would shuffle the corpus side on every epoch cut
+    val docs = (1 to 200).map(i =>
+      (Seq("a", "b")(i % 2), i.toLong, 10L)).toDF("source", "doc_id", "tok")
+    val weights = Seq(("a", 0.5), ("b", 0.5)).toDF("source", "weight")
+    val out = Mixing.materializeMixture(docs, "source", "doc_id",
+      col("tok"), weights, budget = 500L, maxEpochs = 1.0)
+    val plan = finalPlan(out)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"no broadcast join in the mixture chain:\n$plan")
+    // the ONE non-broadcast join allowed is the documented FullOuter
+    // of the two |sources|-row frames (perSrc vs weights — full outer
+    // can't broadcast); any other join shape demoting is the hazard
+    val demoted = plan.linesIterator
+      .filter(l => l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin"))
+      .filterNot(_.contains("FullOuter")).toSeq
+    assert(demoted.isEmpty,
+      s"a frame join demoted to a shuffle join:\n${demoted.mkString("\n")}" +
+        s"\n--- full plan:\n$plan")
+  }
+
   test("materializeMixture keeps a PLANNED source with zero corpus " +
       "docs visible as an all-zero reconciliation row") {
     val docs = Seq(("a", Some(1L), 10L), ("a", Some(2L), 10L))
