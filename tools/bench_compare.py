@@ -458,10 +458,19 @@ def load(path, era_back=0, exclude_line=None):
         # record's whole round/era group — the census a floor-noise
         # check needs (a "regression" whose new value the OLD group's
         # siblings already produced, and vice versa, is oscillation,
-        # not code)
-        "siblings": [r.get("queries", {}) for r in siblings],
+        # not code). Each sibling carries its rev: the NEW-side band
+        # clause must only count same-rev-as-pick siblings, or a
+        # mid-round regression would be masked by that round's own
+        # PRE-regression records (round-19 review catch).
+        "rev": d.get("rev"),
+        "siblings": [{"queries": r.get("queries", {}),
+                      "rev": r.get("rev")} for r in siblings],
         "sibling_totals": [r["value"] for r in siblings
                            if isinstance(r.get("value"), (int, float))],
+        "sibling_totals_same_rev": [
+            r["value"] for r in siblings
+            if isinstance(r.get("value"), (int, float))
+            and r.get("rev") is not None and r.get("rev") == d.get("rev")],
     }
 
 
@@ -554,7 +563,10 @@ def main():
                     (f", {t / env:.2f}x normalized)" if env else ")"))
         # the total is the sum of the same oscillating floors the
         # per-query census covers — apply the same one-sided checks
-        ot, nt = old["sibling_totals"], new["sibling_totals"]
+        # (new-side clause restricted to same-rev siblings, like the
+        # per-query band)
+        ot = old["sibling_totals"]
+        nt = new["sibling_totals_same_rev"]
         if (len(ot) >= 2 and new["total"] <= max(ot)) or \
                 (len(nt) >= 2 and old["total"] >= min(nt)):
             tot_note += (" [within sibling-census band: old totals " +
@@ -588,21 +600,29 @@ def main():
 
     # Sibling-census band (VERDICT r18 #2): a flagged query is
     # oscillating inside its own noise band — not regressing — when
-    # EITHER census explains the movement: the OLD group's sibling
-    # records (same code as the old pick) already produced medians at
-    # least as slow as the new value, OR the NEW group's siblings
-    # (same code as the new pick) produced medians at least as fast as
-    # the old value. Each clause is independently sufficient: a real
-    # code regression produces values the old code never did and the
-    # new code can't get back under. (The judge's q160 census: 0.49-
-    # 1.35 s across 13 same-code records — floor noise amplified by
-    # the env factor.) Such movers are reported in their own section
-    # with both bands and don't drive the exit code. Requires >= 2
-    # sibling records on the explaining side (explicit @line picks
-    # carry none).
-    def band(side, name):
-        vals = [q[name] for q in side["siblings"]
-                if isinstance(q.get(name), (int, float))]
+    # EITHER census explains the movement:
+    #  - the OLD group's sibling records already produced medians at
+    #    least as slow as the new value. Sound unconditionally: every
+    #    old-group record predates the new round's code, so the new
+    #    median is a value the OLD code reached on its own;
+    #  - the NEW group's SAME-REV-as-pick siblings produced medians at
+    #    least as fast as the old value — i.e. the exact code being
+    #    judged also reached the old floor. Restricting to the pick's
+    #    rev matters (round-19 review catch): a whole-group clause
+    #    would let a round's own PRE-regression records mask a
+    #    mid-round regression. Revless records never satisfy it.
+    # (The judge's q160 census: 0.49-1.35 s across 13 same-code
+    # records — floor noise amplified by the env factor.) Demoted
+    # movers are reported in their own section with both bands and
+    # don't drive the exit code. Requires >= 2 sibling records on the
+    # explaining side (explicit @line picks carry none).
+    def band(side, name, same_rev=False):
+        sibs = side["siblings"]
+        if same_rev:
+            sibs = [s for s in sibs if s.get("rev") is not None
+                    and s["rev"] == side["rev"]]
+        vals = [s["queries"][name] for s in sibs
+                if isinstance(s["queries"].get(name), (int, float))]
         return (min(vals), max(vals)) if len(vals) >= 2 else None
 
     flagged, noise = [], []
@@ -610,7 +630,8 @@ def main():
         if r[0] < args.threshold:
             continue
         _, _, name, o, n = r
-        ob, nb = band(old, name), band(new, name)
+        ob = band(old, name)
+        nb = band(new, name, same_rev=True)
         if (ob and n <= ob[1]) or (nb and o >= nb[0]):
             noise.append((r, ob, nb))
         else:

@@ -420,6 +420,26 @@ def test_sibling_band_demotes_floor_noise():
     out2, code2 = run(lines2)
     check("a genuine regression outside both sibling bands still exits 1",
           code2 == 1 and "REGRESSIONS" in out2, out2)
+    # the NEW-side clause only counts siblings at the PICK's rev: a
+    # round's own pre-regression records (earlier rev, fast q1) must
+    # not mask a mid-round regression the later rev introduced
+    lines3 = [
+        rec(10.0, queries={"q1": 0.52, "q2": 5.0}, rev="a",
+            round_no=18, **common),
+        rec(10.0, queries={"q1": 0.50, "q2": 5.0}, rev="a",
+            round_no=18, **common),
+        rec(10.0, queries={"q1": 0.51, "q2": 5.0}, rev="b1",
+            round_no=19, **common),   # pre-regression commit
+        rec(10.0, queries={"q1": 0.53, "q2": 5.0}, rev="b1",
+            round_no=19, **common),
+        rec(10.0, queries={"q1": 2.00, "q2": 5.0}, rev="b2",
+            round_no=19, **common),   # the regressing commit's record
+    ]
+    out3, code3 = run(lines3)
+    check("a round's own pre-regression records cannot mask a "
+          "mid-round regression (same-rev new-side clause)",
+          code3 == 1 and "REGRESSIONS" in out3
+          and "q1" in out3.split("REGRESSIONS")[-1], out3)
 
 
 def main():
