@@ -467,10 +467,15 @@ def load(path, era_back=0, exclude_line=None):
                       "rev": r.get("rev")} for r in siblings],
         "sibling_totals": [r["value"] for r in siblings
                            if isinstance(r.get("value"), (int, float))],
+        # "unknown" is Bench's can't-resolve-git sentinel, not an
+        # identity — two unknown-rev records may be different code, so
+        # they never satisfy the same-rev clause (the rev-pair warning
+        # convention, applied here too)
         "sibling_totals_same_rev": [
             r["value"] for r in siblings
             if isinstance(r.get("value"), (int, float))
-            and r.get("rev") is not None and r.get("rev") == d.get("rev")],
+            and r.get("rev") not in (None, "unknown")
+            and r.get("rev") == d.get("rev")],
     }
 
 
@@ -619,7 +624,9 @@ def main():
     def band(side, name, same_rev=False):
         sibs = side["siblings"]
         if same_rev:
-            sibs = [s for s in sibs if s.get("rev") is not None
+            # "unknown" is a sentinel, not an identity (see load())
+            sibs = [s for s in sibs
+                    if s.get("rev") not in (None, "unknown")
                     and s["rev"] == side["rev"]]
         vals = [s["queries"][name] for s in sibs
                 if isinstance(s["queries"].get(name), (int, float))]

@@ -440,6 +440,15 @@ def test_sibling_band_demotes_floor_noise():
           "mid-round regression (same-rev new-side clause)",
           code3 == 1 and "REGRESSIONS" in out3
           and "q1" in out3.split("REGRESSIONS")[-1], out3)
+    # rev="unknown" is a sentinel, not an identity: two unknown-rev
+    # records must not satisfy the same-rev clause for each other
+    lines4 = [rec(10.0, queries={"q1": 0.52, "q2": 5.0}, rev="a",
+                  round_no=18, **common)] + [
+        rec(10.0, queries={"q1": v, "q2": 5.0}, rev="unknown",
+            round_no=19, **common) for v in (0.50, 0.51, 2.00)]
+    out4, code4 = run(lines4)
+    check("unknown revs never satisfy the same-rev clause",
+          code4 == 1 and "REGRESSIONS" in out4, out4)
 
 
 def main():
