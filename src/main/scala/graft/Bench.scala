@@ -65,6 +65,25 @@ object Bench {
       // default 100-entry cache evicts the MinHash-chain classes between
       // q57 and q96, re-paying multi-second Janino compiles mid-run.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // AQE partition-coalescing floor (round 20, guide §2.2/§2.5): the
+      // default 1 MB minPartitionSize is a BYTE heuristic, but this
+      // engine's text/LSH stages cost 100-1000x their shuffle bytes in
+      // CPU (a 0.6 MB signature exchange feeds shingling + band hashing
+      // + pair verify), so byte-based coalescing collapsed them to ONE
+      // task while 31 cores idled — StageProfile r20: q157's verify
+      // chain ran as a single 1.7 s task. A smaller floor lets
+      // parallelismFirst actually use the cores; at production scale
+      // partitions are orders of magnitude above either floor, so the
+      // setting is a no-op there (scale-adaptive by construction).
+      // 256k is the measured sweet spot of a 1m/256k/128k/64k sweep
+      // (6-run warm medians, same box): q157 2.39→1.47→1.16→0.92 but
+      // the task-launch overhead inverts on short exchange-light
+      // queries below 256k (q42 0.49→0.45→0.49→0.62, q172
+      // 1.60→1.40→1.56→2.19), so 256k keeps the dense-stage win
+      // without a tail regression. Env-overridable so the driver's
+      // scaling sweep stays in control.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "256k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     silenceKnownBoundedWindowWarn()

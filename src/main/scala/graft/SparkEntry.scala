@@ -3283,16 +3283,27 @@ object SparkEntry {
       val o = t(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"), col("o_custkey"))
+      // Numeric node encoding (round 20, guide §2.3 "narrower types"):
+      // the 'S'/'C' namespaces ride as even/odd longs (suppkey·2,
+      // custkey·2+1) so every distinct/join/groupBy in the chain hashes
+      // and compares 8-byte longs instead of strings; the string ids are
+      // reconstructed only for the 20 output rows. The encoding is
+      // injective → identical node set, edge set, outdeg and node count
+      // → identical exact-DECIMAL mass sums and IEEE rank arithmetic:
+      // ranks bit-identical, oracle hash unchanged (re-gated r20).
       val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("S"), col("l_suppkey")).as("src"),
-          concat(lit("C"), col("o_custkey")).as("dst"))
+        .select((col("l_suppkey").cast("long") * 2).as("src"),
+          (col("o_custkey").cast("long") * 2 + 1).as("dst"))
       // truncateEvery = 3: the 3-round chain fuses into ONE action (the
       // rank recurrence is linear, so nothing recomputes); measured
       // ~8-10 % off the median vs per-iteration localCheckpoint, ranks
       // bit-identical (SCALING.md round 13)
       graft.operators.Graph.pagerank(edges, iterations = 3, damping = 0.85,
         truncateEvery = 3)
-        .select(col("id"), round(col("pr"), 9).as("pr"))
+        .select(
+          concat(when(col("id") % 2 === 0, lit("S")).otherwise(lit("C")),
+            shiftright(col("id"), 1)).as("id"),
+          round(col("pr"), 9).as("pr"))
         .orderBy(col("pr").desc, col("id")).limit(20)
     },
     Some("""WITH edges AS (

@@ -33,6 +33,9 @@ object StageProfile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT", "128m"))
+      // match Bench's AQE coalescing floor so profiles see bench plans
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "256k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val taskMs = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()

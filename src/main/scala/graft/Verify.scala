@@ -24,6 +24,10 @@ object Verify {
       // drops write timestamp[us]. operators.EventTime dispatches on the
       // actual type, so this conf is harmless-but-required dual support.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same AQE coalescing floor as Bench (see the note there): verify
+      // must execute the same plans the bench times
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "256k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Bench.silenceKnownBoundedWindowWarn()

@@ -85,28 +85,43 @@ object Graph {
     // pins parity and the same one-row-broadcast plan shape.
     val nTot = nodes.agg(count(lit(1)).as("__n"))
     // outdeg folded into the edge table ONCE — it is loop-invariant, so
-    // joining it inside the loop would re-pay a join per iteration
+    // joining it inside the loop would re-pay a join per iteration. The
+    // one-row node total rides along so per-iteration arithmetic needs
+    // no extra broadcast join inside the loop.
     val eo = e.join(
         e.groupBy(col("src")).agg(count(lit(1)).as("__odeg")), Seq("src"))
+      .crossJoin(broadcast(nTot))
       .cache()
-    var pr = nodes.crossJoin(broadcast(nTot))
-      .select(col("id"), (lit(1.0) / col("__n")).as("pr"))
+    // Iteration state is the DST-KEYED MASS frame, not the node-wide
+    // rank frame (round 20): pr_i(v) = (1−d)/n + d·mass_i(v) with
+    // mass_i(v) = 0 for v outside the in-degree set, so the node-wide
+    // left join that materialized pr_i per iteration carried no
+    // information the next iteration's edge join could not reconstruct
+    // from mass_i alone. Folding pr_i's arithmetic into the edge pass
+    // (eo ⟕ mass on src, then the SAME double ops per edge row) removes
+    // one exchange + one AQE stage round-trip per iteration — at scale,
+    // one node-set-sized shuffle per iteration — and the nodes frame is
+    // joined exactly once, at the end. Per-edge IEEE ops are unchanged
+    // ((1−d)/n + d·coalesce(mass, 0), then /odeg, then the exact
+    // DECIMAL(28,18) mass sum), so ranks stay bit-identical — GraphSpec
+    // replays hand-computed values and cross-arm equality.
+    def prAtSrc(iter: Int): Column =
+      if (iter == 0) lit(1.0) / col("__n") // initial rank 1/n
+      else (lit(1.0 - damping) / col("__n")) +
+        lit(damping) * coalesce(col("__mass"), lit(0.0))
+    var mass: DataFrame = null
     var iter = 0
     while (iter < iterations) {
-      val mass = eo
-        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+      val joined =
+        if (iter == 0) eo
+        else eo.join(mass.withColumnRenamed("id", "src"), Seq("src"), "left")
+      val next = joined
         .select(col("dst").as("id"),
-          (col("pr") / col("__odeg")).cast("decimal(28,18)").as("__c"))
+          (prAtSrc(iter) / col("__odeg")).cast("decimal(28,18)").as("__c"))
         .groupBy(col("id"))
         .agg(sum(col("__c")).cast("double").as("__mass"))
-      val next = nodes.join(mass, Seq("id"), "left")
-        .crossJoin(broadcast(nTot))
-        .select(col("id"),
-          ((lit(1.0 - damping) / col("__n")) +
-            lit(damping) * coalesce(col("__mass"), lit(0.0)))
-            .as("pr"))
       iter += 1
-      // The rank chain is LINEAR (pr_i feeds exactly one mass_{i+1}),
+      // The mass chain is LINEAR (mass_i feeds exactly one mass_{i+1}),
       // so an untruncated stretch re-derives nothing — its cost is plan
       // DEPTH, not recompute. Truncation is therefore periodic: each
       // eager (local)checkpoint is a full Spark ACTION (AQE planning,
@@ -116,11 +131,27 @@ object Graph {
       // lineage must fit the driver). truncateEvery=1 keeps the classic
       // every-iteration cut; a small period (3-5) amortizes the action
       // cost ~period-fold and fuses the in-between rounds into one job.
-      // The FINAL frame is always truncated: the invariant caches are
-      // released below, so the returned frame must not re-derive them.
-      pr = if (iter == iterations || iter % truncateEvery == 0) truncate(next)
-           else next
+      // Mid-chain cuts happen on the mass frame (in-degree-set-sized,
+      // 2 columns — strictly smaller than the node-wide rank frame).
+      mass = if (iter < iterations && iter % truncateEvery == 0)
+        truncate(next)
+      else next
     }
+    // One node-wide pass at the end reconstructs pr for every node,
+    // including isolated sources that never receive mass. The FINAL
+    // frame is always truncated: the invariant caches are released
+    // below, so the returned frame must not re-derive them.
+    val pr =
+      if (iterations == 0)
+        nodes.crossJoin(broadcast(nTot))
+          .select(col("id"), (lit(1.0) / col("__n")).as("pr"))
+      else truncate(
+        nodes.join(mass, Seq("id"), "left")
+          .crossJoin(broadcast(nTot))
+          .select(col("id"),
+            ((lit(1.0 - damping) / col("__n")) +
+              lit(damping) * coalesce(col("__mass"), lit(0.0)))
+              .as("pr")))
     e.unpersist(); nodes.unpersist(); eo.unpersist()
     pr
   }
