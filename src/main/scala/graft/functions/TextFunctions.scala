@@ -260,6 +260,26 @@ object TextFunctions {
         org.apache.spark.sql.graftshim.Shims.expression(a),
         org.apache.spark.sql.graftshim.Shims.expression(b)))
 
+  /** [[jaccardFast]] for arrays the caller has already array_sort'ed
+    * (and made distinct): linear merge, no per-pair hash set — the
+    * exact-similarity-join verify primitive, where the sort is paid
+    * once per doc and the merge once per candidate pair. Value- and
+    * null-identical to [[jaccardFast]] on such inputs. */
+  def jaccardSortedFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.Shims.column(
+      JaccardSortedSimilarity(
+        org.apache.spark.sql.graftshim.Shims.expression(a),
+        org.apache.spark.sql.graftshim.Shims.expression(b)))
+
+  /** |a ∩ b| (long) over sorted distinct string arrays via the same
+    * merge — the directed-containment verify's numerator without
+    * materializing array_intersect. */
+  def intersectCountSorted(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.Shims.column(
+      IntersectCountSorted(
+        org.apache.spark.sql.graftshim.Shims.expression(a),
+        org.apache.spark.sql.graftshim.Shims.expression(b)))
+
   /** Character n-gram shingles of the normalized text. */
   def charShingles(text: Column, n: Int): Column = {
     val norm = trim(regexp_replace(lower(text), "\\s+", " "))

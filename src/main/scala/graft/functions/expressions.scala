@@ -558,6 +558,40 @@ object JaccardUtil {
     }
     java.lang.Double.valueOf(inter.toDouble / (na + nb - inter).toDouble)
   }
+
+  /** |A∩B| over two SORTED element-distinct string arrays, by linear
+    * merge — zero allocations beyond the UTF8String views the array
+    * accessor already creates, no hash table (round-20: the HashSet
+    * build dominated the verify hot loop at ~10⁵-10⁶ pairs per query).
+    * Sortedness is the CALLER's contract (array_sort once per doc,
+    * amortized over every pair the doc appears in); order only has to
+    * be consistent between the two sides, and UTF8String.compareTo is
+    * exactly array_sort's string ordering. Intersection cardinality is
+    * order-invariant, so values are bit-identical to the hash form. */
+  def interSorted(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  /** [[compute]] for pre-SORTED distinct arrays: same value, same null
+    * contract (both-empty → null), merge instead of hash. */
+  def computeSorted(a: ArrayData, b: ArrayData): Any = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na + nb == 0) return null
+    val inter = interSorted(a, b)
+    java.lang.Double.valueOf(inter.toDouble / (na + nb - inter).toDouble)
+  }
 }
 
 /** Exact Jaccard similarity of two distinct-element `array<string>`
@@ -601,6 +635,91 @@ case class JaccardSimilarity(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaccardSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[JaccardSimilarity]] over arrays the caller has ALREADY sorted
+  * (array_sort) and made element-distinct: linear merge instead of a
+  * per-pair hash set (see [[JaccardUtil.computeSorted]]). Used by the
+  * exact similarity joins, where each doc's set is materialized once
+  * and compared against many partners — the sort is paid per doc, the
+  * allocation-free merge per pair. Value- and null-identical to
+  * [[JaccardSimilarity]] on such inputs. */
+case class JaccardSortedSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"jaccard_sorted_similarity requires array<string> inputs, " +
+        s"got ${left.dataType.sql} / ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    JaccardUtil.computeSorted(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("jres")
+      s"""
+         |Object $res = graft.functions.JaccardUtil.computeSorted($a, $b);
+         |if ($res == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ((java.lang.Double) $res).doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSortedSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** |A∩B| of two SORTED element-distinct string arrays as a codegen'd
+  * long — the directed-containment verify primitive (|a∩b| / |a|),
+  * merge-based like [[JaccardSortedSimilarity]]. Nulls propagate
+  * (nullIntolerant); both-empty yields 0 (the caller divides by |a|,
+  * which it guards). */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"intersect_count_sorted requires array<string> inputs, " +
+        s"got ${left.dataType.sql} / ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Long.valueOf(JaccardUtil.interSorted(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]).toLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (long) graft.functions.JaccardUtil.interSorted($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCountSorted =
     copy(left = newLeft, right = newRight)
 }
 

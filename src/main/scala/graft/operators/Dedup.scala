@@ -342,6 +342,12 @@ object Dedup {
       .join(texts.withColumnRenamed("__id", "id_b")
         .withColumnRenamed("__txt", "__txt_b"), Seq("id_b"))
       .withColumn("jaccard",
+        // deliberately the HASH form: here the sets are built per PAIR
+        // (tokenize after the candidate join), so a sorted-merge would
+        // pay its array_sort per pair too — measured LOSS (round-20 A/B:
+        // q157 1.36 → 1.68 s). The sorted-merge verify wins only where
+        // the sort is amortized per doc (Fuzzy's materialized set
+        // frames).
         TextFunctions.jaccardFast(
           TextFunctions.shinglesFast(col("__txt_a"), shingleSize),
           TextFunctions.shinglesFast(col("__txt_b"), shingleSize)))

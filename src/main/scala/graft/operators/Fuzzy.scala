@@ -119,10 +119,12 @@ object Fuzzy {
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    // sorted sets: the verify merge-intersects per pair (see
+    // jaccardSelfJoin's note); every consumer here is order-insensitive
     val l = left.select(col(idCol).as("id_a"),
-      array_distinct(col(setCol)).as("__set_a"))
+      array_sort(array_distinct(col(setCol))).as("__set_a"))
     val r = right.select(col(idCol).as("id_b"),
-      array_distinct(col(setCol)).as("__set_b"))
+      array_sort(array_distinct(col(setCol))).as("__set_b"))
 
     // global token order: (df over both sides, token) — any consistent
     // total order is correct; rarity-first minimizes candidates
@@ -188,8 +190,14 @@ object Fuzzy {
     // `col("id") >= 0` on non-negative ids) still takes the selective
     // arm — pass `lit(true)` when you mean the whole corpus.
     val selectiveSlice = !isStaticallyTrue(sets, leftPred)
+    // sets ride SORTED (round 20): the verify's per-pair intersection
+    // then runs as an allocation-free linear merge (jaccardSortedFast)
+    // instead of building a hash set per candidate pair — the sort is
+    // paid once per doc, the merge once per pair, and every downstream
+    // consumer here (size, explode→groupBy, the rarity carve) is
+    // order-insensitive, so answers are bit-identical.
     val r = sets.select(col(idCol).as("id_b"),
-      array_distinct(col(setCol)).as("__set_b"))
+      array_sort(array_distinct(col(setCol))).as("__set_b"))
     // whole-corpus rarity: map-side-combined frequency aggregate (left
     // docs are a subset of r, so counting r once is the single-corpus df)
     val tokenDf = r.select(explode(col("__set_b")).as("__t"))
@@ -275,7 +283,7 @@ object Fuzzy {
       s"threshold must be in (0, 1], got $threshold")
     val selectiveSlice = !isStaticallyTrue(sets, leftPred)
     val r = sets.select(col(idCol).as("id_b"),
-      array_distinct(col(setCol)).as("__set_b"))
+      array_sort(array_distinct(col(setCol))).as("__set_b"))
     val tokenDf = r.select(explode(col("__set_b")).as("__t"))
       .groupBy(col("__t"))
       .agg(count(lit(1)).as("__df"))
@@ -285,7 +293,7 @@ object Fuzzy {
     // so filtering first pushes the predicate into the scan
     val lBase = if (selectiveSlice) sets.filter(leftPred) else sets
     val lSets = lBase.select(col(idCol).as("id_a"),
-      array_distinct(col(setCol)).as("__set_a"))
+      array_sort(array_distinct(col(setCol))).as("__set_a"))
     val lp = prefixes(lSets, "id_a", "__set_a", tokenDf, threshold,
       pinFanout = selectiveSlice)
     // corpus-side FLAT postings: no carve — (id_b, n_b, token)
@@ -307,7 +315,9 @@ object Fuzzy {
       .join(r, Seq("id_b"))
       .join(lSets, Seq("id_a"))
       .withColumn("containment",
-        size(array_intersect(col("__set_a"), col("__set_b"))).cast("double") /
+        // sorted-distinct sides: merge count == size(array_intersect)
+        graft.functions.TextFunctions.intersectCountSorted(
+          col("__set_a"), col("__set_b")).cast("double") /
           size(col("__set_a")).cast("double"))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
@@ -508,7 +518,9 @@ object Fuzzy {
       .join(r, Seq("id_b"))
       .join(l, Seq("id_a"))
       .withColumn("jaccard",
-        graft.functions.TextFunctions.jaccardFast(
+        // both sides are the sorted-distinct set frames built above —
+        // the merge form is exact there (see jaccardSelfJoin's r)
+        graft.functions.TextFunctions.jaccardSortedFast(
           col("__set_a"), col("__set_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -90,8 +90,16 @@ object RaterAgreement {
       .select(col("m").as("modal_m"))
     val kept = perItem.join(broadcast(modal), col("m") === col("modal_m"))
     // category marginals over kept items only (rejoin through the
-    // contingency frame so dropped items don't skew P_e)
-    val keptCt = ct.join(kept.select(col("item")), Seq("item"))
+    // contingency frame so dropped items don't skew P_e). The id
+    // projection references sum_sq unfoldably (always ≥ 1: Σn² ≥ Σn ≥ 1)
+    // so THIS consumer's perItem subtree stays IDENTICAL to itemTot's
+    // and rides the same exchange — a bare select(item) pruned sum_sq
+    // out of the aggregate and re-shuffled the whole per-item frame
+    // through a second, structurally different exchange (round-20 plan
+    // audit: Exchange hashpartitioning(item) twice; the q95 pruning
+    // trap, join-side flavor).
+    val keptCt = ct.join(
+      kept.filter(col("sum_sq") >= 1).select(col("item")), Seq("item"))
     val catTot = keptCt.groupBy(col("cat"))
       .agg(sum(col("n")).as("nj"))
       .agg(count(lit(1)).as("n_categories"),
@@ -181,8 +189,13 @@ object RaterAgreement {
       sum(((col("m") * col("m") - col("sum_sq")).cast("double") /
         (col("m") - 1).cast("double")).cast("decimal(28,10)"))
         .as("do_n"))
-    // category marginals over pairable items only
-    val margin = ct.join(perItem.select(col("item")), Seq("item"))
+    // category marginals over pairable items only. sum_sq referenced
+    // unfoldably (Σn² ≥ Σn = m ≥ 2 ⇒ always ≥ 1) so this consumer's
+    // perItem subtree matches obs's and shares its exchange instead of
+    // re-aggregating + re-shuffling the per-item frame (the same
+    // round-20 pruned-copy fix as fleissKappa's keptCt).
+    val margin = ct.join(
+        perItem.filter(col("sum_sq") >= 1).select(col("item")), Seq("item"))
       .groupBy(col("cat")).agg(sum(col("n")).as("nc"))
       .agg(sum(col("nc").cast("decimal(38,0)") *
         col("nc").cast("decimal(38,0)")).as("sum_nc_sq"))

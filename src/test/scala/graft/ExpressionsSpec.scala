@@ -111,6 +111,52 @@ class ExpressionsSpec extends SparkTestBase {
       assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("sorted-merge Jaccard/intersect equal the hash and declarative " +
+    "forms on sorted inputs (round-20 verify primitive)") {
+    val rng = new scala.util.Random(23)
+    val vocab = (0 until 14).map(i => s"tok$i")
+    val rows = (0 until 300).map { i =>
+      def set() = rng.shuffle(vocab).take(rng.nextInt(vocab.size + 1))
+      (i.toLong, set(), set())
+    }
+    val df = rows.toDF("id", "ra", "rb")
+      .select(col("id"),
+        array_sort(array_distinct(col("ra"))).as("a"),
+        array_sort(array_distinct(col("rb"))).as("b"))
+    val out = df.select(col("id"),
+        graft.functions.TextFunctions.jaccardSortedFast(
+          col("a"), col("b")).as("m"),
+        graft.functions.TextFunctions.jaccardFast(col("a"), col("b")).as("h"),
+        graft.functions.TextFunctions.intersectCountSorted(
+          col("a"), col("b")).as("ic"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("id_"))
+      .collect()
+    out.foreach { r =>
+      val m = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      val h = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(m == h, s"row ${r.getLong(0)}: merge $m vs hash $h")
+      assert(r.getLong(3) == r.getLong(4),
+        s"row ${r.getLong(0)}: interSorted ${r.getLong(3)} vs " +
+          s"declarative ${r.getLong(4)}")
+    }
+    // null propagation matches the hash form (nullIntolerant), and the
+    // both-empty case yields null like the hash form's 0/0
+    val edge = Seq(
+      (1L, Some(Seq("a")), None),
+      (2L, None, Some(Seq("b"))),
+      (3L, Some(Seq.empty[String]), Some(Seq.empty[String])))
+      .toDF("id", "a", "b")
+    val e = edge.select(col("id"),
+      graft.functions.TextFunctions.jaccardSortedFast(
+        col("a"), col("b")).as("m"),
+      graft.functions.TextFunctions.intersectCountSorted(
+        col("a"), col("b")).as("ic")).collect()
+    e.foreach { r =>
+      if (r.getLong(0) <= 2) { assert(r.isNullAt(1) && r.isNullAt(2)) }
+      else { assert(r.isNullAt(1) && r.getLong(2) == 0L) }
+    }
+  }
+
   test("CharEntropy: hand-computed values, degenerate cases, null") {
     val df = Seq(
       (1L, "aab"),      // -(2/3)log2(2/3) - (1/3)log2(1/3)
