@@ -25,6 +25,30 @@ import graft.functions.{TextFunctions, VectorFunctions}
   */
 object Dedup {
 
+  /** Fan a NARROW scan out to the session's parallelism before a
+    * CPU-dense map stage (the guide's unsplittable-input recipe): a
+    * single-file / single-row-group input (one gzip member, one parquet
+    * row group — the bench fixtures are the latter) scans as ONE task,
+    * and everything fused into that scan stage (shingling, k-hash
+    * signatures, gram bucketing) serializes on one core while the rest
+    * idle. Shipping the raw (id, text) rows once is cheap relative to
+    * the 100-1000x-per-byte CPU behind them. STRICTLY CONDITIONAL: at
+    * production scale a scan has >= cores partitions and this is a
+    * no-op — an unconditional repartition would add a full-corpus text
+    * shuffle and lose map-side combining. The probe plans (never runs)
+    * the frame; results are layout-independent per the determinism
+    * rules, so the round-robin assignment cannot change any answer. */
+  private[operators] def fanOutNarrowScan(df: DataFrame): DataFrame = {
+    // streaming frames can't be probed (.rdd is illegal there) and
+    // micro-batches are small by construction — pass through untouched
+    if (df.isStreaming) return df
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val parts =
+      try df.rdd.getNumPartitions
+      catch { case _: Throwable => cores }
+    if (parts * 2 < cores) df.repartition(cores) else df
+  }
+
   /** Exact dedup on selected columns — plain hash-aggregate. */
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
@@ -237,10 +261,19 @@ object Dedup {
     * (the interpreted HOF tree it replaces dominated the chain's profile). */
   private def shingleRows(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int): DataFrame =
-    df.select(col(idCol),
+      shingleSize: Int, fanOut: Boolean = false): DataFrame = {
+    // fanOut: see fanOutNarrowScan. Taken by the md5-family signature
+    // passes, whose per-shingle hash is ~10x the xxhash family's —
+    // round-20 A/B: the extra exchange wins there (q114 1.39->1.08,
+    // q172 1.40->1.27) and LOSES on the cheap xxhash chain
+    // (q157 1.36->1.54), so the xxhash arm keeps the fused serial scan.
+    val base =
+      if (fanOut) fanOutNarrowScan(df.select(col(idCol), col(textCol)))
+      else df
+    base.select(col(idCol),
       explode(TextFunctions.shinglesFast(col(textCol), shingleSize))
         .as("__sh"))
+  }
 
   /** Signatures → LSH band buckets in one chain: the fused k-slot
     * aggregate builds the signature array, each band hashes its slice
@@ -531,7 +564,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleSize: Int, seed: Long): DataFrame = {
     val coef = portableCoefficients(numHashes, seed)
-    val sh = shingleRows(df, idCol, textCol, shingleSize)
+    val sh = shingleRows(df, idCol, textCol, shingleSize, fanOut = true)
       .withColumn("__H",
         graft.functions.PortableHash.md5Prefix(col("__sh"), 8))
     sh.groupBy(col(idCol))
@@ -708,7 +741,7 @@ object Dedup {
   def ophPortableSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       numSlots: Int = 64, shingleSize: Int = 3): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, shingleSize)
+    val sh = shingleRows(docs, idCol, textCol, shingleSize, fanOut = true)
       .withColumn("__H",
         graft.functions.PortableHash.md5Prefix(col("__sh"), 8))
     // one fused aggregate (OphMinHashAgg: per-bin minima in a long[k]

@@ -45,7 +45,13 @@ object Selection {
     * no-silent-drop contract at zero extra shuffles). */
   def gramRows(docs: DataFrame, idCol: String, textCol: String,
       outer: Boolean = false): DataFrame = {
-    val tk = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
+    // fan a narrow (single-split) scan out before the gram explode: the
+    // per-gram md5 bucket hash downstream is the md5-portable-chain
+    // cost profile, which serializes on one core when the input is one
+    // file/row group (see Dedup.fanOutNarrowScan — a no-op at
+    // production scan parallelism)
+    val tk = Dedup.fanOutNarrowScan(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__tk"))
     // bigram array built positionally inside codegen (the Collocations
     // idiom); sequence(1, size-1) is only evaluated when size >= 2 —
     // sequence(1, 0) would yield a DESCENDING [1, 0], not empty
