@@ -83,6 +83,18 @@ object Selection {
     val tgtG = gramRows(target.withColumn("__rid", lit(1)), "__rid", textCol)
       .select(bucket(col("__gram"), numBuckets).as("__b"))
       .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    ratiosFromCounts(raw, rawG, tgtG, numBuckets)
+  }
+
+  /** The dense B-row log-ratio frame from precomputed per-bucket counts
+    * (rawG: (__b, __cr), tgtG: (__b, __ct)) — the tail of
+    * [[bucketLogRatios]], split out so [[importanceWeights]] can feed a
+    * raw-side count frame DERIVED from its one shared corpus gram pass
+    * instead of paying a second full tokenize+md5 pass (round 20,
+    * guide §1.2 "how many full passes are unavoidable"). */
+  private def ratiosFromCounts(
+      raw: DataFrame, rawG: DataFrame, tgtG: DataFrame,
+      numBuckets: Int): DataFrame = {
     val b = lit(numBuckets.toLong)
     // The corpus totals N_r/N_t are WINDOW sums over the B-row joined
     // bucket frame, not second aggregate consumers of rawG/tgtG: a
@@ -127,12 +139,66 @@ object Selection {
     * (id, n_grams, log_w), log_w NULL (and n_grams 0) for docs with no
     * tokens (no lexical signal — kept visible, never dropped). Positive
     * log_w = more target-like than the raw average; selection is a
-    * descending-order cut the caller applies. */
+    * descending-order cut the caller applies.
+    *
+    * ONE corpus gram pass, not two (round 20, guide §1.2): the naive
+    * composition (bucketLogRatios over `raw`, then scoreAgainst over
+    * `raw`) tokenizes + md5-buckets every gram occurrence TWICE — and
+    * the per-gram hash is the dominant CPU of the whole chain (two
+    * ~equal 32-task stages in the q183 StageProfile). Instead the
+    * per-(doc, bucket) gram-count frame is computed once and eagerly
+    * pinned, and BOTH consumers derive from it: the raw bucket counts
+    * are its per-bucket re-aggregate (Σ_doc cnt ≡ the occurrence
+    * count), and the scoring pass multiplies each doc's bucket count
+    * into the broadcast log-ratio (Σ_grams lr(b(g)) ≡ Σ_b cnt_b·lr_b —
+    * exact DECIMAL multiply by an integral count, so the sum is
+    * bit-identical to the per-occurrence form; SelectionSpec pins
+    * parity). The pinned frame is |docs| × min(B, doc grams) narrow
+    * rows — strictly smaller than the gram-occurrence flow it replaces.
+    * `localCheckpoint` is the single-JVM/bench medium (the
+    * importanceWeightsShared contract); a long-running cluster caller
+    * trading fault-tolerance differently can swap `.checkpoint()` in.
+    * Only the raw side shares — the target pass stays its own (usually
+    * tiny) aggregate. */
   def importanceWeights(
       raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
-      numBuckets: Int = 1024): DataFrame =
-    scoreAgainst(bucketLogRatios(raw, target, textCol, numBuckets),
-      raw, idCol, textCol, numBuckets)
+      numBuckets: Int = 1024): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val db = gramRows(raw, idCol, textCol, outer = true)
+      .withColumn("__b", bucket(col("__gram"), numBuckets))
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(col("__gram")).as("__cnt"))
+      .localCheckpoint()
+    // Σ_doc cnt per bucket = the raw occurrence count; the zero-gram
+    // docs' (null bucket, 0) group is dropped by the dense range join
+    // inside ratiosFromCounts exactly as outer=false dropped their rows
+    val rawG = db.groupBy(col("__b")).agg(sum(col("__cnt")).as("__cr"))
+    val tgtG = gramRows(target.withColumn("__rid", lit(1)), "__rid", textCol)
+      .select(bucket(col("__gram"), numBuckets).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val ratios = ratiosFromCounts(raw, rawG, tgtG, numBuckets)
+    db.join(broadcast(ratios), Seq("__b"), "left")
+      .groupBy(col(idCol))
+      // n_grams = Σ cnt (count of non-null grams, zero-gram docs read
+      // 0 from their single null-bucket group); log_w = Σ cnt·lr with
+      // the same NULL algebra as the per-occurrence sum (the zero-gram
+      // group's lr is NULL — no ratio row for a null bucket — so its
+      // 0·NULL term is NULL and the doc's sum stays NULL)
+      // exact-decimal multiply, deliberately typed: __lr's VALUE is an
+      // exact multiple of 1e-10 (quantized-ln difference at scale 10,
+      // only TYPED (28,12)), so the (24,10) re-cast is value-identity;
+      // cnt rides decimal(12,0) (≤ 1e12 grams per doc ≈ 4 TB of text
+      // in one row — unreachable). (24,10)×(12,0) → decimal(37,10):
+      // UNDER the 38-precision cap, so Spark keeps the full scale and
+      // the product is exact — a bare __lr(28,12)×bigint would land on
+      // the cap and silently HALF_UP each term at scale 6 BEFORE the
+      // sum, changing low-order digits vs the per-occurrence sum
+      .agg(sum(col("__cnt")).as("n_grams"),
+        sum(col("__lr").cast("decimal(24,10)") *
+          col("__cnt").cast("decimal(12,0)")).as("__sum_lr"))
+      .select(col(idCol), col("n_grams"),
+        round(col("__sum_lr"), 6).cast("double").as("log_w"))
+  }
 
   /** The scoring pass alone, against a FROZEN (__b, __lr) ratio frame
     * from [[bucketLogRatios]] — score a NEW corpus (or a micro-batch;

@@ -227,6 +227,28 @@ class SelectionSpec extends SparkTestBase {
       s"a bounded-side join demoted to SortMergeJoin:\n$plan")
   }
 
+  test("importanceWeights (shared one-pass form) is row-identical to " +
+      "the per-occurrence composition scoreAgainst∘bucketLogRatios") {
+    // round 20: importanceWeights derives the raw bucket counts AND the
+    // per-doc score from ONE pinned (doc, bucket, cnt) frame, scoring
+    // as Σ_b cnt_b·lr_b; the frozen-frame path still scores per gram
+    // occurrence. The two must agree BIT-for-bit (exact decimal
+    // algebra), including the zero-gram/null-text edge docs.
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .unionByName(Seq((100001L, "", "srcE"), (100002L, null, "srcN"))
+        .toDF("doc_id", "text", "source"), allowMissingColumns = true)
+    val target = docs.filter(col("source") === "src13").select("text")
+    val onePass = Selection.importanceWeights(docs, target,
+      "doc_id", "text", numBuckets = 128)
+    val twoPass = Selection.scoreAgainst(
+      Selection.bucketLogRatios(docs, target, "text", 128),
+      docs, "doc_id", "text", numBuckets = 128)
+    assert(onePass.count() === twoPass.count())
+    assert(onePass.except(twoPass).isEmpty &&
+      twoPass.except(onePass).isEmpty,
+      "one-pass importanceWeights diverged from the per-occurrence form")
+  }
+
   test("importanceWeightsShared is row-identical to the lazy frame " +
       "and feeds both select and sample consumers") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
