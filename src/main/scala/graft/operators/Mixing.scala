@@ -309,6 +309,17 @@ object Mixing {
     // alternative leaks layout-dependence: a null-costed doc sitting
     // FIRST in a source's order makes the running sum NULL and the
     // filter silently drop it, while the same doc later rides along
+    // The base (source, id, tok) frame is pinned ONCE (round 20, guide
+    // §1.2 "unavoidable passes"): it has two corpus-pass consumers —
+    // the per-source aggregate and the ordered greedy cut — and left
+    // lazy each re-evaluated `tokens` over the whole corpus (the
+    // tokenize is the expensive part; StageProfile r20 showed two
+    // ~equal tokenize stages). The pinned frame is 3 narrow columns,
+    // strictly smaller than the docs it derives from; the checkpoint
+    // also subsumes the old perSrc checkpoint (below), so the action
+    // count is unchanged. localCheckpoint is the single-JVM/bench
+    // medium per the module convention; cluster callers trading
+    // fault-tolerance differently swap `.checkpoint()`.
     val base = docs.select(col(sourceCol).as("source"),
         col(idCol).as("__id"),
         coalesce(tokens.cast("bigint"), lit(0L)).as("__tok"))
@@ -316,15 +327,16 @@ object Mixing {
         sum(when(col("__id").isNull, 1L).otherwise(0L))
           .as("null_id_rows_dropped"))
       .filter(col("__id").isNotNull)
-    // localCheckpoint: the |sources|-row aggregate has two consumers
-    // that prune OPPOSITE columns (the waterfill reads n_tokens, the
-    // report join reads n_docs) — structurally different aggregate
-    // subtrees, no ReusedExchange, and the corpus token pass ran twice
-    // (PlanAudit receipt: 4 scans instead of 3). The frame is bounded
-    // by construction, the q172/q174 pattern for exactly this shape.
+      .localCheckpoint()
+    // perSrc's own localCheckpoint is GONE (round 20): its two
+    // consumers still prune opposite columns (the waterfill reads
+    // n_tokens, the report join reads n_docs — structurally different
+    // aggregate subtrees, no ReusedExchange, the r16 4-scans receipt),
+    // but both copies now re-aggregate the PINNED base, a narrow
+    // checkpoint-block scan instead of a corpus tokenize pass, so the
+    // second copy costs a bounded aggregate rather than a full pass.
     val perSrc = base.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
-      .localCheckpoint()
     // FULL outer against the plan's weights: a doc-source the weights
     // frame is missing still raises in the waterfill guard (left
     // semantics preserved), and a PLANNED source with no docs at all —
