@@ -38,6 +38,24 @@ object StageProfile {
         sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "256k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_EXPLAIN_EXEC: print the executed plan of EVERY query
+    // execution via a listener — unlike SPARK_GRAFT_EXPLAIN (which must
+    // switch the action to collect to finalize the retained
+    // queryExecution), this captures the plan of the COUNT action the
+    // bench actually times, whose column pruning can differ enough to
+    // change exchange reuse (the q175 round-20 finding).
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN_EXEC"))
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            println(s"=== executed ($funcName) ===\n" +
+              qe.executedPlan.toString)
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
     val taskMs = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
     val taskMax = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAccumulator]()
     val stages = java.util.Collections.synchronizedList(

@@ -69,37 +69,42 @@ object RaterAgreement {
           .as("null_rows_dropped"))
     val nullDropped =
       raw.filter(col("item").isNotNull && col("cat").isNotNull)
-    // (item, category) contingency — the one data-sized shuffle
+    // (item, category) contingency — the one data-sized shuffle — is
+    // PINNED (round 20): it has two consumers (the per-item roll-up and
+    // the kept-category marginal join), and exchange reuse between them
+    // is pruning-fragile — under a count()-shaped action the final
+    // projection prunes different columns into each copy and the WHOLE
+    // corpus scan + shuffle ran three/two times (executed-plan receipt
+    // in plans/r20: 3 FileScans, 2 (item,cat) exchanges; a collect-
+    // shaped action reused them — the round-13 unfoldable-reference
+    // workaround only covered that shape). The frame is the operator's
+    // own scale contract ("contingency-bounded": ≤ one row per distinct
+    // (item, category) pair, 3 narrow columns), so materializing it
+    // once is strictly cheaper than one recompute of its corpus pass.
+    // localCheckpoint is the single-JVM/bench medium; long-running
+    // cluster callers swap `.checkpoint()`/DISK_ONLY per the module
+    // convention. The pin also retires the tautological
+    // reference-the-column tricks this chain previously needed.
     val ct = nullDropped.groupBy(col("item"), col("cat"))
       .agg(count(lit(1)).as("n"))
-    // per-item: rating count m_i and Σ_j n_ij² (exact longs)
+      .localCheckpoint()
+    // per-item: rating count m_i and Σ_j n_ij² (exact longs) — pinned
+    // for the same reason (three consumers: modal, kept, all-items)
     val perItem = ct.groupBy(col("item"))
       .agg(sum(col("n")).as("m"),
         sum(col("n") * col("n")).as("sum_sq"))
+      .localCheckpoint()
     // modal m: aggregate the (m → item count) frame (rater-count-
     // bounded — one row per distinct panel size) and keep the mode,
-    // ties to the larger m for determinism. The item count references
-    // sum_sq unfoldably (always ≥ 1 — every item has ≥ 1 rating) so
-    // this consumer's perItem subtree stays IDENTICAL to kept's and
-    // rides its ReusedExchange instead of re-scanning the corpus (the
-    // q95 pruning trap; PlanAudit measured 2 scans under count(1)).
+    // ties to the larger m for determinism.
     val modal = perItem.groupBy(col("m"))
-      .agg(sum(when(col("sum_sq") >= 1, lit(1L)).otherwise(lit(0L)))
-        .as("k"))
+      .agg(count(lit(1)).as("k"))
       .orderBy(col("k").desc, col("m").desc).limit(1)
       .select(col("m").as("modal_m"))
     val kept = perItem.join(broadcast(modal), col("m") === col("modal_m"))
     // category marginals over kept items only (rejoin through the
-    // contingency frame so dropped items don't skew P_e). The id
-    // projection references sum_sq unfoldably (always ≥ 1: Σn² ≥ Σn ≥ 1)
-    // so THIS consumer's perItem subtree stays IDENTICAL to itemTot's
-    // and rides the same exchange — a bare select(item) pruned sum_sq
-    // out of the aggregate and re-shuffled the whole per-item frame
-    // through a second, structurally different exchange (round-20 plan
-    // audit: Exchange hashpartitioning(item) twice; the q95 pruning
-    // trap, join-side flavor).
-    val keptCt = ct.join(
-      kept.filter(col("sum_sq") >= 1).select(col("item")), Seq("item"))
+    // contingency frame so dropped items don't skew P_e)
+    val keptCt = ct.join(kept.select(col("item")), Seq("item"))
     val catTot = keptCt.groupBy(col("cat"))
       .agg(sum(col("n")).as("nj"))
       .agg(count(lit(1)).as("n_categories"),
@@ -109,11 +114,7 @@ object RaterAgreement {
       count(lit(1)).as("n_items"),
       first(col("modal_m")).as("n_raters"),
       sum(col("sum_sq")).as("tot_sq"))
-    // same unfoldable-reference discipline as modal: the all-items count
-    // touches both perItem columns so the subtree reuses the exchange
-    val allItems = perItem.agg(
-      sum(when(col("m") >= 1 && col("sum_sq") >= 1, lit(1L))
-        .otherwise(lit(0L))).as("n_items_all"))
+    val allItems = perItem.agg(count(lit(1)).as("n_items_all"))
     itemTot.crossJoin(catTot).crossJoin(allItems)
       .withColumn("n_items_dropped", col("n_items_all") - col("n_items"))
       .select(col("n_items"), col("n_items_dropped"),
@@ -176,12 +177,18 @@ object RaterAgreement {
         count(when(col("item").isNull || col("cat").isNull, 1))
           .as("null_rows_dropped"))
       .filter(col("item").isNotNull && col("cat").isNotNull)
+    // both contingency frames PINNED — same pruning-fragile-reuse
+    // rationale and receipts as fleissKappa above (ct: per-item roll-up
+    // + marginal join; perItem: the disagreement fold + the pairable-
+    // item keep list), same bench/cluster medium note
     val ct = rows.groupBy(col("item"), col("cat"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val perItem = ct.groupBy(col("item"))
       .agg(sum(col("n")).as("m"),
         sum(col("n") * col("n")).as("sum_sq"))
       .filter(col("m") >= 2)
+      .localCheckpoint()
     // observed-disagreement fold: per-item rational term → exact decimal
     val obs = perItem.agg(
       count(lit(1)).as("n_items"),
@@ -189,13 +196,8 @@ object RaterAgreement {
       sum(((col("m") * col("m") - col("sum_sq")).cast("double") /
         (col("m") - 1).cast("double")).cast("decimal(28,10)"))
         .as("do_n"))
-    // category marginals over pairable items only. sum_sq referenced
-    // unfoldably (Σn² ≥ Σn = m ≥ 2 ⇒ always ≥ 1) so this consumer's
-    // perItem subtree matches obs's and shares its exchange instead of
-    // re-aggregating + re-shuffling the per-item frame (the same
-    // round-20 pruned-copy fix as fleissKappa's keptCt).
-    val margin = ct.join(
-        perItem.filter(col("sum_sq") >= 1).select(col("item")), Seq("item"))
+    // category marginals over pairable items only
+    val margin = ct.join(perItem.select(col("item")), Seq("item"))
       .groupBy(col("cat")).agg(sum(col("n")).as("nc"))
       .agg(sum(col("nc").cast("decimal(38,0)") *
         col("nc").cast("decimal(38,0)")).as("sum_nc_sq"))
