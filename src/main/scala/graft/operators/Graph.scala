@@ -69,7 +69,19 @@ object Graph {
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() // reliable, eager
       else df.localCheckpoint() // eager: materializes + truncates lineage
-    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    // e and eo are EAGER (localCheckpoint), not lazy caches (round 20):
+    // the fused chain's one action referenced the unfilled e-cache from
+    // several concurrently-materializing subtrees (eo's edge side, eo's
+    // outdeg aggregate, the nodes union), and concurrent AQE stages
+    // each recomputed the distinct's map side instead of sharing one
+    // fill — StageProfile receipt: the edge-distinct scan stage ran
+    // THREE times, 62 s of 100 s total task time, two-thirds wasted.
+    // Eager materialization sequences the fills (e once, then eo once —
+    // whose build also fills the nodes cache through nTot), so every
+    // later consumer reads blocks. Same truncation-medium caveat as
+    // `truncate` above: on a real cluster swap reliable checkpoints in.
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
     // Node total as a ONE-ROW broadcast frame, not a driver collect
@@ -91,7 +103,7 @@ object Graph {
     val eo = e.join(
         e.groupBy(col("src")).agg(count(lit(1)).as("__odeg")), Seq("src"))
       .crossJoin(broadcast(nTot))
-      .cache()
+      .localCheckpoint()
     // Iteration state is the DST-KEYED MASS frame, not the node-wide
     // rank frame (round 20): pr_i(v) = (1−d)/n + d·mass_i(v) with
     // mass_i(v) = 0 for v outside the in-degree set, so the node-wide
@@ -152,7 +164,10 @@ object Graph {
             ((lit(1.0 - damping) / col("__n")) +
               lit(damping) * coalesce(col("__mass"), lit(0.0)))
               .as("pr")))
-    e.unpersist(); nodes.unpersist(); eo.unpersist()
+    // e/eo are checkpoint-backed now (blocks release on RDD GC, like
+    // the per-iteration truncations); only the nodes cache needs an
+    // explicit release
+    nodes.unpersist()
     pr
   }
 }
