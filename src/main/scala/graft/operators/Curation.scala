@@ -80,8 +80,14 @@ object Curation {
     require(maxAffectedDocs >= 0, "maxAffectedDocs must be >= 0")
     val ts = thresholds.distinct.sorted
     // stage 1: one chain execution feeds curve AND dedup
+    // pinVerifyFanout = false: the composite is stage-count-heavy and
+    // its frames small — the candidate-exchange pin that wins on the
+    // plain chains inverted here (A/B 2.06 → 2.49 s med; the same
+    // inversion this query showed in the AQE-floor sweep), so the
+    // sweep keeps the AQE-coalescible distinct
     val pairs = Dedup.portableNearDups(docs, idCol, textCol,
-      numHashes, bands, shingleSize, ts.head, seed).localCheckpoint()
+      numHashes, bands, shingleSize, ts.head, seed,
+      pinVerifyFanout = false).localCheckpoint()
     // stage 2: |thresholds|-row bounded collect; smallest threshold
     // within the removal budget, else the most conservative one
     val curve = Dedup.sweepOverPairs(pairs, ts, pairsBuiltAt = Some(ts.head))

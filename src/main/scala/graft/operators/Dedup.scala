@@ -310,7 +310,8 @@ object Dedup {
     * the bound also caps the per-row explode fan-out at ~B). */
   def candidatePairs(
       buckets: DataFrame, idCol: String,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      pinVerifyFanout: Boolean = true): DataFrame = {
     // No silent caps: buckets dropped by the skew guardrail are counted
     // through a named observe metric (logged by [[ObservedLog]] when the
     // consuming action runs — no extra job), including the candidate
@@ -341,12 +342,34 @@ object Dedup {
           .otherwise(0L)).as("pairs_skipped"))
       .filter(size(col("__ids")).between(2, maxBucketSize))
       .select(array_sort(col("__ids")).as("__ids"))
-    grouped
+    // The distinct's exchange is PINNED (round 20, the Fuzzy
+    // selective-arm recipe): its output feeds the per-pair verify —
+    // 100-1000× CPU per byte — and the pairs are two longs, so AQE's
+    // byte-based coalescing folded the verify onto 2 of 32 cores at
+    // sf0.1 (q157 StageProfile: 1.2 s of a 2.4 s wall on a 2-task
+    // stage). REPARTITION_BY_NUM on the distinct keys serves the
+    // distinct's required distribution AND fixes the verify's
+    // parallelism; at cluster scale the conf'd partition count is the
+    // operator's normal operating point, so nothing is local-tuned.
+    // Cost: the pin drops the map-side partial distinct, shipping each
+    // pair once per shared band (≤ `bands`× skinny rows) — A/B'd as a
+    // net win on every plain md5/xxhash chain (q157 1.95→1.03 med,
+    // q117 1.61→1.28, q114 1.93→1.67, q96 1.57→1.41, q35 parity).
+    // `pinVerifyFanout = false` keeps the old AQE-coalescible distinct
+    // for stage-count-heavy composites where extra per-stage
+    // parallelism inverts (q172's curation sweep measured 2.06→2.49
+    // med WITH the pin — the same inversion its 256k-floor sweep
+    // showed; Curation passes false).
+    val exploded = grouped
       .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "id_a")))
       .select(col("id_a"),
         explode(slice(col("__ids"), col("__i") + lit(2), size(col("__ids"))))
           .as("id_b"))
-      .distinct()
+    if (pinVerifyFanout) {
+      val numPart =
+        buckets.sparkSession.sessionState.conf.numShufflePartitions
+      exploded.repartition(numPart, col("id_a"), col("id_b")).distinct()
+    } else exploded.distinct()
   }
 
   private val metricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -628,10 +651,12 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 3, threshold: Double = 0.8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      pinVerifyFanout: Boolean = true): DataFrame = {
     val buckets = portableBuckets(docs, idCol, textCol,
       numHashes, bands, shingleSize, seed)
-    val pairs = candidatePairs(buckets, idCol)
+    val pairs = candidatePairs(buckets, idCol,
+      pinVerifyFanout = pinVerifyFanout)
     jaccardVerify(pairs, docs, idCol, textCol, shingleSize, threshold)
   }
 
