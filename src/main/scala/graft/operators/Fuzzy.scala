@@ -32,6 +32,13 @@ import org.apache.spark.sql.functions._
   */
 object Fuzzy {
 
+  /** Eager pin for a multi-consumer corpus frame (the round-21 set-frame
+    * materialization — see the jaccardSelfJoin note). Streaming frames
+    * cannot checkpoint; they pass through lazy (micro-batches are small
+    * by construction, same guard as Dedup.fanOutNarrowScan). */
+  private def pinned(df: DataFrame): DataFrame =
+    if (df.isStreaming) df else df.localCheckpoint()
+
   /** All unordered pairs of distinct values of `strCol` within Levenshtein
     * distance `k`, as (name_a, name_b, dist) with name_a < name_b.
     *
@@ -120,11 +127,15 @@ object Fuzzy {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     // sorted sets: the verify merge-intersects per pair (see
-    // jaccardSelfJoin's note); every consumer here is order-insensitive
-    val l = left.select(col(idCol).as("id_a"),
-      array_sort(array_distinct(col(setCol))).as("__set_a"))
-    val r = right.select(col(idCol).as("id_b"),
-      array_sort(array_distinct(col(setCol))).as("__set_b"))
+    // jaccardSelfJoin's note); every consumer here is order-insensitive.
+    // Both set frames PINNED (round 21): l feeds the frequency union +
+    // verify (2 corpus passes), r those plus the prefix carve (3) — the
+    // same multi-consumer tokenize recompute as the self-join form,
+    // same §1.2/§8 trade (see jaccardSelfJoin's pin note).
+    val l = pinned(left.select(col(idCol).as("id_a"),
+      array_sort(array_distinct(col(setCol))).as("__set_a")))
+    val r = pinned(right.select(col(idCol).as("id_b"),
+      array_sort(array_distinct(col(setCol))).as("__set_b")))
 
     // global token order: (df over both sides, token) — any consistent
     // total order is correct; rarity-first minimizes candidates
@@ -196,8 +207,23 @@ object Fuzzy {
     // paid once per doc, the merge once per pair, and every downstream
     // consumer here (size, explode→groupBy, the rarity carve) is
     // order-insensitive, so answers are bit-identical.
-    val r = sets.select(col(idCol).as("id_b"),
-      array_sort(array_distinct(col(setCol))).as("__set_b"))
+    // ... and PINNED (round 21, guide §1.2/§5): the set frame has FOUR
+    // full-corpus consumers — the token-frequency aggregate, the prefix
+    // carve, and both verify sides — and left lazy each re-ran the
+    // tokenize + array_distinct + array_sort scan chain (StageProfile
+    // r21: four serial one-task scan stages at sf0.1, the stage family
+    // behind the driver's q150 32-core bimodal slow mode, spread
+    // [1.8, 17.7]). One materialization trades a write + three block
+    // reads of (id, sorted set) for three corpus tokenize+sort passes —
+    // the §8 "fingerprint once" recipe; at 100 TB the pinned frame is
+    // token-scale but each avoided pass is a full corpus re-scan AND
+    // re-tokenize, strictly more I/O + CPU than reading the blocks
+    // back. localCheckpoint is the single-JVM/bench medium per the
+    // module convention (cluster callers trading fault tolerance swap
+    // .checkpoint()). Answers unchanged: same frame content, different
+    // physical source.
+    val r = pinned(sets.select(col(idCol).as("id_b"),
+      array_sort(array_distinct(col(setCol))).as("__set_b")))
     // whole-corpus rarity: map-side-combined frequency aggregate (left
     // docs are a subset of r, so counting r once is the single-corpus df)
     val tokenDf = r.select(explode(col("__set_b")).as("__t"))
@@ -282,8 +308,10 @@ object Fuzzy {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val selectiveSlice = !isStaticallyTrue(sets, leftPred)
-    val r = sets.select(col(idCol).as("id_b"),
-      array_sort(array_distinct(col(setCol))).as("__set_b"))
+    // corpus set frame pinned — THREE consumers here (frequency
+    // aggregate, flat postings, verify); same trade as jaccardSelfJoin
+    val r = pinned(sets.select(col(idCol).as("id_b"),
+      array_sort(array_distinct(col(setCol))).as("__set_b")))
     val tokenDf = r.select(explode(col("__set_b")).as("__t"))
       .groupBy(col("__t"))
       .agg(count(lit(1)).as("__df"))
