@@ -6432,16 +6432,30 @@ object SparkEntry {
       // the per-source reconciliation report. Like q172, the
       // COMPOSITION is the verified unit: the oracle replays reweight →
       // waterfill → ordered greedy cut in one chained CTE.
+      // ONE tokenize pass for the whole composite (round 21, VERDICT
+      // r20 #5): the reweight's reference loss and the cut's token
+      // budget both need tokenCount(text), and composing the operators
+      // lazily ran that corpus pass twice. Both operators take frames,
+      // so the share needs no operator specialization: pin the narrow
+      // (source, id, n_chars, ntok) base once and feed it to both;
+      // materializeMixture skips its own now-redundant pin
+      // (pinBase = false). ntok keeps tokenCount's nullability (null
+      // text → null ntok) so the reweight's null-loss algebra and the
+      // cut's coalesce-to-0 behave exactly as before — values
+      // bit-identical, oracle unchanged.
       val docs = t(s, dir, "documents")
+      val base = docs.select(col("source"), col("doc_id"), col("n_chars"),
+          TF.tokenCount(col("text")).cast("bigint").as("__ntok"))
+        .localCheckpoint()
       val lnq = (c: Column) => log(c).cast("decimal(24,10)")
-      val alphas = Mixing.doremiReweight(docs, "source",
+      val alphas = Mixing.doremiReweight(base, "source",
           lnq(col("n_chars") + 1),
-          lnq(TF.tokenCount(col("text")).cast("bigint") + 1),
+          lnq(col("__ntok") + 1),
           prior = None, eta = 1.0, smoothing = 0.01)
         .select(col("source"), col("alpha").as("weight"))
-      Mixing.materializeMixture(docs, "source", "doc_id",
-        TF.tokenCount(col("text")),
-        alphas, budget = 13000L, maxEpochs = 0.5)
+      Mixing.materializeMixture(base, "source", "doc_id",
+        col("__ntok"),
+        alphas, budget = 13000L, maxEpochs = 0.5, pinBase = false)
     },
     Some("""WITH tk AS (
       |  SELECT doc_id, source, n_chars,

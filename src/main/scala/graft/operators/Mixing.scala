@@ -302,7 +302,8 @@ object Mixing {
   def materializeMixture(
       docs: DataFrame, sourceCol: String, idCol: String,
       tokens: org.apache.spark.sql.Column, weights: DataFrame,
-      budget: Long, maxEpochs: Double): DataFrame = {
+      budget: Long, maxEpochs: Double,
+      pinBase: Boolean = true): DataFrame = {
     ObservedLog.ensure(docs.sparkSession)
     val n = mixingMetricSeq.incrementAndGet()
     // a doc with a NULL token count costs zero (kept for free) — the
@@ -320,14 +321,21 @@ object Mixing {
     // count is unchanged. localCheckpoint is the single-JVM/bench
     // medium per the module convention; cluster callers trading
     // fault-tolerance differently swap `.checkpoint()`.
-    val base = docs.select(col(sourceCol).as("source"),
+    // `pinBase = false` (round 21): a caller whose `docs` is ALREADY a
+    // pinned narrow frame (q182 shares one tokenized base between the
+    // doremi reweight and this cut) skips the second materialization —
+    // the checkpoint would copy blocks to blocks; the two corpus-pass
+    // consumers below then read the caller's pin. Callers passing a
+    // lazy corpus frame must keep the default or the token expression
+    // re-runs per consumer.
+    val baseLazy = docs.select(col(sourceCol).as("source"),
         col(idCol).as("__id"),
         coalesce(tokens.cast("bigint"), lit(0L)).as("__tok"))
       .observe(s"graft.mixing.materialize.$n",
         sum(when(col("__id").isNull, 1L).otherwise(0L))
           .as("null_id_rows_dropped"))
       .filter(col("__id").isNotNull)
-      .localCheckpoint()
+    val base = if (pinBase) baseLazy.localCheckpoint() else baseLazy
     // perSrc's own localCheckpoint is GONE (round 20): its two
     // consumers still prune opposite columns (the waterfill reads
     // n_tokens, the report join reads n_docs — structurally different
