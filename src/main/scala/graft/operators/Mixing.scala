@@ -298,7 +298,15 @@ object Mixing {
     * two salted two-phase alternatives SLOWER on a 50 %-hot source at
     * 100× (the rejection receipt in SCALING.md round 16 and at the
     * call site below) — the serial running sum is not the bottleneck.
-    * Everything else is |sources|-sized. */
+    * Everything else is |sources|-sized.
+    *
+    * EAGER AT CONSTRUCTION when `pinBase` (noted per ADVICE r20):
+    * building the returned frame materializes the (source, id, tok)
+    * base — the corpus tokenize runs even if the caller never acts on
+    * the result — and the pin truncates the observe node out of the
+    * returned lineage, so `null_id_rows_dropped` fires at pin time
+    * only (read it from the ObservedLog listener, not the consuming
+    * action's observedMetrics). */
   def materializeMixture(
       docs: DataFrame, sourceCol: String, idCol: String,
       tokens: org.apache.spark.sql.Column, weights: DataFrame,

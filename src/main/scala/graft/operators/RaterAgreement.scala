@@ -59,6 +59,15 @@ object RaterAgreement {
     * several consumers, but each reuse is the SAME subplan inside one
     * plan, so the planner's ReusedExchange serves them from one
     * shuffle (the q163 pattern).
+    *
+    * EAGER AT CONSTRUCTION (round 20 pins; noted per ADVICE r20):
+    * building the returned frame materializes the contingency and
+    * per-item frames via localCheckpoint — full corpus jobs run even
+    * if the caller never acts on the result — and the checkpoint
+    * truncates the observe node out of the returned lineage, so the
+    * `null_rows_dropped` metric fires at PIN time only (a consuming
+    * action's queryExecution.observedMetrics sees nothing; read it
+    * from the ObservedLog listener instead).
     */
   def fleissKappa(
       df: DataFrame, itemCol: String, categoryCol: String): DataFrame = {
@@ -166,6 +175,9 @@ object RaterAgreement {
     * exact decimal addition makes the total independent of partial-agg
     * order (doubles would not be). Category marginals n_c square in
     * DECIMAL(38,0) — n is a corpus-scale count.
+    *
+    * EAGER AT CONSTRUCTION, pin-time-only observe metric — same
+    * round-20 contingency pins and caveats as [[fleissKappa]].
     */
   def krippendorffAlpha(
       df: DataFrame, itemCol: String, categoryCol: String): DataFrame = {

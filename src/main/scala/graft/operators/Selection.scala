@@ -159,7 +159,12 @@ object Selection {
     * importanceWeightsShared contract); a long-running cluster caller
     * trading fault-tolerance differently can swap `.checkpoint()` in.
     * Only the raw side shares — the target pass stays its own (usually
-    * tiny) aggregate. */
+    * tiny) aggregate.
+    *
+    * EAGER AT CONSTRUCTION (noted per ADVICE r20): building the
+    * returned frame materializes the per-(doc, bucket) count frame —
+    * the corpus gram pass runs even if the caller never acts on the
+    * result. */
   def importanceWeights(
       raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
       numBuckets: Int = 1024): DataFrame = {

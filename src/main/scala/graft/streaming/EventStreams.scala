@@ -782,9 +782,16 @@ object EventStreams {
         var sv: DataFrame = null
         try {
           if (b.count() > 0) {
-            // (1) batch-internal keep-one
+            // (1) batch-internal keep-one. pinVerifyFanout = false
+            // (round 21, ADVICE r20): the pin repartitions to the FULL
+            // session shuffle parallelism, sized for batch corpora —
+            // on a usually-tiny micro-batch candidate set it costs AQE
+            // coalescing and the map-side partial distinct per batch
+            // for parallelism the batch can't use. Same opt-out as the
+            // stage-count-heavy Curation composite.
             val internal = Dedup.jaccardVerify(
-              Dedup.candidatePairs(bBuckets, idCol, maxBucketSize),
+              Dedup.candidatePairs(bBuckets, idCol, maxBucketSize,
+                pinVerifyFanout = false),
               b, idCol, textCol, shingleSize, threshold)
             reps = Dedup.keepClusterRepresentatives(b, idCol, internal)
               .persist()
