@@ -405,8 +405,14 @@ object Bench {
         .maxOption.map(_ + 1)
     }.toOption.flatten
     val roundField = roundNo.map(n => s""""round":$n,""").getOrElse("")
+    // Effective AQE coalescing floor (round 21, VERDICT r20 #8): the
+    // driver's scaling sweep re-runs the bench at other core counts —
+    // recording the floor lets a future sweep attribute mode changes
+    // to it instead of guessing which env the record ran under.
+    val aqeFloorField = s""""aqe_min_partition":"${
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "256k")}","""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      revField + roundField + decoupleFields +
+      revField + roundField + aqeFloorField + decoupleFields +
       s""""runs":$runs,"top10_extra_runs":$extraRuns,""" +
       s""""calibration_sec":${fmt(calibrationSecOut)},""" +
       s""""calibration_sweeps":$calSweepsJson,""" +
@@ -458,7 +464,7 @@ object Bench {
     // queries tripped the flag.
     def stdoutLine(qs: String, ft: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        roundField +
+        roundField + aqeFloorField +
         s""""runs":$runs,"top10_extra_runs":$extraRuns,"calibration_sec":${fmt(calibrationSecOut)},"calibration_stability":${fmt(calibrationStability)},"cpu_stability":${fmt(cpuStability)},"io_stability":${fmt(ioStability)},"io_calibration_sec":${fmt(ioCalibrationSecOut)},"sweep1_total_sec":${fmt(sweep1Total)},"queries":$qs,"spread_top10":$spreadTop,"spread_flag":$ft,"n_queries":${results.size},"queries_are_slowest_first":true,"queries_are_medians":true,"detail":"bench_detail.json","history":"bench_history.jsonl","sf":"$sfDir"}"""
     var nFlags = math.min(5, flaggedBySeverity.size)
     while (nFlags > 0 && stdoutLine("{}", flagTopStr(nFlags)).length > 1600)

@@ -88,14 +88,23 @@ object Curation {
     val pairs = Dedup.portableNearDups(docs, idCol, textCol,
       numHashes, bands, shingleSize, ts.head, seed,
       pinVerifyFanout = false).localCheckpoint()
-    // stage 2: |thresholds|-row bounded collect; smallest threshold
-    // within the removal budget, else the most conservative one
-    val curve = Dedup.sweepOverPairs(pairs, ts, pairsBuiltAt = Some(ts.head))
-      .collect().map(r => (r.getDouble(0), r.getLong(2)))
-    val chosen = curve.filter(_._2 <= maxAffectedDocs).map(_._1)
-      .sorted.headOption.getOrElse(ts.last)
+    // stage 2: smallest threshold within the removal budget, else the
+    // most conservative one — as a ONE-ROW broadcast frame, not a
+    // driver collect (round 21, the pagerank nTot recipe): the old
+    // |thresholds|-row collect was its own full Spark action (AQE
+    // planning + scheduling) run purely to seed a plan literal; the
+    // aggregate below is the same decision (min threshold whose
+    // affected-doc count fits, coalesce to max(ts) when none does)
+    // riding the main action's plan. sweepOverPairs zero-fills missing
+    // thresholds, so the aggregate sees every candidate exactly as the
+    // collect did.
+    val chosenF = Dedup.sweepOverPairs(pairs, ts, pairsBuiltAt = Some(ts.head))
+      .agg(coalesce(
+        min(when(col("n_docs") <= maxAffectedDocs, col("threshold"))),
+        lit(ts.last)).as("chosen_threshold"))
     // stage 3: pairwise keep-smaller-id dedup at the chosen threshold
-    val losers = pairs.filter(col("jaccard") >= lit(chosen))
+    val losers = pairs.crossJoin(broadcast(chosenF))
+      .filter(col("jaccard") >= col("chosen_threshold"))
       .select(col("id_b").as(idCol)).distinct()
     val deduped = docs.join(losers, Seq(idCol), "left_anti")
     // stage 4: group-coherent folds. Docs with a NULL group key get
@@ -114,7 +123,8 @@ object Curation {
       .withColumnRenamed("grp", "fold")
     dupStats
       .join(drift.select(col("fold"), col("psi"), col("tvd")), Seq("fold"))
-      .select(col("fold"), lit(chosen).as("chosen_threshold"),
+      .crossJoin(broadcast(chosenF))
+      .select(col("fold"), col("chosen_threshold"),
         col("n_docs"), col("n_dup_docs"), col("n_dup_groups"),
         col("dup_rate"), col("psi"), col("tvd"))
       .orderBy(col("fold"))
